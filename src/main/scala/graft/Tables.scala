@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver corpus (TESTDATA.md).
+  *
+  * Mirrors the reference's scan layer: `extract_url_grid` opens the source
+  * lazily with variable pruning (reference `run/utilities/adcirc_dask_utilities.py:36-44`);
+  * here `spark.read.parquet` gives a lazy `LogicalRelation` and Catalyst
+  * prunes columns/row-groups automatically. At 100 TB each of these becomes
+  * a partitioned table (partitioned by date/ts); the API is unchanged.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp. Read it as raw nanos (legacy conf) and convert to
+    * a microsecond TimestampType with integer division (a double division
+    * would lose precision above 2^53 ns). DuckDB keeps ns precision; every
+    * oracle query therefore only compares ts at >= second granularity. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Num, Tables}
+
+/** Aggregations, window functions, and the tumbling-window (streaming-
+  * equivalent) query.
+  *
+  * Reference analogues:
+  *  - global bbox min/max       (`run/adcircTime2cogs.py:155-158`)
+  *  - global mean               (`adcirc_dask_utilities.py:20`)
+  *  - per-timestep group loop   (`run/adcircTime2cogs.py:190-209`)
+  *  - adjacent-pair centroids   (`run/adcircTime2cogs.py:79-80`) -> lag window
+  *  - sequential index counter  (`run/adcircTime2cogs.py:187,209`) -> row_number
+  *
+  * All aggregates are partial+final hash aggregates (map-side combine), so
+  * at 100 TB only the per-group partials cross the shuffle. Window queries
+  * shuffle once on their partition key; the one intentionally-global window
+  * (q_win_centroid, the reference's axis-centroid computation) is documented
+  * as such — its input is an axis-sized relation, never the fact table.
+  */
+object Aggregates {
+
+  /** A1: bounding box — min/max in one pass (reference grid corners). */
+  def qAggBbox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(min(col("l_extendedprice")).as("min_price"),
+           max(col("l_extendedprice")).as("max_price"),
+           date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+           date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+
+  /** A2: grouped mean (exact decimal sum / count, SURVEY §5.1). */
+  def qAggMean(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(Num.moneyAvg(col("c_acctbal"), 4).as("avg_bal"),
+           count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** A3+O2: per-timestep reduction — the reference's raster-per-timestep
+    * loop as a groupBy over truncated event time. */
+  def qAggGroupbyTime(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"))
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("value")).as("sum_value"))
+      .orderBy("hr")
+
+  /** A5: distinct aggregation. */
+  def qAggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** A6: rollup — grouping-set expansion (Catalyst Expand); null grouping
+    * keys normalized to 'ALL' on both engines. */
+  def qAggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** A6: cube over order status/priority. */
+  def qAggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+              col("n"))
+      .orderBy("st", "pri")
+
+  /** W1: the reference's adjacent-pair centroid `(x[1:]+x[:-1])/2` as a lag
+    * window. Axis-sized input; global order is intentional (raster axes are
+    * small, O(10^4) — never the fact table). */
+  def qWinCentroid(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("event_id")
+    Tables.events(s, d)
+      .select(col("event_id"),
+              round((col("value") + lag(col("value"), 1).over(w)) / 2.0, 4).as("centroid"))
+      .filter(col("centroid").isNotNull)
+      .orderBy("event_id")
+  }
+
+  /** W2+W4: ranking — top-3 orders per customer by totalprice. */
+  def qWinRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk", "o_orderkey")
+  }
+
+  /** W3: running (frame) aggregate per user — exact decimal prefix sums. */
+  def qWinRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+              sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running"))
+      .orderBy("event_id")
+  }
+
+  /** §2.9: tumbling event-time window — batch-equivalent of the streaming
+    * aggregation (one raster per timestep in the reference). */
+  def qStreamTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+              col("n"), col("sum_value"))
+      .orderBy("ws")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bbox"         -> (qAggBbox _),
+    "q_agg_mean"         -> (qAggMean _),
+    "q_agg_groupby_time" -> (qAggGroupbyTime _),
+    "q_agg_distinct"     -> (qAggDistinct _),
+    "q_agg_rollup"       -> (qAggRollup _),
+    "q_agg_cube"         -> (qAggCube _),
+    "q_win_centroid"     -> (qWinCentroid _),
+    "q_win_rank"         -> (qWinRank _),
+    "q_win_running"      -> (qWinRunning _),
+    "q_stream_tumbling"  -> (qStreamTumbling _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_bbox" ->
+      """SELECT MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+        |FROM lineitem""".stripMargin,
+    "q_agg_mean" ->
+      """SELECT c_mktsegment,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal), 4) AS avg_bal,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_groupby_time" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hr""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY st, pri""".stripMargin,
+    "q_win_centroid" ->
+      """SELECT event_id, centroid FROM (
+        |  SELECT event_id,
+        |    ROUND((value + LAG(value, 1) OVER (ORDER BY event_id)) / 2.0, 4) AS centroid
+        |  FROM events)
+        |WHERE centroid IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q_win_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+    "q_win_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+  )
+}

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scans, projections, filters, scalar functions, sorts, set operations.
+  *
+  * Generalizes the reference's scan/projection layer:
+  *  - column pruning at scan  (reference `run/utilities/adcirc_dask_utilities.py:42`)
+  *  - timestep slice reads    (`adcirc_dask_utilities.py:24-33`)
+  *  - index-shift projection  (`adcirc_dask_utilities.py:19`)
+  *  - affine grid arithmetic  (`run/adcircTime2cogs.py:74-81`)
+  *  - closed-form Mercator reprojection (`run/adcircTime2cogs.py:29-47`)
+  *  - mask -> null normalization (`run/utilities/adcirc_utilities.py:30`)
+  *  - name-regex dispatch     (`adcirc_dask_utilities.py:27`)
+  *  - filename/timestamp string surgery (`run/adcircTime2cogs.py:124-131,192-194`)
+  *  - GeoServer time-regex extraction   (`run/adcircTime2cogs.py:211-222`)
+  *
+  * Every query is deterministic: ORDER BY a unique key, money aggregates via
+  * exact decimal sums, timestamps rendered as strings (SURVEY.md §5.1).
+  * All filters/projections here are plain Catalyst expressions, so predicate
+  * pushdown + column pruning reach the Parquet scan — at 100 TB these queries
+  * read only the referenced columns and row-groups.
+  */
+object Relational {
+
+  /** S1+P1+O3: projection pushed to scan, ordered limit (TakeOrderedAndProject). */
+  def qScanProjectLimit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** S4: time-slice scan — the reference's `var[it, :]` timestep read.
+    * On a ts-partitioned layout this prunes to one partition. */
+  def qScanPruneTime(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("ts") <  lit("2024-01-01 06:00:00").cast("timestamp"))
+      .select("event_id", "event_type", "user_id", "value")
+      .orderBy("event_id")
+
+  /** P2: the reference's 1-based -> 0-based connectivity shift. */
+  def qProjIndexShift(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              (col("l_linenumber") - lit(1)).as("n0"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P3+F4: affine coordinate expression (upperleft + k*res). Exact decimal
+    * arithmetic on both engines (double rounding of x.xxxx5 ties diverges),
+    * double only at the very end. */
+  def qAffineTransform(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+              round(lit(BigDecimal("100.0")) +
+                    lit(BigDecimal("0.005")) * col("o_totalprice").cast("decimal(18,2)"), 4)
+                .cast("double").as("gx"))
+      .orderBy("o_orderkey")
+
+  /** P4+F5: closed-form spherical-Mercator forward projection.
+    * lon = value - 180 in [-180, 310); lat = value/4 - 60 in (-60, 62.5]
+    * so tan/ln stay in-domain on both engines (DuckDB ln(<0) errors).
+    * pi is written out identically on both sides for bit-equal radians. */
+  def qProjMercator(s: SparkSession, d: String): DataFrame = {
+    val R   = lit(6378137.0)
+    val rad = lit(math.Pi) / lit(180.0)
+    val lon = col("value") - lit(180.0)
+    val lat = col("value") / lit(4.0) - lit(60.0)
+    Tables.events(s, d)
+      .select(col("event_id"),
+              round(lon * rad * R, 2).as("mx"),
+              round(R * log(tan(lit(math.Pi) / lit(4.0) + lat * rad / lit(2.0))), 2).as("my"))
+      .orderBy("event_id")
+  }
+
+  /** P5+P6: masked-fill (value below threshold -> null, the reference's
+    * dry-cell NaN mask) + per-group wet/dry accounting. */
+  def qMaskNull(s: SparkSession, d: String): DataFrame = {
+    val masked = when(col("value") < 50.0, lit(null)).otherwise(col("value"))
+    Tables.events(s, d)
+      .withColumn("masked", masked)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+           count(col("masked")).as("n_wet"),
+           round(graft.Num.moneySum(col("masked")) / count(col("masked")), 4).as("avg_wet"))
+      .orderBy("event_type")
+  }
+
+  /** P7+F3: name-regex dispatch — the reference flips slicing mode on
+    * re.search('max', varname); here an rlike filter over p_type. */
+  def qFilterRegexMax(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_type").rlike("MEDIUM|LARGE"))
+      .select("p_partkey", "p_type")
+      .orderBy("p_partkey")
+
+  /** O3: top-k — TakeOrderedAndProjectExec, no full sort at scale. */
+  def qTopk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** F4+O1: generated axes — ascending x, DESCENDING y (raster row order,
+    * reference `run/adcircTime2cogs.py:74-75`). */
+  def qMathGrid(s: SparkSession, d: String): DataFrame =
+    s.range(0, 100).toDF("k")
+      .select(col("k"),
+              (lit(BigDecimal("-98.0")) + col("k") * lit(BigDecimal("0.005")))
+                .cast("double").as("x"),
+              (lit(BigDecimal("45.0"))  - col("k") * lit(BigDecimal("0.005")))
+                .cast("double").as("y"))
+      .orderBy("k")
+
+  /** F1+F2: the reference's COG filename surgery —
+    * `fort_63_zeta_<yyyyMMdd'T'HHmmss>Z.tiff` (run/adcircTime2cogs.py:192-194). */
+  def qStrFilename(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+              concat(lit("fort_63_zeta_"),
+                     date_format(col("ts"), "yyyyMMdd'T'HHmmss"),
+                     lit("Z.tiff")).as("fname"))
+      .orderBy("event_id")
+
+  /** F3+S6: GeoServer ImageMosaic time-regex `[0-9]{8}T[0-9]{6}` extraction
+    * (reference run/adcircTime2cogs.py:217). */
+  def qRegexExtract(s: SparkSession, d: String): DataFrame =
+    qStrFilename(s, d)
+      .select(col("event_id"),
+              regexp_extract(col("fname"), "[0-9]{8}T[0-9]{6}", 0).as("tkey"))
+      .orderBy("event_id")
+
+  /** F6: date-part extraction + counts. */
+  def qDateParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+               month(col("l_shipdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("yr", "mo")
+
+  /** F8: JSON column extraction (events.props is a JSON string). */
+  def qJsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** Set ops (SURVEY §2.7): nation keys of customers vs suppliers. */
+  private def custNations(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+  private def suppNations(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")).distinct()
+
+  def qSetUnion(s: SparkSession, d: String): DataFrame =
+    custNations(s, d).union(suppNations(s, d)).distinct().orderBy("nationkey")
+  def qSetIntersect(s: SparkSession, d: String): DataFrame =
+    custNations(s, d).intersect(suppNations(s, d)).orderBy("nationkey")
+  /** EXCEPT over customer keys vs big-spender keys — non-empty in the corpus
+    * (nation-key sets of customer/supplier fully overlap). */
+  def qSetExcept(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").cast("long").as("custkey"))
+      .except(Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+                .select(col("o_custkey").cast("long").as("custkey")))
+      .orderBy("custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project_limit" -> (qScanProjectLimit _),
+    "q_scan_prune_time"    -> (qScanPruneTime _),
+    "q_proj_index_shift"   -> (qProjIndexShift _),
+    "q_affine_transform"   -> (qAffineTransform _),
+    "q_proj_mercator"      -> (qProjMercator _),
+    "q_mask_null"          -> (qMaskNull _),
+    "q_filter_regex_max"   -> (qFilterRegexMax _),
+    "q_topk"               -> (qTopk _),
+    "q_math_grid"          -> (qMathGrid _),
+    "q_str_filename"       -> (qStrFilename _),
+    "q_regex_extract"      -> (qRegexExtract _),
+    "q_date_parts"         -> (qDateParts _),
+    "q_json_props"         -> (qJsonProps _),
+    "q_set_union"          -> (qSetUnion _),
+    "q_set_intersect"      -> (qSetIntersect _),
+    "q_set_except"         -> (qSetExcept _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_scan_prune_time" ->
+      """SELECT event_id, event_type, user_id, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "q_proj_index_shift" ->
+      """SELECT l_orderkey, l_linenumber, l_linenumber - 1 AS n0
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_affine_transform" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(100.0 + 0.005 * CAST(o_totalprice AS DECIMAL(18,2)), 4) AS DOUBLE) AS gx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_proj_mercator" ->
+      """SELECT event_id,
+        |  ROUND((value - 180.0) * (PI() / 180.0) * 6378137.0, 2) AS mx,
+        |  ROUND(6378137.0 * LN(TAN(PI() / 4.0 + (value / 4.0 - 60.0) * (PI() / 180.0) / 2.0)), 2) AS my
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_mask_null" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_total,
+        |  COUNT(masked) AS n_wet,
+        |  ROUND(CAST(SUM(CAST(masked AS DECIMAL(18,2))) AS DOUBLE) / COUNT(masked), 4) AS avg_wet
+        |FROM (SELECT event_type, CASE WHEN value < 50.0 THEN NULL ELSE value END AS masked FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_filter_regex_max" ->
+      """SELECT p_partkey, p_type FROM part
+        |WHERE regexp_matches(p_type, 'MEDIUM|LARGE') ORDER BY p_partkey""".stripMargin,
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q_math_grid" ->
+      """SELECT k, CAST(-98.0 + k * 0.005 AS DOUBLE) AS x, CAST(45.0 - k * 0.005 AS DOUBLE) AS y
+        |FROM range(0, 100) t(k) ORDER BY k""".stripMargin,
+    "q_str_filename" ->
+      """SELECT event_id,
+        |  'fort_63_zeta_' || strftime(ts, '%Y%m%dT%H%M%S') || 'Z.tiff' AS fname
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT event_id,
+        |  regexp_extract('fort_63_zeta_' || strftime(ts, '%Y%m%dT%H%M%S') || 'Z.tiff',
+        |                 '[0-9]{8}T[0-9]{6}') AS tkey
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_date_parts" ->
+      """SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_set_union" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
+        |EXCEPT SELECT CAST(o_custkey AS BIGINT) FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY custkey""".stripMargin,
+  )
+}
