@@ -20,12 +20,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
     operators.Joins.queries ++
-    operators.Aggregates.queries
+    operators.Aggregates.queries ++
+    operators.TextOps.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
     operators.Joins.oracle ++
-    operators.Aggregates.oracle
+    operators.Aggregates.oracle ++
+    operators.TextOps.oracle ++
+    operators.Dedup.oracle ++
+    operators.Similarity.oracle
 }

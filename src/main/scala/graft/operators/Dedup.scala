@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection for LLM training-data pipelines (SURVEY §2 EXT):
+  * MinHash+LSH, SimHash, and n-gram Jaccard — plus the exact-hash variant in
+  * [[TextOps.qDedupExact]] and the embedding-cosine variant in
+  * [[Similarity.qDedupEmbedding]].
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Signatures (minhash / simhash) are pure per-row array expressions —
+  *    narrow, codegen'd, no shuffle, no UDF. A 1000-executor cluster computes
+  *    them at scan speed.
+  *  - LSH banding turns the O(n²) all-pairs problem into an equi-join on
+  *    (band_index, band_hash): only documents agreeing on a full band ever
+  *    meet, so the shuffle carries (doc_id, band_hash) pairs — ~100 bytes/doc
+  *    — never the text. Candidate buckets are tiny by construction, so the
+  *    post-shuffle pair expansion is bounded.
+  *  - The brute-force Jaccard query is intentionally bounded to a fixed
+  *    doc_id window: it is the *verifier* for LSH candidates, not the scale
+  *    path (same role as the reference's one-off ones-mask precompute,
+  *    /root/reference/run/adcircTime2cogs.py:177-185).
+  *
+  * Portability: every hash is md5 (identical hex in Spark and DuckDB); a
+  * minimum over fixed-width lowercase-hex strings is a minimum over the
+  * corresponding 128-bit integers, so MIN(md5-string) is a valid minhash.
+  */
+object Dedup {
+
+  /** Distinct 3-token shingles of `text` as an array column. */
+  private val shingles3: Column = expr(
+    """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+      |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+
+  /** One minhash: min over shingles of md5(seed || '|' || shingle). */
+  private def minhash(seed: Int): Column =
+    array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))
+
+  /** EXT: MinHash + LSH candidate pairs. 8 hash functions, 4 bands × 2 rows:
+    * P(candidate) = 1-(1-j²)⁴ — catches Jaccard ≳ 0.6 with high probability.
+    * Plan: narrow signature computation → explode to 4 (doc, band) rows →
+    * self-equi-join on (band, band_hash) → distinct pairs. One shuffle on the
+    * band hash; bucket sizes are bounded by construction. */
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), shingles3.as("sh"))
+      .select(col("doc_id") +: (0 until 8).map(k => minhash(k).as(s"mh$k")): _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as(Seq("b", "bh")))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** EXT: 32-bit SimHash over distinct tokens — bit k set iff the majority of
+    * token-md5s have hex digit k ≥ '8' (i.e. top bit of that nibble set).
+    * Exact-signature groups = near-duplicate clusters. Signature is one
+    * narrow expression; the group-by shuffles 32-char strings only. */
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val t = array_distinct(split(col("text"), " "))
+    val bits = (0 until 32).map { k =>
+      when(size(filter(t, x => substring(md5(x), k + 1, 1) >= "8")) * 2 > size(t), "1")
+        .otherwise("0")
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(bits: _*).as("sh"))
+      .groupBy("sh")
+      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("min_doc", "sh", "n")
+      .orderBy("min_doc")
+  }
+
+  /** EXT: exact n-gram Jaccard over a bounded window (doc_id < 300) — the
+    * ground-truth verifier for the LSH candidates. Explode distinct shingles,
+    * self-join on shingle, |A∩B| per pair, |A∪B| = |A|+|B|-|A∩B|. The
+    * shingle equi-join shuffles (doc_id, shingle-hash); at scale this runs
+    * only on LSH survivors, never the full corpus. */
+  def qDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), explode(shingles3).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("d1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("d2") === col("nb.doc_id"))
+      .select(col("d1"), col("d2"),
+              round(col("inter").cast("double") /
+                    (col("na.nsh") + col("nb.nsh") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") > 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash"       -> (qDedupMinhash _),
+    "q_dedup_simhash"       -> (qDedupSimhash _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+  )
+
+  private val duckShingles =
+    """list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
+      |  for i in generate_series(1, len(t) - 2)])""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> md5(CAST(k AS VARCHAR) || '|' || x)))
+        |   for k in generate_series(0, 7)] AS mh FROM sh),
+        |bands AS (SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS bh
+        |          FROM sig, generate_series(0, 3) g(b))
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH sig AS (SELECT doc_id,
+        |  list_aggregate([CASE WHEN len(list_filter(t, x -> substring(md5(x), k+1, 1) >= '8')) * 2 > len(t)
+        |                       THEN '1' ELSE '0' END
+        |                  for k in generate_series(0, 31)], 'string_agg', '') AS sh
+        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents))
+        |SELECT min_doc, sh, n FROM (
+        |  SELECT sh, MIN(doc_id) AS min_doc, COUNT(*) AS n FROM sig GROUP BY 1)
+        |WHERE n > 1 ORDER BY min_doc""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($duckShingles) AS shingle
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, jaccard FROM (
+        |  SELECT d1, d2, ROUND(CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter), 4) AS jaccard
+        |  FROM inter JOIN sizes na ON d1 = na.doc_id JOIN sizes nb ON d2 = nb.doc_id)
+        |WHERE jaccard > 0.5 ORDER BY d1, d2""".stripMargin,
+  )
+}

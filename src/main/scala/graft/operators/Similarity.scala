@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity search (SURVEY §2 EXT): brute-force cosine as the
+  * correctness baseline, random-hyperplane LSH as the scale path, plus the
+  * cosine near-duplicate filter.
+  *
+  * Scale design:
+  *  - All vector math is built-in array expressions (`zip_with` +
+  *    `aggregate`) over ARRAY<DOUBLE> — codegen'd, no UDF, no shuffle for
+  *    the per-row parts.
+  *  - Brute-force top-k broadcasts the (tiny) query set against the
+  *    (huge) candidate table: per-partition scoring, then a single per-query
+  *    TakeOrdered — the shuffle carries only (query, cand, score) triples
+  *    that survive the rank window.
+  *  - LSH buckets vectors by 8 hyperplane sign bits (deterministic
+  *    sin-formula planes, reproducible in ANSI SQL): search then touches a
+  *    ~1/256 slice instead of the full table — same contract as the
+  *    reference's precomputed triangle lookup structure
+  *    (/root/reference/run/adcircTime2cogs.py:165-171): build the index once,
+  *    probe it per query.
+  *
+  * embeddings.embedding is Parquet list<float>; every query casts to double
+  * FIRST (SURVEY §7.5.2) so Spark and DuckDB accumulate in the same width,
+  * then a single left-fold dot product keeps the FP op order identical.
+  */
+object Similarity {
+
+  private val vD: Column = transform(col("embedding"), x => x.cast("double"))
+
+  /** Left-fold dot product of two double arrays — same FP order as DuckDB's
+    * list_dot_product (sequential accumulate from element 1). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** F7 (manifest): array shape probes — size, first/last element. */
+  def qArrayExplode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+              size(col("embedding")).cast("long").as("dim"),
+              round(element_at(vD, 1), 4).as("first_v"),
+              round(element_at(vD, -1), 4).as("last_v"))
+      .orderBy("vec_id")
+      .limit(50)
+
+  /** F7+EXT (manifest): all-pairs cosine on a 51-vector window, top 20. */
+  def qSimCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") <= 50)
+      .select(col("vec_id"), vD.as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+              round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("v1"), col("v2"))
+      .limit(20)
+  }
+
+  /** EXT: brute-force ANN — exact top-10 cosine neighbors for each of the
+    * first 5 vectors. The query side is broadcast (5 rows); ranking is a
+    * per-query window. This is the oracle for the LSH path below. */
+  def qAnnBruteTopk(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), vD.as("qv"))
+    val c = Tables.embeddings(s, d).filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), vD.as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy("qid", "rk")
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane p, dimension i.
+    * Pure double math (sin), bit-identical across engines. */
+  private def planeAt(p: Int, i: Column): Column =
+    sin(lit(p.toDouble) * lit(131.7) + i.cast("double") * lit(7.3))
+
+  /** Signed projection of the embedding onto plane p, as one '0'/'1' bit. */
+  private def lshBit(p: Int): Column = {
+    val proj = aggregate(
+      zip_with(vD, sequence(lit(0), lit(63)), (x, i) => x * planeAt(p, i)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, "1").otherwise("0")
+  }
+
+  /** EXT: random-hyperplane LSH index build — 8 sign bits → 256 buckets.
+    * Output is the bucket histogram (the index statistics a planner would
+    * use); probing = equi-join on `bucket`, which at 100 TB shuffles only
+    * (bucket, vec_id) pairs. Near-identical vectors agree on all 8 bits. */
+  def qAnnLshBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), concat((0 until 8).map(lshBit): _*).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+      .orderBy("bucket")
+
+  /** EXT: embedding-cosine near-duplicate pairs (threshold 0.4 — the corpus
+    * max is ~0.51, planted pairs sit above random noise ~0.0). Bounded
+    * brute-force; the LSH buckets above are the 100 TB prefilter. */
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), vD.as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+              round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .filter(col("cos") > 0.4)
+      .orderBy("v1", "v2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_explode"   -> (qArrayExplode _),
+    "q_sim_cosine"      -> (qSimCosine _),
+    "q_ann_brute_topk"  -> (qAnnBruteTopk _),
+    "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+  )
+
+  private val duckCos =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  val oracle: Map[String, String] = Map(
+    "q_array_explode" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_v,
+        |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS last_v
+        |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin,
+    "q_sim_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <= 50)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND($duckCos, 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin,
+    "q_ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 5),
+        |scored AS (SELECT qid, cid, ROUND($duckCos, 4) AS cos
+        |           FROM q a JOIN c b ON true),
+        |ranked AS (SELECT qid, cid, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk FROM scored)
+        |SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "q_ann_lsh_buckets" ->
+      """WITH sig AS (SELECT vec_id,
+        |  list_aggregate([CASE WHEN list_reduce(
+        |      [CAST(embedding[i+1] AS DOUBLE) * sin(CAST(p AS DOUBLE) * 131.7 + CAST(i AS DOUBLE) * 7.3)
+        |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
+        |    THEN '1' ELSE '0' END for p in generate_series(0, 7)], 'string_agg', '') AS bucket
+        |  FROM embeddings)
+        |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec
+        |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT v1, v2, cos FROM (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND($duckCos, 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cos > 0.4 ORDER BY v1, v2""".stripMargin,
+  )
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2 EXT).
+  *
+  * The reference has no text processing — these are the north-star extensions
+  * (exact dedup, language-ID, quality scoring, token counting, document
+  * fingerprinting) built entirely from codegen'd built-in functions: no UDFs,
+  * so every query stays inside whole-stage codegen and scales linearly with
+  * input (narrow per-row transforms + one hash-aggregate shuffle at most).
+  *
+  * Determinism: every hash is `md5` (identical lowercase-hex output in Spark
+  * and DuckDB); every ratio is rounded; every query ends ORDER BY a unique key.
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Occurrences of literal substring `pat` in `c` — the classic
+    * (len - len(replace)) / len(pat) trick; identical in DuckDB. */
+  private def occ(c: Column, pat: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / lit(pat.length)
+
+  /** A8+F9 (EXT): exact dedup across a simulated re-crawl — the corpus has no
+    * byte-identical duplicates, so union a shifted copy of the first 100 docs
+    * (same text, new doc_id), then group on the content hash. At 100 TB this
+    * is the canonical map-side-combine pattern: `sha2/md5(text)` groups
+    * shuffle only (hash, partial-count), never the document bodies. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val recrawl = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    docs.union(recrawl)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("min_doc", "h", "n")
+      .orderBy("min_doc")
+  }
+
+  /** F10 (EXT): per-language corpus stats (the manifest's q_text_stats). */
+  def qTextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("n_chars")), 2).as("avg_chars"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  /** EXT: character-bigram language-ID heuristic — score each language by
+    * occurrence counts of characteristic bigrams, argmax with a fixed
+    * tie-break order, then confusion-matrix against the labeled `lang`.
+    * All narrow string ops; one small hash-agg at the end. */
+  def qTextLangId(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val sEn = occ(t, "th") + occ(t, "he") + occ(t, "er")
+    val sDe = occ(t, "ch") + occ(t, "ei") + occ(t, "en")
+    val sFr = occ(t, "le") + occ(t, "ou") + occ(t, "re")
+    val sEs = occ(t, "os") + occ(t, "la") + occ(t, "ar")
+    val pred = when(sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+      .when(sDe >= sFr && sDe >= sEs, "de")
+      .when(sFr >= sEs, "fr")
+      .otherwise("es")
+    Tables.documents(s, d)
+      .select(col("lang"), pred.as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** EXT: per-document quality scoring — token count, average token length,
+    * stopword ratio, non-alphanumeric ratio, and a 0-3 rule score. The
+    * standard pre-training quality filter shape (length + stopword + symbol
+    * heuristics), all codegen'd per-row expressions — no shuffle at all. */
+  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nTok = size(toks(t))
+    val avgLen = (length(t) - (nTok - lit(1)).cast("double")) / nTok
+    val stopHits = occ(t, "the ") + occ(t, " a ") + occ(t, "data ")
+    val stopRatio = stopHits / nTok
+    val symRatio = (length(t) - length(regexp_replace(t, "[a-z0-9 ]", ""))).cast("double") / length(t)
+    val score = (nTok.between(20, 80)).cast("int") +
+      (stopRatio > 0.01).cast("int") +
+      (avgLen.between(3.0, 8.0)).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTok.cast("long").as("n_tok"),
+              round(avgLen, 4).as("avg_tok_len"),
+              round(stopRatio, 4).as("stop_ratio"),
+              round(symRatio, 4).as("sym_ratio"),
+              score.cast("long").as("quality"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** EXT: token counting — whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs / digit runs / single symbols), aggregated per language.
+    * This is the "how many tokens is my corpus" pipeline primitive. */
+  def qTextTokens(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(col("lang"), size(toks(t)).cast("long").as("ws"),
+              regexp_count(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe"),
+              length(t).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(sum(col("ws")).as("n_ws_tokens"),
+           sum(col("bpe")).as("n_bpe_tokens"),
+           sum(col("chars")).as("n_chars_total"))
+      .orderBy("lang")
+  }
+
+  /** EXT: document fingerprinting (winnowing-lite) — the min and max md5 over
+    * the document's 5-token shingles. Two such extremes form a robust
+    * content fingerprint that survives small edits (same idea as the
+    * reference's reuse of one precomputed mask across timesteps: compute a
+    * cheap invariant once, compare it everywhere). */
+  def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
+    val sh = expr(
+      """transform(sequence(1, size(split(text, ' ')) - 4),
+        |          i -> md5(concat_ws(' ', slice(split(text, ' '), i, 5))))""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              substring(array_min(sh), 1, 16).as("fp_min"),
+              substring(array_max(sh), 1, 16).as("fp_max"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"      -> (qDedupExact _),
+    "q_text_stats"       -> (qTextStats _),
+    "q_text_lang_id"     -> (qTextLangId _),
+    "q_text_quality"     -> (qTextQuality _),
+    "q_text_tokens"      -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min_doc, h, n FROM (
+        |  SELECT md5(text) AS h, MIN(doc_id) AS min_doc, COUNT(*) AS n
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100)
+        |  GROUP BY 1) WHERE n > 1 ORDER BY min_doc""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_lang_id" ->
+      """WITH sc AS (SELECT lang,
+        |  (length(text)-length(replace(text,'th','')))/2 + (length(text)-length(replace(text,'he','')))/2 + (length(text)-length(replace(text,'er','')))/2 AS s_en,
+        |  (length(text)-length(replace(text,'ch','')))/2 + (length(text)-length(replace(text,'ei','')))/2 + (length(text)-length(replace(text,'en','')))/2 AS s_de,
+        |  (length(text)-length(replace(text,'le','')))/2 + (length(text)-length(replace(text,'ou','')))/2 + (length(text)-length(replace(text,'re','')))/2 AS s_fr,
+        |  (length(text)-length(replace(text,'os','')))/2 + (length(text)-length(replace(text,'la','')))/2 + (length(text)-length(replace(text,'ar','')))/2 AS s_es
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred,
+        |  COUNT(*) AS n
+        |FROM sc GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  ROUND((length(text) - CAST(len(string_split(text,' ')) - 1 AS DOUBLE)) / len(string_split(text,' ')), 4) AS avg_tok_len,
+        |  ROUND(((length(text)-length(replace(text,'the ','')))/4.0
+        |       + (length(text)-length(replace(text,' a ','')))/3.0
+        |       + (length(text)-length(replace(text,'data ','')))/5.0) / len(string_split(text,' ')), 4) AS stop_ratio,
+        |  ROUND(CAST(length(text)-length(regexp_replace(text,'[a-z0-9 ]','','g')) AS DOUBLE) / length(text), 4) AS sym_ratio,
+        |  CAST((len(string_split(text,' ')) BETWEEN 20 AND 80)::INT
+        |     + ((((length(text)-length(replace(text,'the ','')))/4.0
+        |        + (length(text)-length(replace(text,' a ','')))/3.0
+        |        + (length(text)-length(replace(text,'data ','')))/5.0) / len(string_split(text,' '))) > 0.01)::INT
+        |     + (((length(text) - CAST(len(string_split(text,' ')) - 1 AS DOUBLE)) / len(string_split(text,' '))) BETWEEN 3.0 AND 8.0)::INT AS BIGINT) AS quality
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT lang,
+        |  SUM(len(string_split(text, ' '))) AS n_ws_tokens,
+        |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_bpe_tokens,
+        |  SUM(length(text)) AS n_chars_total
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  substring(list_min([md5(list_aggregate(string_split(text,' ')[i:i+4], 'string_agg', ' '))
+        |     for i in generate_series(1, len(string_split(text,' ')) - 4)]), 1, 16) AS fp_min,
+        |  substring(list_max([md5(list_aggregate(string_split(text,' ')[i:i+4], 'string_agg', ' '))
+        |     for i in generate_series(1, len(string_split(text,' ')) - 4)]), 1, 16) AS fp_max
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+  )
+}
