@@ -34,19 +34,32 @@ object Dedup {
     """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
       |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
 
-  /** One minhash: min over shingles of md5(seed || '|' || shingle). */
-  private def minhash(seed: Int): Column =
-    array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))
-
   /** EXT: MinHash + LSH candidate pairs. 8 hash functions, 4 bands × 2 rows:
     * P(candidate) = 1-(1-j²)⁴ — catches Jaccard ≳ 0.6 with high probability.
-    * Plan: narrow signature computation → explode to 4 (doc, band) rows →
-    * self-equi-join on (band, band_hash) → distinct pairs. One shuffle on the
-    * band hash; bucket sizes are bounded by construction. */
+    *
+    * Hash budget: two salted md5 digests per shingle yield 64 hex chars =
+    * eight independent 32-bit hash functions (8-hex-char slices); minhash k
+    * lives at digest (k/4), offset (k%4)*8. Shingles are EXPLODED before
+    * hashing so the shingle array and each digest are computed exactly once
+    * — keeping them as array columns lets Catalyst's project-collapse inline
+    * the construction into all 8 consumers (measured 8× recompute). The
+    * signature is then 8 partial-min aggregates: map-side combine reduces
+    * each partition to one row per doc before the shuffle.
+    *
+    * Then: signature → 4 (doc, band) rows → self-equi-join on
+    * (band, band_hash) → distinct pairs. The band-hash shuffle carries
+    * ~50 bytes/doc; bucket sizes are bounded by construction. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
     val sig = Tables.documents(s, d)
-      .select(col("doc_id"), shingles3.as("sh"))
-      .select(col("doc_id") +: (0 until 8).map(k => minhash(k).as(s"mh$k")): _*)
+      .select(col("doc_id"), explode(shingles3).as("sh1"))
+      .select(col("doc_id"),
+              md5(concat(lit("0|"), col("sh1"))).as("h0"),
+              md5(concat(lit("1|"), col("sh1"))).as("h1"))
+      .groupBy("doc_id")
+      .agg((0 until 8).map(k =>
+             min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")).head,
+           (1 until 8).map(k =>
+             min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")): _*)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as(Seq("b", "bh")))
@@ -63,12 +76,14 @@ object Dedup {
     * Exact-signature groups = near-duplicate clusters. Signature is one
     * narrow expression; the group-by shuffles 32-char strings only. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val t = array_distinct(split(col("text"), " "))
+    // hash each distinct token ONCE, then derive all 32 bits from the digest
+    val ht = transform(array_distinct(split(col("text"), " ")), x => md5(x))
     val bits = (0 until 32).map { k =>
-      when(size(filter(t, x => substring(md5(x), k + 1, 1) >= "8")) * 2 > size(t), "1")
+      when(size(filter(col("ht"), h => substring(h, k + 1, 1) >= "8")) * 2 > size(col("ht")), "1")
         .otherwise("0")
     }
     Tables.documents(s, d)
+      .select(col("doc_id"), ht.as("ht"))
       .select(col("doc_id"), concat(bits: _*).as("sh"))
       .groupBy("sh")
       .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n"))
@@ -116,7 +131,7 @@ object Dedup {
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
         |sig AS (SELECT doc_id,
-        |  [list_min(list_transform(s, x -> md5(CAST(k AS VARCHAR) || '|' || x)))
+        |  [list_min(list_transform(s, x -> substring(md5(CAST(k // 4 AS VARCHAR) || '|' || x), (k % 4) * 8 + 1, 8)))
         |   for k in generate_series(0, 7)] AS mh FROM sh),
         |bands AS (SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS bh
         |          FROM sig, generate_series(0, 3) g(b))
@@ -125,10 +140,10 @@ object Dedup {
         |ORDER BY d1, d2""".stripMargin,
     "q_dedup_simhash" ->
       """WITH sig AS (SELECT doc_id,
-        |  list_aggregate([CASE WHEN len(list_filter(t, x -> substring(md5(x), k+1, 1) >= '8')) * 2 > len(t)
+        |  list_aggregate([CASE WHEN len(list_filter(ht, h -> substring(h, k+1, 1) >= '8')) * 2 > len(ht)
         |                       THEN '1' ELSE '0' END
         |                  for k in generate_series(0, 31)], 'string_agg', '') AS sh
-        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents))
+        |  FROM (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), x -> md5(x)) AS ht FROM documents))
         |SELECT min_doc, sh, n FROM (
         |  SELECT sh, MIN(doc_id) AS min_doc, COUNT(*) AS n FROM sig GROUP BY 1)
         |WHERE n > 1 ORDER BY min_doc""".stripMargin,
