@@ -23,7 +23,8 @@ object SparkEntry {
     operators.Aggregates.queries ++
     operators.TextOps.queries ++
     operators.Dedup.queries ++
-    operators.Similarity.queries
+    operators.Similarity.queries ++
+    operators.Interp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     operators.Aggregates.oracle ++
     operators.TextOps.oracle ++
     operators.Dedup.oracle ++
-    operators.Similarity.oracle
+    operators.Similarity.oracle ++
+    operators.Interp.oracle
 }

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's core computation, relationalized: interpolate an
+  * unstructured triangular mesh timeseries onto a regular raster grid
+  * (scipy `LinearNDInterpolator`, /root/reference/run/adcircTime2cogs.py:199-200)
+  * — SURVEY §2.3 J1/J2 + §2.4 A4.
+  *
+  * Decomposition (no UDF, no scipy — pure relational algebra):
+  *   1. mesh + grid are *generated relations* (`range` + arithmetic — the
+  *      reference's `np.arange`/`np.meshgrid`, run/adcircTime2cogs.py:74-81);
+  *   2. point-in-triangle containment = a RANGE JOIN rewritten as an
+  *      EQUI-join on spatial bucket keys: each triangle is exploded to the
+  *      integer-lattice buckets its bbox overlaps, each grid centroid hashes
+  *      to exactly one bucket, and the join on (bx, by) is then an ordinary
+  *      shuffled/broadcast hash join with the exact barycentric sign test as
+  *      a residual predicate (SURVEY §4, §7.5.1). At 100 TB this is the
+  *      critical move: the O(cells × triangles) nested loop becomes
+  *      O(cells + triangles) bucket-local work.
+  *   3. barycentric weights are closed-form column math; the per-timestep
+  *      value = w1·v1 + w2·v2 + w3·v3 via three broadcast equi-joins on
+  *      node_id (the reference's positional alignment, SURVEY J5) — one
+  *      fixed-order expression, so Spark and DuckDB produce bit-equal
+  *      doubles.
+  *   4. ties (a centroid epsilon-close to a shared edge claimed by two
+  *      triangles) resolve to the lowest ele_id via one window — keeping
+  *      (ts, row, col) unique, which the reference gets implicitly from
+  *      Qhull's simplex lookup.
+  *
+  * The mesh is a K×K unit lattice split into 2(K-1)² triangles; values are
+  * a rounded sine field — deterministic and reproducible in ANSI SQL, so the
+  * whole pipeline is DuckDB-oracle-checkable (SURVEY §7.3's
+  * q_interp_barycentric).
+  */
+object Interp {
+
+  val K = 20 // mesh: K×K nodes, 2(K-1)² triangles
+  val G = 50 // raster: G×G centroids
+  val T = 3  // timesteps
+
+  /** Mesh nodes: node_id → (lon, lat) on the integer lattice. */
+  def nodes(s: SparkSession): DataFrame =
+    s.range(0, K.toLong * K).toDF("node_id")
+      .select(col("node_id"),
+              (col("node_id") % K).cast("double").as("lon"),
+              floor(col("node_id") / K).cast("double").as("lat"))
+
+  /** Triangle connectivity: each lattice cell → lower/upper triangle.
+    * (The reference reads these from NetCDF `element` 1-based,
+    * adcirc_dask_utilities.py:19; generated here, already 0-based.) */
+  def elements(s: SparkSession): DataFrame = {
+    val cell = floor(col("id") / 2)
+    val r = floor(cell / (K - 1)); val c = cell % (K - 1)
+    val lower = col("id") % 2 === 0
+    s.range(0, 2L * (K - 1) * (K - 1)).toDF("id")
+      .select(col("id").as("ele_id"),
+              when(lower, r * K + c).otherwise(r * K + c + 1).cast("long").as("n1"),
+              when(lower, r * K + c + 1).otherwise((r + 1) * K + c + 1).cast("long").as("n2"),
+              ((r + 1) * K + c).cast("long").as("n3"))
+  }
+
+  /** Raster centroids with their (single) containing bucket key. */
+  def grid(s: SparkSession): DataFrame =
+    s.range(0, G.toLong * G).toDF("id")
+      .select((col("id") % G).cast("int").as("gcol"),
+              floor(col("id") / G).cast("int").as("grow"))
+      .select(col("gcol"), col("grow"),
+              (lit(0.3) + col("gcol").cast("double") * lit(0.38)).as("xm"),
+              (lit(0.3) + col("grow").cast("double") * lit(0.38)).as("ym"))
+      .withColumn("bx", floor(col("xm")).cast("long"))
+      .withColumn("by", floor(col("ym")).cast("long"))
+
+  /** Timeseries in long form (SURVEY §1.1): deterministic sine field. */
+  def series(s: SparkSession): DataFrame =
+    s.range(0, T.toLong * K * K).toDF("id")
+      .select(floor(col("id") / (K * K)).cast("long").as("ts"),
+              (col("id") % (K * K)).cast("long").as("node_id"))
+      .withColumn("value", round(sin(col("node_id").cast("double") * lit(0.7) +
+                                     col("ts").cast("double") * lit(1.3)) * lit(10.0), 4))
+
+  /** Triangles with corner coordinates, exploded to every bucket their bbox
+    * overlaps (the J1 "spatial index build"). Nodes are broadcast — the
+    * dimension side of the star (3×). */
+  def triangles(s: SparkSession): DataFrame = {
+    val n = broadcast(nodes(s))
+    val e = elements(s)
+      .join(n.select(col("node_id").as("n1"), col("lon").as("x1"), col("lat").as("y1")), "n1")
+      .join(n.select(col("node_id").as("n2"), col("lon").as("x2"), col("lat").as("y2")), "n2")
+      .join(n.select(col("node_id").as("n3"), col("lon").as("x3"), col("lat").as("y3")), "n3")
+    e.withColumn("tbx", explode(sequence(
+        floor(least(col("x1"), col("x2"), col("x3"))).cast("long"),
+        floor(greatest(col("x1"), col("x2"), col("x3"))).cast("long"))))
+     .withColumn("tby", explode(sequence(
+        floor(least(col("y1"), col("y2"), col("y3"))).cast("long"),
+        floor(greatest(col("y1"), col("y2"), col("y3"))).cast("long"))))
+  }
+
+  /** The J2 containment join: bucket equi-join + exact barycentric residual;
+    * ties to the lowest ele_id (one window on the tiny matched set). */
+  def cellMap(s: SparkSession): DataFrame = {
+    val det = (col("y2") - col("y3")) * (col("x1") - col("x3")) +
+              (col("x3") - col("x2")) * (col("y1") - col("y3"))
+    val w1 = ((col("y2") - col("y3")) * (col("xm") - col("x3")) +
+              (col("x3") - col("x2")) * (col("ym") - col("y3"))) / det
+    val w2 = ((col("y3") - col("y1")) * (col("xm") - col("x3")) +
+              (col("x1") - col("x3")) * (col("ym") - col("y3"))) / det
+    val matched = grid(s)
+      .join(broadcast(triangles(s)), col("bx") === col("tbx") && col("by") === col("tby"))
+      .withColumn("w1", w1)
+      .withColumn("w2", w2)
+      .withColumn("w3", lit(1.0) - col("w1") - col("w2"))
+      .filter(col("w1") >= 0 && col("w2") >= 0 && col("w3") >= 0)
+    val first = Window.partitionBy("grow", "gcol").orderBy("ele_id")
+    matched
+      .withColumn("rn", row_number().over(first))
+      .filter(col("rn") === 1)
+      .select("grow", "gcol", "ele_id", "n1", "n2", "n3", "w1", "w2", "w3")
+  }
+
+  /** Manifest q_interp_barycentric: one raster value per (ts, row, col) —
+    * the reference's per-timestep loop body (run/adcircTime2cogs.py:190-209)
+    * for ALL timesteps in one shot (time is just another join key; Spark
+    * parallelizes over it instead of looping serially — the reference's
+    * serial bottleneck, SURVEY §3.1 step 4). The weighted sum is one
+    * fixed-order expression (w1·v1 + w2·v2 + w3·v3), not a 3-row aggregate,
+    * so its FP result is engine-independent. */
+  def qInterpBarycentric(s: SparkSession, d: String): DataFrame = {
+    val sv = series(s)
+    val s1 = sv.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
+    val s2 = sv.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
+    val s3 = sv.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
+    cellMap(s)
+      .join(broadcast(s1), col("n1") === col("m1"))
+      .join(broadcast(s2), col("n2") === col("m2") && col("ts") === col("t2"))
+      .join(broadcast(s3), col("n3") === col("m3") && col("ts") === col("t3"))
+      .select(col("ts"), col("grow"), col("gcol"),
+              // zi in 1e-4 units as an integer: floor(x*1e4 + 0.5) is exact on
+              // doubles, so identical FP inputs give identical integers in any
+              // engine — no decimal-rounding semantics in the comparison path
+              // (Spark's round() is BigDecimal-string HALF_UP, DuckDB's is
+              // numeric; they disagree on shortest-repr .5 boundaries).
+              floor((col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3"))
+                    * lit(10000.0) + lit(0.5)).cast("long").as("zi4"))
+      .orderBy("ts", "grow", "gcol")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interp_barycentric" -> (qInterpBarycentric _),
+  )
+
+  /** The same construction in ANSI SQL — every arithmetic step casts to
+    * DOUBLE before FP math so DuckDB's DECIMAL literal inference can't
+    * diverge from Spark's double literals. */
+  val oracle: Map[String, String] = Map(
+    "q_interp_barycentric" -> s"""
+      |WITH nodes AS (
+      |  SELECT i AS node_id, CAST(i % $K AS DOUBLE) AS lon, CAST(i // $K AS DOUBLE) AS lat
+      |  FROM range(0, ${K * K}) t(i)),
+      |elements AS (
+      |  SELECT id AS ele_id,
+      |    CAST(CASE WHEN id % 2 = 0 THEN (id // 2) // ${K - 1} * $K + (id // 2) % ${K - 1}
+      |              ELSE (id // 2) // ${K - 1} * $K + (id // 2) % ${K - 1} + 1 END AS BIGINT) AS n1,
+      |    CAST(CASE WHEN id % 2 = 0 THEN (id // 2) // ${K - 1} * $K + (id // 2) % ${K - 1} + 1
+      |              ELSE ((id // 2) // ${K - 1} + 1) * $K + (id // 2) % ${K - 1} + 1 END AS BIGINT) AS n2,
+      |    CAST(((id // 2) // ${K - 1} + 1) * $K + (id // 2) % ${K - 1} AS BIGINT) AS n3
+      |  FROM range(0, ${2 * (K - 1) * (K - 1)}) t(id)),
+      |grid AS (
+      |  SELECT CAST(i % $G AS INT) AS gcol, CAST(i // $G AS INT) AS grow,
+      |    CAST(0.3 AS DOUBLE) + CAST(i % $G AS DOUBLE) * CAST(0.38 AS DOUBLE) AS xm,
+      |    CAST(0.3 AS DOUBLE) + CAST(i // $G AS DOUBLE) * CAST(0.38 AS DOUBLE) AS ym
+      |  FROM range(0, ${G * G}) t(i)),
+      |gridb AS (SELECT *, CAST(floor(xm) AS BIGINT) AS bx, CAST(floor(ym) AS BIGINT) AS by FROM grid),
+      |series AS (
+      |  SELECT CAST(i // ${K * K} AS BIGINT) AS ts, CAST(i % ${K * K} AS BIGINT) AS node_id,
+      |    round(sin(CAST(i % ${K * K} AS DOUBLE) * CAST(0.7 AS DOUBLE)
+      |            + CAST(i // ${K * K} AS DOUBLE) * CAST(1.3 AS DOUBLE)) * CAST(10.0 AS DOUBLE), 4) AS value
+      |  FROM range(0, ${T * K * K}) t(i)),
+      |tri AS (
+      |  SELECT e.ele_id, e.n1, e.n2, e.n3,
+      |    a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2, c.lon AS x3, c.lat AS y3
+      |  FROM elements e
+      |  JOIN nodes a ON e.n1 = a.node_id
+      |  JOIN nodes b ON e.n2 = b.node_id
+      |  JOIN nodes c ON e.n3 = c.node_id),
+      |trib AS (
+      |  -- bbox bucket explosion; unit triangles span <= 2 buckets per axis,
+      |  -- so offsets {0,1} + a residual bound replace correlated generate_series
+      |  SELECT tri.*,
+      |    CAST(floor(least(x1, x2, x3)) AS BIGINT) + dx AS tbx,
+      |    CAST(floor(least(y1, y2, y3)) AS BIGINT) + dy AS tby
+      |  FROM tri
+      |  CROSS JOIN (VALUES (0), (1)) ox(dx)
+      |  CROSS JOIN (VALUES (0), (1)) oy(dy)
+      |  WHERE CAST(floor(least(x1, x2, x3)) AS BIGINT) + dx <= CAST(floor(greatest(x1, x2, x3)) AS BIGINT)
+      |    AND CAST(floor(least(y1, y2, y3)) AS BIGINT) + dy <= CAST(floor(greatest(y1, y2, y3)) AS BIGINT)),
+      |matched AS (
+      |  SELECT grow, gcol, ele_id, n1, n2, n3, w1, w2, 1.0 - w1 - w2 AS w3
+      |  FROM (
+      |    SELECT g.grow, g.gcol, t.ele_id, t.n1, t.n2, t.n3,
+      |      ((y2 - y3) * (xm - x3) + (x3 - x2) * (ym - y3))
+      |        / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)) AS w1,
+      |      ((y3 - y1) * (xm - x3) + (x1 - x3) * (ym - y3))
+      |        / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)) AS w2
+      |    FROM gridb g JOIN trib t ON g.bx = t.tbx AND g.by = t.tby)
+      |  WHERE w1 >= 0 AND w2 >= 0 AND 1.0 - w1 - w2 >= 0),
+      |cell_map AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY grow, gcol ORDER BY ele_id) AS rn FROM matched)
+      |  WHERE rn = 1),
+      |-- MATERIALIZED fences force the pairwise hash-join order; without them
+      |-- DuckDB's join enumeration on the 3-way series join degenerates to a
+      |-- nested-loop plan that runs for minutes
+      |j1 AS MATERIALIZED (
+      |  SELECT cm.grow, cm.gcol, cm.n2, cm.n3, cm.w1, cm.w2, cm.w3, s1.ts, s1.value AS v1
+      |  FROM cell_map cm JOIN series s1 ON cm.n1 = s1.node_id),
+      |j2 AS MATERIALIZED (
+      |  SELECT j1.grow, j1.gcol, j1.n3, j1.w1, j1.w2, j1.w3, j1.ts, j1.v1, s2.value AS v2
+      |  FROM j1 JOIN series s2 ON j1.n2 = s2.node_id AND j1.ts = s2.ts)
+      |SELECT j2.ts AS ts, j2.grow, j2.gcol,
+      |  CAST(floor((j2.w1 * j2.v1 + j2.w2 * j2.v2 + j2.w3 * s3.value)
+      |             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS zi4
+      |FROM j2 JOIN series s3 ON j2.n3 = s3.node_id AND j2.ts = s3.ts
+      |ORDER BY ts, grow, gcol""".stripMargin,
+  )
+}
