@@ -24,7 +24,8 @@ object SparkEntry {
     operators.TextOps.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
-    operators.Interp.queries
+    operators.Interp.queries ++
+    multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     operators.TextOps.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
-    operators.Interp.oracle
+    operators.Interp.oracle ++
+    multimodal.Multimodal.oracle
 }

@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal columns (SURVEY §2 EXT): image/audio/video payloads as opaque
+  * BINARY columns with typed metadata, plus the batch decode/feature-extract
+  * plumbing a training-data pipeline needs.
+  *
+  * Spark-side design (all real and tested):
+  *  - payloads are `BinaryType` columns — Parquet stores them as BYTE_ARRAY
+  *    pages, so column pruning keeps metadata-only queries from ever reading
+  *    the bytes (critical at 100 TB: scanning (doc_id, mime, n_bytes) must
+  *    not touch the media pages);
+  *  - metadata travels as ordinary typed columns next to the payload;
+  *  - decode/resize/frame-sample runs per-PARTITION (`mapPartitions` over a
+  *    typed Dataset), so a real codec would amortize init (decoder tables,
+  *    native contexts) across the partition — the JVM analogue of a
+  *    batch-iterating Pandas UDF.
+  *
+  * The codec itself is a clearly-marked deterministic STUB — no image/audio
+  * libraries exist in this environment. `decodeStub` derives fake features
+  * from the bytes; swap `decodeStub` for a real codec and nothing else
+  * changes (schema, partitioning, batch shape are the contract).
+  */
+object Multimodal {
+
+  case class Media(doc_id: Long, mime: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                           width: Int, height: Int, checksum: Long)
+
+  /** Simulated media table: the documents corpus with a BINARY payload
+    * (UTF-8 bytes of the text — deterministic) and a mime type. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+                         (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+              encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB codec: deterministic pseudo-decode of a payload. A real
+    * implementation would parse the container header (PNG IHDR / WAV fmt /
+    * MP4 moov); the stub derives stable dimensions from payload bytes. */
+  private[graft] def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
+    var h = 1125899906842597L // FNV-ish rolling hash over the payload
+    var i = 0
+    while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
+    val width = 64 + (math.abs(h) % 8).toInt * 16
+    val height = 64 + (math.abs(h / 8) % 8).toInt * 16
+    (width, height, h)
+  }
+
+  /** Per-partition batch decode: Dataset[Media] → Dataset[MediaFeatures].
+    * One decoder init per partition (the `iter =>` prefix is where a real
+    * codec would allocate native context), then a streaming map. */
+  def decodeFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      // real codec: allocate decoder context here, once per partition
+      iter.map { m =>
+        val (w, h, sum) = decodeStub(m.payload)
+        MediaFeatures(m.doc_id, m.mime, m.payload.length.toLong, w, h, sum)
+      }
+    }
+  }
+
+  /** Typed entry: the media table as a Dataset[Media]. */
+  def media(s: SparkSession, d: String): Dataset[Media] = {
+    import s.implicits._
+    mediaTable(s, d).as[Media]
+  }
+
+  /** EXT (oracle-checked): metadata-only scan over the media table — byte
+    * length and md5-derived pseudo-dimensions per mime type. Demonstrates
+    * that metadata queries never decode payloads (pure column math). */
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("payload"))
+    mediaTable(s, d)
+      .select(col("doc_id"), col("mime"),
+              length(col("payload")).cast("long").as("n_bytes"),
+              (lit(64) + (ascii(substring(h, 1, 1)) % 8) * 16).cast("long").as("width"),
+              (lit(64) + (ascii(substring(h, 2, 1)) % 8) * 16).cast("long").as("height"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (ascii(substring(md5(text), 1, 1)) % 8) * 16 AS BIGINT) AS width,
+        |  CAST(64 + (ascii(substring(md5(text), 2, 1)) % 8) * 16 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+  )
+}

@@ -117,7 +117,17 @@ object Aggregates {
               col("n"), col("sum_value"))
       .orderBy("ws")
 
+  /** A7: HLL++ sketch distinct — approximate, so rows-only checked (no
+    * oracle entry; DuckDB's approx_count_distinct uses a different sketch). */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct"  -> (qApproxDistinct _),
     "q_agg_bbox"         -> (qAggBbox _),
     "q_agg_mean"         -> (qAggMean _),
     "q_agg_groupby_time" -> (qAggGroupbyTime _),

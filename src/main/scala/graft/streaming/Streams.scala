@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The reference's per-timestep loop (run/adcircTime2cogs.py:190-209) is a
+  * tumbling-window-per-event-time computation executed serially, and its
+  * `chunks={'time': 1}` scan contract (adcirc_dask_utilities.py:42) is a
+  * micro-batch boundary. Here the same shape runs as a real stream:
+  * file-source micro-batches → event-time tumbling window with a watermark →
+  * append sink. The batch-equivalent query (q_stream_tumbling) is
+  * oracle-checked; this module proves the streaming wiring on the same data.
+  *
+  * At scale: the file source lists incrementally; the windowed aggregation
+  * is a partial-agg + state-store pattern (one shuffle on window×keys);
+  * watermark bounds state size — late rows beyond 1 hour are dropped rather
+  * than accumulating unbounded per-window state.
+  */
+object Streams {
+
+  /** events.parquet physical schema — ts is INT64 TIMESTAMP(NANOS), which the
+    * file stream must read as raw long (same contract as Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of an events-parquet directory → typed event stream. */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling event-time aggregation with a 1-hour watermark — the streaming
+    * form of the oracle-checked q_stream_tumbling. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
+
+  /** Custom streaming state: per-user sessionization via
+    * flatMapGroupsWithState — emits a session when the user goes quiet for
+    * `gapMicros` of event time. State per key is O(1) (counters only), the
+    * canonical KeyValueGroupedDataset state pattern the engine exposes for
+    * stateful operators the built-in windows can't express. */
+  def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events.select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tsMicros"), col("value")).as[Evt]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Double), Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evts, state: GroupState[(Long, Long, Long, Long, Double)]) =>
+          // state = (n, firstId, lastId, lastTs, total)
+          var st = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue, Long.MinValue, 0.0))
+          val out = scala.collection.mutable.ListBuffer.empty[Session]
+          evts.toSeq.sortBy(_.event_id).foreach { e =>
+            if (st._1 > 0 && e.tsMicros - st._4 > gapMicros) {
+              out += Session(uid, st._1, st._2, st._3, st._5)
+              st = (0L, Long.MaxValue, Long.MinValue, Long.MinValue, 0.0)
+            }
+            st = (st._1 + 1, math.min(st._2, e.event_id), math.max(st._3, e.event_id),
+                  e.tsMicros, st._5 + e.value)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+}

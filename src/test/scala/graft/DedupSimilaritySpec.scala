@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorMath.vecDot
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Unit tests for the LLM-pipeline operators: hashing determinism, known
+  * cosine geometry, and the custom DotProduct expression in both the
+  * interpreted and codegen paths. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct: known geometry (self=|v|², orthogonal=0)") {
+    val df = Seq(
+      (Array(1.0, 0.0, 2.0), Array(1.0, 0.0, 2.0)),   // self → 5
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),   // orthogonal → 0
+      (Array(1.5, -2.0, 0.5), Array(2.0, 1.0, -4.0))  // 3 - 2 - 2 = -1
+    ).toDF("a", "b")
+    val got = df.select(vecDot(col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+    assert(got.toSeq === Seq(5.0, 0.0, -1.0))
+  }
+
+  test("DotProduct: interpreted eval matches codegen result") {
+    val v = Array.tabulate(64)(i => math.sin(i * 0.1))
+    val litV = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val expr = graft.functions.DotProduct(litV, litV)
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    val viaPlan = Seq(1).toDF("x")
+      .select(vecDot(lit(v), lit(v)).as("d")).collect().head.getDouble(0)
+    assert(interpreted === viaPlan)
+    assert(math.abs(interpreted - v.map(x => x * x).sum) < 1e-12)
+  }
+
+  test("DotProduct: null array gives null") {
+    val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    val got = df.select(vecDot(col("a"), col("b"))).collect().head
+    assert(got.isNullAt(0))
+  }
+
+  test("cosine of identical vectors is 1") {
+    val e = Seq((1L, Array(0.5f, -1.0f, 2.0f)), (2L, Array(0.5f, -1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val withN = e.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val cos = withN.as("a").join(withN.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("minhash LSH: identical docs are always candidates, disjoint docs never") {
+    // exercised through the real query by checking planted near-dups appear
+    val pairs = Dedup.qDedupMinhash(spark, sf).collect()
+    assert(pairs.nonEmpty, "corpus has planted near-duplicates; LSH must find some")
+    // LSH candidates must actually be similar: spot-check via exact Jaccard
+    val jacc = Dedup.qDedupNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candLow = pairs.map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 300 && b < 300 }
+    assert(candLow.count(jacc.contains) >= candLow.length / 2,
+           "most LSH candidates under doc_id<300 should clear Jaccard>0.5")
+  }
+
+  test("exact dedup finds precisely the 100 planted re-crawl duplicates") {
+    val dups = TextOps.qDedupExact(spark, sf).collect()
+    assert(dups.length === 100)
+    assert(dups.forall(_.getAs[Long]("n") === 2))
+  }
+
+  test("simhash signature is 32 bits and deterministic across runs") {
+    val a = Dedup.qDedupSimhash(spark, sf).collect()
+    val b = Dedup.qDedupSimhash(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.forall(_.getAs[String]("sh").matches("[01]{32}")))
+  }
+
+  test("ANN brute top-k returns exactly k ranked neighbors per query") {
+    val out = Similarity.qAnnBruteTopk(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rk")).toSeq.sorted === (1L to 10L))
+      val cs = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "cosine non-increasing in rank")
+    }
+  }
+}

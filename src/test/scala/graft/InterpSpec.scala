@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Prop, Test => SCTest}
+import graft.operators.Interp
+
+/** Golden + property tests for the barycentric interpolation pipeline
+  * (SURVEY §5.3/§5.4) — the one part of the reference whose math needs
+  * hand-checked expectations.
+  */
+class InterpSpec extends SparkSpec {
+
+  /** Spark's round(col, 4): BigDecimal HALF_UP — replicated exactly. */
+  private def round4(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def nodeValue(n: Long, t: Long): Double =
+    round4(math.sin(n * 0.7 + t * 1.3) * 10.0)
+
+  test("golden: unit-lattice mesh, hand-computed cell") {
+    // Grid point (0.3, 0.3) lies in the lower triangle of cell (0,0):
+    // nodes n1=0 at (0,0), n2=1 at (1,0), n3=K at (0,1); barycentric
+    // weights ~ (0.4, 0.3, 0.3), computed below with the engine's exact
+    // double expressions so the comparison is bit-for-bit.
+    val out = Interp.qInterpBarycentric(spark, sf)
+      .filter(col("ts") === 0 && col("grow") === 0 && col("gcol") === 0)
+      .collect()
+    assert(out.length === 1)
+    val (x1, y1, x2, y2, x3, y3) = (0.0, 0.0, 1.0, 0.0, 0.0, 1.0)
+    val (xm, ym) = (0.3, 0.3)
+    val det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+    val w1 = ((y2 - y3) * (xm - x3) + (x3 - x2) * (ym - y3)) / det
+    val w2 = ((y3 - y1) * (xm - x3) + (x1 - x3) * (ym - y3)) / det
+    val w3 = 1.0 - w1 - w2
+    assert(math.abs(w1 - 0.4) < 1e-12 && math.abs(w2 - 0.3) < 1e-12)
+    val expected = w1 * nodeValue(0, 0) + w2 * nodeValue(1, 0) + w3 * nodeValue(Interp.K.toLong, 0)
+    assert(out.head.getAs[Long]("zi4") === math.floor(expected * 10000.0 + 0.5).toLong)
+  }
+
+  test("every grid cell is claimed exactly once per timestep") {
+    val out = Interp.qInterpBarycentric(spark, sf)
+    val n = out.count()
+    assert(n === Interp.T.toLong * Interp.G * Interp.G)
+    val dups = out.groupBy("ts", "grow", "gcol").count().filter(col("count") > 1).count()
+    assert(dups === 0)
+  }
+
+  test("constant field interpolates to the constant (the reference's ones-mask trick)") {
+    // reference run/adcircTime2cogs.py:179-183: interpolating a ones vector
+    // must give exactly 1 inside the mesh. w1+w2+w3 = 1 by construction.
+    val cm = Interp.cellMap(spark)
+    val bad = cm.filter(abs(col("w1") + col("w2") + col("w3") - 1.0) > 1e-9).count()
+    assert(bad === 0)
+  }
+
+  test("weights are a convex combination (inside-hull containment)") {
+    val cm = Interp.cellMap(spark).collect()
+    assert(cm.nonEmpty)
+    cm.foreach { r =>
+      Seq("w1", "w2", "w3").foreach { w =>
+        val v = r.getAs[Double](w)
+        assert(v >= -1e-12 && v <= 1.0 + 1e-12, s"$w = $v out of [0,1]")
+      }
+    }
+  }
+
+  test("property: interpolated value within [min,max] of the 3 corner values") {
+    val rows = Interp.qInterpBarycentric(spark, sf)
+      .join(Interp.cellMap(spark), Seq("grow", "gcol"))
+      .select("ts", "zi4", "n1", "n2", "n3")
+      .collect()
+    rows.foreach { r =>
+      val t = r.getAs[Long]("ts")
+      val vs = Seq("n1", "n2", "n3").map(c => nodeValue(r.getAs[Long](c), t))
+      val zi = r.getAs[Long]("zi4") / 1e4
+      assert(zi >= vs.min - 1e-3 && zi <= vs.max + 1e-3,
+             s"zi=$zi outside corner range [${vs.min}, ${vs.max}]")
+    }
+  }
+
+  test("property (scalacheck): interpolation at a node reproduces the node value") {
+    // Place the query point AT a random interior lattice node: exactly one
+    // weight is 1, the rest 0, so the interpolated value equals the node's
+    // value — the strongest of the SURVEY §5.4 invariants.
+    val tris = Interp.triangles(spark)
+      .select("n1", "x1", "y1", "x2", "y2", "x3", "y3").distinct().collect()
+    val prop = Prop.forAll(org.scalacheck.Gen.choose(0, tris.length - 1)) { i =>
+      val r = tris(i)
+      val (x1, y1) = (r.getDouble(1), r.getDouble(2))
+      val (x2, y2) = (r.getDouble(3), r.getDouble(4))
+      val (x3, y3) = (r.getDouble(5), r.getDouble(6))
+      val det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+      // query point = corner 1
+      val w1 = ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)) / det
+      val w2 = ((y3 - y1) * (x1 - x3) + (x1 - x3) * (y1 - y3)) / det
+      val w3 = 1.0 - w1 - w2
+      val v = Seq(nodeValue(r.getAs[Long]("n1"), 0), 123.0, -456.0)
+      val interp = w1 * v(0) + w2 * v(1) + w3 * v(2)
+      math.abs(interp - v(0)) < 1e-9
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

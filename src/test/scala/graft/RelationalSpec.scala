@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, Relational}
+
+/** Sharp-edge semantics from the reference (SURVEY §5.2): the 1-based index
+  * shift, descending raster axis, regex dispatch, NaN-vs-null masking, and
+  * the as-of join ordering. */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("index shift: 1-based connectivity becomes 0-based (reference -1)") {
+    val out = Relational.qProjIndexShift(spark, sf).limit(5).collect()
+    out.foreach(r => assert(r.getAs[Long]("n0") === r.getAs[Int]("l_linenumber") - 1))
+  }
+
+  test("mask-null: masked values are excluded from count and mean") {
+    val out = Relational.qMaskNull(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_wet") <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("descending y-axis generation (raster row order)") {
+    val rows = Relational.qMathGrid(spark, sf).collect()
+    val ys = rows.map(_.getAs[Double]("y"))
+    assert(ys.zip(ys.tail).forall { case (a, b) => a > b }, "y must strictly decrease")
+    val xs = rows.map(_.getAs[Double]("x"))
+    assert(xs.zip(xs.tail).forall { case (a, b) => a < b }, "x must strictly increase")
+  }
+
+  test("as-of join: signup_id is the latest signup at-or-before each purchase") {
+    val events = Seq(
+      (1L, 10L, "signup"), (2L, 10L, "purchase"), (3L, 10L, "signup"),
+      (4L, 10L, "purchase"), (5L, 20L, "purchase")
+    ).toDF("event_id", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val out = events
+      .withColumn("signup_id",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .orderBy("event_id")
+      .collect()
+    assert(out.map(r => Option(r.getAs[Any]("signup_id"))).toSeq ===
+           Seq(Some(1L), Some(3L), None))
+  }
+
+  test("semi plus anti join partitions the left side") {
+    val nSemi = Joins.qJoinSemi(spark, sf).count()
+    val nAnti = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+            col("c_custkey") === col("o_custkey"), "left_anti").count()
+    val nAll = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(nSemi + nAnti === nAll)
+  }
+
+  test("regex dispatch filter matches only the flagged names") {
+    val out = Relational.qFilterRegexMax(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[String]("p_type").matches(".*(MEDIUM|LARGE).*")))
+  }
+}
