@@ -31,6 +31,13 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+  /** events with ts left as raw INT64 nanos — for queries that need
+    * range predicates PUSHED to the parquet scan (the derived-timestamp
+    * column blocks pushdown past IsNotNull). */
+  def eventsRawTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

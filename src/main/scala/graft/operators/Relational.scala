@@ -33,13 +33,19 @@ object Relational {
       .limit(100)
 
   /** S4: time-slice scan — the reference's `var[it, :]` timestep read.
-    * On a ts-partitioned layout this prunes to one partition. */
-  def qScanPruneTime(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
-              col("ts") <  lit("2024-01-01 06:00:00").cast("timestamp"))
+    * The range predicate is applied to the RAW nanosecond column before the
+    * micros conversion, so it reaches the parquet scan as a pushed filter
+    * (row-group min/max skipping); filtering the derived timestamp would
+    * leave only IsNotNull pushable. On a ts-partitioned layout this same
+    * bound becomes partition pruning. */
+  def qScanPruneTime(s: SparkSession, d: String): DataFrame = {
+    val loNanos = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000000L
+    val hiNanos = java.time.Instant.parse("2024-01-01T06:00:00Z").getEpochSecond * 1000000000L
+    Tables.eventsRawTs(s, d)
+      .filter(col("ts") >= lit(loNanos) && col("ts") < lit(hiNanos))
       .select("event_id", "event_type", "user_id", "value")
       .orderBy("event_id")
+  }
 
   /** P2: the reference's 1-based -> 0-based connectivity shift. */
   def qProjIndexShift(s: SparkSession, d: String): DataFrame =
