@@ -113,12 +113,52 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** EXT: IVF index build — a deterministic 8-vector codebook (vec_id < 8),
+    * every other vector assigned to its nearest centroid by cosine. The
+    * inverted-list histogram is the index; probing = scan only the lists of
+    * the query's top centroids. Codebook is broadcast; assignment is one
+    * narrow 8-way scoring pass + a per-vector rank window. A production
+    * build would iterate k-means (same join shape per iteration, SURVEY
+    * §2.10 Aggregator [[graft.functions.VectorCentroid]] computes the
+    * centroid update); one deterministic pass keeps the oracle exact. */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val cb = vecs(s, d).filter(col("vec_id") < 8).as("a")
+    val rest = vecs(s, d).filter(col("vec_id") >= 8).as("b")
+    val w = Window.partitionBy("vid").orderBy(col("cos").desc, col("cid"))
+    rest.crossJoin(broadcast(cb))
+      .select(col("b.vec_id").as("vid"), col("a.vec_id").as("cid"),
+              round(cosPair, 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("cid").as("centroid"))
+      .agg(count(lit(1)).as("n_assigned"), min(col("vid")).as("min_vec"))
+      .orderBy("centroid")
+  }
+
+  /** EXT (rows-only): per-label embedding centroid via the typed
+    * [[graft.functions.VectorCentroid]] Aggregator — distributed double
+    * summation is partition-order-dependent, so no hash oracle. */
+  def qVecCentroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.embeddings(s, d)
+      .select(col("label"), vD.as("v"))
+      .as[(Int, Array[Double])]
+    ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.VectorCentroid.toColumn.name("centroid"))
+      .map { case (label, c) => (label, c.length, math.rint(c.head * 100) / 100) }
+      .toDF("label", "dim", "c0_approx")
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_array_explode"   -> (qArrayExplode _),
     "q_sim_cosine"      -> (qSimCosine _),
     "q_ann_brute_topk"  -> (qAnnBruteTopk _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
+    "q_ann_ivf"         -> (qAnnIvf _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_vec_centroid"    -> (qVecCentroid _),
   )
 
   /** Pre-normed CTE + single dot per pair — mirrors the Spark plan exactly
@@ -155,6 +195,15 @@ object Similarity {
         |  FROM embeddings)
         |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec
         |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS ($duckVecs),
+        |scored AS (SELECT b.vec_id AS vid, a.vec_id AS cid, ROUND($duckCos, 4) AS cos
+        |           FROM e a JOIN e b ON a.vec_id < 8 AND b.vec_id >= 8),
+        |assigned AS (SELECT vid, cid FROM (
+        |  SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rk
+        |  FROM scored) WHERE rk = 1)
+        |SELECT cid AS centroid, COUNT(*) AS n_assigned, MIN(vid) AS min_vec
+        |FROM assigned GROUP BY cid ORDER BY centroid""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS ($duckVecs)
         |SELECT v1, v2, cos FROM (

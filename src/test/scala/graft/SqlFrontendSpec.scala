@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorMath.vecDot
+
+/** SQL surface tests: temp-view catalog, spark.sql equivalence with the
+  * DataFrame plans, the vec_dot SQL registration, and the typed Aggregator. */
+class SqlFrontendSpec extends SparkSpec {
+
+  test("spark.sql over registered views matches the DataFrame plan") {
+    Views.register(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect()
+    val viaDf = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(Num.moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    assert(viaSql.nonEmpty)
+    assert(viaSql.map(_.toString).toSeq === viaDf.map(_.toString).toSeq)
+  }
+
+  test("vec_dot registered via GraftExtensions.install is usable from SQL") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+    // SQL and DataFrame surfaces plan the same expression
+    val viaDf = spark.range(1)
+      .select(vecDot(array(lit(1.0), lit(2.0), lit(3.0)),
+                     array(lit(4.0), lit(5.0), lit(6.0))).as("d"))
+      .collect().head.getDouble(0)
+    assert(viaDf === r)
+  }
+
+  test("VectorCentroid aggregator: exact centroid on literal vectors") {
+    import spark.implicits._
+    val ds = Seq(
+      (1, Array(1.0, 2.0)), (1, Array(3.0, 4.0)),
+      (2, Array(10.0, 0.0))
+    ).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.VectorCentroid.toColumn.name("c"))
+      .collect().toMap
+    assert(out(1).toSeq === Seq(2.0, 3.0))
+    assert(out(2).toSeq === Seq(10.0, 0.0))
+  }
+
+  test("q_vec_centroid covers every label with full dimensionality") {
+    val rows = operators.Similarity.qVecCentroid(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Int]("dim") === 64))
+  }
+
+  test("IVF assignment partitions the non-codebook vectors") {
+    val rows = operators.Similarity.qAnnIvf(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_assigned")).sum
+    val expected = Tables.embeddings(spark, sf).filter(col("vec_id") >= 8).count()
+    assert(total === expected)
+    assert(rows.forall(_.getAs[Long]("centroid") < 8))
+  }
+}
