@@ -19,7 +19,13 @@ object Explain {
       else which.split(",").toSeq
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      if (sys.env.contains("GRAFT_TIME")) {
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(name)(spark, sfDir).count()
+          println(f"  run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+        }
+      } else SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

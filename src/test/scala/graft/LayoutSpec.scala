@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.plans.Layout
+
+/** Plan-level assertions for the 100 TB layout strategies: bucketed joins
+  * must plan with zero shuffles; salted joins must be row-identical to the
+  * plain join. */
+class LayoutSpec extends SparkSpec {
+
+  private def countShuffles(plan: SparkPlan): Int = {
+    val inner = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    inner.collectWithSubqueries { case _: ShuffleExchangeExec => 1 }.sum
+  }
+
+  test("bucketed fact-fact join plans with NO shuffle exchange") {
+    // the catalog is in-memory per JVM: drop leftovers from previous runs
+    for (t <- Seq("li_b", "or_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "li_b", "l_orderkey", 8)
+    Layout.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "or_b", "o_orderkey", 8)
+    val joined = spark.table("li_b")
+      .join(spark.table("or_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity"), max("o_totalprice"))
+    joined.collect() // materialize so AQE finalizes the plan
+    val shuffles = countShuffles(joined.queryExecution.executedPlan)
+    assert(shuffles === 0,
+      s"bucketed join+agg should be shuffle-free, found $shuffles:\n${joined.queryExecution.executedPlan}")
+  }
+
+  test("the same join unbucketed DOES shuffle (the cost bucketing removes)") {
+    val joined = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+              .repartition(64), // defeat the broadcast threshold at toy scale
+            col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() > 0)
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val large = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val small = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = large.join(small, Seq("l_orderkey"))
+      .orderBy("l_orderkey", "l_partkey", "o_totalprice").collect()
+    val salted = Layout.saltedJoin(large, small, "l_orderkey", salts = 4)
+      .orderBy("l_orderkey", "l_partkey", "o_totalprice").collect()
+    assert(salted.length === plain.length)
+    assert(salted.map(_.toString).toSeq === plain.map(_.toString).toSeq)
+  }
+
+  test("time-partitioned layout: one output partition per time key") {
+    val df = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val laid = Layout.timePartitionedLayout(df, "day", "event_id")
+    val nDays = df.select("day").distinct().count()
+    val nonEmpty = laid.rdd.mapPartitions(it => Iterator(it.nonEmpty)).collect().count(identity)
+    assert(nonEmpty <= nDays, "each day's rows should co-locate into one partition")
+  }
+}
