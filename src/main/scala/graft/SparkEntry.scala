@@ -12,9 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's grid-corner bbox aggregate (run/adcircTime2cogs.py:155-158). */
+    * The reference's core computation end-to-end: unstructured mesh →
+    * bucketed containment join → barycentric raster per timestep
+    * (run/adcircTime2cogs.py:190-209). */
   def entry(spark: SparkSession): DataFrame =
-    operators.Aggregates.qAggBbox(spark, "/root/testdata/sf0.001")
+    operators.Interp.qInterpBarycentric(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
