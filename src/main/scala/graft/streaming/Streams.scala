@@ -48,6 +48,40 @@ object Streams {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding event-time windows (1 h length, 30 min slide) — each event
+    * contributes to 2 overlapping windows (SURVEY §2.9 "provide, demo"). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"), col("n"))
+
+  /** Session windows: gap-based grouping per user in event time — the
+    * built-in form of the sessionization below (state managed by Spark). */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+              col("user_id"), col("n_events"), col("total"))
+
+  /** Streaming raster/aggregate sink partitioned by event-time key — the
+    * streaming analogue of one-COG-per-timestep (SURVEY §2.9 sink row:
+    * writeStream.partitionBy.format(parquet)). Returns the started query. */
+  def partitionedParquetSink(agg: DataFrame, outDir: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_type")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 

@@ -50,6 +50,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("sliding windows double-count each event across overlapping windows") {
+    val src = stageEventsDir()
+    val q = Streams.slidingCounts(Streams.readEvents(spark, src))
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("sliding_test")
+    assert(emitted.count() > 0)
+    // every emitted window is exactly 1 hour long on a 30-minute boundary
+    val bad = emitted.filter(
+      unix_timestamp(col("we")) - unix_timestamp(col("ws")) =!= 3600 ||
+      unix_timestamp(col("ws")) % 1800 =!= 0).count()
+    assert(bad === 0)
+  }
+
+  test("session_window groups per-user bursts with a gap bound") {
+    val src = stageEventsDir()
+    val q = Streams.sessionWindows(Streams.readEvents(spark, src), "2 hours")
+      .writeStream.format("memory").queryName("sesswin_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("sesswin_test").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("we").getTime >
+             r.getAs[java.sql.Timestamp]("ws").getTime)
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
+
+  test("streaming parquet sink partitioned by key writes prunable directories") {
+    val src = stageEventsDir()
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val chk = Files.createTempDirectory("graft_stream_chk").toString
+    val agg = Streams.readEvents(spark, src)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = Streams.partitionedParquetSink(agg, out, chk)
+    q.awaitTermination(120000)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("event_type=")).map(_.getName).sorted
+    assert(dirs.nonEmpty, "expected event_type= partition directories")
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() === Tables.events(spark, sf).count())
+  }
+
   test("flatMapGroupsWithState sessionization: totals conserve events and values") {
     val src = stageEventsDir()
     val q = Streams.sessionize(Streams.readEvents(spark, src), gapMicros = 3600L * 1000000)
