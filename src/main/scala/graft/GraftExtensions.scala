@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HammingDistance}
 
 /** Session extension point (SURVEY §2.10): registers the engine's custom
   * Catalyst expressions as SQL functions.
@@ -34,6 +34,12 @@ object GraftExtensions {
      (args: Seq[Expression]) => {
        require(args.length == 2, "vec_dot takes exactly 2 arguments")
        DotProduct(args.head, args(1))
+     }),
+    (FunctionIdentifier("hamming"),
+     new ExpressionInfo(classOf[HammingDistance].getCanonicalName, "hamming"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2, "hamming takes exactly 2 arguments")
+       HammingDistance(args.head, args(1))
      }),
   )
 

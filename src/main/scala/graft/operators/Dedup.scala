@@ -75,16 +75,20 @@ object Dedup {
     * token-md5s have hex digit k ≥ '8' (i.e. top bit of that nibble set).
     * Exact-signature groups = near-duplicate clusters. Signature is one
     * narrow expression; the group-by shuffles 32-char strings only. */
-  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // hash each distinct token ONCE, then derive all 32 bits from the digest
+  /** (doc_id, sh): 32-bit SimHash signature per document — each distinct
+    * token hashed ONCE, all 32 bits derived from the digest. */
+  private def simhashSig(docs: DataFrame): DataFrame = {
     val ht = transform(array_distinct(split(col("text"), " ")), x => md5(x))
     val bits = (0 until 32).map { k =>
       when(size(filter(col("ht"), h => substring(h, k + 1, 1) >= "8")) * 2 > size(col("ht")), "1")
         .otherwise("0")
     }
-    Tables.documents(s, d)
-      .select(col("doc_id"), ht.as("ht"))
+    docs.select(col("doc_id"), ht.as("ht"))
       .select(col("doc_id"), concat(bits: _*).as("sh"))
+  }
+
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    simhashSig(Tables.documents(s, d))
       .groupBy("sh")
       .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -116,9 +120,33 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** EXT: the full SimHash dedup algorithm — LSH on 4 signature bands (any
+    * exact 8-bit band match makes a candidate), then Hamming-distance ≤ 3
+    * verification via the codegen'd [[graft.functions.HammingDistance]].
+    * This is the classic web-scale near-dup shape (band join shuffles only
+    * (doc_id, 8-char slice); the O(n²) Hamming check runs on candidates
+    * only). Bounded to doc_id < 500: the toy 32-bit signature over a
+    * shared-vocabulary corpus is deliberately unselective; production
+    * signatures are 64-bit+ and bands prune harder. */
+  def qDedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashSig(Tables.documents(s, d).filter(col("doc_id") < 500))
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b => substring(col("sh"), b * 8 + 1, 8)): _*))
+        .as(Seq("b", "slice")))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.slice") === col("b.slice") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              graft.functions.HammingDistance.hamming(col("a.sh"), col("b.sh")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash"       -> (qDedupMinhash _),
     "q_dedup_simhash"       -> (qDedupSimhash _),
+    "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
   )
 
@@ -147,6 +175,20 @@ object Dedup {
         |SELECT min_doc, sh, n FROM (
         |  SELECT sh, MIN(doc_id) AS min_doc, COUNT(*) AS n FROM sig GROUP BY 1)
         |WHERE n > 1 ORDER BY min_doc""".stripMargin,
+    "q_dedup_simhash_pairs" ->
+      """WITH sig AS (SELECT doc_id,
+        |  list_aggregate([CASE WHEN len(list_filter(ht, h -> substring(h, k+1, 1) >= '8')) * 2 > len(ht)
+        |                       THEN '1' ELSE '0' END
+        |                  for k in generate_series(0, 31)], 'string_agg', '') AS sh
+        |  FROM (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), x -> md5(x)) AS ht
+        |        FROM documents WHERE doc_id < 500)),
+        |bands AS (SELECT doc_id, sh, b, substring(sh, b*8+1, 8) AS slice
+        |          FROM sig, generate_series(0, 3) g(b))
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |  len([i for i in generate_series(1, 32) if substring(a.sh, i, 1) != substring(b.sh, i, 1)]) AS dist
+        |FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
+        |WHERE len([i for i in generate_series(1, 32) if substring(a.sh, i, 1) != substring(b.sh, i, 1)]) <= 3
+        |ORDER BY d1, d2""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, unnest($duckShingles) AS shingle
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300)),

@@ -63,6 +63,25 @@ class DedupSimilaritySpec extends SparkSpec {
            "most LSH candidates under doc_id<300 should clear Jaccard>0.5")
   }
 
+  test("HammingDistance: known values, both eval paths, SQL registration") {
+    val df = Seq(("0000", "0000"), ("0000", "1111"), ("0101", "0110"), ("00", "0011"))
+      .toDF("a", "b")
+    val got = df.select(graft.functions.HammingDistance.hamming(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(0, 4, 2, 2))
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT hamming('abc', 'abd')").collect().head.getInt(0) === 1)
+  }
+
+  test("simhash-pair dedup: candidates verified by Hamming <= 3, symmetric-free") {
+    val pairs = Dedup.qDedupSimhashPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("dist") <= 3)
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+    }
+  }
+
   test("exact dedup finds precisely the 100 planted re-crawl duplicates") {
     val dups = TextOps.qDedupExact(spark, sf).collect()
     assert(dups.length === 100)
