@@ -40,4 +40,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** S10 existence-gated source (reference run/adcircTime2cogs.py:270-279:
+    * missing swan* inputs exit 0, other missing inputs exit 1). Engine form:
+    * optional sources surface as an EMPTY relation with the supplied schema
+    * (soft path), required sources keep Spark's AnalysisException (hard
+    * path — just call `table`). */
+  def tableOrEmpty(s: SparkSession, d: String, name: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new java.io.File(s"$d/$name.parquet")
+    if (path.exists()) s.read.schema(schema).parquet(path.toString)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 }

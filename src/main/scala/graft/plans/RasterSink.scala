@@ -22,6 +22,23 @@ import graft.operators.Interp
   */
 object RasterSink {
 
+  /** P4 reprojection stage (reference construct_geopandas + to_crs,
+    * run/adcircTime2cogs.py:29-47): closed-form spherical-Mercator forward
+    * over the mesh nodes — a narrow, codegen'd transformation, no shuffle
+    * (the reference repartitions to 4 for the same step; here partitioning
+    * is inherited from the source). Identity in production (4326→4326) but
+    * the operator exists, as in the reference. */
+  def reprojectNodes(s: SparkSession): DataFrame = {
+    val R = lit(6378137.0)
+    val rad = lit(math.Pi) / lit(180.0)
+    // lattice coords are degree-like; scale into a valid lon/lat window
+    val lon = col("lon") - lit(90.0)
+    val lat = col("lat") + lit(20.0)
+    Interp.nodes(s)
+      .withColumn("mx", lon * rad * R)
+      .withColumn("my", R * log(tan(lit(math.Pi) / lit(4.0) + lat * rad / lit(2.0))))
+  }
+
   /** Write the interpolated raster partitioned by timestep; returns the
     * frame that was written (for assertions). */
   def writeRaster(s: SparkSession, outDir: String): DataFrame = {

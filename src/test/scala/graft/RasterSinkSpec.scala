@@ -26,6 +26,30 @@ class RasterSinkSpec extends SparkSpec {
     assert(timeregex.contains("[0-9]{8}T[0-9]{6}"))
   }
 
+  test("reprojection stage is a narrow transform preserving node count") {
+    val proj = RasterSink.reprojectNodes(spark)
+    assert(proj.count() === graft.operators.Interp.K.toLong * graft.operators.Interp.K)
+    // Mercator x is linear in lon; y is monotonic in lat
+    val rows = proj.orderBy("node_id").limit(graft.operators.Interp.K).collect()
+    val mxs = rows.map(_.getAs[Double]("mx"))
+    assert(mxs.zip(mxs.tail).forall { case (a, b) => a < b })
+  }
+
+  test("existence-gated source: optional missing table is an empty relation") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType)))
+    val missing = Tables.tableOrEmpty(spark, sf, "swan_not_there", schema)
+    assert(missing.count() === 0)
+    assert(missing.schema === schema)
+    val present = Tables.tableOrEmpty(spark, sf, "region",
+      StructType(Seq(StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))
+    assert(present.count() === 5)
+    // hard path: required source still throws
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.table(spark, sf, "swan_not_there").collect()
+    }
+  }
+
   test("mosaic index derives the reference's compact-ISO tiff names") {
     val idx = RasterSink.mosaicIndex(spark, "fort_63_zeta").collect()
     assert(idx.length === graft.operators.Interp.T)
