@@ -42,31 +42,31 @@ object Interp {
   val T = 3  // timesteps
 
   /** Mesh nodes: node_id → (lon, lat) on the integer lattice. */
-  def nodes(s: SparkSession): DataFrame =
-    s.range(0, K.toLong * K).toDF("node_id")
+  def nodes(s: SparkSession, k: Int = K): DataFrame =
+    s.range(0, k.toLong * k).toDF("node_id")
       .select(col("node_id"),
-              (col("node_id") % K).cast("double").as("lon"),
-              floor(col("node_id") / K).cast("double").as("lat"))
+              (col("node_id") % k).cast("double").as("lon"),
+              floor(col("node_id") / k).cast("double").as("lat"))
 
   /** Triangle connectivity: each lattice cell → lower/upper triangle.
     * (The reference reads these from NetCDF `element` 1-based,
     * adcirc_dask_utilities.py:19; generated here, already 0-based.) */
-  def elements(s: SparkSession): DataFrame = {
+  def elements(s: SparkSession, k: Int = K): DataFrame = {
     val cell = floor(col("id") / 2)
-    val r = floor(cell / (K - 1)); val c = cell % (K - 1)
+    val r = floor(cell / (k - 1)); val c = cell % (k - 1)
     val lower = col("id") % 2 === 0
-    s.range(0, 2L * (K - 1) * (K - 1)).toDF("id")
+    s.range(0, 2L * (k - 1) * (k - 1)).toDF("id")
       .select(col("id").as("ele_id"),
-              when(lower, r * K + c).otherwise(r * K + c + 1).cast("long").as("n1"),
-              when(lower, r * K + c + 1).otherwise((r + 1) * K + c + 1).cast("long").as("n2"),
-              ((r + 1) * K + c).cast("long").as("n3"))
+              when(lower, r * k + c).otherwise(r * k + c + 1).cast("long").as("n1"),
+              when(lower, r * k + c + 1).otherwise((r + 1) * k + c + 1).cast("long").as("n2"),
+              ((r + 1) * k + c).cast("long").as("n3"))
   }
 
   /** Raster centroids with their (single) containing bucket key. */
-  def grid(s: SparkSession): DataFrame =
-    s.range(0, G.toLong * G).toDF("id")
-      .select((col("id") % G).cast("int").as("gcol"),
-              floor(col("id") / G).cast("int").as("grow"))
+  def grid(s: SparkSession, g: Int = G): DataFrame =
+    s.range(0, g.toLong * g).toDF("id")
+      .select((col("id") % g).cast("int").as("gcol"),
+              floor(col("id") / g).cast("int").as("grow"))
       .select(col("gcol"), col("grow"),
               (lit(0.3) + col("gcol").cast("double") * lit(0.38)).as("xm"),
               (lit(0.3) + col("grow").cast("double") * lit(0.38)).as("ym"))
@@ -74,19 +74,19 @@ object Interp {
       .withColumn("by", floor(col("ym")).cast("long"))
 
   /** Timeseries in long form (SURVEY §1.1): deterministic sine field. */
-  def series(s: SparkSession): DataFrame =
-    s.range(0, T.toLong * K * K).toDF("id")
-      .select(floor(col("id") / (K * K)).cast("long").as("ts"),
-              (col("id") % (K * K)).cast("long").as("node_id"))
+  def series(s: SparkSession, k: Int = K, t: Int = T): DataFrame =
+    s.range(0, t.toLong * k * k).toDF("id")
+      .select(floor(col("id") / (k * k)).cast("long").as("ts"),
+              (col("id") % (k * k)).cast("long").as("node_id"))
       .withColumn("value", round(sin(col("node_id").cast("double") * lit(0.7) +
                                      col("ts").cast("double") * lit(1.3)) * lit(10.0), 4))
 
   /** Triangles with corner coordinates, exploded to every bucket their bbox
     * overlaps (the J1 "spatial index build"). Nodes are broadcast — the
     * dimension side of the star (3×). */
-  def triangles(s: SparkSession): DataFrame = {
-    val n = broadcast(nodes(s))
-    val e = elements(s)
+  def triangles(s: SparkSession, k: Int = K): DataFrame = {
+    val n = broadcast(nodes(s, k))
+    val e = elements(s, k)
       .join(n.select(col("node_id").as("n1"), col("lon").as("x1"), col("lat").as("y1")), "n1")
       .join(n.select(col("node_id").as("n2"), col("lon").as("x2"), col("lat").as("y2")), "n2")
       .join(n.select(col("node_id").as("n3"), col("lon").as("x3"), col("lat").as("y3")), "n3")
@@ -100,15 +100,15 @@ object Interp {
 
   /** The J2 containment join: bucket equi-join + exact barycentric residual;
     * ties to the lowest ele_id (one window on the tiny matched set). */
-  def cellMap(s: SparkSession): DataFrame = {
+  def cellMap(s: SparkSession, k: Int = K, g: Int = G): DataFrame = {
     val det = (col("y2") - col("y3")) * (col("x1") - col("x3")) +
               (col("x3") - col("x2")) * (col("y1") - col("y3"))
     val w1 = ((col("y2") - col("y3")) * (col("xm") - col("x3")) +
               (col("x3") - col("x2")) * (col("ym") - col("y3"))) / det
     val w2 = ((col("y3") - col("y1")) * (col("xm") - col("x3")) +
               (col("x1") - col("x3")) * (col("ym") - col("y3"))) / det
-    val matched = grid(s)
-      .join(broadcast(triangles(s)), col("bx") === col("tbx") && col("by") === col("tby"))
+    val matched = grid(s, g)
+      .join(broadcast(triangles(s, k)), col("bx") === col("tbx") && col("by") === col("tby"))
       .withColumn("w1", w1)
       .withColumn("w2", w2)
       .withColumn("w3", lit(1.0) - col("w1") - col("w2"))
@@ -127,12 +127,19 @@ object Interp {
     * serial bottleneck, SURVEY §3.1 step 4). The weighted sum is one
     * fixed-order expression (w1·v1 + w2·v2 + w3·v3), not a 3-row aggregate,
     * so its FP result is engine-independent. */
-  def qInterpBarycentric(s: SparkSession, d: String): DataFrame = {
-    val sv = series(s)
+  def qInterpBarycentric(s: SparkSession, d: String): DataFrame =
+    interpolate(s, K, G, T)
+
+  /** Generalized pipeline at any mesh/grid/time scale — used by the scale
+    * test at ~80k triangles x 250k cells (the production mesh magnitude,
+    * BASELINE.md) to prove the bucket-join rewrite holds at 100x the
+    * oracle-checked toy size. */
+  def interpolate(s: SparkSession, k: Int, g: Int, t: Int): DataFrame = {
+    val sv = series(s, k, t)
     val s1 = sv.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
     val s2 = sv.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
     val s3 = sv.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
-    cellMap(s)
+    cellMap(s, k, g)
       .join(broadcast(s1), col("n1") === col("m1"))
       .join(broadcast(s2), col("n2") === col("m2") && col("ts") === col("t2"))
       .join(broadcast(s3), col("n3") === col("m3") && col("ts") === col("t3"))

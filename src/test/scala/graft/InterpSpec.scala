@@ -78,6 +78,18 @@ class InterpSpec extends SparkSpec {
     }
   }
 
+  test("scale: bucket-join interp at production mesh magnitude (79k triangles, 250k cells)") {
+    // BASELINE.md: production mesh ~4.5e5 triangles, raster 70.7M cells.
+    // k=200/g=500 → 79,202 triangles × 250,000 cells: a naive containment
+    // join would evaluate 2.0e10 pairs; the bucket rewrite stays local.
+    val t0 = System.nanoTime()
+    val n = graft.operators.Interp.interpolate(spark, 200, 500, 2).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"interpolated $n rows in $secs%.1fs")
+    assert(n === 2L * 500 * 500) // every cell claimed, both timesteps
+    assert(secs < 120.0, f"bucket-join interp too slow: $secs%.1fs")
+  }
+
   test("property (scalacheck): interpolation at a node reproduces the node value") {
     // Place the query point AT a random interior lattice node: exactly one
     // weight is 1, the rest 0, so the interpolated value equals the node's
