@@ -126,8 +126,51 @@ object Aggregates {
            countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** W3 variant: RANGE frame — all orders within ±1000.00 of the current
+    * price per customer (value-based frame vs the row-based q_win_running).
+    * Prices ordered as integer cents: the DataFrame rangeBetween API takes
+    * long offsets, and integer frames are engine-portable anyway. */
+  def qWinRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("pc"))
+      .rangeBetween(-100000L, 100000L)
+    Tables.orders(s, d)
+      .withColumn("pc", round(col("o_totalprice") * 100).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("pc"),
+              count(lit(1)).over(w).as("n_near"),
+              sum(col("pc")).over(w).as("sum_near_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A6 variant: explicit GROUPING SETS — (returnflag), (linestatus), () —
+    * a shape rollup/cube can't express. */
+  def qAggGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Pivot: event counts per user-bucket × event_type — long-to-wide. At
+    * scale this is one hash aggregate (pivot values are known up front, no
+    * second pass). */
+  def qPivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket", (col("user_id") % 10).cast("long"))
+      .groupBy("bucket")
+      .pivot("event_type", Seq("click", "purchase", "signup", "view", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct"  -> (qApproxDistinct _),
+    "q_win_range_frame"  -> (qWinRangeFrame _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _),
+    "q_pivot_events"     -> (qPivotEvents _),
     "q_agg_bbox"         -> (qAggBbox _),
     "q_agg_mean"         -> (qAggMean _),
     "q_agg_groupby_time" -> (qAggGroupbyTime _),
@@ -141,6 +184,29 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_range_frame" ->
+      """SELECT o_orderkey, o_custkey, pc,
+        |  COUNT(*) OVER w AS n_near,
+        |  SUM(pc) OVER w AS sum_near_cents
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY pc
+        |             RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT user_id % 10 AS bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view,
+        |  COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_agg_bbox" ->
       """SELECT MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
         |  strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,

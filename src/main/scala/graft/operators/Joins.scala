@@ -111,7 +111,20 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Outer-join family: FULL OUTER customer vs big-spender orders — both
+    * unmatched sides survive with nulls (left-only customers, and no
+    * right-only rows in this corpus, but the operator handles both). */
+  def qJoinFullOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+              .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+            col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("o_orderkey"),
+              coalesce(col("o_totalprice"), lit(0.0)).as("price0"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_full_outer"    -> (qJoinFullOuter _),
     "q_join_hash_equi"     -> (qJoinHashEqui _),
     "q_join_broadcast_dim" -> (qJoinBroadcastDim _),
     "q_join_multiway_star" -> (qJoinMultiwayStar _),
@@ -123,6 +136,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_full_outer" ->
+      """SELECT c_custkey, o_orderkey, COALESCE(o_totalprice, 0.0) AS price0
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |                 WHERE o_totalprice > 400000.0) o
+        |ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_join_hash_equi" ->
       """SELECT o_orderkey, c_name, o_totalprice FROM orders
         |JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
