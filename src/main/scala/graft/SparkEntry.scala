@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.Interp.queries ++
+    operators.Tpch.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.Interp.oracle ++
+    operators.Tpch.oracle ++
     multimodal.Multimodal.oracle
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Classic TPC-H query shapes (Q1 pricing summary, Q3 shipping priority,
+  * Q6 forecasting revenue) adapted to the corpus date ranges — the standard
+  * analytic-throughput probes for an OLAP engine, and the shapes the
+  * 100 TB design cares about: Q1 = full-scan partial aggregation (map-side
+  * combine carries 4 groups, not 600k rows), Q3 = star join + topk
+  * (broadcast dims, TakeOrderedAndProject), Q6 = pushed-filter scan with a
+  * 1-row result.
+  *
+  * Money math is decimal-exact end-to-end (products of DECIMAL(18,2) stay
+  * decimal until the final double cast) so both engines bit-agree — the
+  * SURVEY §5.1 discipline applied to multi-factor products.
+  */
+object Tpch {
+
+  private val extD: Column = col("l_extendedprice").cast("decimal(18,2)")
+  private val discD: Column = col("l_discount").cast("decimal(18,2)")
+  private val taxD: Column = col("l_tax").cast("decimal(18,2)")
+
+  /** Q1: pricing summary report. */
+  def qTpchQ1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+           sum(extD).cast("double").as("sum_base_price"),
+           sum(extD * (lit(BigDecimal("1.00")) - discD)).cast("double").as("sum_disc_price"),
+           sum(extD * (lit(BigDecimal("1.00")) - discD) * (lit(BigDecimal("1.00")) + taxD))
+             .cast("double").as("sum_charge"),
+           count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3: shipping priority — unshipped revenue per order, top 10. */
+  def qTpchQ3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp"))
+      .groupBy(col("l_orderkey"),
+               date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum(extD * (lit(BigDecimal("1.00")) - discD)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** Q6: forecasting revenue change — pushed range filters, 1-row result. */
+  def qTpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01 00:00:00").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24.0)
+      .agg(sum(extD * discD).cast("double").as("revenue"),
+           count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1" -> (qTpchQ1 _),
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1.00 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+  )
+}
