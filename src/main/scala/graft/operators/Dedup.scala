@@ -34,6 +34,16 @@ object Dedup {
     """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
       |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
 
+  /** Fan out a small-file scan before expression-heavy hashing: the corpus
+    * parquet is one split, so without this every md5 runs on ONE task (the
+    * reference rechunks before its heavy kernels for the same reason,
+    * run/adcircTime2cogs.py:166-175). Hash partitioning on the key keeps it
+    * deterministic; the shuffled payload is tiny relative to the hash work.
+    * At production scale the scan is already many splits and this coalesces
+    * noop-cheaply. */
+  private def fanout(df: DataFrame, key: String): DataFrame =
+    df.repartition(32, col(key))
+
   /** EXT: MinHash + LSH candidate pairs. 8 hash functions, 4 bands × 2 rows:
     * P(candidate) = 1-(1-j²)⁴ — catches Jaccard ≳ 0.6 with high probability.
     *
@@ -50,7 +60,7 @@ object Dedup {
     * (band, band_hash) → distinct pairs. The band-hash shuffle carries
     * ~50 bytes/doc; bucket sizes are bounded by construction. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sig = Tables.documents(s, d)
+    val sig = fanout(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(shingles3).as("sh1"))
       .select(col("doc_id"),
               md5(concat(lit("0|"), col("sh1"))).as("h0"),
@@ -88,7 +98,7 @@ object Dedup {
   }
 
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    simhashSig(Tables.documents(s, d))
+    simhashSig(fanout(Tables.documents(s, d), "doc_id"))
       .groupBy("sh")
       .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -102,8 +112,7 @@ object Dedup {
     * shingle equi-join shuffles (doc_id, shingle-hash); at scale this runs
     * only on LSH survivors, never the full corpus. */
   def qDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .filter(col("doc_id") < 300)
+    val sh = fanout(Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id")
       .select(col("doc_id"), explode(shingles3).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -129,7 +138,7 @@ object Dedup {
     * shared-vocabulary corpus is deliberately unselective; production
     * signatures are 64-bit+ and bands prune harder. */
   def qDedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSig(Tables.documents(s, d).filter(col("doc_id") < 500))
+    val sig = simhashSig(fanout(Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id"))
     val bands = sig.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b => substring(col("sh"), b * 8 + 1, 8)): _*))
         .as(Seq("b", "slice")))

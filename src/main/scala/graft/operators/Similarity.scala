@@ -38,6 +38,9 @@ object Similarity {
   /** (vec_id, v, nrm) — norm computed once per vector, pre-join. */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      // single-split parquet at corpus sizes: fan out before the pair join
+      // so scoring parallelizes (deterministic: hash-partitioned on the key)
+      .repartition(32, col("vec_id"))
       .select(col("vec_id"), vD.as("v"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
 
