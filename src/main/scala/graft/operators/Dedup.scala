@@ -65,11 +65,13 @@ object Dedup {
       .select(col("doc_id"),
               md5(concat(lit("0|"), col("sh1"))).as("h0"),
               md5(concat(lit("1|"), col("sh1"))).as("h1"))
+      // slice BEFORE the aggregate: the 8 min() functions then reduce plain
+      // column refs, keeping the generated aggregate class small
+      .select(col("doc_id") +: (0 until 8).map(k =>
+                substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8).as(s"s$k")): _*)
       .groupBy("doc_id")
-      .agg((0 until 8).map(k =>
-             min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")).head,
-           (1 until 8).map(k =>
-             min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")): _*)
+      .agg(min(col("s0")).as("mh0"),
+           (1 until 8).map(k => min(col(s"s$k")).as(s"mh$k")): _*)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as(Seq("b", "bh")))
