@@ -166,7 +166,20 @@ object Aggregates {
       .na.fill(0L)
       .orderBy("bucket")
 
+  /** Unpivot (wide→long, the inverse of q_pivot_events): per-lineitem money
+    * columns melted into (measure, amount) rows. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+               Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+               "measure", "amount")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"          -> (qUnpivot _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_win_range_frame"  -> (qWinRangeFrame _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
@@ -184,6 +197,17 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, amount FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount
+        |  FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey <= 100)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_win_range_frame" ->
       """SELECT o_orderkey, o_custkey, pc,
         |  COUNT(*) OVER w AS n_near,

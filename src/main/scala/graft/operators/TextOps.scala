@@ -129,7 +129,24 @@ object TextOps {
       .limit(200)
   }
 
+  /** EXT: text normalization — casefold, strip non-alphanumerics, collapse
+    * whitespace — then dedup on the normalized key. The standard "same doc
+    * modulo formatting" pass that runs before exact hashing in a cleaning
+    * pipeline. Pure codegen'd string expressions. */
+  def qTextNormalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+                                   " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("norm"))
+      .groupBy(md5(col("norm")).as("h"))
+      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n"),
+           min(length(col("norm"))).cast("long").as("norm_len"))
+      .select("min_doc", "h", "n", "norm_len")
+      .orderBy("min_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_normalize"   -> (qTextNormalize _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_text_stats"       -> (qTextStats _),
     "q_text_lang_id"     -> (qTextLangId _),
@@ -139,6 +156,13 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS min_doc, md5(norm) AS h, COUNT(*) AS n,
+        |  CAST(MIN(length(norm)) AS BIGINT) AS norm_len
+        |FROM n GROUP BY md5(norm) ORDER BY min_doc""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min_doc, h, n FROM (
         |  SELECT md5(text) AS h, MIN(doc_id) AS min_doc, COUNT(*) AS n
