@@ -178,7 +178,43 @@ object Aggregates {
                "measure", "amount")
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
+  /** §2.9 sliding window, batch form — window(1h, 30min): each event lands
+    * in 2 overlapping windows (Spark's window() is a generator here). */
+  def qStreamSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+              col("n"), col("sum_value"))
+      .orderBy("ws")
+
+  /** Gaps-and-islands sessionization (batch form of the streaming
+    * flatMapGroupsWithState sessionizer): a new session starts when the gap
+    * to the previous event exceeds 1 hour; session id = running count of
+    * session starts. Two windows + one aggregate, all on the user_id
+    * shuffle — the standard analytic sessionization at any scale. Gap math
+    * on integer epoch seconds so nanosecond-vs-microsecond timestamp
+    * precision can't flip a boundary between engines. */
+  def qSessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("new_s",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > 3600 ||
+             lag(col("sec"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("event_id")).as("first_id"),
+           max(col("event_id")).as("last_id"),
+           Num.moneySum(col("value")).as("total"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sliding"   -> (qStreamSliding _),
+    "q_sessionize_batch" -> (qSessionizeBatch _),
     "q_unpivot"          -> (qUnpivot _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_win_range_frame"  -> (qWinRangeFrame _),
@@ -197,6 +233,31 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS ws,
+        |         value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) t(o)
+        |  WHERE ts >= time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes'
+        |    AND ts <  time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' + INTERVAL '1 hour')
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY ws""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |flagged AS (SELECT *,
+        |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 3600
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |sess AS (SELECT *,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, amount FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount

@@ -138,6 +138,27 @@ object Similarity {
       .orderBy("centroid")
   }
 
+  /** EXT: LSH probe — the search half of q_ann_lsh_buckets. Queries
+    * (vec_id < 5) hash to their bucket; candidates are ONLY the vectors in
+    * the same bucket (≈1/256 of the table), ranked by exact cosine. The
+    * equi-join on `bucket` is the entire search — at 100 TB the scan cost
+    * drops by the bucket fan-out instead of touching every vector. */
+  def qAnnLshProbe(s: SparkSession, d: String): DataFrame = {
+    val bits = (0 until 8).map { p =>
+      when(vecDot(col("v"), plane(p)) >= 0, "1").otherwise("0")
+    }
+    val sig = vecs(s, d).withColumn("bucket", concat(bits: _*))
+    val q = sig.filter(col("vec_id") < 5).as("a")
+    val cand = sig.filter(col("vec_id") >= 5).as("b")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    q.join(cand, col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
+              round(cosPair, 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("qid", "rk")
+  }
+
   /** EXT (rows-only): per-label embedding centroid via the typed
     * [[graft.functions.VectorCentroid]] Aggregator — distributed double
     * summation is partition-order-dependent, so no hash oracle. */
@@ -160,6 +181,7 @@ object Similarity {
     "q_ann_brute_topk"  -> (qAnnBruteTopk _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_ivf"         -> (qAnnIvf _),
+    "q_ann_lsh_probe"   -> (qAnnLshProbe _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_vec_centroid"    -> (qVecCentroid _),
   )
@@ -213,5 +235,18 @@ object Similarity {
         |  SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND($duckCos, 4) AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cos > 0.4 ORDER BY v1, v2""".stripMargin,
+    "q_ann_lsh_probe" ->
+      s"""WITH e AS ($duckVecs),
+        |sig AS (SELECT e.*,
+        |  list_aggregate([CASE WHEN list_reduce(
+        |      [v[i+1] * sin(CAST(p AS DOUBLE) * 131.7 + CAST(i AS DOUBLE) * 7.3)
+        |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
+        |    THEN '1' ELSE '0' END for p in generate_series(0, 7)], 'string_agg', '') AS bucket
+        |  FROM e),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ROUND($duckCos, 4) AS cos
+        |           FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < 5 AND b.vec_id >= 5),
+        |ranked AS (SELECT qid, cid, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk FROM scored)
+        |SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
   )
 }
