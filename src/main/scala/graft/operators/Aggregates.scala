@@ -212,7 +212,40 @@ object Aggregates {
       .orderBy("user_id", "session_id")
   }
 
+  /** Statistical aggregates with DETERMINISTIC cross-engine results: stddev
+    * from exact decimal moments (sum, sum-of-squares are decimal-exact on
+    * 2-decimal money, so the double math is one fixed expression), and the
+    * exact interpolated median. Built-in stddev_samp would be Welford-merge
+    * order-dependent across partitions — never oracle-safe. */
+  def qAggStats(s: SparkSession, d: String): DataFrame = {
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    val ssq = sum(p * p).cast("double")
+    val sm = sum(p).cast("double")
+    val n = count(lit(1)).cast("double")
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           round(sqrt((ssq - sm * sm / n) / (n - lit(1.0))), 4).as("sd"),
+           round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** W4 completion: ntile / percent_rank / cume_dist — the distribution
+    * ranking family over a bounded key set. */
+  def qWinDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              ntile(4).over(w).cast("long").as("quartile"),
+              round(percent_rank().over(w), 4).as("pr"),
+              round(cume_dist().over(w), 4).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats"        -> (qAggStats _),
+    "q_win_distribution" -> (qWinDistribution _),
     "q_stream_sliding"   -> (qStreamSliding _),
     "q_sessionize_batch" -> (qSessionizeBatch _),
     "q_unpivot"          -> (qUnpivot _),
@@ -233,6 +266,22 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  ROUND(SQRT((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 4) AS sd,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_win_distribution" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 4) AS cd
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_stream_sliding" ->
       """WITH w AS (
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS ws,
