@@ -26,6 +26,17 @@ class SqlFrontendSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq === viaDf.map(_.toString).toSeq)
   }
 
+  test("Graft facade: session + corpus + SQL in three calls") {
+    val s = Graft.session("facade-test") // getOrCreate reuses the shared session
+    Graft.openCorpus(s, sf)
+    val n = s.sql(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect().head.getLong(0)
+    assert(n > 0)
+    assert(s.sql("SELECT vec_dot(array(1.0d), array(2.0d))").collect().head.getDouble(0) === 2.0)
+    assert(s.conf.get("spark.sql.session.timeZone") === "UTC")
+  }
+
   test("vec_dot registered via GraftExtensions.install is usable from SQL") {
     GraftExtensions.install(spark)
     val r = spark.sql(
