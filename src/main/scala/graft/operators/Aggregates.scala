@@ -300,8 +300,8 @@ object Aggregates {
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
         |sess AS (SELECT *,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(event_id) AS first_id, MAX(event_id) AS last_id,
@@ -321,7 +321,7 @@ object Aggregates {
     "q_win_range_frame" ->
       """SELECT o_orderkey, o_custkey, pc,
         |  COUNT(*) OVER w AS n_near,
-        |  SUM(pc) OVER w AS sum_near_cents
+        |  CAST(SUM(pc) OVER w AS BIGINT) AS sum_near_cents
         |FROM (SELECT o_orderkey, o_custkey,
         |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY pc

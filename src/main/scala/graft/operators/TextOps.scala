@@ -203,9 +203,9 @@ object TextOps {
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
     "q_text_tokens" ->
       """SELECT lang,
-        |  SUM(len(string_split(text, ' '))) AS n_ws_tokens,
-        |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_bpe_tokens,
-        |  SUM(length(text)) AS n_chars_total
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars_total
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
