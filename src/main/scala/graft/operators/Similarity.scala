@@ -104,14 +104,51 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** Dedup hyperplane q: per-plane FREQUENCY (not just phase) — the
+    * [[plane]] formula's planes all share one frequency in i, so they
+    * span only a 2-D subspace (sin(a+ib) folds to two basis vectors)
+    * and their sign bits are correlated; distinct frequencies give
+    * near-orthogonal planes, which banding needs for real recall. */
+  private def plane2(p: Int): Column =
+    transform(sequence(lit(0), lit(63)),
+              i => sin((i.cast("double") + lit(1.0)) * lit(p.toDouble * 0.917 + 1.234)))
+
   /** EXT: embedding-cosine near-duplicate pairs (threshold 0.4 — the corpus
-    * max is ~0.51, planted pairs sit above random noise ~0.0). Bounded
-    * brute-force; the LSH buckets above are the 100 TB prefilter. */
+    * max is ~0.51, planted pairs sit above random noise ~0.0).
+    *
+    * Scale shape: NO all-pairs join. Candidates come from banded
+    * hyperplane LSH — 16 bands × 4 sign bits (64 deterministic
+    * distinct-frequency planes, [[plane2]]); a pair is a candidate iff
+    * it collides in at least one band. The self-join is an EQUI-join on
+    * (band, sig): at 100 TB the shuffle carries only (vec_id, band, sig)
+    * triples and each band bucket holds ~n/16 vectors, so candidate
+    * count scales with collisions, not n² (16×4 banding catches a
+    * cos≈0.5 pair with ≈97% probability). Exact cosine then verifies
+    * candidates only (two vec_id equi-joins back to the vector table).
+    * The DuckDB oracle mirrors the banding exactly, so the hash compare
+    * checks the full candidate-then-verify pipeline, not just the
+    * threshold filter. */
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-              round(cosPair, 4).as("cos"))
+    val bandSigs = (0 until 16).map { b =>
+      val bits = (0 until 4).map { j =>
+        when(vecDot(col("v"), plane2(b * 4 + j)) >= 0, "1").otherwise("0")
+      }
+      struct(lit(b).as("band"), concat(bits: _*).as("sig"))
+    }
+    val bands = e
+      .select(col("vec_id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+              col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    cand
+      .join(e.as("a"), col("v1") === col("a.vec_id"))
+      .join(e.as("b"), col("v2") === col("b.vec_id"))
+      .select(col("v1"), col("v2"), round(cosPair, 4).as("cos"))
       .filter(col("cos") > 0.4)
       .orderBy("v1", "v2")
   }
@@ -230,10 +267,19 @@ object Similarity {
         |SELECT cid AS centroid, COUNT(*) AS n_assigned, MIN(vid) AS min_vec
         |FROM assigned GROUP BY cid ORDER BY centroid""".stripMargin,
     "q_dedup_embedding" ->
-      s"""WITH e AS ($duckVecs)
+      s"""WITH e AS MATERIALIZED ($duckVecs),
+        |bands AS MATERIALIZED (SELECT vec_id, band,
+        |  list_aggregate([CASE WHEN list_reduce(
+        |      [v[i+1] * sin((CAST(i AS DOUBLE) + 1.0) * (CAST(band*4+j AS DOUBLE) * 0.917 + 1.234))
+        |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
+        |    THEN '1' ELSE '0' END for j in generate_series(0, 3)], 'string_agg', '') AS sig
+        |  FROM e, generate_series(0, 15) AS t(band)),
+        |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+        |         FROM bands x JOIN bands y
+        |         ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
         |SELECT v1, v2, cos FROM (
-        |  SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND($duckCos, 4) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |  SELECT v1, v2, ROUND($duckCos, 4) AS cos
+        |  FROM cand JOIN e a ON v1 = a.vec_id JOIN e b ON v2 = b.vec_id)
         |WHERE cos > 0.4 ORDER BY v1, v2""".stripMargin,
     "q_ann_lsh_probe" ->
       s"""WITH e AS ($duckVecs),

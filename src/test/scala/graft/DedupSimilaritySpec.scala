@@ -95,6 +95,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.forall(_.getAs[String]("sh").matches("[01]{32}")))
   }
 
+  test("embedding dedup plans NO unbounded pair join (LSH equi-join only)") {
+    // The scale contract: candidate generation must be an equi-join on the
+    // band signature, never a cartesian / nested-loop pair enumeration.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val qe = Similarity.qDedupEmbedding(spark, sf).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bad = plan.collectWithSubqueries {
+      case j: CartesianProductExec        => j.nodeName
+      case j: BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"pair join must be hash/sort-merge equi-join, found: $bad\n$plan")
+  }
+
+  test("embedding dedup via LSH recovers >=90% of brute-force pairs") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+              (vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") > 0.4)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.qDedupEmbedding(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must never invent pairs (exact verify)")
+    assert(lsh.size >= (brute.size * 9) / 10,
+      s"recall too low: ${lsh.size}/${brute.size}")
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
