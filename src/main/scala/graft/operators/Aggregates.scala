@@ -75,16 +75,21 @@ object Aggregates {
               col("n"))
       .orderBy("st", "pri")
 
-  /** W1: the reference's adjacent-pair centroid `(x[1:]+x[:-1])/2` as a lag
-    * window. Axis-sized input; global order is intentional (raster axes are
-    * small, O(10^4) — never the fact table). */
+  /** W1: the reference's adjacent-pair axis centroid `(x[1:]+x[:-1])/2`
+    * (run/adcircTime2cogs.py:79-80) as a lag window over a GENERATED axis
+    * relation. The global window is safe because the input is an axis —
+    * O(10^4) rows by construction (raster width), never the fact table.
+    * Decimal sum + exact binary halving keeps Spark/DuckDB bit-equal. */
   def qWinCentroid(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy("event_id")
-    Tables.events(s, d)
-      .select(col("event_id"),
-              round((col("value") + lag(col("value"), 1).over(w)) / 2.0, 4).as("centroid"))
+    val axis = s.range(0, 8192).toDF("k")
+      .select(col("k"),
+              (lit(BigDecimal("-98.0")) + col("k") * lit(BigDecimal("0.005"))).as("x"))
+    val w = Window.orderBy("k")
+    axis
+      .select(col("k"),
+              ((col("x") + lag(col("x"), 1).over(w)).cast("double") / lit(2.0)).as("centroid"))
       .filter(col("centroid").isNotNull)
-      .orderBy("event_id")
+      .orderBy("k")
   }
 
   /** W2+W4: ranking — top-3 orders per customer by totalprice. */
@@ -367,11 +372,10 @@ object Aggregates {
         |  COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY st, pri""".stripMargin,
     "q_win_centroid" ->
-      """SELECT event_id, centroid FROM (
-        |  SELECT event_id,
-        |    ROUND((value + LAG(value, 1) OVER (ORDER BY event_id)) / 2.0, 4) AS centroid
-        |  FROM events)
-        |WHERE centroid IS NOT NULL ORDER BY event_id""".stripMargin,
+      """SELECT k, centroid FROM (
+        |  SELECT k, CAST(x + LAG(x, 1) OVER (ORDER BY k) AS DOUBLE) / 2.0 AS centroid
+        |  FROM (SELECT k, -98.0 + k * 0.005 AS x FROM range(0, 8192) t(k)))
+        |WHERE centroid IS NOT NULL ORDER BY k""".stripMargin,
     "q_win_rank" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
