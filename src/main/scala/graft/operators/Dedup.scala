@@ -83,6 +83,38 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** EXT: the 100 TB minhash — identical banding to [[qDedupMinhash]] but
+    * with INTEGER hashing: 8 `xxhash64(seed_k, shingle)` BIGINTs replace
+    * two md5 hex digests + 8 substring slices per shingle, and the
+    * min-aggregate reduces 8-byte longs instead of 8-char strings. Band
+    * key = xxhash64 of the two row mins (one long, not a 16-char concat),
+    * so the band shuffle carries ~20 bytes/doc.
+    *
+    * Oracle-portability blocker (documented per round-1 review): DuckDB
+    * has no xxhash64-compatible function, so this variant is gated by
+    * Scala tests instead of the DuckDB hash compare — identical docs must
+    * always collide, and candidates must substantially agree with the
+    * md5 variant (same banding math, independent hash family). The md5
+    * variant stays as the oracle-checked correctness anchor. */
+  def qDedupMinhashXx(s: SparkSession, d: String): DataFrame = {
+    val sig = fanout(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), explode(shingles3).as("sh1"))
+      .select(col("doc_id") +: (0 until 8).map(k =>
+                xxhash64(lit(k), col("sh1")).as(s"x$k")): _*)
+      .groupBy("doc_id")
+      .agg(min(col("x0")).as("mh0"),
+           (1 until 8).map(k => min(col(s"x$k")).as(s"mh$k")): _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as(Seq("b", "bh")))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
   /** EXT: 32-bit SimHash over distinct tokens — bit k set iff the majority of
     * token-md5s have hex digit k ≥ '8' (i.e. top bit of that nibble set).
     * Exact-signature groups = near-duplicate clusters. Signature is one
@@ -156,6 +188,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash"       -> (qDedupMinhash _),
+    "q_dedup_minhash_xx"    -> (qDedupMinhashXx _),
     "q_dedup_simhash"       -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),

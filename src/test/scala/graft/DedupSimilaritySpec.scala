@@ -95,6 +95,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.forall(_.getAs[String]("sh").matches("[01]{32}")))
   }
 
+  test("xxhash64 minhash: finds planted near-dups, agrees with md5 variant, verified by Jaccard") {
+    val xx = Dedup.qDedupMinhashXx(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(xx.nonEmpty, "corpus has planted near-duplicates; LSH must find some")
+    // Same banding math (4 bands x 2 rows), independent hash family: the
+    // candidate sets target the same Jaccard range and must mostly agree.
+    val md5v = Dedup.qDedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val overlap = (xx intersect md5v).size.toDouble / md5v.size
+    assert(overlap >= 0.7, s"xx/md5 candidate overlap too low: $overlap")
+    // Candidates must actually be similar: spot-check via exact Jaccard.
+    val jacc = Dedup.qDedupNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candLow = xx.toSeq.filter { case (a, b) => a < 300 && b < 300 }
+    assert(candLow.count(jacc.contains) >= candLow.length / 2,
+           "most xx candidates under doc_id<300 should clear Jaccard>0.5")
+  }
+
+  test("xxhash64 minhash is deterministic across runs") {
+    val a = Dedup.qDedupMinhashXx(spark, sf).collect().map(_.toString).toSeq
+    val b = Dedup.qDedupMinhashXx(spark, sf).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("embedding dedup plans NO unbounded pair join (LSH equi-join only)") {
     // The scale contract: candidate generation must be an equi-join on the
     // band signature, never a cartesian / nested-loop pair enumeration.
