@@ -48,6 +48,53 @@ object Tpch {
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
 
+  /** Q4 shape: EXISTS correlated subquery through the SQL frontend
+    * ([[graft.Views]]) — Catalyst DECORRELATES the EXISTS into a left
+    * semi join on l_orderkey (RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery), so the physical plan is one shuffle-free
+    * broadcast or one keyed shuffle, never a per-row subquery execution.
+    * Adapted to the corpus schema: "late shipment" = any line shipped
+    * more than 60 days after the order date. */
+  def qTpchQ4(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Q17 shape: scalar correlated subquery (per-part average) — Catalyst
+    * decorrelates the scalar agg into a grouped aggregate joined back on
+    * l_partkey. avg runs over integer-valued doubles (exact in binary FP,
+    * so both engines agree bit-for-bit); revenue sums in decimal. */
+  def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l1.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
+  /** Q22 shape: NOT EXISTS correlated subquery → decorrelated to a left
+    * ANTI join — customers with no big-ticket order. */
+  def qSqlNotExists(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Q6: forecasting revenue change — pushed range filters, 1-row result. */
   def qTpchQ6(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -61,7 +108,10 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
+    "q_sql_not_exists" -> (qSqlNotExists _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -87,6 +137,28 @@ object Tpch {
         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l1.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q_sql_not_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
     "q_tpch_q6" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -70,6 +70,50 @@ class SqlFrontendSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("dim") === 64))
   }
 
+  test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val qe = operators.Tpch.qTpchQ4(spark, sf).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = plan.collectWithSubqueries { case j: BaseJoinExec => j }
+    assert(joins.exists(_.joinType.sql == "LEFT SEMI"),
+           s"EXISTS should decorrelate to LeftSemi:\n$plan")
+    assert(!joins.exists(j => j.isInstanceOf[CartesianProductExec] ||
+                              j.isInstanceOf[BroadcastNestedLoopJoinExec]),
+           s"decorrelated plan must not nest loops:\n$plan")
+  }
+
+  test("correlated NOT EXISTS decorrelates to an anti join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val qe = operators.Tpch.qSqlNotExists(spark, sf).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = plan.collectWithSubqueries { case j: BaseJoinExec => j }
+    assert(joins.exists(_.joinType.sql == "LEFT ANTI"),
+           s"NOT EXISTS should decorrelate to LeftAnti:\n$plan")
+  }
+
+  test("correlated scalar subquery (Q17) decorrelates and agrees with manual two-phase plan") {
+    Views.register(spark, sf)
+    val viaSubquery = operators.Tpch.qTpchQ17(spark, sf).collect()
+    val avgs = Tables.lineitem(spark, sf).groupBy("l_partkey")
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    val viaManual = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_brand") === "Brand#23"),
+            col("l_partkey") === col("p_partkey"))
+      .join(avgs, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(Num.moneySum(col("l_extendedprice")).as("total_price"),
+           count(lit(1)).as("n_lines")).collect()
+    assert(viaSubquery.map(_.toString).toSeq === viaManual.map(_.toString).toSeq)
+  }
+
   test("IVF assignment partitions the non-codebook vectors") {
     val rows = operators.Similarity.qAnnIvf(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_assigned")).sum
