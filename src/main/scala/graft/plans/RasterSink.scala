@@ -50,6 +50,39 @@ object RasterSink {
     raster
   }
 
+  /** S5 closed: one true GeoTIFF per timestep ([[GeoTiff]], pure-JVM
+    * TIFF 6.0 — the reference's write_cog contract,
+    * run/adcircTime2cogs.py:205-206). Distribution shape: repartition by
+    * ts so every timestep's cells land in ONE task, then each task
+    * assembles its timesteps' grids (O(grid) memory, same envelope as
+    * the reference's in-memory grid) and writes
+    * `<var>_<ts>.tiff` via foreachPartition — executors write in
+    * parallel across timesteps, the driver never sees pixel data. At
+    * 100 TB `outDir` is shared storage and timesteps fan out across the
+    * cluster; the serial per-timestep Python loop in the reference
+    * becomes embarrassing parallelism here. */
+  def writeGeoTiffs(s: SparkSession, outDir: String, varName: String = "fort_63_zeta"): Unit = {
+    val g = Interp.G
+    new java.io.File(outDir).mkdirs()
+    Interp.qInterpBarycentric(s, "")
+      .repartition(col("ts"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val grids = scala.collection.mutable.Map.empty[Long, Array[Float]]
+        it.foreach { r =>
+          val grid = grids.getOrElseUpdate(r.getAs[Long]("ts"), new Array[Float](g * g))
+          grid(r.getAs[Int]("grow") * g + r.getAs[Int]("gcol")) =
+            (r.getAs[Long]("zi4") / 10000.0).toFloat
+        }
+        grids.foreach { case (ts, grid) =>
+          // north-up: grow 0 is the top row; origin at the grid's NW corner
+          val bytes = GeoTiff.encode(g, g, grid,
+            originX = 0.3 - 0.19, originY = 0.3 + (g - 1) * 0.38 + 0.19, res = 0.38)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$outDir/${varName}_ts$ts%03d.tiff"), bytes)
+        }
+      }
+  }
+
   /** Per-timestep mosaic filenames — the reference's
     * `<var>_<yyyyMMdd'T'HHmmss>Z.tiff` naming (run/adcircTime2cogs.py:192-194),
     * derived from the raster's distinct timesteps. */

@@ -26,6 +26,52 @@ class RasterSinkSpec extends SparkSpec {
     assert(timeregex.contains("[0-9]{8}T[0-9]{6}"))
   }
 
+  test("GeoTiff encode/decode round-trips header, dims, and strip data") {
+    val w = 37; val h = 211 // force multiple ~64KiB strips and a short tail strip
+    val vals = Array.tabulate(w * h)(i => (i * 0.25f) - 3f)
+    val bytes = graft.plans.GeoTiff.encode(w, h, vals, -98.0, 45.0, 0.005)
+    // TIFF magic: little-endian "II", 42
+    assert(bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte && bytes(2) == 42.toByte)
+    val (dw, dh, dvals) = graft.plans.GeoTiff.decode(bytes)
+    assert(dw === w); assert(dh === h)
+    assert(dvals.toSeq === vals.toSeq)
+  }
+
+  test("GeoTiff carries the EPSG:4326 GeoKey and pixel scale") {
+    val bytes = graft.plans.GeoTiff.encode(4, 4, new Array[Float](16), -98.0, 45.0, 0.005)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(buf.getInt(4))
+    val n = buf.getShort()
+    val tags = (0 until n).map { i =>
+      val base = buf.getInt(4) + 2 + i * 12
+      (buf.getShort(base) & 0xffff, buf.getShort(base + 2).toInt, buf.getInt(base + 4), buf.getInt(base + 8))
+    }
+    assert(tags.map(_._1).toSeq === tags.map(_._1).sorted, "IFD tags must be ascending")
+    val geo = tags.find(_._1 == 34735).get
+    val keys = (0 until geo._3).map(i => buf.getShort(geo._4 + 2 * i) & 0xffff)
+    // key triple (2048, 0, 1, 4326) = GeographicTypeGeoKey -> EPSG:4326
+    assert(keys.sliding(4, 4).exists(g => g.headOption.contains(2048) && g.lift(3).contains(4326)))
+    val scale = tags.find(_._1 == 33550).get
+    assert(buf.getDouble(scale._4) === 0.005)
+  }
+
+  test("writeGeoTiffs emits one valid GeoTIFF per timestep with the raster's values") {
+    val out = Files.createTempDirectory("graft_tiff").toString
+    RasterSink.writeGeoTiffs(spark, out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".tiff")).sortBy(_.getName)
+    assert(files.length === graft.operators.Interp.T)
+    val g = graft.operators.Interp.G
+    // cross-check ts=1 against the relational raster
+    val bytes = Files.readAllBytes(files(1).toPath)
+    val (w, h, vals) = graft.plans.GeoTiff.decode(bytes)
+    assert(w === g && h === g)
+    val expected = graft.operators.Interp.qInterpBarycentric(spark, "")
+      .filter(org.apache.spark.sql.functions.col("ts") === 1)
+      .collect().map(r => (r.getAs[Int]("grow") * g + r.getAs[Int]("gcol"),
+                           (r.getAs[Long]("zi4") / 10000.0).toFloat)).toMap
+    assert(vals.zipWithIndex.forall { case (v, i) => expected(i) === v })
+  }
+
   test("reprojection stage is a narrow transform preserving node count") {
     val proj = RasterSink.reprojectNodes(spark)
     assert(proj.count() === graft.operators.Interp.K.toLong * graft.operators.Interp.K)
