@@ -1,0 +1,113 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.file.{Files, Paths}
+import graft.sources.{Ingest, NetCdf3}
+
+/** Ingest-boundary test: a synthetic fort.63-shaped NetCDF-3 binary
+  * (written here byte-by-byte against the public CDF-1 spec, NOT via the
+  * reader under test) converted to the long-form Parquet layout — checks
+  * the -1 connectivity shift, the record-striped series read, and value
+  * fidelity. */
+class IngestSpec extends SparkSpec {
+
+  private val N = 12 // nodes
+  private val M = 5  // elements
+  private val T = 4  // records (timesteps)
+
+  private def zeta(t: Int, n: Int): Double = t * 100.0 + n + 0.25
+
+  /** CDF-1 writer: dims (time=unlimited, node, nele, nvertex), vars
+    * x(node) y(node) double, element(nele,nvertex) int 1-BASED,
+    * time(time) double, zeta(time,node) double. */
+  private def writeFixture(path: String): Unit = {
+    val elements1Based: Array[Int] =
+      Array.tabulate(M * 3)(i => (i % N) + 1) // valid 1-based node ids
+
+    def headerBytes(begins: Map[String, Int]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new DataOutputStream(bos)
+      def name(s: String): Unit = {
+        o.writeInt(s.length); o.writeBytes(s)
+        (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
+      }
+      o.writeBytes("CDF"); o.writeByte(1)
+      o.writeInt(T) // numrecs
+      o.writeInt(NetCdf3.NcDimension); o.writeInt(4)
+      name("time"); o.writeInt(0)
+      name("node"); o.writeInt(N)
+      name("nele"); o.writeInt(M)
+      name("nvertex"); o.writeInt(3)
+      o.writeInt(0); o.writeInt(0) // no global attrs
+      o.writeInt(NetCdf3.NcVariable); o.writeInt(5)
+      def vr(nm: String, dimIds: Seq[Int], typ: Int, vsize: Int): Unit = {
+        name(nm); o.writeInt(dimIds.length); dimIds.foreach(o.writeInt)
+        o.writeInt(0); o.writeInt(0) // no var attrs
+        o.writeInt(typ); o.writeInt(vsize); o.writeInt(begins.getOrElse(nm, 0))
+      }
+      vr("x", Seq(1), NetCdf3.NcDouble, N * 8)
+      vr("y", Seq(1), NetCdf3.NcDouble, N * 8)
+      vr("element", Seq(2, 3), NetCdf3.NcInt, M * 3 * 4)
+      vr("time", Seq(0), NetCdf3.NcDouble, 8)
+      vr("zeta", Seq(0, 1), NetCdf3.NcDouble, N * 8)
+      o.flush(); bos.toByteArray
+    }
+
+    val hLen = headerBytes(Map.empty).length
+    val begins = Map(
+      "x" -> hLen, "y" -> (hLen + N * 8), "element" -> (hLen + 2 * N * 8),
+      "time" -> (hLen + 2 * N * 8 + M * 3 * 4),
+      "zeta" -> (hLen + 2 * N * 8 + M * 3 * 4 + 8))
+
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.write(headerBytes(begins))
+    (0 until N).foreach(i => o.writeDouble(i * 0.5))       // x
+    (0 until N).foreach(i => o.writeDouble(40.0 + i * 0.25)) // y
+    elements1Based.foreach(o.writeInt)                      // element (1-based)
+    (0 until T).foreach { t =>                              // records: time, zeta
+      o.writeDouble(t * 3600.0)
+      (0 until N).foreach(n => o.writeDouble(zeta(t, n)))
+    }
+    o.flush()
+    Files.write(Paths.get(path), bos.toByteArray)
+  }
+
+  test("NetCDF-3 ingest: header, -1 shift, record-striped series, value fidelity") {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val nc = s"$dir/fort63.nc"
+    writeFixture(nc)
+
+    Ingest.fort63ToParquet(spark, nc, dir)
+
+    val nodes = Ingest.nodes(spark, dir).collect().sortBy(_.getAs[Long]("node_id"))
+    assert(nodes.length === N)
+    assert(nodes(3).getAs[Double]("lon") === 1.5)
+    assert(nodes(3).getAs[Double]("lat") === 40.75)
+
+    val eles = Ingest.elements(spark, dir).collect().sortBy(_.getAs[Long]("ele_id"))
+    assert(eles.length === M)
+    // 1-based in the file, 0-based after ingest
+    val all = eles.flatMap(r => Seq(r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("n3")))
+    assert(all.min === 0L && all.max === (N - 1).toLong)
+    assert(eles(0).getAs[Long]("n1") === 0L) // file had 1
+
+    val series = Ingest.series(spark, dir).collect()
+    assert(series.length === T * N)
+    series.foreach { r =>
+      assert(r.getAs[Double]("value") ===
+        zeta(r.getAs[Long]("ts").toInt, r.getAs[Long]("node_id").toInt))
+    }
+  }
+
+  test("ingested layout drives the interpolation join shape end-to-end") {
+    val dir = Files.createTempDirectory("graft_ingest2").toString
+    writeFixture(s"$dir/fort63.nc")
+    Ingest.fort63ToParquet(spark, s"$dir/fort63.nc", dir)
+    // the operators' contract: join series to elements through node ids
+    val joined = Ingest.series(spark, dir)
+      .join(Ingest.elements(spark, dir),
+            org.apache.spark.sql.functions.col("node_id") === org.apache.spark.sql.functions.col("n1"))
+    assert(joined.count() > 0)
+  }
+}
