@@ -186,12 +186,56 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** EXT: duplicate CLUSTERS from candidate pairs — the step a real dedup
+    * pipeline runs after LSH: connected components over the pair graph,
+    * then one representative (min doc_id) per component.
+    *
+    * Algorithm: Pregel-style min-label propagation — labels start as
+    * doc_id and each round take the min over neighbors; the driver loop
+    * checks a monotone convergence metric (sum of labels, strictly
+    * decreasing until fixpoint) with ONE scalar action per round, and
+    * `localCheckpoint()` truncates lineage so plan depth stays O(1)
+    * across rounds (the standard iterative-graph shape on Spark; GraphX
+    * and MLlib iterate the same way). Rounds are bounded by component
+    * diameter — near-dup clusters are shallow (stars/cliques), so this
+    * converges in 2-3 rounds regardless of corpus size. At 100 TB the
+    * same loop runs with the alternating large-star/small-star
+    * optimization (each round stays a (join + min-agg) pair on
+    * (vertex, label) tuples — never document bodies).
+    *
+    * Oracle: DuckDB computes the same components with a recursive CTE
+    * (min reachable label == component min on the symmetric graph). */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = qDedupMinhash(s, d).select("d1", "d2").localCheckpoint()
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum("lbl")).head.getLong(0)
+    while (curSum < prevSum) {
+      val prop = sym.join(labels.withColumnRenamed("v", "w"), col("dst") === col("w"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      labels = labels
+        .join(prop, col("v") === col("src"), "left")
+        .select(col("v"),
+                least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labels.agg(sum("lbl")).head.getLong(0)
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash"       -> (qDedupMinhash _),
     "q_dedup_minhash_xx"    -> (qDedupMinhashXx _),
     "q_dedup_simhash"       -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_clusters"      -> (qDedupClusters _),
   )
 
   private val duckShingles =
@@ -199,6 +243,24 @@ object Dedup {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> substring(md5(CAST(k // 4 AS VARCHAR) || '|' || x), (k % 4) * 8 + 1, 8)))
+        |   for k in generate_series(0, 7)] AS mh FROM sh),
+        |bands AS (SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS bh
+        |          FROM sig, generate_series(0, 3) g(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |          FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |cc(v, lbl) AS (
+        |  SELECT v, v AS lbl FROM verts
+        |  UNION
+        |  SELECT e.src, cc.lbl FROM edges e JOIN cc ON cc.v = e.dst)
+        |SELECT v AS doc_id, MIN(lbl) AS cluster FROM cc GROUP BY v ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),

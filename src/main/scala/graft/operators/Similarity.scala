@@ -196,6 +196,62 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** EXT: multiprobe LSH — each query probes its own bucket PLUS the 8
+    * buckets at Hamming distance 1 (one sign bit flipped). Recall rises
+    * from 1-bucket LSH's ~coin-flip to near-exact while the scan stays
+    * ~9/256 of the table; the probe set is still a pure equi-join on
+    * `bucket` (the standard multiprobe trade: more lookups, same index,
+    * no extra tables — at 100 TB that is 9 bucket reads per query vs a
+    * full scan). */
+  def qAnnLshMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val bits = (0 until 8).map { p =>
+      when(vecDot(col("v"), plane(p)) >= 0, "1").otherwise("0")
+    }
+    val sig = vecs(s, d).withColumn("bucket", concat(bits: _*))
+    val flips = (0 until 8).map { i =>
+      concat(substring(col("bucket"), 1, i),
+             when(substring(col("bucket"), i + 1, 1) === "1", "0").otherwise("1"),
+             substring(col("bucket"), i + 2, 7 - i))
+    }
+    val q = sig.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("v"), col("nrm"),
+              explode(array(col("bucket") +: flips: _*)).as("probe"))
+      .as("a")
+    val cand = sig.filter(col("vec_id") >= 5).as("b")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    q.join(cand, col("a.probe") === col("b.bucket"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
+              round(cosPair, 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("qid", "rk")
+  }
+
+  /** EXT: symmetric int8 quantization — the embedding STORAGE path at
+    * 100 TB (4 bytes/dim float → 1 byte/dim int8 + one scale per
+    * vector). Per-vector scale 127/max|v|; round-half-up via the
+    * engine-portable floor(x*g + 0.5) (no double-rounding semantics in
+    * the compare path); derived outputs are integers or integer-scaled
+    * doubles so the oracle hash is exact. Everything is narrow per-row
+    * array math — no shuffle at any scale. */
+  def qVecQuantize(s: SparkSession, d: String): DataFrame = {
+    val g = lit(127.0) / array_max(transform(col("v"), x => abs(x)))
+    val q = transform(col("v"), x => floor(x * col("g") + lit(0.5)).cast("int"))
+    val err = array_max(zip_with(col("v"), col("q"),
+      (v, qi) => abs(v - qi.cast("double") / col("g"))))
+    vecs(s, d)
+      .withColumn("g", g)
+      .withColumn("q", q)
+      .select(col("vec_id"),
+              floor(col("g") * lit(1e6) + lit(0.5)).cast("long").as("gi6"),
+              aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+              element_at(col("q"), 1).as("q_first"),
+              element_at(col("q"), -1).as("q_last"),
+              floor(err * lit(1e7) + lit(0.5)).cast("long").as("erri7"))
+      .orderBy("vec_id")
+      .limit(200)
+  }
+
   /** EXT (rows-only): per-label embedding centroid via the typed
     * [[graft.functions.VectorCentroid]] Aggregator — distributed double
     * summation is partition-order-dependent, so no hash oracle. */
@@ -221,6 +277,8 @@ object Similarity {
     "q_ann_lsh_probe"   -> (qAnnLshProbe _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_vec_centroid"    -> (qVecCentroid _),
+    "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
+    "q_vec_quantize"    -> (qVecQuantize _),
   )
 
   /** Pre-normed CTE + single dot per pair — mirrors the Spark plan exactly
@@ -281,6 +339,37 @@ object Similarity {
         |  SELECT v1, v2, ROUND($duckCos, 4) AS cos
         |  FROM cand JOIN e a ON v1 = a.vec_id JOIN e b ON v2 = b.vec_id)
         |WHERE cos > 0.4 ORDER BY v1, v2""".stripMargin,
+    "q_ann_lsh_multiprobe" ->
+      s"""WITH e AS MATERIALIZED ($duckVecs),
+        |sig AS MATERIALIZED (SELECT e.*,
+        |  list_aggregate([CASE WHEN list_reduce(
+        |      [v[i+1] * sin(CAST(p AS DOUBLE) * 131.7 + CAST(i AS DOUBLE) * 7.3)
+        |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
+        |    THEN '1' ELSE '0' END for p in generate_series(0, 7)], 'string_agg', '') AS bucket
+        |  FROM e),
+        |probes AS (SELECT vec_id, v, nrm, unnest(list_concat([bucket],
+        |  [bucket[1:i] || (CASE WHEN bucket[i+1:i+1] = '1' THEN '0' ELSE '1' END) || bucket[i+2:]
+        |   for i in generate_series(0, 7)])) AS probe
+        |  FROM sig WHERE vec_id < 5),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ROUND($duckCos, 4) AS cos
+        |           FROM probes a JOIN sig b ON a.probe = b.bucket AND b.vec_id >= 5),
+        |ranked AS (SELECT qid, cid, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk FROM scored)
+        |SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_vec_quantize" ->
+      s"""WITH e AS ($duckVecs),
+        |qz AS (SELECT vec_id, v, g,
+        |         list_transform(v, x -> CAST(floor(x * g + 0.5) AS INT)) AS q
+        |       FROM (SELECT vec_id, v,
+        |               127.0 / list_max(list_transform(v, x -> abs(x))) AS g FROM e))
+        |SELECT vec_id,
+        |  CAST(floor(g * 1000000.0 + 0.5) AS BIGINT) AS gi6,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum,
+        |  q[1] AS q_first,
+        |  q[-1] AS q_last,
+        |  CAST(floor(list_max(list_transform(generate_series(1, len(v)),
+        |         i -> abs(v[i] - CAST(q[i] AS DOUBLE) / g))) * 10000000.0 + 0.5) AS BIGINT) AS erri7
+        |FROM qz ORDER BY vec_id LIMIT 200""".stripMargin,
     "q_ann_lsh_probe" ->
       s"""WITH e AS ($duckVecs),
         |sig AS (SELECT e.*,

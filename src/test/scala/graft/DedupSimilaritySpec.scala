@@ -152,6 +152,33 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("multiprobe LSH recall >= single-probe recall vs brute-force truth") {
+    def tops(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    val truth = tops(Similarity.qAnnBruteTopk(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") <= 5))
+    val single = tops(Similarity.qAnnLshProbe(spark, sf).collect())
+    val multi = tops(Similarity.qAnnLshMultiprobe(spark, sf).collect())
+    def recall(found: Map[Long, Set[Long]]) =
+      truth.map { case (q, t) => (found.getOrElse(q, Set.empty) intersect t).size }.sum.toDouble /
+        truth.values.map(_.size).sum
+    assert(recall(multi) >= recall(single),
+      s"multiprobe ${recall(multi)} < single ${recall(single)}")
+  }
+
+  test("int8 quantization error is bounded by half a quantization step") {
+    val rows = Similarity.qVecQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gi6") / 1e6 // scale = 127/max|v|
+      val err = r.getAs[Long]("erri7") / 1e7
+      // round-half-up error <= 0.5/g (+ integer-encoding slack)
+      assert(err <= 0.5 / g + 2e-7, s"vec ${r.getAs[Long]("vec_id")}: err $err > ${0.5 / g}")
+      assert(r.getAs[Int]("q_first").abs <= 127 && r.getAs[Int]("q_last").abs <= 127)
+    }
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
