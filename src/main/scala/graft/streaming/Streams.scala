@@ -82,6 +82,43 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream inner join with watermarked interval bounds — the
+    * streaming form of the as-of/range join family (J6). Both sides carry
+    * a watermark and the join condition bounds the event-time gap, so the
+    * state store holds only rows inside the interval (bounded state, the
+    * requirement for an unbounded-input join at scale). Joins clicks to
+    * the purchases that follow within one hour for the same user. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
+  /** foreachBatch sink: the escape hatch for sinks Structured Streaming
+    * has no native writer for (upserts, JDBC, multi-sink fan-out, or the
+    * GeoTIFF writer). Each micro-batch arrives as a plain DataFrame with
+    * exactly-once batchId semantics; here each batch appends its window
+    * counts as one parquet delta keyed by batchId (idempotent re-run =
+    * overwrite of the same delta directory). */
+  def foreachBatchSink(agg: DataFrame, outDir: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 
