@@ -81,6 +81,36 @@ object Ingest {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/series")
   }
 
+  /** The reference's 1-D/2-D variable dispatch (adcirc_utilities
+    * `get_water_levels63` vs max-variable slicing,
+    * /root/reference/run/utilities/adcirc_dask_utilities.py:24-33):
+    * time-varying variables (zeta) are (time, node) and slice per
+    * timestep; max-variables (zeta_max, vel_max) are nodal 1-D with no
+    * time axis. The dispatch is SCHEMA-DRIVEN — whether the variable
+    * carries the record (unlimited) dimension decides the shape, exactly
+    * as the reference branches on `len(var.dims)`:
+    *  - record var  → long-form `(ts, node_id, value)` (record-striped)
+    *  - fixed var   → static   `(node_id, value)` snapshot
+    * Returns the written sub-directory name ("series" or the var name). */
+  def varToParquet(s: SparkSession, ncPath: String, outDir: String,
+                   varName: String): String = {
+    import s.implicits._
+    val raf = new RandomAccessFile(ncPath, "r")
+    try {
+      val h = NetCdf3.parseHeader(raf)
+      val v = h.vars.find(_.name == varName)
+        .getOrElse(throw new IllegalArgumentException(s"no variable '$varName'"))
+      if (v.isRecord) {
+        seriesToParquet(s, ncPath, outDir, varName, h.numRecs); "series"
+      } else {
+        val vals = NetCdf3.readFixed(raf, h, v)
+        vals.indices.map(i => (i.toLong, vals(i))).toDF("node_id", "value")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$varName")
+        varName
+      }
+    } finally raf.close()
+  }
+
   /** Read the ingested layout back (the operators' input contract). */
   def nodes(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nodes")
   def elements(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/elements")

@@ -39,7 +39,7 @@ class IngestSpec extends SparkSpec {
       name("nele"); o.writeInt(M)
       name("nvertex"); o.writeInt(3)
       o.writeInt(0); o.writeInt(0) // no global attrs
-      o.writeInt(NetCdf3.NcVariable); o.writeInt(5)
+      o.writeInt(NetCdf3.NcVariable); o.writeInt(6)
       def vr(nm: String, dimIds: Seq[Int], typ: Int, vsize: Int): Unit = {
         name(nm); o.writeInt(dimIds.length); dimIds.foreach(o.writeInt)
         o.writeInt(0); o.writeInt(0) // no var attrs
@@ -48,6 +48,7 @@ class IngestSpec extends SparkSpec {
       vr("x", Seq(1), NetCdf3.NcDouble, N * 8)
       vr("y", Seq(1), NetCdf3.NcDouble, N * 8)
       vr("element", Seq(2, 3), NetCdf3.NcInt, M * 3 * 4)
+      vr("zeta_max", Seq(1), NetCdf3.NcDouble, N * 8)
       vr("time", Seq(0), NetCdf3.NcDouble, 8)
       vr("zeta", Seq(0, 1), NetCdf3.NcDouble, N * 8)
       o.flush(); bos.toByteArray
@@ -56,8 +57,9 @@ class IngestSpec extends SparkSpec {
     val hLen = headerBytes(Map.empty).length
     val begins = Map(
       "x" -> hLen, "y" -> (hLen + N * 8), "element" -> (hLen + 2 * N * 8),
-      "time" -> (hLen + 2 * N * 8 + M * 3 * 4),
-      "zeta" -> (hLen + 2 * N * 8 + M * 3 * 4 + 8))
+      "zeta_max" -> (hLen + 2 * N * 8 + M * 3 * 4),
+      "time" -> (hLen + 3 * N * 8 + M * 3 * 4),
+      "zeta" -> (hLen + 3 * N * 8 + M * 3 * 4 + 8))
 
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
@@ -65,6 +67,7 @@ class IngestSpec extends SparkSpec {
     (0 until N).foreach(i => o.writeDouble(i * 0.5))       // x
     (0 until N).foreach(i => o.writeDouble(40.0 + i * 0.25)) // y
     elements1Based.foreach(o.writeInt)                      // element (1-based)
+    (0 until N).foreach(n => o.writeDouble(900.0 + n))      // zeta_max (fixed, 1-D)
     (0 until T).foreach { t =>                              // records: time, zeta
       o.writeDouble(t * 3600.0)
       (0 until N).foreach(n => o.writeDouble(zeta(t, n)))
@@ -98,6 +101,20 @@ class IngestSpec extends SparkSpec {
       assert(r.getAs[Double]("value") ===
         zeta(r.getAs[Long]("ts").toInt, r.getAs[Long]("node_id").toInt))
     }
+  }
+
+  test("1-D/2-D variable dispatch: record var -> long-form, fixed var -> static nodal") {
+    val dir = Files.createTempDirectory("graft_ingest3").toString
+    val nc = s"$dir/fort63.nc"
+    writeFixture(nc)
+    // 2-D (time, node): dispatches to the record-striped long form
+    assert(Ingest.varToParquet(spark, nc, dir, "zeta") === "series")
+    assert(Ingest.series(spark, dir).count() === (T * N).toLong)
+    // 1-D max-variable (node only): dispatches to a static nodal snapshot
+    assert(Ingest.varToParquet(spark, nc, dir, "zeta_max") === "zeta_max")
+    val mx = spark.read.parquet(s"$dir/zeta_max").collect().sortBy(_.getAs[Long]("node_id"))
+    assert(mx.length === N)
+    assert(mx(7).getAs[Double]("value") === 907.0)
   }
 
   test("ingested layout drives the interpolation join shape end-to-end") {
