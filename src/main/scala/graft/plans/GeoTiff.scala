@@ -130,6 +130,187 @@ object GeoTiff {
     buf.array()
   }
 
+  // COG tags
+  private val NewSubfileType = 254
+  private val TileWidth = 322
+  private val TileLength = 323
+  private val TileOffsets = 324
+  private val TileByteCounts = 325
+
+  /** Encode a Cloud-Optimized GeoTIFF: TILED layout (not strips), a
+    * 2×-reduced overview as a second IFD, and header+IFDs at the FRONT
+    * of the file before any pixel data — the three properties that let
+    * a range-request reader fetch metadata and the needed tiles without
+    * scanning the file (the "CO" in the reference's output contract).
+    * Tiles are `tile`×`tile` (must be a multiple of 16 per TIFF 6.0),
+    * edge tiles zero-padded; the overview uses nearest (top-left)
+    * downsampling, Float32 uncompressed like the base image. */
+  def encodeCog(width: Int, height: Int, values: Array[Float],
+                originX: Double, originY: Double, res: Double,
+                tile: Int = 256): Array[Byte] = {
+    require(values.length == width.toLong * height)
+    require(tile % 16 == 0, "TIFF tile dims must be multiples of 16")
+
+    case class Level(w: Int, h: Int, vals: Array[Float]) {
+      val tilesX: Int = (w + tile - 1) / tile
+      val tilesY: Int = (h + tile - 1) / tile
+      val nTiles: Int = tilesX * tilesY
+      val tileBytes: Int = tile * tile * 4
+      def tileData(tx: Int, ty: Int): Array[Float] = {
+        val out = new Array[Float](tile * tile)
+        var r = 0
+        while (r < tile) {
+          val sy = ty * tile + r
+          if (sy < h) {
+            var c = 0
+            while (c < tile) {
+              val sx = tx * tile + c
+              if (sx < w) out(r * tile + c) = vals(sy * w + sx)
+              c += 1
+            }
+          }
+          r += 1
+        }
+        out
+      }
+    }
+    val base = Level(width, height, values)
+    val ow = math.max(1, (width + 1) / 2); val oh = math.max(1, (height + 1) / 2)
+    val over = Level(ow, oh,
+      Array.tabulate(ow * oh)(i => values((i / ow) * 2 * width + (i % ow) * 2)))
+
+    val entries0 = 14 // base IFD: 13 as strips + TileWidth/Length swap for Rows/Strip*
+    val entries1 = 12 // overview: adds NewSubfileType, drops the 3 geo arrays
+    // layout: header, IFD0, IFD1, out-of-line arrays, tile data
+    val ifd0At = 8
+    val ifd1At = ifd0At + 2 + entries0 * 12 + 4
+    var cursor = (ifd1At + 2 + entries1 * 12 + 4).toLong
+    def reserve(n: Long): Long = { val at = cursor; cursor += n; at }
+    def arr4(n: Int): Long = if (n > 1) reserve(4L * n) else 0L
+    val t0OffAt = arr4(base.nTiles); val t0CntAt = arr4(base.nTiles)
+    val t1OffAt = arr4(over.nTiles); val t1CntAt = arr4(over.nTiles)
+    val scaleAt = reserve(24); val tieAt = reserve(48)
+    val geoKeys = Array(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+    val geoKeysAt = reserve(2L * geoKeys.length)
+    val t0DataAt = cursor
+    val t1DataAt = t0DataAt + base.nTiles.toLong * base.tileBytes
+    val total = t1DataAt + over.nTiles.toLong * over.tileBytes
+
+    val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0At)
+
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == TShort && count == 1) buf.putShort(value.toShort).putShort(0)
+      else buf.putInt(value.toInt)
+    }
+    // IFD0 (full resolution, geo-tagged)
+    buf.position(ifd0At)
+    buf.putShort(entries0.toShort)
+    entry(ImageWidth, TLong, 1, width)
+    entry(ImageLength, TLong, 1, height)
+    entry(BitsPerSample, TShort, 1, 32)
+    entry(Compression, TShort, 1, 1)
+    entry(Photometric, TShort, 1, 1)
+    entry(SamplesPerPixel, TShort, 1, 1)
+    entry(TileWidth, TLong, 1, tile)
+    entry(TileLength, TLong, 1, tile)
+    if (base.nTiles > 1) entry(TileOffsets, TLong, base.nTiles, t0OffAt)
+    else entry(TileOffsets, TLong, 1, t0DataAt)
+    if (base.nTiles > 1) entry(TileByteCounts, TLong, base.nTiles, t0CntAt)
+    else entry(TileByteCounts, TLong, 1, base.tileBytes)
+    entry(SampleFormat, TShort, 1, 3)
+    entry(ModelPixelScale, TDouble, 3, scaleAt)
+    entry(ModelTiepoint, TDouble, 6, tieAt)
+    entry(GeoKeyDirectory, TShort, geoKeys.length, geoKeysAt)
+    buf.putInt(ifd1At) // chain to overview IFD
+    // IFD1 (2x overview, marked reduced-resolution subfile)
+    buf.position(ifd1At)
+    buf.putShort(entries1.toShort)
+    entry(NewSubfileType, TLong, 1, 1)
+    entry(ImageWidth, TLong, 1, over.w)
+    entry(ImageLength, TLong, 1, over.h)
+    entry(BitsPerSample, TShort, 1, 32)
+    entry(Compression, TShort, 1, 1)
+    entry(Photometric, TShort, 1, 1)
+    entry(SamplesPerPixel, TShort, 1, 1)
+    entry(TileWidth, TLong, 1, tile)
+    entry(TileLength, TLong, 1, tile)
+    if (over.nTiles > 1) entry(TileOffsets, TLong, over.nTiles, t1OffAt)
+    else entry(TileOffsets, TLong, 1, t1DataAt)
+    if (over.nTiles > 1) entry(TileByteCounts, TLong, over.nTiles, t1CntAt)
+    else entry(TileByteCounts, TLong, 1, over.tileBytes)
+    entry(SampleFormat, TShort, 1, 3)
+    buf.putInt(0)
+
+    // out-of-line arrays
+    def writeTileArrays(l: Level, offAt: Long, cntAt: Long, dataAt: Long): Unit =
+      if (l.nTiles > 1) {
+        buf.position(offAt.toInt)
+        (0 until l.nTiles).foreach(i => buf.putInt((dataAt + i.toLong * l.tileBytes).toInt))
+        buf.position(cntAt.toInt)
+        (0 until l.nTiles).foreach(_ => buf.putInt(l.tileBytes))
+      }
+    writeTileArrays(base, t0OffAt, t0CntAt, t0DataAt)
+    writeTileArrays(over, t1OffAt, t1CntAt, t1DataAt)
+    buf.position(scaleAt.toInt); buf.putDouble(res).putDouble(res).putDouble(0.0)
+    buf.position(tieAt.toInt)
+    buf.putDouble(0).putDouble(0).putDouble(0).putDouble(originX).putDouble(originY).putDouble(0)
+    buf.position(geoKeysAt.toInt); geoKeys.foreach(k => buf.putShort(k.toShort))
+
+    // tile data, base level then overview
+    buf.position(t0DataAt.toInt)
+    for (ty <- 0 until base.tilesY; tx <- 0 until base.tilesX)
+      base.tileData(tx, ty).foreach(buf.putFloat)
+    for (ty <- 0 until over.tilesY; tx <- 0 until over.tilesX)
+      over.tileData(tx, ty).foreach(buf.putFloat)
+    buf.array()
+  }
+
+  /** Decode helper for the COG writer's base image (tests): reads IFD0's
+    * tiled layout and returns (width, height, values); also returns the
+    * overview dims from IFD1 and whether all pixel data sits after both
+    * IFDs (the cloud-optimized ordering property). */
+  def decodeCog(bytes: Array[Byte]): (Int, Int, Array[Float], (Int, Int), Boolean) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'I' && buf.get() == 'I' && buf.getShort() == 42)
+    def readIfd(at: Int): (Map[Int, (Int, Int, Long)], Int) = {
+      buf.position(at)
+      val n = buf.getShort()
+      val m = (0 until n).map { i =>
+        val base = at + 2 + i * 12
+        val tag = buf.getShort(base) & 0xffff
+        val typ = buf.getShort(base + 2).toInt; val count = buf.getInt(base + 4)
+        val v = if (typ == TShort && count == 1) buf.getShort(base + 8).toLong
+                else buf.getInt(base + 8).toLong
+        tag -> (typ, count, v)
+      }.toMap
+      (m, buf.getInt(at + 2 + n * 12))
+    }
+    val (ifd0, next) = readIfd(buf.getInt(4))
+    require(next != 0, "COG must chain an overview IFD")
+    val (ifd1, _) = readIfd(next)
+    val w = ifd0(ImageWidth)._3.toInt; val h = ifd0(ImageLength)._3.toInt
+    val tw = ifd0(TileWidth)._3.toInt; val th = ifd0(TileLength)._3.toInt
+    val (_, nT, offV) = ifd0(TileOffsets)
+    val offsets = if (nT == 1) Array(offV)
+                  else Array.tabulate(nT)(i => buf.getInt((offV + 4L * i).toInt).toLong)
+    val tilesX = (w + tw - 1) / tw
+    val out = new Array[Float](w * h)
+    offsets.zipWithIndex.foreach { case (off, t) =>
+      val tx = t % tilesX; val ty = t / tilesX
+      val fb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN); fb.position(off.toInt)
+      for (r <- 0 until th; c <- 0 until tw) {
+        val v = fb.getFloat()
+        val y = ty * th + r; val x = tx * tw + c
+        if (y < h && x < w) out(y * w + x) = v
+      }
+    }
+    val ifdEnd = next + 2 + 12 * { buf.position(next); buf.getShort().toInt } + 4
+    val dataAfterIfds = offsets.min >= ifdEnd
+    (w, h, out, (ifd1(ImageWidth)._3.toInt, ifd1(ImageLength)._3.toInt), dataAfterIfds)
+  }
+
   /** Decode helper for tests: (width, height, row-major values). Reads
     * the same subset of TIFF it writes — strict little-endian, strips,
     * Float32. */

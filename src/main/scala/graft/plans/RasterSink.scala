@@ -61,7 +61,8 @@ object RasterSink {
     * 100 TB `outDir` is shared storage and timesteps fan out across the
     * cluster; the serial per-timestep Python loop in the reference
     * becomes embarrassing parallelism here. */
-  def writeGeoTiffs(s: SparkSession, outDir: String, varName: String = "fort_63_zeta"): Unit = {
+  def writeGeoTiffs(s: SparkSession, outDir: String, varName: String = "fort_63_zeta",
+                    cog: Boolean = false, tile: Int = 32): Unit = {
     val g = Interp.G
     new java.io.File(outDir).mkdirs()
     Interp.qInterpBarycentric(s, "")
@@ -75,8 +76,12 @@ object RasterSink {
         }
         grids.foreach { case (ts, grid) =>
           // north-up: grow 0 is the top row; origin at the grid's NW corner
-          val bytes = GeoTiff.encode(g, g, grid,
-            originX = 0.3 - 0.19, originY = 0.3 + (g - 1) * 0.38 + 0.19, res = 0.38)
+          val bytes =
+            if (cog) GeoTiff.encodeCog(g, g, grid,
+              originX = 0.3 - 0.19, originY = 0.3 + (g - 1) * 0.38 + 0.19,
+              res = 0.38, tile = tile)
+            else GeoTiff.encode(g, g, grid,
+              originX = 0.3 - 0.19, originY = 0.3 + (g - 1) * 0.38 + 0.19, res = 0.38)
           java.nio.file.Files.write(
             java.nio.file.Paths.get(f"$outDir/${varName}_ts$ts%03d.tiff"), bytes)
         }

@@ -55,6 +55,33 @@ class RasterSinkSpec extends SparkSpec {
     assert(buf.getDouble(scale._4) === 0.005)
   }
 
+  test("COG encode: tiled base round-trips, overview chained, data after IFDs") {
+    val w = 70; val h = 90 // 32px tiles -> 3x3 base tile grid with padding
+    val vals = Array.tabulate(w * h)(i => i * 0.5f - 100f)
+    val bytes = graft.plans.GeoTiff.encodeCog(w, h, vals, -98.0, 45.0, 0.005, tile = 32)
+    val (dw, dh, dvals, (ovW, ovH), dataAfterIfds) = graft.plans.GeoTiff.decodeCog(bytes)
+    assert(dw === w && dh === h)
+    assert(dvals.toSeq === vals.toSeq, "tiled base image must round-trip exactly")
+    assert(ovW === 35 && ovH === 45, "2x overview dims")
+    assert(dataAfterIfds, "COG ordering: all pixel data after the IFDs")
+  }
+
+  test("writeGeoTiffs cog=true emits per-timestep COGs matching the raster") {
+    val out = Files.createTempDirectory("graft_cog").toString
+    RasterSink.writeGeoTiffs(spark, out, cog = true)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".tiff")).sortBy(_.getName)
+    assert(files.length === graft.operators.Interp.T)
+    val g = graft.operators.Interp.G
+    val (w, h, vals, _, afterIfds) =
+      graft.plans.GeoTiff.decodeCog(Files.readAllBytes(files(2).toPath))
+    assert(w === g && h === g && afterIfds)
+    val expected = graft.operators.Interp.qInterpBarycentric(spark, "")
+      .filter(org.apache.spark.sql.functions.col("ts") === 2)
+      .collect().map(r => (r.getAs[Int]("grow") * g + r.getAs[Int]("gcol"),
+                           (r.getAs[Long]("zi4") / 10000.0).toFloat)).toMap
+    assert(vals.zipWithIndex.forall { case (v, i) => expected(i) === v })
+  }
+
   test("writeGeoTiffs emits one valid GeoTIFF per timestep with the raster's values") {
     val out = Files.createTempDirectory("graft_tiff").toString
     RasterSink.writeGeoTiffs(spark, out)
