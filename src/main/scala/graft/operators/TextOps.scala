@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -145,7 +146,42 @@ object TextOps {
       .orderBy("min_doc")
   }
 
+  /** EXT: corpus vocabulary — term frequency + document frequency, the
+    * table every tokenizer/stopword/quality decision reads. Explode is
+    * narrow; the group-by shuffles (token, partial counts) with map-side
+    * combine — vocabulary-sized, not corpus-sized, at any scale. df via
+    * count(DISTINCT doc_id) plans as two-phase hash distinct. */
+  def qTextVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n_occ").desc, col("tok"))
+      .limit(50)
+
+  /** EXT: top TF-IDF term per document. Scoring is EXACT integer
+    * arithmetic — score = tf * 1e6 div df (rank-equivalent to tf/df;
+    * a real idf's ln() would hash-diverge between engines by libm ulps,
+    * documented SURVEY §5.1 discipline). Two aggregations + one window,
+    * all shuffling (doc, token, counts) tuples only. */
+  def qTextTfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score", expr("CAST(tf * 1000000 DIV df AS BIGINT)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab"       -> (qTextVocab _),
+    "q_text_tfidf"       -> (qTextTfidf _),
     "q_text_normalize"   -> (qTextNormalize _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_text_stats"       -> (qTextStats _),
@@ -156,6 +192,21 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_vocab" ->
+      """SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 50""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |            GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |scored AS (SELECT doc_id, tok,
+        |    CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf.tf * 1000000 // df.df DESC, tok) AS rk
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok AS top_term, score FROM scored
+        |WHERE rk = 1 ORDER BY doc_id LIMIT 200""".stripMargin,
     "q_text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
