@@ -85,11 +85,68 @@ object Multimodal {
       .limit(200)
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling plumbing: one video row fans out to every stride-th
+    * "frame" (a payload slice in the stub; a real codec seeks keyframes).
+    * flatMap inside mapPartitions keeps the one-decoder-per-partition
+    * shape; output rows carry only the sampled frames, so downstream
+    * (feature extraction, dedup of frames) never holds whole videos. */
+  def sampleFrames(media: Dataset[Media], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      // real codec: demuxer/decoder context allocated here, per partition
+      iter.flatMap { m =>
+        val nFrames = m.payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          Frame(m.doc_id, f, java.util.Arrays.copyOfRange(
+            m.payload, f * frameBytes, math.min((f + 1) * frameBytes, m.payload.length)))
+        }
+      }
+    }
+  }
+
+  /** Resize plumbing stub: deterministic byte-decimation standing in for a
+    * pixel resample — contract is (payload, target) → smaller payload,
+    * same per-partition batch shape as [[decodeFeatures]]. */
+  def resizeStub(media: Dataset[Media], factor: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        val out = Array.tabulate(m.payload.length / factor)(i => m.payload(i * factor))
+        Media(m.doc_id, m.mime, out)
+      }
+    }
+  }
+
+  /** EXT (oracle-checked): the frame-sampling SHAPE relationally — video
+    * rows explode to (doc_id, frame_idx, byte_off) for every 10th frame
+    * of 100 bytes. The explode is the plan fact that matters at scale:
+    * a generator, not a join, and byte offsets mean a reader can fetch
+    * sampled frames with range requests instead of whole payloads. */
+  def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .filter(col("mime") === "video/mp4" && length(col("payload")) >= 100)
+      .select(col("doc_id"),
+              explode(sequence(lit(0), (length(col("payload")) / lit(100)).cast("int") - 1,
+                               lit(10))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+              (col("frame_idx") * 100).cast("long").as("byte_off"))
+      .orderBy("doc_id", "frame_idx")
+      .limit(500)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """SELECT doc_id, frame_idx, CAST(frame_idx * 100 AS BIGINT) AS byte_off
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, CAST(octet_length(encode(text)) // 100 AS INT), 10)) AS frame_idx
+        |      FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 100)
+        |ORDER BY doc_id, frame_idx LIMIT 500""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,

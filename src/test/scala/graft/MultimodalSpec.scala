@@ -42,4 +42,33 @@ class MultimodalSpec extends SparkSpec {
       val w = r.getAs[Long]("width"); w >= 64 && w <= 176 && w % 16 === 0
     })
   }
+
+  test("sampleFrames fans each video row out to its stride-sampled frames") {
+    import graft.multimodal.Multimodal
+    val m = Multimodal.media(spark, sf).filter(_.payload.length >= 100)
+    val frames = Multimodal.sampleFrames(m, frameBytes = 100, stride = 10).collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.doc_id)
+    val lens = m.collect().map(x => x.doc_id -> x.payload.length).toMap
+    byDoc.foreach { case (doc, fs) =>
+      val expected = (0 until lens(doc) / 100 by 10).toSeq
+      assert(fs.map(_.frame_idx).sorted.toSeq === expected)
+      assert(fs.forall(_.frame_bytes.length == 100))
+    }
+    // the relational frames query agrees on (doc, frame) membership
+    val rel = Multimodal.qMultimodalFrames(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))).toSet
+    val typedSet = frames.filter(f => f.doc_id % 3 == 2).map(f => (f.doc_id, f.frame_idx)).toSet
+    assert(rel.subsetOf(typedSet)) // rel is LIMITed; typed covers all videos
+  }
+
+  test("resizeStub shrinks payloads by the factor, deterministically") {
+    import graft.multimodal.Multimodal
+    val m = Multimodal.media(spark, sf).limit(20)
+    val r1 = Multimodal.resizeStub(m, 4).collect().sortBy(_.doc_id)
+    val r2 = Multimodal.resizeStub(m, 4).collect().sortBy(_.doc_id)
+    val orig = m.collect().sortBy(_.doc_id)
+    r1.zip(orig).foreach { case (r, o) => assert(r.payload.length === o.payload.length / 4) }
+    r1.zip(r2).foreach { case (a, b) => assert(a.payload.toSeq === b.payload.toSeq) }
+  }
 }
