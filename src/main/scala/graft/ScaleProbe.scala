@@ -7,8 +7,6 @@ import org.apache.spark.sql.SparkSession
   * Usage: tools/run_verify.sh <k> <g,t> graft.ScaleProbe  (e.g. 600 2000,4) */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val k = args(0).toInt
-    val Array(g, t) = args(1).split(",").map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -18,12 +16,55 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tris = 2L * (k - 1) * (k - 1)
-    val cells = g.toLong * g
-    val t0 = System.nanoTime()
-    val n = operators.Interp.interpolate(spark, k, g, t).count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"interp k=$k g=$g t=$t: $tris%,d triangles x $cells%,d cells x $t ts -> $n%,d rows in $secs%.1f s (naive pairs: ${tris * cells}%,d)")
+    if (args(0) == "dedup") dedupProbe(spark, args(1).toInt)
+    else {
+      val k = args(0).toInt
+      val Array(g, t) = args(1).split(",").map(_.toInt)
+      val tris = 2L * (k - 1) * (k - 1)
+      val cells = g.toLong * g
+      val t0 = System.nanoTime()
+      val n = operators.Interp.interpolate(spark, k, g, t).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"interp k=$k g=$g t=$t: $tris%,d triangles x $cells%,d cells x $t ts -> $n%,d rows in $secs%.1f s (naive pairs: ${tris * cells}%,d)")
+    }
     spark.stop()
+  }
+
+  /** Dedup scale probe: replicate the sf0.1 corpus `mult`× with shifted
+    * doc_ids (shifted ids also shift text via an appended token, so
+    * replicas aren't trivially identical), then run the xxhash64 minhash
+    * end-to-end. Evidence for SCALE.md: signature+banding cost scales
+    * linearly in documents, candidate pairs stay bounded.
+    * Usage: tools/run_verify.sh dedup <mult> graft.ScaleProbe */
+  private def dedupProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val big = (0 until mult).map { r =>
+      base.select((col("doc_id") + lit(r.toLong * 1000000)).as("doc_id"),
+                  concat(col("text"), lit(s" rep$r")).as("text"))
+    }.reduce(_ union _)
+    big.write.mode("overwrite").parquet("/tmp/graft_dedup_probe")
+    val docs = spark.read.parquet("/tmp/graft_dedup_probe")
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    // inline qDedupMinhashXx over the replicated table
+    val sig = docs.repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+          |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)).as("sh1"))
+      .select(col("doc_id") +: (0 until 8).map(kk =>
+                xxhash64(lit(kk), col("sh1")).as(s"x$kk")): _*)
+      .groupBy("doc_id")
+      .agg(min(col("x0")).as("mh0"),
+           (1 until 8).map(kk => min(col(s"x$kk")).as(s"mh$kk")): _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as(Seq("b", "bh")))
+    val nPairs = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"dedup-xx mult=$mult: $nDocs%,d docs -> $nPairs%,d candidate pairs in $secs%.1f s (${nDocs / secs}%,.0f docs/s)")
   }
 }
