@@ -168,9 +168,12 @@ object TextOps {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df as a window count over tf — ONE extra shuffle on tok, no join,
+    // and the tf subtree is computed exactly once (a tf-join-df form
+    // plans the explode+aggregate twice absent exchange reuse)
+    val wDf = Window.partitionBy("tok")
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
-    tf.join(df, "tok")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score", expr("CAST(tf * 1000000 DIV df AS BIGINT)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -200,11 +203,11 @@ object TextOps {
       """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf
         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |            GROUP BY doc_id, tok),
-        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |wdf AS (SELECT doc_id, tok, tf, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
         |scored AS (SELECT doc_id, tok,
-        |    CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf.tf * 1000000 // df.df DESC, tok) AS rk
-        |  FROM tf JOIN df USING (tok))
+        |    CAST(tf * 1000000 // df AS BIGINT) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * 1000000 // df DESC, tok) AS rk
+        |  FROM wdf)
         |SELECT doc_id, tok AS top_term, score FROM scored
         |WHERE rk = 1 ORDER BY doc_id LIMIT 200""".stripMargin,
     "q_text_normalize" ->
