@@ -20,8 +20,11 @@ import graft.functions.{DotProduct, HammingDistance}
   * the identical expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functionDescriptions.foreach(ext.injectFunction)
+    // §2.10 tier (c): whole-operator extension (logical node + strategy)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+  }
 }
 
 object GraftExtensions {

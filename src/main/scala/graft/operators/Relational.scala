@@ -109,6 +109,20 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** O3 via the custom [[graft.plans.GroupTopK]] operator (SURVEY §2.10
+    * tier c): top-3 orders per customer through the bounded-heap
+    * partial/final physical plan — no WindowExec, no per-group full sort,
+    * shuffle bounded at partitions x groups x k. Result is identical to
+    * the row_number() window form (the oracle uses exactly that). */
+  def qTopkGroup(s: SparkSession, d: String): DataFrame =
+    graft.plans.GroupTopK.topKPerGroup(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        group = Seq("o_custkey"),
+        order = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+        k = 3)
+      .filter(col("o_custkey") < 300)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   /** F4+O1: generated axes — ascending x, DESCENDING y (raster row order,
     * reference `run/adcircTime2cogs.py:74-75`). */
   def qMathGrid(s: SparkSession, d: String): DataFrame =
@@ -181,6 +195,7 @@ object Relational {
     "q_filter_regex_max"   -> (qFilterRegexMax _),
     "q_topk"               -> (qTopk _),
     "q_math_grid"          -> (qMathGrid _),
+    "q_topk_group"         -> (qTopkGroup _),
     "q_str_filename"       -> (qStrFilename _),
     "q_regex_extract"      -> (qRegexExtract _),
     "q_date_parts"         -> (qDateParts _),
@@ -222,6 +237,14 @@ object Relational {
         |WHERE regexp_matches(p_type, 'MEDIUM|LARGE') ORDER BY p_partkey""".stripMargin,
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 AND o_custkey < 300
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_math_grid" ->
       """SELECT k, CAST(-98.0 + k * 0.005 AS DOUBLE) AS x, CAST(45.0 - k * 0.005 AS DOUBLE) AS y
         |FROM range(0, 100) t(k) ORDER BY k""".stripMargin,

@@ -10,6 +10,12 @@ object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
+    * `private[sql]`) — the entry point for library-defined operators. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a function builder on a live session's registry (the registry
     * is `private[sql]`; SparkSessionExtensions covers only session build
     * time). */
