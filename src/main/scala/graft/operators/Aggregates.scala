@@ -131,6 +131,23 @@ object Aggregates {
            countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** A7 variant: approximate quantiles via the KLL-style percentile_approx
+    * sketch — fixed-size mergeable state per group (the unbounded-input
+    * partner to the exact interpolated median in q_agg_stats). Rows-only
+    * checked: sketch internals differ per engine; RelationalSpec bounds
+    * the error against the exact percentile instead. */
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)), lit(10000))
+             .as("approx_p50_p90"),
+           expr("percentile(n_chars, 0.5)").as("exact_p50"))
+      .select(col("lang"),
+              element_at(col("approx_p50_p90"), 1).cast("double").as("approx_p50"),
+              element_at(col("approx_p50_p90"), 2).cast("double").as("approx_p90"),
+              col("exact_p50"))
+      .orderBy("lang")
+
   /** W3 variant: RANGE frame — all orders within ±1000.00 of the current
     * price per customer (value-based frame vs the row-based q_win_running).
     * Prices ordered as integer cents: the DataFrame rangeBetween API takes
@@ -255,6 +272,7 @@ object Aggregates {
     "q_sessionize_batch" -> (qSessionizeBatch _),
     "q_unpivot"          -> (qUnpivot _),
     "q_approx_distinct"  -> (qApproxDistinct _),
+    "q_approx_quantile"  -> (qApproxQuantile _),
     "q_win_range_frame"  -> (qWinRangeFrame _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_pivot_events"     -> (qPivotEvents _),

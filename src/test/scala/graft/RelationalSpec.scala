@@ -62,4 +62,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(r => r.getAs[String]("p_type").matches(".*(MEDIUM|LARGE).*")))
   }
+
+  test("approx sketches (HLL distinct, KLL quantile) land within tolerance of exact") {
+    val hll = graft.operators.Aggregates.qApproxDistinct(spark, sf).collect()
+    hll.foreach { r =>
+      val a = r.getAs[Long]("approx_users").toDouble
+      val e = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"HLL off by ${math.abs(a - e) / e}")
+    }
+    val q = graft.operators.Aggregates.qApproxQuantile(spark, sf).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val a = r.getAs[Double]("approx_p50")
+      val e = r.getAs[Double]("exact_p50")
+      // approx returns an OBSERVED value; exact percentile interpolates
+      // between ranks — allow the half-gap on top of sketch error
+      assert(math.abs(a - e) / e <= 0.05, s"p50 sketch off: $a vs $e")
+      assert(r.getAs[Double]("approx_p90") >= a, "p90 >= p50")
+    }
+  }
 }
