@@ -154,6 +154,83 @@ object Interp {
       .orderBy("ts", "grow", "gcol")
   }
 
+  /** Raster geometry for an arbitrary mesh: bbox + g×g cells. Pixel-is-area
+    * with centroids at cell centers; buckets ARE grid cells, so the
+    * triangle bbox explosion and the centroid bucketing share one unit. */
+  case class GridSpec(minX: Double, maxX: Double, minY: Double, maxY: Double, g: Int) {
+    def resX: Double = (maxX - minX) / g
+    def resY: Double = (maxY - minY) / g
+    /** GeoTIFF origin: NW corner (grow 0 = top row = maxY edge). */
+    def originX: Double = minX
+    def originY: Double = maxY
+  }
+
+  def gridSpec(nodes: DataFrame, g: Int): GridSpec = {
+    val r = nodes.agg(min(col("lon")), max(col("lon")), min(col("lat")), max(col("lat"))).head()
+    GridSpec(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), g)
+  }
+
+  /** The reference pipeline for ARBITRARY ingested tables
+    * (sources.Ingest layout: nodes(node_id,lon,lat),
+    * elements(ele_id,n1,n2,n3), series(ts,node_id,value)) — same
+    * bucket-equi-join + barycentric-residual shape as the oracle-checked
+    * toy, parameterized by the mesh bbox. grow counts DOWN from maxY
+    * (north-up raster rows, reference run/adcircTime2cogs.py:74-75).
+    * Output (ts, grow, gcol, value) — one raster value per cell per
+    * timestep, cells outside the mesh absent (the reference's NaN mask). */
+  def interpolateTables(nodesDf: DataFrame, elementsDf: DataFrame,
+                        seriesDf: DataFrame, spec: GridSpec): DataFrame = {
+    val s = nodesDf.sparkSession
+    val g = spec.g
+    val grid = s.range(0, g.toLong * g).toDF("id")
+      .select((col("id") % g).cast("int").as("gcol"),
+              floor(col("id") / g).cast("int").as("grow"))
+      .select(col("gcol"), col("grow"),
+              (lit(spec.minX) + (col("gcol") + lit(0.5)) * lit(spec.resX)).as("xm"),
+              (lit(spec.maxY) - (col("grow") + lit(0.5)) * lit(spec.resY)).as("ym"))
+      .withColumn("bx", col("gcol").cast("long"))
+      .withColumn("by", floor((lit(spec.maxY) - col("ym")) / lit(spec.resY)).cast("long"))
+    val n = broadcast(nodesDf)
+    val tris = elementsDf
+      .join(n.select(col("node_id").as("n1"), col("lon").as("x1"), col("lat").as("y1")), "n1")
+      .join(n.select(col("node_id").as("n2"), col("lon").as("x2"), col("lat").as("y2")), "n2")
+      .join(n.select(col("node_id").as("n3"), col("lon").as("x3"), col("lat").as("y3")), "n3")
+      // bucket range in grid-cell units, clipped to the raster
+      .withColumn("tbx", explode(sequence(
+        greatest(floor((least(col("x1"), col("x2"), col("x3")) - lit(spec.minX)) / lit(spec.resX)), lit(0L)),
+        least(floor((greatest(col("x1"), col("x2"), col("x3")) - lit(spec.minX)) / lit(spec.resX)), lit(g - 1L)))))
+      .withColumn("tby", explode(sequence(
+        greatest(floor((lit(spec.maxY) - greatest(col("y1"), col("y2"), col("y3"))) / lit(spec.resY)), lit(0L)),
+        least(floor((lit(spec.maxY) - least(col("y1"), col("y2"), col("y3"))) / lit(spec.resY)), lit(g - 1L)))))
+    val det = (col("y2") - col("y3")) * (col("x1") - col("x3")) +
+              (col("x3") - col("x2")) * (col("y1") - col("y3"))
+    val w1 = ((col("y2") - col("y3")) * (col("xm") - col("x3")) +
+              (col("x3") - col("x2")) * (col("ym") - col("y3"))) / det
+    val w2 = ((col("y3") - col("y1")) * (col("xm") - col("x3")) +
+              (col("x1") - col("x3")) * (col("ym") - col("y3"))) / det
+    val matched = grid
+      .join(broadcast(tris), col("bx") === col("tbx") && col("by") === col("tby"))
+      .filter(abs(det) > 1e-12)
+      .withColumn("w1", w1)
+      .withColumn("w2", w2)
+      .withColumn("w3", lit(1.0) - col("w1") - col("w2"))
+      .filter(col("w1") >= 0 && col("w2") >= 0 && col("w3") >= 0)
+    val first = Window.partitionBy("grow", "gcol").orderBy("ele_id")
+    val cells = matched
+      .withColumn("rn", row_number().over(first))
+      .filter(col("rn") === 1)
+      .select("grow", "gcol", "ele_id", "n1", "n2", "n3", "w1", "w2", "w3")
+    val s1 = seriesDf.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
+    val s2 = seriesDf.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
+    val s3 = seriesDf.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
+    cells
+      .join(s1, col("n1") === col("m1"))
+      .join(s2, col("n2") === col("m2") && col("ts") === col("t2"))
+      .join(s3, col("n3") === col("m3") && col("ts") === col("t3"))
+      .select(col("ts"), col("grow"), col("gcol"),
+              (col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3")).as("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interp_barycentric" -> (qInterpBarycentric _),
   )

@@ -88,6 +88,34 @@ object RasterSink {
       }
   }
 
+  /** Generalized per-timestep COG writer for an arbitrary raster
+    * (ts, grow, gcol, value) + GridSpec — the sink stage of the full
+    * [[graft.Pipeline]]. Same distribution shape as [[writeGeoTiffs]];
+    * absent cells (outside the mesh) stay 0 in the stub's Float32 band
+    * (a production writer would add a nodata mask band or TIFF nodata
+    * tag). */
+  def writeCogs(raster: DataFrame, spec: Interp.GridSpec, outDir: String,
+                varName: String, tile: Int = 256): Unit = {
+    val g = spec.g
+    val (ox, oy, res) = (spec.originX, spec.originY, spec.resX)
+    new java.io.File(outDir).mkdirs()
+    raster
+      .repartition(col("ts"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val grids = scala.collection.mutable.Map.empty[Long, Array[Float]]
+        it.foreach { r =>
+          val grid = grids.getOrElseUpdate(r.getAs[Long]("ts"), new Array[Float](g * g))
+          grid(r.getAs[Int]("grow") * g + r.getAs[Int]("gcol")) =
+            r.getAs[Double]("value").toFloat
+        }
+        grids.foreach { case (ts, grid) =>
+          val bytes = GeoTiff.encodeCog(g, g, grid, ox, oy, res, tile)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$outDir/${varName}_ts$ts%03d.tiff"), bytes)
+        }
+      }
+  }
+
   /** Per-timestep mosaic filenames — the reference's
     * `<var>_<yyyyMMdd'T'HHmmss>Z.tiff` naming (run/adcircTime2cogs.py:192-194),
     * derived from the raster's distinct timesteps. */
