@@ -37,7 +37,9 @@ object Pipeline {
     spark.stop()
   }
 
-  /** Programmatic entry; returns the number of raster cells written. */
+  /** Programmatic entry; returns the number of COGs written. (Do NOT
+    * count the raster here — an extra action would recompute the whole
+    * interpolation; the write is the one materialization.) */
   def run(s: SparkSession, ncPath: String, outDir: String, g: Int,
           varName: String = "fort_63_zeta"): Long = {
     sources.Ingest.fort63ToParquet(s, ncPath, s"$outDir/tables")
@@ -50,6 +52,6 @@ object Pipeline {
     plans.RasterSink.sidecars(varName).foreach { case (name, body) =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/$name"), body)
     }
-    raster.count()
+    new java.io.File(s"$outDir/cogs").listFiles().count(_.getName.endsWith(".tiff")).toLong
   }
 }

@@ -208,8 +208,12 @@ object Interp {
               (col("x3") - col("x2")) * (col("ym") - col("y3"))) / det
     val w2 = ((col("y3") - col("y1")) * (col("xm") - col("x3")) +
               (col("x1") - col("x3")) * (col("ym") - col("y3"))) / det
+    // NO broadcast hint on tris: the bucket-exploded triangle relation
+    // grows with raster resolution (one row per overlapped grid cell);
+    // at production g the equi-join on (bx,by) must be free to plan as a
+    // shuffled hash join — AQE broadcasts it anyway when it fits.
     val matched = grid
-      .join(broadcast(tris), col("bx") === col("tbx") && col("by") === col("tby"))
+      .join(tris, col("bx") === col("tbx") && col("by") === col("tby"))
       .filter(abs(det) > 1e-12)
       .withColumn("w1", w1)
       .withColumn("w2", w2)
