@@ -182,7 +182,38 @@ object TextOps {
       .limit(200)
   }
 
+  /** EXT: the composed curation pipeline — the stages above chained the
+    * way a production corpus build runs them: normalize → keep one doc
+    * per normalized-content hash (min doc_id) → quality gate (score ≥ 2)
+    * → per-language document/token accounting. One declarative DAG: the
+    * dedup window and the final aggregation are the only shuffles, both
+    * on bounded keys; everything else is narrow codegen'd string math.
+    * The point is compositionality — each stage is the SAME expression
+    * the standalone query uses, so correctness of the parts transfers
+    * to the whole (and the oracle checks the whole anyway). */
+  def qCorpusCurate(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val norm = trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", " "), " +", " "))
+    val nTok = size(toks(t))
+    val avgLen = (length(t) - (nTok - lit(1)).cast("double")) / nTok
+    val stopHits = occ(t, "the ") + occ(t, " a ") + occ(t, "data ")
+    val score = (nTok.between(20, 80)).cast("int") +
+      ((stopHits / nTok) > 0.01).cast("int") +
+      (avgLen.between(3.0, 8.0)).cast("int")
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(norm).as("h"),
+              nTok.cast("long").as("ws"), score.as("q"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("q") >= 2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"),
+           sum(col("q")).cast("long").as("sum_quality"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_curate"    -> (qCorpusCurate _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_tfidf"       -> (qTextTfidf _),
     "q_text_normalize"   -> (qTextNormalize _),
@@ -195,6 +226,23 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_curate" ->
+      """WITH scored AS (SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+        |    len(string_split(text, ' ')) AS ws,
+        |    (len(string_split(text,' ')) BETWEEN 20 AND 80)::INT
+        |      + ((((length(text)-length(replace(text,'the ','')))/4.0
+        |         + (length(text)-length(replace(text,' a ','')))/3.0
+        |         + (length(text)-length(replace(text,'data ','')))/5.0) / len(string_split(text,' '))) > 0.01)::INT
+        |      + (((length(text) - CAST(len(string_split(text,' ')) - 1 AS DOUBLE)) / len(string_split(text,' '))) BETWEEN 3.0 AND 8.0)::INT AS q
+        |  FROM documents),
+        |kept AS (SELECT * FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM scored)
+        |  WHERE rn = 1 AND q >= 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(q) AS BIGINT) AS sum_quality
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_vocab" ->
       """SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
