@@ -70,6 +70,22 @@ class GroupTopKSpec extends SparkSpec {
     assert(sizes.length.toLong === nGroups, "every group survives")
   }
 
+  test("over a bucketed table, top-k per group plans with ZERO exchanges") {
+    // The final phase's ClusteredDistribution(group) is already satisfied
+    // by the bucketed layout's HashPartitioning — the layout + operator
+    // combination eliminates the shuffle entirely (the 100 TB shape:
+    // bucket the fact table once, every per-group ranking after is free).
+    graft.plans.Layout.writeBucketed(
+      Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      "orders_bucketed_topk", "o_custkey", 8)
+    val df = GroupTopK.topKPerGroup(spark.table("orders_bucketed_topk"),
+      group = Seq("o_custkey"), order = Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 3)
+    val nodes = allNodes(inner(df))
+    assert(nodes.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+           s"bucketed top-k must be exchange-free:\n${inner(df)}")
+    assert(nodes.collect { case t: GroupTopKExec => t }.nonEmpty)
+  }
+
   test("k larger than every group degrades to identity per group") {
     val base = Tables.orders(spark, sf)
       .filter(col("o_custkey") < 20).select("o_custkey", "o_orderkey")
