@@ -212,7 +212,35 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** EXT: REPRODUCIBLE corpus sampling — the hash-gate idiom
+    * (md5(key) prefix < threshold) instead of rand(): the same rows are
+    * sampled on every engine, every run, every cluster size, and the
+    * predicate pushes to the scan. '19' ≈ 25/256 ≈ 9.8%. rand()-based
+    * Bernoulli sampling is NOT reproducible across engines/partitionings
+    * — the standard trap this query exists to document. */
+  def qSampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "19")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+
+  /** EXT: stratified sampling — exactly `n` docs per language (the
+    * class-balancing shape), deterministic via hash-order ranking inside
+    * each stratum. One window shuffle on the stratum key. */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash"       -> (qSampleHash _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_corpus_curate"    -> (qCorpusCurate _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -226,6 +254,18 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     "q_corpus_curate" ->
       """WITH scored AS (SELECT doc_id, lang,
         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
