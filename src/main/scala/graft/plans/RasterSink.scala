@@ -116,6 +116,32 @@ object RasterSink {
       }
   }
 
+  /** The matching SOURCE: read a directory of per-timestep GeoTIFF/COGs
+    * back into the long-form raster (ts, grow, gcol, value) — the engine
+    * consumes its own sink format (and the reference ecosystem's COGs,
+    * within the Float32/tiled-or-striped subset [[GeoTiff]] writes).
+    * Distribution: one task per file via a parallelized path list; each
+    * task decodes its file locally — tiff bytes never cross the network
+    * beyond the scan (same shape as binaryFiles, minus the driver
+    * collect). Timestep parsed from the `_ts<NNN>.tiff` suffix. */
+  def readGeoTiffs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tiff")).map(_.getAbsolutePath).toSeq.sorted
+    val suffix = """_ts(\d+)\.tiff$""".r
+    s.sparkContext.parallelize(files, math.max(1, files.length))
+      .flatMap { path =>
+        val ts = suffix.findFirstMatchIn(path).map(_.group(1).toLong)
+          .getOrElse(throw new IllegalArgumentException(s"no _tsNNN suffix: $path"))
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val (w, h, vals) =
+          try { val (cw, ch, cv, _, _) = GeoTiff.decodeCog(bytes); (cw, ch, cv) }
+          catch { case _: Exception => GeoTiff.decode(bytes) } // striped fallback
+        vals.indices.iterator.map(i => (ts, i / w, i % w, vals(i).toDouble))
+      }
+      .toDF("ts", "grow", "gcol", "value")
+  }
+
   /** Per-timestep mosaic filenames — the reference's
     * `<var>_<yyyyMMdd'T'HHmmss>Z.tiff` naming (run/adcircTime2cogs.py:192-194),
     * derived from the raster's distinct timesteps. */

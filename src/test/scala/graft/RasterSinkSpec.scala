@@ -99,6 +99,29 @@ class RasterSinkSpec extends SparkSpec {
     assert(vals.zipWithIndex.forall { case (v, i) => expected(i) === v })
   }
 
+  test("readGeoTiffs round-trips both COG and striped sinks to the raster") {
+    val out = Files.createTempDirectory("graft_rt").toString
+    RasterSink.writeGeoTiffs(spark, s"$out/cog", cog = true)
+    RasterSink.writeGeoTiffs(spark, s"$out/strip", cog = false)
+    val g = graft.operators.Interp.G
+    val expected = graft.operators.Interp.qInterpBarycentric(spark, "")
+      .collect()
+      .map(r => ((r.getAs[Long]("ts"), r.getAs[Int]("grow"), r.getAs[Int]("gcol")),
+                 (r.getAs[Long]("zi4") / 10000.0).toFloat.toDouble)).toMap
+    for (sub <- Seq("cog", "strip")) {
+      val back = RasterSink.readGeoTiffs(spark, s"$out/$sub").collect()
+      assert(back.length === graft.operators.Interp.T * g * g, s"$sub cell count")
+      back.foreach { r =>
+        val key = (r.getAs[Long]("ts"), r.getAs[Int]("grow"), r.getAs[Int]("gcol"))
+        val v = r.getAs[Double]("value")
+        expected.get(key) match {
+          case Some(e) => assert(v === e, s"$sub $key")
+          case None => assert(v === 0.0, s"$sub $key should be nodata 0")
+        }
+      }
+    }
+  }
+
   test("reprojection stage is a narrow transform preserving node count") {
     val proj = RasterSink.reprojectNodes(spark)
     assert(proj.count() === graft.operators.Interp.K.toLong * graft.operators.Interp.K)
