@@ -17,6 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Z-order (Morton) key over two 16-bit grid coordinates — bit
+    * interleaving as pure codegen'd integer expressions. Sorting a
+    * raster/spatial table by this key makes every aligned 2^k x 2^k tile
+    * a CONTIGUOUS key range, so a bbox read becomes a few range scans
+    * over sorted row groups (parquet min/max skips the rest) instead of
+    * g scattered row strides — the layout trick behind COG interior
+    * tiling, applied to the relational form of the raster. */
+  def mortonKey(bx: Column, by: Column): Column = {
+    def spread(c: Column): Column = {
+      var x = c.bitwiseAND(lit(0xFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+      x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+      x
+    }
+    spread(bx).bitwiseOR(shiftleft(spread(by), 1))
+  }
+
+  /** Write a raster-shaped table Z-ordered: repartition by range over the
+    * morton key then sort within partitions — row groups end up spatially
+    * clustered, so bbox predicates prune at the row-group level. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    colX: String, colY: String, partitions: Int = 8): Unit =
+    df.withColumn("z", mortonKey(col(colX), col(colY)))
+      .repartitionByRange(partitions, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(path)
+
   /** Write `df` bucketed by `key` into the session catalog as `table`.
     * Sorting within buckets additionally enables merge-join without sort. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =

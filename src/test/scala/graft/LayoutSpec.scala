@@ -75,4 +75,48 @@ class LayoutSpec extends SparkSpec {
     val nonEmpty = laid.rdd.mapPartitions(it => Iterator(it.nonEmpty)).collect().count(identity)
     assert(nonEmpty <= nDays, "each day's rows should co-locate into one partition")
   }
+
+  test("morton key: bijective on the grid, aligned tiles are contiguous ranges") {
+    import graft.plans.Layout
+    val g = 64
+    val cells = spark.range(0, g.toLong * g).toDF("id")
+      .select((org.apache.spark.sql.functions.col("id") % g).as("bx"),
+              org.apache.spark.sql.functions.expr(s"id DIV $g").as("by"))
+      .withColumn("z", Layout.mortonKey(
+        org.apache.spark.sql.functions.col("bx"),
+        org.apache.spark.sql.functions.col("by")))
+      .collect().map(r => (r.getAs[Long]("bx"), r.getAs[Long]("by"), r.getAs[Long]("z")))
+    // bijective: g*g distinct keys
+    assert(cells.map(_._3).distinct.length === g * g)
+    // every aligned 16x16 tile occupies one contiguous z range
+    def zOf(x: Long, y: Long) = cells.find(c => c._1 == x && c._2 == y).get._3
+    for (tx <- Seq(0L, 16L, 48L); ty <- Seq(0L, 32L)) {
+      val inTile = cells.filter(c =>
+        c._1 >= tx && c._1 < tx + 16 && c._2 >= ty && c._2 < ty + 16)
+      val lo = zOf(tx, ty); val hi = zOf(tx + 15, ty + 15)
+      assert(inTile.forall(c => c._3 >= lo && c._3 <= hi))
+      // nothing OUTSIDE the tile falls inside its z range
+      assert(cells.count(c => c._3 >= lo && c._3 <= hi) === 256,
+             s"tile ($tx,$ty) z-range must contain exactly its 256 cells")
+    }
+  }
+
+  test("z-ordered write clusters a bbox query into few row-group files") {
+    import graft.plans.Layout
+    import org.apache.spark.sql.functions._
+    val g = 64
+    val raster = spark.range(0, g.toLong * g).toDF("id")
+      .select((col("id") % g).as("bx"), expr(s"id DIV $g").as("by"),
+              (col("id") * 2).as("value"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZOrdered(raster, s"$out/z", "bx", "by", partitions = 8)
+    val back = spark.read.parquet(s"$out/z")
+      .filter(col("bx") >= 16 && col("bx") < 32 && col("by") >= 16 && col("by") < 32)
+    assert(back.count() === 256)
+    // spatial clustering: the 256 bbox rows came from at most 2 of the 8
+    // range partitions (files), not scattered across all of them
+    val files = back.select(org.apache.spark.sql.functions
+      .input_file_name().as("f")).distinct().count()
+    assert(files <= 2, s"bbox rows scattered over $files files")
+  }
 }
