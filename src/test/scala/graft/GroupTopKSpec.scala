@@ -75,6 +75,15 @@ class GroupTopKSpec extends SparkSpec {
     // by the bucketed layout's HashPartitioning — the layout + operator
     // combination eliminates the shuffle entirely (the 100 TB shape:
     // bucket the fact table once, every per-group ranking after is free).
+    // the catalog is in-memory per JVM: drop leftovers from previous runs
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed_topk")
+    val leftover = new java.io.File("/tmp/graft_warehouse/orders_bucketed_topk")
+    if (leftover.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(leftover)
+    }
     graft.plans.Layout.writeBucketed(
       Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
       "orders_bucketed_topk", "o_custkey", 8)
