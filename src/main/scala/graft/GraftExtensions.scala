@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HammingDistance}
+import graft.functions.{DotProduct, HammingDistance, ShingleGenerator}
 
 /** Session extension point (SURVEY §2.10): registers the engine's custom
   * Catalyst expressions as SQL functions.
@@ -43,6 +43,16 @@ object GraftExtensions {
      (args: Seq[Expression]) => {
        require(args.length == 2, "hamming takes exactly 2 arguments")
        HammingDistance(args.head, args(1))
+     }),
+    (FunctionIdentifier("shingles"),
+     new ExpressionInfo(classOf[ShingleGenerator].getCanonicalName, "shingles"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2, "shingles takes (text, n)")
+       val n = args(1) match {
+         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+         case other => throw new IllegalArgumentException(s"n must be an INT literal, got $other")
+       }
+       ShingleGenerator(args.head, n)
      }),
   )
 

@@ -238,7 +238,22 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** EXT: shingle table via the custom [[graft.functions.ShingleGenerator]]
+    * (§2.10 Generator surface) — one row in, (pos, shingle) rows out,
+    * planned through the stock Generate operator. Bounded input window
+    * keeps the oracle comparison compact. */
+  def qShingleGen(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+              GraftSqlShim.column(graft.functions.ShingleGenerator(
+                GraftSqlShim.expression(col("text")), 3)).as(Seq("pos", "shingle")))
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shingle_gen"       -> (qShingleGen _),
     "q_sample_hash"       -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_corpus_curate"    -> (qCorpusCurate _),
@@ -254,6 +269,13 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_shingle_gen" ->
+      """SELECT doc_id,
+        |  unnest([CAST(i - 1 AS INT) for i in generate_series(1, len(t) - 2)]) AS pos,
+        |  unnest([list_aggregate(t[i:i+2], 'string_agg', ' ')
+        |          for i in generate_series(1, len(t) - 2)]) AS shingle
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_sample_hash" ->
       """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
         |FROM documents

@@ -114,6 +114,37 @@ class SqlFrontendSpec extends SparkSpec {
     assert(viaSubquery.map(_.toString).toSeq === viaManual.map(_.toString).toSeq)
   }
 
+  test("shingles generator: SQL LATERAL VIEW path matches the expression construction") {
+    Views.register(spark, sf)
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      """SELECT doc_id, s.pos, s.shingle
+        |FROM documents LATERAL VIEW shingles(text, 3) s
+        |WHERE doc_id < 20 ORDER BY doc_id, s.pos""".stripMargin).collect()
+    assert(viaSql.nonEmpty)
+    // agreement with the dedup family's explode(transform(sequence)) form
+    val viaExpr = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+      .select(col("doc_id"), expr(
+        """posexplode(transform(sequence(1, size(split(text, ' ')) - 2),
+          |           i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+        .as(Seq("pos", "shingle")))
+      .orderBy("doc_id", "pos").collect()
+    assert(viaSql.map(_.toString).toSeq === viaExpr.map(_.toString).toSeq)
+  }
+
+  test("shingles generator: empty and short inputs produce no rows, null-safe") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val df = Seq((1L, "a b"), (2L, "a b c d"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    df.createOrReplaceTempView("short_docs")
+    val out = spark.sql(
+      "SELECT id, s.pos, s.shingle FROM short_docs LATERAL VIEW shingles(t, 3) s")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet ===
+      Set((2L, 0, "a b c"), (2L, 1, "b c d")))
+  }
+
   test("IVF assignment partitions the non-codebook vectors") {
     val rows = operators.Similarity.qAnnIvf(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_assigned")).sum
