@@ -136,6 +136,7 @@ object GeoTiff {
   private val TileLength = 323
   private val TileOffsets = 324
   private val TileByteCounts = 325
+  private val GdalNoData = 42113 // ASCII: GDAL's nodata-value convention
 
   /** Encode a Cloud-Optimized GeoTIFF: TILED layout (not strips), a
     * 2×-reduced overview as a second IFD, and header+IFDs at the FRONT
@@ -179,7 +180,7 @@ object GeoTiff {
     val over = Level(ow, oh,
       Array.tabulate(ow * oh)(i => values((i / ow) * 2 * width + (i % ow) * 2)))
 
-    val entries0 = 14 // base IFD: 13 as strips + TileWidth/Length swap for Rows/Strip*
+    val entries0 = 15 // base IFD: as strips + tile tags + GDAL_NODATA
     val entries1 = 12 // overview: adds NewSubfileType, drops the 3 geo arrays
     // layout: header, IFD0, IFD1, out-of-line arrays, tile data
     val ifd0At = 8
@@ -223,6 +224,9 @@ object GeoTiff {
     entry(ModelPixelScale, TDouble, 3, scaleAt)
     entry(ModelTiepoint, TDouble, 6, tieAt)
     entry(GeoKeyDirectory, TShort, geoKeys.length, geoKeysAt)
+    // GDAL_NODATA: cells outside the mesh carry 0 (ASCII "0 ", inline)
+    buf.putShort(GdalNoData.toShort).putShort(2).putInt(2)
+    buf.put('0'.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
     buf.putInt(ifd1At) // chain to overview IFD
     // IFD1 (2x overview, marked reduced-resolution subfile)
     buf.position(ifd1At)
