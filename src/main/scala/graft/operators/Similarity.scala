@@ -252,6 +252,55 @@ object Similarity {
       .limit(200)
   }
 
+  /** K-means refinement of the IVF codebook — the loop SURVEY §2.10
+    * promises the [[graft.functions.VectorCentroid]] Aggregator for:
+    * assign each vector to its nearest centroid (broadcast codebook, one
+    * narrow scoring pass + rank window), then recompute centroids as the
+    * typed per-cluster vector mean. Each round is one
+    * assignment-join + one Aggregator pass; `localCheckpoint` truncates
+    * lineage so round r's plan doesn't replay rounds 1..r-1. Returns the
+    * final assignment plus the per-round mean cosine (inertia proxy) —
+    * which must be non-decreasing, the property the spec asserts. */
+  def kmeansIvf(s: SparkSession, d: String, iters: Int): (DataFrame, Seq[Double]) = {
+    import s.implicits._
+    val e = vecs(s, d)
+    def assign(cents: DataFrame): DataFrame = {
+      val c = cents
+        .withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      e.crossJoin(broadcast(c))
+        .withColumn("cos", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("cos"))
+    }
+    var centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val meanCos = Seq.newBuilder[Double]
+    var assigned = assign(centroids)
+    (1 to iters).foreach { _ =>
+      meanCos += assigned.agg(avg(col("cos"))).head.getDouble(0)
+      centroids = assigned
+        .select(col("cid"), col("v")).as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.VectorCentroid.toColumn.name("cv"))
+        .toDF("cid", "cv")
+        .localCheckpoint()
+      assigned = assign(centroids)
+    }
+    meanCos += assigned.agg(avg(col("cos"))).head.getDouble(0)
+    (assigned, meanCos.result())
+  }
+
+  /** EXT (rows-only): k-means-refined IVF histogram after 2 rounds —
+    * cluster sizes and round-trip of the Aggregator-updated codebook. */
+  def qAnnIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val (assigned, _) = kmeansIvf(s, d, 2)
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_assigned"))
+      .orderBy("cid")
+  }
+
   /** EXT (rows-only): per-label embedding centroid via the typed
     * [[graft.functions.VectorCentroid]] Aggregator — distributed double
     * summation is partition-order-dependent, so no hash oracle. */
@@ -277,6 +326,7 @@ object Similarity {
     "q_ann_lsh_probe"   -> (qAnnLshProbe _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_vec_centroid"    -> (qVecCentroid _),
+    "q_ann_ivf_kmeans"  -> (qAnnIvfKmeans _),
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_vec_quantize"    -> (qVecQuantize _),
   )

@@ -179,6 +179,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF refinement: mean assignment cosine is non-decreasing") {
+    val (assigned, meanCos) = Similarity.kmeansIvf(spark, sf, iters = 3)
+    assert(meanCos.length === 4) // initial + 3 refined
+    meanCos.zip(meanCos.tail).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, s"k-means objective regressed: $meanCos")
+    }
+    assert(meanCos.last > meanCos.head, "refinement should actually improve fit")
+    // every vector assigned exactly once
+    val n = Tables.embeddings(spark, sf).count()
+    assert(assigned.count() === n)
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
