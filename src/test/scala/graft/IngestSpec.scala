@@ -127,4 +127,61 @@ class IngestSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("node_id") === org.apache.spark.sql.functions.col("n1"))
     assert(joined.count() > 0)
   }
+
+  test("CDF-2 (64-bit offset) variant parses identically") {
+    // same fixture, version byte 2 + 8-byte begin offsets
+    val dir = Files.createTempDirectory("graft_ingest_v2").toString
+    val nc = s"$dir/fort63_v2.nc"
+    val N = 4; val M = 1; val T2 = 2
+    def headerBytes(begins: Map[String, Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(); val o = new DataOutputStream(bos)
+      def name(s: String): Unit = {
+        o.writeInt(s.length); o.writeBytes(s)
+        (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
+      }
+      o.writeBytes("CDF"); o.writeByte(2) // CDF-2
+      o.writeInt(T2)
+      o.writeInt(NetCdf3.NcDimension); o.writeInt(4)
+      name("time"); o.writeInt(0)
+      name("node"); o.writeInt(N)
+      name("nele"); o.writeInt(M)
+      name("nvertex"); o.writeInt(3)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(NetCdf3.NcVariable); o.writeInt(5)
+      def vr(nm: String, dimIds: Seq[Int], typ: Int, vsize: Int): Unit = {
+        name(nm); o.writeInt(dimIds.length); dimIds.foreach(o.writeInt)
+        o.writeInt(0); o.writeInt(0); o.writeInt(typ); o.writeInt(vsize)
+        o.writeLong(begins.getOrElse(nm, 0L)) // 8-byte begin in CDF-2
+      }
+      vr("x", Seq(1), NetCdf3.NcDouble, N * 8)
+      vr("y", Seq(1), NetCdf3.NcDouble, N * 8)
+      vr("element", Seq(2, 3), NetCdf3.NcInt, M * 3 * 4)
+      vr("time", Seq(0), NetCdf3.NcDouble, 8)
+      vr("zeta", Seq(0, 1), NetCdf3.NcDouble, N * 8)
+      o.flush(); bos.toByteArray
+    }
+    val hLen = headerBytes(Map.empty).length.toLong
+    val begins = Map(
+      "x" -> hLen, "y" -> (hLen + 32), "element" -> (hLen + 64),
+      "time" -> (hLen + 64 + 12), "zeta" -> (hLen + 64 + 12 + 8))
+    val bos = new ByteArrayOutputStream(); val o = new DataOutputStream(bos)
+    o.write(headerBytes(begins))
+    (0 until N).foreach(i => o.writeDouble(i * 1.0))
+    (0 until N).foreach(i => o.writeDouble(i * 2.0))
+    Seq(1, 2, 3).foreach(o.writeInt) // one triangle, 1-based
+    (0 until T2).foreach { t =>
+      o.writeDouble(t * 60.0)
+      (0 until N).foreach(n => o.writeDouble(t * 10.0 + n))
+    }
+    o.flush(); Files.write(Paths.get(nc), bos.toByteArray)
+
+    Ingest.fort63ToParquet(spark, nc, dir)
+    assert(Ingest.nodes(spark, dir).count() === N)
+    val ele = Ingest.elements(spark, dir).collect()
+    assert(ele.length === 1 && ele(0).getAs[Long]("n1") === 0L)
+    val sr = Ingest.series(spark, dir).collect()
+    assert(sr.length === T2 * N)
+    assert(sr.forall(r => r.getAs[Double]("value") ===
+      r.getAs[Long]("ts") * 10.0 + r.getAs[Long]("node_id")))
+  }
 }

@@ -119,4 +119,39 @@ class LayoutSpec extends SparkSpec {
       .input_file_name().as("f")).distinct().count()
     assert(files <= 2, s"bbox rows scattered over $files files")
   }
+
+  test("AQE splits a skewed join partition (the automatic half of skew handling)") {
+    import org.apache.spark.sql.functions._
+    // fresh session state: aggressive skew thresholds so a test-sized skew
+    // triggers the optimizer (defaults are tuned for 256MB partitions)
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 90% of left rows share ONE key; right side is uniform
+      val left = spark.range(0, 200000).toDF("id")
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+                col("id").as("payload"))
+      val right = spark.range(0, 100).toDF("k").withColumn("tag", col("k") * 2)
+      val joined = left.join(right, "k")
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"),
+             s"AQE should mark the skewed join side:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
 }
