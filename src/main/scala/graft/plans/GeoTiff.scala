@@ -177,8 +177,22 @@ object GeoTiff {
     }
     val base = Level(width, height, values)
     val ow = math.max(1, (width + 1) / 2); val oh = math.max(1, (height + 1) / 2)
-    val over = Level(ow, oh,
-      Array.tabulate(ow * oh)(i => values((i / ow) * 2 * width + (i % ow) * 2)))
+    // nodata-aware nearest: first non-nodata pixel of each 2x2 block, so a
+    // mesh-edge block whose top-left cell is outside the mesh doesn't punch
+    // a hole in the overview
+    val over = Level(ow, oh, Array.tabulate(ow * oh) { i =>
+      val y = (i / ow) * 2; val x = (i % ow) * 2
+      var v = 0f; var dy = 0
+      while (dy < 2 && v == 0f) {
+        var dx = 0
+        while (dx < 2 && v == 0f) {
+          if (y + dy < height && x + dx < width) v = values((y + dy) * width + (x + dx))
+          dx += 1
+        }
+        dy += 1
+      }
+      v
+    })
 
     val entries0 = 15 // base IFD: as strips + tile tags + GDAL_NODATA
     val entries1 = 12 // overview: adds NewSubfileType, drops the 3 geo arrays
