@@ -48,11 +48,19 @@ object Bench {
     val total = results.map(_._2).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case _: Throwable => () }
+    val contract =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}"""
+    // The contract line survives in THREE places so any driver capture
+    // parses it: its own file (immune to sbt's [success] trailer, which
+    // follows the last stdout line when run through sbt), the full
+    // per-query dump, and the true final stdout line below.
+    try {
+      Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
+      Files.writeString(Paths.get("BENCH_TOTAL.json"), contract + "\n")
+    } catch { case _: Throwable => () }
     println(full)
-    // Driver contract line LAST and short, so tail-capture always parses it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
     spark.stop()
+    // AFTER stop(): no Spark shutdown chatter can interleave past it.
+    println(contract)
   }
 }

@@ -48,7 +48,10 @@ object Pipeline {
     val series = sources.Ingest.series(s, s"$outDir/tables")
     val spec = operators.Interp.gridSpec(nodes, g)
     val raster = operators.Interp.interpolateTables(nodes, elements, series, spec)
-    plans.RasterSink.writeCogs(raster, spec, s"$outDir/cogs", varName)
+    // real decoded instants name the COGs (the reference's timeregex
+    // contract); record-index names only when the file has no time axis
+    val labels = sources.Ingest.timeLabels(s, s"$outDir/tables")
+    plans.RasterSink.writeCogs(raster, spec, s"$outDir/cogs", varName, tsLabels = labels)
     plans.RasterSink.sidecars(varName).foreach { case (name, body) =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/$name"), body)
     }

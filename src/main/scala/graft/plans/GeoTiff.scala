@@ -80,7 +80,7 @@ object GeoTiff {
     val geoKeysAt = reserve(2L * geoKeys.length)
     val ifdAt = cursor
 
-    val entries = 13
+    val entries = 14
     val total = ifdAt + 2 + entries * 12 + 4
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
 
@@ -125,9 +125,20 @@ object GeoTiff {
     entry(ModelPixelScale, TDouble, 3, scaleAt)
     entry(ModelTiepoint, TDouble, 6, tieAt)
     entry(GeoKeyDirectory, TShort, geoKeys.length, geoKeysAt)
+    nodataEntry(buf)
     buf.putInt(0) // no next IFD
 
     buf.array()
+  }
+
+  /** GDAL_NODATA = "nan": absent (out-of-mesh) cells are Float.NaN, which
+    * Float32 SampleFormat=3 represents natively. NaN is out-of-band by
+    * construction — unlike a 0.0 sentinel, which collides with legitimate
+    * zeta==0 (datum sea level) and made readers mask real data. ASCII
+    * "nan\0" is 4 bytes, so it fits inline in the value field. */
+  private def nodataEntry(buf: ByteBuffer): Unit = {
+    buf.putShort(GdalNoData.toShort).putShort(2).putInt(4)
+    buf.put('n'.toByte).put('a'.toByte).put('n'.toByte).put(0.toByte)
   }
 
   // COG tags
@@ -159,6 +170,7 @@ object GeoTiff {
       val tileBytes: Int = tile * tile * 4
       def tileData(tx: Int, ty: Int): Array[Float] = {
         val out = new Array[Float](tile * tile)
+        java.util.Arrays.fill(out, Float.NaN) // edge padding is nodata
         var r = 0
         while (r < tile) {
           val sy = ty * tile + r
@@ -177,16 +189,20 @@ object GeoTiff {
     }
     val base = Level(width, height, values)
     val ow = math.max(1, (width + 1) / 2); val oh = math.max(1, (height + 1) / 2)
-    // nodata-aware nearest: first non-nodata pixel of each 2x2 block, so a
-    // mesh-edge block whose top-left cell is outside the mesh doesn't punch
-    // a hole in the overview
+    // nodata-aware nearest: first non-nodata (non-NaN) pixel of each 2x2
+    // block, so a mesh-edge block whose top-left cell is outside the mesh
+    // doesn't punch a hole in the overview. Keyed on NaN, NOT 0f: zeta
+    // exactly 0.0 (datum sea level) is legitimate in-mesh data.
     val over = Level(ow, oh, Array.tabulate(ow * oh) { i =>
       val y = (i / ow) * 2; val x = (i % ow) * 2
-      var v = 0f; var dy = 0
-      while (dy < 2 && v == 0f) {
+      var v = Float.NaN; var dy = 0
+      while (dy < 2 && v.isNaN) {
         var dx = 0
-        while (dx < 2 && v == 0f) {
-          if (y + dy < height && x + dx < width) v = values((y + dy) * width + (x + dx))
+        while (dx < 2 && v.isNaN) {
+          if (y + dy < height && x + dx < width) {
+            val c = values((y + dy) * width + (x + dx))
+            if (!c.isNaN) v = c
+          }
           dx += 1
         }
         dy += 1
@@ -238,9 +254,7 @@ object GeoTiff {
     entry(ModelPixelScale, TDouble, 3, scaleAt)
     entry(ModelTiepoint, TDouble, 6, tieAt)
     entry(GeoKeyDirectory, TShort, geoKeys.length, geoKeysAt)
-    // GDAL_NODATA: cells outside the mesh carry 0 (ASCII "0 ", inline)
-    buf.putShort(GdalNoData.toShort).putShort(2).putInt(2)
-    buf.put('0'.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    nodataEntry(buf) // GDAL_NODATA "nan": see [[nodataEntry]]
     buf.putInt(ifd1At) // chain to overview IFD
     // IFD1 (2x overview, marked reduced-resolution subfile)
     buf.position(ifd1At)

@@ -11,7 +11,7 @@ import graft.operators.Interp
   *    table written `partitionBy("ts")` — each timestep lands in its own
   *    directory of columnar files, the engine's equivalent of
   *    one-image-per-timestep (SURVEY §4: partition output by ts). True
-  *    GeoTIFF byte-encoding is out of relational scope (SURVEY §7.5.5).
+  *    GeoTIFF byte-encoding is in [[GeoTiff]].
   *  - S6 (indexer/timeregex/datastore properties,
   *    run/adcircTime2cogs.py:211-222): the same sidecar strings derived
   *    relationally and written once from the driver.
@@ -19,8 +19,23 @@ import graft.operators.Interp
   * At 100 TB: `partitionBy` turns downstream per-timestep reads into
   * partition-pruned scans; the sort within partitions keeps row-groups
   * ordered by (grow, gcol) so a tile reader seeks, not scans.
-  */
+  *
+  * File I/O goes through the Hadoop FileSystem API resolved from the
+  * path's scheme, so `outDir` may be a shared POSIX mount, `file://`,
+  * `hdfs://`, or any other configured Hadoop filesystem; executors
+  * resolve the scheme against the cluster-side Hadoop configuration. */
 object RasterSink {
+
+  private def hfs(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+  private def writeFile(path: String, bytes: Array[Byte]): Unit = {
+    val (fs, p) = hfs(path)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+  private def mkdirs(path: String): Unit = { val (fs, p) = hfs(path); fs.mkdirs(p) }
 
   /** P4 reprojection stage (reference construct_geopandas + to_crs,
     * run/adcircTime2cogs.py:29-47): closed-form spherical-Mercator forward
@@ -50,31 +65,40 @@ object RasterSink {
     raster
   }
 
+  /** The per-timestep tiff filename: the reference's
+    * `<var>_<yyyyMMdd'T'HHmmss>Z.tiff` contract
+    * (run/adcircTime2cogs.py:190-194, matched by timeregex.properties)
+    * when a real time label exists for the timestep; the record-index
+    * `<var>_tsNNN.tiff` fallback when the source had no time axis. */
+  private def tiffName(varName: String, ts: Long, labels: Map[Long, String]): String =
+    labels.get(ts) match {
+      case Some(l) => s"${varName}_${l}Z.tiff"
+      case None => f"${varName}_ts$ts%03d.tiff"
+    }
+
   /** S5 closed: one true GeoTIFF per timestep ([[GeoTiff]], pure-JVM
     * TIFF 6.0 — the reference's write_cog contract,
     * run/adcircTime2cogs.py:205-206). Distribution shape: repartition by
-    * ts so every timestep's cells land in ONE task, then each task
-    * assembles its timesteps' grids (O(grid) memory, same envelope as
-    * the reference's in-memory grid) and writes
-    * `<var>_<ts>.tiff` via foreachPartition — executors write in
-    * parallel across timesteps, the driver never sees pixel data. At
-    * 100 TB `outDir` is shared storage and timesteps fan out across the
-    * cluster; the serial per-timestep Python loop in the reference
-    * becomes embarrassing parallelism here. */
+    * ts, sort within partitions by ts, then STREAM grids one at a time —
+    * rows arrive clustered per timestep, so task memory is ONE g×g grid
+    * (a 283 MB production grid stays a 283 MB task envelope) no matter
+    * how many timesteps hash into the same task. Executors write in
+    * parallel across timesteps; the driver never sees pixel data. At
+    * 100 TB `outDir` is shared storage (POSIX mount or any Hadoop
+    * filesystem URI) and timesteps fan out across the cluster; the
+    * serial per-timestep Python loop in the reference becomes
+    * embarrassing parallelism here. */
   def writeGeoTiffs(s: SparkSession, outDir: String, varName: String = "fort_63_zeta",
                     cog: Boolean = false, tile: Int = 32): Unit = {
     val g = Interp.G
-    new java.io.File(outDir).mkdirs()
+    mkdirs(outDir)
     Interp.qInterpBarycentric(s, "")
       .repartition(col("ts"))
+      .sortWithinPartitions("ts")
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        val grids = scala.collection.mutable.Map.empty[Long, Array[Float]]
-        it.foreach { r =>
-          val grid = grids.getOrElseUpdate(r.getAs[Long]("ts"), new Array[Float](g * g))
-          grid(r.getAs[Int]("grow") * g + r.getAs[Int]("gcol")) =
-            (r.getAs[Long]("zi4") / 10000.0).toFloat
-        }
-        grids.foreach { case (ts, grid) =>
+        var cur = Long.MinValue
+        var grid: Array[Float] = null
+        def flush(): Unit = if (grid != null) {
           // north-up: grow 0 is the top row; origin at the grid's NW corner
           val bytes =
             if (cog) GeoTiff.encodeCog(g, g, grid,
@@ -82,37 +106,57 @@ object RasterSink {
               res = 0.38, tile = tile)
             else GeoTiff.encode(g, g, grid,
               originX = 0.3 - 0.19, originY = 0.3 + (g - 1) * 0.38 + 0.19, res = 0.38)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"$outDir/${varName}_ts$ts%03d.tiff"), bytes)
+          writeFile(s"$outDir/${tiffName(varName, cur, Map.empty)}", bytes)
         }
+        it.foreach { r =>
+          val ts = r.getAs[Long]("ts")
+          if (ts != cur) {
+            flush(); cur = ts
+            grid = new Array[Float](g * g)
+            java.util.Arrays.fill(grid, Float.NaN) // absent cells = nodata
+          }
+          grid(r.getAs[Int]("grow") * g + r.getAs[Int]("gcol")) =
+            (r.getAs[Long]("zi4") / 10000.0).toFloat
+        }
+        flush()
       }
   }
 
   /** Generalized per-timestep COG writer for an arbitrary raster
     * (ts, grow, gcol, value) + GridSpec — the sink stage of the full
-    * [[graft.Pipeline]]. Same distribution shape as [[writeGeoTiffs]];
-    * absent cells (outside the mesh) stay 0 in the stub's Float32 band
-    * (a production writer would add a nodata mask band or TIFF nodata
-    * tag). */
+    * [[graft.Pipeline]]. Same streaming one-grid-at-a-time shape as
+    * [[writeGeoTiffs]]. Absent cells and NULL values (masked dry nodes
+    * null-propagated through the interpolation) become Float.NaN, the
+    * COG's declared GDAL_NODATA. `tsLabels` (from [[graft.sources.Ingest
+    * .timeLabels]]) names files with the real decoded instants. */
   def writeCogs(raster: DataFrame, spec: Interp.GridSpec, outDir: String,
-                varName: String, tile: Int = 256): Unit = {
+                varName: String, tile: Int = 256,
+                tsLabels: Map[Long, String] = Map.empty): Unit = {
     val g = spec.g
     val (ox, oy, res) = (spec.originX, spec.originY, spec.resX)
-    new java.io.File(outDir).mkdirs()
+    mkdirs(outDir)
     raster
       .repartition(col("ts"))
+      .sortWithinPartitions("ts")
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        val grids = scala.collection.mutable.Map.empty[Long, Array[Float]]
-        it.foreach { r =>
-          val grid = grids.getOrElseUpdate(r.getAs[Long]("ts"), new Array[Float](g * g))
-          grid(r.getAs[Int]("grow") * g + r.getAs[Int]("gcol")) =
-            r.getAs[Double]("value").toFloat
-        }
-        grids.foreach { case (ts, grid) =>
+        var cur = Long.MinValue
+        var grid: Array[Float] = null
+        def flush(): Unit = if (grid != null) {
           val bytes = GeoTiff.encodeCog(g, g, grid, ox, oy, res, tile)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"$outDir/${varName}_ts$ts%03d.tiff"), bytes)
+          writeFile(s"$outDir/${tiffName(varName, cur, tsLabels)}", bytes)
         }
+        it.foreach { r =>
+          val ts = r.getAs[Long]("ts")
+          if (ts != cur) {
+            flush(); cur = ts
+            grid = new Array[Float](g * g)
+            java.util.Arrays.fill(grid, Float.NaN)
+          }
+          if (!r.isNullAt(r.fieldIndex("value")))
+            grid(r.getAs[Int]("grow") * g + r.getAs[Int]("gcol")) =
+              r.getAs[Double]("value").toFloat
+        }
+        flush()
       }
   }
 
@@ -123,17 +167,30 @@ object RasterSink {
     * Distribution: one task per file via a parallelized path list; each
     * task decodes its file locally — tiff bytes never cross the network
     * beyond the scan (same shape as binaryFiles, minus the driver
-    * collect). Timestep parsed from the `_ts<NNN>.tiff` suffix. */
+    * collect). `ts` is the record index for `_tsNNN` names and UTC epoch
+    * SECONDS for the reference's `_<yyyyMMddTHHmmss>Z` names. */
   def readGeoTiffs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".tiff")).map(_.getAbsolutePath).toSeq.sorted
-    val suffix = """_ts(\d+)\.tiff$""".r
+    val (fs, p) = hfs(dir)
+    val files = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".tiff")).map(_.toString).toSeq.sorted
+    val tsRe = """_ts(\d+)\.tiff$""".r
+    val isoRe = """_(\d{8}T\d{6})Z\.tiff$""".r
     s.sparkContext.parallelize(files, math.max(1, files.length))
       .flatMap { path =>
-        val ts = suffix.findFirstMatchIn(path).map(_.group(1).toLong)
-          .getOrElse(throw new IllegalArgumentException(s"no _tsNNN suffix: $path"))
-        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val ts = tsRe.findFirstMatchIn(path).map(_.group(1).toLong)
+          .orElse(isoRe.findFirstMatchIn(path).map { m =>
+            java.time.LocalDateTime
+              .parse(m.group(1), java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
+              .toEpochSecond(java.time.ZoneOffset.UTC)
+          })
+          .getOrElse(throw new IllegalArgumentException(s"no _tsNNN or _<stamp>Z suffix: $path"))
+        val (bfs, bp) = hfs(path)
+        val in = bfs.open(bp)
+        val bytes = try {
+          val len = bfs.getFileStatus(bp).getLen.toInt
+          val b = new Array[Byte](len); in.readFully(0, b); b
+        } finally in.close()
         val (w, h, vals) =
           try { val (cw, ch, cv, _, _) = GeoTiff.decodeCog(bytes); (cw, ch, cv) }
           catch { case _: Exception => GeoTiff.decode(bytes) } // striped fallback
@@ -142,9 +199,21 @@ object RasterSink {
       .toDF("ts", "grow", "gcol", "value")
   }
 
-  /** Per-timestep mosaic filenames — the reference's
-    * `<var>_<yyyyMMdd'T'HHmmss>Z.tiff` naming (run/adcircTime2cogs.py:192-194),
-    * derived from the raster's distinct timesteps. */
+  /** Per-timestep mosaic filenames from the INGESTED time axis — the
+    * reference's `<var>_<yyyyMMdd'T'HHmmss>Z.tiff` naming over the real
+    * decoded instants (run/adcircTime2cogs.py:190-194). `times` is the
+    * Ingest times table (ts, t_raw, t_utc). */
+  def mosaicIndexFromTimes(times: DataFrame, varName: String): DataFrame =
+    times.filter(col("t_utc").isNotNull)
+      .select(col("ts"),
+              concat(lit(varName), lit("_"),
+                     date_format(col("t_utc"), "yyyyMMdd'T'HHmmss"),
+                     lit("Z.tiff")).as("fname"))
+      .orderBy("ts")
+
+  /** Demo-axis variant for the synthetic lattice relations (which carry
+    * no time variable): maps record index → hourly cadence. Kept ONLY for
+    * the synthetic tables; real ingests use [[mosaicIndexFromTimes]]. */
   def mosaicIndex(s: SparkSession, varName: String): DataFrame =
     Interp.series(s)
       .select(col("ts")).distinct()
@@ -182,9 +251,9 @@ object RasterSink {
     * run/adcircTime2cogs.py:121-240 stage for stage. */
   def run(s: SparkSession, outDir: String, layerName: String = "graft"): Unit = {
     writeRaster(s, outDir)
-    val dir = new java.io.File(outDir); dir.mkdirs()
+    mkdirs(outDir)
     sidecars(layerName).foreach { case (name, body) =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/$name"), body)
+      writeFile(s"$outDir/$name", body.getBytes("UTF-8"))
     }
   }
 }

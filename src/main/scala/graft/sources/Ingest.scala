@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.RandomAccessFile
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** The ingest boundary the reference crosses first on every run:
@@ -15,70 +14,112 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    node ids; `adcirc_utilities.py` subtracts 1 on load) applied HERE,
   *    at ingest — downstream operators never see 1-based ids
   *  - `series.parquet`   (ts, node_id, value)          from record var
-  *    zeta(time, node), long-form
+  *    zeta(time, node), long-form. Values equal to the variable's
+  *    `_FillValue`/`missing_value` (ADCIRC writes -99999 into dry
+  *    nodes) become NULL — the reference's `var_d[var_d.mask] = np.nan`
+  *    (adcirc_utilities.py:30) — so they null-propagate through the
+  *    barycentric blend instead of polluting wet/dry boundary pixels
+  *  - `times.parquet`    (ts, t_raw, t_utc)            from the time
+  *    coordinate: raw value + real UTC instant via the CF `units`
+  *    attribute ("seconds since <epoch>"), the instants the reference
+  *    bakes into COG filenames (adcircTime2cogs.py:190-194)
   *
   * Scale shape: the header is parsed once on the driver (KBs); node and
   * element arrays are small (O(mesh)); the BULK — zeta records — is
   * read in parallel, one `(executor, record-range)` per partition, each
-  * task seeking directly to `begin + rec*recSize` in its own file
-  * handle. No driver materialization of the timeseries, no shared
-  * state; at production scale the .nc sits on shared storage and record
-  * reads stripe across the cluster, where the reference loops timesteps
-  * serially in one process. */
+  * task seeking directly to `begin + rec*recSize` through its own
+  * [[RangeReader]] (local file or HTTP range requests — the reference's
+  * THREDDS/OPeNDAP URLs map to the latter). No driver materialization
+  * of the timeseries, no shared state; at production scale the .nc sits
+  * on shared storage and record reads stripe across the cluster, where
+  * the reference loops timesteps serially in one process. */
 object Ingest {
 
   /** Convert an ADCIRC-shaped NetCDF-3 file to the graft Parquet layout.
     * Variable names are parameters so swan/other solvers map too. */
   def fort63ToParquet(s: SparkSession, ncPath: String, outDir: String,
                       xVar: String = "x", yVar: String = "y",
-                      eleVar: String = "element", seriesVar: String = "zeta"): Unit = {
+                      eleVar: String = "element", seriesVar: String = "zeta",
+                      timeVar: String = "time"): Unit = {
     import s.implicits._
-    val raf = new RandomAccessFile(ncPath, "r")
+    val r = RangeReader.open(ncPath)
     try {
-      val h = NetCdf3.parseHeader(raf)
+      val h = NetCdf3.parseHeader(r)
       def v(name: String) = h.vars.find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(
           s"$ncPath has no variable '$name' (has: ${h.vars.map(_.name).mkString(", ")})"))
 
       // nodes: two fixed arrays, mesh-sized — driver read is the right tool
-      val xs = NetCdf3.readFixed(raf, h, v(xVar))
-      val ys = NetCdf3.readFixed(raf, h, v(yVar))
+      val xs = NetCdf3.readFixed(r, h, v(xVar))
+      val ys = NetCdf3.readFixed(r, h, v(yVar))
       require(xs.length == ys.length, s"x/y length mismatch: ${xs.length}/${ys.length}")
       xs.indices.map(i => (i.toLong, xs(i), ys(i))).toDF("node_id", "lon", "lat")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes")
 
       // elements: (nele, 3) ints, 1-based in the file → 0-based AT INGEST
-      val ele = NetCdf3.readFixed(raf, h, v(eleVar)).map(_.toLong - 1L)
+      val ele = NetCdf3.readFixed(r, h, v(eleVar)).map(_.toLong - 1L)
       require(ele.length % 3 == 0, s"element var length ${ele.length} not divisible by 3")
       (0 until ele.length / 3)
         .map(e => (e.toLong, ele(3 * e), ele(3 * e + 1), ele(3 * e + 2)))
         .toDF("ele_id", "n1", "n2", "n3")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/elements")
 
-      // series: record variable — parallel record-striped read
-      seriesToParquet(s, ncPath, outDir, seriesVar, h.numRecs)
-    } finally raf.close()
+      // time axis: raw coordinate + decoded UTC instants (if CF units present)
+      timesToParquet(s, r, h, outDir, timeVar)
+
+      // series: record variable — parallel record-striped read, fill→null
+      seriesToParquet(s, ncPath, outDir, seriesVar, h.numRecs, v(seriesVar).fillValue)
+    } finally r.close()
   }
 
   /** Long-form (ts, node_id, value) from a record variable, records
     * striped across tasks; each task re-parses the (tiny) header and
-    * seeks straight to its records. */
+    * seeks straight to its records. `fill` values become NULL. */
   private def seriesToParquet(s: SparkSession, ncPath: String, outDir: String,
-                              seriesVar: String, numRecs: Int): Unit = {
+                              seriesVar: String, numRecs: Int,
+                              fill: Option[Double]): Unit = {
     import s.implicits._
     s.range(0, numRecs)
       .repartition(math.min(numRecs, 32))
       .mapPartitions { recs =>
-        val raf = new RandomAccessFile(ncPath, "r")
-        val h = NetCdf3.parseHeader(raf)
+        val r = RangeReader.open(ncPath)
+        val h = NetCdf3.parseHeader(r)
         val v = h.vars.find(_.name == seriesVar).get
         recs.flatMap { rec =>
-          val vals = NetCdf3.readRecord(raf, h, v, rec.toInt)
-          vals.indices.iterator.map(i => (rec, i.toLong, vals(i)))
-        } // raf leaks per-task; acceptable: task JVMs release on completion
+          val vals = NetCdf3.readRecord(r, h, v, rec.toInt)
+          vals.indices.iterator.map { i =>
+            (rec, i.toLong, if (isMasked(vals(i), fill)) None else Some(vals(i)))
+          }
+        } // reader leaks per-task; acceptable: task JVMs release on completion
       }
       .toDF("ts", "node_id", "value")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/series")
+  }
+
+  /** The reference masks exact fill matches (numpy masked array); NaN in
+    * the payload is masked too — it IS the reference's mask encoding. */
+  private def isMasked(v: Double, fill: Option[Double]): Boolean =
+    v.isNaN || fill.exists(f => v == f)
+
+  /** Decode the time coordinate to (ts, t_raw, t_utc). `t_utc` is NULL
+    * when the variable carries no parseable CF `units` — downstream
+    * falls back to record-index naming rather than fabricating instants. */
+  private def timesToParquet(s: SparkSession, r: RangeReader, h: NetCdf3.Header,
+                             outDir: String, timeVar: String): Unit = {
+    import s.implicits._
+    h.vars.find(v => v.name == timeVar && v.isRecord).foreach { tv =>
+      val epoch = tv.attrs.get("units").map(_.str).flatMap(NetCdf3.parseTimeUnits)
+      val rows = (0 until h.numRecs).map { rec =>
+        val t = NetCdf3.readRecord(r, h, tv, rec)(0)
+        val utc = epoch.map { case (mult, e0) =>
+          java.sql.Timestamp.from(
+            java.time.Instant.ofEpochMilli(math.round((e0 + t * mult) * 1000.0)))
+        }
+        (rec.toLong, t, utc)
+      }
+      rows.toDF("ts", "t_raw", "t_utc")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/times")
+    }
   }
 
   /** The reference's 1-D/2-D variable dispatch (adcirc_utilities
@@ -91,28 +132,49 @@ object Ingest {
     * as the reference branches on `len(var.dims)`:
     *  - record var  → long-form `(ts, node_id, value)` (record-striped)
     *  - fixed var   → static   `(node_id, value)` snapshot
-    * Returns the written sub-directory name ("series" or the var name). */
+    * Both paths apply the fill→null mask. Returns the written
+    * sub-directory name ("series" or the var name). */
   def varToParquet(s: SparkSession, ncPath: String, outDir: String,
                    varName: String): String = {
     import s.implicits._
-    val raf = new RandomAccessFile(ncPath, "r")
+    val r = RangeReader.open(ncPath)
     try {
-      val h = NetCdf3.parseHeader(raf)
+      val h = NetCdf3.parseHeader(r)
       val v = h.vars.find(_.name == varName)
         .getOrElse(throw new IllegalArgumentException(s"no variable '$varName'"))
       if (v.isRecord) {
-        seriesToParquet(s, ncPath, outDir, varName, h.numRecs); "series"
+        seriesToParquet(s, ncPath, outDir, varName, h.numRecs, v.fillValue); "series"
       } else {
-        val vals = NetCdf3.readFixed(raf, h, v)
-        vals.indices.map(i => (i.toLong, vals(i))).toDF("node_id", "value")
+        val vals = NetCdf3.readFixed(r, h, v)
+        val fill = v.fillValue
+        vals.indices
+          .map(i => (i.toLong, if (isMasked(vals(i), fill)) None else Some(vals(i))))
+          .toDF("node_id", "value")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$varName")
         varName
       }
-    } finally raf.close()
+    } finally r.close()
   }
 
   /** Read the ingested layout back (the operators' input contract). */
   def nodes(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nodes")
   def elements(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/elements")
   def series(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/series")
+  def times(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/times")
+
+  /** ts → compact-ISO UTC label ("yyyyMMdd'T'HHmmss") for COG filenames —
+    * the reference's naming contract (adcircTime2cogs.py:190-194, matched
+    * by timeregex.properties). Empty when the source carried no decodable
+    * time axis; callers then fall back to record-index names. Tiny
+    * (one row per timestep), so a driver collect is the right shape. */
+  def timeLabels(s: SparkSession, dir: String): Map[Long, String] =
+    if (!new java.io.File(s"$dir/times").exists()) Map.empty
+    else {
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+        .withZone(java.time.ZoneOffset.UTC)
+      times(s, dir).collect().flatMap { row =>
+        Option(row.getAs[java.sql.Timestamp]("t_utc"))
+          .map(t => row.getAs[Long]("ts") -> fmt.format(t.toInstant))
+      }.toMap
+    }
 }

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.net.{HttpURLConnection, URI}
+
+/** Offset-addressable byte source — the one abstraction the NetCDF
+  * reader needs. The reference opens local paths *or* THREDDS/OPeNDAP
+  * URLs through the same call
+  * (/root/reference/run/utilities/adcirc_dask_utilities.py:36-44);
+  * here the same polymorphism lives at the byte layer: a local file is
+  * a `RandomAccessFile`, a remote file is HTTP `Range:` requests. Both
+  * are cheap to open per-task, so [[Ingest]]'s record-striped executor
+  * reads work identically against either — no driver-side download, no
+  * shared handle.
+  */
+trait RangeReader extends AutoCloseable {
+  def length: Long
+  /** Fill `dst` from `offset`; throws if the range extends past EOF. */
+  def readFully(offset: Long, dst: Array[Byte]): Unit
+}
+
+object RangeReader {
+  /** `http(s)://` → range-request reader; anything else → local file. */
+  def open(path: String): RangeReader =
+    if (path.startsWith("http://") || path.startsWith("https://")) new HttpRangeReader(path)
+    else new FileRangeReader(path)
+}
+
+final class FileRangeReader(path: String) extends RangeReader {
+  private val raf = new RandomAccessFile(path, "r")
+  def length: Long = raf.length()
+  def readFully(offset: Long, dst: Array[Byte]): Unit = {
+    raf.seek(offset); raf.readFully(dst)
+  }
+  def close(): Unit = raf.close()
+}
+
+/** One GET with a `Range: bytes=a-b` header per read — the access
+  * pattern a COG/NetCDF-over-HTTP server (THREDDS fileServer, S3, any
+  * static host) is built for. Stateless between reads: each task opens
+  * its own reader from the URL string, so nothing here is serialized. */
+final class HttpRangeReader(url: String) extends RangeReader {
+  /** HEAD Content-Length when the server provides it; otherwise a 1-byte
+    * ranged GET whose Content-Range carries the total (`bytes 0-0/N`) —
+    * some servers (including the JDK's) omit lengths on HEAD. */
+  val length: Long = {
+    val head = connect("HEAD", None)
+    val viaHead =
+      try {
+        require(head.getResponseCode / 100 == 2, s"HEAD $url -> ${head.getResponseCode}")
+        head.getContentLengthLong
+      } finally head.disconnect()
+    if (viaHead >= 0) viaHead
+    else {
+      val probe = connect("GET", Some((0L, 0L)))
+      try {
+        require(probe.getResponseCode == 206, s"$url: server does not honor Range requests")
+        val cr = Option(probe.getHeaderField("Content-Range")).getOrElse("")
+        val total = cr.split('/').lastOption.flatMap(_.toLongOption)
+          .getOrElse(throw new IllegalArgumentException(s"$url: unparseable Content-Range '$cr'"))
+        probe.getInputStream.close()
+        total
+      } finally probe.disconnect()
+    }
+  }
+
+  def readFully(offset: Long, dst: Array[Byte]): Unit = {
+    if (dst.length == 0) return
+    val c = connect("GET", Some((offset, offset + dst.length - 1)))
+    try {
+      require(c.getResponseCode == 206 || c.getResponseCode == 200,
+        s"GET $url range bytes=$offset-${offset + dst.length - 1} -> ${c.getResponseCode}")
+      val in = c.getInputStream
+      try {
+        // a 200 (server ignored Range) would stream from 0 — reject, the
+        // whole point is not transferring the file
+        require(c.getResponseCode == 206, s"$url: server does not honor Range requests")
+        var read = 0
+        while (read < dst.length) {
+          val n = in.read(dst, read, dst.length - read)
+          require(n >= 0, s"$url: EOF at ${offset + read}, wanted ${dst.length} from $offset")
+          read += n
+        }
+      } finally in.close()
+    } finally c.disconnect()
+  }
+
+  private def connect(method: String, range: Option[(Long, Long)]): HttpURLConnection = {
+    val c = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(15000); c.setReadTimeout(60000)
+    range.foreach { case (a, b) => c.setRequestProperty("Range", s"bytes=$a-$b") }
+    c
+  }
+
+  def close(): Unit = () // nothing held between requests
+}

@@ -2,24 +2,31 @@ package graft
 
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.file.{Files, Paths}
-import graft.sources.{Ingest, NetCdf3}
+import graft.sources.{Ingest, NetCdf3, RangeReader}
 
 /** Ingest-boundary test: a synthetic fort.63-shaped NetCDF-3 binary
   * (written here byte-by-byte against the public CDF-1 spec, NOT via the
   * reader under test) converted to the long-form Parquet layout — checks
-  * the -1 connectivity shift, the record-striped series read, and value
-  * fidelity. */
+  * the -1 connectivity shift, the record-striped series read, value
+  * fidelity, `_FillValue` mask→null, CF time decoding, and the HTTP
+  * range-request read path. */
 class IngestSpec extends SparkSpec {
 
   private val N = 12 // nodes
   private val M = 5  // elements
   private val T = 4  // records (timesteps)
 
-  private def zeta(t: Int, n: Int): Double = t * 100.0 + n + 0.25
+  private val Fill = -99999.0
+  /** (ts, node) cells that carry the fill value (ADCIRC dry nodes). */
+  private val dry = Set((1, 2), (3, 7))
+
+  private def zeta(t: Int, n: Int): Double =
+    if (dry((t, n))) Fill else t * 100.0 + n + 0.25
 
   /** CDF-1 writer: dims (time=unlimited, node, nele, nvertex), vars
     * x(node) y(node) double, element(nele,nvertex) int 1-BASED,
-    * time(time) double, zeta(time,node) double. */
+    * time(time) double with CF units, zeta(time,node) double with
+    * _FillValue. */
   private def writeFixture(path: String): Unit = {
     val elements1Based: Array[Int] =
       Array.tabulate(M * 3)(i => (i % N) + 1) // valid 1-based node ids
@@ -31,6 +38,20 @@ class IngestSpec extends SparkSpec {
         o.writeInt(s.length); o.writeBytes(s)
         (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
       }
+      def attrList(as: Seq[(String, Any)]): Unit =
+        if (as.isEmpty) { o.writeInt(0); o.writeInt(0) }
+        else {
+          o.writeInt(NetCdf3.NcAttribute); o.writeInt(as.length)
+          as.foreach {
+            case (n, s: String) =>
+              name(n); o.writeInt(NetCdf3.NcChar); o.writeInt(s.length)
+              o.writeBytes(s)
+              (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
+            case (n, d: Double) =>
+              name(n); o.writeInt(NetCdf3.NcDouble); o.writeInt(1); o.writeDouble(d)
+            case (n, v) => fail(s"unsupported attr fixture $n=$v")
+          }
+        }
       o.writeBytes("CDF"); o.writeByte(1)
       o.writeInt(T) // numrecs
       o.writeInt(NetCdf3.NcDimension); o.writeInt(4)
@@ -38,19 +59,24 @@ class IngestSpec extends SparkSpec {
       name("node"); o.writeInt(N)
       name("nele"); o.writeInt(M)
       name("nvertex"); o.writeInt(3)
-      o.writeInt(0); o.writeInt(0) // no global attrs
+      attrList(Seq("Conventions" -> "CF-1.6")) // global attrs
       o.writeInt(NetCdf3.NcVariable); o.writeInt(6)
-      def vr(nm: String, dimIds: Seq[Int], typ: Int, vsize: Int): Unit = {
+      def vr(nm: String, dimIds: Seq[Int], typ: Int, vsize: Int,
+             attrs: Seq[(String, Any)] = Nil): Unit = {
         name(nm); o.writeInt(dimIds.length); dimIds.foreach(o.writeInt)
-        o.writeInt(0); o.writeInt(0) // no var attrs
+        attrList(attrs)
         o.writeInt(typ); o.writeInt(vsize); o.writeInt(begins.getOrElse(nm, 0))
       }
       vr("x", Seq(1), NetCdf3.NcDouble, N * 8)
       vr("y", Seq(1), NetCdf3.NcDouble, N * 8)
       vr("element", Seq(2, 3), NetCdf3.NcInt, M * 3 * 4)
-      vr("zeta_max", Seq(1), NetCdf3.NcDouble, N * 8)
-      vr("time", Seq(0), NetCdf3.NcDouble, 8)
-      vr("zeta", Seq(0, 1), NetCdf3.NcDouble, N * 8)
+      vr("zeta_max", Seq(1), NetCdf3.NcDouble, N * 8,
+         attrs = Seq("_FillValue" -> Fill))
+      vr("time", Seq(0), NetCdf3.NcDouble, 8,
+         attrs = Seq("units" -> "seconds since 2008-09-09 00:00:00 UTC",
+                     "base_date" -> "2008-09-09 00:00:00"))
+      vr("zeta", Seq(0, 1), NetCdf3.NcDouble, N * 8,
+         attrs = Seq("_FillValue" -> Fill))
       o.flush(); bos.toByteArray
     }
 
@@ -67,7 +93,8 @@ class IngestSpec extends SparkSpec {
     (0 until N).foreach(i => o.writeDouble(i * 0.5))       // x
     (0 until N).foreach(i => o.writeDouble(40.0 + i * 0.25)) // y
     elements1Based.foreach(o.writeInt)                      // element (1-based)
-    (0 until N).foreach(n => o.writeDouble(900.0 + n))      // zeta_max (fixed, 1-D)
+    (0 until N).foreach(n =>                                // zeta_max: node 5 dry
+      o.writeDouble(if (n == 5) Fill else 900.0 + n))
     (0 until T).foreach { t =>                              // records: time, zeta
       o.writeDouble(t * 3600.0)
       (0 until N).foreach(n => o.writeDouble(zeta(t, n)))
@@ -98,9 +125,66 @@ class IngestSpec extends SparkSpec {
     val series = Ingest.series(spark, dir).collect()
     assert(series.length === T * N)
     series.foreach { r =>
-      assert(r.getAs[Double]("value") ===
-        zeta(r.getAs[Long]("ts").toInt, r.getAs[Long]("node_id").toInt))
+      val t = r.getAs[Long]("ts").toInt; val n = r.getAs[Long]("node_id").toInt
+      if (dry((t, n))) assert(r.isNullAt(r.fieldIndex("value")), s"dry ($t,$n) must be null")
+      else assert(r.getAs[Double]("value") === zeta(t, n))
     }
+  }
+
+  test("_FillValue mask→null: dry nodes become NULL, never the sentinel") {
+    val dir = Files.createTempDirectory("graft_ingest_fill").toString
+    val nc = s"$dir/fort63.nc"
+    writeFixture(nc)
+    Ingest.fort63ToParquet(spark, nc, dir)
+    import org.apache.spark.sql.functions.col
+    val s = Ingest.series(spark, dir)
+    // the sentinel itself must never surface (the reference's masked-array
+    // semantics, adcirc_utilities.py:30)
+    assert(s.filter(col("value") === Fill).count() === 0)
+    assert(s.filter(col("value").isNull).count() === dry.size.toLong)
+    // and the masked cells are exactly the dry ones
+    val nulls = s.filter(col("value").isNull).collect()
+      .map(r => (r.getAs[Long]("ts").toInt, r.getAs[Long]("node_id").toInt)).toSet
+    assert(nulls === dry)
+    // fixed-var path masks too (zeta_max node 5)
+    assert(Ingest.varToParquet(spark, nc, dir, "zeta_max") === "zeta_max")
+    val mx = spark.read.parquet(s"$dir/zeta_max")
+    assert(mx.filter(col("value").isNull).count() === 1)
+    assert(mx.filter(col("value") === Fill).count() === 0)
+  }
+
+  test("CF time decoding: units attr → real UTC instants + COG labels") {
+    val dir = Files.createTempDirectory("graft_ingest_time").toString
+    val nc = s"$dir/fort63.nc"
+    writeFixture(nc)
+    Ingest.fort63ToParquet(spark, nc, dir)
+    val times = Ingest.times(spark, dir).collect().sortBy(_.getAs[Long]("ts"))
+    assert(times.length === T)
+    // epoch 2008-09-09T00:00:00Z = 1220918400; record t is t*3600 seconds later
+    times.zipWithIndex.foreach { case (r, t) =>
+      assert(r.getAs[Double]("t_raw") === t * 3600.0)
+      assert(r.getAs[java.sql.Timestamp]("t_utc").toInstant.getEpochSecond
+               === 1220918400L + t * 3600L)
+    }
+    val labels = Ingest.timeLabels(spark, dir)
+    assert(labels(0L) === "20080909T000000")
+    assert(labels(3L) === "20080909T030000")
+    assert(labels.values.forall(_.matches("[0-9]{8}T[0-9]{6}")),
+           "labels must match the timeregex.properties contract")
+  }
+
+  test("CF units parser covers the published spellings") {
+    assert(NetCdf3.parseTimeUnits("seconds since 2008-09-09 00:00:00 UTC")
+             === Some((1.0, 1220918400L)))
+    assert(NetCdf3.parseTimeUnits("hours since 2008-09-09T06:00:00Z")
+             === Some((3600.0, 1220940000L)))
+    assert(NetCdf3.parseTimeUnits("days since 1970-01-01") === Some((86400.0, 0L)))
+    assert(NetCdf3.parseTimeUnits("min since 2000-01-01 12:30")
+             === Some((60.0, 946729800L)))
+    assert(NetCdf3.parseTimeUnits("sec since 2008-09-09 00:00:00.000000 UTC")
+             === Some((1.0, 1220918400L)))
+    assert(NetCdf3.parseTimeUnits("furlongs since yesterday") === None)
+    assert(NetCdf3.parseTimeUnits("meters") === None)
   }
 
   test("1-D/2-D variable dispatch: record var -> long-form, fixed var -> static nodal") {
@@ -126,6 +210,78 @@ class IngestSpec extends SparkSpec {
       .join(Ingest.elements(spark, dir),
             org.apache.spark.sql.functions.col("node_id") === org.apache.spark.sql.functions.col("n1"))
     assert(joined.count() > 0)
+  }
+
+  test("HTTP range-request ingest: same file over a Range-honoring server") {
+    val dir = Files.createTempDirectory("graft_ingest_http").toString
+    val nc = s"$dir/fort63.nc"
+    writeFixture(nc)
+    val bytes = Files.readAllBytes(Paths.get(nc))
+
+    // local fixture server: HEAD → Content-Length, GET+Range → 206 slice
+    // (the access shape of a THREDDS fileServer / S3 / any static host)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/fort63.nc", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      ex.getRequestMethod match {
+        case "HEAD" =>
+          ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.close()
+        case "GET" =>
+          range match {
+            case Some(r) =>
+              val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+              val slice = java.util.Arrays.copyOfRange(bytes, a.toInt, b.toInt + 1)
+              ex.getResponseHeaders.set("Content-Range", s"bytes $a-$b/${bytes.length}")
+              ex.sendResponseHeaders(206, slice.length.toLong)
+              ex.getResponseBody.write(slice); ex.getResponseBody.close()
+            case None =>
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+          }
+        case _ => ex.sendResponseHeaders(405, -1); ex.getResponseBody.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/fort63.nc"
+      val outDir = Files.createTempDirectory("graft_ingest_http_out").toString
+      Ingest.fort63ToParquet(spark, url, outDir)
+      assert(Ingest.nodes(spark, outDir).count() === N)
+      assert(Ingest.series(spark, outDir).count() === (T * N).toLong)
+      // byte-identical to the local-file ingest, including the null mask
+      val localDir = Files.createTempDirectory("graft_ingest_local").toString
+      Ingest.fort63ToParquet(spark, nc, localDir)
+      val local = Ingest.series(spark, localDir).collect()
+        .map(r => (r.getAs[Long]("ts"), r.getAs[Long]("node_id"),
+                   if (r.isNullAt(2)) null else r.getAs[Double]("value"))).toSet
+      val remote = Ingest.series(spark, outDir).collect()
+        .map(r => (r.getAs[Long]("ts"), r.getAs[Long]("node_id"),
+                   if (r.isNullAt(2)) null else r.getAs[Double]("value"))).toSet
+      assert(remote === local)
+    } finally server.stop(0)
+  }
+
+  test("STREAMING numrecs sentinel and HDF5 magic fail with actionable errors") {
+    val dir = Files.createTempDirectory("graft_ingest_err").toString
+    // STREAMING: numrecs = 0xFFFFFFFF
+    val streaming = Array[Byte]('C', 'D', 'F', 1, -1, -1, -1, -1) ++ new Array[Byte](32)
+    Files.write(Paths.get(s"$dir/streaming.nc"), streaming)
+    val e1 = intercept[IllegalArgumentException] {
+      val r = RangeReader.open(s"$dir/streaming.nc")
+      try NetCdf3.parseHeader(r) finally r.close()
+    }
+    assert(e1.getMessage.contains("STREAMING"))
+    // NetCDF-4/HDF5 container magic
+    val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n') ++ new Array[Byte](32)
+    Files.write(Paths.get(s"$dir/v4.nc"), hdf5)
+    val e2 = intercept[IllegalArgumentException] {
+      val r = RangeReader.open(s"$dir/v4.nc")
+      try NetCdf3.parseHeader(r) finally r.close()
+    }
+    assert(e2.getMessage.contains("HDF5"))
   }
 
   test("CDF-2 (64-bit offset) variant parses identically") {

@@ -116,7 +116,7 @@ class RasterSinkSpec extends SparkSpec {
         val v = r.getAs[Double]("value")
         expected.get(key) match {
           case Some(e) => assert(v === e, s"$sub $key")
-          case None => assert(v === 0.0, s"$sub $key should be nodata 0")
+          case None => assert(v.isNaN, s"$sub $key should be NaN nodata")
         }
       }
     }
@@ -150,5 +150,63 @@ class RasterSinkSpec extends SparkSpec {
     val idx = RasterSink.mosaicIndex(spark, "fort_63_zeta").collect()
     assert(idx.length === graft.operators.Interp.T)
     assert(idx.forall(_.getAs[String]("fname").matches("fort_63_zeta_[0-9]{8}T[0-9]{6}Z\\.tiff")))
+  }
+
+  test("mosaic index from an ingested time axis carries the REAL instants") {
+    import spark.implicits._
+    // 2008-09-09T00:00:00Z epoch, half-hourly records — as Ingest writes it
+    val times = Seq(
+      (0L, 0.0, Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1220918400L)))),
+      (1L, 1800.0, Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1220920200L)))),
+      (2L, 3600.0, None)) // undecodable instant → excluded, not fabricated
+      .toDF("ts", "t_raw", "t_utc")
+    val idx = RasterSink.mosaicIndexFromTimes(times, "fort_63_zeta").collect()
+    assert(idx.map(_.getAs[String]("fname")).toSeq === Seq(
+      "fort_63_zeta_20080909T000000Z.tiff", "fort_63_zeta_20080909T003000Z.tiff"))
+  }
+
+  test("COG GDAL_NODATA is 'nan' and the overview skips NaN, not zeta==0") {
+    // 4x4 grid where 0.0 is REAL data (zeta at datum) and NaN is nodata:
+    //   block(0,0) = [NaN, 0, 5, 6]   -> overview 0.0 (NOT a hole: the old
+    //                                    0-sentinel rule returned NaN here)
+    //   block(0,1) = all NaN          -> overview NaN
+    //   block(1,0) = [7, 8, 9, 10]    -> overview 7
+    //   block(1,1) = all real 0.0     -> overview 0.0
+    val w = 4; val h = 4
+    val vals = Array[Float](
+      Float.NaN, 0f,  Float.NaN, Float.NaN,
+      5f,        6f,  Float.NaN, Float.NaN,
+      7f,        8f,  0f,        0f,
+      9f,        10f, 0f,        0f)
+    val bytes = graft.plans.GeoTiff.encodeCog(w, h, vals, 0, 0, 1.0, tile = 16)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // GDAL_NODATA (42113) in IFD0 must be ASCII "nan"
+    val ifd0 = buf.getInt(4)
+    buf.position(ifd0)
+    val n0 = buf.getShort()
+    val entries0 = (0 until n0).map { i =>
+      val base = ifd0 + 2 + i * 12
+      (buf.getShort(base) & 0xffff) -> base
+    }.toMap
+    val vb = entries0(42113) + 8
+    assert(new String(Array(bytes(vb), bytes(vb + 1), bytes(vb + 2))) === "nan")
+    // base image round-trips including NaN cells
+    val (_, _, base, (ovW, ovH), _) = graft.plans.GeoTiff.decodeCog(bytes)
+    assert(ovW === 2 && ovH === 2)
+    assert(base.zip(vals).forall { case (a, b) => (a.isNaN && b.isNaN) || a === b })
+    // decode the overview tile straight from IFD1 (single 16x16 tile)
+    val ifd1 = buf.getInt(ifd0 + 2 + n0 * 12)
+    buf.position(ifd1)
+    val n1 = buf.getShort()
+    val entries1 = (0 until n1).map { i =>
+      val base1 = ifd1 + 2 + i * 12
+      (buf.getShort(base1) & 0xffff) -> buf.getInt(base1 + 8)
+    }.toMap
+    val tileAt = entries1(324) // TileOffsets, count 1 → inline offset
+    def ov(oy: Int, ox: Int): Float = buf.getFloat(tileAt + (oy * 16 + ox) * 4)
+    assert(ov(0, 0) === 0f, "NaN-then-real-0 block keeps the real 0")
+    assert(ov(0, 1).isNaN, "all-NaN block stays nodata")
+    assert(ov(1, 0) === 7f)
+    assert(ov(1, 1) === 0f, "all-zero block is real data, not a hole")
   }
 }

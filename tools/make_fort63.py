@@ -17,8 +17,21 @@ def name(s):
     b = s.encode()
     return struct.pack(">i", len(b)) + pad4(b)
 
-NC_DIM, NC_VAR = 0x0A, 0x0B
-NC_INT, NC_DOUBLE = 4, 6
+NC_DIM, NC_VAR, NC_ATTR = 0x0A, 0x0B, 0x0C
+NC_CHAR, NC_INT, NC_DOUBLE = 2, 4, 6
+FILL = -99999.0
+
+def attr_list(attrs):
+    if not attrs:
+        return struct.pack(">ii", 0, 0)
+    out = struct.pack(">ii", NC_ATTR, len(attrs))
+    for k, v in attrs:
+        out += name(k)
+        if isinstance(v, str):
+            out += struct.pack(">ii", NC_CHAR, len(v)) + pad4(v.encode())
+        else:
+            out += struct.pack(">ii", NC_DOUBLE, 1) + struct.pack(">d", v)
+    return out
 
 def main():
     out, K, T = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
@@ -32,20 +45,23 @@ def main():
         h += name("node") + struct.pack(">i", N)
         h += name("nele") + struct.pack(">i", M)
         h += name("nvertex") + struct.pack(">i", 3)
-        h += struct.pack(">ii", 0, 0)  # no global attrs
+        h += attr_list([("Conventions", "CF-1.6")])
         h += struct.pack(">ii", NC_VAR, 5)
-        def var(nm, dims, typ, vsize):
+        def var(nm, dims, typ, vsize, attrs=()):
             v = name(nm) + struct.pack(">i", len(dims))
             for d in dims:
                 v += struct.pack(">i", d)
-            v += struct.pack(">ii", 0, 0)  # no attrs
+            v += attr_list(list(attrs))
             v += struct.pack(">iii", typ, vsize, begins.get(nm, 0))
             return v
         h += var("x", [1], NC_DOUBLE, N * 8)
         h += var("y", [1], NC_DOUBLE, N * 8)
         h += var("element", [2, 3], NC_INT, M * 3 * 4)
-        h += var("time", [0], NC_DOUBLE, 8)
-        h += var("zeta", [0, 1], NC_DOUBLE, N * 8)
+        h += var("time", [0], NC_DOUBLE, 8,
+                 attrs=[("units", "seconds since 2008-09-09 00:00:00 UTC"),
+                        ("base_date", "2008-09-09 00:00:00")])
+        h += var("zeta", [0, 1], NC_DOUBLE, N * 8,
+                 attrs=[("_FillValue", FILL)])
         return h
 
     hlen = len(header({}))
@@ -76,7 +92,9 @@ def main():
         f.write(ele.tobytes())
         for t in range(T):
             f.write(struct.pack(">d", t * 3600.0))
-            z = array.array("d", (math.sin(0.01 * i + 0.5 * t) * 10.0 for i in range(N)))
+            # ~0.1% deterministic dry nodes carry the ADCIRC fill sentinel
+            z = array.array("d", (FILL if i % 997 == 0 else
+                                  math.sin(0.01 * i + 0.5 * t) * 10.0 for i in range(N)))
             if sys.byteorder == "little":
                 z.byteswap()
             f.write(z.tobytes())
