@@ -1,0 +1,520 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal pure-JVM read-only HDF5 subset — the container behind
+  * NetCDF-4, the reference's production input format (`fort.63.nc` is
+  * opened with `xr.open_dataset`,
+  * /root/reference/run/utilities/adcirc_dask_utilities.py:36-44; ASGS
+  * writes NetCDF-4/HDF5). No codec library exists in this build
+  * environment, so the subset a netcdf-c-written file needs is
+  * implemented directly against the public HDF5 File Format
+  * Specification (v3):
+  *
+  *  - superblock v0/v1 (what netcdf-c writes by default) and v2/v3
+  *  - object headers v1 and v2 ("OHDR"), with continuation blocks
+  *  - old-style groups: symbol-table message → B-tree v1 (node type 0)
+  *    → SNOD entries → local heap names (netcdf-c's layout), and
+  *    new-style COMPACT groups (Link messages); dense/fractal-heap
+  *    groups fail with a clear error
+  *  - messages: dataspace (v1/v2), datatype (fixed-point, IEEE float,
+  *    string), data layout v3 (compact / contiguous / chunked),
+  *    attribute (v1/v2/v3)
+  *  - chunked raw data via the v1 B-tree (node type 1), UNFILTERED
+  *    (netcdf-c compresses only when the producer asks; ADCIRC/ASGS
+  *    fort.63.nc files are written uncompressed). Filtered chunks fail
+  *    with the filter id in the message.
+  *
+  * Scale shape: identical to [[NetCdf3]] — metadata is a handful of KB
+  * parsed per-task from a few small ranged reads; bulk data reads are
+  * offset-addressable (contiguous rows by arithmetic, chunked rows via
+  * the cached chunk index), so [[Ingest]] stripes record reads across
+  * executors through [[RangeReader]] (local file or HTTP Range) with no
+  * shared state.
+  */
+object Hdf5 {
+
+  private val Undef = -1L // 0xFFFF... = "undefined address"
+
+  case class Attr(name: String, nums: Array[Double], str: String)
+
+  sealed trait Layout
+  case class Compact(data: Array[Byte]) extends Layout
+  case class Contiguous(addr: Long, size: Long) extends Layout
+  /** `chunkDims` excludes the spec's trailing element-size dimension. */
+  case class Chunked(btreeAddr: Long, chunkDims: Array[Int]) extends Layout
+
+  /** clazz: 0 fixed-point, 1 IEEE float, 3 string. */
+  case class Dtype(clazz: Int, size: Int, littleEndian: Boolean, signed: Boolean)
+
+  case class Dataset(name: String, shape: Array[Long], unlimitedFirst: Boolean,
+                     dtype: Dtype, layout: Layout, attrs: Map[String, Attr]) {
+    def rank: Int = shape.length
+    def rowElems: Long = if (rank <= 1) 1L else shape.drop(1).product
+    def fillValue: Option[Double] =
+      attrs.get("_FillValue").orElse(attrs.get("missing_value")).flatMap(_.nums.headOption)
+  }
+
+  def open(r: RangeReader): Hdf5File = new Hdf5File(r)
+
+  /** One entry of a chunk index: logical offsets (per dim, element
+    * units), stored byte size, file address. */
+  private[sources] case class Chunk(offsets: Array[Long], size: Int, addr: Long)
+
+  // ---------------------------------------------------------------------
+
+  final class Hdf5File(r: RangeReader) extends AutoCloseable {
+
+    private def bytesAt(off: Long, n: Int): ByteBuffer = {
+      val a = new Array[Byte](n)
+      r.readFully(off, a)
+      ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN) // HDF5 metadata is LE
+    }
+
+    // ---- superblock ----------------------------------------------------
+
+    private val sbOffset: Long = {
+      // the signature sits at 0 (netcdf) or 512 << n for user blocks
+      val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+      def sigAt(off: Long): Boolean = off + 8 <= r.length && {
+        val b = new Array[Byte](8); r.readFully(off, b); b.sameElements(sig)
+      }
+      Iterator.iterate(512L)(_ * 2).take(12).foldLeft(if (sigAt(0)) Some(0L) else None) {
+        (acc, off) => acc.orElse(if (sigAt(off)) Some(off) else None)
+      }.getOrElse(throw new IllegalArgumentException("no HDF5 superblock signature"))
+    }
+
+    /** Address of the root group's object header. */
+    private val rootAddr: Long = {
+      val b = bytesAt(sbOffset, 128)
+      b.position(8)
+      val ver = b.get()
+      ver match {
+        case 0 | 1 =>
+          b.position(13)
+          val sizeOff = b.get(); val sizeLen = b.get()
+          require(sizeOff == 8 && sizeLen == 8,
+            s"unsupported offset/length sizes $sizeOff/$sizeLen (only 8 handled)")
+          // v0: root symbol-table entry at +24+32; v1 inserts 4 bytes
+          val entryAt = sbOffset + (if (ver == 0) 24 else 28) + 32
+          bytesAt(entryAt + 8, 8).getLong // entry: nameOffset(8), OH addr(8)
+        case 2 | 3 =>
+          val sizeOff = b.get(); val sizeLen = b.get()
+          require(sizeOff == 8 && sizeLen == 8,
+            s"unsupported offset/length sizes $sizeOff/$sizeLen (only 8 handled)")
+          b.get() // flags
+          b.getLong; b.getLong; b.getLong // base, extension, eof
+          b.getLong // root OH address
+          bytesAt(sbOffset + 12 + 24, 8).getLong
+        case v => throw new IllegalArgumentException(s"unsupported HDF5 superblock version $v")
+      }
+    }
+
+    // ---- object headers -------------------------------------------------
+
+    private case class Msg(typ: Int, body: Array[Byte])
+
+    /** All messages of the object header at `addr`, following
+      * continuation blocks, v1 and v2 forms. */
+    private def readMessages(addr: Long): Seq[Msg] = {
+      val head = bytesAt(addr, 16)
+      val first = head.get(0)
+      if (first == 1) readMessagesV1(addr)
+      else {
+        val sig = new Array[Byte](4); head.position(0); head.get(sig)
+        require(new String(sig, "US-ASCII") == "OHDR",
+          s"unrecognized object header at $addr")
+        readMessagesV2(addr)
+      }
+    }
+
+    private def readMessagesV1(addr: Long): Seq[Msg] = {
+      val pre = bytesAt(addr, 16)
+      pre.get(); pre.get()
+      val nMsgs = pre.getShort() & 0xffff
+      pre.getInt() // ref count
+      val hdrSize = pre.getInt()
+      val out = Seq.newBuilder[Msg]
+      var taken = 0
+      // (blockAddr, blockLen) queue; continuations are raw v1 msg streams
+      var blocks = List((addr + 16, hdrSize.toLong))
+      while (taken < nMsgs && blocks.nonEmpty) {
+        val (bAddr, bLen) = blocks.head
+        blocks = blocks.tail
+        val b = bytesAt(bAddr, bLen.toInt)
+        while (taken < nMsgs && b.remaining() >= 8) {
+          val typ = b.getShort() & 0xffff
+          val size = b.getShort() & 0xffff
+          b.get(); b.get(); b.get(); b.get() // flags + reserved
+          val body = new Array[Byte](size); b.get(body)
+          taken += 1
+          if (typ == 0x0010) {
+            val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+            blocks = blocks :+ ((cb.getLong, cb.getLong))
+          } else out += Msg(typ, body)
+        }
+      }
+      out.result()
+    }
+
+    private def readMessagesV2(addr: Long): Seq[Msg] = {
+      val pre = bytesAt(addr, 16)
+      pre.position(4)
+      require(pre.get() == 2, "OHDR version != 2")
+      val flags = pre.get() & 0xff
+      var at = addr + 6
+      if ((flags & 0x20) != 0) at += 16 // times
+      if ((flags & 0x10) != 0) at += 4  // storage phase
+      val szLen = 1 << (flags & 3)
+      val chunk0 = szLen match {
+        case 1 => bytesAt(at, 1).get() & 0xffL
+        case 2 => bytesAt(at, 2).getShort() & 0xffffL
+        case 4 => bytesAt(at, 4).getInt() & 0xffffffffL
+        case _ => bytesAt(at, 8).getLong
+      }
+      at += szLen
+      val creationOrder = (flags & 0x04) != 0
+      val out = Seq.newBuilder[Msg]
+      // (blockStart, messagesLen) — v2 continuation blocks carry an OCHK
+      // signature before the messages and a checksum after
+      var blocks = List((at, chunk0))
+      while (blocks.nonEmpty) {
+        val (bAddr, bLen) = blocks.head
+        blocks = blocks.tail
+        val b = bytesAt(bAddr, bLen.toInt)
+        val hdrLen = if (creationOrder) 6 else 4
+        // trailing 4 bytes of every block are its checksum
+        while (b.remaining() > 4 + hdrLen - 1) {
+          val typ = b.get() & 0xff
+          val size = b.getShort() & 0xffff
+          b.get() // msg flags
+          if (creationOrder) b.getShort()
+          if (size > b.remaining() - 4) { b.position(b.limit()) } // gap
+          else {
+            val body = new Array[Byte](size); b.get(body)
+            if (typ == 0x0010) {
+              val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+              val cAddr = cb.getLong; val cLen = cb.getLong
+              // skip the 4-byte OCHK signature; len includes sig+checksum
+              blocks = blocks :+ ((cAddr + 4, cLen - 4))
+            } else out += Msg(typ, body)
+          }
+        }
+      }
+      out.result()
+    }
+
+    // ---- message decoders -----------------------------------------------
+
+    /** (currentDims, firstDimUnlimited) */
+    private def parseDataspace(body: Array[Byte]): (Array[Long], Boolean) = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = b.get()
+      val rank = b.get() & 0xff
+      val flags = b.get() & 0xff
+      if (ver == 1) { b.get(); b.getInt() } // reserved
+      else b.get() // v2: dataspace type
+      val dims = Array.fill(rank)(b.getLong)
+      val unlimitedFirst = (flags & 1) != 0 && rank > 0 && {
+        val max0 = b.getLong // first max dim
+        max0 == Undef
+      }
+      (dims, unlimitedFirst)
+    }
+
+    private def parseDatatype(body: Array[Byte]): Dtype = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val b0 = b.get() & 0xff
+      val clazz = b0 & 0x0f
+      val bits0 = b.get() & 0xff; b.get(); b.get()
+      val size = b.getInt()
+      Dtype(clazz, size, littleEndian = (bits0 & 1) == 0, signed = (bits0 & 8) != 0)
+    }
+
+    private def parseLayout(body: Array[Byte]): Layout = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = b.get()
+      require(ver == 3, s"data layout message version $ver unsupported (netcdf-c writes v3)")
+      b.get() & 0xff match {
+        case 0 =>
+          val n = b.getShort() & 0xffff
+          val d = new Array[Byte](n); b.get(d); Compact(d)
+        case 1 => Contiguous(b.getLong, b.getLong)
+        case 2 =>
+          val dimensionality = b.get() & 0xff // rank + 1 (elem-size dim)
+          val btree = b.getLong
+          val dims = Array.fill(dimensionality)(b.getInt)
+          Chunked(btree, dims.dropRight(1))
+        case c => throw new IllegalArgumentException(s"layout class $c unsupported")
+      }
+    }
+
+    private def pad8(n: Int): Int = (n + 7) & ~7
+
+    private def parseAttr(body: Array[Byte]): Attr = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = b.get() & 0xff
+      val flags = if (ver >= 2) b.get() & 0xff else { b.get(); 0 }
+      val nameSize = b.getShort() & 0xffff
+      val dtSize = b.getShort() & 0xffff
+      val dsSize = b.getShort() & 0xffff
+      if (ver == 3) b.get() // name character-set encoding
+      val padded = ver == 1
+      def chunk(n: Int): Array[Byte] = {
+        val take = if (padded) pad8(n) else n
+        val a = new Array[Byte](take); b.get(a); a.take(n)
+      }
+      val nameRaw = chunk(nameSize)
+      val name = new String(nameRaw.takeWhile(_ != 0), "UTF-8")
+      val dtBytes = chunk(dtSize)
+      val dsBytes = chunk(dsSize)
+      if ((flags & 1) != 0) return Attr(name, Array.empty, "") // shared dtype: skip
+      val (dims, _) = parseDataspace(dsBytes)
+      val count = if (dims.isEmpty) 1L else dims.product
+      val dt = parseDatatype(dtBytes)
+      val data = new Array[Byte](b.remaining()); b.get(data)
+      dt.clazz match {
+        case 0 | 1 =>
+          val n = math.min(count, data.length.toLong / math.max(dt.size, 1)).toInt
+          Attr(name, decodeNums(data, dt, n), "")
+        case 3 =>
+          Attr(name, Array.empty, new String(data.takeWhile(_ != 0), "UTF-8"))
+        case _ => Attr(name, Array.empty, "") // vlen/reference/compound: opaque
+      }
+    }
+
+    // ---- groups ----------------------------------------------------------
+
+    private def heapString(heapAddr: Long, offset: Long): String = {
+      val h = bytesAt(heapAddr, 32)
+      val sig = new Array[Byte](4); h.get(sig)
+      require(new String(sig, "US-ASCII") == "HEAP", s"bad local heap at $heapAddr")
+      h.position(24)
+      val dataAddr = h.getLong
+      // names are short; read a bounded window and cut at NUL
+      val n = math.min(256L, r.length - (dataAddr + offset)).toInt
+      val raw = new Array[Byte](n); r.readFully(dataAddr + offset, raw)
+      new String(raw.takeWhile(_ != 0), "UTF-8")
+    }
+
+    /** (name, objectHeaderAddress) pairs of the group's children. */
+    private def groupLinks(msgs: Seq[Msg]): Seq[(String, Long)] = {
+      val viaSymtab = msgs.find(_.typ == 0x0011).map { m =>
+        val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
+        val btree = b.getLong; val heap = b.getLong
+        walkGroupBtree(btree, heap)
+      }
+      val linkMsgs = msgs.filter(_.typ == 0x0006).map(m => parseLink(m.body))
+      msgs.find(_.typ == 0x0002).foreach { m => // Link Info: dense check
+        val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
+        b.get(); val flags = b.get() & 0xff
+        if ((flags & 1) != 0) b.getLong
+        val fheap = b.getLong
+        require(fheap == Undef || linkMsgs.nonEmpty,
+          "dense (fractal-heap) group links unsupported — rewrite without the 'latest' format flag")
+      }
+      viaSymtab.getOrElse(Seq.empty) ++ linkMsgs
+    }
+
+    private def parseLink(body: Array[Byte]): (String, Long) = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      require(b.get() == 1, "link message version != 1")
+      val flags = b.get() & 0xff
+      val linkType = if ((flags & 8) != 0) b.get() & 0xff else 0
+      if ((flags & 4) != 0) b.getLong // creation order
+      if ((flags & 16) != 0) b.get()  // charset
+      val nameLen = (flags & 3) match {
+        case 0 => b.get() & 0xffL
+        case 1 => b.getShort() & 0xffffL
+        case 2 => b.getInt() & 0xffffffffL
+        case _ => b.getLong
+      }
+      val name = { val a = new Array[Byte](nameLen.toInt); b.get(a); new String(a, "UTF-8") }
+      require(linkType == 0, s"non-hard link '$name' unsupported")
+      (name, b.getLong)
+    }
+
+    private def walkGroupBtree(btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
+      val head = bytesAt(btreeAddr, 24)
+      val sig = new Array[Byte](4); head.get(sig)
+      require(new String(sig, "US-ASCII") == "TREE", s"bad group B-tree node at $btreeAddr")
+      require(head.get() == 0, "B-tree node type != group")
+      val level = head.get() & 0xff
+      val used = head.getShort() & 0xffff
+      // entries: key0, child0, key1, child1, ..., keyN — keys are heap
+      // offsets (8), children addresses (8); we only need the children
+      val body = bytesAt(btreeAddr + 24, (2 * used + 1) * 8)
+      val children = (0 until used).map { i =>
+        body.position((2 * i + 1) * 8); body.getLong
+      }
+      if (level > 0) children.flatMap(walkGroupBtree(_, heapAddr))
+      else children.flatMap(readSnod(_, heapAddr))
+    }
+
+    private def readSnod(addr: Long, heapAddr: Long): Seq[(String, Long)] = {
+      val head = bytesAt(addr, 8)
+      val sig = new Array[Byte](4); head.get(sig)
+      require(new String(sig, "US-ASCII") == "SNOD", s"bad symbol node at $addr")
+      head.get()
+      head.get()
+      val n = head.getShort() & 0xffff
+      val body = bytesAt(addr + 8, n * 40)
+      (0 until n).map { _ =>
+        val nameOff = body.getLong
+        val oh = body.getLong
+        body.position(body.position() + 24) // cache type + reserved + scratch
+        (heapString(heapAddr, nameOff), oh)
+      }
+    }
+
+    // ---- datasets ---------------------------------------------------------
+
+    /** Every dataset reachable from the root group (one level — the
+      * NetCDF-4 classic model keeps all variables in the root group). */
+    val datasets: Map[String, Dataset] = {
+      val rootMsgs = readMessages(rootAddr)
+      groupLinks(rootMsgs).flatMap { case (name, ohAddr) =>
+        val msgs = readMessages(ohAddr)
+        for {
+          ds <- msgs.find(_.typ == 0x0001).map(m => parseDataspace(m.body))
+          dt <- msgs.find(_.typ == 0x0003).map(m => parseDatatype(m.body))
+          lo <- msgs.find(_.typ == 0x0008).map(m => parseLayout(m.body))
+        } yield {
+          val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttr(m.body))
+          name -> Dataset(name, ds._1, ds._2, dt, lo,
+            attrs.map(a => a.name -> a).toMap)
+        }
+      }.toMap
+    }
+
+    // chunk indexes are walked once per dataset and cached (per-task
+    // readers pull many rows from the same chunked variable)
+    private val chunkIndex = scala.collection.mutable.Map.empty[String, Seq[Chunk]]
+
+    private def chunksOf(ds: Dataset): Seq[Chunk] = chunkIndex.getOrElseUpdate(ds.name, {
+      val Chunked(btree, chunkDims) = (ds.layout: @unchecked)
+      val dimensionality = chunkDims.length + 1
+      def walk(addr: Long): Seq[Chunk] = {
+        if (addr == Undef) return Seq.empty
+        val head = bytesAt(addr, 24)
+        val sig = new Array[Byte](4); head.get(sig)
+        require(new String(sig, "US-ASCII") == "TREE", s"bad chunk B-tree node at $addr")
+        require(head.get() == 1, "B-tree node type != raw data chunk")
+        val level = head.get() & 0xff
+        val used = head.getShort() & 0xffff
+        val keySize = 8 + 8 * dimensionality
+        val body = bytesAt(addr + 24, used * (keySize + 8) + keySize)
+        (0 until used).flatMap { _ =>
+          val size = body.getInt()
+          val filterMask = body.getInt()
+          require(filterMask == 0 || level > 0, s"filtered chunk (mask $filterMask) unsupported")
+          val offsets = Array.fill(dimensionality)(body.getLong)
+          val child = body.getLong
+          if (level > 0) walk(child)
+          else Seq(Chunk(offsets.dropRight(1), size, child))
+        }
+      }
+      walk(btree)
+    })
+
+    private def decodeNums(bytes: Array[Byte], dt: Dtype, count: Int): Array[Double] = {
+      val b = ByteBuffer.wrap(bytes)
+        .order(if (dt.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      val out = new Array[Double](count)
+      var i = 0
+      while (i < count) {
+        out(i) = (dt.clazz, dt.size) match {
+          case (1, 8) => b.getDouble(i * 8)
+          case (1, 4) => b.getFloat(i * 4).toDouble
+          case (0, 8) => b.getLong(i * 8).toDouble
+          case (0, 4) =>
+            if (dt.signed) b.getInt(i * 4).toDouble else (b.getInt(i * 4) & 0xffffffffL).toDouble
+          case (0, 2) =>
+            if (dt.signed) b.getShort(i * 2).toDouble else (b.getShort(i * 2) & 0xffff).toDouble
+          case (0, 1) => if (dt.signed) bytes(i).toDouble else (bytes(i) & 0xff).toDouble
+          case (c, s) => throw new IllegalArgumentException(s"datatype class $c size $s")
+        }
+        i += 1
+      }
+      out
+    }
+
+    /** Read a whole dataset, flattened row-major (the [[NetCdf3.readFixed]]
+      * contract). Rank ≤ 2. */
+    def readAll(ds: Dataset): Array[Double] = {
+      val total = math.max(1L, ds.shape.product).toInt
+      ds.layout match {
+        case Compact(data) => decodeNums(data, ds.dtype, total)
+        case Contiguous(addr, _) =>
+          if (addr == Undef) new Array[Double](total) // never allocated
+          else {
+            val raw = new Array[Byte](total * ds.dtype.size)
+            r.readFully(addr, raw)
+            decodeNums(raw, ds.dtype, total)
+          }
+        case Chunked(_, chunkDims) =>
+          val out = new Array[Double](total)
+          val nCols = if (ds.rank <= 1) 1L else ds.shape(1)
+          chunksOf(ds).foreach { c =>
+            val raw = new Array[Byte](c.size); r.readFully(c.addr, raw)
+            val vals = decodeNums(raw, ds.dtype, c.size / ds.dtype.size)
+            // scatter the chunk into the row-major output, clipping edge
+            // chunks (HDF5 allocates full chunks past the dataset extent)
+            val cr = chunkDims(0)
+            val cc = if (ds.rank <= 1) 1 else chunkDims(1)
+            var lr = 0
+            while (lr < cr && c.offsets(0) + lr < ds.shape(0)) {
+              val row = c.offsets(0) + lr
+              var lc = 0
+              val colBase = if (ds.rank <= 1) 0L else c.offsets(1)
+              while (lc < cc && colBase + lc < nCols) {
+                out((row * nCols + colBase + lc).toInt) = vals(lr * cc + lc)
+                lc += 1
+              }
+              lr += 1
+            }
+          }
+          out
+      }
+    }
+
+    /** Read one slice along the first dimension (one record of a
+      * (time, node) variable) — the [[NetCdf3.readRecord]] contract. */
+    def readRow(ds: Dataset, row: Int): Array[Double] = {
+      val n = ds.rowElems.toInt
+      ds.layout match {
+        case Compact(data) =>
+          decodeNums(data.slice(row * n * ds.dtype.size, (row + 1) * n * ds.dtype.size),
+            ds.dtype, n)
+        case Contiguous(addr, _) =>
+          require(addr != Undef, s"${ds.name}: no storage allocated")
+          val raw = new Array[Byte](n * ds.dtype.size)
+          r.readFully(addr + row.toLong * n * ds.dtype.size, raw)
+          decodeNums(raw, ds.dtype, n)
+        case Chunked(_, chunkDims) =>
+          val out = new Array[Double](n)
+          val cr = chunkDims(0)
+          val cc = if (ds.rank <= 1) 1 else chunkDims(1)
+          val nCols = if (ds.rank <= 1) 1L else ds.shape(1)
+          chunksOf(ds).iterator
+            .filter(c => c.offsets(0) <= row && row < c.offsets(0) + cr)
+            .foreach { c =>
+              val raw = new Array[Byte](c.size); r.readFully(c.addr, raw)
+              val vals = decodeNums(raw, ds.dtype, c.size / ds.dtype.size)
+              val lr = row - c.offsets(0).toInt
+              val colBase = if (ds.rank <= 1) 0L else c.offsets(1)
+              var lc = 0
+              while (lc < cc && colBase + lc < nCols) {
+                // rank-1 row slice is a single element; rank-2 is a row segment
+                val outIdx = if (ds.rank <= 1) 0 else (colBase + lc).toInt
+                out(outIdx) = vals(lr * cc + lc)
+                lc += 1
+              }
+            }
+          out
+      }
+    }
+
+    def close(): Unit = r.close()
+  }
+}

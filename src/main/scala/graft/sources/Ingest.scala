@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** The ingest boundary the reference crosses first on every run:
-  * `fort.63.nc` (ADCIRC mesh + water-surface timeseries, NetCDF-3) →
-  * the long-form Parquet layout every graft operator consumes.
+  * `fort.63.nc` (ADCIRC mesh + water-surface timeseries; classic
+  * NetCDF-3 or NetCDF-4/HDF5 — see [[NcFile]]) → the long-form Parquet
+  * layout every graft operator consumes.
   *
   * Contract (mirrors /root/reference/run/utilities/
   * adcirc_dask_utilities.py:10-44 and SURVEY §2.1 S2):
@@ -42,22 +43,17 @@ object Ingest {
                       eleVar: String = "element", seriesVar: String = "zeta",
                       timeVar: String = "time"): Unit = {
     import s.implicits._
-    val r = RangeReader.open(ncPath)
+    val nc = NcFile.open(ncPath)
     try {
-      val h = NetCdf3.parseHeader(r)
-      def v(name: String) = h.vars.find(_.name == name)
-        .getOrElse(throw new IllegalArgumentException(
-          s"$ncPath has no variable '$name' (has: ${h.vars.map(_.name).mkString(", ")})"))
-
       // nodes: two fixed arrays, mesh-sized — driver read is the right tool
-      val xs = NetCdf3.readFixed(r, h, v(xVar))
-      val ys = NetCdf3.readFixed(r, h, v(yVar))
+      val xs = nc.readFixed(xVar)
+      val ys = nc.readFixed(yVar)
       require(xs.length == ys.length, s"x/y length mismatch: ${xs.length}/${ys.length}")
       xs.indices.map(i => (i.toLong, xs(i), ys(i))).toDF("node_id", "lon", "lat")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes")
 
       // elements: (nele, 3) ints, 1-based in the file → 0-based AT INGEST
-      val ele = NetCdf3.readFixed(r, h, v(eleVar)).map(_.toLong - 1L)
+      val ele = nc.readFixed(eleVar).map(_.toLong - 1L)
       require(ele.length % 3 == 0, s"element var length ${ele.length} not divisible by 3")
       (0 until ele.length / 3)
         .map(e => (e.toLong, ele(3 * e), ele(3 * e + 1), ele(3 * e + 2)))
@@ -65,11 +61,11 @@ object Ingest {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/elements")
 
       // time axis: raw coordinate + decoded UTC instants (if CF units present)
-      timesToParquet(s, r, h, outDir, timeVar)
+      timesToParquet(s, nc, outDir, timeVar)
 
       // series: record variable — parallel record-striped read, fill→null
-      seriesToParquet(s, ncPath, outDir, seriesVar, h.numRecs, v(seriesVar).fillValue)
-    } finally r.close()
+      seriesToParquet(s, ncPath, outDir, seriesVar, nc.numRecs, nc.fillValue(seriesVar))
+    } finally nc.close()
   }
 
   /** Long-form (ts, node_id, value) from a record variable, records
@@ -82,11 +78,9 @@ object Ingest {
     s.range(0, numRecs)
       .repartition(math.min(numRecs, 32))
       .mapPartitions { recs =>
-        val r = RangeReader.open(ncPath)
-        val h = NetCdf3.parseHeader(r)
-        val v = h.vars.find(_.name == seriesVar).get
+        val nc = NcFile.open(ncPath)
         recs.flatMap { rec =>
-          val vals = NetCdf3.readRecord(r, h, v, rec.toInt)
+          val vals = nc.readRecord(seriesVar, rec.toInt)
           vals.indices.iterator.map { i =>
             (rec, i.toLong, if (isMasked(vals(i), fill)) None else Some(vals(i)))
           }
@@ -104,13 +98,13 @@ object Ingest {
   /** Decode the time coordinate to (ts, t_raw, t_utc). `t_utc` is NULL
     * when the variable carries no parseable CF `units` — downstream
     * falls back to record-index naming rather than fabricating instants. */
-  private def timesToParquet(s: SparkSession, r: RangeReader, h: NetCdf3.Header,
+  private def timesToParquet(s: SparkSession, nc: NcFile,
                              outDir: String, timeVar: String): Unit = {
     import s.implicits._
-    h.vars.find(v => v.name == timeVar && v.isRecord).foreach { tv =>
-      val epoch = tv.attrs.get("units").map(_.str).flatMap(NetCdf3.parseTimeUnits)
-      val rows = (0 until h.numRecs).map { rec =>
-        val t = NetCdf3.readRecord(r, h, tv, rec)(0)
+    if (nc.varNames.contains(timeVar) && nc.isRecordVar(timeVar)) {
+      val epoch = nc.strAttr(timeVar, "units").flatMap(NetCdf3.parseTimeUnits)
+      val rows = (0 until nc.numRecs).map { rec =>
+        val t = nc.readRecord(timeVar, rec)(0)
         val utc = epoch.map { case (mult, e0) =>
           java.sql.Timestamp.from(
             java.time.Instant.ofEpochMilli(math.round((e0 + t * mult) * 1000.0)))
@@ -137,23 +131,21 @@ object Ingest {
   def varToParquet(s: SparkSession, ncPath: String, outDir: String,
                    varName: String): String = {
     import s.implicits._
-    val r = RangeReader.open(ncPath)
+    val nc = NcFile.open(ncPath)
     try {
-      val h = NetCdf3.parseHeader(r)
-      val v = h.vars.find(_.name == varName)
-        .getOrElse(throw new IllegalArgumentException(s"no variable '$varName'"))
-      if (v.isRecord) {
-        seriesToParquet(s, ncPath, outDir, varName, h.numRecs, v.fillValue); "series"
+      if (nc.isRecordVar(varName)) {
+        seriesToParquet(s, ncPath, outDir, varName, nc.numRecs, nc.fillValue(varName))
+        "series"
       } else {
-        val vals = NetCdf3.readFixed(r, h, v)
-        val fill = v.fillValue
+        val vals = nc.readFixed(varName)
+        val fill = nc.fillValue(varName)
         vals.indices
           .map(i => (i.toLong, if (isMasked(vals(i), fill)) None else Some(vals(i))))
           .toDF("node_id", "value")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$varName")
         varName
       }
-    } finally r.close()
+    } finally nc.close()
   }
 
   /** Read the ingested layout back (the operators' input contract). */

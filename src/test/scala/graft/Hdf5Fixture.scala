@@ -1,0 +1,403 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Hand-written HDF5 fixture generator — fort.63-shaped NetCDF-4 files
+  * built byte-by-byte against the public HDF5 File Format Specification,
+  * NOT via the reader under test ([[graft.sources.Hdf5]]).
+  *
+  * `writeV0` mirrors what netcdf-c actually emits: superblock v0,
+  * old-style groups (symbol-table message → v1 B-tree → SNOD → local
+  * heap), v1 object headers, contiguous coordinate variables, CHUNKED
+  * record variables (the unlimited time dimension forces chunking in
+  * real files), `_FillValue` and CF `units` attributes.
+  *
+  * `writeV2` covers the modern container: superblock v2, v2 object
+  * headers ("OHDR"), compact Link messages, and a compact-layout
+  * dataset. */
+object Hdf5Fixture {
+
+  private val Undef = -1L
+
+  private final class Buf(cap: Int = 1 << 20) {
+    val bb: ByteBuffer = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN)
+    def pos: Long = bb.position().toLong
+    def align8(): Unit = while (bb.position() % 8 != 0) bb.put(0.toByte)
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  // ---- reusable message bodies (each padded to 8 by the caller) --------
+
+  /** IEEE float64 LE datatype message (full v1 property list). */
+  private def f64Type: Array[Byte] = {
+    val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x11.toByte)                      // version 1, class 1 (float)
+    b.put(0x20.toByte).put(0x3f.toByte).put(0.toByte) // LE, MSB-set norm, sign bit 63
+    b.putInt(8)                             // size
+    b.putShort(0).putShort(64)              // bit offset, precision
+    b.put(52.toByte).put(11.toByte)         // exponent location, size
+    b.put(0.toByte).put(52.toByte)          // mantissa location, size
+    b.putInt(1023)                          // exponent bias
+    b.array()
+  }
+
+  /** int32 datatype message; bigEndian exercises the byte-order bit. */
+  private def i32Type(bigEndian: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x10.toByte)                      // version 1, class 0 (fixed-point)
+    b.put(((if (bigEndian) 1 else 0) | 8).toByte).put(0.toByte).put(0.toByte) // order | signed
+    b.putInt(4)
+    b.putShort(0).putShort(32)              // bit offset, precision
+    b.array()
+  }
+
+  private def strType(len: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x13.toByte)                      // version 1, class 3 (string)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // null-terminated, ASCII
+    b.putInt(len)
+    b.array()
+  }
+
+  /** Dataspace v1. `unlimitedFirst` writes max-dims with H5S_UNLIMITED
+    * in the first position (what netcdf-c does for the time dim). */
+  private def dataspace(dims: Array[Long], unlimitedFirst: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + dims.length * 8 * (if (unlimitedFirst) 2 else 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(dims.length.toByte)
+    b.put((if (unlimitedFirst) 1 else 0).toByte).put(0.toByte).putInt(0)
+    dims.foreach(b.putLong)
+    if (unlimitedFirst) {
+      b.putLong(Undef) // H5S_UNLIMITED
+      dims.drop(1).foreach(b.putLong)
+    }
+    b.array()
+  }
+
+  private def scalarSpace: Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(0)
+    b.array()
+  }
+
+  private def pad8(a: Array[Byte]): Array[Byte] =
+    if (a.length % 8 == 0) a else java.util.Arrays.copyOf(a, (a.length + 7) & ~7)
+
+  /** Attribute message v1: name / datatype / dataspace each padded to 8. */
+  private def attrMsg(name: String, dtype: Array[Byte], dspace: Array[Byte],
+                      data: Array[Byte]): Array[Byte] = {
+    val nameB = (name + "\u0000").getBytes("UTF-8")
+    val b = ByteBuffer.allocate(8 + pad8(nameB).length + pad8(dtype).length +
+      pad8(dspace).length + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(0.toByte)
+    b.putShort(nameB.length.toShort)
+    b.putShort(dtype.length.toShort)
+    b.putShort(dspace.length.toShort)
+    b.put(pad8(nameB)).put(pad8(dtype)).put(pad8(dspace)).put(data)
+    b.array()
+  }
+
+  private def doubleAttr(name: String, v: Double): Array[Byte] = {
+    val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+    attrMsg(name, f64Type, scalarSpace, d)
+  }
+
+  private def stringAttr(name: String, v: String): Array[Byte] =
+    attrMsg(name, strType(v.length + 1), scalarSpace, (v + "\u0000").getBytes("UTF-8"))
+
+  private def contiguousLayout(addr: Long, size: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte).put(1.toByte).putLong(addr).putLong(size)
+    b.array()
+  }
+
+  private def chunkedLayout(btreeAddr: Long, chunkDims: Array[Int], elemSize: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(11 + 4 * (chunkDims.length + 1)).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte).put(2.toByte)
+    b.put((chunkDims.length + 1).toByte)
+    b.putLong(btreeAddr)
+    chunkDims.foreach(b.putInt)
+    b.putInt(elemSize)
+    b.array()
+  }
+
+  private def compactLayout(data: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte).put(0.toByte).putShort(data.length.toShort).put(data)
+    b.array()
+  }
+
+  /** v1 object header: 16-byte prologue + 8-byte-aligned messages. */
+  private def writeObjectHeaderV1(buf: Buf, messages: Seq[(Int, Array[Byte])]): Long = {
+    buf.align8()
+    val addr = buf.pos
+    val padded = messages.map { case (t, body) => (t, pad8(body)) }
+    val hdrSize = padded.map(_._2.length + 8).sum
+    buf.bb.put(1.toByte).put(0.toByte)
+    buf.bb.putShort(messages.length.toShort)
+    buf.bb.putInt(1)        // reference count
+    buf.bb.putInt(hdrSize)
+    buf.bb.putInt(0)        // pad prologue to 16
+    padded.foreach { case (t, body) =>
+      buf.bb.putShort(t.toShort).putShort(body.length.toShort)
+      buf.bb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      buf.bb.put(body)
+    }
+    addr
+  }
+
+  // ---- dataset writers ---------------------------------------------------
+
+  /** Raw little-endian doubles at the current (aligned) position. */
+  private def writeDoubles(buf: Buf, vals: Array[Double]): Long = {
+    buf.align8(); val addr = buf.pos
+    vals.foreach(buf.bb.putDouble)
+    addr
+  }
+
+  private def writeIntsBE(buf: Buf, vals: Array[Int]): Long = {
+    buf.align8(); val addr = buf.pos
+    vals.foreach { v =>
+      buf.bb.put((v >>> 24).toByte).put((v >>> 16).toByte).put((v >>> 8).toByte).put(v.toByte)
+    }
+    addr
+  }
+
+  /** Chunked storage: full-size chunks (HDF5 allocates whole chunks even
+    * past the dataset extent; the overhang is fill) + a level-0 v1
+    * B-tree (node type 1) indexing them. Returns the B-tree address. */
+  private def writeChunks(buf: Buf, shape: Array[Long], chunk: Array[Int],
+                          cellAt: Array[Long] => Double, fillPad: Double): Long = {
+    val rank = shape.length
+    val grid = shape.indices.map(d => ((shape(d) + chunk(d) - 1) / chunk(d)).toInt)
+    val chunkElems = chunk.product
+    val chunkBytes = chunkElems * 8
+    // enumerate chunk origins in row-major grid order
+    val origins = (0 until grid.product).map { gi =>
+      var rem = gi
+      val o = new Array[Long](rank)
+      for (d <- (rank - 1) to 0 by -1) {
+        o(d) = (rem % grid(d)).toLong * chunk(d); rem /= grid(d)
+      }
+      o
+    }
+    val chunkAddrs = origins.map { o =>
+      buf.align8(); val addr = buf.pos
+      val idx = new Array[Long](rank)
+      for (e <- 0 until chunkElems) {
+        var rem = e
+        for (d <- (rank - 1) to 0 by -1) { idx(d) = o(d) + rem % chunk(d); rem /= chunk(d) }
+        val inBounds = (0 until rank).forall(d => idx(d) < shape(d))
+        buf.bb.putDouble(if (inBounds) cellAt(idx) else fillPad)
+      }
+      addr
+    }
+    // B-tree leaf: key_i (chunk size, filter mask, offsets+0) child_i ... key_N
+    buf.align8(); val btree = buf.pos
+    buf.bb.put('T'.toByte).put('R'.toByte).put('E'.toByte).put('E'.toByte)
+    buf.bb.put(1.toByte).put(0.toByte)
+    buf.bb.putShort(origins.length.toShort)
+    buf.bb.putLong(Undef).putLong(Undef)
+    origins.zip(chunkAddrs).foreach { case (o, addr) =>
+      buf.bb.putInt(chunkBytes).putInt(0)
+      o.foreach(buf.bb.putLong); buf.bb.putLong(0L)
+      buf.bb.putLong(addr)
+    }
+    buf.bb.putInt(0).putInt(0) // final key: one past the last chunk
+    shape.foreach(buf.bb.putLong); buf.bb.putLong(0L)
+    btree
+  }
+
+  // ---- fixture content (matches the IngestSpec CDF-1 fixture) ------------
+
+  case class Content(n: Int, m: Int, t: Int, fill: Double,
+                     dry: Set[(Int, Int)], dryMax: Set[Int],
+                     units: String) {
+    def x(i: Int): Double = i * 0.5
+    def y(i: Int): Double = 40.0 + i * 0.25
+    def ele(i: Int): Int = (i % n) + 1 // 1-based
+    def zeta(ts: Int, node: Int): Double =
+      if (dry((ts, node))) fill else ts * 100.0 + node + 0.25
+    def zetaMax(node: Int): Double = if (dryMax(node)) fill else 900.0 + node
+    def time(ts: Int): Double = ts * 3600.0
+  }
+
+  /** netcdf-c-shaped file: superblock v0 + old-style group + chunked
+    * record vars. Returns the file bytes. */
+  def writeV0(c: Content): Array[Byte] = {
+    val buf = new Buf()
+    buf.bb.position(96) // superblock v0 reserved; patched last
+
+    // ---- raw data + chunk indexes
+    val xAddr = writeDoubles(buf, Array.tabulate(c.n)(c.x))
+    val yAddr = writeDoubles(buf, Array.tabulate(c.n)(c.y))
+    val eleAddr = writeIntsBE(buf, Array.tabulate(c.m * 3)(c.ele))
+    val zmaxAddr = writeDoubles(buf, Array.tabulate(c.n)(c.zetaMax))
+    val timeBtree = writeChunks(buf, Array(c.t.toLong), Array(3),
+      idx => c.time(idx(0).toInt), fillPad = 0.0)
+    val zetaBtree = writeChunks(buf, Array(c.t.toLong, c.n.toLong), Array(2, 5),
+      idx => c.zeta(idx(0).toInt, idx(1).toInt), fillPad = c.fill)
+
+    // ---- dataset object headers
+    val xOh = writeObjectHeaderV1(buf, Seq(
+      0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> contiguousLayout(xAddr, c.n * 8L)))
+    val yOh = writeObjectHeaderV1(buf, Seq(
+      0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> contiguousLayout(yAddr, c.n * 8L)))
+    val eleOh = writeObjectHeaderV1(buf, Seq(
+      0x0001 -> dataspace(Array(c.m.toLong, 3L), unlimitedFirst = false),
+      0x0003 -> i32Type(bigEndian = true),
+      0x0008 -> contiguousLayout(eleAddr, c.m * 3 * 4L)))
+    val zmaxOh = writeObjectHeaderV1(buf, Seq(
+      0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> contiguousLayout(zmaxAddr, c.n * 8L),
+      0x000C -> doubleAttr("_FillValue", c.fill)))
+    val timeOh = writeObjectHeaderV1(buf, Seq(
+      0x0001 -> dataspace(Array(c.t.toLong), unlimitedFirst = true),
+      0x0003 -> f64Type,
+      0x0008 -> chunkedLayout(timeBtree, Array(3), 8),
+      0x000C -> stringAttr("units", c.units),
+      0x000C -> stringAttr("base_date", "2008-09-09 00:00:00")))
+    val zetaOh = writeObjectHeaderV1(buf, Seq(
+      0x0001 -> dataspace(Array(c.t.toLong, c.n.toLong), unlimitedFirst = true),
+      0x0003 -> f64Type,
+      0x0008 -> chunkedLayout(zetaBtree, Array(2, 5), 8),
+      0x000C -> doubleAttr("_FillValue", c.fill)))
+
+    // ---- old-style root group: local heap, SNOD (name-sorted), B-tree
+    val entries = Seq( // MUST be in ascending name order for SNOD
+      "element" -> eleOh, "time" -> timeOh, "x" -> xOh,
+      "y" -> yOh, "zeta" -> zetaOh, "zeta_max" -> zmaxOh)
+
+    buf.align8()
+    val heapDataAddr = buf.pos + 32
+    val nameOffsets = scala.collection.mutable.Map.empty[String, Long]
+    val heapData = {
+      val hb = ByteBuffer.allocate(4096)
+      hb.position(8) // offset 0 reserved for the empty string
+      entries.foreach { case (name, _) =>
+        nameOffsets(name) = hb.position().toLong
+        hb.put((name + "\u0000").getBytes("UTF-8"))
+        while (hb.position() % 8 != 0) hb.put(0.toByte)
+      }
+      java.util.Arrays.copyOf(hb.array(), hb.position())
+    }
+    buf.bb.put('H'.toByte).put('E'.toByte).put('A'.toByte).put('P'.toByte)
+    buf.bb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.bb.putLong(heapData.length.toLong)
+    buf.bb.putLong(Undef) // no free blocks
+    buf.bb.putLong(heapDataAddr)
+    buf.bb.put(heapData)
+
+    buf.align8(); val snodAddr = buf.pos
+    buf.bb.put('S'.toByte).put('N'.toByte).put('O'.toByte).put('D'.toByte)
+    buf.bb.put(1.toByte).put(0.toByte)
+    buf.bb.putShort(entries.length.toShort)
+    entries.foreach { case (name, oh) =>
+      buf.bb.putLong(nameOffsets(name)).putLong(oh)
+      buf.bb.putInt(0).putInt(0) // cache type + reserved
+      (0 until 16).foreach(_ => buf.bb.put(0.toByte)) // scratch
+    }
+
+    buf.align8(); val btreeAddr = buf.pos
+    buf.bb.put('T'.toByte).put('R'.toByte).put('E'.toByte).put('E'.toByte)
+    buf.bb.put(0.toByte).put(0.toByte)
+    buf.bb.putShort(1.toShort) // one child (the single SNOD)
+    buf.bb.putLong(Undef).putLong(Undef)
+    buf.bb.putLong(0L)                           // key 0: empty string
+    buf.bb.putLong(snodAddr)                     // child 0
+    buf.bb.putLong(nameOffsets(entries.last._1)) // key 1: last name
+
+    val heapAddr = heapDataAddr - 32
+    val rootOh = writeObjectHeaderV1(buf, Seq(
+      0x0011 -> { // symbol table message: btree + heap
+        val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        b.putLong(btreeAddr).putLong(heapAddr); b.array()
+      }))
+
+    // ---- superblock v0 at offset 0
+    val eof = buf.pos
+    val sb = ByteBuffer.wrap(buf.bb.array(), 0, 96).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    sb.put(0.toByte) // superblock v0
+    sb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // fs ver, root ver, res, shared ver
+    sb.put(8.toByte).put(8.toByte).put(0.toByte) // sizeof offsets/lengths, reserved
+    sb.putShort(4.toShort)  // group leaf k
+    sb.putShort(16.toShort) // group internal k
+    sb.putInt(0)            // consistency flags
+    sb.putLong(0L).putLong(Undef).putLong(eof).putLong(Undef)
+    sb.putLong(0L)      // root entry: link name offset
+    sb.putLong(rootOh)  // root entry: object header address
+    sb.putInt(0).putInt(0) // cache type + reserved
+    (0 until 16).foreach(_ => sb.put(0.toByte)) // scratch
+
+    buf.bytes
+  }
+
+  /** Modern-container variant: superblock v2, root OHDR v2 with compact
+    * Link messages, one contiguous dataset ("v" with _FillValue) and one
+    * COMPACT-layout dataset ("small"). */
+  def writeV2(vals: Array[Double], small: Array[Double], fill: Double): Array[Byte] = {
+    val buf = new Buf()
+    buf.bb.position(48) // superblock v2 is 48 bytes; patched last
+
+    val vAddr = writeDoubles(buf, vals)
+    val vOh = writeObjectHeaderV1(buf, Seq(
+      0x0001 -> dataspace(Array(vals.length.toLong), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> contiguousLayout(vAddr, vals.length * 8L),
+      0x000C -> doubleAttr("_FillValue", fill)))
+    val smallData = {
+      val b = ByteBuffer.allocate(small.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      small.foreach(b.putDouble); b.array()
+    }
+    val smallOh = writeObjectHeaderV1(buf, Seq(
+      0x0001 -> dataspace(Array(small.length.toLong), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> compactLayout(smallData)))
+
+    // root group: OHDR v2, link info (compact) + one Link message per dataset
+    def linkMsg(name: String, oh: Long): Array[Byte] = {
+      val nb = name.getBytes("UTF-8")
+      val b = ByteBuffer.allocate(2 + 1 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte)        // version
+      b.put(0.toByte)        // flags: 1-byte name length, no extras
+      b.put(nb.length.toByte).put(nb)
+      b.putLong(oh)
+      b.array()
+    }
+    val linkInfo = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0.toByte).put(0.toByte) // version, flags (no creation order)
+      b.putLong(Undef)              // fractal heap: undefined = compact links
+      b.putLong(Undef)              // name index b-tree
+      b.array()
+    }
+    val msgs = Seq(0x0002 -> linkInfo, 0x0006 -> linkMsg("v", vOh),
+                   0x0006 -> linkMsg("small", smallOh))
+    buf.align8(); val rootOh = buf.pos
+    val bodyLen = msgs.map { case (_, m) => 4 + m.length }.sum
+    buf.bb.put('O'.toByte).put('H'.toByte).put('D'.toByte).put('R'.toByte)
+    buf.bb.put(2.toByte)
+    buf.bb.put(1.toByte) // flags: 2-byte chunk0 size, no times/corder/phase
+    buf.bb.putShort((bodyLen + 4).toShort) // chunk 0 size incl. checksum gap
+    msgs.foreach { case (t, m) =>
+      buf.bb.put(t.toByte).putShort(m.length.toShort).put(0.toByte).put(m)
+    }
+    buf.bb.putInt(0) // checksum (readers that verify would reject; ours doesn't)
+
+    val eof = buf.pos
+    val sb = ByteBuffer.wrap(buf.bb.array(), 0, 48).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    sb.put(2.toByte)
+    sb.put(8.toByte).put(8.toByte).put(0.toByte) // sizes, flags
+    sb.putLong(0L).putLong(Undef).putLong(eof)
+    sb.putLong(rootOh)
+    sb.putInt(0) // checksum
+    buf.bytes
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sources.{Hdf5, Ingest, NcFile, RangeReader}
+
+/** NetCDF-4/HDF5 ingest boundary: the [[Hdf5Fixture]] files are written
+  * byte-by-byte against the public HDF5 spec (not via the reader), then
+  * read back through [[graft.sources.Hdf5]] / [[NcFile]] / [[Ingest]].
+  * Covers: superblock v0 + old-style groups (netcdf-c's layout), chunked
+  * record variables with edge chunks, big-endian fixed-point data,
+  * `_FillValue` → null, CF time decoding, the full fort63 ingest parity
+  * with the classic-CDF path, and the modern superblock-v2 / OHDR /
+  * compact-links / compact-layout container. */
+class Hdf5Spec extends SparkSpec {
+
+  private val c = Hdf5Fixture.Content(
+    n = 12, m = 5, t = 4, fill = -99999.0,
+    dry = Set((1, 2), (3, 7)), dryMax = Set(5),
+    units = "seconds since 2008-09-09 00:00:00 UTC")
+
+  private def v0Path: String = {
+    val dir = Files.createTempDirectory("graft_h5").toString
+    val p = s"$dir/fort63_v0.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeV0(c))
+    p
+  }
+
+  test("superblock v0: datasets, shapes, record detection, attributes") {
+    val nc = NcFile.open(v0Path)
+    try {
+      assert(nc.varNames.toSet === Set("x", "y", "element", "zeta_max", "time", "zeta"))
+      assert(nc.isRecordVar("zeta"))
+      assert(nc.isRecordVar("time"))
+      assert(!nc.isRecordVar("element"), "rank-2 element must NOT be a record var")
+      assert(!nc.isRecordVar("x"))
+      assert(nc.numRecs === c.t)
+      assert(nc.fillValue("zeta") === Some(c.fill))
+      assert(nc.fillValue("zeta_max") === Some(c.fill))
+      assert(nc.fillValue("x") === None)
+      assert(nc.strAttr("time", "units") === Some(c.units))
+    } finally nc.close()
+  }
+
+  test("contiguous doubles and big-endian int32 read back exactly") {
+    val nc = NcFile.open(v0Path)
+    try {
+      val xs = nc.readFixed("x"); val ys = nc.readFixed("y")
+      (0 until c.n).foreach { i =>
+        assert(xs(i) === c.x(i)); assert(ys(i) === c.y(i))
+      }
+      val ele = nc.readFixed("element") // int32 BIG-endian in the fixture
+      (0 until c.m * 3).foreach(i => assert(ele(i) === c.ele(i).toDouble))
+    } finally nc.close()
+  }
+
+  test("chunked record reads assemble rows across column chunks, edge chunks clipped") {
+    // zeta shape (4,12), chunks (2,5): a row spans 3 column chunks, the
+    // last of width 2 — exercises clipping of the full-size edge chunk
+    val nc = NcFile.open(v0Path)
+    try {
+      (0 until c.t).foreach { t =>
+        val row = nc.readRecord("zeta", t)
+        assert(row.length === c.n)
+        (0 until c.n).foreach(nid => assert(row(nid) === c.zeta(t, nid),
+          s"zeta($t,$nid)"))
+      }
+      // 1-D chunked: time chunks of 3 over length 4
+      (0 until c.t).foreach { t =>
+        assert(nc.readRecord("time", t)(0) === c.time(t))
+      }
+    } finally nc.close()
+  }
+
+  test("readAll on a chunked 2-D dataset scatters every chunk correctly") {
+    val r = RangeReader.open(v0Path)
+    val f = Hdf5.open(r)
+    try {
+      val ds = f.datasets("zeta")
+      val all = f.readAll(ds)
+      assert(all.length === c.t * c.n)
+      for (t <- 0 until c.t; nid <- 0 until c.n)
+        assert(all(t * c.n + nid) === c.zeta(t, nid))
+    } finally f.close()
+  }
+
+  test("fort63ToParquet over HDF5: same layout, mask, and time labels as classic CDF") {
+    val outDir = Files.createTempDirectory("graft_h5_ingest").toString
+    Ingest.fort63ToParquet(spark, v0Path, outDir)
+    import org.apache.spark.sql.functions.col
+
+    assert(Ingest.nodes(spark, outDir).count() === c.n.toLong)
+    val ele = Ingest.elements(spark, outDir).collect()
+    assert(ele.length === c.m)
+    ele.foreach { r => // 1-based in the file → 0-based after ingest
+      val e = r.getAs[Long]("ele_id").toInt
+      assert(r.getAs[Long]("n1") === (c.ele(3 * e) - 1).toLong)
+    }
+
+    val series = Ingest.series(spark, outDir)
+    assert(series.count() === (c.t * c.n).toLong)
+    assert(series.filter(col("value") === c.fill).count() === 0,
+      "the fill sentinel must never surface")
+    val nulls = series.filter(col("value").isNull).collect()
+      .map(r => (r.getAs[Long]("ts").toInt, r.getAs[Long]("node_id").toInt)).toSet
+    assert(nulls === c.dry)
+    series.filter(col("value").isNotNull).collect().foreach { r =>
+      assert(r.getAs[Double]("value") ===
+        c.zeta(r.getAs[Long]("ts").toInt, r.getAs[Long]("node_id").toInt))
+    }
+
+    // CF time decoding: epoch 2008-09-09T00:00:00Z = 1220918400
+    val labels = Ingest.timeLabels(spark, outDir)
+    assert(labels(0L) === "20080909T000000")
+    assert(labels(3L) === "20080909T030000")
+  }
+
+  test("varToParquet dispatch on HDF5: fixed var with fill masks to null") {
+    val outDir = Files.createTempDirectory("graft_h5_var").toString
+    val p = v0Path
+    assert(Ingest.varToParquet(spark, p, outDir, "zeta_max") === "zeta_max")
+    import org.apache.spark.sql.functions.col
+    val mx = spark.read.parquet(s"$outDir/zeta_max")
+    assert(mx.count() === c.n.toLong)
+    assert(mx.filter(col("value").isNull).count() === c.dryMax.size.toLong)
+    assert(mx.filter(col("value") === c.fill).count() === 0)
+    assert(Ingest.varToParquet(spark, p, outDir, "zeta") === "series")
+  }
+
+  test("superblock v2 + OHDR + compact links + compact layout") {
+    val dir = Files.createTempDirectory("graft_h5v2").toString
+    val p = s"$dir/modern.h5"
+    val vals = Array.tabulate(9)(i => if (i == 4) -1.0 else i * 1.5)
+    val small = Array(3.25, -7.5)
+    Files.write(Paths.get(p), Hdf5Fixture.writeV2(vals, small, fill = -1.0))
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.varNames.toSet === Set("v", "small"))
+      assert(nc.fillValue("v") === Some(-1.0))
+      val v = nc.readFixed("v")
+      (0 until 9).foreach(i => assert(v(i) === vals(i)))
+      val s = nc.readFixed("small") // compact layout: data inline in the header
+      assert(s.toSeq === small.toSeq)
+    } finally nc.close()
+  }
+
+  test("HDF5 ingest over HTTP range requests (remote NetCDF-4)") {
+    val bytes = Hdf5Fixture.writeV0(c)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/fort63.nc", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      ex.getRequestMethod match {
+        case "HEAD" =>
+          ex.sendResponseHeaders(200, bytes.length.toLong); ex.getResponseBody.close()
+        case "GET" => range match {
+          case Some(r) =>
+            val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+            val slice = java.util.Arrays.copyOfRange(bytes, a.toInt, b.toInt + 1)
+            ex.getResponseHeaders.set("Content-Range", s"bytes $a-$b/${bytes.length}")
+            ex.sendResponseHeaders(206, slice.length.toLong)
+            ex.getResponseBody.write(slice); ex.getResponseBody.close()
+          case None =>
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+        }
+        case _ => ex.sendResponseHeaders(405, -1); ex.getResponseBody.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/fort63.nc"
+      val outDir = Files.createTempDirectory("graft_h5_http").toString
+      Ingest.fort63ToParquet(spark, url, outDir)
+      assert(Ingest.series(spark, outDir).count() === (c.t * c.n).toLong)
+      assert(Ingest.timeLabels(spark, outDir)(0L) === "20080909T000000")
+    } finally server.stop(0)
+  }
+}
