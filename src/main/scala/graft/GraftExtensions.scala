@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functionDescriptions.foreach(ext.injectFunction)
     // §2.10 tier (c): whole-operator extension (logical node + strategy)
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    // group-key filters commute with per-group top-k; injected into the
+    // operator-optimization batch so the standard pushdown rules then
+    // carry them from below the custom node all the way to the scan
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughGroupTopK)
   }
 }
 

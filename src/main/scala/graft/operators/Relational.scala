@@ -65,19 +65,35 @@ object Relational {
                 .cast("double").as("gx"))
       .orderBy("o_orderkey")
 
-  /** P4+F5: closed-form spherical-Mercator forward projection.
+  /** P4+F5: closed-form spherical-Mercator forward projection, via the
+    * parameterized [[Crs]] entry point (reference `to_crs(CRS(epsg))`,
+    * run/adcircTime2cogs.py:29-47).
     * lon = value - 180 in [-180, 310); lat = value/4 - 60 in (-60, 62.5]
     * so tan/ln stay in-domain on both engines (DuckDB ln(<0) errors).
     * pi is written out identically on both sides for bit-equal radians. */
   def qProjMercator(s: SparkSession, d: String): DataFrame = {
-    val R   = lit(6378137.0)
-    val rad = lit(math.Pi) / lit(180.0)
     val lon = col("value") - lit(180.0)
     val lat = col("value") / lit(4.0) - lit(60.0)
+    val (mx, my) = Crs.forward(3857, lon, lat)
     Tables.events(s, d)
+      .select(col("event_id"), round(mx, 2).as("mx"), round(my, 2).as("my"))
+      .orderBy("event_id")
+  }
+
+  /** P4 generalized: an arbitrary (srcEpsg, dstEpsg) pair through
+    * [[Crs.transform]] — here 3857 → 32662 (web-Mercator meters to
+    * plate-carrée meters), which exercises the INVERSE Mercator
+    * (atan/exp) composed with the equirectangular forward. Still pure
+    * Column arithmetic: codegen'd, narrow, no shuffle. */
+  def qProjEpsg(s: SparkSession, d: String): DataFrame = {
+    val lon = col("value") - lit(180.0)
+    val lat = col("value") / lit(4.0) - lit(60.0)
+    val (mx, my) = Crs.forward(3857, lon, lat)
+    val merc = Tables.events(s, d).select(col("event_id"), mx.as("mx"), my.as("my"))
+    Crs.transform(merc, "mx", "my", srcEpsg = 3857, dstEpsg = 32662)
       .select(col("event_id"),
-              round(lon * rad * R, 2).as("mx"),
-              round(R * log(tan(lit(math.Pi) / lit(4.0) + lat * rad / lit(2.0))), 2).as("my"))
+              round(col("mx"), 2).as("px"),
+              round(col("my"), 2).as("py"))
       .orderBy("event_id")
   }
 
@@ -191,6 +207,7 @@ object Relational {
     "q_proj_index_shift"   -> (qProjIndexShift _),
     "q_affine_transform"   -> (qAffineTransform _),
     "q_proj_mercator"      -> (qProjMercator _),
+    "q_proj_epsg"          -> (qProjEpsg _),
     "q_mask_null"          -> (qMaskNull _),
     "q_filter_regex_max"   -> (qFilterRegexMax _),
     "q_topk"               -> (qTopk _),
@@ -225,6 +242,15 @@ object Relational {
         |  ROUND((value - 180.0) * (PI() / 180.0) * 6378137.0, 2) AS mx,
         |  ROUND(6378137.0 * LN(TAN(PI() / 4.0 + (value / 4.0 - 60.0) * (PI() / 180.0) / 2.0)), 2) AS my
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_proj_epsg" ->
+      """SELECT event_id,
+        |  ROUND(mx / 6378137.0 / (PI() / 180.0) * (PI() / 180.0) * 6378137.0, 2) AS px,
+        |  ROUND((ATAN(EXP(my / 6378137.0)) * 2.0 - PI() / 2.0) / (PI() / 180.0) * (PI() / 180.0) * 6378137.0, 2) AS py
+        |FROM (SELECT event_id,
+        |        (value - 180.0) * (PI() / 180.0) * 6378137.0 AS mx,
+        |        6378137.0 * LN(TAN(PI() / 4.0 + (value / 4.0 - 60.0) * (PI() / 180.0) / 2.0)) AS my
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_mask_null" ->
       """SELECT event_type,
         |  COUNT(*) AS n_total,

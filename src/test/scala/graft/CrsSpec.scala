@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.operators.Crs
+
+/** The parameterized (srcEpsg, dstEpsg) reprojection operator —
+  * P4 generalized toward the reference's `to_crs(CRS(targetepsg))`
+  * (run/adcircTime2cogs.py:29-47). Round-trip properties over a dense
+  * lon/lat grid, the identity short-circuit, plan shape (narrow, no
+  * shuffle), and the plan-time failure for unsupported codes. */
+class CrsSpec extends SparkSpec {
+
+  private def grid = {
+    import spark.implicits._
+    // 37x33 lon/lat lattice over Mercator's valid domain
+    spark.range(0, 37).toDF("i").crossJoin(spark.range(0, 33).toDF("j"))
+      .select((col("i") * 10.0 - 180.0).as("x"), (col("j") * 5.0 - 80.0).as("y"))
+  }
+
+  private def maxAbs(df: org.apache.spark.sql.DataFrame, c: String): Double =
+    df.agg(max(abs(col(c)))).collect()(0).getDouble(0)
+
+  test("4326 -> 3857 -> 4326 round-trips to identity within 1e-9 degrees") {
+    val src = grid.withColumn("x0", col("x")).withColumn("y0", col("y"))
+    val rt = Crs.transform(Crs.transform(src, "x", "y", 4326, 3857), "x", "y", 3857, 4326)
+      .select((col("x") - col("x0")).as("dx"), (col("y") - col("y0")).as("dy"))
+    assert(maxAbs(rt, "dx") < 1e-9)
+    assert(maxAbs(rt, "dy") < 1e-9)
+  }
+
+  test("4326 -> 32662 -> 4326 (plate-carree) round-trips exactly-ish") {
+    val src = grid.withColumn("x0", col("x")).withColumn("y0", col("y"))
+    val rt = Crs.transform(Crs.transform(src, "x", "y", 4326, 32662), "x", "y", 32662, 4326)
+      .select((col("x") - col("x0")).as("dx"), (col("y") - col("y0")).as("dy"))
+    assert(maxAbs(rt, "dx") < 1e-12)
+    assert(maxAbs(rt, "dy") < 1e-12)
+  }
+
+  test("3857 -> 32662 composition equals forward(32662) of the original lon/lat") {
+    val src = grid
+    val viaMerc = Crs.transform(Crs.transform(src, "x", "y", 4326, 3857), "x", "y", 3857, 32662)
+    val direct = Crs.transform(src, "x", "y", 4326, 32662)
+    val a = viaMerc.orderBy("x", "y").collect()
+    val b = direct.orderBy("x", "y").collect()
+    a.zip(b).foreach { case (ra, rb) =>
+      assert(math.abs(ra.getDouble(0) - rb.getDouble(0)) < 1e-6)
+      assert(math.abs(ra.getDouble(1) - rb.getDouble(1)) < 1e-6)
+    }
+  }
+
+  test("known anchor: forward(3857) of (180, 0) is (pi*R, 0)") {
+    import spark.implicits._
+    val df = Seq((180.0, 0.0)).toDF("x", "y")
+    val out = Crs.transform(df, "x", "y", 4326, 3857).collect()(0)
+    assert(math.abs(out.getDouble(0) - math.Pi * Crs.R) < 1e-6)
+    assert(math.abs(out.getDouble(1)) < 1e-6)
+  }
+
+  test("same-code pairs short-circuit to the identity plan") {
+    val src = grid
+    assert(Crs.transform(src, "x", "y", 4326, 4326) eq src)
+    assert(Crs.transform(src, "x", "y", 3857, 3857) eq src)
+  }
+
+  test("reprojection is narrow: no exchange in the plan") {
+    val df = Crs.transform(grid, "x", "y", 4326, 3857)
+    // the only exchanges allowed are the ones the grid's crossJoin brings;
+    // reprojection itself must add none (compare plan exchange counts)
+    def exchanges(p: org.apache.spark.sql.DataFrame) =
+      p.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.size
+    assert(exchanges(df) === exchanges(grid))
+  }
+
+  test("unsupported EPSG fails at plan time with the supported list") {
+    val e = intercept[IllegalArgumentException] {
+      Crs.transform(grid, "x", "y", 4326, 27700)
+    }
+    assert(e.getMessage.contains("EPSG:27700"))
+    assert(e.getMessage.contains("3857"))
+  }
+}

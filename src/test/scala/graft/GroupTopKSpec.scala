@@ -103,6 +103,79 @@ class GroupTopKSpec extends SparkSpec {
     assert(out.length === base.count())
   }
 
+  test("group-key predicates push through the operator to the scan") {
+    // Catalyst cannot see through a custom node; PushFilterThroughGroupTopK
+    // relocates group-key-only conjuncts below GroupTopK, and the standard
+    // pushdown then carries them into the parquet scan — so the operator
+    // never ranks groups the query throws away.
+    val df = operators.Relational.qTopkGroup(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // no group-key Filter left above the custom node
+    optimized.foreach {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _: GroupTopK) =>
+        fail(s"filter stayed above GroupTopK: $cond")
+      case _ =>
+    }
+    val scans = allNodes(inner(df)).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("o_custkey"))),
+      s"o_custkey predicate must reach the scan:\n${inner(df)}")
+  }
+
+  test("non-group conjuncts stay above while group conjuncts push") {
+    val base = Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice")
+    val df = GroupTopK.topKPerGroup(base, Seq("o_custkey"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 3)
+      .filter(col("o_custkey") < 300 && col("o_totalprice") > 1000.0)
+    // o_totalprice is NOT a group key: filtering it below would change
+    // which rows rank — it must stay above the operator
+    val kept = df.queryExecution.optimizedPlan.collect {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _: GroupTopK) => cond
+    }
+    assert(kept.nonEmpty, "the o_totalprice conjunct must remain above GroupTopK")
+    assert(kept.head.references.map(_.name).toSet === Set("o_totalprice"))
+    // and the result matches the window form with the same split
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = base.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3 && col("o_custkey") < 300 && col("o_totalprice") > 1000.0)
+      .drop("rk").collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("floating-point group keys: -0.0 == 0.0 and NaN patterns collapse") {
+    // Spark normalizes FP grouping keys for Aggregate/Window
+    // (NormalizeFloatingNumbers); the custom node applies the same
+    // normalization at construction, else raw UnsafeRow binary equality
+    // would split these into 4 groups
+    val negZero = java.lang.Double.longBitsToDouble(0x8000000000000000L)
+    val weirdNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (negZero, 2L), (Double.NaN, 3L), (weirdNaN, 4L))
+      .toDF("dkey", "v")
+    val out = GroupTopK.topKPerGroup(df, Seq("dkey"), Seq("v" -> true), k = 1).collect()
+    assert(out.length === 2, s"expected {0.0, NaN} groups, got ${out.mkString(", ")}")
+    assert(out.map(_.getAs[Long]("v")).toSet === Set(2L, 4L)) // max v per group
+  }
+
+  test("partial-phase flush bound: tiny budget still yields exact results") {
+    // a 4-group budget forces many mid-partition flushes on 1500 custkeys;
+    // the final merge phase must reconcile the duplicate partials exactly
+    spark.conf.set("spark.graft.topk.partialFlushGroups", "4")
+    try {
+      val base = Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice")
+      val viaOp = GroupTopK.topKPerGroup(base, Seq("o_custkey"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 3)
+        .collect().map(_.toString).sorted
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val viaWindow = base.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).drop("rk").collect().map(_.toString).sorted
+      assert(viaOp === viaWindow)
+    } finally spark.conf.unset("spark.graft.topk.partialFlushGroups")
+  }
+
   test("unknown column name fails fast with the available names") {
     val e = intercept[IllegalArgumentException] {
       GroupTopK.topKPerGroup(Tables.orders(spark, sf), Seq("nope"), Seq("o_orderkey" -> false), 1)
