@@ -17,6 +17,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args(0) == "dedup") dedupProbe(spark, args(1).toInt)
+    else if (args(0) == "clusters") clustersProbe(spark, args(1))
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -28,6 +29,25 @@ object ScaleProbe {
       println(f"interp k=$k g=$g t=$t: $tris%,d triangles x $cells%,d cells x $t ts -> $n%,d rows in $secs%.1f s (naive pairs: ${tris * cells}%,d)")
     }
     spark.stop()
+  }
+
+  /** A/B the q_dedup_clusters per-round lineage fence: localCheckpoint vs
+    * persist(MEMORY_AND_DISK)+count (VERDICT r2 item 8). Five timed runs
+    * per mode after one warm-up; medians printed.
+    * Usage: tools/run_verify.sh clusters <sfDir> graft.ScaleProbe */
+  private def clustersProbe(spark: SparkSession, sfDir: String): Unit = {
+    def time(): Double = {
+      val t0 = System.nanoTime()
+      operators.Dedup.qDedupClusters(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("local", "persist").foreach { mode =>
+      spark.conf.set("spark.graft.clusters.fence", mode)
+      time() // warm-up
+      val runs = (1 to 5).map(_ => time()).sorted
+      println(f"clusters fence=$mode%-7s median=${runs(2)}%.2f s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+    }
+    spark.conf.unset("spark.graft.clusters.fence")
   }
 
   /** Dedup scale probe: replicate the sf0.1 corpus `mult`× with shifted

@@ -206,27 +206,45 @@ object Dedup {
     * Oracle: DuckDB computes the same components with a recursive CTE
     * (min reachable label == component min on the symmetric graph). */
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = qDedupMinhash(s, d).select("d1", "d2").localCheckpoint()
-    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+    // Per-round lineage fence, A/B-measured at sf0.1 (ScaleProbe
+    // "clusters" mode, 5-run medians): localCheckpoint 1.97 s vs
+    // persist(MEMORY_AND_DISK)+count 6.84 s. persist caches partitions
+    // but does NOT truncate lineage, so every round re-analyzes a plan
+    // that grew by one (join + agg) — the 3.5× gap is driver-side plan
+    // work, exactly what checkpointing exists to cap. Kept selectable
+    // (spark.graft.clusters.fence=persist) so the A/B stays runnable.
+    val usePersist =
+      s.conf.getOption("spark.graft.clusters.fence").contains("persist")
+    var pinned: List[DataFrame] = Nil
+    def fence(df: DataFrame): DataFrame =
+      if (!usePersist) df.localCheckpoint()
+      else {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize now, while the previous round is still cached
+        pinned = df :: pinned
+        df
+      }
+    val pairs = fence(qDedupMinhash(s, d).select("d1", "d2"))
+    val sym = fence(pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+    var labels = fence(sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")))
     var prevSum = Long.MaxValue
     var curSum = labels.agg(sum("lbl")).head.getLong(0)
     while (curSum < prevSum) {
       val prop = sym.join(labels.withColumnRenamed("v", "w"), col("dst") === col("w"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      labels = labels
+      labels = fence(labels
         .join(prop, col("v") === col("src"), "left")
         .select(col("v"),
-                least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+                least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       prevSum = curSum
       curSum = labels.agg(sum("lbl")).head.getLong(0)
     }
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
+    val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
+    if (usePersist) { val keep = out.localCheckpoint(); pinned.foreach(_.unpersist(false)); keep }
+    else out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
