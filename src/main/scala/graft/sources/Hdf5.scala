@@ -20,10 +20,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - messages: dataspace (v1/v2), datatype (fixed-point, IEEE float,
   *    string), data layout v3 (compact / contiguous / chunked),
   *    attribute (v1/v2/v3)
-  *  - chunked raw data via the v1 B-tree (node type 1), UNFILTERED
-  *    (netcdf-c compresses only when the producer asks; ADCIRC/ASGS
-  *    fort.63.nc files are written uncompressed). Filtered chunks fail
-  *    with the filter id in the message.
+  *  - chunked raw data via the v1 B-tree (node type 1), with the three
+  *    filters real NetCDF-4 producers use: deflate (id 1, via
+  *    java.util.zip), shuffle (id 2, byte transposition), and
+  *    fletcher32 (id 3, trailing checksum). Unknown filter ids fail
+  *    with the id in the message.
   *
   * Scale shape: identical to [[NetCdf3]] — metadata is a handful of KB
   * parsed per-task from a few small ranged reads; bulk data reads are
@@ -47,8 +48,12 @@ object Hdf5 {
   /** clazz: 0 fixed-point, 1 IEEE float, 3 string. */
   case class Dtype(clazz: Int, size: Int, littleEndian: Boolean, signed: Boolean)
 
+  /** One pipeline entry: 1 = deflate, 2 = shuffle, 3 = fletcher32. */
+  case class Filter(id: Int, clientValues: Array[Int])
+
   case class Dataset(name: String, shape: Array[Long], unlimitedFirst: Boolean,
-                     dtype: Dtype, layout: Layout, attrs: Map[String, Attr]) {
+                     dtype: Dtype, layout: Layout, attrs: Map[String, Attr],
+                     filters: Seq[Filter] = Seq.empty) {
     def rank: Int = shape.length
     def rowElems: Long = if (rank <= 1) 1L else shape.drop(1).product
     def fillValue: Option[Double] =
@@ -58,8 +63,10 @@ object Hdf5 {
   def open(r: RangeReader): Hdf5File = new Hdf5File(r)
 
   /** One entry of a chunk index: logical offsets (per dim, element
-    * units), stored byte size, file address. */
-  private[sources] case class Chunk(offsets: Array[Long], size: Int, addr: Long)
+    * units), STORED byte size (post-filter), file address, and the
+    * per-chunk filter mask (bit i set = pipeline filter i skipped). */
+  private[sources] case class Chunk(offsets: Array[Long], size: Int, addr: Long,
+                                    filterMask: Int)
 
   // ---------------------------------------------------------------------
 
@@ -251,6 +258,27 @@ object Hdf5 {
 
     private def pad8(n: Int): Int = (n + 7) & ~7
 
+    /** Filter Pipeline message (0x000B), v1 (named, 8-padded) and v2. */
+    private def parseFilters(body: Array[Byte]): Seq[Filter] = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = b.get() & 0xff
+      val n = b.get() & 0xff
+      if (ver == 1) { b.getShort(); b.getInt() } // reserved
+      (0 until n).map { _ =>
+        val id = b.getShort() & 0xffff
+        val nameLen = if (ver == 1 || id >= 256) b.getShort() & 0xffff else 0
+        b.getShort() // flags (bit 0: optional filter)
+        val nValues = b.getShort() & 0xffff
+        if (nameLen > 0) {
+          val skip = if (ver == 1) pad8(nameLen) else nameLen
+          b.position(b.position() + skip)
+        }
+        val values = Array.fill(nValues)(b.getInt())
+        if (ver == 1 && nValues % 2 == 1) b.getInt() // pad to 8
+        Filter(id, values)
+      }
+    }
+
     private def parseAttr(body: Array[Byte]): Attr = {
       val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val ver = b.get() & 0xff
@@ -381,8 +409,10 @@ object Hdf5 {
           lo <- msgs.find(_.typ == 0x0008).map(m => parseLayout(m.body))
         } yield {
           val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttr(m.body))
+          val filters = msgs.find(_.typ == 0x000B).map(m => parseFilters(m.body))
+            .getOrElse(Seq.empty)
           name -> Dataset(name, ds._1, ds._2, dt, lo,
-            attrs.map(a => a.name -> a).toMap)
+            attrs.map(a => a.name -> a).toMap, filters)
         }
       }.toMap
     }
@@ -407,15 +437,64 @@ object Hdf5 {
         (0 until used).flatMap { _ =>
           val size = body.getInt()
           val filterMask = body.getInt()
-          require(filterMask == 0 || level > 0, s"filtered chunk (mask $filterMask) unsupported")
           val offsets = Array.fill(dimensionality)(body.getLong)
           val child = body.getLong
           if (level > 0) walk(child)
-          else Seq(Chunk(offsets.dropRight(1), size, child))
+          else Seq(Chunk(offsets.dropRight(1), size, child, filterMask))
         }
       }
       walk(btree)
     })
+
+    /** Read one chunk and reverse its filter pipeline (write order is
+      * pipeline order, so read order is REVERSED), honoring the
+      * per-chunk skip mask. Returns exactly the chunk's raw elements. */
+    private def chunkValues(ds: Dataset, c: Chunk, chunkElems: Int): Array[Double] = {
+      val raw = new Array[Byte](c.size); r.readFully(c.addr, raw)
+      val expected = chunkElems * ds.dtype.size
+      val data = ds.filters.zipWithIndex.reverseIterator
+        .filter { case (_, i) => (c.filterMask & (1 << i)) == 0 }
+        .foldLeft(raw) { case (bytes, (f, _)) => unapplyFilter(bytes, f, ds, expected) }
+      require(data.length >= expected,
+        s"${ds.name}: chunk decoded to ${data.length} bytes, expected $expected")
+      decodeNums(data, ds.dtype, chunkElems)
+    }
+
+    private def unapplyFilter(bytes: Array[Byte], f: Filter, ds: Dataset,
+                              expected: Int): Array[Byte] = f.id match {
+      case 1 => // deflate (zlib stream)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(bytes)
+        val out = new Array[Byte](expected)
+        var at = 0
+        while (at < expected && !inf.finished()) {
+          val n = inf.inflate(out, at, expected - at)
+          require(n > 0 || !inf.needsInput, s"${ds.name}: truncated deflate chunk")
+          at += n
+        }
+        inf.end()
+        require(at == expected, s"${ds.name}: deflate gave $at of $expected bytes")
+        out
+      case 2 => // shuffle: bytes stored plane-major (all byte-0s, all byte-1s, ...)
+        val es = f.clientValues.headOption.getOrElse(ds.dtype.size)
+        if (es <= 1) bytes
+        else {
+          val n = bytes.length / es
+          val out = new Array[Byte](bytes.length)
+          var p = 0
+          while (p < es) {
+            var i = 0
+            while (i < n) { out(i * es + p) = bytes(p * n + i); i += 1 }
+            p += 1
+          }
+          out
+        }
+      case 3 => // fletcher32: 4-byte checksum appended to the chunk
+        java.util.Arrays.copyOf(bytes, bytes.length - 4)
+      case other =>
+        throw new IllegalArgumentException(
+          s"${ds.name}: HDF5 filter id $other unsupported (deflate/shuffle/fletcher32 handled)")
+    }
 
     private def decodeNums(bytes: Array[Byte], dt: Dtype, count: Int): Array[Double] = {
       val b = ByteBuffer.wrap(bytes)
@@ -456,8 +535,7 @@ object Hdf5 {
           val out = new Array[Double](total)
           val nCols = if (ds.rank <= 1) 1L else ds.shape(1)
           chunksOf(ds).foreach { c =>
-            val raw = new Array[Byte](c.size); r.readFully(c.addr, raw)
-            val vals = decodeNums(raw, ds.dtype, c.size / ds.dtype.size)
+            val vals = chunkValues(ds, c, chunkDims.product)
             // scatter the chunk into the row-major output, clipping edge
             // chunks (HDF5 allocates full chunks past the dataset extent)
             val cr = chunkDims(0)
@@ -499,8 +577,7 @@ object Hdf5 {
           chunksOf(ds).iterator
             .filter(c => c.offsets(0) <= row && row < c.offsets(0) + cr)
             .foreach { c =>
-              val raw = new Array[Byte](c.size); r.readFully(c.addr, raw)
-              val vals = decodeNums(raw, ds.dtype, c.size / ds.dtype.size)
+              val vals = chunkValues(ds, c, chunkDims.product)
               val lr = row - c.offsets(0).toInt
               val colBase = if (ds.rank <= 1) 0L else c.offsets(1)
               var lc = 0

@@ -127,6 +127,64 @@ object Hdf5Fixture {
     b.array()
   }
 
+  // ---- filters (write-side, matching the HDF5 registered filters) --------
+
+  /** Filter Pipeline message v1: unnamed filters, values padded to 8. */
+  private def filterPipelineMsg(filters: Seq[(Int, Array[Int])]): Array[Byte] = {
+    val sz = 8 + filters.map { case (_, v) => 8 + 4 * v.length + (if (v.length % 2 == 1) 4 else 0) }.sum
+    val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(filters.length.toByte).putShort(0).putInt(0)
+    filters.foreach { case (id, values) =>
+      b.putShort(id.toShort).putShort(0 /* no name */).putShort(0 /* flags */)
+      b.putShort(values.length.toShort)
+      values.foreach(b.putInt)
+      if (values.length % 2 == 1) b.putInt(0) // v1 pads client data to 8
+    }
+    b.array()
+  }
+
+  /** HDF5 shuffle (id 2): byte-plane transposition, element size `es`. */
+  private def shuffleBytes(in: Array[Byte], es: Int): Array[Byte] = {
+    val n = in.length / es
+    val out = new Array[Byte](in.length)
+    var p = 0
+    while (p < es) {
+      var i = 0
+      while (i < n) { out(p * n + i) = in(i * es + p); i += 1 }
+      p += 1
+    }
+    out
+  }
+
+  /** HDF5 deflate (id 1): one zlib stream per chunk. */
+  private def deflateBytes(in: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(4)
+    d.setInput(in); d.finish()
+    val buf = new Array[Byte](in.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** HDF5 fletcher32 (id 3): H5_checksum_fletcher32 over big-endian
+    * 16-bit words appended little-endian. */
+  private def fletcher32Bytes(in: Array[Byte]): Array[Byte] = {
+    var s1 = 0L; var s2 = 0L
+    var i = 0
+    while (i + 1 < in.length) {
+      s1 = (s1 + (((in(i) & 0xffL) << 8) | (in(i + 1) & 0xffL))) % 65535
+      s2 = (s2 + s1) % 65535
+      i += 2
+    }
+    if (i < in.length) { s1 = (s1 + ((in(i) & 0xffL) << 8)) % 65535; s2 = (s2 + s1) % 65535 }
+    val sum = (s2 << 16) | s1
+    val out = java.util.Arrays.copyOf(in, in.length + 4)
+    val b = ByteBuffer.wrap(out, in.length, 4).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(sum.toInt)
+    out
+  }
+
   /** v1 object header: 16-byte prologue + 8-byte-aligned messages. */
   private def writeObjectHeaderV1(buf: Buf, messages: Seq[(Int, Array[Byte])]): Long = {
     buf.align8()
@@ -164,14 +222,16 @@ object Hdf5Fixture {
   }
 
   /** Chunked storage: full-size chunks (HDF5 allocates whole chunks even
-    * past the dataset extent; the overhang is fill) + a level-0 v1
-    * B-tree (node type 1) indexing them. Returns the B-tree address. */
+    * past the dataset extent; the overhang is fill), each run through
+    * `transform` (the write-side filter pipeline), + a level-0 v1
+    * B-tree (node type 1) indexing the STORED sizes. Returns the B-tree
+    * address. */
   private def writeChunks(buf: Buf, shape: Array[Long], chunk: Array[Int],
-                          cellAt: Array[Long] => Double, fillPad: Double): Long = {
+                          cellAt: Array[Long] => Double, fillPad: Double,
+                          transform: Array[Byte] => Array[Byte] = identity): Long = {
     val rank = shape.length
     val grid = shape.indices.map(d => ((shape(d) + chunk(d) - 1) / chunk(d)).toInt)
     val chunkElems = chunk.product
-    val chunkBytes = chunkElems * 8
     // enumerate chunk origins in row-major grid order
     val origins = (0 until grid.product).map { gi =>
       var rem = gi
@@ -181,16 +241,19 @@ object Hdf5Fixture {
       }
       o
     }
-    val chunkAddrs = origins.map { o =>
-      buf.align8(); val addr = buf.pos
+    val chunkAddrSizes = origins.map { o =>
+      val raw = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
       val idx = new Array[Long](rank)
       for (e <- 0 until chunkElems) {
         var rem = e
         for (d <- (rank - 1) to 0 by -1) { idx(d) = o(d) + rem % chunk(d); rem /= chunk(d) }
         val inBounds = (0 until rank).forall(d => idx(d) < shape(d))
-        buf.bb.putDouble(if (inBounds) cellAt(idx) else fillPad)
+        raw.putDouble(if (inBounds) cellAt(idx) else fillPad)
       }
-      addr
+      val stored = transform(raw.array())
+      buf.align8(); val addr = buf.pos
+      buf.bb.put(stored)
+      (addr, stored.length)
     }
     // B-tree leaf: key_i (chunk size, filter mask, offsets+0) child_i ... key_N
     buf.align8(); val btree = buf.pos
@@ -198,8 +261,8 @@ object Hdf5Fixture {
     buf.bb.put(1.toByte).put(0.toByte)
     buf.bb.putShort(origins.length.toShort)
     buf.bb.putLong(Undef).putLong(Undef)
-    origins.zip(chunkAddrs).foreach { case (o, addr) =>
-      buf.bb.putInt(chunkBytes).putInt(0)
+    origins.zip(chunkAddrSizes).foreach { case (o, (addr, size)) =>
+      buf.bb.putInt(size).putInt(0)
       o.foreach(buf.bb.putLong); buf.bb.putLong(0L)
       buf.bb.putLong(addr)
     }
@@ -223,8 +286,11 @@ object Hdf5Fixture {
   }
 
   /** netcdf-c-shaped file: superblock v0 + old-style group + chunked
-    * record vars. Returns the file bytes. */
-  def writeV0(c: Content): Array[Byte] = {
+    * record vars. `compress = true` runs zeta through shuffle+deflate and
+    * time through fletcher32 — `nccopy -d4 -s` output shape. Returns the
+    * file bytes. */
+  def writeV0(c: Content, compress: Boolean = false,
+              zetaFilterIdOverride: Option[Int] = None): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(96) // superblock v0 reserved; patched last
 
@@ -234,9 +300,11 @@ object Hdf5Fixture {
     val eleAddr = writeIntsBE(buf, Array.tabulate(c.m * 3)(c.ele))
     val zmaxAddr = writeDoubles(buf, Array.tabulate(c.n)(c.zetaMax))
     val timeBtree = writeChunks(buf, Array(c.t.toLong), Array(3),
-      idx => c.time(idx(0).toInt), fillPad = 0.0)
+      idx => c.time(idx(0).toInt), fillPad = 0.0,
+      transform = if (compress) fletcher32Bytes else identity)
     val zetaBtree = writeChunks(buf, Array(c.t.toLong, c.n.toLong), Array(2, 5),
-      idx => c.zeta(idx(0).toInt, idx(1).toInt), fillPad = c.fill)
+      idx => c.zeta(idx(0).toInt, idx(1).toInt), fillPad = c.fill,
+      transform = if (compress) (b => deflateBytes(shuffleBytes(b, 8))) else identity)
 
     // ---- dataset object headers
     val xOh = writeObjectHeaderV1(buf, Seq(
@@ -256,17 +324,27 @@ object Hdf5Fixture {
       0x0003 -> f64Type,
       0x0008 -> contiguousLayout(zmaxAddr, c.n * 8L),
       0x000C -> doubleAttr("_FillValue", c.fill)))
-    val timeOh = writeObjectHeaderV1(buf, Seq(
-      0x0001 -> dataspace(Array(c.t.toLong), unlimitedFirst = true),
-      0x0003 -> f64Type,
-      0x0008 -> chunkedLayout(timeBtree, Array(3), 8),
-      0x000C -> stringAttr("units", c.units),
-      0x000C -> stringAttr("base_date", "2008-09-09 00:00:00")))
-    val zetaOh = writeObjectHeaderV1(buf, Seq(
-      0x0001 -> dataspace(Array(c.t.toLong, c.n.toLong), unlimitedFirst = true),
-      0x0003 -> f64Type,
-      0x0008 -> chunkedLayout(zetaBtree, Array(2, 5), 8),
-      0x000C -> doubleAttr("_FillValue", c.fill)))
+    val timeOh = writeObjectHeaderV1(buf,
+      Seq(
+        0x0001 -> dataspace(Array(c.t.toLong), unlimitedFirst = true),
+        0x0003 -> f64Type,
+        0x0008 -> chunkedLayout(timeBtree, Array(3), 8),
+        0x000C -> stringAttr("units", c.units),
+        0x000C -> stringAttr("base_date", "2008-09-09 00:00:00")) ++
+      (if (compress) Seq(0x000B -> filterPipelineMsg(Seq(3 -> Array.empty[Int])))
+       else Seq.empty))
+    val zetaOh = writeObjectHeaderV1(buf,
+      Seq(
+        0x0001 -> dataspace(Array(c.t.toLong, c.n.toLong), unlimitedFirst = true),
+        0x0003 -> f64Type,
+        0x0008 -> chunkedLayout(zetaBtree, Array(2, 5), 8),
+        0x000C -> doubleAttr("_FillValue", c.fill)) ++
+      // netcdf-c pipeline order: shuffle(es=8) THEN deflate(level 4);
+      // the override declares a foreign filter id (unknown-filter tests)
+      (if (compress) Seq(0x000B -> filterPipelineMsg(
+         zetaFilterIdOverride.map(id => Seq(id -> Array.empty[Int]))
+           .getOrElse(Seq(2 -> Array(8), 1 -> Array(4)))))
+       else Seq.empty))
 
     // ---- old-style root group: local heap, SNOD (name-sorted), B-tree
     val entries = Seq( // MUST be in ascending name order for SNOD

@@ -126,6 +126,48 @@ class Hdf5Spec extends SparkSpec {
     assert(Ingest.varToParquet(spark, p, outDir, "zeta") === "series")
   }
 
+  test("deflate+shuffle and fletcher32 filtered chunks decode exactly") {
+    // the `nccopy -d4 -s` shape: zeta chunks stored shuffle→deflate, time
+    // chunks with a fletcher32 trailer — the compressed form real
+    // NetCDF-4 producers emit
+    val dir = Files.createTempDirectory("graft_h5z").toString
+    val p = s"$dir/fort63_z.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeV0(c, compress = true))
+    // compression actually happened (file materially smaller than raw)
+    val plain = Hdf5Fixture.writeV0(c).length
+    assert(Files.size(Paths.get(p)) < plain,
+      s"compressed fixture (${Files.size(Paths.get(p))}) not smaller than plain ($plain)")
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.numRecs === c.t)
+      (0 until c.t).foreach { t =>
+        val row = nc.readRecord("zeta", t)
+        (0 until c.n).foreach(nid => assert(row(nid) === c.zeta(t, nid), s"zeta($t,$nid)"))
+        assert(nc.readRecord("time", t)(0) === c.time(t))
+      }
+    } finally nc.close()
+    // and the full ingest path is identical to the uncompressed file
+    val outDir = Files.createTempDirectory("graft_h5z_ingest").toString
+    Ingest.fort63ToParquet(spark, p, outDir)
+    import org.apache.spark.sql.functions.col
+    val series = Ingest.series(spark, outDir)
+    assert(series.count() === (c.t * c.n).toLong)
+    assert(series.filter(col("value").isNull).count() === c.dry.size.toLong)
+    assert(Ingest.timeLabels(spark, outDir)(3L) === "20080909T030000")
+  }
+
+  test("unknown filter id fails with an actionable message") {
+    val dir = Files.createTempDirectory("graft_h5uf").toString
+    val p = s"$dir/szip.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeV0(c, compress = true,
+      zetaFilterIdOverride = Some(4 /* szip */)))
+    val nc = NcFile.open(p)
+    try {
+      val e = intercept[IllegalArgumentException](nc.readRecord("zeta", 0))
+      assert(e.getMessage.contains("filter id 4"))
+    } finally nc.close()
+  }
+
   test("superblock v2 + OHDR + compact links + compact layout") {
     val dir = Files.createTempDirectory("graft_h5v2").toString
     val p = s"$dir/modern.h5"
