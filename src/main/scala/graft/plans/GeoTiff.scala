@@ -149,17 +149,47 @@ object GeoTiff {
   private val TileByteCounts = 325
   private val GdalNoData = 42113 // ASCII: GDAL's nodata-value convention
 
+  /** One zlib stream per TIFF tile (Compression 8, "Adobe Deflate" —
+    * what GDAL's COG profile emits with COMPRESS=DEFLATE). */
+  private def deflateTile(in: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(in); d.finish()
+    val out = new java.io.ByteArrayOutputStream(in.length / 2)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflateTile(in: Array[Byte], outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new Array[Byte](outLen)
+    var at = 0
+    while (at < outLen && !inf.finished()) {
+      val n = inf.inflate(out, at, outLen - at)
+      require(n > 0 || !inf.needsInput, "truncated deflate tile")
+      at += n
+    }
+    inf.end()
+    require(at == outLen, s"deflate tile gave $at of $outLen bytes")
+    out
+  }
+
   /** Encode a Cloud-Optimized GeoTIFF: TILED layout (not strips), a
     * 2×-reduced overview as a second IFD, and header+IFDs at the FRONT
     * of the file before any pixel data — the three properties that let
     * a range-request reader fetch metadata and the needed tiles without
     * scanning the file (the "CO" in the reference's output contract).
     * Tiles are `tile`×`tile` (must be a multiple of 16 per TIFF 6.0),
-    * edge tiles zero-padded; the overview uses nearest (top-left)
-    * downsampling, Float32 uncompressed like the base image. */
+    * edge tiles NaN-padded; the overview uses nodata-aware nearest
+    * downsampling, Float32 like the base image. `compress` stores each
+    * tile as its own zlib stream (Compression 8) — GDAL's COG
+    * COMPRESS=DEFLATE profile; offsets/bytecounts then carry the
+    * variable stored sizes. */
   def encodeCog(width: Int, height: Int, values: Array[Float],
                 originX: Double, originY: Double, res: Double,
-                tile: Int = 256): Array[Byte] = {
+                tile: Int = 256, compress: Boolean = false): Array[Byte] = {
     require(values.length == width.toLong * height)
     require(tile % 16 == 0, "TIFF tile dims must be multiples of 16")
 
@@ -210,6 +240,17 @@ object GeoTiff {
       v
     })
 
+    // materialize (and maybe compress) every tile first: stored sizes
+    // drive the offset layout
+    def storedTiles(l: Level): Array[Array[Byte]] =
+      (for (ty <- 0 until l.tilesY; tx <- 0 until l.tilesX) yield {
+        val raw = ByteBuffer.allocate(l.tileBytes).order(ByteOrder.LITTLE_ENDIAN)
+        l.tileData(tx, ty).foreach(raw.putFloat)
+        if (compress) deflateTile(raw.array()) else raw.array()
+      }).toArray
+    val t0Tiles = storedTiles(base)
+    val t1Tiles = storedTiles(over)
+
     val entries0 = 15 // base IFD: as strips + tile tags + GDAL_NODATA
     val entries1 = 12 // overview: adds NewSubfileType, drops the 3 geo arrays
     // layout: header, IFD0, IFD1, out-of-line arrays, tile data
@@ -224,8 +265,9 @@ object GeoTiff {
     val geoKeys = Array(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
     val geoKeysAt = reserve(2L * geoKeys.length)
     val t0DataAt = cursor
-    val t1DataAt = t0DataAt + base.nTiles.toLong * base.tileBytes
-    val total = t1DataAt + over.nTiles.toLong * over.tileBytes
+    val t1DataAt = t0DataAt + t0Tiles.map(_.length.toLong).sum
+    val total = t1DataAt + t1Tiles.map(_.length.toLong).sum
+    val compTag = if (compress) 8 else 1
 
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0At)
@@ -241,7 +283,7 @@ object GeoTiff {
     entry(ImageWidth, TLong, 1, width)
     entry(ImageLength, TLong, 1, height)
     entry(BitsPerSample, TShort, 1, 32)
-    entry(Compression, TShort, 1, 1)
+    entry(Compression, TShort, 1, compTag)
     entry(Photometric, TShort, 1, 1)
     entry(SamplesPerPixel, TShort, 1, 1)
     entry(TileWidth, TLong, 1, tile)
@@ -249,7 +291,7 @@ object GeoTiff {
     if (base.nTiles > 1) entry(TileOffsets, TLong, base.nTiles, t0OffAt)
     else entry(TileOffsets, TLong, 1, t0DataAt)
     if (base.nTiles > 1) entry(TileByteCounts, TLong, base.nTiles, t0CntAt)
-    else entry(TileByteCounts, TLong, 1, base.tileBytes)
+    else entry(TileByteCounts, TLong, 1, t0Tiles(0).length)
     entry(SampleFormat, TShort, 1, 3)
     entry(ModelPixelScale, TDouble, 3, scaleAt)
     entry(ModelTiepoint, TDouble, 6, tieAt)
@@ -263,7 +305,7 @@ object GeoTiff {
     entry(ImageWidth, TLong, 1, over.w)
     entry(ImageLength, TLong, 1, over.h)
     entry(BitsPerSample, TShort, 1, 32)
-    entry(Compression, TShort, 1, 1)
+    entry(Compression, TShort, 1, compTag)
     entry(Photometric, TShort, 1, 1)
     entry(SamplesPerPixel, TShort, 1, 1)
     entry(TileWidth, TLong, 1, tile)
@@ -271,20 +313,22 @@ object GeoTiff {
     if (over.nTiles > 1) entry(TileOffsets, TLong, over.nTiles, t1OffAt)
     else entry(TileOffsets, TLong, 1, t1DataAt)
     if (over.nTiles > 1) entry(TileByteCounts, TLong, over.nTiles, t1CntAt)
-    else entry(TileByteCounts, TLong, 1, over.tileBytes)
+    else entry(TileByteCounts, TLong, 1, t1Tiles(0).length)
     entry(SampleFormat, TShort, 1, 3)
     buf.putInt(0)
 
-    // out-of-line arrays
-    def writeTileArrays(l: Level, offAt: Long, cntAt: Long, dataAt: Long): Unit =
-      if (l.nTiles > 1) {
+    // out-of-line arrays (offsets cumulative over the stored sizes)
+    def writeTileArrays(tiles: Array[Array[Byte]], offAt: Long, cntAt: Long,
+                        dataAt: Long): Unit =
+      if (tiles.length > 1) {
+        var off = dataAt
         buf.position(offAt.toInt)
-        (0 until l.nTiles).foreach(i => buf.putInt((dataAt + i.toLong * l.tileBytes).toInt))
+        tiles.foreach { t => buf.putInt(off.toInt); off += t.length }
         buf.position(cntAt.toInt)
-        (0 until l.nTiles).foreach(_ => buf.putInt(l.tileBytes))
+        tiles.foreach(t => buf.putInt(t.length))
       }
-    writeTileArrays(base, t0OffAt, t0CntAt, t0DataAt)
-    writeTileArrays(over, t1OffAt, t1CntAt, t1DataAt)
+    writeTileArrays(t0Tiles, t0OffAt, t0CntAt, t0DataAt)
+    writeTileArrays(t1Tiles, t1OffAt, t1CntAt, t1DataAt)
     buf.position(scaleAt.toInt); buf.putDouble(res).putDouble(res).putDouble(0.0)
     buf.position(tieAt.toInt)
     buf.putDouble(0).putDouble(0).putDouble(0).putDouble(originX).putDouble(originY).putDouble(0)
@@ -292,10 +336,8 @@ object GeoTiff {
 
     // tile data, base level then overview
     buf.position(t0DataAt.toInt)
-    for (ty <- 0 until base.tilesY; tx <- 0 until base.tilesX)
-      base.tileData(tx, ty).foreach(buf.putFloat)
-    for (ty <- 0 until over.tilesY; tx <- 0 until over.tilesX)
-      over.tileData(tx, ty).foreach(buf.putFloat)
+    t0Tiles.foreach(buf.put)
+    t1Tiles.foreach(buf.put)
     buf.array()
   }
 
@@ -324,14 +366,24 @@ object GeoTiff {
     val (ifd1, _) = readIfd(next)
     val w = ifd0(ImageWidth)._3.toInt; val h = ifd0(ImageLength)._3.toInt
     val tw = ifd0(TileWidth)._3.toInt; val th = ifd0(TileLength)._3.toInt
+    val deflated = ifd0.get(Compression).exists(_._3 == 8L)
     val (_, nT, offV) = ifd0(TileOffsets)
     val offsets = if (nT == 1) Array(offV)
                   else Array.tabulate(nT)(i => buf.getInt((offV + 4L * i).toInt).toLong)
+    val (_, _, cntV) = ifd0(TileByteCounts)
+    val counts = if (nT == 1) Array(cntV.toInt)
+                 else Array.tabulate(nT)(i => buf.getInt((cntV + 4L * i).toInt))
     val tilesX = (w + tw - 1) / tw
     val out = new Array[Float](w * h)
     offsets.zipWithIndex.foreach { case (off, t) =>
       val tx = t % tilesX; val ty = t / tilesX
-      val fb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN); fb.position(off.toInt)
+      val fb =
+        if (deflated) {
+          val stored = java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + counts(t))
+          ByteBuffer.wrap(inflateTile(stored, tw * th * 4)).order(ByteOrder.LITTLE_ENDIAN)
+        } else {
+          val d = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN); d.position(off.toInt); d
+        }
       for (r <- 0 until th; c <- 0 until tw) {
         val v = fb.getFloat()
         val y = ty * th + r; val x = tx * tw + c

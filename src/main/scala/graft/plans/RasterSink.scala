@@ -131,7 +131,8 @@ object RasterSink {
     * .timeLabels]]) names files with the real decoded instants. */
   def writeCogs(raster: DataFrame, spec: Interp.GridSpec, outDir: String,
                 varName: String, tile: Int = 256,
-                tsLabels: Map[Long, String] = Map.empty): Unit = {
+                tsLabels: Map[Long, String] = Map.empty,
+                compress: Boolean = true): Unit = {
     val g = spec.g
     val (ox, oy, res) = (spec.originX, spec.originY, spec.resX)
     mkdirs(outDir)
@@ -142,7 +143,7 @@ object RasterSink {
         var cur = Long.MinValue
         var grid: Array[Float] = null
         def flush(): Unit = if (grid != null) {
-          val bytes = GeoTiff.encodeCog(g, g, grid, ox, oy, res, tile)
+          val bytes = GeoTiff.encodeCog(g, g, grid, ox, oy, res, tile, compress)
           writeFile(s"$outDir/${tiffName(varName, cur, tsLabels)}", bytes)
         }
         it.foreach { r =>

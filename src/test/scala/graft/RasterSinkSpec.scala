@@ -66,6 +66,21 @@ class RasterSinkSpec extends SparkSpec {
     assert(dataAfterIfds, "COG ordering: all pixel data after the IFDs")
   }
 
+  test("COG deflate compression: exact round-trip, smaller bytes, NaN padding intact") {
+    val w = 70; val h = 90
+    val vals = Array.tabulate(w * h)(i => if (i % 11 == 0) Float.NaN else i * 0.5f - 100f)
+    val plain = graft.plans.GeoTiff.encodeCog(w, h, vals, -98.0, 45.0, 0.005, tile = 32)
+    val packed = graft.plans.GeoTiff.encodeCog(w, h, vals, -98.0, 45.0, 0.005, tile = 32,
+      compress = true)
+    assert(packed.length < plain.length,
+      s"deflate must shrink the file (${packed.length} vs ${plain.length})")
+    val (dw, dh, dvals, (ovW, ovH), dataAfterIfds) = graft.plans.GeoTiff.decodeCog(packed)
+    assert(dw === w && dh === h && ovW === 35 && ovH === 45 && dataAfterIfds)
+    // float-bit equality incl. NaN cells
+    assert(dvals.map(java.lang.Float.floatToIntBits).toSeq
+             === vals.map(java.lang.Float.floatToIntBits).toSeq)
+  }
+
   test("writeGeoTiffs cog=true emits per-timestep COGs matching the raster") {
     val out = Files.createTempDirectory("graft_cog").toString
     RasterSink.writeGeoTiffs(spark, out, cog = true)
