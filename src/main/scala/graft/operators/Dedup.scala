@@ -247,7 +247,25 @@ object Dedup {
     else out
   }
 
+  /** EXT + §2.9: replay dedup, batch form of [[graft.streaming.Streams
+    * .dedupEvents]] — an at-least-once feed re-delivers a slice of events
+    * (every 50th id here); keyed dropDuplicates collapses them before the
+    * aggregate. Duplicate rows are byte-identical, so the surviving
+    * representative is deterministic. One hash-agg shuffle on event_id,
+    * then the small per-type rollup. */
+  def qDedupReplay(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    val redelivered = ev.filter(col("event_id") % 50 === 0)
+    ev.union(redelivered)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_replay"        -> (qDedupReplay _),
     "q_dedup_minhash"       -> (qDedupMinhash _),
     "q_dedup_minhash_xx"    -> (qDedupMinhashXx _),
     "q_dedup_simhash"       -> (qDedupSimhash _),
@@ -261,6 +279,14 @@ object Dedup {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_replay" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM (SELECT DISTINCT event_id, event_type, value FROM (
+        |        SELECT event_id, event_type, value FROM events
+        |        UNION ALL
+        |        SELECT event_id, event_type, value FROM events WHERE event_id % 50 = 0))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),

@@ -59,6 +59,18 @@ object Streams {
 
   /** Session windows: gap-based grouping per user in event time — the
     * built-in form of the sessionization below (state managed by Spark). */
+  /** Keyed in-flight de-duplication — exactly-once semantics over an
+    * at-least-once feed (re-crawls, replayed Kafka offsets, retried
+    * uploads). `dropDuplicatesWithinWatermark` keeps one state entry per
+    * key only INSIDE the 1-hour watermark horizon, so state is bounded by
+    * arrival rate × horizon, not by stream lifetime — the property that
+    * makes streaming dedup viable at 100 TB/day. Batch-equivalent oracle:
+    * q_dedup_replay. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   def sessionWindows(events: DataFrame, gap: String): DataFrame =
     events
       .withWatermark("ts", "1 hour")

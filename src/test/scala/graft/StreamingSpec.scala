@@ -50,6 +50,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("dropDuplicatesWithinWatermark collapses a fully re-delivered stream") {
+    // deliver the identical parquet TWICE (at-least-once redelivery); the
+    // keyed dedup must emit each event exactly once
+    val dir = Files.createTempDirectory("graft_stream_dup")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"),
+               StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"),
+               StandardCopyOption.REPLACE_EXISTING)
+    val q = Streams.dedupEvents(Streams.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_test")
+    val expected = Tables.events(spark, sf).count()
+    assert(streamed.count() === expected, "each event exactly once despite double delivery")
+    assert(streamed.select("event_id").distinct().count() === expected)
+  }
+
   test("sliding windows double-count each event across overlapping windows") {
     val src = stageEventsDir()
     val q = Streams.slidingCounts(Streams.readEvents(spark, src))
