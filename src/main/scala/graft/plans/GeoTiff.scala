@@ -217,128 +217,137 @@ object GeoTiff {
         out
       }
     }
-    val base = Level(width, height, values)
-    val ow = math.max(1, (width + 1) / 2); val oh = math.max(1, (height + 1) / 2)
-    // nodata-aware nearest: first non-nodata (non-NaN) pixel of each 2x2
-    // block, so a mesh-edge block whose top-left cell is outside the mesh
-    // doesn't punch a hole in the overview. Keyed on NaN, NOT 0f: zeta
-    // exactly 0.0 (datum sea level) is legitimate in-mesh data.
-    val over = Level(ow, oh, Array.tabulate(ow * oh) { i =>
-      val y = (i / ow) * 2; val x = (i % ow) * 2
-      var v = Float.NaN; var dy = 0
-      while (dy < 2 && v.isNaN) {
-        var dx = 0
-        while (dx < 2 && v.isNaN) {
-          if (y + dy < height && x + dx < width) {
-            val c = values((y + dy) * width + (x + dx))
-            if (!c.isNaN) v = c
+    // nodata-aware nearest 2x downsample: first non-nodata (non-NaN) pixel
+    // of each 2x2 block, so a mesh-edge block whose top-left cell is
+    // outside the mesh doesn't punch a hole in the overview. Keyed on NaN,
+    // NOT 0f: zeta exactly 0.0 (datum sea level) is legitimate in-mesh data.
+    def downsample(l: Level): Level = {
+      val ow = math.max(1, (l.w + 1) / 2); val oh = math.max(1, (l.h + 1) / 2)
+      Level(ow, oh, Array.tabulate(ow * oh) { i =>
+        val y = (i / ow) * 2; val x = (i % ow) * 2
+        var v = Float.NaN; var dy = 0
+        while (dy < 2 && v.isNaN) {
+          var dx = 0
+          while (dx < 2 && v.isNaN) {
+            if (y + dy < l.h && x + dx < l.w) {
+              val c = l.vals((y + dy) * l.w + (x + dx))
+              if (!c.isNaN) v = c
+            }
+            dx += 1
           }
-          dx += 1
+          dy += 1
         }
-        dy += 1
+        v
+      })
+    }
+    // full overview pyramid (GDAL COG layout): halve until a level fits in
+    // ONE tile, at least one overview — range readers then pick the level
+    // matching their zoom instead of scanning base tiles
+    val levels = {
+      val lb = List.newBuilder[Level]
+      var cur = Level(width, height, values)
+      lb += cur
+      var more = true
+      while (more) {
+        cur = downsample(cur); lb += cur
+        more = math.max(cur.w, cur.h) > tile && cur.w * cur.h > 1
       }
-      v
-    })
+      lb.result()
+    }
 
-    // materialize (and maybe compress) every tile first: stored sizes
-    // drive the offset layout
+    // materialize (and maybe compress) every tile of every level first:
+    // stored sizes drive the offset layout
     def storedTiles(l: Level): Array[Array[Byte]] =
       (for (ty <- 0 until l.tilesY; tx <- 0 until l.tilesX) yield {
         val raw = ByteBuffer.allocate(l.tileBytes).order(ByteOrder.LITTLE_ENDIAN)
         l.tileData(tx, ty).foreach(raw.putFloat)
         if (compress) deflateTile(raw.array()) else raw.array()
       }).toArray
-    val t0Tiles = storedTiles(base)
-    val t1Tiles = storedTiles(over)
+    val tiles = levels.map(storedTiles)
 
-    val entries0 = 15 // base IFD: as strips + tile tags + GDAL_NODATA
-    val entries1 = 12 // overview: adds NewSubfileType, drops the 3 geo arrays
-    // layout: header, IFD0, IFD1, out-of-line arrays, tile data
-    val ifd0At = 8
-    val ifd1At = ifd0At + 2 + entries0 * 12 + 4
-    var cursor = (ifd1At + 2 + entries1 * 12 + 4).toLong
+    // base IFD: 15 entries (geo arrays + GDAL_NODATA); overviews: 12
+    val entryCounts = 15 :: List.fill(levels.length - 1)(12)
+    // layout: header, all IFDs, out-of-line arrays, tile data level by level
+    val ifdAts = entryCounts.scanLeft(8L) { (at, n) => at + 2 + n * 12 + 4 }
+    var cursor = ifdAts.last // scanLeft's extra element = end of the IFDs
     def reserve(n: Long): Long = { val at = cursor; cursor += n; at }
     def arr4(n: Int): Long = if (n > 1) reserve(4L * n) else 0L
-    val t0OffAt = arr4(base.nTiles); val t0CntAt = arr4(base.nTiles)
-    val t1OffAt = arr4(over.nTiles); val t1CntAt = arr4(over.nTiles)
+    val offAts = levels.map(l => arr4(l.nTiles))
+    val cntAts = levels.map(l => arr4(l.nTiles))
     val scaleAt = reserve(24); val tieAt = reserve(48)
     val geoKeys = Array(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
     val geoKeysAt = reserve(2L * geoKeys.length)
-    val t0DataAt = cursor
-    val t1DataAt = t0DataAt + t0Tiles.map(_.length.toLong).sum
-    val total = t1DataAt + t1Tiles.map(_.length.toLong).sum
+    val dataAts = tiles.scanLeft(cursor)((at, ts) => at + ts.map(_.length.toLong).sum)
+    val total = dataAts.last
     val compTag = if (compress) 8 else 1
 
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0At)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdAts.head.toInt)
 
     def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
       buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
       if (typ == TShort && count == 1) buf.putShort(value.toShort).putShort(0)
       else buf.putInt(value.toInt)
     }
-    // IFD0 (full resolution, geo-tagged)
-    buf.position(ifd0At)
-    buf.putShort(entries0.toShort)
-    entry(ImageWidth, TLong, 1, width)
-    entry(ImageLength, TLong, 1, height)
-    entry(BitsPerSample, TShort, 1, 32)
-    entry(Compression, TShort, 1, compTag)
-    entry(Photometric, TShort, 1, 1)
-    entry(SamplesPerPixel, TShort, 1, 1)
-    entry(TileWidth, TLong, 1, tile)
-    entry(TileLength, TLong, 1, tile)
-    if (base.nTiles > 1) entry(TileOffsets, TLong, base.nTiles, t0OffAt)
-    else entry(TileOffsets, TLong, 1, t0DataAt)
-    if (base.nTiles > 1) entry(TileByteCounts, TLong, base.nTiles, t0CntAt)
-    else entry(TileByteCounts, TLong, 1, t0Tiles(0).length)
-    entry(SampleFormat, TShort, 1, 3)
-    entry(ModelPixelScale, TDouble, 3, scaleAt)
-    entry(ModelTiepoint, TDouble, 6, tieAt)
-    entry(GeoKeyDirectory, TShort, geoKeys.length, geoKeysAt)
-    nodataEntry(buf) // GDAL_NODATA "nan": see [[nodataEntry]]
-    buf.putInt(ifd1At) // chain to overview IFD
-    // IFD1 (2x overview, marked reduced-resolution subfile)
-    buf.position(ifd1At)
-    buf.putShort(entries1.toShort)
-    entry(NewSubfileType, TLong, 1, 1)
-    entry(ImageWidth, TLong, 1, over.w)
-    entry(ImageLength, TLong, 1, over.h)
-    entry(BitsPerSample, TShort, 1, 32)
-    entry(Compression, TShort, 1, compTag)
-    entry(Photometric, TShort, 1, 1)
-    entry(SamplesPerPixel, TShort, 1, 1)
-    entry(TileWidth, TLong, 1, tile)
-    entry(TileLength, TLong, 1, tile)
-    if (over.nTiles > 1) entry(TileOffsets, TLong, over.nTiles, t1OffAt)
-    else entry(TileOffsets, TLong, 1, t1DataAt)
-    if (over.nTiles > 1) entry(TileByteCounts, TLong, over.nTiles, t1CntAt)
-    else entry(TileByteCounts, TLong, 1, t1Tiles(0).length)
-    entry(SampleFormat, TShort, 1, 3)
-    buf.putInt(0)
+    levels.zipWithIndex.foreach { case (l, i) =>
+      buf.position(ifdAts(i).toInt)
+      buf.putShort(entryCounts(i).toShort)
+      if (i > 0) entry(NewSubfileType, TLong, 1, 1) // reduced-resolution subfile
+      entry(ImageWidth, TLong, 1, l.w)
+      entry(ImageLength, TLong, 1, l.h)
+      entry(BitsPerSample, TShort, 1, 32)
+      entry(Compression, TShort, 1, compTag)
+      entry(Photometric, TShort, 1, 1)
+      entry(SamplesPerPixel, TShort, 1, 1)
+      entry(TileWidth, TLong, 1, tile)
+      entry(TileLength, TLong, 1, tile)
+      if (l.nTiles > 1) entry(TileOffsets, TLong, l.nTiles, offAts(i))
+      else entry(TileOffsets, TLong, 1, dataAts(i))
+      if (l.nTiles > 1) entry(TileByteCounts, TLong, l.nTiles, cntAts(i))
+      else entry(TileByteCounts, TLong, 1, tiles(i)(0).length)
+      entry(SampleFormat, TShort, 1, 3)
+      if (i == 0) {
+        entry(ModelPixelScale, TDouble, 3, scaleAt)
+        entry(ModelTiepoint, TDouble, 6, tieAt)
+        entry(GeoKeyDirectory, TShort, geoKeys.length, geoKeysAt)
+        nodataEntry(buf) // GDAL_NODATA "nan": see [[nodataEntry]]
+      }
+      buf.putInt(if (i + 1 < levels.length) ifdAts(i + 1).toInt else 0)
+    }
 
     // out-of-line arrays (offsets cumulative over the stored sizes)
-    def writeTileArrays(tiles: Array[Array[Byte]], offAt: Long, cntAt: Long,
-                        dataAt: Long): Unit =
-      if (tiles.length > 1) {
-        var off = dataAt
-        buf.position(offAt.toInt)
-        tiles.foreach { t => buf.putInt(off.toInt); off += t.length }
-        buf.position(cntAt.toInt)
-        tiles.foreach(t => buf.putInt(t.length))
+    levels.indices.foreach { i =>
+      if (levels(i).nTiles > 1) {
+        var off = dataAts(i)
+        buf.position(offAts(i).toInt)
+        tiles(i).foreach { t => buf.putInt(off.toInt); off += t.length }
+        buf.position(cntAts(i).toInt)
+        tiles(i).foreach(t => buf.putInt(t.length))
       }
-    writeTileArrays(t0Tiles, t0OffAt, t0CntAt, t0DataAt)
-    writeTileArrays(t1Tiles, t1OffAt, t1CntAt, t1DataAt)
+    }
     buf.position(scaleAt.toInt); buf.putDouble(res).putDouble(res).putDouble(0.0)
     buf.position(tieAt.toInt)
     buf.putDouble(0).putDouble(0).putDouble(0).putDouble(originX).putDouble(originY).putDouble(0)
     buf.position(geoKeysAt.toInt); geoKeys.foreach(k => buf.putShort(k.toShort))
 
-    // tile data, base level then overview
-    buf.position(t0DataAt.toInt)
-    t0Tiles.foreach(buf.put)
-    t1Tiles.foreach(buf.put)
+    // tile data, finest level first
+    buf.position(dataAts.head.toInt)
+    tiles.foreach(_.foreach(buf.put))
     buf.array()
+  }
+
+  /** Number of overview IFDs chained after the base image (tests). */
+  def cogOverviewCount(bytes: Array[Byte]): Int = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'I' && buf.get() == 'I' && buf.getShort() == 42)
+    var at = buf.getInt(4); var n = -1
+    while (at != 0) {
+      n += 1
+      buf.position(at)
+      val entries = buf.getShort()
+      at = buf.getInt(at + 2 + entries * 12)
+    }
+    n
   }
 
   /** Decode helper for the COG writer's base image (tests): reads IFD0's

@@ -417,11 +417,13 @@ object Hdf5 {
       }.toMap
     }
 
-    // chunk indexes are walked once per dataset and cached (per-task
-    // readers pull many rows from the same chunked variable)
-    private val chunkIndex = scala.collection.mutable.Map.empty[String, Seq[Chunk]]
+    // chunk indexes are walked once per dataset, sorted by logical offset,
+    // and cached (per-task readers pull many rows from the same chunked
+    // variable; the sort lets readRow binary-search its row's chunk run
+    // instead of scanning the whole index)
+    private val chunkIndex = scala.collection.mutable.Map.empty[String, IndexedSeq[Chunk]]
 
-    private def chunksOf(ds: Dataset): Seq[Chunk] = chunkIndex.getOrElseUpdate(ds.name, {
+    private def chunksOf(ds: Dataset): IndexedSeq[Chunk] = chunkIndex.getOrElseUpdate(ds.name, {
       val Chunked(btree, chunkDims) = (ds.layout: @unchecked)
       val dimensionality = chunkDims.length + 1
       def walk(addr: Long): Seq[Chunk] = {
@@ -443,7 +445,8 @@ object Hdf5 {
           else Seq(Chunk(offsets.dropRight(1), size, child, filterMask))
         }
       }
-      walk(btree)
+      walk(btree).toIndexedSeq
+        .sortBy(c => (c.offsets(0), c.offsets.lift(1).getOrElse(0L)))
     })
 
     /** Read one chunk and reverse its filter pipeline (write order is
@@ -574,8 +577,18 @@ object Hdf5 {
           val cr = chunkDims(0)
           val cc = if (ds.rank <= 1) 1 else chunkDims(1)
           val nCols = if (ds.rank <= 1) 1L else ds.shape(1)
-          chunksOf(ds).iterator
-            .filter(c => c.offsets(0) <= row && row < c.offsets(0) + cr)
+          // chunk origins are cr-aligned: binary-search the sorted index
+          // for this row's origin, then take its contiguous column run —
+          // O(log chunks + chunks-per-row), not a full index scan
+          val cs = chunksOf(ds)
+          val target = (row / cr).toLong * cr
+          var lo = 0; var hi = cs.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cs(mid).offsets(0) < target) lo = mid + 1 else hi = mid
+          }
+          Iterator.range(lo, cs.length).map(cs)
+            .takeWhile(_.offsets(0) == target)
             .foreach { c =>
               val vals = chunkValues(ds, c, chunkDims.product)
               val lr = row - c.offsets(0).toInt

@@ -66,6 +66,17 @@ class RasterSinkSpec extends SparkSpec {
     assert(dataAfterIfds, "COG ordering: all pixel data after the IFDs")
   }
 
+  test("COG overview pyramid: levels halve until one tile covers the image") {
+    // 300x200, 32px tiles: 150x100 -> 75x50 -> 38x25 -> 19x13 (fits a tile)
+    val w = 300; val h = 200
+    val vals = Array.tabulate(w * h)(i => i.toFloat)
+    val bytes = graft.plans.GeoTiff.encodeCog(w, h, vals, 0, 0, 1.0, tile = 32)
+    assert(graft.plans.GeoTiff.cogOverviewCount(bytes) === 4)
+    val (dw, dh, dvals, (ovW, ovH), afterIfds) = graft.plans.GeoTiff.decodeCog(bytes)
+    assert(dw === w && dh === h && ovW === 150 && ovH === 100 && afterIfds)
+    assert(dvals.toSeq === vals.toSeq, "pyramid must not disturb the base image")
+  }
+
   test("COG deflate compression: exact round-trip, smaller bytes, NaN padding intact") {
     val w = 70; val h = 90
     val vals = Array.tabulate(w * h)(i => if (i % 11 == 0) Float.NaN else i * 0.5f - 100f)
