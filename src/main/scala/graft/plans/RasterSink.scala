@@ -28,7 +28,9 @@ object RasterSink {
 
   private def hfs(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.setWriteChecksum(false) // no .crc sidecars in the mosaic directory
+    (fs, p)
   }
   private def writeFile(path: String, bytes: Array[Byte]): Unit = {
     val (fs, p) = hfs(path)

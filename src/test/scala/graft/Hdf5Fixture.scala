@@ -273,16 +273,24 @@ object Hdf5Fixture {
 
   // ---- fixture content (matches the IngestSpec CDF-1 fixture) ------------
 
+  /** Fixture content. The default generators give the Hdf5Spec lattice;
+    * override them (PipelineSpec does) for arbitrary meshes/fields. */
   case class Content(n: Int, m: Int, t: Int, fill: Double,
                      dry: Set[(Int, Int)], dryMax: Set[Int],
-                     units: String) {
-    def x(i: Int): Double = i * 0.5
-    def y(i: Int): Double = 40.0 + i * 0.25
-    def ele(i: Int): Int = (i % n) + 1 // 1-based
+                     units: String,
+                     xAt: Int => Double = _ * 0.5,
+                     yAt: Int => Double = i => 40.0 + i * 0.25,
+                     eleAt: Option[Int => Int] = None,
+                     fieldAt: Option[(Int, Int) => Double] = None,
+                     timeAt: Int => Double = _ * 3600.0) {
+    def x(i: Int): Double = xAt(i)
+    def y(i: Int): Double = yAt(i)
+    def ele(i: Int): Int = eleAt.map(_(i)).getOrElse((i % n) + 1) // 1-based
     def zeta(ts: Int, node: Int): Double =
-      if (dry((ts, node))) fill else ts * 100.0 + node + 0.25
+      if (dry((ts, node))) fill
+      else fieldAt.map(_(ts, node)).getOrElse(ts * 100.0 + node + 0.25)
     def zetaMax(node: Int): Double = if (dryMax(node)) fill else 900.0 + node
-    def time(ts: Int): Double = ts * 3600.0
+    def time(ts: Int): Double = timeAt(ts)
   }
 
   /** netcdf-c-shaped file: superblock v0 + old-style group + chunked

@@ -124,6 +124,49 @@ class PipelineSpec extends SparkSpec {
       assert(new java.io.File(s"$dir/$f").exists(), s"$f missing")
   }
 
+  test("NetCDF-4/HDF5 (compressed) input runs the same pipeline to the same COGs") {
+    // the production container: superblock v0, chunked+deflate zeta — the
+    // file a real ASGS user would hand the pipeline; everything downstream
+    // of the magic-byte dispatch is identical to the classic-CDF case
+    val dir = Files.createTempDirectory("graft_pipeline_h5").toString
+    val nodeXs = xs; val nodeYs = ys
+    val c = Hdf5Fixture.Content(
+      n = 4, m = 2, t = T, fill = Fill, dry = Set.empty, dryMax = Set.empty,
+      units = "seconds since 2008-09-09 00:00:00 UTC",
+      xAt = nodeXs(_), yAt = nodeYs(_),
+      eleAt = Some(tris1Based(_)),
+      fieldAt = Some((t, node) => field(t, nodeXs(node), nodeYs(node))),
+      timeAt = t => t * 3600.0)
+    Files.write(Paths.get(s"$dir/fort.63.nc"), Hdf5Fixture.writeV0(c, compress = true))
+
+    val g = 16
+    val n = Pipeline.run(spark, s"$dir/fort.63.nc", dir, g)
+    assert(n > 0)
+    val cogs = new java.io.File(s"$dir/cogs").listFiles()
+      .filter(_.getName.endsWith(".tiff")).sortBy(_.getName)
+    assert(cogs.map(_.getName).toSeq === Seq(
+      "fort_63_zeta_20080909T000000Z.tiff", "fort_63_zeta_20080909T010000Z.tiff"))
+
+    val spec = operators.Interp.GridSpec(0.0, 1.0, 0.0, 1.0, g)
+    (0 until T).foreach { t =>
+      val (w, h, vals, _, afterIfds) =
+        plans.GeoTiff.decodeCog(Files.readAllBytes(cogs(t).toPath))
+      assert(w === g && h === g && afterIfds)
+      var checked = 0
+      for (row <- 0 until g; col <- 0 until g) {
+        val x = spec.minX + (col + 0.5) * spec.resX
+        val y = spec.maxY - (row + 0.5) * spec.resY
+        val v = vals(row * g + col)
+        if (!v.isNaN) {
+          assert(math.abs(v - field(t, x, y)) < 1e-4,
+                 s"ts=$t pixel($row,$col) at ($x,$y): $v vs ${field(t, x, y)}")
+          checked += 1
+        }
+      }
+      assert(checked > (g * g) / 2)
+    }
+  }
+
   test("dry node (-99999 fill) masks exactly its triangles' pixels — no bleed") {
     val dir = Files.createTempDirectory("graft_pipeline_dry").toString
     // node 3 = (1,1), vertex of the UPPER triangle only, dry at ts=1
