@@ -1,0 +1,64 @@
+package graft.multimodal
+
+/** Real container-header parsing — the metadata a 100 TB media pipeline
+  * extracts WITHOUT decoding pixels/samples. Pure JVM against the public
+  * container specs (PNG 1.2, JPEG/JFIF ISO 10918, RIFF/WAVE): no codec
+  * library needed, because dimensions/sample-rate live in the first few
+  * hundred header bytes. At scale this is the difference between reading
+  * a 4 KB header range and decoding a 40 MB payload per asset.
+  *
+  * These upgrade [[Multimodal.decodeFeatures]] from the documented stub
+  * to a real parse for the three formats; the stub remains the fallback
+  * for unknown mimes (where a true codec would sit). */
+object MediaHeaders {
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def be32(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) | ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+  private def be16(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+  private def le32(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) | ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+
+  /** PNG: signature + IHDR (always the first chunk): width/height BE at
+    * bytes 16/20. */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && PngSig.indices.forall(i => b(i) == PngSig(i)))
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** JPEG: walk the marker stream past APPn/COM/quant tables to the first
+    * SOF0/1/2 frame header; height BE16 at +5, width at +7 inside it. */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var at = 2
+    while (at + 4 <= b.length) {
+      if ((b(at) & 0xff) != 0xff) return None
+      val marker = b(at + 1) & 0xff
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+        if (at + 9 > b.length) return None
+        return Some((be16(b, at + 7), be16(b, at + 5))) // (width, height)
+      }
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) at += 2 // bare markers
+      else at += 2 + be16(b, at + 2) // segment with length
+    }
+    None
+  }
+
+  /** RIFF/WAVE: find the `fmt ` chunk; (channels LE16, sampleRate LE32). */
+  def wavFormat(b: Array[Byte]): Option[(Int, Int)] = {
+    def tag(at: Int, s: String) = s.indices.forall(i => b(at + i) == s.charAt(i).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var at = 12
+    while (at + 8 <= b.length) {
+      val size = le32(b, at + 4)
+      if (tag(at, "fmt ") && at + 16 <= b.length)
+        return Some((le16(b, at + 10), le32(b, at + 12)))
+      at += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+}

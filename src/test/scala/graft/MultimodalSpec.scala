@@ -1,11 +1,41 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaHeaders, Multimodal}
 
 /** Multimodal plumbing tests: binary payload schema, per-partition decode
-  * batch shape, and stub determinism. */
+  * batch shape, stub determinism, and the REAL container-header parsers
+  * (PNG IHDR / JPEG SOF walk / RIFF-WAVE fmt chunk). */
 class MultimodalSpec extends SparkSpec {
+
+  test("header parsers read planted dims from real container bytes") {
+    val tail = "pixel data stand-in".getBytes("UTF-8")
+    assert(MediaHeaders.pngDims(Multimodal.pngBytes(640, 480, tail)) === Some((640, 480)))
+    // the JPEG walk must step over APP0 and COM segments to reach SOF0
+    assert(MediaHeaders.jpegDims(Multimodal.jpegBytes(1920, 1080, tail)) === Some((1920, 1080)))
+    assert(MediaHeaders.wavFormat(Multimodal.wavBytes(2, 44100, tail)) === Some((2, 44100)))
+    // corrupt signatures parse to None (callers fall back to the stub)
+    val broken = Multimodal.pngBytes(640, 480, tail); broken(0) = 0
+    assert(MediaHeaders.pngDims(broken) === None)
+    assert(MediaHeaders.jpegDims(Array[Byte](1, 2, 3, 4)) === None)
+    assert(MediaHeaders.wavFormat("RIFFxxxxNOPE".getBytes("US-ASCII")) === None)
+  }
+
+  test("decodeFeatures over the asset table parses every format's real header") {
+    val feats = Multimodal.decodeFeatures(Multimodal.assetTable(spark, sf)).collect()
+    assert(feats.length === Tables.documents(spark, sf).count())
+    feats.foreach { f =>
+      f.mime match {
+        case "image/png" | "image/jpeg" =>
+          val (w, h) = Multimodal.dimsOf(f.doc_id)
+          assert((f.width, f.height) === ((w, h)), s"doc ${f.doc_id} ${f.mime}")
+        case "audio/wav" =>
+          assert(f.width === 1 + (f.doc_id % 2).toInt,  s"doc ${f.doc_id} channels")
+          assert(f.height === 8000 * (1 + (f.doc_id % 6).toInt), s"doc ${f.doc_id} rate")
+        case other => fail(s"unexpected mime $other")
+      }
+    }
+  }
 
   test("media table carries a real BINARY payload column") {
     val m = Multimodal.mediaTable(spark, sf)
