@@ -31,24 +31,35 @@ object MediaHeaders {
     else None
 
   /** JPEG: walk the marker stream past APPn/COM/quant tables to the first
-    * SOF0/1/2 frame header; height BE16 at +5, width at +7 inside it. */
+    * SOF0/1/2 frame header; height BE16 at +5, width at +7 inside it.
+    * ISO 10918 allows runs of 0xFF fill bytes before any marker — they are
+    * padding, not a segment. */
   def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var at = 2
     while (at + 4 <= b.length) {
       if ((b(at) & 0xff) != 0xff) return None
+      while (at + 4 <= b.length && (b(at + 1) & 0xff) == 0xff) at += 1 // fill bytes
+      if (at + 4 > b.length) return None
       val marker = b(at + 1) & 0xff
       if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
         if (at + 9 > b.length) return None
         return Some((be16(b, at + 7), be16(b, at + 5))) // (width, height)
       }
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) at += 2 // bare markers
-      else at += 2 + be16(b, at + 2) // segment with length
+      else {
+        val len = be16(b, at + 2)
+        if (len < 2) return None // malformed length cannot advance
+        at += 2 + len
+      }
     }
     None
   }
 
-  /** RIFF/WAVE: find the `fmt ` chunk; (channels LE16, sampleRate LE32). */
+  /** RIFF/WAVE: find the `fmt ` chunk; (channels LE16, sampleRate LE32).
+    * Chunk sizes are unsigned; a size that is negative as a signed Int
+    * (>= 2 GiB or crafted) cannot be walked with Int arithmetic — bail
+    * out instead of looping. */
   def wavFormat(b: Array[Byte]): Option[(Int, Int)] = {
     def tag(at: Int, s: String) = s.indices.forall(i => b(at + i) == s.charAt(i).toByte)
     if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
@@ -57,6 +68,7 @@ object MediaHeaders {
       val size = le32(b, at + 4)
       if (tag(at, "fmt ") && at + 16 <= b.length)
         return Some((le16(b, at + 10), le32(b, at + 12)))
+      if (size < 0) return None // unsigned size past Int.MaxValue: not walkable
       at += 8 + size + (size & 1) // chunks are word-aligned
     }
     None

@@ -449,10 +449,25 @@ object Hdf5 {
         .sortBy(c => (c.offsets(0), c.offsets.lift(1).getOrElse(0L)))
     })
 
+    /** HDF5 semantics for storage that was never written: the dataset's
+      * fill value. The fill-value MESSAGE is not parsed (netcdf-c mirrors
+      * it into `_FillValue`), so the attribute drives it; NaN otherwise —
+      * which [[Ingest]]'s mask step nulls, so absent data can never
+      * masquerade as a legitimate 0.0 reading. */
+    private def fillOf(ds: Dataset): Double = ds.fillValue.getOrElse(Double.NaN)
+
+    // one-entry decoded-chunk memo: tasks read rows in sequence, so
+    // consecutive rows of a (cr, cols)-chunked variable hit the same
+    // chunk cr times — cache the last decode instead of re-reading and
+    // re-inflating it per row
+    private var lastChunkAddr: Long = -1L
+    private var lastChunkVals: Array[Double] = null
+
     /** Read one chunk and reverse its filter pipeline (write order is
       * pipeline order, so read order is REVERSED), honoring the
       * per-chunk skip mask. Returns exactly the chunk's raw elements. */
     private def chunkValues(ds: Dataset, c: Chunk, chunkElems: Int): Array[Double] = {
+      if (c.addr == lastChunkAddr && lastChunkVals != null) return lastChunkVals
       val raw = new Array[Byte](c.size); r.readFully(c.addr, raw)
       val expected = chunkElems * ds.dtype.size
       val data = ds.filters.zipWithIndex.reverseIterator
@@ -460,7 +475,9 @@ object Hdf5 {
         .foldLeft(raw) { case (bytes, (f, _)) => unapplyFilter(bytes, f, ds, expected) }
       require(data.length >= expected,
         s"${ds.name}: chunk decoded to ${data.length} bytes, expected $expected")
-      decodeNums(data, ds.dtype, chunkElems)
+      val vals = decodeNums(data, ds.dtype, chunkElems)
+      lastChunkAddr = c.addr; lastChunkVals = vals
+      vals
     }
 
     private def unapplyFilter(bytes: Array[Byte], f: Filter, ds: Dataset,
@@ -528,14 +545,15 @@ object Hdf5 {
       ds.layout match {
         case Compact(data) => decodeNums(data, ds.dtype, total)
         case Contiguous(addr, _) =>
-          if (addr == Undef) new Array[Double](total) // never allocated
+          if (addr == Undef) Array.fill(total)(fillOf(ds)) // never allocated
           else {
             val raw = new Array[Byte](total * ds.dtype.size)
             r.readFully(addr, raw)
             decodeNums(raw, ds.dtype, total)
           }
         case Chunked(_, chunkDims) =>
-          val out = new Array[Double](total)
+          // cells no chunk covers (sparse writes) stay at the fill value
+          val out = Array.fill(total)(fillOf(ds))
           val nCols = if (ds.rank <= 1) 1L else ds.shape(1)
           chunksOf(ds).foreach { c =>
             val vals = chunkValues(ds, c, chunkDims.product)
@@ -560,20 +578,27 @@ object Hdf5 {
     }
 
     /** Read one slice along the first dimension (one record of a
-      * (time, node) variable) — the [[NetCdf3.readRecord]] contract. */
+      * (time, node) variable) — the [[NetCdf3.readRecord]] contract.
+      * Out-of-range rows fail LOUDLY: a silent fabricated row in a bulk
+      * ingest is the worst failure mode. */
     def readRow(ds: Dataset, row: Int): Array[Double] = {
       val n = ds.rowElems.toInt
+      require(row >= 0 && row < ds.shape.headOption.getOrElse(1L),
+        s"${ds.name}: row $row out of range [0, ${ds.shape.headOption.getOrElse(1L)})")
       ds.layout match {
         case Compact(data) =>
           decodeNums(data.slice(row * n * ds.dtype.size, (row + 1) * n * ds.dtype.size),
             ds.dtype, n)
         case Contiguous(addr, _) =>
-          require(addr != Undef, s"${ds.name}: no storage allocated")
-          val raw = new Array[Byte](n * ds.dtype.size)
-          r.readFully(addr + row.toLong * n * ds.dtype.size, raw)
-          decodeNums(raw, ds.dtype, n)
+          if (addr == Undef) Array.fill(n)(fillOf(ds)) // never allocated
+          else {
+            val raw = new Array[Byte](n * ds.dtype.size)
+            r.readFully(addr + row.toLong * n * ds.dtype.size, raw)
+            decodeNums(raw, ds.dtype, n)
+          }
         case Chunked(_, chunkDims) =>
-          val out = new Array[Double](n)
+          // cells no chunk covers (sparse writes) stay at the fill value
+          val out = Array.fill(n)(fillOf(ds))
           val cr = chunkDims(0)
           val cc = if (ds.rank <= 1) 1 else chunkDims(1)
           val nCols = if (ds.rank <= 1) 1L else ds.shape(1)
