@@ -9,7 +9,11 @@ import java.nio.file.{Files, Paths}
   * null); the full per-query map is also written to BENCH_FULL.json. */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // sf dir: first CLI arg wins (lets tools/run_verify.sh drive Bench
+    // with the same positional contract as Verify), env second
+    val sfDir = args.headOption.filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()

@@ -6,7 +6,12 @@ import org.apache.spark.sql.SparkSession
   * Usage: tools/run_verify.sh <sfDir> <q1,q2,...|all> graft.Explain */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, which) = args
+    if (args.length < 2) {
+      println("usage: graft.Explain <sfDir> <q1,q2,...|all>  (set GRAFT_TIME=1 to time 3 runs instead)")
+      println(s"queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      return
+    }
+    val sfDir = args(0); val which = args(1) // extra args ignored
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -42,7 +42,11 @@ object MediaHeaders {
       while (at + 4 <= b.length && (b(at + 1) & 0xff) == 0xff) at += 1 // fill bytes
       if (at + 4 > b.length) return None
       val marker = b(at + 1) & 0xff
-      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+      // the full SOFn family carries the frame header: 0xC0-0xCF minus
+      // DHT (0xC4), JPG (0xC8), DAC (0xCC) — lossless/arithmetic/
+      // hierarchical variants included, so none silently fall to the stub
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
         if (at + 9 > b.length) return None
         return Some((be16(b, at + 7), be16(b, at + 5))) // (width, height)
       }

@@ -42,7 +42,10 @@ object Dedup {
     * At production scale the scan is already many splits and this coalesces
     * noop-cheaply. */
   private def fanout(df: DataFrame, key: String): DataFrame =
-    df.repartition(32, col(key))
+    // at least the test-corpus 32, scaling with the session's parallelism —
+    // a real cluster gets cluster-wide stripes, not a magic constant
+    df.repartition(
+      math.max(32, df.sparkSession.sparkContext.defaultParallelism), col(key))
 
   /** EXT: MinHash + LSH candidate pairs. 8 hash functions, 4 bands × 2 rows:
     * P(candidate) = 1-(1-j²)⁴ — catches Jaccard ≳ 0.6 with high probability.

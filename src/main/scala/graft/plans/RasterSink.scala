@@ -206,13 +206,22 @@ object RasterSink {
     * reference's `<var>_<yyyyMMdd'T'HHmmss>Z.tiff` naming over the real
     * decoded instants (run/adcircTime2cogs.py:190-194). `times` is the
     * Ingest times table (ts, t_raw, t_utc). */
-  def mosaicIndexFromTimes(times: DataFrame, varName: String): DataFrame =
+  def mosaicIndexFromTimes(times: DataFrame, varName: String): DataFrame = {
+    // date_format renders in spark.sql.session.timeZone; the filenames
+    // must be UTC regardless of the caller's session (Ingest.timeLabels is
+    // UTC-pinned, and the COGs on disk were named through it). Shifting the
+    // instant by the session offset via to_utc_timestamp makes the session
+    // render the UTC wall clock. Exact for UTC and fixed-offset sessions;
+    // a DST session's ambiguous hour is the documented residual.
+    val sessionTz = times.sparkSession.conf.get("spark.sql.session.timeZone")
     times.filter(col("t_utc").isNotNull)
       .select(col("ts"),
               concat(lit(varName), lit("_"),
-                     date_format(col("t_utc"), "yyyyMMdd'T'HHmmss"),
+                     date_format(to_utc_timestamp(col("t_utc"), sessionTz),
+                                 "yyyyMMdd'T'HHmmss"),
                      lit("Z.tiff")).as("fname"))
       .orderBy("ts")
+  }
 
   /** Demo-axis variant for the synthetic lattice relations (which carry
     * no time variable): maps record index → hourly cadence. Kept ONLY for

@@ -70,6 +70,12 @@ object Hdf5 {
 
   // ---------------------------------------------------------------------
 
+  /** NOT thread-safe: holds unsynchronized read-side caches (the per-
+    * dataset chunk index and a one-entry decoded-chunk memo); sharing one
+    * handle across threads can hand one thread another's chunk values.
+    * The contract everywhere in graft is one handle per Spark task —
+    * [[NcFile.open]] per partition — which is also the cheap-open design
+    * point ([[RangeReader]] is stateless between reads). */
   final class Hdf5File(r: RangeReader) extends AutoCloseable {
 
     private def bytesAt(off: Long, n: Int): ByteBuffer = {
@@ -509,11 +515,52 @@ object Hdf5 {
           }
           out
         }
-      case 3 => // fletcher32: 4-byte checksum appended to the chunk
-        java.util.Arrays.copyOf(bytes, bytes.length - 4)
+      case 3 => // fletcher32: 4-byte LE checksum appended to the chunk —
+        // VERIFIED, not just stripped: a file that declares integrity
+        // checking must not decode corrupted chunks silently
+        val body = java.util.Arrays.copyOf(bytes, bytes.length - 4)
+        val stored = (bytes(bytes.length - 4) & 0xffL) |
+          ((bytes(bytes.length - 3) & 0xffL) << 8) |
+          ((bytes(bytes.length - 2) & 0xffL) << 16) |
+          ((bytes(bytes.length - 1) & 0xffL) << 24)
+        val computed = fletcher32(body)
+        require(computed == stored,
+          f"${ds.name}: fletcher32 mismatch (stored 0x$stored%08x, computed 0x$computed%08x) — corrupted chunk")
+        body
       case other =>
         throw new IllegalArgumentException(
           s"${ds.name}: HDF5 filter id $other unsupported (deflate/shuffle/fletcher32 handled)")
+    }
+
+    /** HDF5's Fletcher-32 (H5checksum semantics, public file-format spec):
+      * 16-bit big-endian words, sums folded mod 2^16-ish via end-around
+      * carry every ≤360 words, odd trailing byte high-aligned. */
+    private def fletcher32(data: Array[Byte]): Long = {
+      var sum1 = 0L; var sum2 = 0L
+      var i = 0
+      val words = data.length / 2
+      var remaining = words
+      while (remaining > 0) {
+        var tlen = math.min(remaining, 360)
+        remaining -= tlen
+        while (tlen > 0) {
+          sum1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+          i += 2
+          sum2 += sum1
+          tlen -= 1
+        }
+        sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+        sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+      }
+      if (data.length % 2 != 0) {
+        sum1 += (data(data.length - 1) & 0xffL) << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+        sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+      ((sum2 << 16) | sum1) & 0xffffffffL
     }
 
     private def decodeNums(bytes: Array[Byte], dt: Dtype, count: Int): Array[Double] = {

@@ -75,16 +75,24 @@ object Ingest {
                               seriesVar: String, numRecs: Int,
                               fill: Option[Double]): Unit = {
     import s.implicits._
+    // fanout: at least the test-corpus 32, but scale with the cluster —
+    // a 1000-core session should stripe records 1000-wide, not 32-wide
+    val fanout = math.max(32, s.sparkContext.defaultParallelism)
     s.range(0, numRecs)
-      .repartition(math.min(numRecs, 32))
+      .repartition(math.min(numRecs, fanout))
       .mapPartitions { recs =>
         val nc = NcFile.open(ncPath)
+        // close on task completion (success OR failure) — a leaked reader
+        // is harmless for local files but pins a connection/socket when
+        // the path is an HTTP/DAP remote
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => nc.close()))
         recs.flatMap { rec =>
           val vals = nc.readRecord(seriesVar, rec.toInt)
           vals.indices.iterator.map { i =>
             (rec, i.toLong, if (isMasked(vals(i), fill)) None else Some(vals(i)))
           }
-        } // reader leaks per-task; acceptable: task JVMs release on completion
+        }
       }
       .toDF("ts", "node_id", "value")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/series")
@@ -160,7 +168,7 @@ object Ingest {
     * time axis; callers then fall back to record-index names. Tiny
     * (one row per timestep), so a driver collect is the right shape. */
   def timeLabels(s: SparkSession, dir: String): Map[Long, String] =
-    if (!new java.io.File(s"$dir/times").exists()) Map.empty
+    if (!timesExists(s, dir)) Map.empty
     else {
       val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
         .withZone(java.time.ZoneOffset.UTC)
@@ -169,4 +177,13 @@ object Ingest {
           .map(t => row.getAs[Long]("ts") -> fmt.format(t.toInstant))
       }.toMap
     }
+
+  /** Existence check through the Hadoop FileSystem for the path's scheme —
+    * `dir` may be hdfs://, s3a://, file:, or a bare local path ([[RasterSink]]
+    * was generalized to FS URIs; a java.io.File probe would silently miss a
+    * remote times table and drop the timestamp naming contract). */
+  private def timesExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/times")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
 }

@@ -298,7 +298,8 @@ object Hdf5Fixture {
     * time through fletcher32 — `nccopy -d4 -s` output shape. Returns the
     * file bytes. */
   def writeV0(c: Content, compress: Boolean = false,
-              zetaFilterIdOverride: Option[Int] = None): Array[Byte] = {
+              zetaFilterIdOverride: Option[Int] = None,
+              corruptTimeChunk: Boolean = false): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(96) // superblock v0 reserved; patched last
 
@@ -307,9 +308,16 @@ object Hdf5Fixture {
     val yAddr = writeDoubles(buf, Array.tabulate(c.n)(c.y))
     val eleAddr = writeIntsBE(buf, Array.tabulate(c.m * 3)(c.ele))
     val zmaxAddr = writeDoubles(buf, Array.tabulate(c.n)(c.zetaMax))
+    // corruptTimeChunk: flip one data bit AFTER the checksum is appended —
+    // the shape of real on-disk corruption a declared fletcher32 must catch
+    val timeXform: Array[Byte] => Array[Byte] =
+      if (corruptTimeChunk) { b =>
+        val out = fletcher32Bytes(b); out(0) = (out(0) ^ 0x01).toByte; out
+      }
+      else if (compress) fletcher32Bytes else identity
     val timeBtree = writeChunks(buf, Array(c.t.toLong), Array(3),
       idx => c.time(idx(0).toInt), fillPad = 0.0,
-      transform = if (compress) fletcher32Bytes else identity)
+      transform = timeXform)
     val zetaBtree = writeChunks(buf, Array(c.t.toLong, c.n.toLong), Array(2, 5),
       idx => c.zeta(idx(0).toInt, idx(1).toInt), fillPad = c.fill,
       transform = if (compress) (b => deflateBytes(shuffleBytes(b, 8))) else identity)

@@ -156,6 +156,18 @@ class Hdf5Spec extends SparkSpec {
     assert(Ingest.timeLabels(spark, outDir)(3L) === "20080909T030000")
   }
 
+  test("fletcher32 detects a corrupted chunk instead of decoding it") {
+    val dir = Files.createTempDirectory("graft_h5fc").toString
+    val p = s"$dir/corrupt.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeV0(c, compress = true,
+      corruptTimeChunk = true))
+    val nc = NcFile.open(p)
+    try {
+      val e = intercept[IllegalArgumentException](nc.readRecord("time", 0))
+      assert(e.getMessage.contains("fletcher32 mismatch"))
+    } finally nc.close()
+  }
+
   test("unknown filter id fails with an actionable message") {
     val dir = Files.createTempDirectory("graft_h5uf").toString
     val p = s"$dir/szip.nc"

@@ -189,6 +189,16 @@ class RasterSinkSpec extends SparkSpec {
     val idx = RasterSink.mosaicIndexFromTimes(times, "fort_63_zeta").collect()
     assert(idx.map(_.getAs[String]("fname")).toSeq === Seq(
       "fort_63_zeta_20080909T000000Z.tiff", "fort_63_zeta_20080909T003000Z.tiff"))
+
+    // a library caller with a NON-UTC session must get the same UTC names
+    // (the COGs on disk were named via the UTC-pinned Ingest.timeLabels)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val idxNy = RasterSink.mosaicIndexFromTimes(times, "fort_63_zeta").collect()
+      assert(idxNy.map(_.getAs[String]("fname")).toSeq === Seq(
+        "fort_63_zeta_20080909T000000Z.tiff", "fort_63_zeta_20080909T003000Z.tiff"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("COG GDAL_NODATA is 'nan' and the overview skips NaN, not zeta==0") {
