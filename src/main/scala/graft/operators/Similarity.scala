@@ -301,20 +301,30 @@ object Similarity {
       .orderBy("cid")
   }
 
-  /** EXT (rows-only): per-label embedding centroid via the typed
-    * [[graft.functions.VectorCentroid]] Aggregator — distributed double
-    * summation is partition-order-dependent, so no hash oracle. */
+  /** EXT: per-label embedding centroid via the typed
+    * [[graft.functions.VectorCentroid]] Aggregator — now ORACLE-EXACT.
+    * Raw distributed double summation is partition-order-dependent, so the
+    * elements are quantized to 1e-4 fixed point BEFORE aggregation
+    * (floor(x*1e4+0.5), an integer-valued double): integer sums are exact
+    * and order-independent at any parallelism, and the final mean is one
+    * deterministic IEEE division both engines perform identically. Output
+    * is long-form (label, pos, ci4) — centroid element in 1e-4 units —
+    * hash-compared against a DuckDB UNNEST+group oracle. */
   def qVecCentroid(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds = Tables.embeddings(s, d)
       .select(col("label"), vD.as("v"))
       .as[(Int, Array[Double])]
     ds.groupByKey(_._1)
-      .mapValues(_._2)
+      .mapValues(_._2.map(x => math.floor(x * 10000.0 + 0.5)))
       .agg(graft.functions.VectorCentroid.toColumn.name("centroid"))
-      .map { case (label, c) => (label, c.length, math.rint(c.head * 100) / 100) }
-      .toDF("label", "dim", "c0_approx")
-      .orderBy("label")
+      .flatMap { case (label, c) =>
+        c.iterator.zipWithIndex.map { case (v, i) =>
+          (label, i + 1, math.floor(v + 0.5).toLong)
+        }
+      }
+      .toDF("label", "pos", "ci4")
+      .orderBy("label", "pos")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -420,6 +430,13 @@ object Similarity {
         |  CAST(floor(list_max(list_transform(generate_series(1, len(v)),
         |         i -> abs(v[i] - CAST(q[i] AS DOUBLE) / g))) * 10000000.0 + 0.5) AS BIGINT) AS erri7
         |FROM qz ORDER BY vec_id LIMIT 200""".stripMargin,
+    "q_vec_centroid" ->
+      """SELECT label, CAST(pos AS INT) AS pos,
+        |  CAST(floor(CAST(SUM(qi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS ci4
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS qi
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_ann_lsh_probe" ->
       s"""WITH e AS ($duckVecs),
         |sig AS (SELECT e.*,

@@ -66,8 +66,26 @@ class SqlFrontendSpec extends SparkSpec {
 
   test("q_vec_centroid covers every label with full dimensionality") {
     val rows = operators.Similarity.qVecCentroid(spark, sf).collect()
-    assert(rows.length === 10)
-    assert(rows.forall(_.getAs[Int]("dim") === 64))
+    assert(rows.length === 10 * 64) // long-form: one row per (label, pos)
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.size === 10)
+    assert(byLabel.values.forall(_.map(_.getAs[Int]("pos")).sorted.toSeq === (1 to 64)))
+  }
+
+  test("quantized centroid is identical at 1 and 32 partitions") {
+    // the whole point of quantize-before-sum: integer-valued doubles sum
+    // exactly, so partition order cannot move the result and the hash
+    // oracle is sound at any parallelism
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500)(i =>
+      (i % 3, Array.fill(16)(math.floor(rnd.nextDouble() * 2e4 - 1e4 + 0.5))))
+    def centroid(parts: Int) =
+      rows.toDS().repartition(parts)
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.VectorCentroid.toColumn.name("c"))
+        .collect().toMap.view.mapValues(_.toSeq).toMap
+    assert(centroid(1) === centroid(32))
   }
 
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
