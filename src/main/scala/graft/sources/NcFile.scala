@@ -27,8 +27,12 @@ trait NcFile extends AutoCloseable {
 
 object NcFile {
   /** Magic-byte dispatch, classic CDF vs HDF5 — both containers arrive
-    * with the `.nc` extension in the wild. */
+    * with the `.nc` extension in the wild. OPeNDAP endpoints (the
+    * reference's THREDDS `dodsC` URLs) are recognized by URL shape and
+    * speak [[Dap2]] instead: the server parses the container and ships
+    * arrays, so there are no magic bytes to read. */
   def open(path: String): NcFile = {
+    if (Dap2.isDapUrl(path)) return new Dap2NcFile(path)
     val r = RangeReader.open(path)
     val head = new Array[Byte](math.min(8L, r.length).toInt)
     r.readFully(0, head)

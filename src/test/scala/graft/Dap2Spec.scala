@@ -1,0 +1,224 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import graft.sources.{Dap2, Ingest, NcFile}
+
+/** DAP2 client against a local fixture server speaking the protocol
+  * (DDS/DAS/dods with constraint expressions) — the response shapes a
+  * THREDDS `dodsC` endpoint produces for an ADCIRC fort.63: coordinate
+  * variables and mesh arrays as atomic arrays, the record variable as a
+  * Grid, `DODS_EXTRA.Unlimited_Dimension`, `_FillValue`, CF `units`.
+  * The server slices arrays from the SAME logical content as IngestSpec's
+  * CDF-1 fixture, so the full `fort63ToParquet` ingest is asserted
+  * value-identical to what the file-backed path produces. */
+class Dap2Spec extends SparkSpec {
+
+  private val N = 12; private val M = 5; private val T = 4
+  private val Fill = -99999.0
+  private val dry = Set((1, 2), (3, 7))
+  private def zeta(t: Int, n: Int): Double =
+    if (dry((t, n))) Fill else t * 100.0 + n + 0.25
+  private def x(i: Int): Double = i * 0.5
+  private def y(i: Int): Double = 40.0 + i * 0.25
+  private def ele(i: Int): Int = (i % N) + 1 // 1-based in the "file"
+  private def zetaMax(n: Int): Double = if (n == 5) Fill else 900.0 + n
+  private def time(t: Int): Double = t * 3600.0
+
+  private val dds =
+    s"""Dataset {
+       |    Float64 x[node = $N];
+       |    Float64 y[node = $N];
+       |    Int32 element[nele = $M][nvertex = 3];
+       |    Float64 zeta_max[node = $N];
+       |    Float64 time[time = $T];
+       |    Grid {
+       |     ARRAY:
+       |        Float64 zeta[time = $T][node = $N];
+       |     MAPS:
+       |        Float64 time[time = $T];
+       |        Float64 node[node = $N];
+       |    } zeta;
+       |} fort.63;
+       |""".stripMargin
+
+  private val das =
+    """Attributes {
+      |    x {
+      |        String units "degrees_east";
+      |    }
+      |    time {
+      |        String units "seconds since 2008-09-09 00:00:00 UTC";
+      |        String base_date "2008-09-09 00:00:00";
+      |    }
+      |    zeta {
+      |        Float64 _FillValue -99999.00000000000000;
+      |        String long_name "water surface elevation";
+      |    }
+      |    zeta_max {
+      |        Float64 _FillValue -99999.00000000000000;
+      |    }
+      |    NC_GLOBAL {
+      |        String Conventions "CF-1.6";
+      |    }
+      |    DODS_EXTRA {
+      |        String Unlimited_Dimension "time";
+      |    }
+      |}
+      |""".stripMargin
+
+  /** Full row-major doubles per variable (what the "server" slices). */
+  private def flat(name: String): (Array[Double], Seq[Int]) = name match {
+    case "x"        => (Array.tabulate(N)(x), Seq(N))
+    case "y"        => (Array.tabulate(N)(y), Seq(N))
+    case "element"  => (Array.tabulate(M * 3)(i => ele(i).toDouble), Seq(M, 3))
+    case "zeta_max" => (Array.tabulate(N)(zetaMax), Seq(N))
+    case "time"     => (Array.tabulate(T)(time), Seq(T))
+    case "zeta"     => (Array.tabulate(T * N)(i => zeta(i / N, i % N)), Seq(T, N))
+    case other      => fail(s"fixture has no var $other")
+  }
+
+  /** Server-side constraint evaluation: `proj[a:b][c:d]…` → XDR bytes.
+    * Only the shapes the client emits (full trailing ranges) plus full
+    * projection are implemented — anything else 400s the request. */
+  private def dodsResponse(query: String): Array[Byte] = {
+    val br = query.indexOf('[')
+    val (projPath, slices) =
+      if (br < 0) (query, Nil)
+      else (query.take(br),
+            "\\[(\\d+):(\\d+)\\]".r.findAllMatchIn(query.drop(br))
+              .map(m => (m.group(1).toInt, m.group(2).toInt)).toList)
+    val name = projPath.split('.').head // grid member → the grid's array
+    val (vals, shape) = flat(name)
+    val ranges =
+      if (slices.isEmpty) shape.map(s => (0, s - 1))
+      else { require(slices.length == shape.length, s"bad constraint $query"); slices }
+    // row-major slice
+    def emit(dim: Int, base: Int): Seq[Double] = {
+      val stride = shape.drop(dim + 1).product
+      (ranges(dim)._1 to ranges(dim)._2).flatMap { i =>
+        if (dim == shape.length - 1) Seq(vals(base + i))
+        else emit(dim + 1, base + i * stride)
+      }
+    }
+    val out = emit(0, 0)
+    val bos = new ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeBytes(s"Dataset {\n    Float64 $name${ranges.map(r => s"[${r._2 - r._1 + 1}]").mkString};\n} fort.63;\n")
+    o.writeBytes("\nData:\n")
+    o.writeInt(out.length); o.writeInt(out.length) // XDR count, sent twice
+    val isInt = name == "element"
+    out.foreach(d => if (isInt) o.writeInt(d.toInt) else o.writeDouble(d))
+    o.flush(); bos.toByteArray
+  }
+
+  private def withServer[A](f: String => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: com.sun.net.httpserver.HttpExchange, bytes: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+    }
+    server.createContext("/thredds/dodsC/fort63.nc.dds",
+      (ex: com.sun.net.httpserver.HttpExchange) => send(ex, dds.getBytes("US-ASCII")))
+    server.createContext("/thredds/dodsC/fort63.nc.das",
+      (ex: com.sun.net.httpserver.HttpExchange) => send(ex, das.getBytes("US-ASCII")))
+    server.createContext("/thredds/dodsC/fort63.nc.dods",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        send(ex, dodsResponse(java.net.URLDecoder.decode(
+          ex.getRequestURI.getRawQuery, "UTF-8"))))
+    // the bare URL (no extension) is what a user pastes; it must NOT be
+    // range-read — the client should never GET it
+    server.createContext("/thredds/dodsC/fort63.nc",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(400, -1); ex.getResponseBody.close()
+      })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/thredds/dodsC/fort63.nc")
+    finally server.stop(0)
+  }
+
+  test("URL dispatch: dodsC/dods/opendap and the dap2+ force prefix") {
+    assert(Dap2.isDapUrl("http://h/thredds/dodsC/p/fort.63.nc"))
+    assert(Dap2.isDapUrl("https://h/opendap/fort.63.nc"))
+    assert(Dap2.isDapUrl("dap2+http://h/custom/fort.63.nc"))
+    assert(!Dap2.isDapUrl("http://h/thredds/fileServer/p/fort.63.nc"))
+    assert(!Dap2.isDapUrl("/local/fort.63.nc"))
+  }
+
+  test("DDS parse: atomic arrays, Grid array member, shapes") {
+    val d = Dap2.parseDds(dds)
+    assert(d.name === "fort.63")
+    val byName = d.vars.map(v => v.name -> v).toMap
+    assert(byName("x").dims.map(_.size) === Seq(N))
+    assert(byName("element").dims.map(d => (d.name, d.size)) === Seq(("nele", M), ("nvertex", 3)))
+    assert(byName("zeta").typ === "Float64")
+    assert(byName("zeta").dims.map(_.size) === Seq(T, N))
+    assert(byName("zeta").proj === "zeta.zeta") // grid member projection
+    assert(byName("zeta.node").proj === "zeta.node") // map, non-shadowed name
+  }
+
+  test("DAS parse: typed values, quoted strings, nested containers") {
+    val a = Dap2.parseDas(das)
+    assert(a("zeta")("_FillValue").toDouble === Fill)
+    assert(a("time")("units") === "seconds since 2008-09-09 00:00:00 UTC")
+    assert(a("DODS_EXTRA")("Unlimited_Dimension") === "time")
+    assert(a("NC_GLOBAL")("Conventions") === "CF-1.6")
+  }
+
+  test("NcFile over DAP2: schema, unlimited dim, attrs, reads") {
+    withServer { url =>
+      val nc = NcFile.open(url)
+      try {
+        assert(nc.varNames.contains("zeta") && nc.varNames.contains("x"))
+        assert(nc.numRecs === T)
+        assert(nc.isRecordVar("zeta"))
+        assert(!nc.isRecordVar("x"))
+        assert(nc.fillValue("zeta") === Some(Fill))
+        assert(nc.strAttr("time", "units") === Some("seconds since 2008-09-09 00:00:00 UTC"))
+        assert(nc.readFixed("x").toSeq === (0 until N).map(x))
+        assert(nc.readFixed("element").toSeq === (0 until M * 3).map(i => ele(i).toDouble))
+        val r2 = nc.readRecord("zeta", 2)
+        assert(r2.toSeq === (0 until N).map(n => zeta(2, n)))
+        assert(nc.readRecord("time", 1)(0) === 3600.0)
+      } finally nc.close()
+    }
+  }
+
+  test("fort63ToParquet ingests a dodsC URL end-to-end") {
+    withServer { url =>
+      val outDir = Files.createTempDirectory("graft_dap_ingest").toString
+      Ingest.fort63ToParquet(spark, url, outDir)
+      assert(Ingest.nodes(spark, outDir).count() === N.toLong)
+      // connectivity shift applied at ingest: 0-based
+      val eles = Ingest.elements(spark, outDir).collect()
+      assert(eles.length === M)
+      assert(eles.forall { r =>
+        Seq("n1", "n2", "n3").forall(c =>
+          r.getAs[Long](c) >= 0 && r.getAs[Long](c) < N)
+      })
+      // series: full cardinality, fill→null at the dry cells only
+      val series = Ingest.series(spark, outDir).collect()
+        .map(r => (r.getAs[Long]("ts"), r.getAs[Long]("node_id"),
+                   if (r.isNullAt(2)) null else r.getAs[Double]("value"))).toSet
+      assert(series.size === T * N)
+      assert(series.contains((1L, 2L, null)) && series.contains((3L, 7L, null)))
+      assert(series.contains((2L, 3L, 203.25)))
+      // CF time decode drives the reference's timestamp naming contract
+      val labels = Ingest.timeLabels(spark, outDir)
+      assert(labels(0L) === "20080909T000000")
+      assert(labels(3L) === "20080909T030000")
+    }
+  }
+
+  test("varToParquet dispatch over DAP2: fixed var masks fill to null") {
+    withServer { url =>
+      val outDir = Files.createTempDirectory("graft_dap_var").toString
+      assert(Ingest.varToParquet(spark, url, outDir, "zeta_max") === "zeta_max")
+      import org.apache.spark.sql.functions.col
+      val mx = spark.read.parquet(s"$outDir/zeta_max")
+      assert(mx.count() === N.toLong)
+      assert(mx.filter(col("value").isNull).count() === 1L) // node 5 dry
+    }
+  }
+}
