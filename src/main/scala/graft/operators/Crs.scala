@@ -10,27 +10,55 @@ import org.apache.spark.sql.functions._
   * entry point over the closed-form projections a pure-JVM engine can
   * carry without a PROJ dependency:
   *
-  *  - 4326        geographic lon/lat degrees (identity axis)
-  *  - 3857/900913 spherical web-Mercator meters
-  *  - 32662/54001 plate-carrée (equirectangular) meters
+  *  - 4326          geographic lon/lat degrees (identity axis)
+  *  - 3857/900913   spherical web-Mercator meters
+  *  - 32662/54001   plate-carrée (equirectangular) meters
+  *  - 32601–32660 / 32701–32760  UTM zones 1–60 N/S — ellipsoidal
+  *    transverse Mercator on WGS84 via the public Snyder series
+  *    ("Map Projections — A Working Manual", USGS PP 1395, eqs 8-9…8-25;
+  *    cm-accurate inside a zone's ±3° width)
   *
   * Any (src, dst) pair composes inverse(src)∘forward(dst) through the
   * 4326 pivot. Everything is `Column` arithmetic over
   * `org.apache.spark.sql.functions` — codegen'd, narrow, no shuffle, no
-  * UDF — so reprojection fuses into the surrounding stage at any scale.
-  * Unsupported codes fail at plan time with the supported list. */
+  * UDF — so reprojection fuses into the surrounding stage at any scale
+  * (whole-stage codegen's subexpression elimination dedups the shared
+  * sin/cos/tan terms). Unsupported codes fail at plan time with the
+  * supported list. */
 object Crs {
 
   /** WGS84/web-Mercator sphere radius (the 3857 contract). */
   val R = 6378137.0
 
+  // WGS84 ellipsoid (UTM contract)
+  val SemiMajor = 6378137.0
+  val Flattening = 1.0 / 298.257223563
+  val E2 = Flattening * (2.0 - Flattening)   // first eccentricity²
+  val Ep2 = E2 / (1.0 - E2)                  // second eccentricity²
+  val K0 = 0.9996                            // UTM central-meridian scale
+  // meridional-arc series coefficients (Snyder 3-21)
+  val Mc0 = 1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0
+  val Mc2 = 3.0 * E2 / 8.0 + 3.0 * E2 * E2 / 32.0 + 45.0 * E2 * E2 * E2 / 1024.0
+  val Mc4 = 15.0 * E2 * E2 / 256.0 + 45.0 * E2 * E2 * E2 / 1024.0
+  val Mc6 = 35.0 * E2 * E2 * E2 / 3072.0
+  // footpoint-latitude series base (Snyder 3-24)
+  val E1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+
   private val rad = lit(math.Pi) / lit(180.0)
 
   private val supported = Set(4326, 3857, 900913, 32662, 54001)
 
+  /** EPSG 326zz/327zz → (central meridian degrees, southern false
+    * northing). */
+  private[operators] def utmZone(epsg: Int): Option[(Double, Boolean)] =
+    if (epsg >= 32601 && epsg <= 32660) Some(((epsg - 32600) * 6.0 - 183.0, false))
+    else if (epsg >= 32701 && epsg <= 32760) Some(((epsg - 32700) * 6.0 - 183.0, true))
+    else None
+
   private def check(epsg: Int): Int = {
-    require(supported.contains(epsg),
-      s"EPSG:$epsg unsupported; closed-form codes: ${supported.toSeq.sorted.mkString(", ")}")
+    require(supported.contains(epsg) || utmZone(epsg).isDefined,
+      s"EPSG:$epsg unsupported; closed-form codes: " +
+        s"${supported.toSeq.sorted.mkString(", ")}, 32601-32660 (UTM N), 32701-32760 (UTM S)")
     epsg
   }
 
@@ -42,6 +70,9 @@ object Crs {
         (lon * rad * lit(R),
          lit(R) * log(tan(lit(math.Pi) / lit(4.0) + lat * rad / lit(2.0))))
       case 32662 | 54001 => (lon * rad * lit(R), lat * rad * lit(R))
+      case utm =>
+        val (lon0, south) = utmZone(utm).get
+        tmForward(lon, lat, lon0, south)
     }
 
   /** `lon`/`lat` degrees of (x, y) in the source CRS. */
@@ -52,7 +83,63 @@ object Crs {
         (x / lit(R) / rad,
          (atan(exp(y / lit(R))) * lit(2.0) - lit(math.Pi) / lit(2.0)) / rad)
       case 32662 | 54001 => (x / lit(R) / rad, y / lit(R) / rad)
+      case utm =>
+        val (lon0, south) = utmZone(utm).get
+        tmInverse(x, y, lon0, south)
     }
+
+  /** Ellipsoidal TM forward (Snyder 8-9…8-13): degrees → UTM meters.
+    * 500 km false easting; 10,000 km false northing in the south. */
+  private def tmForward(lonDeg: Column, latDeg: Column,
+                        lon0Deg: Double, south: Boolean): (Column, Column) = {
+    val phi = latDeg * rad
+    val sinp = sin(phi); val cosp = cos(phi); val tanp = tan(phi)
+    val n = lit(SemiMajor) / sqrt(lit(1.0) - lit(E2) * sinp * sinp)
+    val t = tanp * tanp
+    val c = lit(Ep2) * cosp * cosp
+    val a = (lonDeg - lit(lon0Deg)) * rad * cosp
+    val a2 = a * a; val a3 = a2 * a; val a4 = a2 * a2; val a5 = a4 * a; val a6 = a4 * a2
+    val m = lit(SemiMajor) *
+      (lit(Mc0) * phi - lit(Mc2) * sin(phi * lit(2.0)) +
+       lit(Mc4) * sin(phi * lit(4.0)) - lit(Mc6) * sin(phi * lit(6.0)))
+    val x = lit(500000.0) + lit(K0) * n *
+      (a + (lit(1.0) - t + c) * a3 / lit(6.0) +
+       (lit(5.0) - lit(18.0) * t + t * t + lit(72.0) * c - lit(58.0) * Ep2) * a5 / lit(120.0))
+    val y0 = lit(K0) *
+      (m + n * tanp *
+        (a2 / lit(2.0) + (lit(5.0) - t + lit(9.0) * c + lit(4.0) * c * c) * a4 / lit(24.0) +
+         (lit(61.0) - lit(58.0) * t + t * t + lit(600.0) * c - lit(330.0) * Ep2) * a6 / lit(720.0)))
+    (x, if (south) y0 + lit(10000000.0) else y0)
+  }
+
+  /** Ellipsoidal TM inverse (Snyder 8-17…8-25): UTM meters → degrees. */
+  private def tmInverse(xCol: Column, yCol: Column,
+                        lon0Deg: Double, south: Boolean): (Column, Column) = {
+    val y = if (south) yCol - lit(10000000.0) else yCol
+    val mu = y / lit(K0) / lit(SemiMajor * Mc0)
+    val phi1 = mu +
+      lit(3.0 * E1 / 2.0 - 27.0 * E1 * E1 * E1 / 32.0) * sin(mu * lit(2.0)) +
+      lit(21.0 * E1 * E1 / 16.0 - 55.0 * E1 * E1 * E1 * E1 / 32.0) * sin(mu * lit(4.0)) +
+      lit(151.0 * E1 * E1 * E1 / 96.0) * sin(mu * lit(6.0)) +
+      lit(1097.0 * E1 * E1 * E1 * E1 / 512.0) * sin(mu * lit(8.0))
+    val sin1 = sin(phi1); val cos1 = cos(phi1); val tan1 = tan(phi1)
+    val c1 = lit(Ep2) * cos1 * cos1
+    val t1 = tan1 * tan1
+    val oneMinus = lit(1.0) - lit(E2) * sin1 * sin1
+    val n1 = lit(SemiMajor) / sqrt(oneMinus)
+    val r1 = lit(SemiMajor * (1.0 - E2)) / (oneMinus * sqrt(oneMinus))
+    val d = (xCol - lit(500000.0)) / (n1 * lit(K0))
+    val d2 = d * d; val d3 = d2 * d; val d4 = d2 * d2; val d5 = d4 * d; val d6 = d4 * d2
+    val phi = phi1 - (n1 * tan1 / r1) *
+      (d2 / lit(2.0) -
+       (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 - lit(9.0) * Ep2) * d4 / lit(24.0) +
+       (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1 -
+        lit(252.0) * Ep2 - lit(3.0) * c1 * c1) * d6 / lit(720.0))
+    val lam = (d - (lit(1.0) + lit(2.0) * t1 + c1) * d3 / lit(6.0) +
+               (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1 +
+                lit(8.0) * Ep2 + lit(24.0) * t1 * t1) * d5 / lit(120.0)) / cos1
+    (lit(lon0Deg) + lam / rad, phi / rad)
+  }
 
   /** Reproject coordinate columns `xCol`/`yCol` from `srcEpsg` to
     * `dstEpsg`, replacing them in place. Same-code pairs short-circuit

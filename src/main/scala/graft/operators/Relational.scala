@@ -80,6 +80,20 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** P4 UTM: ellipsoidal transverse Mercator, the next EPSG family after
+    * web-Mercator a real `to_crs(CRS(code))` caller reaches for. Zone 33N
+    * (EPSG:32633, CM 15°E); lon folded into the zone's ±3° width so the
+    * series stay in-domain. Pure Column arithmetic — the whole Snyder
+    * forward fuses into one codegen'd projection, no shuffle. */
+  def qProjUtm(s: SparkSession, d: String): DataFrame = {
+    val lon = col("value") % lit(6.0) + lit(12.0)
+    val lat = col("value") / lit(4.0) - lit(60.0)
+    val (e, n) = Crs.forward(32633, lon, lat)
+    Tables.events(s, d)
+      .select(col("event_id"), round(e, 2).as("easting"), round(n, 2).as("northing"))
+      .orderBy("event_id")
+  }
+
   /** P4 generalized: an arbitrary (srcEpsg, dstEpsg) pair through
     * [[Crs.transform]] — here 3857 → 32662 (web-Mercator meters to
     * plate-carrée meters), which exercises the INVERSE Mercator
@@ -208,6 +222,7 @@ object Relational {
     "q_affine_transform"   -> (qAffineTransform _),
     "q_proj_mercator"      -> (qProjMercator _),
     "q_proj_epsg"          -> (qProjEpsg _),
+    "q_proj_utm"           -> (qProjUtm _),
     "q_mask_null"          -> (qMaskNull _),
     "q_filter_regex_max"   -> (qFilterRegexMax _),
     "q_topk"               -> (qTopk _),
@@ -251,6 +266,38 @@ object Relational {
         |        6378137.0 * LN(TAN(PI() / 4.0 + (value / 4.0 - 60.0) * (PI() / 180.0) / 2.0)) AS my
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
+    // the Snyder-series constants are interpolated from Crs so both
+    // engines parse the SAME shortest-repr decimal to the same double;
+    // every grouping mirrors the Column tree (FP multiply isn't
+    // associative), and cm rounding absorbs last-ULP libm drift
+    "q_proj_utm" ->
+      s"""WITH base AS (
+        |  SELECT event_id,
+        |    (value % 6.0 + 12.0) AS lon,
+        |    (value / 4.0 - 60.0) * (PI() / 180.0) AS phi
+        |  FROM events),
+        |q AS (
+        |  SELECT event_id, lon, phi,
+        |    SIN(phi) AS sinp, COS(phi) AS cosp, TAN(phi) AS tanp
+        |  FROM base),
+        |r AS (
+        |  SELECT event_id, phi, sinp, cosp, tanp,
+        |    ${Crs.SemiMajor} / SQRT(1.0 - ${Crs.E2} * sinp * sinp) AS n,
+        |    tanp * tanp AS t,
+        |    ${Crs.Ep2} * cosp * cosp AS c,
+        |    (lon - 15.0) * (PI() / 180.0) * cosp AS a,
+        |    ${Crs.SemiMajor} * (${Crs.Mc0} * phi - ${Crs.Mc2} * SIN(phi * 2.0)
+        |      + ${Crs.Mc4} * SIN(phi * 4.0) - ${Crs.Mc6} * SIN(phi * 6.0)) AS m
+        |  FROM q)
+        |SELECT event_id,
+        |  ROUND(500000.0 + ${Crs.K0} * n * (a + (1.0 - t + c) * ((a*a)*a) / 6.0
+        |    + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * ${Crs.Ep2})
+        |      * (((a*a)*(a*a))*a) / 120.0), 2) AS easting,
+        |  ROUND(${Crs.K0} * (m + n * tanp * ((a*a) / 2.0
+        |    + (5.0 - t + 9.0 * c + 4.0 * c * c) * ((a*a)*(a*a)) / 24.0
+        |    + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * ${Crs.Ep2})
+        |      * (((a*a)*(a*a))*(a*a)) / 720.0)), 2) AS northing
+        |FROM r ORDER BY event_id""".stripMargin,
     "q_mask_null" ->
       """SELECT event_type,
         |  COUNT(*) AS n_total,

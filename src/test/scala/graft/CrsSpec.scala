@@ -78,5 +78,61 @@ class CrsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("EPSG:27700"))
     assert(e.getMessage.contains("3857"))
+    assert(e.getMessage.contains("32601-32660")) // UTM family advertised
+  }
+
+  /** Zone 33 (CM 15°E) lattice spanning the FULL zone width including both
+    * ±3° boundaries, lats from 80°S to 84°N (the UTM domain). */
+  private def zoneGrid = {
+    import spark.implicits._
+    spark.range(0, 13).toDF("i").crossJoin(spark.range(0, 42).toDF("j"))
+      .select((col("i") * 0.5 + 12.0).as("x"), (col("j") * 4.0 - 80.0).as("y"))
+  }
+
+  test("UTM 4326 -> 32633 -> 4326 round-trips within 1e-7 deg incl. zone boundaries") {
+    val src = zoneGrid.withColumn("x0", col("x")).withColumn("y0", col("y"))
+    val rt = Crs.transform(Crs.transform(src, "x", "y", 4326, 32633), "x", "y", 32633, 4326)
+      .select((col("x") - col("x0")).as("dx"), (col("y") - col("y0")).as("dy"))
+    // Snyder series are cm-accurate in the zone; 1e-7 deg ~ 1.1 cm
+    assert(maxAbs(rt, "dx") < 1e-7)
+    assert(maxAbs(rt, "dy") < 1e-7)
+  }
+
+  test("UTM anchors: central meridian easting, equator northing, quarter meridian") {
+    import spark.implicits._
+    val df = Seq((15.0, 0.0), (15.0, 90.0), (15.0, 45.0)).toDF("x", "y")
+    val out = Crs.transform(df, "x", "y", 4326, 32633).orderBy("y").collect()
+    // (15, 0): zone 33 CM at the equator = (false easting, 0)
+    assert(math.abs(out(0).getDouble(0) - 500000.0) < 1e-6)
+    assert(math.abs(out(0).getDouble(1)) < 1e-6)
+    // (15, 90): northing = k0 * WGS84 quarter meridian (10001965.729 m,
+    // an INDEPENDENT textbook geodesy constant, not derived from the code)
+    assert(math.abs(out(2).getDouble(1) - 0.9996 * 10001965.729) < 1.0)
+    assert(math.abs(out(2).getDouble(0) - 500000.0) < 1e-6)
+  }
+
+  test("UTM south zone: 32733 northing = 32633 northing + 10,000 km") {
+    import spark.implicits._
+    val df = Seq((16.5, -33.9)).toDF("x", "y") // Cape Town-ish, zone 33S
+    val north = Crs.transform(df, "x", "y", 4326, 32633).collect()(0)
+    val south = Crs.transform(df, "x", "y", 4326, 32733).collect()(0)
+    assert(south.getDouble(0) === north.getDouble(0)) // same easting
+    assert(math.abs(south.getDouble(1) - (north.getDouble(1) + 1e7)) < 1e-6)
+    assert(south.getDouble(1) > 0 && south.getDouble(1) < 1e7) // in-range
+  }
+
+  test("UTM composes through the pivot: 32633 -> 3857 equals direct forward") {
+    // pair rows by the ORIGINAL lon/lat (sorting by outputs would tie-break
+    // x-equal groups on the inverse's ULP noise and mispair lats)
+    val src = zoneGrid.withColumn("x0", col("x")).withColumn("y0", col("y"))
+    val viaUtm = Crs.transform(Crs.transform(src, "x", "y", 4326, 32633),
+                               "x", "y", 32633, 3857)
+    val direct = Crs.transform(src, "x", "y", 4326, 3857)
+    val a = viaUtm.orderBy("x0", "y0").select("x", "y").collect()
+    val b = direct.orderBy("x0", "y0").select("x", "y").collect()
+    a.zip(b).foreach { case (ra, rb) =>
+      assert(math.abs(ra.getDouble(0) - rb.getDouble(0)) < 0.01) // 1 cm
+      assert(math.abs(ra.getDouble(1) - rb.getDouble(1)) < 0.01)
+    }
   }
 }
