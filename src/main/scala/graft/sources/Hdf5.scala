@@ -42,8 +42,24 @@ object Hdf5 {
   sealed trait Layout
   case class Compact(data: Array[Byte]) extends Layout
   case class Contiguous(addr: Long, size: Long) extends Layout
-  /** `chunkDims` excludes the spec's trailing element-size dimension. */
-  case class Chunked(btreeAddr: Long, chunkDims: Array[Int]) extends Layout
+  /** Chunked storage. For layout v3 (`idxType` 0, the v1 B-tree index)
+    * `rawDims` has the spec's trailing element-size dimension already
+    * dropped. For layout v4 (`idxType` 1–5: single chunk / implicit /
+    * fixed array / extensible array / v2 B-tree) `rawDims` is as stored;
+    * whether it carries the trailing element-size dim is resolved against
+    * the DATASPACE rank at use ([[Chunked.chunkDims]]) so the reader
+    * tolerates either convention. */
+  case class Chunked(btreeAddr: Long, rawDims: Array[Int], idxType: Int = 0,
+                     singleFilt: Option[(Long, Int)] = None,
+                     eaParams: Option[EaParams] = None) extends Layout {
+    def chunkDims(rank: Int): Array[Int] =
+      if (idxType == 0) rawDims
+      else if (rawDims.length == rank + 1) rawDims.dropRight(1)
+      else rawDims
+  }
+  /** Extensible-array creation parameters (from the layout message). */
+  case class EaParams(maxNelmtsBits: Int, idxBlkElmts: Int, supBlkMinDataPtrs: Int,
+                      dataBlkMinElmts: Int, maxDblkPageNelmtsBits: Int)
 
   /** clazz: 0 fixed-point, 1 IEEE float, 3 string. */
   case class Dtype(clazz: Int, size: Int, littleEndian: Boolean, signed: Boolean)
@@ -247,17 +263,47 @@ object Hdf5 {
     private def parseLayout(body: Array[Byte]): Layout = {
       val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val ver = b.get()
-      require(ver == 3, s"data layout message version $ver unsupported (netcdf-c writes v3)")
+      require(ver == 3 || ver == 4,
+        s"data layout message version $ver unsupported (v3/v4 handled)")
       b.get() & 0xff match {
         case 0 =>
           val n = b.getShort() & 0xffff
           val d = new Array[Byte](n); b.get(d); Compact(d)
         case 1 => Contiguous(b.getLong, b.getLong)
-        case 2 =>
+        case 2 if ver == 3 =>
           val dimensionality = b.get() & 0xff // rank + 1 (elem-size dim)
           val btree = b.getLong
           val dims = Array.fill(dimensionality)(b.getInt)
           Chunked(btree, dims.dropRight(1))
+        case 2 => // v4: the "latest format" chunk indexes
+          val flags = b.get() & 0xff
+          val ndims = b.get() & 0xff
+          val encLen = b.get() & 0xff
+          def dimVal(): Long = encLen match {
+            case 1 => b.get() & 0xffL
+            case 2 => b.getShort() & 0xffffL
+            case 4 => b.getInt() & 0xffffffffL
+            case 8 => b.getLong
+            case n => throw new IllegalArgumentException(s"dim encoding length $n")
+          }
+          val dims = Array.fill(ndims)(dimVal().toInt)
+          val idxType = b.get() & 0xff
+          var singleFilt: Option[(Long, Int)] = None
+          var ea: Option[EaParams] = None
+          idxType match {
+            case 1 => // single chunk: filtered variant stores size + mask inline
+              if ((flags & 0x02) != 0) singleFilt = Some((b.getLong, b.getInt()))
+            case 2 => () // implicit: address arithmetic only
+            case 3 => b.get() // fixed array: page bits
+            case 4 => // five 1-byte creation parameters, libhdf5 field order
+              val maxBits = b.get() & 0xff; val idxElmts = b.get() & 0xff
+              val minPtrs = b.get() & 0xff; val minElmts = b.get() & 0xff
+              val pageBits = b.get() & 0xff
+              ea = Some(EaParams(maxBits, idxElmts, minPtrs, minElmts, pageBits))
+            case 5 => b.getInt(); b.get(); b.get() // v2 btree: node size, split%, merge%
+            case t => throw new IllegalArgumentException(s"chunk index type $t unknown")
+          }
+          Chunked(b.getLong, dims, idxType, singleFilt, ea)
         case c => throw new IllegalArgumentException(s"layout class $c unsupported")
       }
     }
@@ -339,15 +385,86 @@ object Hdf5 {
         walkGroupBtree(btree, heap)
       }
       val linkMsgs = msgs.filter(_.typ == 0x0006).map(m => parseLink(m.body))
-      msgs.find(_.typ == 0x0002).foreach { m => // Link Info: dense check
+      // Link Info (the "new style" group): dense storage moves the link
+      // messages into a fractal heap, indexed by a name-order v2 B-tree
+      // (type 5 records: hash + heap ID) — the "latest format" shape once
+      // a group exceeds the compact threshold (netcdf-c: > 8 variables)
+      val denseLinks = msgs.find(_.typ == 0x0002).toSeq.flatMap { m =>
         val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
         b.get(); val flags = b.get() & 0xff
-        if ((flags & 1) != 0) b.getLong
+        if ((flags & 1) != 0) b.getLong // max creation index
         val fheap = b.getLong
-        require(fheap == Undef || linkMsgs.nonEmpty,
-          "dense (fractal-heap) group links unsupported — rewrite without the 'latest' format flag")
+        val nameBtree = b.getLong
+        if (fheap == Undef) Seq.empty
+        else {
+          val heap = new FractalHeap(fheap)
+          walkV2Btree(nameBtree, 5).map { rec =>
+            // record: name hash (4) + heap ID (rest); the hash is only a
+            // lookup key — enumeration ignores it
+            parseLink(heap.readObject(java.util.Arrays.copyOfRange(rec, 4, rec.length)))
+          }
+        }
       }
-      viaSymtab.getOrElse(Seq.empty) ++ linkMsgs
+      viaSymtab.getOrElse(Seq.empty) ++ linkMsgs ++ denseLinks
+    }
+
+    /** Managed-object subset of the fractal heap: the root is a single
+      * direct block (a group's dense links fit in one at real heap
+      * parameters — 512-byte starting blocks hold dozens of link
+      * messages). Indirect-block roots and huge/tiny heap IDs fail by
+      * name. Field widths derive from the header the way libhdf5 sizes
+      * them: offsets use maxHeapSize bits, lengths the smaller of the
+      * max-direct-block and max-managed-object encodings. */
+    private final class FractalHeap(addr: Long) {
+      private val (rootBlockAddr, offSize, lenSize, blockHeaderLen) = {
+        val h = bytesAt(addr, 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2)
+        val sig = new Array[Byte](4); h.get(sig)
+        require(new String(sig, "US-ASCII") == "FRHP", s"bad fractal heap header at $addr")
+        h.get() // version
+        val heapIdLen = h.getShort() & 0xffff
+        val ioFilterLen = h.getShort() & 0xffff
+        require(ioFilterLen == 0, "filtered fractal heap unsupported")
+        val flags = h.get() & 0xff
+        val maxManagedObjSize = h.getInt() & 0xffffffffL
+        h.getLong; h.getLong // next huge id, huge btree
+        h.getLong; h.getLong // free space, fs mgr
+        h.getLong; h.getLong; h.getLong; h.getLong // managed space/alloc/iter/nobjs
+        h.getLong; h.getLong; h.getLong; h.getLong // huge size/nobjs, tiny size/nobjs
+        h.getShort() // table width
+        h.getLong    // starting block size
+        val maxDirectSize = h.getLong
+        val maxHeapBits = h.getShort() & 0xffff
+        h.getShort() // starting # rows in root indirect block
+        val rootAddr = h.getLong
+        val curRows = h.getShort() & 0xffff
+        require(curRows == 0,
+          "fractal heap with an indirect root block unsupported (direct-root subset)")
+        def limitEnc(v: Long): Int = ((63 - java.lang.Long.numberOfLeadingZeros(v)) / 8) + 1
+        val offS = (maxHeapBits + 7) / 8
+        val lenS = math.min(limitEnc(maxDirectSize), limitEnc(maxManagedObjSize))
+        require(heapIdLen == 1 + offS + lenS,
+          s"fractal heap ID length $heapIdLen != 1+$offS+$lenS")
+        // direct block header: sig(4) + version(1) + heap hdr addr(8) +
+        // block offset (offSize) + checksum(4) when flags bit 1 set
+        val hdrLen = 13 + offS + (if ((flags & 0x02) != 0) 4 else 0)
+        (rootAddr, offS, lenS, hdrLen)
+      }
+
+      /** Resolve a managed heap ID to the object's bytes. */
+      def readObject(id: Array[Byte]): Array[Byte] = {
+        val b = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
+        val first = b.get() & 0xff
+        require((first & 0x30) == 0, "fractal heap ID version != 0")
+        require((first & 0xc0) == 0, s"non-managed fractal heap object (huge/tiny) unsupported")
+        var off = 0L; var len = 0L
+        (0 until offSize).foreach(i => off |= (b.get() & 0xffL) << (8 * i))
+        (0 until lenSize).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
+        // heap offsets address the heap's logical space, which INCLUDES
+        // direct-block headers; the root direct block covers offset 0
+        val out = new Array[Byte](len.toInt)
+        r.readFully(rootBlockAddr + off, out)
+        out
+      }
     }
 
     private def parseLink(body: Array[Byte]): (String, Long) = {
@@ -430,8 +547,35 @@ object Hdf5 {
     private val chunkIndex = scala.collection.mutable.Map.empty[String, IndexedSeq[Chunk]]
 
     private def chunksOf(ds: Dataset): IndexedSeq[Chunk] = chunkIndex.getOrElseUpdate(ds.name, {
-      val Chunked(btree, chunkDims) = (ds.layout: @unchecked)
-      val dimensionality = chunkDims.length + 1
+      val ch = ds.layout.asInstanceOf[Chunked]
+      val dims = ch.chunkDims(ds.rank)
+      val chunkBytes = dims.map(_.toLong).product * ds.dtype.size
+      val filtered = ds.filters.nonEmpty
+      val found: Seq[Chunk] = ch.idxType match {
+        case 0 => walkV1ChunkBtree(ch.btreeAddr, dims.length + 1)
+        case 1 => // single chunk: the address IS the (only) chunk
+          if (ch.btreeAddr == Undef) Seq.empty
+          else {
+            val (sz, mask) = ch.singleFilt.getOrElse((chunkBytes, 0))
+            Seq(Chunk(new Array[Long](dims.length), sz.toInt, ch.btreeAddr, mask))
+          }
+        case 2 => // implicit: dense row-major chunk array, address arithmetic
+          require(!filtered, s"${ds.name}: implicit chunk index cannot carry filters")
+          if (ch.btreeAddr == Undef) Seq.empty
+          else chunkGridOrigins(ds.shape, dims).zipWithIndex.map { case (o, i) =>
+            Chunk(o, chunkBytes.toInt, ch.btreeAddr + i * chunkBytes, 0)
+          }
+        case 3 => fixedArrayChunks(ds, ch.btreeAddr, dims, chunkBytes, filtered)
+        case 4 => extensibleArrayChunks(ds, ch.btreeAddr, ch.eaParams.get, dims,
+                                        chunkBytes, filtered)
+        case 5 => v2BtreeChunks(ds, ch.btreeAddr, dims, chunkBytes, filtered)
+        case t => throw new IllegalArgumentException(s"${ds.name}: chunk index type $t")
+      }
+      found.toIndexedSeq.sortBy(c => (c.offsets(0), c.offsets.lift(1).getOrElse(0L)))
+    })
+
+    /** The classic v1 B-tree (node type 1) chunk index — netcdf-c default. */
+    private def walkV1ChunkBtree(btree: Long, dimensionality: Int): Seq[Chunk] = {
       def walk(addr: Long): Seq[Chunk] = {
         if (addr == Undef) return Seq.empty
         val head = bytesAt(addr, 24)
@@ -451,9 +595,268 @@ object Hdf5 {
           else Seq(Chunk(offsets.dropRight(1), size, child, filterMask))
         }
       }
-      walk(btree).toIndexedSeq
-        .sortBy(c => (c.offsets(0), c.offsets.lift(1).getOrElse(0L)))
-    })
+      walk(btree)
+    }
+
+    /** Chunk-grid origins in row-major linear order — the element order
+      * implicit/fixed-array/extensible-array indexes address chunks by. */
+    private def chunkGridOrigins(shape: Array[Long], dims: Array[Int]): Seq[Array[Long]] = {
+      val rank = dims.length
+      val grid = Array.tabulate(rank)(d => ((shape(d) + dims(d) - 1) / dims(d)).toInt)
+      (0 until grid.product).map { gi =>
+        var rem = gi
+        val o = new Array[Long](rank)
+        var d = rank - 1
+        while (d >= 0) { o(d) = (rem % grid(d)).toLong * dims(d); rem /= grid(d); d -= 1 }
+        o
+      }
+    }
+
+    /** One index element (client 0: address only; client 1: address +
+      * stored size + filter mask), as (addr, size, mask). */
+    private def readIdxElement(b: ByteBuffer, filtered: Boolean, sizeLen: Int,
+                               chunkBytes: Long): (Long, Int, Int) =
+      if (!filtered) (b.getLong, chunkBytes.toInt, 0)
+      else {
+        val addr = b.getLong
+        val size = sizeLen match {
+          case 1 => b.get() & 0xffL
+          case 2 => b.getShort() & 0xffffL
+          case 3 => (b.get() & 0xffL) | ((b.get() & 0xffL) << 8) | ((b.get() & 0xffL) << 16)
+          case 4 => b.getInt() & 0xffffffffL
+          case 8 => b.getLong
+          case n => throw new IllegalArgumentException(s"chunk size field of $n bytes")
+        }
+        (addr, size.toInt, b.getInt())
+      }
+
+    private def elementsToChunks(ds: Dataset, dims: Array[Int],
+                                 elems: Seq[(Long, Int, Int)]): Seq[Chunk] = {
+      val origins = chunkGridOrigins(ds.shape, dims)
+      elems.zipWithIndex.collect {
+        case ((addr, size, mask), i) if addr != Undef && i < origins.length =>
+          Chunk(origins(i), size, addr, mask)
+      }
+    }
+
+    /** Fixed Array index ("latest format", fixed-extent datasets): FAHD
+      * header → FADB data block of equal-width elements addressed by
+      * row-major chunk index. Paged data blocks (entries beyond
+      * 2^pageBits) are out of the subset. */
+    private def fixedArrayChunks(ds: Dataset, addr: Long, dims: Array[Int],
+                                 chunkBytes: Long, filtered: Boolean): Seq[Chunk] = {
+      if (addr == Undef) return Seq.empty
+      val h = bytesAt(addr, 32)
+      val sig = new Array[Byte](4); h.get(sig)
+      require(new String(sig, "US-ASCII") == "FAHD", s"${ds.name}: bad fixed-array header at $addr")
+      h.get() // version
+      val clientId = h.get() & 0xff
+      require(clientId == (if (filtered) 1 else 0),
+        s"${ds.name}: fixed-array client $clientId vs filter pipeline mismatch")
+      val entrySize = h.get() & 0xff
+      val pageBits = h.get() & 0xff
+      val nElmts = h.getLong
+      val dbAddr = h.getLong
+      if (dbAddr == Undef) return Seq.empty
+      require(nElmts <= (1L << pageBits),
+        s"${ds.name}: paged fixed-array data block ($nElmts entries > 2^$pageBits) unsupported")
+      val db = bytesAt(dbAddr, 14 + (nElmts * entrySize).toInt)
+      val dsig = new Array[Byte](4); db.get(dsig)
+      require(new String(dsig, "US-ASCII") == "FADB", s"${ds.name}: bad fixed-array data block")
+      db.get(); db.get() // version, client id
+      db.getLong         // header address
+      val sizeLen = entrySize - 12 // filtered element: addr(8) + size + mask(4)
+      val elems = (0L until nElmts).map(_ => readIdxElement(db, filtered, sizeLen, chunkBytes))
+      elementsToChunks(ds, dims, elems)
+    }
+
+    /** Extensible Array index (the "latest format" index for ONE unlimited
+      * dimension — what netcdf-c latest writes for record variables):
+      * EAHD header → EAIB index block, whose direct elements plus
+      * index-block-resident data blocks (EADB) cover the first
+      * idx + Σ_{s<2·log2(minPtrs)} 2^(s/2)·2^((s+1)/2)·minElmts elements —
+      * hundreds of chunks at libhdf5 defaults. Secondary-block spill and
+      * paged data blocks fail by name. Geometry per the public spec:
+      * super block s holds 2^(s/2) data blocks of 2^((s+1)/2)·minElmts
+      * elements; the index block stores data-block addresses for the
+      * first 2·log2(minPtrs) super blocks (= 2·(minPtrs−1) addresses). */
+    private def extensibleArrayChunks(ds: Dataset, addr: Long, p: EaParams,
+                                      dims: Array[Int], chunkBytes: Long,
+                                      filtered: Boolean): Seq[Chunk] = {
+      if (addr == Undef) return Seq.empty
+      val h = bytesAt(addr, 12 + 6 * 8 + 8 + 4)
+      val sig = new Array[Byte](4); h.get(sig)
+      require(new String(sig, "US-ASCII") == "EAHD", s"${ds.name}: bad extensible-array header")
+      h.get() // version
+      val clientId = h.get() & 0xff
+      require(clientId == (if (filtered) 1 else 0),
+        s"${ds.name}: extensible-array client $clientId vs filter pipeline mismatch")
+      // all geometry comes from THIS header (never the layout message's
+      // copy of the creation parameters, so a field-order skew between the
+      // two encodings cannot corrupt the walk)
+      val elmtSize = h.get() & 0xff
+      val maxBits = h.get() & 0xff
+      val idxElmts = h.get() & 0xff
+      val minElmts = h.get() & 0xff // data block min elements
+      val minPtrs = h.get() & 0xff  // secondary block min data pointers
+      val pageBits = h.get() & 0xff // max data-block page elements bits
+      // statistics block: six 8-byte lengths; the max index set bounds the walk
+      h.getLong; h.getLong; h.getLong; h.getLong
+      val maxIdxSet = h.getLong
+      h.getLong
+      val iblockAddr = h.getLong
+      if (iblockAddr == Undef || maxIdxSet == 0) return Seq.empty
+      def log2(v: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(v.toLong)
+      val nsblksInIblock = 2 * log2(minPtrs)
+      val ndblkAddrs = 2 * (minPtrs - 1)
+      // super-block geometry table
+      case class SblkInfo(ndblks: Int, dblkNelmts: Int, startIdx: Long, startDblk: Int)
+      val sblkInfo = {
+        var startIdx = 0L; var startDblk = 0
+        (0 until nsblksInIblock).map { s =>
+          val info = SblkInfo(1 << (s / 2), (1 << ((s + 1) / 2)) * minElmts, startIdx, startDblk)
+          startIdx += info.ndblks.toLong * info.dblkNelmts
+          startDblk += info.ndblks
+          info
+        }
+      }
+      val sizeLen = elmtSize - 12
+      val arrOffSize = (maxBits + 7) / 8
+      val ib = bytesAt(iblockAddr, 14 + idxElmts * elmtSize + ndblkAddrs * 8)
+      val isig = new Array[Byte](4); ib.get(isig)
+      require(new String(isig, "US-ASCII") == "EAIB", s"${ds.name}: bad extensible-array index block")
+      ib.get(); ib.get() // version, client id
+      ib.getLong         // header address
+      // the index block always carries idxElmts element slots (unset ones
+      // hold undefined addresses); the data-block address list follows them
+      val direct = (0 until idxElmts)
+        .map(_ => readIdxElement(ib, filtered, sizeLen, chunkBytes))
+      val dblkAddrs = Array.fill(ndblkAddrs)(ib.getLong)
+      val fromDblks =
+        if (maxIdxSet <= idxElmts) Seq.empty
+        else {
+          val needed = maxIdxSet - idxElmts // elements living past the direct set
+          val lastSblk = sblkInfo.lastOption.map(i => i.startIdx + i.ndblks.toLong * i.dblkNelmts)
+            .getOrElse(0L)
+          require(needed <= lastSblk,
+            s"${ds.name}: extensible-array secondary blocks unsupported " +
+              s"($needed elements past the index block's $lastSblk)")
+          sblkInfo.flatMap { info =>
+            (0 until info.ndblks).flatMap { bi =>
+              val base = info.startIdx + bi.toLong * info.dblkNelmts
+              if (base >= needed) Seq.empty
+              else {
+                val dAddr = dblkAddrs(info.startDblk + bi)
+                if (dAddr == Undef)
+                  Seq.fill(info.dblkNelmts)((Undef, 0, 0)) // unallocated run
+                else {
+                  require(info.dblkNelmts <= (1 << pageBits),
+                    s"${ds.name}: paged extensible-array data block unsupported")
+                  val db = bytesAt(dAddr, 14 + arrOffSize + info.dblkNelmts * elmtSize)
+                  val dsig = new Array[Byte](4); db.get(dsig)
+                  require(new String(dsig, "US-ASCII") == "EADB",
+                    s"${ds.name}: bad extensible-array data block at $dAddr")
+                  db.get(); db.get() // version, client id
+                  db.getLong         // header address
+                  db.position(db.position() + arrOffSize) // block offset
+                  (0 until info.dblkNelmts).map(_ =>
+                    readIdxElement(db, filtered, sizeLen, chunkBytes))
+                }
+              }
+            }
+          }
+        }
+      elementsToChunks(ds, dims, (direct ++ fromDblks).take(maxIdxSet.toInt))
+    }
+
+    /** v2 B-tree chunk index (record types 10/11 — multiple unlimited
+      * dims in the latest format): BTHD header → BTLF leaves, through one
+      * level of BTIN internal nodes. Offsets in records are SCALED
+      * (chunk-grid coordinates); sizes derive from the header's record
+      * size, so either rank or rank+1 stored offset dims parse. */
+    private def v2BtreeChunks(ds: Dataset, addr: Long, dims: Array[Int],
+                              chunkBytes: Long, filtered: Boolean): Seq[Chunk] = {
+      val recs = walkV2Btree(addr, if (filtered) 11 else 10)
+      if (recs.isEmpty) return Seq.empty
+      val rank = dims.length
+      recs.map { rec =>
+        val b = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+        val (chunkAddr, size, mask) =
+          if (!filtered) (b.getLong, chunkBytes.toInt, 0)
+          else {
+            // record: addr(8) + size(csLen) + mask(4) + 8·nOff scaled offs;
+            // nOff is rank or rank+1 — pick the split that leaves a valid
+            // 1..8-byte size field
+            val csLenRank = rec.length - 12 - 8 * rank
+            val csLen = if (csLenRank >= 1 && csLenRank <= 8) csLenRank
+                        else rec.length - 12 - 8 * (rank + 1)
+            require(csLen >= 1 && csLen <= 8,
+              s"${ds.name}: cannot split v2 B-tree record of ${rec.length} bytes")
+            readIdxElement(b, filtered = true, csLen, chunkBytes)
+          }
+        val offsets = Array.tabulate(rank)(d => b.getLong * dims(d))
+        Chunk(offsets, size, chunkAddr, mask)
+      }
+    }
+
+    /** All records of a v2 B-tree, depth ≤ 1 (root leaf, or root internal
+      * over leaves — thousands of records at real node sizes). Returns raw
+      * record bytes; callers decode per record type. */
+    private def walkV2Btree(addr: Long, expectType: Int): Seq[Array[Byte]] = {
+      if (addr == Undef) return Seq.empty
+      val h = bytesAt(addr, 40)
+      val sig = new Array[Byte](4); h.get(sig)
+      require(new String(sig, "US-ASCII") == "BTHD", s"bad v2 B-tree header at $addr")
+      h.get() // version
+      val typ = h.get() & 0xff
+      require(typ == expectType, s"v2 B-tree type $typ, expected $expectType")
+      val nodeSize = h.getInt()
+      val recordSize = h.getShort() & 0xffff
+      val depth = h.getShort() & 0xffff
+      h.get(); h.get() // split/merge percent
+      val rootAddr = h.getLong
+      val rootNRec = h.getShort() & 0xffff
+      h.getLong // total records
+      if (rootAddr == Undef || (rootNRec == 0 && depth == 0)) return Seq.empty
+      // size of the per-child "number of records" field: enough bytes for
+      // the max records a leaf can hold
+      val maxLeafRec = (nodeSize - 10) / recordSize
+      val nrecSize = { var n = 1; var lim = 256L; while (maxLeafRec >= lim) { n += 1; lim *= 256 }; n }
+      def leafRecords(a: Long, n: Int): Seq[Array[Byte]] = {
+        val b = bytesAt(a, 6 + n * recordSize)
+        val s2 = new Array[Byte](4); b.get(s2)
+        require(new String(s2, "US-ASCII") == "BTLF", s"bad v2 B-tree leaf at $a")
+        b.get(); b.get()
+        (0 until n).map { _ => val r = new Array[Byte](recordSize); b.get(r); r }
+      }
+      depth match {
+        case 0 => leafRecords(rootAddr, rootNRec)
+        case 1 =>
+          // internal: rec0..rec(n-1) then child pointers (addr + nrec) —
+          // n records and n+1 children, laid out rec|ptr interleaved
+          val b = bytesAt(rootAddr, 6 + rootNRec * recordSize + (rootNRec + 1) * (8 + nrecSize))
+          val s2 = new Array[Byte](4); b.get(s2)
+          require(new String(s2, "US-ASCII") == "BTIN", s"bad v2 B-tree internal node")
+          b.get(); b.get()
+          def childPtr(): (Long, Int) = {
+            val a = b.getLong
+            var n = 0L
+            (0 until nrecSize).foreach(i => n |= (b.get() & 0xffL) << (8 * i))
+            (a, n.toInt)
+          }
+          val acc = Seq.newBuilder[Array[Byte]]
+          val firstChild = childPtr()
+          acc ++= leafRecords(firstChild._1, firstChild._2)
+          (0 until rootNRec).foreach { _ =>
+            val r = new Array[Byte](recordSize); b.get(r); acc += r
+            val c = childPtr()
+            acc ++= leafRecords(c._1, c._2)
+          }
+          acc.result()
+        case d => throw new IllegalArgumentException(
+          s"v2 B-tree depth $d unsupported (root leaf or one internal level handled)")
+      }
+    }
 
     /** HDF5 semantics for storage that was never written: the dataset's
       * fill value. The fill-value MESSAGE is not parsed (netcdf-c mirrors
@@ -598,7 +1001,8 @@ object Hdf5 {
             r.readFully(addr, raw)
             decodeNums(raw, ds.dtype, total)
           }
-        case Chunked(_, chunkDims) =>
+        case ch: Chunked =>
+          val chunkDims = ch.chunkDims(ds.rank)
           // cells no chunk covers (sparse writes) stay at the fill value
           val out = Array.fill(total)(fillOf(ds))
           val nCols = if (ds.rank <= 1) 1L else ds.shape(1)
@@ -643,7 +1047,8 @@ object Hdf5 {
             r.readFully(addr + row.toLong * n * ds.dtype.size, raw)
             decodeNums(raw, ds.dtype, n)
           }
-        case Chunked(_, chunkDims) =>
+        case ch: Chunked =>
+          val chunkDims = ch.chunkDims(ds.rank)
           // cells no chunk covers (sparse writes) stay at the fill value
           val out = Array.fill(n)(fillOf(ds))
           val cr = chunkDims(0)

@@ -271,6 +271,382 @@ object Hdf5Fixture {
     btree
   }
 
+  // ---- "latest format" building blocks (layout v4 + dense groups) --------
+
+  /** Data Layout v4 builder. `rawDims` is written libhdf5-style: the
+    * chunk dims PLUS the trailing element-size dim, 8-byte encoded.
+    * `idxSpecific` carries the index-type-specific property bytes. */
+  private def layoutV4(flags: Int, rawDims: Array[Long], idxType: Int,
+                       idxSpecific: Array[Byte], addr: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(5 + rawDims.length * 8 + 1 + idxSpecific.length + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(4.toByte).put(2.toByte) // version 4, class 2 (chunked)
+    b.put(flags.toByte)
+    b.put(rawDims.length.toByte)
+    b.put(8.toByte) // dim size encoded length
+    rawDims.foreach(b.putLong)
+    b.put(idxType.toByte)
+    b.put(idxSpecific)
+    b.putLong(addr)
+    b.array()
+  }
+
+  /** Write the chunk payloads of a dataset (row-major grid order),
+    * each through `transform`; returns (addr, storedSize) per chunk.
+    * `packed` writes chunks back-to-back (the implicit-index layout). */
+  private def writeChunkData(buf: Buf, shape: Array[Long], chunk: Array[Int],
+                             cellAt: Array[Long] => Double, fillPad: Double,
+                             transform: Array[Byte] => Array[Byte] = identity,
+                             packed: Boolean = false): Seq[(Long, Int)] = {
+    val rank = shape.length
+    val grid = shape.indices.map(d => ((shape(d) + chunk(d) - 1) / chunk(d)).toInt)
+    val chunkElems = chunk.product
+    (0 until grid.product).map { gi =>
+      var rem = gi
+      val o = new Array[Long](rank)
+      for (d <- (rank - 1) to 0 by -1) { o(d) = (rem % grid(d)).toLong * chunk(d); rem /= grid(d) }
+      val raw = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val idx = new Array[Long](rank)
+      for (e <- 0 until chunkElems) {
+        var r = e
+        for (d <- (rank - 1) to 0 by -1) { idx(d) = o(d) + r % chunk(d); r /= chunk(d) }
+        val inBounds = (0 until rank).forall(d => idx(d) < shape(d))
+        raw.putDouble(if (inBounds) cellAt(idx) else fillPad)
+      }
+      val stored = transform(raw.array())
+      if (!packed) buf.align8()
+      val addr = buf.pos
+      buf.bb.put(stored)
+      (addr, stored.length)
+    }
+  }
+
+  /** One chunk-index element: client 0 = addr only; client 1 = addr +
+    * 4-byte stored size + 4-byte filter mask (entry size 16). */
+  private def putIdxElement(bb: ByteBuffer, addr: Long, size: Int, filtered: Boolean): Unit = {
+    bb.putLong(addr)
+    if (filtered) { bb.putInt(size); bb.putInt(0) }
+  }
+
+  /** Fixed Array index: FAHD header + single unpaged FADB data block. */
+  private def writeFixedArray(buf: Buf, chunks: Seq[(Long, Int)],
+                              filtered: Boolean): Long = {
+    val entrySize = if (filtered) 16 else 8
+    buf.align8(); val dbAddr = buf.pos
+    buf.bb.put("FADB".getBytes("US-ASCII"))
+    buf.bb.put(0.toByte).put((if (filtered) 1 else 0).toByte)
+    val dbHdrPatch = buf.pos; buf.bb.putLong(Undef) // header addr, patched
+    chunks.foreach { case (a, s) => putIdxElement(buf.bb, a, s, filtered) }
+    buf.bb.putInt(0) // checksum (not verified by the reader)
+    buf.align8(); val hdr = buf.pos
+    buf.bb.put("FAHD".getBytes("US-ASCII"))
+    buf.bb.put(0.toByte).put((if (filtered) 1 else 0).toByte)
+    buf.bb.put(entrySize.toByte).put(10.toByte) // entry size, page bits
+    buf.bb.putLong(chunks.length.toLong)
+    buf.bb.putLong(dbAddr)
+    buf.bb.putInt(0) // checksum
+    buf.bb.putLong(dbHdrPatch.toInt, hdr)
+    hdr
+  }
+
+  /** Extensible Array index: EAHD + EAIB (+ EADBs per the super-block
+    * geometry: sblk s → 2^(s/2) blocks of 2^((s+1)/2)·minElmts elements,
+    * the first 2·log2(minPtrs) super blocks' blocks addressed from the
+    * index block). */
+  private def writeExtensibleArray(buf: Buf, chunks: Seq[(Long, Int)], filtered: Boolean,
+                                   idxElmts: Int, minElmts: Int, minPtrs: Int):
+      (Long, Array[Byte]) = {
+    val clientId = if (filtered) 1 else 0
+    val elmtSize = if (filtered) 16 else 8
+    val maxBits = 32
+    val arrOffSize = (maxBits + 7) / 8
+    def log2(v: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(v.toLong)
+    val nsblksInIblock = 2 * log2(minPtrs)
+    val ndblkAddrs = 2 * (minPtrs - 1)
+    // super-block table
+    case class Sblk(ndblks: Int, dblkNelmts: Int, startIdx: Long, startDblk: Int)
+    val sblks = {
+      var si = 0L; var sd = 0
+      (0 until nsblksInIblock).map { s =>
+        val i = Sblk(1 << (s / 2), (1 << ((s + 1) / 2)) * minElmts, si, sd)
+        si += i.ndblks.toLong * i.dblkNelmts; sd += i.ndblks; i
+      }
+    }
+    val overflow = chunks.drop(idxElmts) // elements past the direct slots
+    val patches = Seq.newBuilder[Long]   // header-addr fields to patch
+    // data blocks
+    val dblkAddrs = Array.fill(ndblkAddrs)(Undef)
+    sblks.foreach { info =>
+      (0 until info.ndblks).foreach { bi =>
+        val base = (info.startIdx + bi.toLong * info.dblkNelmts).toInt
+        if (base < overflow.length) {
+          buf.align8(); val dAddr = buf.pos
+          buf.bb.put("EADB".getBytes("US-ASCII"))
+          buf.bb.put(0.toByte).put(clientId.toByte)
+          patches += buf.pos; buf.bb.putLong(Undef) // header addr
+          buf.bb.putInt(idxElmts + base)            // block offset (element index)
+          (0 until info.dblkNelmts).foreach { e =>
+            val (a, s) = if (base + e < overflow.length) overflow(base + e) else (Undef, 0)
+            putIdxElement(buf.bb, a, s, filtered)
+          }
+          buf.bb.putInt(0) // checksum
+          dblkAddrs(info.startDblk + bi) = dAddr
+        }
+      }
+    }
+    // index block
+    buf.align8(); val iblock = buf.pos
+    buf.bb.put("EAIB".getBytes("US-ASCII"))
+    buf.bb.put(0.toByte).put(clientId.toByte)
+    patches += buf.pos; buf.bb.putLong(Undef) // header addr
+    (0 until idxElmts).foreach { i =>
+      val (a, s) = if (i < chunks.length) chunks(i) else (Undef, 0)
+      putIdxElement(buf.bb, a, s, filtered)
+    }
+    dblkAddrs.foreach(buf.bb.putLong)
+    buf.bb.putInt(0) // checksum (no super-block addresses: none allocated)
+    // header
+    buf.align8(); val hdr = buf.pos
+    buf.bb.put("EAHD".getBytes("US-ASCII"))
+    buf.bb.put(0.toByte).put(clientId.toByte)
+    buf.bb.put(elmtSize.toByte).put(maxBits.toByte)
+    buf.bb.put(idxElmts.toByte).put(minElmts.toByte).put(minPtrs.toByte)
+    buf.bb.put(10.toByte) // max data-block page elements bits
+    val nDblksUsed = dblkAddrs.count(_ != Undef)
+    buf.bb.putLong(0L)                        // # secondary blocks
+    buf.bb.putLong(0L)                        // secondary block size
+    buf.bb.putLong(nDblksUsed.toLong)         // # data blocks
+    buf.bb.putLong(0L)                        // data block size
+    buf.bb.putLong(chunks.length.toLong)      // max index set
+    buf.bb.putLong(chunks.length.toLong)      // # elements
+    buf.bb.putLong(iblock)
+    buf.bb.putInt(0) // checksum
+    patches.result().foreach(p => buf.bb.putLong(p.toInt, hdr))
+    // layout-message creation parameters, libhdf5 field order
+    (hdr, Array(maxBits.toByte, idxElmts.toByte, minPtrs.toByte, minElmts.toByte, 10.toByte))
+  }
+
+  /** v2 B-tree with a root leaf — enough for fixture-scale record counts.
+    * Records must share one length. */
+  private def writeV2Btree(buf: Buf, typ: Int, records: Seq[Array[Byte]],
+                           nodeSize: Int = 512): Long = {
+    val recordSize = records.headOption.map(_.length).getOrElse(8)
+    buf.align8(); val leaf = buf.pos
+    buf.bb.put("BTLF".getBytes("US-ASCII"))
+    buf.bb.put(0.toByte).put(typ.toByte)
+    records.foreach(buf.bb.put)
+    buf.bb.putInt(0) // checksum
+    buf.align8(); val hdr = buf.pos
+    buf.bb.put("BTHD".getBytes("US-ASCII"))
+    buf.bb.put(0.toByte).put(typ.toByte)
+    buf.bb.putInt(nodeSize)
+    buf.bb.putShort(recordSize.toShort)
+    buf.bb.putShort(0.toShort) // depth: root is a leaf
+    buf.bb.put(100.toByte).put(40.toByte) // split/merge percent
+    buf.bb.putLong(leaf)
+    buf.bb.putShort(records.length.toShort)
+    buf.bb.putLong(records.length.toLong)
+    buf.bb.putInt(0) // checksum
+    hdr
+  }
+
+  /** v2 B-tree chunk record: type 10 (plain) = addr + scaled offsets;
+    * type 11 (filtered) = addr + 4-byte size + mask + scaled offsets.
+    * Scaled offsets are chunk-grid coordinates, rank dims. */
+  private def chunkRecord(addr: Long, size: Int, scaled: Array[Long],
+                          filtered: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + (if (filtered) 8 else 0) + scaled.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putLong(addr)
+    if (filtered) { b.putInt(size); b.putInt(0) }
+    scaled.foreach(b.putLong)
+    b.array()
+  }
+
+  /** Fractal heap with ONE direct block (the dense-group shape at small
+    * link counts). Returns (header addr, heap IDs aligned with `objects`).
+    * Geometry: maxHeapSize 32 bits → 4-byte offsets; max managed object
+    * 4096 → 2-byte lengths; heap ID = 1 + 4 + 2 = 7 bytes. */
+  private def writeFractalHeap(buf: Buf, objects: Seq[Array[Byte]]): (Long, Seq[Array[Byte]]) = {
+    val blockSize = 512L
+    val hdrLen = 13 + 4 // sig+ver+hdrAddr+blockOffset(4); flags bit1 unset: no checksum
+    buf.align8(); val dblock = buf.pos
+    buf.bb.put("FHDB".getBytes("US-ASCII"))
+    buf.bb.put(0.toByte)
+    val dbPatch = buf.pos; buf.bb.putLong(Undef) // heap header addr
+    buf.bb.putInt(0) // block offset (heap space starts at 0)
+    var off = hdrLen.toLong
+    val ids = objects.map { o =>
+      val id = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+      id.put(0.toByte).putInt(off.toInt).putShort(o.length.toShort)
+      buf.bb.put(o)
+      off += o.length
+      id.array()
+    }
+    require(off <= blockSize, s"fixture links overflow the ${blockSize}B direct block")
+    (off until blockSize).foreach(_ => buf.bb.put(0.toByte)) // block padding
+    buf.align8(); val hdr = buf.pos
+    buf.bb.put("FRHP".getBytes("US-ASCII"))
+    buf.bb.put(0.toByte)
+    buf.bb.putShort(7.toShort)  // heap ID length
+    buf.bb.putShort(0.toShort)  // io filter length
+    buf.bb.put(0.toByte)        // flags (no dblock checksums)
+    buf.bb.putInt(4096)         // max managed object size
+    buf.bb.putLong(0L).putLong(Undef)    // next huge id, huge btree
+    buf.bb.putLong(blockSize - off).putLong(Undef) // free space, fs manager
+    buf.bb.putLong(blockSize).putLong(blockSize)   // managed space, allocated
+    buf.bb.putLong(off).putLong(objects.length.toLong) // iterator offset, nobjs
+    buf.bb.putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny stats
+    buf.bb.putShort(4.toShort)  // table width
+    buf.bb.putLong(blockSize)   // starting block size
+    buf.bb.putLong(65536L)      // max direct block size
+    buf.bb.putShort(32.toShort) // max heap size (bits)
+    buf.bb.putShort(0.toShort)  // starting # rows in root indirect block
+    buf.bb.putLong(dblock)      // root block address
+    buf.bb.putShort(0.toShort)  // current # rows (0 = root is direct)
+    buf.bb.putInt(0)            // checksum
+    buf.bb.putLong(dbPatch.toInt, hdr)
+    (hdr, ids)
+  }
+
+  /** Serialized Link message body (also the object stored in a dense
+    * group's fractal heap). */
+  private def linkMsgBody(name: String, oh: Long): Array[Byte] = {
+    val nb = name.getBytes("UTF-8")
+    val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(0.toByte) // version, flags: 1-byte name length
+    b.put(nb.length.toByte).put(nb)
+    b.putLong(oh)
+    b.array()
+  }
+
+  /** v2 object header ("OHDR"), 2-byte chunk-0 size, no times/corder. */
+  private def writeObjectHeaderV2(buf: Buf, msgs: Seq[(Int, Array[Byte])]): Long = {
+    buf.align8(); val addr = buf.pos
+    val bodyLen = msgs.map { case (_, m) => 4 + m.length }.sum
+    buf.bb.put("OHDR".getBytes("US-ASCII"))
+    buf.bb.put(2.toByte).put(1.toByte)      // version, flags: 2-byte size
+    buf.bb.putShort((bodyLen + 4).toShort)  // chunk 0 size incl. checksum
+    msgs.foreach { case (t, m) =>
+      buf.bb.put(t.toByte).putShort(m.length.toShort).put(0.toByte).put(m)
+    }
+    buf.bb.putInt(0) // checksum
+    addr
+  }
+
+  /** The "latest format" file (H5Pset_libver_bounds(latest, latest)):
+    * superblock v2, v2 object headers, layout-v4 chunk indexes — every
+    * index type netcdf-c/libhdf5 can emit (single chunk, implicit, fixed
+    * array, extensible array for the unlimited dim, v2 B-tree) — and a
+    * DENSE root group (fractal heap + name-index v2 B-tree) as written
+    * once a group passes the compact-links threshold. */
+  def writeLatest(c: Content): Array[Byte] = {
+    val buf = new Buf()
+    buf.bb.position(48) // superblock v2; patched last
+
+    // x: single-chunk index (type 1), one chunk spanning the whole var
+    val Seq((xAddr, _)) = writeChunkData(buf, Array(c.n.toLong), Array(c.n),
+      idx => c.x(idx(0).toInt), fillPad = 0.0)
+    val xOh = writeObjectHeaderV2(buf, Seq(
+      0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> layoutV4(0, Array(c.n.toLong, 8L), 1, Array.empty, xAddr)))
+
+    // y: implicit index (type 2) — packed full chunks, address arithmetic
+    val yChunks = writeChunkData(buf, Array(c.n.toLong), Array(5),
+      idx => c.y(idx(0).toInt), fillPad = 0.0, packed = true)
+    val yOh = writeObjectHeaderV2(buf, Seq(
+      0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> layoutV4(0, Array(5L, 8L), 2, Array.empty, yChunks.head._1)))
+
+    // element: fixed-array index (type 3). Stored as f64 chunks for
+    // simplicity of the shared writer — dtype stays f64, values integral
+    val eleChunks = writeChunkData(buf, Array(c.m.toLong, 3L), Array(2, 3),
+      idx => c.ele((idx(0) * 3 + idx(1)).toInt).toDouble, fillPad = 0.0)
+    val eleFa = writeFixedArray(buf, eleChunks, filtered = false)
+    val eleOh = writeObjectHeaderV2(buf, Seq(
+      0x0001 -> dataspace(Array(c.m.toLong, 3L), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> layoutV4(0, Array(2L, 3L, 8L), 3, Array(10.toByte), eleFa)))
+
+    // zeta_max: v2 B-tree index (type 5), fletcher32-filtered records
+    val zmChunks = writeChunkData(buf, Array(c.n.toLong), Array(5),
+      idx => c.zetaMax(idx(0).toInt), fillPad = c.fill, transform = fletcher32Bytes)
+    val zmRecords = zmChunks.zipWithIndex.map { case ((a, s), i) =>
+      chunkRecord(a, s, Array(i.toLong), filtered = true)
+    }
+    val zmBt = writeV2Btree(buf, 11, zmRecords)
+    val zmOh = writeObjectHeaderV2(buf, Seq(
+      0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
+      0x0003 -> f64Type,
+      0x0008 -> layoutV4(0, Array(5L, 8L), 5,
+        { val b = ByteBuffer.allocate(6).order(ByteOrder.LITTLE_ENDIAN)
+          b.putInt(512).put(100.toByte).put(40.toByte); b.array() }, zmBt),
+      0x000C -> doubleAttr("_FillValue", c.fill),
+      0x000B -> filterPipelineMsg(Seq(3 -> Array.empty[Int]))))
+
+    // time: extensible-array index (type 4), 1 direct slot → exercises a
+    // data block too (2 chunks of 3 records)
+    val tChunks = writeChunkData(buf, Array(c.t.toLong), Array(3),
+      idx => c.time(idx(0).toInt), fillPad = 0.0)
+    val (tEa, tEaParams) = writeExtensibleArray(buf, tChunks, filtered = false,
+      idxElmts = 1, minElmts = 2, minPtrs = 4)
+    val timeOh = writeObjectHeaderV2(buf, Seq(
+      0x0001 -> dataspace(Array(c.t.toLong), unlimitedFirst = true),
+      0x0003 -> f64Type,
+      0x0008 -> layoutV4(0, Array(3L, 8L), 4, tEaParams, tEa),
+      0x000C -> stringAttr("units", c.units)))
+
+    // zeta: extensible array over shuffle+deflate chunks (client 1) —
+    // the compressed record variable, the netcdf-c latest-format shape
+    val zChunks = writeChunkData(buf, Array(c.t.toLong, c.n.toLong), Array(2, 5),
+      idx => c.zeta(idx(0).toInt, idx(1).toInt), fillPad = c.fill,
+      transform = b => deflateBytes(shuffleBytes(b, 8)))
+    val (zEa, zEaParams) = writeExtensibleArray(buf, zChunks, filtered = true,
+      idxElmts = 2, minElmts = 2, minPtrs = 4)
+    val zetaOh = writeObjectHeaderV2(buf, Seq(
+      0x0001 -> dataspace(Array(c.t.toLong, c.n.toLong), unlimitedFirst = true),
+      0x0003 -> f64Type,
+      0x0008 -> layoutV4(0, Array(2L, 5L, 8L), 4, zEaParams, zEa),
+      0x000C -> doubleAttr("_FillValue", c.fill),
+      0x000B -> filterPipelineMsg(Seq(2 -> Array(8), 1 -> Array(4)))))
+
+    // dense root group: link messages live in the fractal heap, indexed
+    // by a name v2 B-tree (type 5: hash + 7-byte heap ID)
+    val links = Seq("element" -> eleOh, "time" -> timeOh, "x" -> xOh,
+                    "y" -> yOh, "zeta" -> zetaOh, "zeta_max" -> zmOh)
+    val (fheap, heapIds) = writeFractalHeap(buf,
+      links.map { case (n, oh) => linkMsgBody(n, oh) })
+    val nameRecords = heapIds.zipWithIndex.map { case (id, i) =>
+      val b = ByteBuffer.allocate(4 + id.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(i) // name hash: a lookup key only — enumeration ignores it
+      b.put(id)
+      b.array()
+    }
+    val nameBt = writeV2Btree(buf, 5, nameRecords)
+    val linkInfo = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0.toByte).put(0.toByte) // version, flags
+      b.putLong(fheap)
+      b.putLong(nameBt)
+      b.array()
+    }
+    val rootOh = writeObjectHeaderV2(buf, Seq(0x0002 -> linkInfo))
+
+    // superblock v2
+    val eof = buf.pos
+    val sb = ByteBuffer.wrap(buf.bb.array(), 0, 48).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    sb.put(2.toByte)             // superblock v2
+    sb.put(8.toByte).put(8.toByte) // sizeof offsets / lengths
+    sb.put(0.toByte)             // consistency flags
+    sb.putLong(0L).putLong(Undef).putLong(eof)
+    sb.putLong(rootOh)
+    sb.putInt(0)                 // checksum (not verified by the reader)
+    buf.bytes
+  }
+
   // ---- fixture content (matches the IngestSpec CDF-1 fixture) ------------
 
   /** Fixture content. The default generators give the Hdf5Spec lattice;

@@ -156,6 +156,48 @@ class Hdf5Spec extends SparkSpec {
     assert(Ingest.timeLabels(spark, outDir)(3L) === "20080909T030000")
   }
 
+  test("latest format: superblock v2, dense group, all five v4 chunk indexes") {
+    // H5Pset_libver_bounds(latest) shape: OHDR v2 + layout v4 with
+    // single-chunk (x), implicit (y), fixed-array (element), v2-B-tree
+    // (zeta_max, fletcher32), and extensible-array (time plain; zeta
+    // shuffle+deflate) indexes, under a DENSE root group (fractal heap +
+    // name v2 B-tree)
+    val dir = Files.createTempDirectory("graft_h5latest").toString
+    val p = s"$dir/fort63_latest.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeLatest(c))
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.varNames.toSet === Set("element", "time", "x", "y", "zeta", "zeta_max"))
+      assert(nc.numRecs === c.t)
+      assert(nc.isRecordVar("zeta") && nc.isRecordVar("time"))
+      assert(!nc.isRecordVar("x"))
+      assert(nc.fillValue("zeta") === Some(c.fill))
+      assert(nc.strAttr("time", "units") === Some(c.units))
+      // single chunk
+      assert(nc.readFixed("x").toSeq === (0 until c.n).map(c.x))
+      // implicit
+      assert(nc.readFixed("y").toSeq === (0 until c.n).map(c.y))
+      // fixed array
+      assert(nc.readFixed("element").toSeq === (0 until c.m * 3).map(i => c.ele(i).toDouble))
+      // v2 B-tree + fletcher32
+      assert(nc.readFixed("zeta_max").toSeq === (0 until c.n).map(c.zetaMax))
+      // extensible array: direct slot + data-block spill
+      (0 until c.t).foreach { t =>
+        assert(nc.readRecord("time", t)(0) === c.time(t), s"time($t)")
+        val row = nc.readRecord("zeta", t)
+        (0 until c.n).foreach(nid => assert(row(nid) === c.zeta(t, nid), s"zeta($t,$nid)"))
+      }
+    } finally nc.close()
+    // and the whole ingest path over the latest-format container
+    val outDir = Files.createTempDirectory("graft_h5latest_ingest").toString
+    Ingest.fort63ToParquet(spark, p, outDir)
+    import org.apache.spark.sql.functions.col
+    val series = Ingest.series(spark, outDir)
+    assert(series.count() === (c.t * c.n).toLong)
+    assert(series.filter(col("value").isNull).count() === c.dry.size.toLong)
+    assert(Ingest.timeLabels(spark, outDir)(3L) === "20080909T030000")
+  }
+
   test("fletcher32 detects a corrupted chunk instead of decoding it") {
     val dir = Files.createTempDirectory("graft_h5fc").toString
     val p = s"$dir/corrupt.nc"
