@@ -707,13 +707,17 @@ object Hdf5 {
       val iblockAddr = h.getLong
       if (iblockAddr == Undef || maxIdxSet == 0) return Seq.empty
       def log2(v: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(v.toLong)
-      val nsblksInIblock = 2 * log2(minPtrs)
+      val nsblks = 1 + maxBits - log2(minElmts) // total super blocks the array can grow to
+      val nsblksInIblock = math.min(2 * log2(minPtrs), nsblks)
       val ndblkAddrs = 2 * (minPtrs - 1)
-      // super-block geometry table
+      val nsblkAddrs = nsblks - nsblksInIblock
+      // super-block geometry table (ALL super blocks; the first
+      // nsblksInIblock have their data blocks addressed from the index
+      // block, the rest live in EASB secondary blocks)
       case class SblkInfo(ndblks: Int, dblkNelmts: Int, startIdx: Long, startDblk: Int)
       val sblkInfo = {
         var startIdx = 0L; var startDblk = 0
-        (0 until nsblksInIblock).map { s =>
+        (0 until nsblks).map { s =>
           val info = SblkInfo(1 << (s / 2), (1 << ((s + 1) / 2)) * minElmts, startIdx, startDblk)
           startIdx += info.ndblks.toLong * info.dblkNelmts
           startDblk += info.ndblks
@@ -722,7 +726,8 @@ object Hdf5 {
       }
       val sizeLen = elmtSize - 12
       val arrOffSize = (maxBits + 7) / 8
-      val ib = bytesAt(iblockAddr, 14 + idxElmts * elmtSize + ndblkAddrs * 8)
+      val ib = bytesAt(iblockAddr,
+        14 + idxElmts * elmtSize + ndblkAddrs * 8 + nsblkAddrs * 8)
       val isig = new Array[Byte](4); ib.get(isig)
       require(new String(isig, "US-ASCII") == "EAIB", s"${ds.name}: bad extensible-array index block")
       ib.get(); ib.get() // version, client id
@@ -732,35 +737,53 @@ object Hdf5 {
       val direct = (0 until idxElmts)
         .map(_ => readIdxElement(ib, filtered, sizeLen, chunkBytes))
       val dblkAddrs = Array.fill(ndblkAddrs)(ib.getLong)
+      val sblkAddrs = Array.fill(nsblkAddrs)(ib.getLong)
+      def readDataBlock(dAddr: Long, nelmts: Int): Seq[(Long, Int, Int)] =
+        if (dAddr == Undef) Seq.fill(nelmts)((Undef, 0, 0)) // unallocated run
+        else {
+          require(nelmts <= (1 << pageBits),
+            s"${ds.name}: paged extensible-array data block unsupported")
+          val db = bytesAt(dAddr, 14 + arrOffSize + nelmts * elmtSize)
+          val dsig = new Array[Byte](4); db.get(dsig)
+          require(new String(dsig, "US-ASCII") == "EADB",
+            s"${ds.name}: bad extensible-array data block at $dAddr")
+          db.get(); db.get() // version, client id
+          db.getLong         // header address
+          db.position(db.position() + arrOffSize) // block offset
+          (0 until nelmts).map(_ => readIdxElement(db, filtered, sizeLen, chunkBytes))
+        }
       val fromDblks =
         if (maxIdxSet <= idxElmts) Seq.empty
         else {
           val needed = maxIdxSet - idxElmts // elements living past the direct set
-          val lastSblk = sblkInfo.lastOption.map(i => i.startIdx + i.ndblks.toLong * i.dblkNelmts)
-            .getOrElse(0L)
-          require(needed <= lastSblk,
-            s"${ds.name}: extensible-array secondary blocks unsupported " +
-              s"($needed elements past the index block's $lastSblk)")
-          sblkInfo.flatMap { info =>
-            (0 until info.ndblks).flatMap { bi =>
-              val base = info.startIdx + bi.toLong * info.dblkNelmts
-              if (base >= needed) Seq.empty
+          sblkInfo.zipWithIndex.flatMap { case (info, s) =>
+            if (info.startIdx >= needed) Seq.empty
+            else if (s < nsblksInIblock) {
+              // data blocks addressed straight from the index block
+              (0 until info.ndblks).flatMap { bi =>
+                val base = info.startIdx + bi.toLong * info.dblkNelmts
+                if (base >= needed) Seq.empty
+                else readDataBlock(dblkAddrs(info.startDblk + bi), info.dblkNelmts)
+              }
+            } else {
+              // EASB secondary block: its own header + the super block's
+              // data-block addresses
+              val sAddr = sblkAddrs(s - nsblksInIblock)
+              if (sAddr == Undef)
+                Seq.fill((info.ndblks.toLong * info.dblkNelmts).toInt)((Undef, 0, 0))
               else {
-                val dAddr = dblkAddrs(info.startDblk + bi)
-                if (dAddr == Undef)
-                  Seq.fill(info.dblkNelmts)((Undef, 0, 0)) // unallocated run
-                else {
-                  require(info.dblkNelmts <= (1 << pageBits),
-                    s"${ds.name}: paged extensible-array data block unsupported")
-                  val db = bytesAt(dAddr, 14 + arrOffSize + info.dblkNelmts * elmtSize)
-                  val dsig = new Array[Byte](4); db.get(dsig)
-                  require(new String(dsig, "US-ASCII") == "EADB",
-                    s"${ds.name}: bad extensible-array data block at $dAddr")
-                  db.get(); db.get() // version, client id
-                  db.getLong         // header address
-                  db.position(db.position() + arrOffSize) // block offset
-                  (0 until info.dblkNelmts).map(_ =>
-                    readIdxElement(db, filtered, sizeLen, chunkBytes))
+                val sb = bytesAt(sAddr, 14 + arrOffSize + info.ndblks * 8)
+                val ssig = new Array[Byte](4); sb.get(ssig)
+                require(new String(ssig, "US-ASCII") == "EASB",
+                  s"${ds.name}: bad extensible-array secondary block at $sAddr")
+                sb.get(); sb.get() // version, client id
+                sb.getLong         // header address
+                sb.position(sb.position() + arrOffSize) // block offset
+                val addrs = Array.fill(info.ndblks)(sb.getLong)
+                (0 until info.ndblks).flatMap { bi =>
+                  val base = info.startIdx + bi.toLong * info.dblkNelmts
+                  if (base >= needed) Seq.empty
+                  else readDataBlock(addrs(bi), info.dblkNelmts)
                 }
               }
             }
@@ -832,26 +855,29 @@ object Hdf5 {
       depth match {
         case 0 => leafRecords(rootAddr, rootNRec)
         case 1 =>
-          // internal: rec0..rec(n-1) then child pointers (addr + nrec) —
-          // n records and n+1 children, laid out rec|ptr interleaved
+          // internal node: ALL n records first, then ALL n+1 child
+          // pointers (addr + child-record count) — the libhdf5 serial
+          // order, NOT interleaved
           val b = bytesAt(rootAddr, 6 + rootNRec * recordSize + (rootNRec + 1) * (8 + nrecSize))
           val s2 = new Array[Byte](4); b.get(s2)
           require(new String(s2, "US-ASCII") == "BTIN", s"bad v2 B-tree internal node")
           b.get(); b.get()
-          def childPtr(): (Long, Int) = {
+          val recs = (0 until rootNRec).map { _ =>
+            val r = new Array[Byte](recordSize); b.get(r); r
+          }
+          val children = (0 to rootNRec).map { _ =>
             val a = b.getLong
             var n = 0L
             (0 until nrecSize).foreach(i => n |= (b.get() & 0xffL) << (8 * i))
             (a, n.toInt)
           }
+          // in-tree order: child0, rec0, child1, rec1, …, childN
           val acc = Seq.newBuilder[Array[Byte]]
-          val firstChild = childPtr()
-          acc ++= leafRecords(firstChild._1, firstChild._2)
-          (0 until rootNRec).foreach { _ =>
-            val r = new Array[Byte](recordSize); b.get(r); acc += r
-            val c = childPtr()
-            acc ++= leafRecords(c._1, c._2)
+          (0 until rootNRec).foreach { i =>
+            acc ++= leafRecords(children(i)._1, children(i)._2)
+            acc += recs(i)
           }
+          acc ++= leafRecords(children(rootNRec)._1, children(rootNRec)._2)
           acc.result()
         case d => throw new IllegalArgumentException(
           s"v2 B-tree depth $d unsupported (root leaf or one internal level handled)")

@@ -349,10 +349,11 @@ object Hdf5Fixture {
     hdr
   }
 
-  /** Extensible Array index: EAHD + EAIB (+ EADBs per the super-block
-    * geometry: sblk s → 2^(s/2) blocks of 2^((s+1)/2)·minElmts elements,
-    * the first 2·log2(minPtrs) super blocks' blocks addressed from the
-    * index block). */
+  /** Extensible Array index: EAHD + EAIB + EADBs per the super-block
+    * geometry (sblk s → 2^(s/2) blocks of 2^((s+1)/2)·minElmts elements).
+    * The first 2·log2(minPtrs) super blocks' data blocks are addressed
+    * from the index block; later super blocks spill into EASB secondary
+    * blocks whose addresses the index block carries. */
   private def writeExtensibleArray(buf: Buf, chunks: Seq[(Long, Int)], filtered: Boolean,
                                    idxElmts: Int, minElmts: Int, minPtrs: Int):
       (Long, Array[Byte]) = {
@@ -361,36 +362,58 @@ object Hdf5Fixture {
     val maxBits = 32
     val arrOffSize = (maxBits + 7) / 8
     def log2(v: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(v.toLong)
-    val nsblksInIblock = 2 * log2(minPtrs)
+    val nsblks = 1 + maxBits - log2(minElmts)
+    val nsblksInIblock = math.min(2 * log2(minPtrs), nsblks)
     val ndblkAddrs = 2 * (minPtrs - 1)
-    // super-block table
+    val nsblkAddrs = nsblks - nsblksInIblock
+    // super-block table (all of them)
     case class Sblk(ndblks: Int, dblkNelmts: Int, startIdx: Long, startDblk: Int)
     val sblks = {
       var si = 0L; var sd = 0
-      (0 until nsblksInIblock).map { s =>
+      (0 until nsblks).map { s =>
         val i = Sblk(1 << (s / 2), (1 << ((s + 1) / 2)) * minElmts, si, sd)
         si += i.ndblks.toLong * i.dblkNelmts; sd += i.ndblks; i
       }
     }
     val overflow = chunks.drop(idxElmts) // elements past the direct slots
     val patches = Seq.newBuilder[Long]   // header-addr fields to patch
-    // data blocks
+    def writeDataBlock(base: Int, nelmts: Int): Long = {
+      buf.align8(); val dAddr = buf.pos
+      buf.bb.put("EADB".getBytes("US-ASCII"))
+      buf.bb.put(0.toByte).put(clientId.toByte)
+      patches += buf.pos; buf.bb.putLong(Undef) // header addr
+      buf.bb.putInt(idxElmts + base)            // block offset (element index)
+      (0 until nelmts).foreach { e =>
+        val (a, s) = if (base + e < overflow.length) overflow(base + e) else (Undef, 0)
+        putIdxElement(buf.bb, a, s, filtered)
+      }
+      buf.bb.putInt(0) // checksum
+      dAddr
+    }
     val dblkAddrs = Array.fill(ndblkAddrs)(Undef)
-    sblks.foreach { info =>
-      (0 until info.ndblks).foreach { bi =>
-        val base = (info.startIdx + bi.toLong * info.dblkNelmts).toInt
-        if (base < overflow.length) {
-          buf.align8(); val dAddr = buf.pos
-          buf.bb.put("EADB".getBytes("US-ASCII"))
-          buf.bb.put(0.toByte).put(clientId.toByte)
-          patches += buf.pos; buf.bb.putLong(Undef) // header addr
-          buf.bb.putInt(idxElmts + base)            // block offset (element index)
-          (0 until info.dblkNelmts).foreach { e =>
-            val (a, s) = if (base + e < overflow.length) overflow(base + e) else (Undef, 0)
-            putIdxElement(buf.bb, a, s, filtered)
+    val sblkAddrs = Array.fill(nsblkAddrs)(Undef)
+    sblks.zipWithIndex.foreach { case (info, s) =>
+      if (info.startIdx < overflow.length) {
+        if (s < nsblksInIblock) {
+          (0 until info.ndblks).foreach { bi =>
+            val base = (info.startIdx + bi.toLong * info.dblkNelmts).toInt
+            if (base < overflow.length)
+              dblkAddrs(info.startDblk + bi) = writeDataBlock(base, info.dblkNelmts)
           }
+        } else {
+          // secondary block: data blocks first, then the EASB listing them
+          val addrs = (0 until info.ndblks).map { bi =>
+            val base = (info.startIdx + bi.toLong * info.dblkNelmts).toInt
+            if (base < overflow.length) writeDataBlock(base, info.dblkNelmts) else Undef
+          }
+          buf.align8(); val sAddr = buf.pos
+          buf.bb.put("EASB".getBytes("US-ASCII"))
+          buf.bb.put(0.toByte).put(clientId.toByte)
+          patches += buf.pos; buf.bb.putLong(Undef)   // header addr
+          buf.bb.putInt((idxElmts + info.startIdx).toInt) // block offset
+          addrs.foreach(buf.bb.putLong)
           buf.bb.putInt(0) // checksum
-          dblkAddrs(info.startDblk + bi) = dAddr
+          sblkAddrs(s - nsblksInIblock) = sAddr
         }
       }
     }
@@ -404,7 +427,8 @@ object Hdf5Fixture {
       putIdxElement(buf.bb, a, s, filtered)
     }
     dblkAddrs.foreach(buf.bb.putLong)
-    buf.bb.putInt(0) // checksum (no super-block addresses: none allocated)
+    sblkAddrs.foreach(buf.bb.putLong)
+    buf.bb.putInt(0) // checksum
     // header
     buf.align8(); val hdr = buf.pos
     buf.bb.put("EAHD".getBytes("US-ASCII"))
@@ -426,28 +450,66 @@ object Hdf5Fixture {
     (hdr, Array(maxBits.toByte, idxElmts.toByte, minPtrs.toByte, minElmts.toByte, 10.toByte))
   }
 
-  /** v2 B-tree with a root leaf — enough for fixture-scale record counts.
-    * Records must share one length. */
+  /** v2 B-tree. `leafSize` 0 writes a root leaf; > 0 splits the records
+    * into leaves of that size under one BTIN internal root (libhdf5
+    * serial order: all records, then all child pointers). Records must
+    * share one length. */
   private def writeV2Btree(buf: Buf, typ: Int, records: Seq[Array[Byte]],
-                           nodeSize: Int = 512): Long = {
+                           nodeSize: Int = 512, leafSize: Int = 0): Long = {
     val recordSize = records.headOption.map(_.length).getOrElse(8)
-    buf.align8(); val leaf = buf.pos
-    buf.bb.put("BTLF".getBytes("US-ASCII"))
-    buf.bb.put(0.toByte).put(typ.toByte)
-    records.foreach(buf.bb.put)
-    buf.bb.putInt(0) // checksum
-    buf.align8(); val hdr = buf.pos
-    buf.bb.put("BTHD".getBytes("US-ASCII"))
-    buf.bb.put(0.toByte).put(typ.toByte)
-    buf.bb.putInt(nodeSize)
-    buf.bb.putShort(recordSize.toShort)
-    buf.bb.putShort(0.toShort) // depth: root is a leaf
-    buf.bb.put(100.toByte).put(40.toByte) // split/merge percent
-    buf.bb.putLong(leaf)
-    buf.bb.putShort(records.length.toShort)
-    buf.bb.putLong(records.length.toLong)
-    buf.bb.putInt(0) // checksum
-    hdr
+    def writeLeaf(rs: Seq[Array[Byte]]): Long = {
+      buf.align8(); val leaf = buf.pos
+      buf.bb.put("BTLF".getBytes("US-ASCII"))
+      buf.bb.put(0.toByte).put(typ.toByte)
+      rs.foreach(buf.bb.put)
+      buf.bb.putInt(0) // checksum
+      leaf
+    }
+    def writeHeader(depth: Int, rootAddr: Long, rootNRec: Int): Long = {
+      buf.align8(); val hdr = buf.pos
+      buf.bb.put("BTHD".getBytes("US-ASCII"))
+      buf.bb.put(0.toByte).put(typ.toByte)
+      buf.bb.putInt(nodeSize)
+      buf.bb.putShort(recordSize.toShort)
+      buf.bb.putShort(depth.toShort)
+      buf.bb.put(100.toByte).put(40.toByte) // split/merge percent
+      buf.bb.putLong(rootAddr)
+      buf.bb.putShort(rootNRec.toShort)
+      buf.bb.putLong(records.length.toLong)
+      buf.bb.putInt(0) // checksum
+      hdr
+    }
+    if (leafSize <= 0 || records.length < 3) writeHeader(0, writeLeaf(records), records.length)
+    else {
+      // in-order split: leaf, separator, leaf, separator, …, leaf
+      val leaves = Seq.newBuilder[Seq[Array[Byte]]]
+      val seps = Seq.newBuilder[Array[Byte]]
+      var i = 0
+      var pending: Seq[Array[Byte]] = Seq.empty
+      while (i < records.length) {
+        pending = records.slice(i, math.min(i + leafSize, records.length))
+        i += pending.length
+        if (i < records.length) {
+          leaves += pending; pending = Seq.empty
+          seps += records(i); i += 1
+        }
+      }
+      leaves += pending // final leaf (possibly short, never a separator)
+      val ls = leaves.result(); val ss = seps.result()
+      val leafAddrs = ls.map(writeLeaf)
+      val maxLeafRec = (nodeSize - 10) / recordSize
+      val nrecSize = { var n = 1; var lim = 256L; while (maxLeafRec >= lim) { n += 1; lim *= 256 }; n }
+      buf.align8(); val root = buf.pos
+      buf.bb.put("BTIN".getBytes("US-ASCII"))
+      buf.bb.put(0.toByte).put(typ.toByte)
+      ss.foreach(buf.bb.put)               // ALL records first
+      ls.zip(leafAddrs).foreach { case (rs, a) => // then ALL child pointers
+        buf.bb.putLong(a)
+        (0 until nrecSize).foreach(k => buf.bb.put(((rs.length >> (8 * k)) & 0xff).toByte))
+      }
+      buf.bb.putInt(0) // checksum
+      writeHeader(1, root, ss.length)
+    }
   }
 
   /** v2 B-tree chunk record: type 10 (plain) = addr + scaled offsets;
@@ -576,7 +638,7 @@ object Hdf5Fixture {
     val zmRecords = zmChunks.zipWithIndex.map { case ((a, s), i) =>
       chunkRecord(a, s, Array(i.toLong), filtered = true)
     }
-    val zmBt = writeV2Btree(buf, 11, zmRecords)
+    val zmBt = writeV2Btree(buf, 11, zmRecords, leafSize = 1) // BTIN root
     val zmOh = writeObjectHeaderV2(buf, Seq(
       0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
       0x0003 -> f64Type,

@@ -198,6 +198,29 @@ class Hdf5Spec extends SparkSpec {
     assert(Ingest.timeLabels(spark, outDir)(3L) === "20080909T030000")
   }
 
+  test("latest format at forecast cadence: EA secondary-block spill reads back") {
+    // 40 timesteps -> zeta has 60 chunks: past the index block's direct +
+    // resident coverage (2 + 2+4+8+16 = 32 at these parameters), so the
+    // walk must go through an EASB secondary block — the shape a real
+    // O(100)-timestep forecast file lands in
+    val c40 = c.copy(t = 40, dry = Set((1, 2), (37, 7)))
+    val dir = Files.createTempDirectory("graft_h5latest40").toString
+    val p = s"$dir/fort63_latest40.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeLatest(c40))
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.numRecs === 40)
+      (0 until 40 by 7).foreach { t =>
+        assert(nc.readRecord("time", t)(0) === c40.time(t), s"time($t)")
+        val row = nc.readRecord("zeta", t)
+        (0 until c40.n).foreach(nid => assert(row(nid) === c40.zeta(t, nid), s"zeta($t,$nid)"))
+      }
+      // the last record lives deepest in the secondary-block range
+      val last = nc.readRecord("zeta", 39)
+      (0 until c40.n).foreach(nid => assert(last(nid) === c40.zeta(39, nid)))
+    } finally nc.close()
+  }
+
   test("fletcher32 detects a corrupted chunk instead of decoding it") {
     val dir = Files.createTempDirectory("graft_h5fc").toString
     val p = s"$dir/corrupt.nc"
