@@ -292,10 +292,45 @@ object Similarity {
     (assigned, meanCos.result())
   }
 
-  /** EXT (rows-only): k-means-refined IVF histogram after 2 rounds —
-    * cluster sizes and round-trip of the Aggregator-updated codebook. */
+  /** EXT: k-means-refined IVF histogram after 2 rounds — now
+    * ORACLE-HASHED. The generic [[kmeansIvf]] stays the §2.10 Aggregator
+    * showcase (raw-double centroids, inertia-monotone, rows-only by FP
+    * order); THIS query is the engine-exact form: centroid updates
+    * aggregate 1e-4 fixed-point quantized elements (integer sums are
+    * partition-order-independent; cosine only needs the centroid
+    * DIRECTION, and quantization changes it identically in both engines),
+    * so every round's assignment is a deterministic function both engines
+    * compute bit-equal. Same plan shape: broadcast codebook, one narrow
+    * scoring pass + rank window per round, Aggregator centroid update,
+    * localCheckpoint lineage fence. */
   def qAnnIvfKmeans(s: SparkSession, d: String): DataFrame = {
-    val (assigned, _) = kmeansIvf(s, d, 2)
+    import s.implicits._
+    val e = vecs(s, d)
+    val qv = e.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(10000.0) + lit(0.5))).as("qv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val c = cents.withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      e.crossJoin(broadcast(c))
+        .withColumn("cos", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(qv, "vec_id")
+        .select(col("cid"), col("qv")).as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.VectorCentroid.toColumn.name("cv"))
+        .toDF("cid", "cv")
+        .localCheckpoint()
+    var cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var assigned = assign(cents)
+    (1 to 2).foreach { _ =>
+      cents = update(assigned)
+      assigned = assign(cents)
+    }
     assigned.groupBy("cid")
       .agg(count(lit(1)).as("n_assigned"))
       .orderBy("cid")
@@ -430,6 +465,37 @@ object Similarity {
         |  CAST(floor(list_max(list_transform(generate_series(1, len(v)),
         |         i -> abs(v[i] - CAST(q[i] AS DOUBLE) / g))) * 10000000.0 + 0.5) AS BIGINT) AS erri7
         |FROM qz ORDER BY vec_id LIMIT 200""".stripMargin,
+    // two k-means rounds re-derived in SQL: the same quantized-centroid
+    // math (exact integer sums -> one deterministic division), the same
+    // (cos DESC, cid) tie-break — three assignment joins via CTEs
+    "q_ann_ivf_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        |q AS (SELECT vec_id, list_transform(v, x -> floor(x * 10000.0 + 0.5)) AS qv FROM e),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+        |  FROM e CROSS JOIN c0 c) WHERE rk = 1),
+        |c1 AS (SELECT cid, list(s ORDER BY pos) AS cv FROM (
+        |  SELECT cid, pos, CAST(SUM(qi) AS DOUBLE) / COUNT(*) AS s FROM (
+        |    SELECT a1.cid, generate_subscripts(q.qv, 1) AS pos, unnest(q.qv) AS qi
+        |    FROM a1 JOIN q ON a1.vec_id = q.vec_id)
+        |  GROUP BY cid, pos) GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+        |  FROM e CROSS JOIN c1 c) WHERE rk = 1),
+        |c2 AS (SELECT cid, list(s ORDER BY pos) AS cv FROM (
+        |  SELECT cid, pos, CAST(SUM(qi) AS DOUBLE) / COUNT(*) AS s FROM (
+        |    SELECT a2.cid, generate_subscripts(q.qv, 1) AS pos, unnest(q.qv) AS qi
+        |    FROM a2 JOIN q ON a2.vec_id = q.vec_id)
+        |  GROUP BY cid, pos) GROUP BY cid),
+        |a3 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+        |  FROM e CROSS JOIN c2 c) WHERE rk = 1)
+        |SELECT cid, COUNT(*) AS n_assigned FROM a3 GROUP BY cid ORDER BY cid""".stripMargin,
     "q_vec_centroid" ->
       """SELECT label, CAST(pos AS INT) AS pos,
         |  CAST(floor(CAST(SUM(qi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS ci4
