@@ -408,15 +408,19 @@ object Hdf5 {
       viaSymtab.getOrElse(Seq.empty) ++ linkMsgs ++ denseLinks
     }
 
-    /** Managed-object subset of the fractal heap: the root is a single
-      * direct block (a group's dense links fit in one at real heap
-      * parameters — 512-byte starting blocks hold dozens of link
-      * messages). Indirect-block roots and huge/tiny heap IDs fail by
-      * name. Field widths derive from the header the way libhdf5 sizes
-      * them: offsets use maxHeapSize bits, lengths the smaller of the
-      * max-direct-block and max-managed-object encodings. */
+    /** Managed-object subset of the fractal heap: a direct-block root,
+      * or an indirect root whose children are all DIRECT blocks (the
+      * doubling table: rows 0 and 1 hold `width` starting-size blocks,
+      * row r ≥ 2 holds `width` blocks of startingSize·2^(r-1) — covers
+      * dense groups far past one block). Child indirect blocks and
+      * huge/tiny heap IDs fail by name. Field widths derive from the
+      * header the way libhdf5 sizes them: offsets use maxHeapSize bits,
+      * lengths the smaller of the max-direct-block and max-managed-object
+      * encodings. */
     private final class FractalHeap(addr: Long) {
-      private val (rootBlockAddr, offSize, lenSize, blockHeaderLen) = {
+      // (heap-space start, byte size, file address or Undef) per direct
+      // block, ascending by start
+      private val (blocks, offSize, lenSize) = {
         val h = bytesAt(addr, 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2)
         val sig = new Array[Byte](4); h.get(sig)
         require(new String(sig, "US-ASCII") == "FRHP", s"bad fractal heap header at $addr")
@@ -424,30 +428,52 @@ object Hdf5 {
         val heapIdLen = h.getShort() & 0xffff
         val ioFilterLen = h.getShort() & 0xffff
         require(ioFilterLen == 0, "filtered fractal heap unsupported")
-        val flags = h.get() & 0xff
+        h.get() // flags (bit 1: direct blocks carry checksums — not verified here)
         val maxManagedObjSize = h.getInt() & 0xffffffffL
         h.getLong; h.getLong // next huge id, huge btree
         h.getLong; h.getLong // free space, fs mgr
         h.getLong; h.getLong; h.getLong; h.getLong // managed space/alloc/iter/nobjs
         h.getLong; h.getLong; h.getLong; h.getLong // huge size/nobjs, tiny size/nobjs
-        h.getShort() // table width
-        h.getLong    // starting block size
+        val width = h.getShort() & 0xffff
+        val startSize = h.getLong
         val maxDirectSize = h.getLong
         val maxHeapBits = h.getShort() & 0xffff
         h.getShort() // starting # rows in root indirect block
         val rootAddr = h.getLong
         val curRows = h.getShort() & 0xffff
-        require(curRows == 0,
-          "fractal heap with an indirect root block unsupported (direct-root subset)")
         def limitEnc(v: Long): Int = ((63 - java.lang.Long.numberOfLeadingZeros(v)) / 8) + 1
         val offS = (maxHeapBits + 7) / 8
         val lenS = math.min(limitEnc(maxDirectSize), limitEnc(maxManagedObjSize))
         require(heapIdLen == 1 + offS + lenS,
           s"fractal heap ID length $heapIdLen != 1+$offS+$lenS")
-        // direct block header: sig(4) + version(1) + heap hdr addr(8) +
-        // block offset (offSize) + checksum(4) when flags bit 1 set
-        val hdrLen = 13 + offS + (if ((flags & 0x02) != 0) 4 else 0)
-        (rootAddr, offS, lenS, hdrLen)
+        val blks: IndexedSeq[(Long, Long, Long)] =
+          if (curRows == 0) IndexedSeq((0L, startSize, rootAddr)) // root IS a direct block
+          else {
+            // root indirect block: per the doubling table, rows of direct-
+            // block addresses (8 bytes each; unfiltered heap)
+            def rowSize(row: Int): Long = if (row < 2) startSize else startSize << (row - 1)
+            val maxDbRows =
+              (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize)) -
+                (63 - java.lang.Long.numberOfLeadingZeros(startSize)) + 2
+            require(curRows <= maxDbRows,
+              s"fractal heap indirect root with child INDIRECT blocks unsupported ($curRows rows > $maxDbRows direct rows)")
+            val ib = bytesAt(rootAddr, 13 + offS + curRows * width * 8)
+            val isig = new Array[Byte](4); ib.get(isig)
+            require(new String(isig, "US-ASCII") == "FHIB", s"bad fractal heap indirect block at $rootAddr")
+            ib.get()    // version
+            ib.getLong  // heap header address
+            ib.position(ib.position() + offS) // block offset
+            var start = 0L
+            (0 until curRows).flatMap { row =>
+              (0 until width).map { _ =>
+                val a = ib.getLong
+                val e = (start, rowSize(row), a)
+                start += rowSize(row)
+                e
+              }
+            }.toIndexedSeq
+          }
+        (blks, offS, lenS)
       }
 
       /** Resolve a managed heap ID to the object's bytes. */
@@ -460,9 +486,13 @@ object Hdf5 {
         (0 until offSize).foreach(i => off |= (b.get() & 0xffL) << (8 * i))
         (0 until lenSize).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
         // heap offsets address the heap's logical space, which INCLUDES
-        // direct-block headers; the root direct block covers offset 0
+        // direct-block headers; locate the covering direct block
+        val blk = blocks.find(e => off >= e._1 && off < e._1 + e._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"fractal heap offset $off outside the ${blocks.length}-block managed space"))
+        require(blk._3 != Undef, s"fractal heap object in an unallocated block (offset $off)")
         val out = new Array[Byte](len.toInt)
-        r.readFully(rootBlockAddr + off, out)
+        r.readFully(blk._3 + (off - blk._1), out)
         out
       }
     }

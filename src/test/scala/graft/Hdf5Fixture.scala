@@ -525,28 +525,88 @@ object Hdf5Fixture {
     b.array()
   }
 
-  /** Fractal heap with ONE direct block (the dense-group shape at small
-    * link counts). Returns (header addr, heap IDs aligned with `objects`).
-    * Geometry: maxHeapSize 32 bits → 4-byte offsets; max managed object
-    * 4096 → 2-byte lengths; heap ID = 1 + 4 + 2 = 7 bytes. */
+  /** Fractal heap over managed objects. One direct block while the
+    * objects fit; otherwise direct blocks per the doubling table (rows 0
+    * and 1: `width` starting-size blocks, row r ≥ 2 doubling) under an
+    * FHIB indirect root — the dense-group shape past ~25 links. Returns
+    * (header addr, heap IDs aligned with `objects`). Geometry:
+    * maxHeapSize 32 bits → 4-byte offsets; max managed object 4096 →
+    * 2-byte lengths; heap ID = 1 + 4 + 2 = 7 bytes. */
   private def writeFractalHeap(buf: Buf, objects: Seq[Array[Byte]]): (Long, Seq[Array[Byte]]) = {
-    val blockSize = 512L
+    val startSize = 512L
+    val width = 4
     val hdrLen = 13 + 4 // sig+ver+hdrAddr+blockOffset(4); flags bit1 unset: no checksum
-    buf.align8(); val dblock = buf.pos
-    buf.bb.put("FHDB".getBytes("US-ASCII"))
-    buf.bb.put(0.toByte)
-    val dbPatch = buf.pos; buf.bb.putLong(Undef) // heap header addr
-    buf.bb.putInt(0) // block offset (heap space starts at 0)
-    var off = hdrLen.toLong
-    val ids = objects.map { o =>
-      val id = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
-      id.put(0.toByte).putInt(off.toInt).putShort(o.length.toShort)
-      buf.bb.put(o)
-      off += o.length
-      id.array()
+    def rowSize(row: Int): Long = if (row < 2) startSize else startSize << (row - 1)
+
+    // pack objects into block-local runs (objects never span blocks)
+    case class Placed(obj: Array[Byte], heapOff: Long)
+    val blockRuns = Seq.newBuilder[(Int, Seq[Placed])] // (blockIdx, objects)
+    val ids = Seq.newBuilder[Array[Byte]]
+    var blockIdx = 0
+    var blockStart = 0L
+    var cursor = hdrLen.toLong // heap-space offset within the current block
+    var run = Seq.newBuilder[Placed]
+    def blockLen(i: Int): Long = {
+      // block i lives in row i/width of the doubling table
+      rowSize(i / width)
     }
-    require(off <= blockSize, s"fixture links overflow the ${blockSize}B direct block")
-    (off until blockSize).foreach(_ => buf.bb.put(0.toByte)) // block padding
+    objects.foreach { o =>
+      if (cursor + o.length > blockStart + blockLen(blockIdx)) {
+        blockRuns += ((blockIdx, run.result())); run = Seq.newBuilder[Placed]
+        blockStart += blockLen(blockIdx)
+        blockIdx += 1
+        cursor = blockStart + hdrLen
+      }
+      run += Placed(o, cursor)
+      val id = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+      id.put(0.toByte).putInt(cursor.toInt).putShort(o.length.toShort)
+      ids += id.array()
+      cursor += o.length
+    }
+    blockRuns += ((blockIdx, run.result()))
+    val runs = blockRuns.result()
+    val nBlocks = blockIdx + 1
+    val patches = Seq.newBuilder[Long] // heap-header-addr fields to patch
+
+    // direct blocks
+    val blockAddrs = scala.collection.mutable.Map.empty[Int, Long]
+    var bStart = 0L
+    (0 until nBlocks).foreach { i =>
+      buf.align8(); val dblock = buf.pos
+      buf.bb.put("FHDB".getBytes("US-ASCII"))
+      buf.bb.put(0.toByte)
+      patches += buf.pos; buf.bb.putLong(Undef) // heap header addr
+      buf.bb.putInt(bStart.toInt)               // block offset in heap space
+      val content = runs.find(_._1 == i).map(_._2).getOrElse(Seq.empty)
+      var at = bStart + hdrLen
+      content.foreach { p =>
+        (at until p.heapOff).foreach(_ => buf.bb.put(0.toByte)) // intra-block gap
+        buf.bb.put(p.obj)
+        at = p.heapOff + p.obj.length
+      }
+      (at until bStart + blockLen(i)).foreach(_ => buf.bb.put(0.toByte)) // tail pad
+      blockAddrs(i) = dblock
+      bStart += blockLen(i)
+    }
+    val heapSpace = bStart
+
+    // indirect root when more than one block
+    val (rootAddr, curRows) =
+      if (nBlocks == 1) (blockAddrs(0), 0)
+      else {
+        val rows = (nBlocks + width - 1) / width
+        buf.align8(); val ib = buf.pos
+        buf.bb.put("FHIB".getBytes("US-ASCII"))
+        buf.bb.put(0.toByte)
+        patches += buf.pos; buf.bb.putLong(Undef) // heap header addr
+        buf.bb.putInt(0)                          // block offset
+        (0 until rows * width).foreach { i =>
+          buf.bb.putLong(blockAddrs.getOrElse(i, Undef))
+        }
+        buf.bb.putInt(0) // checksum
+        (ib, rows)
+      }
+
     buf.align8(); val hdr = buf.pos
     buf.bb.put("FRHP".getBytes("US-ASCII"))
     buf.bb.put(0.toByte)
@@ -555,20 +615,20 @@ object Hdf5Fixture {
     buf.bb.put(0.toByte)        // flags (no dblock checksums)
     buf.bb.putInt(4096)         // max managed object size
     buf.bb.putLong(0L).putLong(Undef)    // next huge id, huge btree
-    buf.bb.putLong(blockSize - off).putLong(Undef) // free space, fs manager
-    buf.bb.putLong(blockSize).putLong(blockSize)   // managed space, allocated
-    buf.bb.putLong(off).putLong(objects.length.toLong) // iterator offset, nobjs
+    buf.bb.putLong(heapSpace - cursor).putLong(Undef) // free space, fs manager
+    buf.bb.putLong(heapSpace).putLong(heapSpace)      // managed space, allocated
+    buf.bb.putLong(cursor).putLong(objects.length.toLong) // iterator offset, nobjs
     buf.bb.putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny stats
-    buf.bb.putShort(4.toShort)  // table width
-    buf.bb.putLong(blockSize)   // starting block size
+    buf.bb.putShort(width.toShort)
+    buf.bb.putLong(startSize)   // starting block size
     buf.bb.putLong(65536L)      // max direct block size
     buf.bb.putShort(32.toShort) // max heap size (bits)
-    buf.bb.putShort(0.toShort)  // starting # rows in root indirect block
-    buf.bb.putLong(dblock)      // root block address
-    buf.bb.putShort(0.toShort)  // current # rows (0 = root is direct)
+    buf.bb.putShort((if (curRows == 0) 0 else curRows).toShort) // starting rows
+    buf.bb.putLong(rootAddr)
+    buf.bb.putShort(curRows.toShort) // 0 = root is a direct block
     buf.bb.putInt(0)            // checksum
-    buf.bb.putLong(dbPatch.toInt, hdr)
-    (hdr, ids)
+    patches.result().foreach(p => buf.bb.putLong(p.toInt, hdr))
+    (hdr, ids.result())
   }
 
   /** Serialized Link message body (also the object stored in a dense
@@ -602,7 +662,7 @@ object Hdf5Fixture {
     * array, extensible array for the unlimited dim, v2 B-tree) — and a
     * DENSE root group (fractal heap + name-index v2 B-tree) as written
     * once a group passes the compact-links threshold. */
-  def writeLatest(c: Content): Array[Byte] = {
+  def writeLatest(c: Content, extraVars: Int = 0): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(48) // superblock v2; patched last
 
@@ -674,10 +734,20 @@ object Hdf5Fixture {
       0x000C -> doubleAttr("_FillValue", c.fill),
       0x000B -> filterPipelineMsg(Seq(2 -> Array(8), 1 -> Array(4)))))
 
+    // optional extra tiny vars: enough links overflow the heap's first
+    // 512-byte direct block, forcing an FHIB indirect root
+    val extras = (0 until extraVars).map { i =>
+      val a = writeDoubles(buf, Array(i.toDouble, i + 0.5))
+      f"extra$i%02d" -> writeObjectHeaderV2(buf, Seq(
+        0x0001 -> dataspace(Array(2L), unlimitedFirst = false),
+        0x0003 -> f64Type,
+        0x0008 -> contiguousLayout(a, 16L)))
+    }
+
     // dense root group: link messages live in the fractal heap, indexed
     // by a name v2 B-tree (type 5: hash + 7-byte heap ID)
     val links = Seq("element" -> eleOh, "time" -> timeOh, "x" -> xOh,
-                    "y" -> yOh, "zeta" -> zetaOh, "zeta_max" -> zmOh)
+                    "y" -> yOh, "zeta" -> zetaOh, "zeta_max" -> zmOh) ++ extras
     val (fheap, heapIds) = writeFractalHeap(buf,
       links.map { case (n, oh) => linkMsgBody(n, oh) })
     val nameRecords = heapIds.zipWithIndex.map { case (id, i) =>

@@ -221,6 +221,25 @@ class Hdf5Spec extends SparkSpec {
     } finally nc.close()
   }
 
+  test("dense group past one heap block: FHIB indirect root enumerates all links") {
+    // 40 extra vars make the link messages overflow the 512-byte starting
+    // direct block — the fractal heap grows an indirect root, the shape
+    // any >~25-variable dense group lands in
+    val dir = Files.createTempDirectory("graft_h5dense").toString
+    val p = s"$dir/many_vars.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeLatest(c, extraVars = 40))
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.varNames.length === 46)
+      assert(nc.varNames.contains("extra00") && nc.varNames.contains("extra39"))
+      assert(nc.readFixed("extra07").toSeq === Seq(7.0, 7.5))
+      assert(nc.readFixed("extra39").toSeq === Seq(39.0, 39.5))
+      // the original six still read through every v4 index type
+      assert(nc.readFixed("x").toSeq === (0 until c.n).map(c.x))
+      assert(nc.readRecord("zeta", 1).toSeq === (0 until c.n).map(n => c.zeta(1, n)))
+    } finally nc.close()
+  }
+
   test("fletcher32 detects a corrupted chunk instead of decoding it") {
     val dir = Files.createTempDirectory("graft_h5fc").toString
     val p = s"$dir/corrupt.nc"
