@@ -64,7 +64,9 @@ object Dap2 {
     } finally c.disconnect()
   }
 
-  private def fetchText(url: String): String = {
+  /** DAP servers report failures as an `Error { … }` document with HTTP
+    * 200 — surface those as errors, not parse noise. */
+  private[sources] def fetchText(url: String): String = {
     val t = new String(fetchBytes(url), "US-ASCII")
     require(!t.startsWith("Error"), s"$url returned a DAP error:\n${t.take(500)}")
     t
@@ -271,10 +273,9 @@ final class Dap2NcFile(rawUrl: String) extends NcFile {
 
   private val base = Dap2.stripForce(rawUrl)
 
-  private val dds: Dds = parseDds(
-    new String(fetchBytes(s"$base.dds"), "US-ASCII"))
+  private val dds: Dds = parseDds(Dap2.fetchText(s"$base.dds"))
   private val das: Map[String, Map[String, String]] =
-    try parseDas(new String(fetchBytes(s"$base.das"), "US-ASCII"))
+    try parseDas(Dap2.fetchText(s"$base.das"))
     catch { case _: Exception => Map.empty } // attributes are optional
 
   private def v(name: String): DapVar = dds.vars.find(_.name == name)

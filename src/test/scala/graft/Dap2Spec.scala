@@ -185,6 +185,26 @@ class Dap2Spec extends SparkSpec {
     }
   }
 
+  test("a DAP Error document (HTTP 200) surfaces as an error, not a parse") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val err = "Error {\n    code = 404;\n    message = \"No such dataset\";\n}\n"
+    server.createContext("/dodsC/gone.nc.dds",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = err.getBytes("US-ASCII")
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b); ex.getResponseBody.close()
+      })
+    server.start()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        NcFile.open(s"http://127.0.0.1:${server.getAddress.getPort}/dodsC/gone.nc")
+      }
+      assert(e.getMessage.contains("DAP error"))
+      assert(e.getMessage.contains("No such dataset"))
+    } finally server.stop(0)
+  }
+
   test("fort63ToParquet ingests a dodsC URL end-to-end") {
     withServer { url =>
       val outDir = Files.createTempDirectory("graft_dap_ingest").toString
