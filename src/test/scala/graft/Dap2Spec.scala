@@ -19,9 +19,17 @@ class Dap2Spec extends SparkSpec {
   private val dry = Set((1, 2), (3, 7))
   private def zeta(t: Int, n: Int): Double =
     if (dry((t, n))) Fill else t * 100.0 + n + 0.25
-  private def x(i: Int): Double = i * 0.5
-  private def y(i: Int): Double = 40.0 + i * 0.25
-  private def ele(i: Int): Int = (i % N) + 1 // 1-based in the "file"
+  // a REAL 4x3 node lattice with a regular triangulation (not collinear),
+  // so the interpolation pipeline produces wet raster cells
+  private def x(i: Int): Double = (i % 4).toDouble
+  private def y(i: Int): Double = 40.0 + (i / 4).toDouble
+  /** First 5 triangles of the lattice triangulation, 1-based flat (m,3). */
+  private val eleTriples: IndexedSeq[Int] = (for {
+    r <- 0 until 2; c <- 0 until 3
+    a = r * 4 + c; b = a + 1; cc = (r + 1) * 4 + c; dd = cc + 1
+    tri <- Seq(Seq(a, b, cc), Seq(b, dd, cc))
+  } yield tri).take(M).flatten.map(_ + 1).toIndexedSeq
+  private def ele(i: Int): Int = eleTriples(i) // 1-based in the "file"
   private def zetaMax(n: Int): Double = if (n == 5) Fill else 900.0 + n
   private def time(t: Int): Double = t * 3600.0
 
@@ -228,6 +236,24 @@ class Dap2Spec extends SparkSpec {
       val labels = Ingest.timeLabels(spark, outDir)
       assert(labels(0L) === "20080909T000000")
       assert(labels(3L) === "20080909T030000")
+    }
+  }
+
+  test("the COMPLETE reference workflow runs off a dodsC URL: Pipeline -> COGs") {
+    // xr.open_dataset(thredds_url) -> regrid -> one COG per timestep,
+    // end to end, with the remote protocol in the loop
+    withServer { url =>
+      val outDir = Files.createTempDirectory("graft_dap_pipeline").toString
+      val n = graft.Pipeline.run(spark, url, outDir, g = 10)
+      assert(n === T.toLong) // one COG per timestep
+      val cogs = new java.io.File(s"$outDir/cogs").listFiles()
+        .filter(_.getName.endsWith(".tiff")).sortBy(_.getName)
+      // real decoded instants name the files (the timeregex contract)
+      assert(cogs.head.getName === "fort_63_zeta_20080909T000000Z.tiff")
+      val bytes = java.nio.file.Files.readAllBytes(cogs.head.toPath)
+      val (w, h, vals, _, cloudOrdered) = graft.plans.GeoTiff.decodeCog(bytes)
+      assert(w === 10 && h === 10 && cloudOrdered)
+      assert(vals.exists(v => !v.isNaN)) // wet cells interpolated
     }
   }
 
