@@ -432,7 +432,8 @@ object Hdf5 {
         val maxManagedObjSize = h.getInt() & 0xffffffffL
         h.getLong; h.getLong // next huge id, huge btree
         h.getLong; h.getLong // free space, fs mgr
-        h.getLong; h.getLong; h.getLong; h.getLong // managed space/alloc/iter/nobjs
+        val managedSpace = h.getLong
+        h.getLong; h.getLong; h.getLong // alloc/iter/nobjs
         h.getLong; h.getLong; h.getLong; h.getLong // huge size/nobjs, tiny size/nobjs
         val width = h.getShort() & 0xffff
         val startSize = h.getLong
@@ -447,7 +448,9 @@ object Hdf5 {
         require(heapIdLen == 1 + offS + lenS,
           s"fractal heap ID length $heapIdLen != 1+$offS+$lenS")
         val blks: IndexedSeq[(Long, Long, Long)] =
-          if (curRows == 0) IndexedSeq((0L, startSize, rootAddr)) // root IS a direct block
+          if (curRows == 0) // root IS a direct block (bounded by the heap's
+            // managed space, which exceeds startSize if the block was grown)
+            IndexedSeq((0L, math.max(startSize, managedSpace), rootAddr))
           else {
             // root indirect block: per the doubling table, rows of direct-
             // block addresses (8 bytes each; unfiltered heap)
