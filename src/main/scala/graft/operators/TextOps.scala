@@ -225,6 +225,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
       .orderBy("lang")
 
+  /** EXT: per-source document cap — the C4/RefinedWeb "domain cap"
+    * curation step: keep at most K documents per source, chosen by
+    * content-independent hash order so the kept set is reproducible
+    * across runs and cluster sizes (a random sample would not be).
+    * One window shuffle on the source key; a pathologically hot source
+    * at 100 TB takes the [[graft.plans.Layout]] salting path, since the
+    * cap only needs the first K of each partition-local hash order
+    * merged once. */
+  def qCurateSourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum((col("rn") <= 15).cast("long")).as("n_kept"),
+           sum((col("rn") > 15).cast("long")).as("n_dropped"),
+           min(when(col("rn") === 1, col("doc_id"))).as("cap_seed_doc"))
+      .orderBy("source")
+  }
+
+  /** EXT: temperature-resampled source mixture — the multilingual-LM
+    * alpha-sampling recipe (q_i ∝ p_i^α, α = 0.3: upweight low-resource
+    * sources/languages when drawing training batches). One partial
+    * aggregation to per-source token mass, then a 20-row global window
+    * for the two normalizations — the heavy input never shuffles twice.
+    * Shares (p, q) emit as 1e-5 fixed-point integers. */
+  def qMixTemperature(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy() // the per-source rollup: tiny by definition
+    Tables.documents(s, d)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("ws"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_tokens"))
+      .withColumn("p", col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
+      .withColumn("pa", pow(col("p"), lit(0.3)))
+      .withColumn("q", col("pa") / sum(col("pa")).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+              floor(col("p") * lit(100000.0) + lit(0.5)).cast("long").as("pi5"),
+              floor(col("q") * lit(100000.0) + lit(0.5)).cast("long").as("qi5"))
+      .orderBy("source")
+  }
+
   /** EXT: stratified sampling — exactly `n` docs per language (the
     * class-balancing shape), deterministic via hash-order ranking inside
     * each stratum. One window shuffle on the stratum key. */
@@ -340,6 +383,8 @@ object TextOps {
     "q_shingle_gen"       -> (qShingleGen _),
     "q_sample_hash"       -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_curate_source_cap" -> (qCurateSourceCap _),
+    "q_mix_temperature"   -> (qMixTemperature _),
     "q_corpus_curate"    -> (qCorpusCurate _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -411,6 +456,28 @@ object TextOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "q_curate_source_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS cap_seed_doc
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |shares AS (SELECT source, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+        |  FROM per),
+        |alpha AS (SELECT *, POWER(p, 0.3) AS pa FROM shares)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(floor(p * 100000.0 + 0.5) AS BIGINT) AS pi5,
+        |  CAST(floor(pa / SUM(pa) OVER () * 100000.0 + 0.5) AS BIGINT) AS qi5
+        |FROM alpha ORDER BY source""".stripMargin,
     "q_corpus_curate" ->
       """WITH scored AS (SELECT doc_id, lang,
         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,

@@ -225,6 +225,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(assigned.count() === n)
   }
 
+  test("source cap keeps at most K per source, reproducibly, and conserves docs") {
+    val out = operators.TextOps.qCurateSourceCap(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= 15L)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") === r.getAs[Long]("n_docs"))
+      // any over-cap source is capped exactly AT the cap
+      if (r.getAs[Long]("n_docs") > 15L) assert(r.getAs[Long]("n_kept") === 15L)
+    }
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, sf).count())
+    // deterministic: a second run picks the same seed docs
+    val again = operators.TextOps.qCurateSourceCap(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("cap_seed_doc")).toSeq ===
+           again.map(_.getAs[Long]("cap_seed_doc")).toSeq)
+  }
+
+  test("temperature mixing: shares sum to ~1 and compress toward uniform") {
+    val out = operators.TextOps.qMixTemperature(spark, sf).collect()
+    val pi = out.map(_.getAs[Long]("pi5"))
+    val qi = out.map(_.getAs[Long]("qi5"))
+    assert(math.abs(pi.sum - 100000L) <= out.length) // rounding slack
+    assert(math.abs(qi.sum - 100000L) <= out.length)
+    // alpha < 1 compresses: the resampled distribution is strictly less
+    // spread than the raw token shares (unless already uniform)
+    assert(qi.max - qi.min <= pi.max - pi.min)
+    // and order is preserved: bigger sources never resample below smaller
+    val byP = out.sortBy(_.getAs[Long]("pi5"))
+    val qInPOrder = byP.map(_.getAs[Long]("qi5"))
+    assert(qInPOrder.zip(qInPOrder.tail).forall { case (a, b) => b >= a })
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
