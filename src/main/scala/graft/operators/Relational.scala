@@ -29,7 +29,12 @@ object Relational {
   def qScanProjectLimit(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      // order by ALL projected columns: (l_orderkey, l_linenumber) is NOT
+      // unique in the synthetic corpus (surfaced at sf0.1), and a LIMIT
+      // under a non-total order is engine-nondeterministic at the
+      // boundary; with a total order any remaining ties are identical
+      // rows, which hash the same
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       .limit(100)
 
   /** S4: time-slice scan — the reference's `var[it, :]` timestep read.
@@ -240,7 +245,9 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_scan_project_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |LIMIT 100""".stripMargin,
     "q_scan_prune_time" ->
       """SELECT event_id, event_type, user_id, value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-01 06:00:00'
