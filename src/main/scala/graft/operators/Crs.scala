@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   *    transverse Mercator on WGS84 via the public Snyder series
   *    ("Map Projections — A Working Manual", USGS PP 1395, eqs 8-9…8-25;
   *    cm-accurate inside a zone's ±3° width)
+  *  - 2154 / 3978   Lambert Conformal Conic 2SP (France Lambert-93,
+  *    Canada Atlas) — Snyder eqs 15-1…15-11, fixed-unroll inverse
   *
   * Any (src, dst) pair composes inverse(src)∘forward(dst) through the
   * 4326 pivot. Everything is `Column` arithmetic over
@@ -55,10 +57,38 @@ object Crs {
     else if (epsg >= 32701 && epsg <= 32760) Some(((epsg - 32700) * 6.0 - 183.0, true))
     else None
 
+  /** Lambert Conformal Conic (2SP) definitions — the most-used projected
+    * family after UTM/web-Mercator. Parameters from the public EPSG
+    * registry entries. */
+  case class LccDef(lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+                    fe: Double, fn: Double) {
+    import math._
+    private val e = sqrt(E2)
+    private def m(phi: Double) = cos(phi) / sqrt(1.0 - E2 * sin(phi) * sin(phi))
+    private def t(phi: Double) =
+      tan(Pi / 4.0 - phi / 2.0) /
+        pow((1.0 - e * sin(phi)) / (1.0 + e * sin(phi)), e / 2.0)
+    private val (p0, p1, p2) = (toRadians(lat0), toRadians(sp1), toRadians(sp2))
+    /** Cone constant, scale factor, origin radius — Snyder 15-3/15-2/15-1a. */
+    val n: Double = (log(m(p1)) - log(m(p2))) / (log(t(p1)) - log(t(p2)))
+    val bigF: Double = m(p1) / (n * pow(t(p1), n))
+    val rho0: Double = SemiMajor * bigF * pow(t(p0), n)
+  }
+
+  private[operators] val lccDefs: Map[Int, LccDef] = Map(
+    // RGF93 / Lambert-93 (France)
+    2154 -> LccDef(lat0 = 46.5, lon0 = 3.0, sp1 = 44.0, sp2 = 49.0,
+                   fe = 700000.0, fn = 6600000.0),
+    // NAD83 / Canada Atlas Lambert
+    3978 -> LccDef(lat0 = 49.0, lon0 = -95.0, sp1 = 49.0, sp2 = 77.0,
+                   fe = 0.0, fn = 0.0))
+
   private def check(epsg: Int): Int = {
-    require(supported.contains(epsg) || utmZone(epsg).isDefined,
+    require(supported.contains(epsg) || utmZone(epsg).isDefined ||
+              lccDefs.contains(epsg),
       s"EPSG:$epsg unsupported; closed-form codes: " +
-        s"${supported.toSeq.sorted.mkString(", ")}, 32601-32660 (UTM N), 32701-32760 (UTM S)")
+        s"${supported.toSeq.sorted.mkString(", ")}, 32601-32660 (UTM N), " +
+        s"32701-32760 (UTM S), ${lccDefs.keys.toSeq.sorted.mkString(", ")} (LCC 2SP)")
     epsg
   }
 
@@ -70,9 +100,11 @@ object Crs {
         (lon * rad * lit(R),
          lit(R) * log(tan(lit(math.Pi) / lit(4.0) + lat * rad / lit(2.0))))
       case 32662 | 54001 => (lon * rad * lit(R), lat * rad * lit(R))
-      case utm =>
-        val (lon0, south) = utmZone(utm).get
-        tmForward(lon, lat, lon0, south)
+      case other =>
+        utmZone(other) match {
+          case Some((lon0, south)) => tmForward(lon, lat, lon0, south)
+          case None => lccForward(lccDefs(other), lon, lat)
+        }
     }
 
   /** `lon`/`lat` degrees of (x, y) in the source CRS. */
@@ -83,9 +115,11 @@ object Crs {
         (x / lit(R) / rad,
          (atan(exp(y / lit(R))) * lit(2.0) - lit(math.Pi) / lit(2.0)) / rad)
       case 32662 | 54001 => (x / lit(R) / rad, y / lit(R) / rad)
-      case utm =>
-        val (lon0, south) = utmZone(utm).get
-        tmInverse(x, y, lon0, south)
+      case other =>
+        utmZone(other) match {
+          case Some((lon0, south)) => tmInverse(x, y, lon0, south)
+          case None => lccInverse(lccDefs(other), x, y)
+        }
     }
 
   /** Ellipsoidal TM forward (Snyder 8-9…8-13): degrees → UTM meters.
@@ -110,6 +144,47 @@ object Crs {
         (a2 / lit(2.0) + (lit(5.0) - t + lit(9.0) * c + lit(4.0) * c * c) * a4 / lit(24.0) +
          (lit(61.0) - lit(58.0) * t + t * t + lit(600.0) * c - lit(330.0) * Ep2) * a6 / lit(720.0)))
     (x, if (south) y0 + lit(10000000.0) else y0)
+  }
+
+  /** Lambert Conformal Conic 2SP forward (Snyder 15-1…15-4): degrees →
+    * projected meters. The per-row work is one isometric-latitude t, one
+    * pow, and a sin/cos pair; the cone constants (n, F, ρ0) are Scala
+    * doubles baked into the plan as literals. (Datum note: 2154/3978 are
+    * GRS80; its flattening differs from WGS84 in the 9th significant
+    * digit — sub-mm here, carried on the WGS84 constants.) */
+  private def lccForward(d: LccDef, lonDeg: Column, latDeg: Column): (Column, Column) = {
+    val ecc = math.sqrt(E2)
+    val phi = latDeg * rad
+    val sinp = sin(phi)
+    val t = tan(lit(math.Pi) / lit(4.0) - phi / lit(2.0)) /
+      pow((lit(1.0) - lit(ecc) * sinp) / (lit(1.0) + lit(ecc) * sinp), lit(ecc / 2.0))
+    val rho = lit(SemiMajor * d.bigF) * pow(t, lit(d.n))
+    val theta = lit(d.n) * ((lonDeg - lit(d.lon0)) * rad)
+    (lit(d.fe) + rho * sin(theta),
+     lit(d.fn) + lit(d.rho0) - rho * cos(theta))
+  }
+
+  /** LCC 2SP inverse (Snyder 15-8…15-11): projected meters → degrees.
+    * The conformal-latitude iteration is unrolled to a FIXED 5 steps —
+    * deterministic (no data-dependent convergence test in the plan) and
+    * converged to < 1e-12 rad for |φ| ≤ 89°. */
+  private def lccInverse(d: LccDef, xCol: Column, yCol: Column): (Column, Column) = {
+    val ecc = math.sqrt(E2)
+    val xr = xCol - lit(d.fe)
+    val yr = lit(d.rho0) - (yCol - lit(d.fn))
+    // sign(n) folds into both operands so atan2/sqrt see a positive cone
+    val sgn = if (d.n >= 0) 1.0 else -1.0
+    val rho = sqrt(xr * xr + yr * yr) * lit(sgn)
+    val tP = pow(rho / lit(SemiMajor * d.bigF), lit(1.0 / d.n))
+    val theta = atan2(xr * lit(sgn), yr * lit(sgn))
+    val lam = theta / lit(d.n) + lit(math.toRadians(d.lon0))
+    def next(phi: Column): Column =
+      lit(math.Pi / 2.0) - lit(2.0) * atan(tP *
+        pow((lit(1.0) - lit(ecc) * sin(phi)) / (lit(1.0) + lit(ecc) * sin(phi)),
+            lit(ecc / 2.0)))
+    val phi0: Column = lit(math.Pi / 2.0) - lit(2.0) * atan(tP)
+    val phi = next(next(next(next(next(phi0)))))
+    (lam / rad, phi / rad)
   }
 
   /** Ellipsoidal TM inverse (Snyder 8-17…8-25): UTM meters → degrees. */

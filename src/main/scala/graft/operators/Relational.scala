@@ -99,6 +99,19 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** P4 LCC: Lambert Conformal Conic 2SP (RGF93 / Lambert-93), the
+    * most-used projected family after UTM — lon/lat folded into the
+    * projection's valid extent (metropolitan France). Pure Column
+    * arithmetic; cone constants baked as literals. */
+  def qProjLcc(s: SparkSession, d: String): DataFrame = {
+    val lon = col("value") % lit(8.0) - lit(1.0)
+    val lat = col("value") % lit(10.0) + lit(41.0)
+    val (e, n) = Crs.forward(2154, lon, lat)
+    Tables.events(s, d)
+      .select(col("event_id"), round(e, 2).as("easting"), round(n, 2).as("northing"))
+      .orderBy("event_id")
+  }
+
   /** P4 generalized: an arbitrary (srcEpsg, dstEpsg) pair through
     * [[Crs.transform]] — here 3857 → 32662 (web-Mercator meters to
     * plate-carrée meters), which exercises the INVERSE Mercator
@@ -228,6 +241,7 @@ object Relational {
     "q_proj_mercator"      -> (qProjMercator _),
     "q_proj_epsg"          -> (qProjEpsg _),
     "q_proj_utm"           -> (qProjUtm _),
+    "q_proj_lcc"           -> (qProjLcc _),
     "q_mask_null"          -> (qMaskNull _),
     "q_filter_regex_max"   -> (qFilterRegexMax _),
     "q_topk"               -> (qTopk _),
@@ -304,6 +318,29 @@ object Relational {
         |    + (5.0 - t + 9.0 * c + 4.0 * c * c) * ((a*a)*(a*a)) / 24.0
         |    + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * ${Crs.Ep2})
         |      * (((a*a)*(a*a))*(a*a)) / 720.0)), 2) AS northing
+        |FROM r ORDER BY event_id""".stripMargin,
+    // LCC 2SP forward mirrored term by term; cone constants (n, a·F, ρ0)
+    // interpolated from the SAME Scala doubles the Column plan bakes in
+    "q_proj_lcc" ->
+      s"""WITH base AS (
+        |  SELECT event_id,
+        |    (value % 8.0 - 1.0) AS lon,
+        |    (value % 10.0 + 41.0) * (PI() / 180.0) AS phi
+        |  FROM events),
+        |t AS (
+        |  SELECT event_id, lon, phi,
+        |    TAN(PI() / 4.0 - phi / 2.0)
+        |      / POWER((1.0 - ${math.sqrt(Crs.E2)} * SIN(phi)) / (1.0 + ${math.sqrt(Crs.E2)} * SIN(phi)),
+        |              ${math.sqrt(Crs.E2) / 2.0}) AS tt
+        |  FROM base),
+        |r AS (
+        |  SELECT event_id, lon,
+        |    ${Crs.SemiMajor * Crs.lccDefs(2154).bigF} * POWER(tt, ${Crs.lccDefs(2154).n}) AS rho,
+        |    ${Crs.lccDefs(2154).n} * ((lon - 3.0) * (PI() / 180.0)) AS theta
+        |  FROM t)
+        |SELECT event_id,
+        |  ROUND(700000.0 + rho * SIN(theta), 2) AS easting,
+        |  ROUND(6600000.0 + ${Crs.lccDefs(2154).rho0} - rho * COS(theta), 2) AS northing
         |FROM r ORDER BY event_id""".stripMargin,
     "q_mask_null" ->
       """SELECT event_type,

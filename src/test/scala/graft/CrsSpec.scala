@@ -121,6 +121,46 @@ class CrsSpec extends SparkSpec {
     assert(south.getDouble(1) > 0 && south.getDouble(1) < 1e7) // in-range
   }
 
+  test("LCC anchors: projection origin maps to the false origin exactly-ish") {
+    import spark.implicits._
+    // Lambert-93: (3.0 E, 46.5 N) -> (700000, 6600000); Canada Atlas:
+    // (-95, 49) -> (0, 0)
+    val fr = Crs.transform(Seq((3.0, 46.5)).toDF("x", "y"), "x", "y", 4326, 2154).collect()(0)
+    assert(math.abs(fr.getDouble(0) - 700000.0) < 1e-5)
+    assert(math.abs(fr.getDouble(1) - 6600000.0) < 1e-5)
+    val ca = Crs.transform(Seq((-95.0, 49.0)).toDF("x", "y"), "x", "y", 4326, 3978).collect()(0)
+    assert(math.abs(ca.getDouble(0)) < 1e-5)
+    assert(math.abs(ca.getDouble(1)) < 1e-5)
+  }
+
+  test("LCC standard parallels are distortion-free: scale ~1 along sp1/sp2") {
+    import spark.implicits._
+    // on a standard parallel, projected distance per degree of longitude
+    // must equal the ellipsoidal parallel arc (cos-corrected) to ~1e-6
+    Seq(44.0, 49.0).foreach { sp =>
+      val df = Seq((2.0, sp), (2.001, sp)).toDF("x", "y")
+      val out = Crs.transform(df, "x", "y", 4326, 2154).orderBy("x").collect()
+      val dx = out(1).getDouble(0) - out(0).getDouble(0)
+      val dy = out(1).getDouble(1) - out(0).getDouble(1)
+      val projected = math.sqrt(dx * dx + dy * dy)
+      val phi = math.toRadians(sp)
+      val nRad = Crs.SemiMajor / math.sqrt(1.0 - Crs.E2 * math.sin(phi) * math.sin(phi))
+      val arc = nRad * math.cos(phi) * math.toRadians(0.001)
+      assert(math.abs(projected / arc - 1.0) < 1e-6, s"scale at sp=$sp: ${projected / arc}")
+    }
+  }
+
+  test("LCC 4326 -> 2154 -> 4326 round-trips within 1e-8 deg over France") {
+    import spark.implicits._
+    val src = spark.range(0, 15).toDF("i").crossJoin(spark.range(0, 11).toDF("j"))
+      .select((col("i") * 1.0 - 5.0).as("x"), (col("j") * 1.0 + 41.0).as("y"))
+      .withColumn("x0", col("x")).withColumn("y0", col("y"))
+    val rt = Crs.transform(Crs.transform(src, "x", "y", 4326, 2154), "x", "y", 2154, 4326)
+      .select((col("x") - col("x0")).as("dx"), (col("y") - col("y0")).as("dy"))
+    assert(maxAbs(rt, "dx") < 1e-8)
+    assert(maxAbs(rt, "dy") < 1e-8)
+  }
+
   test("UTM composes through the pivot: 32633 -> 3857 equals direct forward") {
     // pair rows by the ORIGINAL lon/lat (sorting by outputs would tie-break
     // x-equal groups on the inverse's ULP noise and mispair lats)
