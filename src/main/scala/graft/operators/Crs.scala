@@ -83,12 +83,37 @@ object Crs {
     3978 -> LccDef(lat0 = 49.0, lon0 = -95.0, sp1 = 49.0, sp2 = 77.0,
                    fe = 0.0, fn = 0.0))
 
+  /** Albers Equal-Area Conic (2SP) definitions (EPSG registry). */
+  case class AlbersDef(lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+                       fe: Double, fn: Double) {
+    import math._
+    private val e = sqrt(E2)
+    private def m(phi: Double) = cos(phi) / sqrt(1.0 - E2 * sin(phi) * sin(phi))
+    /** Authalic q (Snyder 3-12). */
+    def qAuth(phi: Double): Double =
+      (1.0 - E2) * (sin(phi) / (1.0 - E2 * sin(phi) * sin(phi)) -
+        (1.0 / (2.0 * e)) * log((1.0 - e * sin(phi)) / (1.0 + e * sin(phi))))
+    private val (p0, p1, p2) = (toRadians(lat0), toRadians(sp1), toRadians(sp2))
+    /** Cone constant, C, origin radius — Snyder 14-6/14-5/14-3a. */
+    val n: Double = (m(p1) * m(p1) - m(p2) * m(p2)) / (qAuth(p2) - qAuth(p1))
+    val bigC: Double = m(p1) * m(p1) + n * qAuth(p1)
+    val rho0: Double = SemiMajor * sqrt(bigC - n * qAuth(p0)) / n
+    /** q at the pole — normalizes q' to the authalic-latitude sine. */
+    val qPole: Double = qAuth(Pi / 2.0)
+  }
+
+  private[operators] val albersDefs: Map[Int, AlbersDef] = Map(
+    // NAD83 / Conus Albers
+    5070 -> AlbersDef(lat0 = 23.0, lon0 = -96.0, sp1 = 29.5, sp2 = 45.5,
+                      fe = 0.0, fn = 0.0))
+
   private def check(epsg: Int): Int = {
     require(supported.contains(epsg) || utmZone(epsg).isDefined ||
-              lccDefs.contains(epsg),
+              lccDefs.contains(epsg) || albersDefs.contains(epsg),
       s"EPSG:$epsg unsupported; closed-form codes: " +
         s"${supported.toSeq.sorted.mkString(", ")}, 32601-32660 (UTM N), " +
-        s"32701-32760 (UTM S), ${lccDefs.keys.toSeq.sorted.mkString(", ")} (LCC 2SP)")
+        s"32701-32760 (UTM S), ${lccDefs.keys.toSeq.sorted.mkString(", ")} (LCC 2SP), " +
+        s"${albersDefs.keys.toSeq.sorted.mkString(", ")} (Albers 2SP)")
     epsg
   }
 
@@ -103,7 +128,8 @@ object Crs {
       case other =>
         utmZone(other) match {
           case Some((lon0, south)) => tmForward(lon, lat, lon0, south)
-          case None => lccForward(lccDefs(other), lon, lat)
+          case None if lccDefs.contains(other) => lccForward(lccDefs(other), lon, lat)
+          case None => albersForward(albersDefs(other), lon, lat)
         }
     }
 
@@ -118,7 +144,8 @@ object Crs {
       case other =>
         utmZone(other) match {
           case Some((lon0, south)) => tmInverse(x, y, lon0, south)
-          case None => lccInverse(lccDefs(other), x, y)
+          case None if lccDefs.contains(other) => lccInverse(lccDefs(other), x, y)
+          case None => albersInverse(albersDefs(other), x, y)
         }
     }
 
@@ -184,6 +211,42 @@ object Crs {
             lit(ecc / 2.0)))
     val phi0: Column = lit(math.Pi / 2.0) - lit(2.0) * atan(tP)
     val phi = next(next(next(next(next(phi0)))))
+    (lam / rad, phi / rad)
+  }
+
+  /** Albers Equal-Area Conic 2SP forward (Snyder 14-1…14-4): degrees →
+    * projected meters. q is the authalic function (one ln per row);
+    * cone constants (n, C, ρ0) baked as literals. */
+  private def albersForward(d: AlbersDef, lonDeg: Column, latDeg: Column): (Column, Column) = {
+    val ecc = math.sqrt(E2)
+    val phi = latDeg * rad
+    val sinp = sin(phi)
+    val q = lit(1.0 - E2) *
+      (sinp / (lit(1.0) - lit(E2) * sinp * sinp) -
+       lit(1.0 / (2.0 * ecc)) * log((lit(1.0) - lit(ecc) * sinp) / (lit(1.0) + lit(ecc) * sinp)))
+    val rho = lit(SemiMajor) * sqrt(lit(d.bigC) - lit(d.n) * q) / lit(d.n)
+    val theta = lit(d.n) * ((lonDeg - lit(d.lon0)) * rad)
+    (lit(d.fe) + rho * sin(theta),
+     lit(d.fn) + lit(d.rho0) - rho * cos(theta))
+  }
+
+  /** Albers 2SP inverse (Snyder 14-8…14-11 + the 3-18 authalic-latitude
+    * series): projected meters → degrees. Closed form — no iteration. */
+  private def albersInverse(d: AlbersDef, xCol: Column, yCol: Column): (Column, Column) = {
+    val xr = xCol - lit(d.fe)
+    val yr = lit(d.rho0) - (yCol - lit(d.fn))
+    val sgn = if (d.n >= 0) 1.0 else -1.0
+    val rho = sqrt(xr * xr + yr * yr) * lit(sgn)
+    val qP = (lit(d.bigC) - rho * rho * lit(d.n * d.n / (SemiMajor * SemiMajor))) / lit(d.n)
+    val theta = atan2(xr * lit(sgn), yr * lit(sgn))
+    val lam = theta / lit(d.n) + lit(math.toRadians(d.lon0))
+    val beta = asin(qP / lit(d.qPole)) // authalic latitude
+    // Snyder 3-18 series coefficients (e² terms precomputed in Scala)
+    val c2 = E2 / 3.0 + 31.0 * E2 * E2 / 180.0 + 517.0 * E2 * E2 * E2 / 5040.0
+    val c4 = 23.0 * E2 * E2 / 360.0 + 251.0 * E2 * E2 * E2 / 3780.0
+    val c6 = 761.0 * E2 * E2 * E2 / 45360.0
+    val phi = beta + lit(c2) * sin(beta * lit(2.0)) +
+      lit(c4) * sin(beta * lit(4.0)) + lit(c6) * sin(beta * lit(6.0))
     (lam / rad, phi / rad)
   }
 

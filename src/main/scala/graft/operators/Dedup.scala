@@ -233,7 +233,7 @@ object Dedup {
     var labels = fence(sym.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")))
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum("lbl")).head.getLong(0)
+    var curSum = labels.agg(sum("lbl")).head().getLong(0)
     while (curSum < prevSum) {
       val prop = sym.join(labels.withColumnRenamed("v", "w"), col("dst") === col("w"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
@@ -242,7 +242,7 @@ object Dedup {
         .select(col("v"),
                 least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       prevSum = curSum
-      curSum = labels.agg(sum("lbl")).head.getLong(0)
+      curSum = labels.agg(sum("lbl")).head().getLong(0)
     }
     val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")

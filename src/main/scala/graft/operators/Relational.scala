@@ -112,6 +112,18 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** P4 Albers: equal-area conic (NAD83 / Conus Albers, EPSG 5070) — the
+    * projection CONUS-wide area statistics run in. Lon/lat folded into
+    * the CONUS extent. */
+  def qProjAlbers(s: SparkSession, d: String): DataFrame = {
+    val lon = -(col("value") % lit(40.0)) - lit(80.0)
+    val lat = col("value") % lit(24.0) + lit(25.0)
+    val (e, n) = Crs.forward(5070, lon, lat)
+    Tables.events(s, d)
+      .select(col("event_id"), round(e, 2).as("easting"), round(n, 2).as("northing"))
+      .orderBy("event_id")
+  }
+
   /** P4 generalized: an arbitrary (srcEpsg, dstEpsg) pair through
     * [[Crs.transform]] — here 3857 → 32662 (web-Mercator meters to
     * plate-carrée meters), which exercises the INVERSE Mercator
@@ -242,6 +254,7 @@ object Relational {
     "q_proj_epsg"          -> (qProjEpsg _),
     "q_proj_utm"           -> (qProjUtm _),
     "q_proj_lcc"           -> (qProjLcc _),
+    "q_proj_albers"        -> (qProjAlbers _),
     "q_mask_null"          -> (qMaskNull _),
     "q_filter_regex_max"   -> (qFilterRegexMax _),
     "q_topk"               -> (qTopk _),
@@ -318,6 +331,30 @@ object Relational {
         |    + (5.0 - t + 9.0 * c + 4.0 * c * c) * ((a*a)*(a*a)) / 24.0
         |    + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * ${Crs.Ep2})
         |      * (((a*a)*(a*a))*(a*a)) / 720.0)), 2) AS northing
+        |FROM r ORDER BY event_id""".stripMargin,
+    // Albers 2SP forward mirrored term by term (authalic q incl. the ln);
+    // cone constants interpolated from the Scala doubles in the plan
+    "q_proj_albers" ->
+      s"""WITH base AS (
+        |  SELECT event_id,
+        |    (-(value % 40.0) - 80.0) AS lon,
+        |    SIN((value % 24.0 + 25.0) * (PI() / 180.0)) AS sinp
+        |  FROM events),
+        |qq AS (
+        |  SELECT event_id, lon,
+        |    ${1.0 - Crs.E2} * (sinp / (1.0 - ${Crs.E2} * sinp * sinp)
+        |      - ${1.0 / (2.0 * math.sqrt(Crs.E2))}
+        |        * LN((1.0 - ${math.sqrt(Crs.E2)} * sinp) / (1.0 + ${math.sqrt(Crs.E2)} * sinp))) AS q
+        |  FROM base),
+        |r AS (
+        |  SELECT event_id,
+        |    ${Crs.SemiMajor} * SQRT(${Crs.albersDefs(5070).bigC} - ${Crs.albersDefs(5070).n} * q)
+        |      / ${Crs.albersDefs(5070).n} AS rho,
+        |    ${Crs.albersDefs(5070).n} * ((lon - -96.0) * (PI() / 180.0)) AS theta
+        |  FROM qq)
+        |SELECT event_id,
+        |  ROUND(0.0 + rho * SIN(theta), 2) AS easting,
+        |  ROUND(0.0 + ${Crs.albersDefs(5070).rho0} - rho * COS(theta), 2) AS northing
         |FROM r ORDER BY event_id""".stripMargin,
     // LCC 2SP forward mirrored term by term; cone constants (n, a·F, ρ0)
     // interpolated from the SAME Scala doubles the Column plan bakes in

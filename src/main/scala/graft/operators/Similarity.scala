@@ -279,7 +279,7 @@ object Similarity {
     val meanCos = Seq.newBuilder[Double]
     var assigned = assign(centroids)
     (1 to iters).foreach { _ =>
-      meanCos += assigned.agg(avg(col("cos"))).head.getDouble(0)
+      meanCos += assigned.agg(avg(col("cos"))).head().getDouble(0)
       centroids = assigned
         .select(col("cid"), col("v")).as[(Long, Array[Double])]
         .groupByKey(_._1).mapValues(_._2)
@@ -288,7 +288,7 @@ object Similarity {
         .localCheckpoint()
       assigned = assign(centroids)
     }
-    meanCos += assigned.agg(avg(col("cos"))).head.getDouble(0)
+    meanCos += assigned.agg(avg(col("cos"))).head().getDouble(0)
     (assigned, meanCos.result())
   }
 

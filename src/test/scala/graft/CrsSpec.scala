@@ -161,6 +161,45 @@ class CrsSpec extends SparkSpec {
     assert(maxAbs(rt, "dy") < 1e-8)
   }
 
+  test("Albers anchors and round-trip over CONUS") {
+    import spark.implicits._
+    // EPSG 5070: projection origin (-96, 23) -> (0, 0)
+    val o = Crs.transform(Seq((-96.0, 23.0)).toDF("x", "y"), "x", "y", 4326, 5070).collect()(0)
+    assert(math.abs(o.getDouble(0)) < 1e-5)
+    assert(math.abs(o.getDouble(1)) < 1e-5)
+    val src = spark.range(0, 30).toDF("i").crossJoin(spark.range(0, 14).toDF("j"))
+      .select((col("i") * 2.0 - 125.0).as("x"), (col("j") * 2.0 + 24.0).as("y"))
+      .withColumn("x0", col("x")).withColumn("y0", col("y"))
+    val rt = Crs.transform(Crs.transform(src, "x", "y", 4326, 5070), "x", "y", 5070, 4326)
+      .select((col("x") - col("x0")).as("dx"), (col("y") - col("y0")).as("dy"))
+    assert(maxAbs(rt, "dx") < 1e-7)
+    assert(maxAbs(rt, "dy") < 1e-7)
+  }
+
+  test("Albers is equal-area: projected cell area matches the ellipsoidal cell") {
+    import spark.implicits._
+    // independent property — the defining invariant of the projection,
+    // checked against the ellipsoid (M·N·cosφ·dλ·dφ), not the code
+    Seq(27.0, 38.5, 48.0).foreach { latC =>
+      val d = 0.01
+      val quad = Seq((-100.0, latC), (-100.0 + d, latC),
+                     (-100.0 + d, latC + d), (-100.0, latC + d))
+      val out = Crs.transform(quad.toDF("x", "y"), "x", "y", 4326, 5070)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      // the transform preserves input order within a tiny local collect
+      val area = math.abs((0 until 4).map { i =>
+        val (x1, y1) = out(i); val (x2, y2) = out((i + 1) % 4)
+        x1 * y2 - x2 * y1
+      }.sum / 2.0)
+      val phi = math.toRadians(latC + d / 2.0)
+      val w = 1.0 - Crs.E2 * math.sin(phi) * math.sin(phi)
+      val mRad = Crs.SemiMajor * (1.0 - Crs.E2) / (w * math.sqrt(w))
+      val nRad = Crs.SemiMajor / math.sqrt(w)
+      val ell = mRad * nRad * math.cos(phi) * math.toRadians(d) * math.toRadians(d)
+      assert(math.abs(area / ell - 1.0) < 1e-5, s"area ratio at $latC: ${area / ell}")
+    }
+  }
+
   test("UTM composes through the pivot: 32633 -> 3857 equals direct forward") {
     // pair rows by the ORIGINAL lon/lat (sorting by outputs would tie-break
     // x-equal groups on the inverse's ULP noise and mispair lats)
