@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *    cm-accurate inside a zone's ±3° width)
   *  - 2154 / 3978   Lambert Conformal Conic 2SP (France Lambert-93,
   *    Canada Atlas) — Snyder eqs 15-1…15-11, fixed-unroll inverse
+  *  - 5070          Albers Equal-Area 2SP (Conus Albers) — Snyder eqs
+  *    14-1…14-12 with the 3-18 authalic-latitude series (closed form)
   *
   * Any (src, dst) pair composes inverse(src)∘forward(dst) through the
   * 4326 pivot. Everything is `Column` arithmetic over
