@@ -483,8 +483,8 @@ object Hdf5 {
       def readObject(id: Array[Byte]): Array[Byte] = {
         val b = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
         val first = b.get() & 0xff
-        require((first & 0x30) == 0, "fractal heap ID version != 0")
-        require((first & 0xc0) == 0, s"non-managed fractal heap object (huge/tiny) unsupported")
+        require((first & 0xc0) == 0, "fractal heap ID version != 0") // vers mask 0xC0
+        require((first & 0x30) == 0, s"non-managed fractal heap object (huge/tiny) unsupported") // type mask 0x30
         var off = 0L; var len = 0L
         (0 until offSize).foreach(i => off |= (b.get() & 0xffL) << (8 * i))
         (0 until lenSize).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
@@ -651,15 +651,10 @@ object Hdf5 {
                                chunkBytes: Long): (Long, Int, Int) =
       if (!filtered) (b.getLong, chunkBytes.toInt, 0)
       else {
+        require(sizeLen >= 1 && sizeLen <= 8, s"chunk size field of $sizeLen bytes")
         val addr = b.getLong
-        val size = sizeLen match {
-          case 1 => b.get() & 0xffL
-          case 2 => b.getShort() & 0xffffL
-          case 3 => (b.get() & 0xffL) | ((b.get() & 0xffL) << 8) | ((b.get() & 0xffL) << 16)
-          case 4 => b.getInt() & 0xffffffffL
-          case 8 => b.getLong
-          case n => throw new IllegalArgumentException(s"chunk size field of $n bytes")
-        }
+        var size = 0L // little-endian, any width libhdf5 can emit
+        (0 until sizeLen).foreach(i => size |= (b.get() & 0xffL) << (8 * i))
         (addr, size.toInt, b.getInt())
       }
 
