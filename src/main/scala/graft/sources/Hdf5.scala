@@ -669,8 +669,11 @@ object Hdf5 {
 
     /** Fixed Array index ("latest format", fixed-extent datasets): FAHD
       * header → FADB data block of equal-width elements addressed by
-      * row-major chunk index. Paged data blocks (entries beyond
-      * 2^pageBits) are out of the subset. */
+      * row-major chunk index. PAGED data blocks (entries beyond
+      * 2^pageBits — a big static 2-D var at fine chunking) are walked
+      * too: the block carries a page-init bitmap + checksum, then pages
+      * of 2^pageBits elements each followed by its own checksum;
+      * uninitialized pages contribute unallocated (fill) chunks. */
     private def fixedArrayChunks(ds: Dataset, addr: Long, dims: Array[Int],
                                  chunkBytes: Long, filtered: Boolean): Seq[Chunk] = {
       if (addr == Undef) return Seq.empty
@@ -686,15 +689,42 @@ object Hdf5 {
       val nElmts = h.getLong
       val dbAddr = h.getLong
       if (dbAddr == Undef) return Seq.empty
-      require(nElmts <= (1L << pageBits),
-        s"${ds.name}: paged fixed-array data block ($nElmts entries > 2^$pageBits) unsupported")
-      val db = bytesAt(dbAddr, 14 + (nElmts * entrySize).toInt)
-      val dsig = new Array[Byte](4); db.get(dsig)
-      require(new String(dsig, "US-ASCII") == "FADB", s"${ds.name}: bad fixed-array data block")
-      db.get(); db.get() // version, client id
-      db.getLong         // header address
       val sizeLen = entrySize - 12 // filtered element: addr(8) + size + mask(4)
-      val elems = (0L until nElmts).map(_ => readIdxElement(db, filtered, sizeLen, chunkBytes))
+      val elems: Seq[(Long, Int, Int)] =
+        if (nElmts <= (1L << pageBits)) {
+          val db = bytesAt(dbAddr, 14 + (nElmts * entrySize).toInt)
+          val dsig = new Array[Byte](4); db.get(dsig)
+          require(new String(dsig, "US-ASCII") == "FADB", s"${ds.name}: bad fixed-array data block")
+          db.get(); db.get() // version, client id
+          db.getLong         // header address
+          (0L until nElmts).map(_ => readIdxElement(db, filtered, sizeLen, chunkBytes))
+        } else {
+          val pageElems = 1 << pageBits
+          val npages = ((nElmts + pageElems - 1) / pageElems).toInt
+          val bitmapLen = (npages + 7) / 8
+          val db = bytesAt(dbAddr, 14 + bitmapLen)
+          val dsig = new Array[Byte](4); db.get(dsig)
+          require(new String(dsig, "US-ASCII") == "FADB", s"${ds.name}: bad fixed-array data block")
+          db.get(); db.get() // version, client id
+          db.getLong         // header address
+          val bitmap = new Array[Byte](bitmapLen); db.get(bitmap)
+          // prefix = header + bitmap + block checksum; then page i of
+          // elems(i) entries + 4-byte page checksum, back to back
+          val prefix = 14L + bitmapLen + 4
+          var pageAddr = dbAddr + prefix
+          (0 until npages).flatMap { p =>
+            val inPage = math.min(pageElems.toLong, nElmts - p.toLong * pageElems).toInt
+            val init = (bitmap(p / 8) & (1 << (p % 8))) != 0
+            val out =
+              if (!init) Seq.fill(inPage)((Undef, 0, 0)) // never-written page
+              else {
+                val pg = bytesAt(pageAddr, inPage * entrySize)
+                (0 until inPage).map(_ => readIdxElement(pg, filtered, sizeLen, chunkBytes))
+              }
+            pageAddr += inPage.toLong * entrySize + 4
+            out
+          }
+        }
       elementsToChunks(ds, dims, elems)
     }
 

@@ -328,20 +328,36 @@ object Hdf5Fixture {
     if (filtered) { bb.putInt(size); bb.putInt(0) }
   }
 
-  /** Fixed Array index: FAHD header + single unpaged FADB data block. */
+  /** Fixed Array index: FAHD header + FADB data block — unpaged while
+    * the entries fit in one 2^pageBits page, otherwise paged (page-init
+    * bitmap + block checksum, then per-page element runs each with its
+    * own checksum). */
   private def writeFixedArray(buf: Buf, chunks: Seq[(Long, Int)],
-                              filtered: Boolean): Long = {
+                              filtered: Boolean, pageBits: Int = 10): Long = {
     val entrySize = if (filtered) 16 else 8
+    val pageElems = 1 << pageBits
     buf.align8(); val dbAddr = buf.pos
     buf.bb.put("FADB".getBytes("US-ASCII"))
     buf.bb.put(0.toByte).put((if (filtered) 1 else 0).toByte)
     val dbHdrPatch = buf.pos; buf.bb.putLong(Undef) // header addr, patched
-    chunks.foreach { case (a, s) => putIdxElement(buf.bb, a, s, filtered) }
-    buf.bb.putInt(0) // checksum (not verified by the reader)
+    if (chunks.length <= pageElems) {
+      chunks.foreach { case (a, s) => putIdxElement(buf.bb, a, s, filtered) }
+      buf.bb.putInt(0) // checksum (not verified by the reader)
+    } else {
+      val npages = (chunks.length + pageElems - 1) / pageElems
+      val bitmap = new Array[Byte]((npages + 7) / 8)
+      (0 until npages).foreach(p => bitmap(p / 8) = (bitmap(p / 8) | (1 << (p % 8))).toByte)
+      buf.bb.put(bitmap)
+      buf.bb.putInt(0) // block checksum
+      chunks.grouped(pageElems).foreach { page =>
+        page.foreach { case (a, s) => putIdxElement(buf.bb, a, s, filtered) }
+        buf.bb.putInt(0) // page checksum
+      }
+    }
     buf.align8(); val hdr = buf.pos
     buf.bb.put("FAHD".getBytes("US-ASCII"))
     buf.bb.put(0.toByte).put((if (filtered) 1 else 0).toByte)
-    buf.bb.put(entrySize.toByte).put(10.toByte) // entry size, page bits
+    buf.bb.put(entrySize.toByte).put(pageBits.toByte)
     buf.bb.putLong(chunks.length.toLong)
     buf.bb.putLong(dbAddr)
     buf.bb.putInt(0) // checksum
@@ -662,7 +678,7 @@ object Hdf5Fixture {
     * array, extensible array for the unlimited dim, v2 B-tree) — and a
     * DENSE root group (fractal heap + name-index v2 B-tree) as written
     * once a group passes the compact-links threshold. */
-  def writeLatest(c: Content, extraVars: Int = 0): Array[Byte] = {
+  def writeLatest(c: Content, extraVars: Int = 0, faPageBits: Int = 10): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(48) // superblock v2; patched last
 
@@ -686,11 +702,11 @@ object Hdf5Fixture {
     // simplicity of the shared writer — dtype stays f64, values integral
     val eleChunks = writeChunkData(buf, Array(c.m.toLong, 3L), Array(2, 3),
       idx => c.ele((idx(0) * 3 + idx(1)).toInt).toDouble, fillPad = 0.0)
-    val eleFa = writeFixedArray(buf, eleChunks, filtered = false)
+    val eleFa = writeFixedArray(buf, eleChunks, filtered = false, pageBits = faPageBits)
     val eleOh = writeObjectHeaderV2(buf, Seq(
       0x0001 -> dataspace(Array(c.m.toLong, 3L), unlimitedFirst = false),
       0x0003 -> f64Type,
-      0x0008 -> layoutV4(0, Array(2L, 3L, 8L), 3, Array(10.toByte), eleFa)))
+      0x0008 -> layoutV4(0, Array(2L, 3L, 8L), 3, Array(faPageBits.toByte), eleFa)))
 
     // zeta_max: v2 B-tree index (type 5), fletcher32-filtered records
     val zmChunks = writeChunkData(buf, Array(c.n.toLong), Array(5),

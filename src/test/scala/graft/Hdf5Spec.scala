@@ -221,6 +221,17 @@ class Hdf5Spec extends SparkSpec {
     } finally nc.close()
   }
 
+  test("paged fixed-array data block: pages + partial tail read back exactly") {
+    // pageBits=1 -> 2-element pages; element has 3 chunks -> 2 pages with
+    // a partial tail — the layout a big static var hits past 2^10 chunks
+    val dir = Files.createTempDirectory("graft_h5fapage").toString
+    val p = s"$dir/fa_paged.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeLatest(c, faPageBits = 1))
+    val nc = NcFile.open(p)
+    try assert(nc.readFixed("element").toSeq === (0 until c.m * 3).map(i => c.ele(i).toDouble))
+    finally nc.close()
+  }
+
   test("dense group past one heap block: FHIB indirect root enumerates all links") {
     // 40 extra vars make the link messages overflow the 512-byte starting
     // direct block — the fractal heap grows an indirect root, the shape
