@@ -273,6 +273,45 @@ object Hdf5Fixture {
 
   // ---- "latest format" building blocks (layout v4 + dense groups) --------
 
+  /** Dataspace v2 — what the latest format writes (type byte instead of
+    * the v1 reserved run). */
+  private def dataspaceV2(dims: Array[Long], unlimitedFirst: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + dims.length * 8 * (if (unlimitedFirst) 2 else 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(2.toByte).put(dims.length.toByte)
+    b.put((if (unlimitedFirst) 1 else 0).toByte)
+    b.put(1.toByte) // type: simple
+    dims.foreach(b.putLong)
+    if (unlimitedFirst) {
+      b.putLong(Undef)
+      dims.drop(1).foreach(b.putLong)
+    }
+    b.array()
+  }
+
+  /** Attribute message v3 — unpadded name/dtype/dspace + charset byte,
+    * the latest-format form. */
+  private def attrMsgV3(name: String, dtype: Array[Byte], dspace: Array[Byte],
+                        data: Array[Byte]): Array[Byte] = {
+    val nameB = (name + "\u0000").getBytes("UTF-8")
+    val b = ByteBuffer.allocate(9 + nameB.length + dtype.length + dspace.length + data.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte).put(0.toByte) // version, flags
+    b.putShort(nameB.length.toShort)
+    b.putShort(dtype.length.toShort)
+    b.putShort(dspace.length.toShort)
+    b.put(0.toByte) // name character-set encoding: ASCII
+    b.put(nameB).put(dtype).put(dspace).put(data)
+    b.array()
+  }
+
+  private def doubleAttrV3(name: String, v: Double): Array[Byte] =
+    attrMsgV3(name, f64Type, scalarSpace,
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array())
+
+  private def stringAttrV3(name: String, v: String): Array[Byte] =
+    attrMsgV3(name, strType(v.length + 1), scalarSpace, (v + "\u0000").getBytes("UTF-8"))
+
   /** Data Layout v4 builder. `rawDims` is written libhdf5-style: the
     * chunk dims PLUS the trailing element-size dim, 8-byte encoded.
     * `idxSpecific` carries the index-type-specific property bytes. */
@@ -731,10 +770,11 @@ object Hdf5Fixture {
     val (tEa, tEaParams) = writeExtensibleArray(buf, tChunks, filtered = false,
       idxElmts = 1, minElmts = 2, minPtrs = 4)
     val timeOh = writeObjectHeaderV2(buf, Seq(
-      0x0001 -> dataspace(Array(c.t.toLong), unlimitedFirst = true),
+      // latest-format message versions: dataspace v2, attribute v3
+      0x0001 -> dataspaceV2(Array(c.t.toLong), unlimitedFirst = true),
       0x0003 -> f64Type,
       0x0008 -> layoutV4(0, Array(3L, 8L), 4, tEaParams, tEa),
-      0x000C -> stringAttr("units", c.units)))
+      0x000C -> stringAttrV3("units", c.units)))
 
     // zeta: extensible array over shuffle+deflate chunks (client 1) —
     // the compressed record variable, the netcdf-c latest-format shape
@@ -744,10 +784,10 @@ object Hdf5Fixture {
     val (zEa, zEaParams) = writeExtensibleArray(buf, zChunks, filtered = true,
       idxElmts = 2, minElmts = 2, minPtrs = 4)
     val zetaOh = writeObjectHeaderV2(buf, Seq(
-      0x0001 -> dataspace(Array(c.t.toLong, c.n.toLong), unlimitedFirst = true),
+      0x0001 -> dataspaceV2(Array(c.t.toLong, c.n.toLong), unlimitedFirst = true),
       0x0003 -> f64Type,
       0x0008 -> layoutV4(0, Array(2L, 5L, 8L), 4, zEaParams, zEa),
-      0x000C -> doubleAttr("_FillValue", c.fill),
+      0x000C -> doubleAttrV3("_FillValue", c.fill),
       0x000B -> filterPipelineMsg(Seq(2 -> Array(8), 1 -> Array(4)))))
 
     // optional extra tiny vars: enough links overflow the heap's first
