@@ -95,6 +95,26 @@ object Tpch {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Q5: local supplier volume — the canonical JOIN-ORDER benchmark: six
+    * tables (three broadcastable dims, two fact-fact equi-joins) plus the
+    * c_nationkey = s_nationkey theta edge. Catalyst's cost-based reorder
+    * + broadcast thresholds plan the dims as broadcast hash joins and
+    * keep the lineitem-orders shuffle as the only big exchange. */
+  def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
   /** Q6: forecasting revenue change — pushed range filters, 1-row result. */
   def qTpchQ6(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -109,6 +129,7 @@ object Tpch {
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_sql_not_exists" -> (qSqlNotExists _),
@@ -146,6 +167,17 @@ object Tpch {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q_tpch_q17" ->
       """SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |       COUNT(*) AS n_lines

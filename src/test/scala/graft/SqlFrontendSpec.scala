@@ -88,6 +88,35 @@ class SqlFrontendSpec extends SparkSpec {
     assert(centroid(1) === centroid(32))
   }
 
+  test("TPC-H Q5 six-table join: dims broadcast, no cartesian products") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    val df = operators.Tpch.qTpchQ5(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty) // the oracle (sf0.01) pins the exact answer
+    assert(rows.forall(_.getAs[Double]("revenue") > 0.0))
+    // joins live inside materialized AQE query stages (leaf wrappers
+    // collectWithSubqueries does not descend into) — flatten explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case r: ReusedExchangeExec => flatten(r.child)
+        case _ => p.children.toSeq.flatMap(flatten)
+      })
+    val all = flatten(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+    val broadcasts = all.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(broadcasts >= 3,
+      s"region/nation/supplier should broadcast, got $broadcasts")
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "comma-join syntax must still plan as equi-joins")
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
