@@ -235,7 +235,7 @@ object Dap2 {
   /** Decode ONE projected atomic array from a `.dods` response body:
     * skip the constrained-DDS text to the `Data:` line, read the
     * twice-sent element count, then `expected` big-endian values. */
-  private[sources] def parseDodsArray(body: Array[Byte], typ: String,
+  private[graft] def parseDodsArray(body: Array[Byte], typ: String,
                                       expected: Long): Array[Double] = {
     val at = {
       val a = indexOf(body, DataMarker)

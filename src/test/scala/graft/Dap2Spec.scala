@@ -193,6 +193,28 @@ class Dap2Spec extends SparkSpec {
     }
   }
 
+  test("XDR guards: missing Data marker, disagreeing counts, short response") {
+    val good = {
+      val bos = new ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeBytes("Dataset { Float64 v[2]; } d;\n\nData:\n")
+      o.writeInt(2); o.writeInt(2); o.writeDouble(1.5); o.writeDouble(2.5)
+      o.flush(); bos.toByteArray
+    }
+    assert(Dap2.parseDodsArray(good, "Float64", 2).toSeq === Seq(1.5, 2.5))
+    // no marker
+    val e1 = intercept[IllegalArgumentException](
+      Dap2.parseDodsArray("Dataset {} d;".getBytes("US-ASCII"), "Float64", 2))
+    assert(e1.getMessage.contains("Data:"))
+    // counts disagree (corrupt/truncated stream must not decode silently)
+    val bad = good.clone(); bad(good.length - 17) = 9 // second count's low byte -> 9
+    val e2 = intercept[IllegalArgumentException](Dap2.parseDodsArray(bad, "Float64", 2))
+    assert(e2.getMessage.contains("disagree"))
+    // count != constraint expectation
+    val e3 = intercept[IllegalArgumentException](Dap2.parseDodsArray(good, "Float64", 3))
+    assert(e3.getMessage.contains("constraint"))
+  }
+
   test("a DAP Error document (HTTP 200) surfaces as an error, not a parse") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
