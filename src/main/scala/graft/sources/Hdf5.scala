@@ -714,7 +714,10 @@ object Hdf5 {
           var pageAddr = dbAddr + prefix
           (0 until npages).flatMap { p =>
             val inPage = math.min(pageElems.toLong, nElmts - p.toLong * pageElems).toInt
-            val init = (bitmap(p / 8) & (1 << (p % 8))) != 0
+            // H5VM_bit_get order: bit 0 is the first byte's HIGH bit
+            // (H5VMprivate.h: "bit offset 0 in the first byte's high-bit
+            // position") — MSB-first, not the naive LSB packing
+            val init = (bitmap(p / 8) & (1 << (7 - (p % 8)))) != 0
             val out =
               if (!init) Seq.fill(inPage)((Undef, 0, 0)) // never-written page
               else {
@@ -733,8 +736,12 @@ object Hdf5 {
       * EAHD header → EAIB index block, whose direct elements plus
       * index-block-resident data blocks (EADB) cover the first
       * idx + Σ_{s<2·log2(minPtrs)} 2^(s/2)·2^((s+1)/2)·minElmts elements —
-      * hundreds of chunks at libhdf5 defaults. Secondary-block spill and
-      * paged data blocks fail by name. Geometry per the public spec:
+      * hundreds of chunks at libhdf5 defaults. Later super blocks spill
+      * into EASB secondary blocks, whose data blocks may be PAGED once
+      * they exceed 2^pageBits elements (~1e5 chunks at defaults — a
+      * multi-year fine-chunked record variable); both are walked, with
+      * the secondary block's page-init bitmap gating which pages were
+      * ever written. Geometry per the public spec:
       * super block s holds 2^(s/2) data blocks of 2^((s+1)/2)·minElmts
       * elements; the index block stores data-block addresses for the
       * first 2·log2(minPtrs) super blocks (= 2·(minPtrs−1) addresses). */
@@ -796,19 +803,41 @@ object Hdf5 {
         .map(_ => readIdxElement(ib, filtered, sizeLen, chunkBytes))
       val dblkAddrs = Array.fill(ndblkAddrs)(ib.getLong)
       val sblkAddrs = Array.fill(nsblkAddrs)(ib.getLong)
-      def readDataBlock(dAddr: Long, nelmts: Int): Seq[(Long, Int, Int)] =
+      def readDataBlock(dAddr: Long, nelmts: Int,
+                        pageInit: Int => Boolean = _ => true): Seq[(Long, Int, Int)] =
         if (dAddr == Undef) Seq.fill(nelmts)((Undef, 0, 0)) // unallocated run
         else {
-          require(nelmts <= (1 << pageBits),
-            s"${ds.name}: paged extensible-array data block unsupported")
-          val db = bytesAt(dAddr, 14 + arrOffSize + nelmts * elmtSize)
+          val pageElems = 1 << pageBits
+          val hdrLen = 14 + arrOffSize
+          val db = bytesAt(dAddr, hdrLen)
           val dsig = new Array[Byte](4); db.get(dsig)
           require(new String(dsig, "US-ASCII") == "EADB",
             s"${ds.name}: bad extensible-array data block at $dAddr")
           db.get(); db.get() // version, client id
           db.getLong         // header address
-          db.position(db.position() + arrOffSize) // block offset
-          (0 until nelmts).map(_ => readIdxElement(db, filtered, sizeLen, chunkBytes))
+          if (nelmts <= pageElems) {
+            val eb = bytesAt(dAddr + hdrLen, nelmts * elmtSize)
+            (0 until nelmts).map(_ => readIdxElement(eb, filtered, sizeLen, chunkBytes))
+          } else {
+            // PAGED data block — an unlimited-dim variable grown past
+            // ~1e5 chunks at libhdf5 defaults (a multi-year fine-chunked
+            // record variable). On disk the block itself is just the
+            // prefix (sig + version + client + header addr + block offset
+            // + checksum); pages of 2^pageBits elements, each tailed by
+            // its own 4-byte checksum, follow back-to-back. Which pages
+            // were ever written lives in the POINTING secondary block's
+            // page-init bitmap, passed in via `pageInit`.
+            val npages = nelmts / pageElems // dblk nelmts is a 2^k multiple of the page
+            val pageSize = pageElems.toLong * elmtSize + 4
+            val prefix = hdrLen + 4L // + block checksum
+            (0 until npages).flatMap { p =>
+              if (!pageInit(p)) Seq.fill(pageElems)((Undef, 0, 0)) // never-written page
+              else {
+                val pg = bytesAt(dAddr + prefix + p * pageSize, pageElems * elmtSize)
+                (0 until pageElems).map(_ => readIdxElement(pg, filtered, sizeLen, chunkBytes))
+              }
+            }
+          }
         }
       val fromDblks =
         if (maxIdxSet <= idxElmts) Seq.empty
@@ -830,18 +859,31 @@ object Hdf5 {
               if (sAddr == Undef)
                 Seq.fill((info.ndblks.toLong * info.dblkNelmts).toInt)((Undef, 0, 0))
               else {
-                val sb = bytesAt(sAddr, 14 + arrOffSize + info.ndblks * 8)
+                // when this super block's data blocks are paged, the EASB
+                // carries one byte-aligned page-init bitmap region PER data
+                // block, before the data-block addresses (H5VM bit order:
+                // bit 0 = first byte's HIGH bit)
+                val pageElems = 1 << pageBits
+                val npagesPer =
+                  if (info.dblkNelmts > pageElems) info.dblkNelmts / pageElems else 0
+                val bmBytesPer = (npagesPer + 7) / 8
+                val sb = bytesAt(sAddr,
+                  14 + arrOffSize + info.ndblks * bmBytesPer + info.ndblks * 8)
                 val ssig = new Array[Byte](4); sb.get(ssig)
                 require(new String(ssig, "US-ASCII") == "EASB",
                   s"${ds.name}: bad extensible-array secondary block at $sAddr")
                 sb.get(); sb.get() // version, client id
                 sb.getLong         // header address
                 sb.position(sb.position() + arrOffSize) // block offset
+                val bitmap = new Array[Byte](info.ndblks * bmBytesPer); sb.get(bitmap)
                 val addrs = Array.fill(info.ndblks)(sb.getLong)
                 (0 until info.ndblks).flatMap { bi =>
                   val base = info.startIdx + bi.toLong * info.dblkNelmts
                   if (base >= needed) Seq.empty
-                  else readDataBlock(addrs(bi), info.dblkNelmts)
+                  else readDataBlock(addrs(bi), info.dblkNelmts, p => {
+                    val bit = bi * bmBytesPer * 8 + p // per-dblk regions are byte-aligned
+                    npagesPer == 0 || (bitmap(bit / 8) & (1 << (7 - (bit % 8)))) != 0
+                  })
                 }
               }
             }
@@ -851,8 +893,8 @@ object Hdf5 {
     }
 
     /** v2 B-tree chunk index (record types 10/11 — multiple unlimited
-      * dims in the latest format): BTHD header → BTLF leaves, through one
-      * level of BTIN internal nodes. Offsets in records are SCALED
+      * dims in the latest format): BTHD header → BTLF leaves, through any
+      * depth of BTIN internal nodes. Offsets in records are SCALED
       * (chunk-grid coordinates); sizes derive from the header's record
       * size, so either rank or rank+1 stored offset dims parse. */
     private def v2BtreeChunks(ds: Dataset, addr: Long, dims: Array[Int],
@@ -880,9 +922,15 @@ object Hdf5 {
       }
     }
 
-    /** All records of a v2 B-tree, depth ≤ 1 (root leaf, or root internal
-      * over leaves — thousands of records at real node sizes). Returns raw
-      * record bytes; callers decode per record type. */
+    /** All records of a v2 B-tree at ANY depth. Internal-node child
+      * pointers carry (address, records-in-child) and — when the child is
+      * itself internal (node depth ≥ 2) — a total-records-in-subtree
+      * count whose byte width derives from the cumulative max-records
+      * geometry (libhdf5 `node_info[u].cum_max_nrec_size`): leaf max
+      * fixes the per-child count width; each internal level's capacity is
+      * what fits after its own pointer width is subtracted, and the
+      * cumulative totals' encoded sizes feed the next level up. Returns
+      * raw record bytes in key order; callers decode per record type. */
     private def walkV2Btree(addr: Long, expectType: Int): Seq[Array[Byte]] = {
       if (addr == Undef) return Seq.empty
       val h = bytesAt(addr, 40)
@@ -899,10 +947,25 @@ object Hdf5 {
       val rootNRec = h.getShort() & 0xffff
       h.getLong // total records
       if (rootAddr == Undef || (rootNRec == 0 && depth == 0)) return Seq.empty
-      // size of the per-child "number of records" field: enough bytes for
-      // the max records a leaf can hold
+      def encSize(v: Long): Int = {
+        var n = 1; var lim = 256L; while (v >= lim) { n += 1; lim *= 256 }; n
+      }
+      // per-child "number of records" field: sized for the max records a
+      // LEAF can hold (the largest per-node count, H5B2 max_nrec_size)
       val maxLeafRec = (nodeSize - 10) / recordSize
-      val nrecSize = { var n = 1; var lim = 256L; while (maxLeafRec >= lim) { n += 1; lim *= 256 }; n }
+      val nrecSize = encSize(maxLeafRec.toLong)
+      // cumulative-capacity table up the levels: cumMaxNrec(u) = records a
+      // depth-u subtree can hold; encoded size of level u-1's total is the
+      // extra field in a depth-u node's child pointers (only when u ≥ 2)
+      val cumMaxNrec = new Array[Long](depth + 1)
+      val cumSize = new Array[Int](depth + 1)
+      cumMaxNrec(0) = maxLeafRec.toLong
+      (1 to depth).foreach { u =>
+        val ptrSize = 8 + nrecSize + (if (u >= 2) cumSize(u - 1) else 0)
+        val maxNrecU = (nodeSize - 10 - ptrSize) / (recordSize + ptrSize)
+        cumMaxNrec(u) = (maxNrecU + 1).toLong * cumMaxNrec(u - 1) + maxNrecU
+        cumSize(u) = encSize(cumMaxNrec(u))
+      }
       def leafRecords(a: Long, n: Int): Seq[Array[Byte]] = {
         val b = bytesAt(a, 6 + n * recordSize)
         val s2 = new Array[Byte](4); b.get(s2)
@@ -910,36 +973,36 @@ object Hdf5 {
         b.get(); b.get()
         (0 until n).map { _ => val r = new Array[Byte](recordSize); b.get(r); r }
       }
-      depth match {
-        case 0 => leafRecords(rootAddr, rootNRec)
-        case 1 =>
+      def node(a: Long, n: Int, d: Int): Seq[Array[Byte]] =
+        if (d == 0) leafRecords(a, n)
+        else {
           // internal node: ALL n records first, then ALL n+1 child
-          // pointers (addr + child-record count) — the libhdf5 serial
-          // order, NOT interleaved
-          val b = bytesAt(rootAddr, 6 + rootNRec * recordSize + (rootNRec + 1) * (8 + nrecSize))
+          // pointers — the libhdf5 serial order, NOT interleaved
+          val ptrSize = 8 + nrecSize + (if (d >= 2) cumSize(d - 1) else 0)
+          val b = bytesAt(a, 6 + n * recordSize + (n + 1) * ptrSize)
           val s2 = new Array[Byte](4); b.get(s2)
-          require(new String(s2, "US-ASCII") == "BTIN", s"bad v2 B-tree internal node")
+          require(new String(s2, "US-ASCII") == "BTIN", s"bad v2 B-tree internal node at $a")
           b.get(); b.get()
-          val recs = (0 until rootNRec).map { _ =>
+          val recs = (0 until n).map { _ =>
             val r = new Array[Byte](recordSize); b.get(r); r
           }
-          val children = (0 to rootNRec).map { _ =>
-            val a = b.getLong
-            var n = 0L
-            (0 until nrecSize).foreach(i => n |= (b.get() & 0xffL) << (8 * i))
-            (a, n.toInt)
+          val children = (0 to n).map { _ =>
+            val ca = b.getLong
+            var cn = 0L
+            (0 until nrecSize).foreach(i => cn |= (b.get() & 0xffL) << (8 * i))
+            if (d >= 2) (0 until cumSize(d - 1)).foreach(_ => b.get()) // subtree total
+            (ca, cn.toInt)
           }
           // in-tree order: child0, rec0, child1, rec1, …, childN
           val acc = Seq.newBuilder[Array[Byte]]
-          (0 until rootNRec).foreach { i =>
-            acc ++= leafRecords(children(i)._1, children(i)._2)
+          (0 until n).foreach { i =>
+            acc ++= node(children(i)._1, children(i)._2, d - 1)
             acc += recs(i)
           }
-          acc ++= leafRecords(children(rootNRec)._1, children(rootNRec)._2)
+          acc ++= node(children(n)._1, children(n)._2, d - 1)
           acc.result()
-        case d => throw new IllegalArgumentException(
-          s"v2 B-tree depth $d unsupported (root leaf or one internal level handled)")
-      }
+        }
+      node(rootAddr, rootNRec, depth)
     }
 
     /** HDF5 semantics for storage that was never written: the dataset's

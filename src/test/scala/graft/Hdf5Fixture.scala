@@ -385,7 +385,8 @@ object Hdf5Fixture {
     } else {
       val npages = (chunks.length + pageElems - 1) / pageElems
       val bitmap = new Array[Byte]((npages + 7) / 8)
-      (0 until npages).foreach(p => bitmap(p / 8) = (bitmap(p / 8) | (1 << (p % 8))).toByte)
+      // H5VM bit order: bit 0 = first byte's HIGH bit (H5VMprivate.h)
+      (0 until npages).foreach(p => bitmap(p / 8) = (bitmap(p / 8) | (1 << (7 - (p % 8)))).toByte)
       buf.bb.put(bitmap)
       buf.bb.putInt(0) // block checksum
       chunks.grouped(pageElems).foreach { page =>
@@ -410,12 +411,14 @@ object Hdf5Fixture {
     * from the index block; later super blocks spill into EASB secondary
     * blocks whose addresses the index block carries. */
   private def writeExtensibleArray(buf: Buf, chunks: Seq[(Long, Int)], filtered: Boolean,
-                                   idxElmts: Int, minElmts: Int, minPtrs: Int):
+                                   idxElmts: Int, minElmts: Int, minPtrs: Int,
+                                   pageBits: Int = 10):
       (Long, Array[Byte]) = {
     val clientId = if (filtered) 1 else 0
     val elmtSize = if (filtered) 16 else 8
     val maxBits = 32
     val arrOffSize = (maxBits + 7) / 8
+    val pageElems = 1 << pageBits
     def log2(v: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(v.toLong)
     val nsblks = 1 + maxBits - log2(minElmts)
     val nsblksInIblock = math.min(2 * log2(minPtrs), nsblks)
@@ -432,41 +435,85 @@ object Hdf5Fixture {
     }
     val overflow = chunks.drop(idxElmts) // elements past the direct slots
     val patches = Seq.newBuilder[Long]   // header-addr fields to patch
-    def writeDataBlock(base: Int, nelmts: Int): Long = {
+    def writeDataBlock(base: Int, nelmts: Int): (Long, Seq[Boolean]) = {
       buf.align8(); val dAddr = buf.pos
       buf.bb.put("EADB".getBytes("US-ASCII"))
       buf.bb.put(0.toByte).put(clientId.toByte)
       patches += buf.pos; buf.bb.putLong(Undef) // header addr
       buf.bb.putInt(idxElmts + base)            // block offset (element index)
-      (0 until nelmts).foreach { e =>
-        val (a, s) = if (base + e < overflow.length) overflow(base + e) else (Undef, 0)
-        putIdxElement(buf.bb, a, s, filtered)
+      if (nelmts <= pageElems) {
+        (0 until nelmts).foreach { e =>
+          val (a, s) = if (base + e < overflow.length) overflow(base + e) else (Undef, 0)
+          putIdxElement(buf.bb, a, s, filtered)
+        }
+        buf.bb.putInt(0) // checksum
+        (dAddr, Seq.empty)
+      } else {
+        // PAGED: the prefix checksum closes the block itself; fixed-stride
+        // pages (pageElems entries + page checksum) follow back-to-back.
+        // Pages holding no real element stay uninit in the EASB bitmap and
+        // are filled with ZERO entries — garbage a reader that ignored the
+        // bitmap would misread as chunks at file offset 0.
+        buf.bb.putInt(0) // block checksum
+        val npages = nelmts / pageElems
+        val init = (0 until npages).map { p =>
+          val pageHasData = base + p * pageElems < overflow.length
+          (0 until pageElems).foreach { e =>
+            val idx = base + p * pageElems + e
+            val (a, s) =
+              if (!pageHasData) (0L, 0)
+              else if (idx < overflow.length) overflow(idx)
+              else (Undef, 0)
+            putIdxElement(buf.bb, a, s, filtered)
+          }
+          buf.bb.putInt(0) // page checksum
+          pageHasData
+        }
+        (dAddr, init)
       }
-      buf.bb.putInt(0) // checksum
-      dAddr
     }
     val dblkAddrs = Array.fill(ndblkAddrs)(Undef)
     val sblkAddrs = Array.fill(nsblkAddrs)(Undef)
     sblks.zipWithIndex.foreach { case (info, s) =>
       if (info.startIdx < overflow.length) {
         if (s < nsblksInIblock) {
+          require(info.dblkNelmts <= pageElems,
+            "fixture: index-block data blocks must be unpaged (as in libhdf5)")
           (0 until info.ndblks).foreach { bi =>
             val base = (info.startIdx + bi.toLong * info.dblkNelmts).toInt
             if (base < overflow.length)
-              dblkAddrs(info.startDblk + bi) = writeDataBlock(base, info.dblkNelmts)
+              dblkAddrs(info.startDblk + bi) = writeDataBlock(base, info.dblkNelmts)._1
           }
         } else {
           // secondary block: data blocks first, then the EASB listing them
-          val addrs = (0 until info.ndblks).map { bi =>
+          val written = (0 until info.ndblks).map { bi =>
             val base = (info.startIdx + bi.toLong * info.dblkNelmts).toInt
-            if (base < overflow.length) writeDataBlock(base, info.dblkNelmts) else Undef
+            if (base < overflow.length) writeDataBlock(base, info.dblkNelmts)
+            else (Undef, Seq.empty[Boolean])
           }
+          val paged = info.dblkNelmts > pageElems
+          val npagesPer = if (paged) info.dblkNelmts / pageElems else 0
+          val bmBytesPer = (npagesPer + 7) / 8
           buf.align8(); val sAddr = buf.pos
           buf.bb.put("EASB".getBytes("US-ASCII"))
           buf.bb.put(0.toByte).put(clientId.toByte)
           patches += buf.pos; buf.bb.putLong(Undef)   // header addr
           buf.bb.putInt((idxElmts + info.startIdx).toInt) // block offset
-          addrs.foreach(buf.bb.putLong)
+          if (paged) {
+            // one byte-aligned page-init region per data block; H5VM bit
+            // order: bit 0 = the byte's HIGH bit
+            val bitmap = new Array[Byte](info.ndblks * bmBytesPer)
+            written.zipWithIndex.foreach { case ((_, init), bi) =>
+              init.zipWithIndex.foreach { case (on, p) =>
+                if (on) {
+                  val bit = bi * bmBytesPer * 8 + p
+                  bitmap(bit / 8) = (bitmap(bit / 8) | (1 << (7 - (bit % 8)))).toByte
+                }
+              }
+            }
+            buf.bb.put(bitmap)
+          }
+          written.foreach(w => buf.bb.putLong(w._1))
           buf.bb.putInt(0) // checksum
           sblkAddrs(s - nsblksInIblock) = sAddr
         }
@@ -490,7 +537,7 @@ object Hdf5Fixture {
     buf.bb.put(0.toByte).put(clientId.toByte)
     buf.bb.put(elmtSize.toByte).put(maxBits.toByte)
     buf.bb.put(idxElmts.toByte).put(minElmts.toByte).put(minPtrs.toByte)
-    buf.bb.put(10.toByte) // max data-block page elements bits
+    buf.bb.put(pageBits.toByte) // max data-block page elements bits
     val nDblksUsed = dblkAddrs.count(_ != Undef)
     buf.bb.putLong(0L)                        // # secondary blocks
     buf.bb.putLong(0L)                        // secondary block size
@@ -502,16 +549,30 @@ object Hdf5Fixture {
     buf.bb.putInt(0) // checksum
     patches.result().foreach(p => buf.bb.putLong(p.toInt, hdr))
     // layout-message creation parameters, libhdf5 field order
-    (hdr, Array(maxBits.toByte, idxElmts.toByte, minPtrs.toByte, minElmts.toByte, 10.toByte))
+    (hdr, Array(maxBits.toByte, idxElmts.toByte, minPtrs.toByte, minElmts.toByte, pageBits.toByte))
   }
 
   /** v2 B-tree. `leafSize` 0 writes a root leaf; > 0 splits the records
     * into leaves of that size under one BTIN internal root (libhdf5
-    * serial order: all records, then all child pointers). Records must
-    * share one length. */
+    * serial order: all records, then all child pointers). `subtreeSize`
+    * > 0 additionally groups that many records into depth-1 subtrees
+    * under a depth-2 BTIN root whose child pointers carry the extra
+    * total-records field (width = enc size of the depth-1 cumulative
+    * max, the H5B2 cum_max_nrec_size geometry). Records must share one
+    * length. */
   private def writeV2Btree(buf: Buf, typ: Int, records: Seq[Array[Byte]],
-                           nodeSize: Int = 512, leafSize: Int = 0): Long = {
+                           nodeSize: Int = 512, leafSize: Int = 0,
+                           subtreeSize: Int = 0): Long = {
     val recordSize = records.headOption.map(_.length).getOrElse(8)
+    def encSize(v: Long): Int = {
+      var n = 1; var lim = 256L; while (v >= lim) { n += 1; lim *= 256 }; n
+    }
+    val maxLeafRec = (nodeSize - 10) / recordSize
+    val nrecSize = encSize(maxLeafRec.toLong)
+    // depth-1 cumulative capacity: fixes the depth-2 pointer's total field
+    val ptr1 = 8 + nrecSize
+    val maxNrec1 = (nodeSize - 10 - ptr1) / (recordSize + ptr1)
+    val cumSize1 = encSize((maxNrec1 + 1).toLong * maxLeafRec + maxNrec1)
     def writeLeaf(rs: Seq[Array[Byte]]): Long = {
       buf.align8(); val leaf = buf.pos
       buf.bb.put("BTLF".getBytes("US-ASCII"))
@@ -534,36 +595,58 @@ object Hdf5Fixture {
       buf.bb.putInt(0) // checksum
       hdr
     }
-    if (leafSize <= 0 || records.length < 3) writeHeader(0, writeLeaf(records), records.length)
-    else {
-      // in-order split: leaf, separator, leaf, separator, …, leaf
-      val leaves = Seq.newBuilder[Seq[Array[Byte]]]
+    // in-order split into `unit`-sized groups with separator records
+    def split(rs: Seq[Array[Byte]], unit: Int): (Seq[Seq[Array[Byte]]], Seq[Array[Byte]]) = {
+      val groups = Seq.newBuilder[Seq[Array[Byte]]]
       val seps = Seq.newBuilder[Array[Byte]]
       var i = 0
       var pending: Seq[Array[Byte]] = Seq.empty
-      while (i < records.length) {
-        pending = records.slice(i, math.min(i + leafSize, records.length))
+      while (i < rs.length) {
+        pending = rs.slice(i, math.min(i + unit, rs.length))
         i += pending.length
-        if (i < records.length) {
-          leaves += pending; pending = Seq.empty
-          seps += records(i); i += 1
+        if (i < rs.length) {
+          groups += pending; pending = Seq.empty
+          seps += rs(i); i += 1
         }
       }
-      leaves += pending // final leaf (possibly short, never a separator)
-      val ls = leaves.result(); val ss = seps.result()
+      groups += pending // final group (possibly short, never a separator)
+      (groups.result(), seps.result())
+    }
+    // depth-1 subtree: leaves under one BTIN; pointers = addr + nrec
+    def writeInternal1(rs: Seq[Array[Byte]]): (Long, Int) = {
+      val (ls, ss) = split(rs, leafSize)
       val leafAddrs = ls.map(writeLeaf)
-      val maxLeafRec = (nodeSize - 10) / recordSize
-      val nrecSize = { var n = 1; var lim = 256L; while (maxLeafRec >= lim) { n += 1; lim *= 256 }; n }
-      buf.align8(); val root = buf.pos
+      buf.align8(); val node = buf.pos
       buf.bb.put("BTIN".getBytes("US-ASCII"))
       buf.bb.put(0.toByte).put(typ.toByte)
       ss.foreach(buf.bb.put)               // ALL records first
-      ls.zip(leafAddrs).foreach { case (rs, a) => // then ALL child pointers
+      ls.zip(leafAddrs).foreach { case (rs2, a) => // then ALL child pointers
         buf.bb.putLong(a)
-        (0 until nrecSize).foreach(k => buf.bb.put(((rs.length >> (8 * k)) & 0xff).toByte))
+        (0 until nrecSize).foreach(k => buf.bb.put(((rs2.length >> (8 * k)) & 0xff).toByte))
       }
       buf.bb.putInt(0) // checksum
-      writeHeader(1, root, ss.length)
+      (node, ss.length)
+    }
+    if (leafSize <= 0 || records.length < 3) writeHeader(0, writeLeaf(records), records.length)
+    else if (subtreeSize <= 0 || records.length < 2 * subtreeSize + 1) {
+      val (root, nrec) = writeInternal1(records)
+      writeHeader(1, root, nrec)
+    } else {
+      // depth 2: depth-1 subtrees under a root whose pointers carry
+      // addr + nrec + total-records-in-subtree (cumSize1 bytes)
+      val (subs, ss) = split(records, subtreeSize)
+      val built = subs.map(rs => (writeInternal1(rs), rs.length))
+      buf.align8(); val root = buf.pos
+      buf.bb.put("BTIN".getBytes("US-ASCII"))
+      buf.bb.put(0.toByte).put(typ.toByte)
+      ss.foreach(buf.bb.put)
+      built.foreach { case ((a, nrec), total) =>
+        buf.bb.putLong(a)
+        (0 until nrecSize).foreach(k => buf.bb.put(((nrec >> (8 * k)) & 0xff).toByte))
+        (0 until cumSize1).foreach(k => buf.bb.put(((total >> (8 * k)) & 0xff).toByte))
+      }
+      buf.bb.putInt(0) // checksum
+      writeHeader(2, root, ss.length)
     }
   }
 
@@ -717,7 +800,8 @@ object Hdf5Fixture {
     * array, extensible array for the unlimited dim, v2 B-tree) — and a
     * DENSE root group (fractal heap + name-index v2 B-tree) as written
     * once a group passes the compact-links threshold. */
-  def writeLatest(c: Content, extraVars: Int = 0, faPageBits: Int = 10): Array[Byte] = {
+  def writeLatest(c: Content, extraVars: Int = 0, faPageBits: Int = 10,
+                  eaPageBits: Int = 10, zmSubtree: Int = 0): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(48) // superblock v2; patched last
 
@@ -753,7 +837,8 @@ object Hdf5Fixture {
     val zmRecords = zmChunks.zipWithIndex.map { case ((a, s), i) =>
       chunkRecord(a, s, Array(i.toLong), filtered = true)
     }
-    val zmBt = writeV2Btree(buf, 11, zmRecords, leafSize = 1) // BTIN root
+    val zmBt = writeV2Btree(buf, 11, zmRecords, leafSize = 1,
+      subtreeSize = zmSubtree) // BTIN root (depth 2 when zmSubtree > 0)
     val zmOh = writeObjectHeaderV2(buf, Seq(
       0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
       0x0003 -> f64Type,
@@ -768,7 +853,7 @@ object Hdf5Fixture {
     val tChunks = writeChunkData(buf, Array(c.t.toLong), Array(3),
       idx => c.time(idx(0).toInt), fillPad = 0.0)
     val (tEa, tEaParams) = writeExtensibleArray(buf, tChunks, filtered = false,
-      idxElmts = 1, minElmts = 2, minPtrs = 4)
+      idxElmts = 1, minElmts = 2, minPtrs = 4, pageBits = eaPageBits)
     val timeOh = writeObjectHeaderV2(buf, Seq(
       // latest-format message versions: dataspace v2, attribute v3
       0x0001 -> dataspaceV2(Array(c.t.toLong), unlimitedFirst = true),
@@ -782,7 +867,7 @@ object Hdf5Fixture {
       idx => c.zeta(idx(0).toInt, idx(1).toInt), fillPad = c.fill,
       transform = b => deflateBytes(shuffleBytes(b, 8)))
     val (zEa, zEaParams) = writeExtensibleArray(buf, zChunks, filtered = true,
-      idxElmts = 2, minElmts = 2, minPtrs = 4)
+      idxElmts = 2, minElmts = 2, minPtrs = 4, pageBits = eaPageBits)
     val zetaOh = writeObjectHeaderV2(buf, Seq(
       0x0001 -> dataspaceV2(Array(c.t.toLong, c.n.toLong), unlimitedFirst = true),
       0x0003 -> f64Type,

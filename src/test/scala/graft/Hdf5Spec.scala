@@ -232,6 +232,46 @@ class Hdf5Spec extends SparkSpec {
     finally nc.close()
   }
 
+  test("paged extensible-array data blocks: multi-page spill reads back exactly") {
+    // pageBits=3 -> 8-element pages; t=210 drives time (70 chunks) and
+    // zeta (315 chunks) deep into EASB secondary blocks whose data
+    // blocks page (dblkNelmts 16/32 > 8) — the layout an unlimited-dim
+    // variable reaches past ~1e5 chunks at libhdf5 defaults. time's
+    // second page holds no written element, so the EASB page-init bitmap
+    // must gate it (the fixture fills uninit pages with zero entries a
+    // bitmap-blind reader would misread as chunks at file offset 0).
+    val cp = c.copy(t = 210, dry = Set((1, 2), (77, 7), (209, 11)))
+    val dir = Files.createTempDirectory("graft_h5eapage").toString
+    val p = s"$dir/ea_paged.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeLatest(cp, eaPageBits = 3))
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.numRecs === 210)
+      (0 until 210 by 13).foreach { t =>
+        assert(nc.readRecord("time", t)(0) === cp.time(t), s"time($t)")
+        val row = nc.readRecord("zeta", t)
+        (0 until cp.n).foreach(nid => assert(row(nid) === cp.zeta(t, nid), s"zeta($t,$nid)"))
+      }
+      // the last record lives in a partially-initialized paged data block
+      val last = nc.readRecord("zeta", 209)
+      (0 until cp.n).foreach(nid => assert(last(nid) === cp.zeta(209, nid)))
+    } finally nc.close()
+  }
+
+  test("v2 B-tree depth 2: internal-over-internal chunk index reads back") {
+    // n=55 -> zeta_max has 11 fletcher32 chunk records; leafSize 1 +
+    // subtree 3 forces a depth-2 tree whose root child pointers carry the
+    // extra total-records-in-subtree field (2 bytes at this geometry) —
+    // the multi-unlimited-dim shape past thousands of chunks
+    val c2 = c.copy(n = 55, dryMax = Set(5, 23, 54))
+    val dir = Files.createTempDirectory("graft_h5bt2").toString
+    val p = s"$dir/bt_depth2.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeLatest(c2, zmSubtree = 3))
+    val nc = NcFile.open(p)
+    try assert(nc.readFixed("zeta_max").toSeq === (0 until 55).map(c2.zetaMax))
+    finally nc.close()
+  }
+
   test("dense group past one heap block: FHIB indirect root enumerates all links") {
     // 40 extra vars make the link messages overflow the 512-byte starting
     // direct block — the fractal heap grows an indirect root, the shape
