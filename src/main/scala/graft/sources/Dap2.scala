@@ -36,23 +36,48 @@ object Dap2 {
 
   /** The canonical OPeNDAP URL shapes (THREDDS `dodsC`, GrADS/Hyrax
     * `dods`/`opendap` mounts). A `dap2+http(s)://` prefix forces the
-    * protocol for non-standard mounts. */
+    * protocol for non-standard mounts; a `raw+http(s)://` prefix forces
+    * it OFF — the escape hatch for a plain file served from a path that
+    * merely contains `/dods/` (e.g. an object-store bucket named so),
+    * which then reads via [[RangeReader]] like any other HTTP file. */
   def isDapUrl(url: String): Boolean =
     url.startsWith("dap2+http://") || url.startsWith("dap2+https://") ||
-      ((url.startsWith("http://") || url.startsWith("https://")) &&
+      (!isForcedRaw(url) &&
+        (url.startsWith("http://") || url.startsWith("https://")) &&
         (url.contains("/dodsC/") || url.contains("/dods/") || url.contains("/opendap/")))
 
-  def stripForce(url: String): String = url.stripPrefix("dap2+")
+  def isForcedRaw(url: String): Boolean =
+    url.startsWith("raw+http://") || url.startsWith("raw+https://")
+
+  def stripForce(url: String): String = url.stripPrefix("dap2+").stripPrefix("raw+")
 
   // ---- wire ------------------------------------------------------------
 
-  private[sources] def fetchBytes(url: String): Array[Byte] = {
+  /** Non-200 terminal status, with the redirect target when the server
+    * sent one — so a refused cross-protocol hop is diagnosable. */
+  final case class HttpStatusException(code: Int, url: String, location: Option[String])
+    extends RuntimeException(
+      s"GET $url -> $code${location.map(l => s" (Location: $l)").getOrElse("")}")
+
+  /** A DAP `Error { … }` document (served with HTTP 200). */
+  final class DapErrorException(msg: String) extends IllegalArgumentException(msg)
+
+  private[sources] def fetchBytes(url: String, maxRedirects: Int = 5): Array[Byte] = {
     val c = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod("GET")
+    c.setInstanceFollowRedirects(true) // same-protocol hops
     c.setConnectTimeout(15000); c.setReadTimeout(120000)
     try {
       val code = c.getResponseCode
-      require(code == 200, s"GET $url -> $code")
+      if (code == 301 || code == 302 || code == 303 || code == 307 || code == 308) {
+        // HttpURLConnection never follows cross-protocol redirects — the
+        // common THREDDS front door is an http->https 302 — so follow the
+        // Location header ourselves, bounded
+        val loc = Option(c.getHeaderField("Location")).filter(_.nonEmpty)
+        if (loc.isEmpty || maxRedirects <= 0) throw HttpStatusException(code, url, loc)
+        return fetchBytes(URI.create(url).resolve(loc.get).toString, maxRedirects - 1)
+      }
+      if (code != 200) throw HttpStatusException(code, url, None)
       val in = c.getInputStream
       try {
         val out = new ByteArrayOutputStream()
@@ -65,11 +90,32 @@ object Dap2 {
   }
 
   /** DAP servers report failures as an `Error { … }` document with HTTP
-    * 200 — surface those as errors, not parse noise. */
+    * 200 — surface those as [[DapErrorException]], not parse noise. */
   private[sources] def fetchText(url: String): String = {
     val t = new String(fetchBytes(url), "US-ASCII")
-    require(!t.startsWith("Error"), s"$url returned a DAP error:\n${t.take(500)}")
+    if (t.startsWith("Error"))
+      throw new DapErrorException(s"$url returned a DAP error:\n${t.take(500)}")
     t
+  }
+
+  /** [[fetchText]] with bounded retry on transient failures (IO errors,
+    * timeouts, 5xx). Definitive answers — 200, 404, 4xx, a DAP Error
+    * document — pass through on the first attempt. */
+  private[sources] def fetchTextRetrying(url: String, attempts: Int = 3): String = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return fetchText(url)
+      catch {
+        case e: DapErrorException => throw e                      // definitive
+        case e: HttpStatusException if e.code < 500 => throw e    // definitive
+        case e @ (_: java.io.IOException | _: HttpStatusException) =>
+          last = e
+          i += 1
+          if (i < attempts) Thread.sleep(250L << i)
+      }
+    }
+    throw last
   }
 
   // ---- DDS -------------------------------------------------------------
@@ -127,6 +173,7 @@ object Dap2 {
     val c = new Cursor(tokenize(text), "DDS")
     c.expect("Dataset"); c.expect("{")
     val vars = Vector.newBuilder[DapVar]
+    val gridMaps = Vector.newBuilder[(String, DapVar)] // (grid name, map var)
 
     def arrayDims(): Seq[DapDim] = {
       val dims = Vector.newBuilder[DapDim]
@@ -162,11 +209,9 @@ object Dap2 {
           c.expect("}")
           val gridName = c.next(); c.expect(";")
           // the grid's array member IS the variable (NetCDF model); maps
-          // are registered afterwards only when no top-level var shadows
+          // are promoted to first-class coordinates after the full parse
           vars += arr.copy(name = gridName, proj = s"$gridName.${arr.name}")
-          maps.result().foreach { m =>
-            vars += m.copy(name = s"$gridName.${m.name}", proj = s"$gridName.${m.name}")
-          }
+          maps.result().foreach(m => gridMaps += gridName -> m)
         case "Structure" | "Sequence" =>
           throw new IllegalArgumentException(
             "DDS: Structure/Sequence members are outside the NetCDF classic subset this client speaks")
@@ -175,7 +220,21 @@ object Dap2 {
     }
     c.expect("}")
     val dsName = c.next()
-    Dds(dsName, vars.result())
+    // Grid map vectors become first-class coordinate variables under
+    // their own names (xarray's promotion: a served Grid's lon/lat/time
+    // maps read without dotted paths). A map whose bare name is taken —
+    // by a top-level variable, another grid, or an identically-named map
+    // of an earlier grid (the shared-dimension case) — keeps the dotted
+    // `grid.map` name instead; the projection is always dotted.
+    val base = vars.result()
+    val taken = scala.collection.mutable.Set.from(base.map(_.name))
+    val promoted = gridMaps.result().flatMap { case (g, m) =>
+      if (taken.add(m.name)) Some(m.copy(name = m.name, proj = s"$g.${m.name}"))
+      else if (taken.add(s"$g.${m.name}"))
+        Some(m.copy(name = s"$g.${m.name}", proj = s"$g.${m.name}"))
+      else None
+    }
+    Dds(dsName, base ++ promoted)
   }
 
   // ---- DAS -------------------------------------------------------------
@@ -273,10 +332,18 @@ final class Dap2NcFile(rawUrl: String) extends NcFile {
 
   private val base = Dap2.stripForce(rawUrl)
 
-  private val dds: Dds = parseDds(Dap2.fetchText(s"$base.dds"))
+  private val dds: Dds = parseDds(Dap2.fetchTextRetrying(s"$base.dds"))
   private val das: Map[String, Map[String, String]] =
-    try parseDas(Dap2.fetchText(s"$base.das"))
-    catch { case _: Exception => Map.empty } // attributes are optional
+    try parseDas(Dap2.fetchTextRetrying(s"$base.das"))
+    catch {
+      // ONLY a definitive "this endpoint has no DAS" reads as empty
+      // attributes: HTTP 404 or a DAP Error document. Transient IO and
+      // timeout failures retry and then PROPAGATE — swallowing them
+      // would silently drop `_FillValue`, and fill sentinels (-99999)
+      // would ingest as real values downstream of the mask step.
+      case HttpStatusException(404, _, _) => Map.empty
+      case _: DapErrorException => Map.empty
+    }
 
   private def v(name: String): DapVar = dds.vars.find(_.name == name)
     .getOrElse(throw new IllegalArgumentException(

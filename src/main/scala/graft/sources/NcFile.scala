@@ -30,10 +30,17 @@ object NcFile {
     * with the `.nc` extension in the wild. OPeNDAP endpoints (the
     * reference's THREDDS `dodsC` URLs) are recognized by URL shape and
     * speak [[Dap2]] instead: the server parses the container and ships
-    * arrays, so there are no magic bytes to read. */
+    * arrays, so there are no magic bytes to read.
+    *
+    * Dispatch heuristic: an http(s) URL whose path contains `/dodsC/`,
+    * `/dods/`, or `/opendap/` is treated as a DAP2 endpoint. Both
+    * directions can be forced: `dap2+http(s)://…` speaks DAP2 to a
+    * non-standard mount; `raw+http(s)://…` bypasses the heuristic and
+    * reads the URL as plain container bytes over HTTP ranges (a file in
+    * a bucket that merely happens to be named `dods`). */
   def open(path: String): NcFile = {
     if (Dap2.isDapUrl(path)) return new Dap2NcFile(path)
-    val r = RangeReader.open(path)
+    val r = RangeReader.open(Dap2.stripForce(path))
     val head = new Array[Byte](math.min(8L, r.length).toInt)
     r.readFully(0, head)
     if (NetCdf3.isHdf5(head)) new Hdf5NcFile(Hdf5.open(r))

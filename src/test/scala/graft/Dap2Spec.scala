@@ -83,6 +83,7 @@ class Dap2Spec extends SparkSpec {
     case "zeta_max" => (Array.tabulate(N)(zetaMax), Seq(N))
     case "time"     => (Array.tabulate(T)(time), Seq(T))
     case "zeta"     => (Array.tabulate(T * N)(i => zeta(i / N, i % N)), Seq(T, N))
+    case "node"     => (Array.tabulate(N)(_.toDouble), Seq(N)) // grid map
     case other      => fail(s"fixture has no var $other")
   }
 
@@ -96,7 +97,9 @@ class Dap2Spec extends SparkSpec {
       else (query.take(br),
             "\\[(\\d+):(\\d+)\\]".r.findAllMatchIn(query.drop(br))
               .map(m => (m.group(1).toInt, m.group(2).toInt)).toList)
-    val name = projPath.split('.').head // grid member → the grid's array
+    // grid.array → the grid's array; grid.map → the map vector itself
+    val parts = projPath.split('.')
+    val name = if (parts.length == 2 && parts(0) != parts(1)) parts(1) else parts(0)
     val (vals, shape) = flat(name)
     val ranges =
       if (slices.isEmpty) shape.map(s => (0, s - 1))
@@ -146,12 +149,56 @@ class Dap2Spec extends SparkSpec {
     finally server.stop(0)
   }
 
-  test("URL dispatch: dodsC/dods/opendap and the dap2+ force prefix") {
+  test("URL dispatch: dodsC/dods/opendap, dap2+ force-on, raw+ force-off") {
     assert(Dap2.isDapUrl("http://h/thredds/dodsC/p/fort.63.nc"))
     assert(Dap2.isDapUrl("https://h/opendap/fort.63.nc"))
     assert(Dap2.isDapUrl("dap2+http://h/custom/fort.63.nc"))
     assert(!Dap2.isDapUrl("http://h/thredds/fileServer/p/fort.63.nc"))
     assert(!Dap2.isDapUrl("/local/fort.63.nc"))
+    // force-off: a plain file that merely lives under a /dods/ path
+    assert(!Dap2.isDapUrl("raw+http://h/dods/plain.nc"))
+    assert(Dap2.stripForce("raw+https://h/dods/plain.nc") === "https://h/dods/plain.nc")
+  }
+
+  test("raw+ force-off range-reads a container from a /dods/ path") {
+    // the escape hatch of the dispatch heuristic: an actual NetCDF file
+    // served from a bucket that happens to be named 'dods'
+    val c = Hdf5Fixture.Content(n = N, m = M, t = T, fill = Fill,
+      dry = dry, dryMax = Set(5), units = "seconds since 2008-09-09 00:00:00 UTC")
+    val bytes = Hdf5Fixture.writeV0(c)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/dods/plain63.nc", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      ex.getRequestMethod match {
+        case "HEAD" =>
+          ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.close()
+        case "GET" =>
+          range match {
+            case Some(r) =>
+              val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+              val slice = java.util.Arrays.copyOfRange(bytes, a.toInt, b.toInt + 1)
+              ex.getResponseHeaders.set("Content-Range", s"bytes $a-$b/${bytes.length}")
+              ex.sendResponseHeaders(206, slice.length.toLong)
+              ex.getResponseBody.write(slice); ex.getResponseBody.close()
+            case None =>
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+          }
+        case _ => ex.sendResponseHeaders(405, -1); ex.getResponseBody.close()
+      }
+    })
+    server.start()
+    try {
+      val nc = NcFile.open(
+        s"raw+http://127.0.0.1:${server.getAddress.getPort}/dods/plain63.nc")
+      try {
+        assert(nc.numRecs === T)
+        assert(nc.readFixed("x").toSeq === (0 until N).map(i => i * 0.5))
+      } finally nc.close()
+    } finally server.stop(0)
   }
 
   test("DDS parse: atomic arrays, Grid array member, shapes") {
@@ -163,7 +210,34 @@ class Dap2Spec extends SparkSpec {
     assert(byName("zeta").typ === "Float64")
     assert(byName("zeta").dims.map(_.size) === Seq(T, N))
     assert(byName("zeta").proj === "zeta.zeta") // grid member projection
-    assert(byName("zeta.node").proj === "zeta.node") // map, non-shadowed name
+    // xarray-style map promotion: an unshadowed map coordinate reads
+    // under its bare name (dotted projection); a map shadowed by a
+    // top-level variable keeps the dotted name
+    assert(byName("node").proj === "zeta.node")
+    assert(!byName.contains("zeta.node"))
+    assert(byName("zeta.time").proj === "zeta.time") // shadowed by top-level time
+  }
+
+  test("Grid maps promote to coordinates when the grid is the whole dataset") {
+    // a served Grid with no top-level twins (the plain xr.open_dataset
+    // shape for a gridded product): BOTH maps become first-class vars
+    val gridOnly =
+      s"""Dataset {
+         |    Grid {
+         |     ARRAY:
+         |        Float64 zeta[time = $T][node = $N];
+         |     MAPS:
+         |        Float64 time[time = $T];
+         |        Float64 node[node = $N];
+         |    } zeta;
+         |} fort.63;
+         |""".stripMargin
+    val d = Dap2.parseDds(gridOnly)
+    val byName = d.vars.map(v => v.name -> v).toMap
+    assert(byName.keySet === Set("zeta", "time", "node"))
+    assert(byName("time").proj === "zeta.time")
+    assert(byName("node").proj === "zeta.node")
+    assert(byName("time").dims.map(_.name) === Seq("time"))
   }
 
   test("DAS parse: typed values, quoted strings, nested containers") {
@@ -191,6 +265,110 @@ class Dap2Spec extends SparkSpec {
         assert(nc.readRecord("time", 1)(0) === 3600.0)
       } finally nc.close()
     }
+  }
+
+  test("promoted map coordinate reads without the dotted name") {
+    withServer { url =>
+      val nc = NcFile.open(url)
+      try {
+        assert(nc.varNames.contains("node"))      // promoted zeta.node
+        assert(!nc.varNames.contains("zeta.node"))
+        assert(nc.readFixed("node").toSeq === (0 until N).map(_.toDouble))
+        // the shadowed map stays reachable under its dotted name
+        assert(nc.varNames.contains("zeta.time"))
+        assert(nc.readFixed("zeta.time").toSeq === (0 until T).map(time))
+      } finally nc.close()
+    }
+  }
+
+  test("missing DAS (404) means no attributes; reads still work") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: com.sun.net.httpserver.HttpExchange, bytes: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+    }
+    // .dds and .dods only — .das hits the server's default 404
+    server.createContext("/dods/nodas.nc.dds",
+      (ex: com.sun.net.httpserver.HttpExchange) => send(ex, dds.getBytes("US-ASCII")))
+    server.createContext("/dods/nodas.nc.dods",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        send(ex, dodsResponse(java.net.URLDecoder.decode(
+          ex.getRequestURI.getRawQuery, "UTF-8"))))
+    server.start()
+    try {
+      val nc = NcFile.open(s"http://127.0.0.1:${server.getAddress.getPort}/dods/nodas.nc")
+      try {
+        assert(nc.fillValue("zeta") === None) // genuinely no DAS
+        assert(nc.readFixed("x").toSeq === (0 until N).map(x))
+      } finally nc.close()
+    } finally server.stop(0)
+  }
+
+  test("a failing DAS fetch (5xx) PROPAGATES instead of dropping the fill mask") {
+    // the ADVICE scenario: swallowing a transient DAS failure would
+    // ingest -99999 sentinels as real data — it must fail the open
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: com.sun.net.httpserver.HttpExchange, bytes: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+    }
+    val dasHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/dods/baddas.nc.dds",
+      (ex: com.sun.net.httpserver.HttpExchange) => send(ex, dds.getBytes("US-ASCII")))
+    server.createContext("/dods/baddas.nc.das",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        dasHits.incrementAndGet()
+        ex.sendResponseHeaders(503, -1); ex.getResponseBody.close()
+      })
+    server.start()
+    try {
+      val e = intercept[Dap2.HttpStatusException] {
+        NcFile.open(s"http://127.0.0.1:${server.getAddress.getPort}/dods/baddas.nc")
+      }
+      assert(e.code === 503)
+      assert(dasHits.get() === 3) // retried before giving up
+    } finally server.stop(0)
+  }
+
+  test("redirects (incl. the cross-protocol-shaped 302) are followed, bounded") {
+    // HttpURLConnection refuses cross-protocol hops; the client follows
+    // Location itself, so a THREDDS front-door 302 works. Same-host here,
+    // but through the manual path (302 + Location)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: com.sun.net.httpserver.HttpExchange, bytes: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+    }
+    def redirect(ex: com.sun.net.httpserver.HttpExchange, to: String): Unit = {
+      val q = Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+      ex.getResponseHeaders.set("Location", to + q)
+      ex.sendResponseHeaders(302, -1); ex.getResponseBody.close()
+    }
+    server.createContext("/dods/moved.nc.dds",
+      (ex: com.sun.net.httpserver.HttpExchange) => redirect(ex, "/real/moved.nc.dds"))
+    server.createContext("/dods/moved.nc.das",
+      (ex: com.sun.net.httpserver.HttpExchange) => redirect(ex, "/real/moved.nc.das"))
+    server.createContext("/dods/moved.nc.dods",
+      (ex: com.sun.net.httpserver.HttpExchange) => redirect(ex, "/real/moved.nc.dods"))
+    server.createContext("/real/moved.nc.dds",
+      (ex: com.sun.net.httpserver.HttpExchange) => send(ex, dds.getBytes("US-ASCII")))
+    server.createContext("/real/moved.nc.das",
+      (ex: com.sun.net.httpserver.HttpExchange) => send(ex, das.getBytes("US-ASCII")))
+    server.createContext("/real/moved.nc.dods",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        send(ex, dodsResponse(java.net.URLDecoder.decode(
+          ex.getRequestURI.getRawQuery, "UTF-8"))))
+    server.start()
+    try {
+      val nc = NcFile.open(s"http://127.0.0.1:${server.getAddress.getPort}/dods/moved.nc")
+      try {
+        assert(nc.fillValue("zeta") === Some(Fill))
+        assert(nc.readRecord("zeta", 2).toSeq === (0 until N).map(n => zeta(2, n)))
+      } finally nc.close()
+    } finally server.stop(0)
   }
 
   test("XDR guards: missing Data marker, disagreeing counts, short response") {
