@@ -409,14 +409,16 @@ object Hdf5 {
     }
 
     /** Managed-object subset of the fractal heap: a direct-block root,
-      * or an indirect root whose children are all DIRECT blocks (the
-      * doubling table: rows 0 and 1 hold `width` starting-size blocks,
-      * row r ≥ 2 holds `width` blocks of startingSize·2^(r-1) — covers
-      * dense groups far past one block). Child indirect blocks and
-      * huge/tiny heap IDs fail by name. Field widths derive from the
-      * header the way libhdf5 sizes them: offsets use maxHeapSize bits,
-      * lengths the smaller of the max-direct-block and max-managed-object
-      * encodings. */
+      * or an indirect root walked recursively through the doubling table
+      * (rows 0 and 1 hold `width` starting-size blocks, row r ≥ 2 holds
+      * `width` blocks of startingSize·2^(r-1)); rows at or past the max-
+      * direct-block row hold CHILD indirect blocks, each subdividing its
+      * span with the same table from row 0 with r−log2(width) rows — the
+      * libhdf5 `H5HF__dtable_size_to_rows` geometry, covering dense
+      * groups of any link count. Huge/tiny heap IDs fail by name. Field
+      * widths derive from the header the way libhdf5 sizes them: offsets
+      * use maxHeapSize bits, lengths the smaller of the max-direct-block
+      * and max-managed-object encodings. */
     private final class FractalHeap(addr: Long) {
       // (heap-space start, byte size, file address or Undef) per direct
       // block, ascending by start
@@ -452,29 +454,37 @@ object Hdf5 {
             // managed space, which exceeds startSize if the block was grown)
             IndexedSeq((0L, math.max(startSize, managedSpace), rootAddr))
           else {
-            // root indirect block: per the doubling table, rows of direct-
-            // block addresses (8 bytes each; unfiltered heap)
+            // indirect blocks, recursively: rows of direct-block addresses
+            // (8 bytes each; unfiltered heap) up to the max-direct row,
+            // then rows of CHILD indirect blocks — a child in row r covers
+            // rowSize(r) of heap space, subdivided by the same doubling
+            // table from row 0 with r − log2(width) rows
             def rowSize(row: Int): Long = if (row < 2) startSize else startSize << (row - 1)
             val maxDbRows =
               (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize)) -
                 (63 - java.lang.Long.numberOfLeadingZeros(startSize)) + 2
-            require(curRows <= maxDbRows,
-              s"fractal heap indirect root with child INDIRECT blocks unsupported ($curRows rows > $maxDbRows direct rows)")
-            val ib = bytesAt(rootAddr, 13 + offS + curRows * width * 8)
-            val isig = new Array[Byte](4); ib.get(isig)
-            require(new String(isig, "US-ASCII") == "FHIB", s"bad fractal heap indirect block at $rootAddr")
-            ib.get()    // version
-            ib.getLong  // heap header address
-            ib.position(ib.position() + offS) // block offset
-            var start = 0L
-            (0 until curRows).flatMap { row =>
-              (0 until width).map { _ =>
-                val a = ib.getLong
-                val e = (start, rowSize(row), a)
-                start += rowSize(row)
-                e
-              }
-            }.toIndexedSeq
+            val log2Width = 63 - java.lang.Long.numberOfLeadingZeros(width.toLong)
+            def walkIndirect(iAddr: Long, nrows: Int, base: Long): IndexedSeq[(Long, Long, Long)] = {
+              val ib = bytesAt(iAddr, 13 + offS + nrows * width * 8)
+              val isig = new Array[Byte](4); ib.get(isig)
+              require(new String(isig, "US-ASCII") == "FHIB",
+                s"bad fractal heap indirect block at $iAddr")
+              ib.get()    // version
+              ib.getLong  // heap header address
+              ib.position(ib.position() + offS) // block offset
+              var start = base
+              (0 until nrows).flatMap { row =>
+                (0 until width).flatMap { _ =>
+                  val a = ib.getLong
+                  val span = rowSize(row)
+                  val s0 = start
+                  start += span
+                  if (row < maxDbRows || a == Undef) IndexedSeq((s0, span, a))
+                  else walkIndirect(a, row - log2Width, s0)
+                }
+              }.toIndexedSeq
+            }
+            walkIndirect(rootAddr, curRows, 0L)
           }
         (blks, offS, lenS)
       }
@@ -1077,6 +1087,12 @@ object Hdf5 {
         require(computed == stored,
           f"${ds.name}: fletcher32 mismatch (stored 0x$stored%08x, computed 0x$computed%08x) — corrupted chunk")
         body
+      case 4 =>
+        throw new IllegalArgumentException(
+          s"${ds.name}: szip (HDF5 filter 4) is n/a by design (SURVEY §2.1 S11): an " +
+            "optional external codec even for libhdf5; netcdf-c defaults to deflate " +
+            "and ASGS output never carries it. Re-write the file with deflate " +
+            "(nccopy -d4) to ingest it here.")
       case other =>
         throw new IllegalArgumentException(
           s"${ds.name}: HDF5 filter id $other unsupported (deflate/shuffle/fletcher32 handled)")

@@ -666,15 +666,43 @@ object Hdf5Fixture {
   /** Fractal heap over managed objects. One direct block while the
     * objects fit; otherwise direct blocks per the doubling table (rows 0
     * and 1: `width` starting-size blocks, row r ≥ 2 doubling) under an
-    * FHIB indirect root — the dense-group shape past ~25 links. Returns
+    * FHIB indirect root — the dense-group shape past ~25 links. Rows at
+    * or past the max-direct row (from `maxDirectSize`) hold CHILD
+    * indirect blocks of r − log2(width) rows, subdividing their span
+    * from row 0 of the same table — the any-link-count shape. Returns
     * (header addr, heap IDs aligned with `objects`). Geometry:
     * maxHeapSize 32 bits → 4-byte offsets; max managed object 4096 →
     * 2-byte lengths; heap ID = 1 + 4 + 2 = 7 bytes. */
-  private def writeFractalHeap(buf: Buf, objects: Seq[Array[Byte]]): (Long, Seq[Array[Byte]]) = {
-    val startSize = 512L
+  private def writeFractalHeap(buf: Buf, objects: Seq[Array[Byte]],
+                               startSize: Long = 512L,
+                               maxDirectSize: Long = 65536L): (Long, Seq[Array[Byte]]) = {
     val width = 4
     val hdrLen = 13 + 4 // sig+ver+hdrAddr+blockOffset(4); flags bit1 unset: no checksum
     def rowSize(row: Int): Long = if (row < 2) startSize else startSize << (row - 1)
+    val maxDbRows = ((63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize)) -
+      (63 - java.lang.Long.numberOfLeadingZeros(startSize)) + 2).toInt
+    val log2W = (63 - java.lang.Long.numberOfLeadingZeros(width.toLong)).toInt
+    // object-length field width, sized the way libhdf5 does (smaller of
+    // the max-direct-block and max-managed-object encodings)
+    def limitEnc(v: Long): Int = ((63 - java.lang.Long.numberOfLeadingZeros(v)) / 8) + 1
+    val lenSize = math.min(limitEnc(maxDirectSize), limitEnc(4096L))
+    // heap-order direct-block sizes inside a child indirect block of
+    // nrows rows (all direct at fixture scale — one nesting level)
+    def childSizes(nrows: Int): Seq[Long] = {
+      require(nrows <= maxDbRows, "fixture: one level of child indirect blocks")
+      (0 until nrows).flatMap(r => Seq.fill(width)(rowSize(r)))
+    }
+    // the root's heap-order direct-block size sequence, unbounded
+    def rootBlockSizes: Iterator[Long] = Iterator.from(0).flatMap { r =>
+      if (r < maxDbRows) Seq.fill(width)(rowSize(r))
+      else (0 until width).flatMap(_ => childSizes(r - log2W))
+    }
+    val szIt = rootBlockSizes
+    val sizeList = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def blockLen(i: Int): Long = {
+      while (sizeList.length <= i) sizeList += szIt.next()
+      sizeList(i)
+    }
 
     // pack objects into block-local runs (objects never span blocks)
     case class Placed(obj: Array[Byte], heapOff: Long)
@@ -684,10 +712,6 @@ object Hdf5Fixture {
     var blockStart = 0L
     var cursor = hdrLen.toLong // heap-space offset within the current block
     var run = Seq.newBuilder[Placed]
-    def blockLen(i: Int): Long = {
-      // block i lives in row i/width of the doubling table
-      rowSize(i / width)
-    }
     objects.foreach { o =>
       if (cursor + o.length > blockStart + blockLen(blockIdx)) {
         blockRuns += ((blockIdx, run.result())); run = Seq.newBuilder[Placed]
@@ -696,8 +720,9 @@ object Hdf5Fixture {
         cursor = blockStart + hdrLen
       }
       run += Placed(o, cursor)
-      val id = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
-      id.put(0.toByte).putInt(cursor.toInt).putShort(o.length.toShort)
+      val id = ByteBuffer.allocate(1 + 4 + lenSize).order(ByteOrder.LITTLE_ENDIAN)
+      id.put(0.toByte).putInt(cursor.toInt)
+      (0 until lenSize).foreach(k => id.put(((o.length >> (8 * k)) & 0xff).toByte))
       ids += id.array()
       cursor += o.length
     }
@@ -728,19 +753,50 @@ object Hdf5Fixture {
     }
     val heapSpace = bStart
 
-    // indirect root when more than one block
+    // indirect root when more than one block; rows past maxDbRows get
+    // child indirect blocks (written first, bottom-up)
     val (rootAddr, curRows) =
       if (nBlocks == 1) (blockAddrs(0), 0)
       else {
-        val rows = (nBlocks + width - 1) / width
+        var covered = 0; var rows = 0
+        while (covered < nBlocks) {
+          covered += (if (rows < maxDbRows) width
+                      else width * childSizes(rows - log2W).length)
+          rows += 1
+        }
+        var flat = 0
+        var heapOff = 0L
+        val rootEntries = Seq.newBuilder[Long]
+        (0 until rows).foreach { r =>
+          (0 until width).foreach { _ =>
+            if (r < maxDbRows) {
+              rootEntries += blockAddrs.getOrElse(flat, Undef)
+              flat += 1
+            } else {
+              val nchild = childSizes(r - log2W).length
+              val childFlats = flat until flat + nchild
+              if (childFlats.forall(i => !blockAddrs.contains(i))) rootEntries += Undef
+              else {
+                buf.align8(); val cib = buf.pos
+                buf.bb.put("FHIB".getBytes("US-ASCII"))
+                buf.bb.put(0.toByte)
+                patches += buf.pos; buf.bb.putLong(Undef) // heap header addr
+                buf.bb.putInt(heapOff.toInt)              // block offset in heap space
+                childFlats.foreach(i => buf.bb.putLong(blockAddrs.getOrElse(i, Undef)))
+                buf.bb.putInt(0) // checksum
+                rootEntries += cib
+              }
+              flat += nchild
+            }
+            heapOff += rowSize(r)
+          }
+        }
         buf.align8(); val ib = buf.pos
         buf.bb.put("FHIB".getBytes("US-ASCII"))
         buf.bb.put(0.toByte)
         patches += buf.pos; buf.bb.putLong(Undef) // heap header addr
         buf.bb.putInt(0)                          // block offset
-        (0 until rows * width).foreach { i =>
-          buf.bb.putLong(blockAddrs.getOrElse(i, Undef))
-        }
+        rootEntries.result().foreach(buf.bb.putLong)
         buf.bb.putInt(0) // checksum
         (ib, rows)
       }
@@ -748,7 +804,7 @@ object Hdf5Fixture {
     buf.align8(); val hdr = buf.pos
     buf.bb.put("FRHP".getBytes("US-ASCII"))
     buf.bb.put(0.toByte)
-    buf.bb.putShort(7.toShort)  // heap ID length
+    buf.bb.putShort((1 + 4 + lenSize).toShort)  // heap ID length
     buf.bb.putShort(0.toShort)  // io filter length
     buf.bb.put(0.toByte)        // flags (no dblock checksums)
     buf.bb.putInt(4096)         // max managed object size
@@ -758,8 +814,8 @@ object Hdf5Fixture {
     buf.bb.putLong(cursor).putLong(objects.length.toLong) // iterator offset, nobjs
     buf.bb.putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny stats
     buf.bb.putShort(width.toShort)
-    buf.bb.putLong(startSize)   // starting block size
-    buf.bb.putLong(65536L)      // max direct block size
+    buf.bb.putLong(startSize)      // starting block size
+    buf.bb.putLong(maxDirectSize)  // max direct block size
     buf.bb.putShort(32.toShort) // max heap size (bits)
     buf.bb.putShort((if (curRows == 0) 0 else curRows).toShort) // starting rows
     buf.bb.putLong(rootAddr)
@@ -801,7 +857,8 @@ object Hdf5Fixture {
     * DENSE root group (fractal heap + name-index v2 B-tree) as written
     * once a group passes the compact-links threshold. */
   def writeLatest(c: Content, extraVars: Int = 0, faPageBits: Int = 10,
-                  eaPageBits: Int = 10, zmSubtree: Int = 0): Array[Byte] = {
+                  eaPageBits: Int = 10, zmSubtree: Int = 0,
+                  heapStart: Long = 512L, heapMaxDirect: Long = 65536L): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(48) // superblock v2; patched last
 
@@ -890,7 +947,8 @@ object Hdf5Fixture {
     val links = Seq("element" -> eleOh, "time" -> timeOh, "x" -> xOh,
                     "y" -> yOh, "zeta" -> zetaOh, "zeta_max" -> zmOh) ++ extras
     val (fheap, heapIds) = writeFractalHeap(buf,
-      links.map { case (n, oh) => linkMsgBody(n, oh) })
+      links.map { case (n, oh) => linkMsgBody(n, oh) },
+      startSize = heapStart, maxDirectSize = heapMaxDirect)
     val nameRecords = heapIds.zipWithIndex.map { case (id, i) =>
       val b = ByteBuffer.allocate(4 + id.length).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(i) // name hash: a lookup key only — enumeration ignores it

@@ -291,6 +291,24 @@ class Hdf5Spec extends SparkSpec {
     } finally nc.close()
   }
 
+  test("fractal heap with CHILD indirect blocks enumerates every link") {
+    // small doubling table (start 64, max direct 128 -> 3 direct rows
+    // covering 1 KiB) + 60 extra vars: the heap must grow child indirect
+    // blocks under the root — the any-link-count dense-group shape
+    val dir = Files.createTempDirectory("graft_h5childib").toString
+    val p = s"$dir/child_indirect.nc"
+    Files.write(Paths.get(p),
+      Hdf5Fixture.writeLatest(c, extraVars = 60, heapStart = 64, heapMaxDirect = 128))
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.varNames.length === 66)
+      assert(nc.readFixed("extra00").toSeq === Seq(0.0, 0.5))
+      assert(nc.readFixed("extra59").toSeq === Seq(59.0, 59.5))
+      // links stored deep in the child-indirect range still resolve
+      assert(nc.readRecord("zeta", 1).toSeq === (0 until c.n).map(n => c.zeta(1, n)))
+    } finally nc.close()
+  }
+
   test("fletcher32 detects a corrupted chunk instead of decoding it") {
     val dir = Files.createTempDirectory("graft_h5fc").toString
     val p = s"$dir/corrupt.nc"
@@ -303,7 +321,7 @@ class Hdf5Spec extends SparkSpec {
     } finally nc.close()
   }
 
-  test("unknown filter id fails with an actionable message") {
+  test("szip fails by name citing the n/a-by-design survey row") {
     val dir = Files.createTempDirectory("graft_h5uf").toString
     val p = s"$dir/szip.nc"
     Files.write(Paths.get(p), Hdf5Fixture.writeV0(c, compress = true,
@@ -311,7 +329,21 @@ class Hdf5Spec extends SparkSpec {
     val nc = NcFile.open(p)
     try {
       val e = intercept[IllegalArgumentException](nc.readRecord("zeta", 0))
-      assert(e.getMessage.contains("filter id 4"))
+      assert(e.getMessage.contains("szip"))
+      assert(e.getMessage.contains("n/a by design"))
+      assert(e.getMessage.contains("nccopy -d4")) // the actionable way out
+    } finally nc.close()
+  }
+
+  test("unknown filter id fails with an actionable message") {
+    val dir = Files.createTempDirectory("graft_h5uf2").toString
+    val p = s"$dir/unknown_filter.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeV0(c, compress = true,
+      zetaFilterIdOverride = Some(307 /* bzip2 (registered third-party id) */)))
+    val nc = NcFile.open(p)
+    try {
+      val e = intercept[IllegalArgumentException](nc.readRecord("zeta", 0))
+      assert(e.getMessage.contains("filter id 307"))
     } finally nc.close()
   }
 
