@@ -20,8 +20,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Implemented against the public DAP 2.0 specification (ESE-RFC-004).
   * The subset covers the NetCDF classic model THREDDS/Hyrax serve for
-  * ADCIRC output: top-level atomic arrays and Grids (whose array member
-  * is projected as `grid.array`). Structures/Sequences are out of scope
+  * ADCIRC output: top-level atomic arrays, Grids (whose array member is
+  * projected as `grid.array`, maps promoted to first-class coordinates
+  * the way xarray does), and Structures (members flattened under dotted
+  * names, last component promoted when unshadowed — the grouped-file
+  * shape Hyrax serves). Sequences are n/a by design (SURVEY §2.1 S12)
   * and fail by name.
   *
   * Scale shape: identical to the file-backed readers — the tiny
@@ -212,9 +215,40 @@ object Dap2 {
           // are promoted to first-class coordinates after the full parse
           vars += arr.copy(name = gridName, proj = s"$gridName.${arr.name}")
           maps.result().foreach(m => gridMaps += gridName -> m)
-        case "Structure" | "Sequence" =>
+        case "Structure" =>
+          // flatten members under dotted names (what a grouped NetCDF-4
+          // file serves through Hyrax); bare-name promotion happens with
+          // the grid maps below
+          def structDecl(): Seq[DapVar] = {
+            c.expect("Structure"); c.expect("{")
+            val members = Vector.newBuilder[DapVar]
+            while (c.peek != "}") {
+              c.peek match {
+                case "Structure" => members ++= structDecl()
+                case "Grid" | "Sequence" => throw new IllegalArgumentException(
+                  s"DDS: ${c.peek} nested in a Structure is outside the subset this client speaks")
+                case _ => members += atomicDecl("")
+              }
+            }
+            c.expect("}")
+            val sname = c.next()
+            require(c.peek == ";",
+              "DDS: Structure arrays are outside the subset this client speaks")
+            c.expect(";")
+            members.result().map(m =>
+              m.copy(name = s"$sname.${m.name}", proj = s"$sname.${m.proj}"))
+          }
+          structDecl().foreach { m =>
+            // same promotion pool as grid maps: the LAST path component
+            // becomes the variable name when nothing shadows it
+            val bare = m.name.substring(m.name.lastIndexOf('.') + 1)
+            gridMaps += m.name.dropRight(bare.length + 1) -> m.copy(name = bare)
+          }
+        case "Sequence" =>
           throw new IllegalArgumentException(
-            "DDS: Structure/Sequence members are outside the NetCDF classic subset this client speaks")
+            "DDS: Sequence is n/a by design (SURVEY §2.1 S12) — a relational/tabular " +
+              "DAP construct the NetCDF classic model never serves; the reference's " +
+              "xarray path refuses it the same way")
         case _ => vars += atomicDecl("")
       }
     }

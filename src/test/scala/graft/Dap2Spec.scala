@@ -97,9 +97,9 @@ class Dap2Spec extends SparkSpec {
       else (query.take(br),
             "\\[(\\d+):(\\d+)\\]".r.findAllMatchIn(query.drop(br))
               .map(m => (m.group(1).toInt, m.group(2).toInt)).toList)
-    // grid.array → the grid's array; grid.map → the map vector itself
-    val parts = projPath.split('.')
-    val name = if (parts.length == 2 && parts(0) != parts(1)) parts(1) else parts(0)
+    // grid.array → the grid's array ("zeta.zeta" → "zeta"); grid.map /
+    // struct.member → the last path component
+    val name = projPath.split('.').last
     val (vals, shape) = flat(name)
     val ranges =
       if (slices.isEmpty) shape.map(s => (0, s - 1))
@@ -238,6 +238,32 @@ class Dap2Spec extends SparkSpec {
     assert(byName("time").proj === "zeta.time")
     assert(byName("node").proj === "zeta.node")
     assert(byName("time").dims.map(_.name) === Seq("time"))
+  }
+
+  test("Structure members flatten with promotion; Sequence fails by name") {
+    // the grouped-NetCDF-4 shape Hyrax serves: members reachable bare
+    // when unshadowed, dotted when shadowed; nesting flattens through
+    val structDds =
+      """Dataset {
+        |    Float64 lon[node = 8];
+        |    Structure {
+        |        Float64 lon[node = 8];
+        |        Float64 lat[node = 8];
+        |        Structure {
+        |            Int32 quality[node = 8];
+        |        } flags;
+        |    } coords;
+        |} grouped.nc;
+        |""".stripMargin
+    val d = Dap2.parseDds(structDds)
+    val byName = d.vars.map(v => v.name -> v).toMap
+    assert(byName("lon").proj === "lon")               // top-level wins
+    assert(byName("coords.lon").proj === "coords.lon") // shadowed member
+    assert(byName("lat").proj === "coords.lat")        // promoted member
+    assert(byName("quality").proj === "coords.flags.quality") // nested, promoted
+    val e = intercept[IllegalArgumentException](Dap2.parseDds(
+      "Dataset { Sequence { Float64 t; } obs; } s;"))
+    assert(e.getMessage.contains("n/a by design"))
   }
 
   test("DAS parse: typed values, quoted strings, nested containers") {
