@@ -101,18 +101,23 @@ object Dap2 {
     t
   }
 
-  /** [[fetchText]] with bounded retry on transient failures (IO errors,
-    * timeouts, 5xx). Definitive answers — 200, 404, 4xx, a DAP Error
-    * document — pass through on the first attempt. */
-  private[sources] def fetchTextRetrying(url: String, attempts: Int = 3): String = {
+  /** Transient = worth a retry: IO errors, 5xx, and the two 4xx codes
+    * that mean "try again" (408 Request Timeout, 429 Too Many Requests —
+    * a rate limiter under our 32-wide task fan-out). Everything else —
+    * 200, 404, other 4xx, a DAP Error document — is a definitive answer. */
+  private def isTransient(e: Throwable): Boolean = e match {
+    case HttpStatusException(code, _, _) => code >= 500 || code == 408 || code == 429
+    case _: java.io.IOException => true
+    case _ => false
+  }
+
+  private def retrying[A](attempts: Int)(f: => A): A = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
-      try return fetchText(url)
+      try return f
       catch {
-        case e: DapErrorException => throw e                      // definitive
-        case e: HttpStatusException if e.code < 500 => throw e    // definitive
-        case e @ (_: java.io.IOException | _: HttpStatusException) =>
+        case e if isTransient(e) =>
           last = e
           i += 1
           if (i < attempts) Thread.sleep(250L << i)
@@ -120,6 +125,12 @@ object Dap2 {
     }
     throw last
   }
+
+  private[sources] def fetchTextRetrying(url: String, attempts: Int = 3): String =
+    retrying(attempts)(fetchText(url))
+
+  private[sources] def fetchBytesRetrying(url: String, attempts: Int = 3): Array[Byte] =
+    retrying(attempts)(fetchBytes(url))
 
   // ---- DDS -------------------------------------------------------------
 
@@ -371,12 +382,19 @@ final class Dap2NcFile(rawUrl: String) extends NcFile {
     try parseDas(Dap2.fetchTextRetrying(s"$base.das"))
     catch {
       // ONLY a definitive "this endpoint has no DAS" reads as empty
-      // attributes: HTTP 404 or a DAP Error document. Transient IO and
-      // timeout failures retry and then PROPAGATE — swallowing them
-      // would silently drop `_FillValue`, and fill sentinels (-99999)
-      // would ingest as real values downstream of the mask step.
+      // attributes: HTTP 404, or a DAP Error document that SAYS
+      // not-found (servers answer missing ancillary docs with an Error
+      // body under HTTP 200). Anything else — transient IO/timeouts
+      // (after retries) or a backend-failure Error doc — PROPAGATES:
+      // swallowing it would silently drop `_FillValue`, and fill
+      // sentinels (-99999) would ingest as real values downstream of
+      // the mask step.
       case HttpStatusException(404, _, _) => Map.empty
-      case _: DapErrorException => Map.empty
+      case e: DapErrorException if {
+        val m = e.getMessage.toLowerCase
+        m.contains("404") || m.contains("no such") || m.contains("not found") ||
+          m.contains("does not exist")
+      } => Map.empty
     }
 
   private def v(name: String): DapVar = dds.vars.find(_.name == name)
@@ -422,7 +440,10 @@ final class Dap2NcFile(rawUrl: String) extends NcFile {
     // brackets are illegal unencoded in a URI query; DAP servers accept
     // the percent-encoded hyperslab (what libdap-based clients send)
     val enc = constraint.replace("[", "%5B").replace("]", "%5D")
-    val body = fetchBytes(s"$base.dods?$enc")
+    // retried like the metadata fetches: this is the request issued
+    // thousands of times (once per record per task), so a single
+    // transient 503/socket reset should cost one backoff, not the task
+    val body = fetchBytesRetrying(s"$base.dods?$enc")
     parseDodsArray(body, dv.typ, expected)
   }
 

@@ -408,6 +408,12 @@ object Hdf5 {
       viaSymtab.getOrElse(Seq.empty) ++ linkMsgs ++ denseLinks
     }
 
+    /** Bytes needed to encode values up to `v` — libhdf5's
+      * H5VM_limit_enc_size, the field-width rule behind fractal-heap
+      * lengths and v2-B-tree record counts. */
+    private def limitEnc(v: Long): Int =
+      ((63 - java.lang.Long.numberOfLeadingZeros(v)) / 8) + 1
+
     /** Managed-object subset of the fractal heap: a direct-block root,
       * or an indirect root walked recursively through the doubling table
       * (rows 0 and 1 hold `width` starting-size blocks, row r ≥ 2 holds
@@ -444,7 +450,6 @@ object Hdf5 {
         h.getShort() // starting # rows in root indirect block
         val rootAddr = h.getLong
         val curRows = h.getShort() & 0xffff
-        def limitEnc(v: Long): Int = ((63 - java.lang.Long.numberOfLeadingZeros(v)) / 8) + 1
         val offS = (maxHeapBits + 7) / 8
         val lenS = math.min(limitEnc(maxDirectSize), limitEnc(maxManagedObjSize))
         require(heapIdLen == 1 + offS + lenS,
@@ -957,13 +962,10 @@ object Hdf5 {
       val rootNRec = h.getShort() & 0xffff
       h.getLong // total records
       if (rootAddr == Undef || (rootNRec == 0 && depth == 0)) return Seq.empty
-      def encSize(v: Long): Int = {
-        var n = 1; var lim = 256L; while (v >= lim) { n += 1; lim *= 256 }; n
-      }
       // per-child "number of records" field: sized for the max records a
       // LEAF can hold (the largest per-node count, H5B2 max_nrec_size)
       val maxLeafRec = (nodeSize - 10) / recordSize
-      val nrecSize = encSize(maxLeafRec.toLong)
+      val nrecSize = limitEnc(maxLeafRec.toLong)
       // cumulative-capacity table up the levels: cumMaxNrec(u) = records a
       // depth-u subtree can hold; encoded size of level u-1's total is the
       // extra field in a depth-u node's child pointers (only when u ≥ 2)
@@ -974,7 +976,7 @@ object Hdf5 {
         val ptrSize = 8 + nrecSize + (if (u >= 2) cumSize(u - 1) else 0)
         val maxNrecU = (nodeSize - 10 - ptrSize) / (recordSize + ptrSize)
         cumMaxNrec(u) = (maxNrecU + 1).toLong * cumMaxNrec(u - 1) + maxNrecU
-        cumSize(u) = encSize(cumMaxNrec(u))
+        cumSize(u) = limitEnc(cumMaxNrec(u))
       }
       def leafRecords(a: Long, n: Int): Seq[Array[Byte]] = {
         val b = bytesAt(a, 6 + n * recordSize)

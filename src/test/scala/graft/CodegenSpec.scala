@@ -45,29 +45,18 @@ class CodegenSpec extends SparkSpec {
           s"$q has a Project outside whole-stage codegen: $bare\n$plan")
         // compile each generated subtree the way WholeStageCodegenExec.doExecute
         // does and inspect the bytecode stats the fallback decision reads
-        val hugeLimit = spark.sessionState.conf.hugeMethodLimit
         debug.codegenStringSeq(plan).foreach { case (subtree, _, stats) =>
           assert(stats.maxMethodCodeSize >= 0,
             s"$q: a codegen stage failed to compile:\n$subtree")
-          assert(stats.maxMethodCodeSize <= hugeLimit,
-            s"$q: generated method of ${stats.maxMethodCodeSize} bytecodes exceeds " +
-              s"the hugeMethodLimit $hugeLimit — Spark would fall back to interpreted")
-        }
-      }
-    }
-  }
-
-  test("projection codegen methods stay JIT-compilable (under 8000 bytecodes)") {
-    // stricter than the Spark fallback bound: HotSpot refuses to JIT
-    // methods past -XX:DontCompileHugeMethods' 8000-bytecode limit, so a
-    // method in (8000, hugeMethodLimit] would run codegen'd but
-    // INTERPRETED by the JVM — a silent ~10x on the hot path
-    staticPlan {
-      projQueries.foreach { q =>
-        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
-        debug.codegenStringSeq(plan).foreach { case (subtree, _, stats) =>
+          // stricter than Spark's hugeMethodLimit fallback bound (65535):
+          // HotSpot refuses to JIT methods past -XX:DontCompileHugeMethods'
+          // 8000-bytecode limit, so a method in (8000, 65535] would run
+          // codegen'd but INTERPRETED by the JVM — a silent ~10x on the
+          // hot path
           assert(stats.maxMethodCodeSize < 8000,
-            s"$q: ${stats.maxMethodCodeSize}-bytecode method would not JIT:\n$subtree")
+            s"$q: ${stats.maxMethodCodeSize}-bytecode generated method would " +
+              s"not JIT (and past ${spark.sessionState.conf.hugeMethodLimit} " +
+              "Spark itself falls back to interpreted)")
         }
       }
     }

@@ -331,6 +331,44 @@ class Dap2Spec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("DAS Error doc: not-found reads as no attributes, backend failure propagates") {
+    def serverWithDasError(err: String)(f: String => Unit): Unit = {
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      def send(ex: com.sun.net.httpserver.HttpExchange, bytes: Array[Byte]): Unit = {
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+      }
+      server.createContext("/dods/e.nc.dds",
+        (ex: com.sun.net.httpserver.HttpExchange) => send(ex, dds.getBytes("US-ASCII")))
+      server.createContext("/dods/e.nc.das",
+        (ex: com.sun.net.httpserver.HttpExchange) => send(ex, err.getBytes("US-ASCII")))
+      server.createContext("/dods/e.nc.dods",
+        (ex: com.sun.net.httpserver.HttpExchange) =>
+          send(ex, dodsResponse(java.net.URLDecoder.decode(
+            ex.getRequestURI.getRawQuery, "UTF-8"))))
+      server.start()
+      try f(s"http://127.0.0.1:${server.getAddress.getPort}/dods/e.nc")
+      finally server.stop(0)
+    }
+    // a definitive "no such DAS" Error doc (HTTP 200) = genuinely no attrs
+    serverWithDasError(
+      "Error {\n    code = 404;\n    message = \"No such file or directory\";\n}\n") { url =>
+      val nc = NcFile.open(url)
+      try {
+        assert(nc.fillValue("zeta") === None)
+        assert(nc.readFixed("x").toSeq === (0 until N).map(x))
+      } finally nc.close()
+    }
+    // a backend-failure Error doc must NOT read as "no attributes" — that
+    // would drop the fill mask and ingest -99999 sentinels as real values
+    serverWithDasError(
+      "Error {\n    code = 500;\n    message = \"Unable to read backend store\";\n}\n") { url =>
+      val e = intercept[Dap2.DapErrorException](NcFile.open(url))
+      assert(e.getMessage.contains("Unable to read backend store"))
+    }
+  }
+
   test("a failing DAS fetch (5xx) PROPAGATES instead of dropping the fill mask") {
     // the ADVICE scenario: swallowing a transient DAS failure would
     // ingest -99999 sentinels as real data — it must fail the open
