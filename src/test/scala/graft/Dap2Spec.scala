@@ -435,6 +435,32 @@ class Dap2Spec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("XDR decode: every atomic type, including 16-bit word promotion") {
+    def dods(payload: java.io.DataOutputStream => Unit, n: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeBytes("Dataset { x v; } d;\n\nData:\n")
+      o.writeInt(n); o.writeInt(n)
+      payload(o); o.flush(); bos.toByteArray
+    }
+    assert(Dap2.parseDodsArray(dods(o => { o.writeFloat(1.5f); o.writeFloat(-2.25f) }, 2),
+      "Float32", 2).toSeq === Seq(1.5, -2.25))
+    assert(Dap2.parseDodsArray(dods(o => o.writeInt(-7), 1), "Int32", 1).toSeq === Seq(-7.0))
+    // UInt32 reads past Int.MaxValue without sign-wrapping
+    assert(Dap2.parseDodsArray(dods(o => o.writeInt(0xFFFFFFFE), 1), "UInt32", 1)
+      .toSeq === Seq(4294967294.0))
+    // XDR promotes 16-bit integers to 4-byte words on the wire
+    assert(Dap2.parseDodsArray(dods(o => o.writeInt(-3), 1), "Int16", 1).toSeq === Seq(-3.0))
+    assert(Dap2.parseDodsArray(dods(o => o.writeInt(0xFFFD), 1), "UInt16", 1)
+      .toSeq === Seq(65533.0))
+    // Byte arrays ship packed (trailing XDR pad is simply never read)
+    assert(Dap2.parseDodsArray(dods(o => { o.write(Array[Byte](1, -1, 7)); o.write(0) }, 3),
+      "Byte", 3).toSeq === Seq(1.0, 255.0, 7.0))
+    val e = intercept[IllegalArgumentException](
+      Dap2.parseDodsArray(dods(o => o.writeInt(0), 1), "String", 1))
+    assert(e.getMessage.contains("not decodable"))
+  }
+
   test("XDR guards: missing Data marker, disagreeing counts, short response") {
     val good = {
       val bos = new ByteArrayOutputStream()
