@@ -115,6 +115,46 @@ object Tpch {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** Q12 shape (shipmode priority): conditional aggregation — SUM(CASE)
+    * pairs inside one grouped pass over a fact-fact join, the
+    * pivot-without-pivot pattern. Adapted to the corpus schema (no
+    * l_shipmode column): grouped by l_returnflag, classifying by order
+    * priority. Map-side partial aggregation carries 3 groups x 2
+    * counters, never rows. */
+  def qTpchQ12(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Q18 (large-volume customers): grouped-HAVING semi join — the IN
+    * subquery's grouped aggregate becomes a left semi join on
+    * l_orderkey, then the 3-way join re-aggregates only qualifying
+    * orders. Quantities are integer-valued; the DECIMAL sum keeps the
+    * partial-order-independence discipline anyway. Top-100 with the
+    * o_orderkey tiebreak keeps the LIMIT deterministic. */
+  def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+        |       o_totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 212)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+  }
+
   /** Q6: forecasting revenue change — pushed range filters, 1-row result. */
   def qTpchQ6(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -131,7 +171,9 @@ object Tpch {
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q12" -> (qTpchQ12 _),
     "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_sql_not_exists" -> (qSqlNotExists _),
   )
 
@@ -191,6 +233,26 @@ object Tpch {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 212)
+        |GROUP BY c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_tpch_q6" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
