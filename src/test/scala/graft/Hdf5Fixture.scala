@@ -228,7 +228,8 @@ object Hdf5Fixture {
     * address. */
   private def writeChunks(buf: Buf, shape: Array[Long], chunk: Array[Int],
                           cellAt: Array[Long] => Double, fillPad: Double,
-                          transform: Array[Byte] => Array[Byte] = identity): Long = {
+                          transform: Array[Byte] => Array[Byte] = identity,
+                          leafSize: Int = 0): Long = {
     val rank = shape.length
     val grid = shape.indices.map(d => ((shape(d) + chunk(d) - 1) / chunk(d)).toInt)
     val chunkElems = chunk.product
@@ -255,20 +256,44 @@ object Hdf5Fixture {
       buf.bb.put(stored)
       (addr, stored.length)
     }
-    // B-tree leaf: key_i (chunk size, filter mask, offsets+0) child_i ... key_N
-    buf.align8(); val btree = buf.pos
-    buf.bb.put('T'.toByte).put('R'.toByte).put('E'.toByte).put('E'.toByte)
-    buf.bb.put(1.toByte).put(0.toByte)
-    buf.bb.putShort(origins.length.toShort)
-    buf.bb.putLong(Undef).putLong(Undef)
-    origins.zip(chunkAddrSizes).foreach { case (o, (addr, size)) =>
-      buf.bb.putInt(size).putInt(0)
-      o.foreach(buf.bb.putLong); buf.bb.putLong(0L)
-      buf.bb.putLong(addr)
+    // B-tree nodes: key_i (chunk size, filter mask, offsets+0) child_i …
+    // key_N. `leafSize` 0 = one root leaf; > 0 splits the entries into
+    // leaves of that size under a level-1 internal node — the shape
+    // netcdf-c's DEFAULT (non-latest) format grows past a few hundred
+    // chunks per variable. Internal keys are the first chunk key of each
+    // child subtree, per the v1 spec.
+    val entries: Seq[(Int, Seq[Long], Long)] = origins.zip(chunkAddrSizes).map {
+      case (o, (addr, size)) => (size, o.toSeq :+ 0L, addr)
     }
-    buf.bb.putInt(0).putInt(0) // final key: one past the last chunk
-    shape.foreach(buf.bb.putLong); buf.bb.putLong(0L)
-    btree
+    val pastEnd: (Int, Seq[Long]) = (0, shape.toSeq :+ 0L)
+    def writeNode(level: Int, es: Seq[(Int, Seq[Long], Long)],
+                  nextKey: (Int, Seq[Long])): Long = {
+      buf.align8(); val node = buf.pos
+      buf.bb.put('T'.toByte).put('R'.toByte).put('E'.toByte).put('E'.toByte)
+      buf.bb.put(1.toByte).put(level.toByte)
+      buf.bb.putShort(es.length.toShort)
+      buf.bb.putLong(Undef).putLong(Undef)
+      es.foreach { case (size, key, child) =>
+        buf.bb.putInt(size).putInt(0)
+        key.foreach(buf.bb.putLong)
+        buf.bb.putLong(child)
+      }
+      buf.bb.putInt(nextKey._1).putInt(0)
+      nextKey._2.foreach(buf.bb.putLong)
+      node
+    }
+    if (leafSize <= 0 || entries.length <= leafSize) writeNode(0, entries, pastEnd)
+    else {
+      val groups = entries.grouped(leafSize).toSeq
+      val leafAddrs = groups.zipWithIndex.map { case (g, i) =>
+        val next =
+          if (i + 1 < groups.length) { val h = groups(i + 1).head; (h._1, h._2) }
+          else pastEnd
+        writeNode(0, g, next)
+      }
+      val internal = groups.zip(leafAddrs).map { case (g, a) => (g.head._1, g.head._2, a) }
+      writeNode(1, internal, pastEnd)
+    }
   }
 
   // ---- "latest format" building blocks (layout v4 + dense groups) --------
@@ -1006,7 +1031,8 @@ object Hdf5Fixture {
     * file bytes. */
   def writeV0(c: Content, compress: Boolean = false,
               zetaFilterIdOverride: Option[Int] = None,
-              corruptTimeChunk: Boolean = false): Array[Byte] = {
+              corruptTimeChunk: Boolean = false,
+              v1LeafSize: Int = 0): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(96) // superblock v0 reserved; patched last
 
@@ -1027,7 +1053,8 @@ object Hdf5Fixture {
       transform = timeXform)
     val zetaBtree = writeChunks(buf, Array(c.t.toLong, c.n.toLong), Array(2, 5),
       idx => c.zeta(idx(0).toInt, idx(1).toInt), fillPad = c.fill,
-      transform = if (compress) (b => deflateBytes(shuffleBytes(b, 8))) else identity)
+      transform = if (compress) (b => deflateBytes(shuffleBytes(b, 8))) else identity,
+      leafSize = v1LeafSize)
 
     // ---- dataset object headers
     val xOh = writeObjectHeaderV1(buf, Seq(

@@ -156,6 +156,24 @@ class Hdf5Spec extends SparkSpec {
     assert(Ingest.timeLabels(spark, outDir)(3L) === "20080909T030000")
   }
 
+  test("multi-level v1 chunk B-tree (default netcdf-c shape past ~300 chunks)") {
+    // t=20, chunk (2,5): zeta has 30 chunks; leafSize=4 splits them into
+    // 8 leaves under a level-1 internal node — the tree any long
+    // DEFAULT-format (non-latest) record variable grows
+    val cb = c.copy(t = 20, dry = Set((1, 2), (17, 11)))
+    val dir = Files.createTempDirectory("graft_h5v1ml").toString
+    val p = s"$dir/fort63_mlbtree.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeV0(cb, v1LeafSize = 4))
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.numRecs === 20)
+      (0 until 20).foreach { t =>
+        val row = nc.readRecord("zeta", t)
+        (0 until cb.n).foreach(nid => assert(row(nid) === cb.zeta(t, nid), s"zeta($t,$nid)"))
+      }
+    } finally nc.close()
+  }
+
   test("latest format: superblock v2, dense group, all five v4 chunk indexes") {
     // H5Pset_libver_bounds(latest) shape: OHDR v2 + layout v4 with
     // single-chunk (x), implicit (y), fixed-array (element), v2-B-tree
