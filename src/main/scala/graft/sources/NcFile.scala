@@ -4,7 +4,7 @@ package graft.sources
   * reference gets from `xr.open_dataset` (which dispatches NetCDF-3 vs
   * NetCDF-4/HDF5 by magic bytes,
   * /root/reference/run/utilities/adcirc_dask_utilities.py:36-44).
-  * [[Ingest]] is written against this trait, so classic CDF-1/CDF-2
+  * [[Ingest]] is written against this trait, so classic CDF-1/CDF-2/CDF-5
   * ([[NetCdf3]]) and NetCDF-4/HDF5 ([[Hdf5]]) files take the same
   * ingest path, local or over HTTP ranges ([[RangeReader]]).
   *

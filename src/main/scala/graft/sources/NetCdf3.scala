@@ -4,15 +4,17 @@ import java.nio.{BufferUnderflowException, ByteBuffer, ByteOrder}
 import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 
-/** Minimal pure-JVM NetCDF-3 "classic" reader (public CDF-1/CDF-2 spec,
-  * the format of the reference's input `fort.63.nc` —
+/** Minimal pure-JVM NetCDF-3 "classic" reader (public CDF-1/CDF-2/CDF-5
+  * spec, the format of the reference's input `fort.63.nc` —
   * `xr.open_dataset` at /root/reference/run/utilities/
   * adcirc_dask_utilities.py:36-44). No third-party codec exists in this
   * build environment, so the subset the ADCIRC contract needs is
   * implemented directly against the file-format spec: header parse
   * (dims, vars, and their attributes), fixed-size variables, and
-  * record variables (the unlimited `time` dimension), big-endian,
-  * NC_INT / NC_FLOAT / NC_DOUBLE.
+  * record variables (the unlimited `time` dimension), big-endian.
+  * CDF-5 ("64-bit data", version byte 5, `nccopy -k nc5` output) widens
+  * every NON_NEG header integer to 64 bits and adds the unsigned and
+  * 64-bit integer types — both handled.
   *
   * Attributes are PARSED, not skipped: `_FillValue`/`missing_value`
   * drive the ingest-time mask→null step (the reference's
@@ -34,12 +36,15 @@ object NetCdf3 {
 
   val NcByte = 1; val NcChar = 2; val NcShort = 3
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+  // CDF-5 additions
+  val NcUByte = 7; val NcUShort = 8; val NcUInt = 9
+  val NcInt64 = 10; val NcUInt64 = 11
 
   def typeSize(t: Int): Int = t match {
-    case NcByte | NcChar => 1
-    case NcShort => 2
-    case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1
+    case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case other => throw new IllegalArgumentException(s"nc_type $other")
   }
 
@@ -93,26 +98,34 @@ object NetCdf3 {
         "not the classic CDF reader")
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F', "not a NetCDF classic file")
     val version = buf.get()
-    require(version == 1 || version == 2, s"unsupported CDF version $version")
-    val wideOffsets = version == 2
-    val numRecs = buf.getInt()
-    // 0xFFFFFFFF marks a writer-in-progress STREAMING file: the record
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version")
+    val wideOffsets = version == 2 || version == 5
+    val v5 = version == 5 // CDF-5: every NON_NEG header integer is 64-bit
+    def nonNeg(): Long = if (v5) buf.getLong() else buf.getInt().toLong & 0xffffffffL
+    def intChecked(v: Long, what: String): Int = {
+      require(v >= 0 && v <= Int.MaxValue, s"$what $v exceeds this reader's Int bound")
+      v.toInt
+    }
+    val numRecsRaw = if (v5) buf.getLong() else buf.getInt().toLong
+    // all-ones marks a writer-in-progress STREAMING file: the record
     // count must then come from the file length, which this reader does
     // not implement — fail loudly rather than ingest 0 records.
-    require(numRecs >= 0, "NetCDF STREAMING numrecs (0xFFFFFFFF) unsupported")
+    require(numRecsRaw >= 0, "NetCDF STREAMING numrecs (all-ones) unsupported")
+    val numRecs = intChecked(numRecsRaw, "numrecs")
 
     def name(): String = {
-      val len = buf.getInt()
+      val len = intChecked(nonNeg(), "name length")
       val s = new Array[Byte](len); buf.get(s)
       buf.position(buf.position() + ((4 - len % 4) % 4)) // pad to 4
       new String(s, "UTF-8")
     }
     def readAttrs(): Map[String, Attr] = {
-      val tag = buf.getInt(); val count = buf.getInt()
+      val tag = buf.getInt(); val count = intChecked(nonNeg(), "attr count")
       require(tag == NcAttribute || (tag == 0 && count == 0), s"bad attr list tag $tag")
       (0 until count).map { _ =>
         val an = name()
-        val t = buf.getInt(); val nelems = buf.getInt()
+        val t = buf.getInt(); val nelems = intChecked(nonNeg(), "attr nelems")
         val byteLen = nelems * typeSize(t)
         val raw = new Array[Byte](byteLen); buf.get(raw)
         buf.position(buf.position() + ((4 - byteLen % 4) % 4))
@@ -123,20 +136,20 @@ object NetCdf3 {
     }
 
     // dim list
-    val dimTag = buf.getInt(); val nDims = buf.getInt()
+    val dimTag = buf.getInt(); val nDims = intChecked(nonNeg(), "dim count")
     require(dimTag == NcDimension || (dimTag == 0 && nDims == 0), s"bad dim list tag $dimTag")
-    val dims = (0 until nDims).map(_ => Dim(name(), buf.getInt()))
+    val dims = (0 until nDims).map(_ => Dim(name(), intChecked(nonNeg(), "dim size")))
     val globalAttrs = readAttrs()
     // var list
-    val varTag = buf.getInt(); val nVars = buf.getInt()
+    val varTag = buf.getInt(); val nVars = intChecked(nonNeg(), "var count")
     require(varTag == NcVariable || (varTag == 0 && nVars == 0), s"bad var list tag $varTag")
     val vars = (0 until nVars).map { _ =>
       val vname = name()
-      val nd = buf.getInt()
-      val dimIds = (0 until nd).map(_ => buf.getInt())
+      val nd = intChecked(nonNeg(), "var rank")
+      val dimIds = (0 until nd).map(_ => intChecked(nonNeg(), "dimid"))
       val attrs = readAttrs()
       val ncType = buf.getInt()
-      val vsize = buf.getInt().toLong & 0xffffffffL
+      val vsize = nonNeg()
       val begin = if (wideOffsets) buf.getLong() else buf.getInt().toLong & 0xffffffffL
       val isRecord = dimIds.headOption.exists(dims(_).isRecord)
       Var(vname, dimIds, ncType, vsize, begin, isRecord, attrs)
@@ -157,6 +170,14 @@ object NetCdf3 {
         case NcDouble => buf.getDouble(i * 8)
         case NcShort => buf.getShort(i * 2).toDouble
         case NcByte => bytes(i).toDouble
+        case NcUByte => (bytes(i) & 0xff).toDouble
+        case NcUShort => (buf.getShort(i * 2) & 0xffff).toDouble
+        case NcUInt => (buf.getInt(i * 4).toLong & 0xffffffffL).toDouble
+        case NcInt64 => buf.getLong(i * 8).toDouble
+        case NcUInt64 => // no unsigned 64-bit double path without BigInt;
+          // values past Long.MaxValue lose exactness anyway in a Double
+          val v = buf.getLong(i * 8)
+          if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
         case other => throw new IllegalArgumentException(s"nc_type $other")
       }
       i += 1

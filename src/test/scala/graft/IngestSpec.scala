@@ -26,50 +26,57 @@ class IngestSpec extends SparkSpec {
   /** CDF-1 writer: dims (time=unlimited, node, nele, nvertex), vars
     * x(node) y(node) double, element(nele,nvertex) int 1-BASED,
     * time(time) double with CF units, zeta(time,node) double with
-    * _FillValue. */
-  private def writeFixture(path: String): Unit = {
+    * _FillValue. `version = 5` writes CDF-5 ("64-bit data"): every
+    * NON_NEG header integer 64-bit, begins 64-bit, and element stored
+    * as NC_INT64 to exercise the widened type set. */
+  private def writeFixture(path: String, version: Int = 1): Unit = {
+    val v5 = version == 5
+    val esz = if (v5) 8 else 4 // element payload width
     val elements1Based: Array[Int] =
       Array.tabulate(M * 3)(i => (i % N) + 1) // valid 1-based node ids
 
     def headerBytes(begins: Map[String, Int]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val o = new DataOutputStream(bos)
+      def nn(v: Long): Unit = if (v5) o.writeLong(v) else o.writeInt(v.toInt)
       def name(s: String): Unit = {
-        o.writeInt(s.length); o.writeBytes(s)
+        nn(s.length); o.writeBytes(s)
         (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
       }
       def attrList(as: Seq[(String, Any)]): Unit =
-        if (as.isEmpty) { o.writeInt(0); o.writeInt(0) }
+        if (as.isEmpty) { o.writeInt(0); nn(0) }
         else {
-          o.writeInt(NetCdf3.NcAttribute); o.writeInt(as.length)
+          o.writeInt(NetCdf3.NcAttribute); nn(as.length)
           as.foreach {
             case (n, s: String) =>
-              name(n); o.writeInt(NetCdf3.NcChar); o.writeInt(s.length)
+              name(n); o.writeInt(NetCdf3.NcChar); nn(s.length)
               o.writeBytes(s)
               (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
             case (n, d: Double) =>
-              name(n); o.writeInt(NetCdf3.NcDouble); o.writeInt(1); o.writeDouble(d)
+              name(n); o.writeInt(NetCdf3.NcDouble); nn(1); o.writeDouble(d)
             case (n, v) => fail(s"unsupported attr fixture $n=$v")
           }
         }
-      o.writeBytes("CDF"); o.writeByte(1)
-      o.writeInt(T) // numrecs
-      o.writeInt(NetCdf3.NcDimension); o.writeInt(4)
-      name("time"); o.writeInt(0)
-      name("node"); o.writeInt(N)
-      name("nele"); o.writeInt(M)
-      name("nvertex"); o.writeInt(3)
+      o.writeBytes("CDF"); o.writeByte(version)
+      nn(T) // numrecs
+      o.writeInt(NetCdf3.NcDimension); nn(4)
+      name("time"); nn(0)
+      name("node"); nn(N)
+      name("nele"); nn(M)
+      name("nvertex"); nn(3)
       attrList(Seq("Conventions" -> "CF-1.6")) // global attrs
-      o.writeInt(NetCdf3.NcVariable); o.writeInt(6)
+      o.writeInt(NetCdf3.NcVariable); nn(6)
       def vr(nm: String, dimIds: Seq[Int], typ: Int, vsize: Int,
              attrs: Seq[(String, Any)] = Nil): Unit = {
-        name(nm); o.writeInt(dimIds.length); dimIds.foreach(o.writeInt)
+        name(nm); nn(dimIds.length); dimIds.foreach(d => nn(d))
         attrList(attrs)
-        o.writeInt(typ); o.writeInt(vsize); o.writeInt(begins.getOrElse(nm, 0))
+        o.writeInt(typ); nn(vsize)
+        if (v5) o.writeLong(begins.getOrElse(nm, 0).toLong)
+        else o.writeInt(begins.getOrElse(nm, 0))
       }
       vr("x", Seq(1), NetCdf3.NcDouble, N * 8)
       vr("y", Seq(1), NetCdf3.NcDouble, N * 8)
-      vr("element", Seq(2, 3), NetCdf3.NcInt, M * 3 * 4)
+      vr("element", Seq(2, 3), if (v5) NetCdf3.NcInt64 else NetCdf3.NcInt, M * 3 * esz)
       vr("zeta_max", Seq(1), NetCdf3.NcDouble, N * 8,
          attrs = Seq("_FillValue" -> Fill))
       vr("time", Seq(0), NetCdf3.NcDouble, 8,
@@ -83,16 +90,17 @@ class IngestSpec extends SparkSpec {
     val hLen = headerBytes(Map.empty).length
     val begins = Map(
       "x" -> hLen, "y" -> (hLen + N * 8), "element" -> (hLen + 2 * N * 8),
-      "zeta_max" -> (hLen + 2 * N * 8 + M * 3 * 4),
-      "time" -> (hLen + 3 * N * 8 + M * 3 * 4),
-      "zeta" -> (hLen + 3 * N * 8 + M * 3 * 4 + 8))
+      "zeta_max" -> (hLen + 2 * N * 8 + M * 3 * esz),
+      "time" -> (hLen + 3 * N * 8 + M * 3 * esz),
+      "zeta" -> (hLen + 3 * N * 8 + M * 3 * esz + 8))
 
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
     o.write(headerBytes(begins))
     (0 until N).foreach(i => o.writeDouble(i * 0.5))       // x
     (0 until N).foreach(i => o.writeDouble(40.0 + i * 0.25)) // y
-    elements1Based.foreach(o.writeInt)                      // element (1-based)
+    elements1Based.foreach(e =>                             // element (1-based)
+      if (v5) o.writeLong(e.toLong) else o.writeInt(e))
     (0 until N).foreach(n =>                                // zeta_max: node 5 dry
       o.writeDouble(if (n == 5) Fill else 900.0 + n))
     (0 until T).foreach { t =>                              // records: time, zeta
@@ -101,6 +109,35 @@ class IngestSpec extends SparkSpec {
     }
     o.flush()
     Files.write(Paths.get(path), bos.toByteArray)
+  }
+
+  test("CDF-5 (64-bit data): wide header ints + int64 connectivity ingest identically") {
+    // nccopy -k nc5 output shape: every NON_NEG header integer 64-bit,
+    // element stored NC_INT64 — must produce the byte-identical relational
+    // result the CDF-1 file does
+    val dir = Files.createTempDirectory("graft_ingest5").toString
+    val nc1 = s"$dir/fort63_v1.nc"; val nc5 = s"$dir/fort63_v5.nc"
+    writeFixture(nc1); writeFixture(nc5, version = 5)
+    val r = RangeReader.open(nc5)
+    try {
+      val h = NetCdf3.parseHeader(r)
+      assert(h.numRecs === T)
+      assert(h.vars.find(_.name == "element").get.ncType === NetCdf3.NcInt64)
+      assert(NetCdf3.readFixed(r, h, h.vars.find(_.name == "element").get).toSeq ===
+        (0 until M * 3).map(i => ((i % N) + 1).toDouble))
+      assert(NetCdf3.readRecord(r, h, h.vars.find(_.name == "zeta").get, 2).toSeq ===
+        (0 until N).map(n => zeta(2, n)))
+    } finally r.close()
+    val out1 = Files.createTempDirectory("graft_i5a").toString
+    val out5 = Files.createTempDirectory("graft_i5b").toString
+    Ingest.fort63ToParquet(spark, nc1, out1)
+    Ingest.fort63ToParquet(spark, nc5, out5)
+    def snap(d: String) = Ingest.series(spark, d).collect()
+      .map(row => (row.getAs[Long]("ts"), row.getAs[Long]("node_id"),
+                   if (row.isNullAt(2)) null else row.getAs[Double]("value"))).toSet
+    assert(snap(out5) === snap(out1))
+    assert(Ingest.elements(spark, out5).collect().map(_.toString).sorted.toSeq ===
+           Ingest.elements(spark, out1).collect().map(_.toString).sorted.toSeq)
   }
 
   test("NetCDF-3 ingest: header, -1 shift, record-striped series, value fidelity") {
