@@ -38,22 +38,29 @@ final class FileRangeReader(path: String) extends RangeReader {
 /** One GET with a `Range: bytes=a-b` header per read — the access
   * pattern a COG/NetCDF-over-HTTP server (THREDDS fileServer, S3, any
   * static host) is built for. Stateless between reads: each task opens
-  * its own reader from the URL string, so nothing here is serialized. */
+  * its own reader from the URL string, so nothing here is serialized.
+  * Transient failures (IO resets, 5xx, 408/429) retry with backoff —
+  * at wide task fan-out a single socket reset should cost one backoff,
+  * not a whole Spark task attempt; definitive statuses (404, a 200 that
+  * ignored Range) fail immediately. */
 final class HttpRangeReader(url: String) extends RangeReader {
   /** HEAD Content-Length when the server provides it; otherwise a 1-byte
     * ranged GET whose Content-Range carries the total (`bytes 0-0/N`) —
     * some servers (including the JDK's) omit lengths on HEAD. */
-  val length: Long = {
+  val length: Long = withRetry {
     val head = connect("HEAD", None)
     val viaHead =
       try {
-        require(head.getResponseCode / 100 == 2, s"HEAD $url -> ${head.getResponseCode}")
+        val code = head.getResponseCode
+        throwIfTransient(code, s"HEAD $url")
+        require(code / 100 == 2, s"HEAD $url -> $code")
         head.getContentLengthLong
       } finally head.disconnect()
     if (viaHead >= 0) viaHead
     else {
       val probe = connect("GET", Some((0L, 0L)))
       try {
+        throwIfTransient(probe.getResponseCode, s"GET $url (length probe)")
         require(probe.getResponseCode == 206, s"$url: server does not honor Range requests")
         val cr = Option(probe.getHeaderField("Content-Range")).getOrElse("")
         val total = cr.split('/').lastOption.flatMap(_.toLongOption)
@@ -66,23 +73,48 @@ final class HttpRangeReader(url: String) extends RangeReader {
 
   def readFully(offset: Long, dst: Array[Byte]): Unit = {
     if (dst.length == 0) return
-    val c = connect("GET", Some((offset, offset + dst.length - 1)))
-    try {
-      require(c.getResponseCode == 206 || c.getResponseCode == 200,
-        s"GET $url range bytes=$offset-${offset + dst.length - 1} -> ${c.getResponseCode}")
-      val in = c.getInputStream
+    withRetry {
+      val c = connect("GET", Some((offset, offset + dst.length - 1)))
       try {
-        // a 200 (server ignored Range) would stream from 0 — reject, the
-        // whole point is not transferring the file
-        require(c.getResponseCode == 206, s"$url: server does not honor Range requests")
-        var read = 0
-        while (read < dst.length) {
-          val n = in.read(dst, read, dst.length - read)
-          require(n >= 0, s"$url: EOF at ${offset + read}, wanted ${dst.length} from $offset")
-          read += n
-        }
-      } finally in.close()
-    } finally c.disconnect()
+        val code = c.getResponseCode
+        throwIfTransient(code, s"GET $url range bytes=$offset-${offset + dst.length - 1}")
+        require(code == 206 || code == 200,
+          s"GET $url range bytes=$offset-${offset + dst.length - 1} -> $code")
+        val in = c.getInputStream
+        try {
+          // a 200 (server ignored Range) would stream from 0 — reject, the
+          // whole point is not transferring the file
+          require(code == 206, s"$url: server does not honor Range requests")
+          var read = 0
+          while (read < dst.length) {
+            val n = in.read(dst, read, dst.length - read)
+            require(n >= 0, s"$url: EOF at ${offset + read}, wanted ${dst.length} from $offset")
+            read += n
+          }
+        } finally in.close()
+      } finally c.disconnect()
+    }
+  }
+
+  /** 5xx and the two retry-me 4xx codes surface as IOException so the
+    * retry loop below sees exactly the transient class. */
+  private def throwIfTransient(code: Int, what: String): Unit =
+    if (code >= 500 || code == 408 || code == 429)
+      throw new java.io.IOException(s"$what -> $code (transient)")
+
+  private def withRetry[A](f: => A): A = {
+    var last: Throwable = null
+    var i = 0
+    while (i < 3) {
+      try return f
+      catch {
+        case e: java.io.IOException =>
+          last = e
+          i += 1
+          if (i < 3) Thread.sleep(250L << i)
+      }
+    }
+    throw last
   }
 
   private def connect(method: String, range: Option[(Long, Long)]): HttpURLConnection = {

@@ -249,6 +249,51 @@ class IngestSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("HTTP range reads retry transient 503s, then fail definitive statuses fast") {
+    val dir = Files.createTempDirectory("graft_flaky_http").toString
+    val nc = s"$dir/fort63.nc"
+    writeFixture(nc)
+    val bytes = Files.readAllBytes(Paths.get(nc))
+    val fails = new java.util.concurrent.atomic.AtomicInteger(2) // first 2 GETs 503
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky.nc", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      ex.getRequestMethod match {
+        case "HEAD" =>
+          ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.close()
+        case "GET" =>
+          hits.incrementAndGet()
+          if (fails.getAndDecrement() > 0) {
+            ex.sendResponseHeaders(503, -1); ex.getResponseBody.close()
+          } else {
+            val r = ex.getRequestHeaders.getFirst("Range")
+            val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+            val slice = java.util.Arrays.copyOfRange(bytes, a.toInt, b.toInt + 1)
+            ex.getResponseHeaders.set("Content-Range", s"bytes $a-$b/${bytes.length}")
+            ex.sendResponseHeaders(206, slice.length.toLong)
+            ex.getResponseBody.write(slice); ex.getResponseBody.close()
+          }
+        case _ => ex.sendResponseHeaders(405, -1); ex.getResponseBody.close()
+      }
+    })
+    server.start()
+    try {
+      val r = RangeReader.open(s"http://127.0.0.1:${server.getAddress.getPort}/flaky.nc")
+      try {
+        val head = new Array[Byte](4)
+        r.readFully(0, head) // absorbs the two 503s, succeeds on a retry
+        assert(new String(head, 0, 3, "US-ASCII") === "CDF")
+        // at least one retry beyond the two failures, bounded (no hammering);
+        // exact counts are brittle — the JDK connection layer may add an
+        // internal replay of its own
+        assert(hits.get() >= 3 && hits.get() <= 6, s"hits=${hits.get()}")
+      } finally r.close()
+    } finally server.stop(0)
+  }
+
   test("HTTP range-request ingest: same file over a Range-honoring server") {
     val dir = Files.createTempDirectory("graft_ingest_http").toString
     val nc = s"$dir/fort63.nc"
