@@ -82,7 +82,7 @@ object NetCdf3 {
     val n = math.min(r.length, 1 << 20).toInt
     val bytes = new Array[Byte](n)
     r.readFully(0, bytes)
-    try parseHeaderBytes(bytes)
+    try parseHeaderBytes(bytes, r.length)
     catch {
       case _: BufferUnderflowException =>
         throw new IllegalArgumentException(
@@ -90,7 +90,8 @@ object NetCdf3 {
     }
   }
 
-  private def parseHeaderBytes(bytes: Array[Byte]): Header = {
+  private[sources] def parseHeaderBytes(bytes: Array[Byte],
+                                        fileLength: Long = -1L): Header = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     if (isHdf5(bytes))
       throw new IllegalArgumentException(
@@ -109,10 +110,10 @@ object NetCdf3 {
     }
     val numRecsRaw = if (v5) buf.getLong() else buf.getInt().toLong
     // all-ones marks a writer-in-progress STREAMING file: the record
-    // count must then come from the file length, which this reader does
-    // not implement — fail loudly rather than ingest 0 records.
-    require(numRecsRaw >= 0, "NetCDF STREAMING numrecs (all-ones) unsupported")
-    val numRecs = intChecked(numRecsRaw, "numrecs")
+    // count then comes from the file length (complete records past the
+    // record block's start) — resolved after the var list is parsed.
+    val streaming = numRecsRaw == -1L
+    require(streaming || numRecsRaw >= 0, s"negative numrecs $numRecsRaw")
 
     def name(): String = {
       val len = intChecked(nonNeg(), "name length")
@@ -156,6 +157,17 @@ object NetCdf3 {
     }
     // record size = sum of record-var vsizes (each already padded to 4)
     val recSize = vars.filter(_.isRecord).map(_.vsize).sum
+    val numRecs =
+      if (!streaming) intChecked(numRecsRaw, "numrecs")
+      else {
+        // writer-in-progress file (live ASGS output): count the COMPLETE
+        // records present; a partial record at the tail is excluded by
+        // the integer division, matching netcdf-c's read-side behavior
+        require(fileLength >= 0 && recSize > 0,
+          "NetCDF STREAMING numrecs needs a known file length and a record variable")
+        val recBegin = vars.filter(_.isRecord).map(_.begin).min
+        intChecked(math.max(0L, fileLength - recBegin) / recSize, "derived numrecs")
+      }
     Header(dims, vars, numRecs, recSize, globalAttrs)
   }
 

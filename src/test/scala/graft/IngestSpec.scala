@@ -29,7 +29,8 @@ class IngestSpec extends SparkSpec {
     * _FillValue. `version = 5` writes CDF-5 ("64-bit data"): every
     * NON_NEG header integer 64-bit, begins 64-bit, and element stored
     * as NC_INT64 to exercise the widened type set. */
-  private def writeFixture(path: String, version: Int = 1): Unit = {
+  private def writeFixture(path: String, version: Int = 1,
+                           streamingNumrecs: Boolean = false): Unit = {
     val v5 = version == 5
     val esz = if (v5) 8 else 4 // element payload width
     val elements1Based: Array[Int] =
@@ -58,7 +59,7 @@ class IngestSpec extends SparkSpec {
           }
         }
       o.writeBytes("CDF"); o.writeByte(version)
-      nn(T) // numrecs
+      nn(if (streamingNumrecs) -1L else T) // numrecs (-1 = STREAMING sentinel)
       o.writeInt(NetCdf3.NcDimension); nn(4)
       name("time"); nn(0)
       name("node"); nn(N)
@@ -344,6 +345,29 @@ class IngestSpec extends SparkSpec {
                    if (r.isNullAt(2)) null else r.getAs[Double]("value"))).toSet
       assert(remote === local)
     } finally server.stop(0)
+  }
+
+  test("STREAMING numrecs derives the record count from the file length") {
+    // the writer-in-progress shape of live ASGS output: numrecs is the
+    // all-ones sentinel, and the reader must count the COMPLETE records
+    // present — including ignoring a half-written record at the tail
+    val dir = Files.createTempDirectory("graft_ingest_stream").toString
+    val nc = s"$dir/live.nc"
+    writeFixture(nc, streamingNumrecs = true)
+    val r = RangeReader.open(nc)
+    try {
+      val h = NetCdf3.parseHeader(r)
+      assert(h.numRecs === T)
+      assert(NetCdf3.readRecord(r, h, h.vars.find(_.name == "zeta").get, T - 1).toSeq ===
+        (0 until N).map(n => zeta(T - 1, n)))
+    } finally r.close()
+    // truncate mid-record: the partial record must not count
+    val full = Files.readAllBytes(Paths.get(nc))
+    val cut = s"$dir/live_cut.nc"
+    Files.write(Paths.get(cut), java.util.Arrays.copyOf(full, full.length - (N / 2) * 8))
+    val r2 = RangeReader.open(cut)
+    try assert(NetCdf3.parseHeader(r2).numRecs === T - 1)
+    finally r2.close()
   }
 
   test("STREAMING numrecs sentinel and HDF5 magic fail with actionable errors") {
