@@ -408,6 +408,32 @@ object Hdf5 {
       viaSymtab.getOrElse(Seq.empty) ++ linkMsgs ++ denseLinks
     }
 
+    /** Attribute Info (0x0015): DENSE attribute storage — libhdf5 moves
+      * ALL of an object's attributes into a fractal heap indexed by a
+      * name v2 B-tree (type 8 records) once they exceed the compact
+      * threshold (8 by default). Missing this would silently drop
+      * `_FillValue` on a heavily-attributed variable, so the fill mask
+      * must survive this storage form like any other. */
+    private def denseAttrMsgs(msgs: Seq[Msg]): Seq[Array[Byte]] =
+      msgs.find(_.typ == 0x0015).toSeq.flatMap { m =>
+        val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
+        b.get() // version
+        val flags = b.get() & 0xff
+        if ((flags & 1) != 0) b.getShort() // max creation index (2 bytes here)
+        val fheap = b.getLong
+        val nameBtree = b.getLong
+        if (fheap == Undef || nameBtree == Undef) Seq.empty
+        else {
+          val heap = new FractalHeap(fheap)
+          walkV2Btree(nameBtree, 8).map { rec =>
+            // type 8 record: heap ID (8, zero-padded past the heap's real
+            // ID width) + message flags (1) + creation order (4) + name
+            // hash (4); enumeration needs only the ID
+            heap.readObject(java.util.Arrays.copyOf(rec, 8))
+          }
+        }
+      }
+
     /** Bytes needed to encode values up to `v` — libhdf5's
       * H5VM_limit_enc_size, the field-width rule behind fractal-heap
       * lengths and v2-B-tree record counts. */
@@ -579,7 +605,8 @@ object Hdf5 {
           dt <- msgs.find(_.typ == 0x0003).map(m => parseDatatype(m.body))
           lo <- msgs.find(_.typ == 0x0008).map(m => parseLayout(m.body))
         } yield {
-          val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttr(m.body))
+          val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttr(m.body)) ++
+            denseAttrMsgs(msgs).map(parseAttr)
           val filters = msgs.find(_.typ == 0x000B).map(m => parseFilters(m.body))
             .getOrElse(Seq.empty)
           name -> Dataset(name, ds._1, ds._2, dt, lo,

@@ -883,7 +883,8 @@ object Hdf5Fixture {
     * once a group passes the compact-links threshold. */
   def writeLatest(c: Content, extraVars: Int = 0, faPageBits: Int = 10,
                   eaPageBits: Int = 10, zmSubtree: Int = 0,
-                  heapStart: Long = 512L, heapMaxDirect: Long = 65536L): Array[Byte] = {
+                  heapStart: Long = 512L, heapMaxDirect: Long = 65536L,
+                  zmDenseAttrs: Int = 0): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(48) // superblock v2; patched last
 
@@ -921,14 +922,34 @@ object Hdf5Fixture {
     }
     val zmBt = writeV2Btree(buf, 11, zmRecords, leafSize = 1,
       subtreeSize = zmSubtree) // BTIN root (depth 2 when zmSubtree > 0)
+    // zmDenseAttrs > 0: _FillValue + that many extras stored DENSE — the
+    // Attribute Info (0x0015) shape libhdf5 writes past 8 attributes:
+    // attribute message bodies in a fractal heap + a name v2 B-tree
+    // (type 8: heap ID padded to 8 + flags + creation order + hash)
+    val zmAttrMsgs: Seq[(Int, Array[Byte])] =
+      if (zmDenseAttrs <= 0) Seq(0x000C -> doubleAttr("_FillValue", c.fill))
+      else {
+        val bodies = doubleAttrV3("_FillValue", c.fill) +:
+          (0 until zmDenseAttrs).map(i => stringAttrV3(f"meta$i%02d", s"value-$i"))
+        val (afh, aids) = writeFractalHeap(buf, bodies)
+        val recs = aids.zipWithIndex.map { case (id, i) =>
+          val b = ByteBuffer.allocate(17).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(java.util.Arrays.copyOf(id, 8)) // heap ID, zero-padded
+          b.put(0.toByte).putInt(i).putInt(i)   // msg flags, creation order, hash
+          b.array()
+        }
+        val abt = writeV2Btree(buf, 8, recs)
+        val info = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        info.put(0.toByte).put(0.toByte).putLong(afh).putLong(abt)
+        Seq(0x0015 -> info.array())
+      }
     val zmOh = writeObjectHeaderV2(buf, Seq(
       0x0001 -> dataspace(Array(c.n.toLong), unlimitedFirst = false),
       0x0003 -> f64Type,
       0x0008 -> layoutV4(0, Array(5L, 8L), 5,
         { val b = ByteBuffer.allocate(6).order(ByteOrder.LITTLE_ENDIAN)
           b.putInt(512).put(100.toByte).put(40.toByte); b.array() }, zmBt),
-      0x000C -> doubleAttr("_FillValue", c.fill),
-      0x000B -> filterPipelineMsg(Seq(3 -> Array.empty[Int]))))
+      0x000B -> filterPipelineMsg(Seq(3 -> Array.empty[Int]))) ++ zmAttrMsgs)
 
     // time: extensible-array index (type 4), 1 direct slot → exercises a
     // data block too (2 chunks of 3 records)

@@ -309,6 +309,22 @@ class Hdf5Spec extends SparkSpec {
     } finally nc.close()
   }
 
+  test("dense attribute storage: _FillValue survives the fractal-heap form") {
+    // past 8 attributes libhdf5 moves ALL of an object's attrs dense
+    // (Attribute Info message + fractal heap + name v2 B-tree); a reader
+    // that only parses compact 0x000C messages would silently lose the
+    // fill mask and ingest -99999 sentinels as real values
+    val dir = Files.createTempDirectory("graft_h5denseattr").toString
+    val p = s"$dir/dense_attrs.nc"
+    Files.write(Paths.get(p), Hdf5Fixture.writeLatest(c, zmDenseAttrs = 9))
+    val nc = NcFile.open(p)
+    try {
+      assert(nc.fillValue("zeta_max") === Some(c.fill))
+      assert(nc.strAttr("zeta_max", "meta03") === Some("value-3"))
+      assert(nc.readFixed("zeta_max").toSeq === (0 until c.n).map(c.zetaMax))
+    } finally nc.close()
+  }
+
   test("fractal heap with CHILD indirect blocks enumerates every link") {
     // small doubling table (start 64, max direct 128 -> 3 direct rows
     // covering 1 KiB) + 60 extra vars: the heap must grow child indirect
