@@ -73,19 +73,18 @@ object Bench {
     val nErr = failed.size
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}"""
-    val contract =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":{},"sf":"$sfDir"}"""
-    // The contract line survives in THREE places so any driver capture
-    // parses it: its own file (immune to sbt's [success] trailer, which
-    // follows the last stdout line when run through sbt), the full
-    // per-query dump, and the true final stdout line below.
+    // The contract line (with the per-query map — the driver's schema
+    // wants "queries":{"q1":sec,...}) survives in TWO places so any
+    // driver capture parses it: its own file (immune to sbt's [success]
+    // trailer, which follows the last stdout line when run through sbt)
+    // and the true final stdout line below.
     try {
       Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
-      Files.writeString(Paths.get("BENCH_TOTAL.json"), contract + "\n")
+      Files.writeString(Paths.get("BENCH_TOTAL.json"), full + "\n")
     } catch { case _: Throwable => () }
     println(full)
     spark.stop()
     // AFTER stop(): no Spark shutdown chatter can interleave past it.
-    println(contract)
+    println(full)
   }
 }

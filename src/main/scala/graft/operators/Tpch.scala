@@ -155,6 +155,126 @@ object Tpch {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
   }
 
+  /** Q2 shape (minimum-cost supplier): correlated scalar MIN subquery with
+    * its own join inside — Catalyst decorrelates to a grouped MIN aggregate
+    * joined back on the correlation key (p_partkey), so the "for each part,
+    * the cheapest supplier" semantics cost one aggregate + one join, never
+    * a per-row subquery. The corpus has no partsupp table; DISTINCT
+    * (l_partkey, l_suppkey) from lineitem is its natural surrogate, and
+    * s_acctbal stands in for ps_supplycost. The double equality is an
+    * exact copy-compare (no arithmetic on either side), so both engines
+    * agree bit-for-bit. */
+  def qTpchQ2(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+        |FROM part, (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, supplier, nation
+        |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+        |  AND s_nationkey = n_nationkey AND p_size = 15
+        |  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+        |                   FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+        |                   JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        |                   WHERE ps2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, s_name, p_partkey""".stripMargin)
+  }
+
+  /** Q13 (customer distribution): LEFT OUTER join with a non-key join-side
+    * predicate (kept in the join condition, NOT the WHERE — the TPC-H trap
+    * that silently turns an outer join inner), then a two-level aggregate:
+    * orders-per-customer, customers-per-count. The outer join preserves
+    * order-less customers as c_count = 0. */
+  def qTpchQ13(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** Q16 (parts/supplier relationship): NOT IN over a subquery — Spark
+    * plans a null-aware ANTI join (BroadcastNestedLoop degenerates to a
+    * broadcast hash anti here because s_suppkey is non-nullable) — plus
+    * COUNT(DISTINCT) under GROUP BY, which Catalyst expands to a two-phase
+    * distinct-then-count aggregate. */
+  def qTpchQ16(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = ps.l_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** Q19 (discounted revenue): the disjunctive-predicate probe — three
+    * brand/size/quantity AND-groups OR'd together. Catalyst extracts the
+    * common p_partkey = l_partkey equi-key for the join and keeps the
+    * OR-of-ANDs as a post-join filter; the per-branch p_size/p_brand
+    * bounds are NOT individually pushable, which is exactly what the
+    * shape tests (an engine that tries to push the disjunction per-table
+    * returns wrong rows). */
+  def qTpchQ19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+           col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+           col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+           col("l_quantity").between(20, 30)))
+      .agg(sum(extD * (lit(BigDecimal("1.00")) - discD)).cast("double").as("revenue"),
+           count(lit(1)).as("n"))
+
+  /** Q21 (suppliers who kept orders waiting): the double-correlation probe —
+    * one EXISTS (another supplier touched the same order → left SEMI join)
+    * and one NOT EXISTS whose predicate references attributes from TWO
+    * outer tables (l1.l_orderkey/l_suppkey AND o_orderdate → left ANTI
+    * join after the outer join has produced both). Adapted to the corpus
+    * (no commit/receipt dates): "late" = shipped more than a year after
+    * the order date. */
+  def qTpchQ21(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAYS
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAYS)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+  }
+
+  /** Q22 (global sales opportunity): UNCORRELATED scalar subquery (the
+    * global positive-balance average computes once and broadcasts as a
+    * literal-after-first-job) + NOT EXISTS anti join + final rollup.
+    * The threshold averages DECIMAL(18,2) values so the aggregation is
+    * partial-order-independent on the Spark side; the corpus has no
+    * phone column, so the country-code grouping becomes c_nationkey and
+    * "no orders" (empty here — every customer ordered) becomes "no
+    * order placed in 1998". */
+  def qTpchQ22(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
   /** Q6: forecasting revenue change — pushed range filters, 1-row result. */
   def qTpchQ6(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -167,13 +287,19 @@ object Tpch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> (qTpchQ1 _),
+    "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q12" -> (qTpchQ12 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q16" -> (qTpchQ16 _),
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q21" -> (qTpchQ21 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
     "q_sql_not_exists" -> (qSqlNotExists _),
   )
 
@@ -262,5 +388,59 @@ object Tpch {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24.0""".stripMargin,
+    "q_tpch_q2" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+        |FROM part, (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, supplier, nation
+        |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+        |  AND s_nationkey = n_nationkey AND p_size = 15
+        |  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+        |                   FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+        |                   JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        |                   WHERE ps2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, s_name, p_partkey""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = ps.l_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 }

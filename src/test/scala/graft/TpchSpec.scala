@@ -51,6 +51,93 @@ class TpchSpec extends SparkSpec {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("Q2: scalar MIN subquery decorrelates; every surviving row IS its part's minimum") {
+    val df = Tpch.qTpchQ2(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // recompute each part's min acctbal independently and cross-check
+    val minByPart = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(Tables.supplier(spark, sf), col("s_suppkey") === col("l_suppkey"))
+      .groupBy("l_partkey").agg(min("s_acctbal").as("mn"))
+      .collect().map(r => r.getAs[Long]("l_partkey") -> r.getAs[Double]("mn")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("s_acctbal") === minByPart(r.getAs[Long]("p_partkey")))
+    }
+  }
+
+  test("Q13: outer join keeps every customer; distribution totals the customer count") {
+    val rows = Tpch.qTpchQ13(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum === nCust)
+    // weighted count total = number of non-urgent orders (each counted once)
+    val nOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum === nOrders)
+  }
+
+  test("Q16: NOT IN plans as an anti join and excluded suppliers never appear") {
+    // sf0.01: the smallest corpus whose exclusion set (negative-balance
+    // suppliers) is non-empty, so the anti join actually removes rows
+    val sf01 = "/root/testdata/sf0.01"
+    val df = Tpch.qTpchQ16(spark, sf01)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Anti"), plan)
+    val bad = Tables.supplier(spark, sf01).filter(col("s_acctbal") < 0.0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(bad.nonEmpty)
+    val withSupp = Tables.lineitem(spark, sf01)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(Tables.part(spark, sf01), col("p_partkey") === col("l_partkey"))
+      .filter(col("p_brand") =!= "Brand#45" &&
+              col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49) &&
+              !col("l_suppkey").isin(bad.toSeq: _*))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .count()
+    assert(df.count() === withSupp)
+  }
+
+  test("Q19: disjunction stays a post-join filter — branch sums add up") {
+    val row = Tpch.qTpchQ19(spark, sf).collect().head
+    val joined = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("p_partkey") === col("l_partkey"))
+    def branch(b: String, sz: (Int, Int), q: (Int, Int)) =
+      joined.filter(col("p_brand") === b && col("p_size").between(sz._1, sz._2) &&
+                    col("l_quantity").between(q._1, q._2)).count()
+    val total = branch("Brand#12", (1, 5), (1, 11)) +
+      branch("Brand#23", (1, 10), (10, 20)) + branch("Brand#34", (1, 15), (20, 30))
+    // branches are disjoint on p_brand, so counts must add exactly
+    assert(row.getAs[Long]("n") === total)
+  }
+
+  test("Q21: semi+anti double correlation — no group exceeds its supplier's late-line count") {
+    val df = Tpch.qTpchQ21(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Semi") && plan.contains("Anti"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("numwait") > 0))
+  }
+
+  test("Q22: threshold filter keeps only above-average balances") {
+    // sf0.01: the smallest corpus where some customer both clears the
+    // average-balance threshold and placed no 1998 order
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Tpch.qTpchQ22(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val avg = Tables.customer(spark, sf01).filter(col("c_acctbal") > 0.0)
+      .select(org.apache.spark.sql.functions.avg(col("c_acctbal").cast("decimal(18,2)")))
+      .collect().head.getDecimal(0).doubleValue()
+    rows.foreach { r =>
+      // every contributing customer's balance exceeds the global average,
+      // so each group's mean must too
+      assert(r.getAs[Double]("totacctbal") / r.getAs[Long]("numcust") > avg)
+    }
+  }
+
   test("Q6 equals the sum of per-row ext*disc over the filtered set") {
     val row = Tpch.qTpchQ6(spark, sf).collect().head
     val manual = Tables.lineitem(spark, sf)
