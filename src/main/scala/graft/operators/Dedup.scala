@@ -267,7 +267,44 @@ object Dedup {
       .orderBy("event_type")
   }
 
+  /** EXT: segment-level (CCNet-style line/boilerplate) dedup — the granular
+    * pass exact-dedup misses: a segment (4-word non-overlapping span here;
+    * a line or paragraph in a real crawl) that recurs across DISTINCT
+    * documents is boilerplate and is struck from every document, then each
+    * document is reassembled from its surviving segments in order.
+    *
+    * Spark-first shape: segments come from pure array expressions
+    * (sequence → slice → concat_ws, all codegen'd — no explode-then-
+    * reorder, whose collect_list order is undefined), one hash-agg counts
+    * distinct docs per segment, one equi-join annotates instances, and
+    * sort_array(collect_list(struct(...))) makes the reassembly order
+    * deterministic. At 100 TB this runs per-shard exactly like CCNet: the
+    * segment-frequency table is the only shuffled state, and it shuffles
+    * (hash, count) pairs an order of magnitude smaller than the corpus. */
+  def qDedupSegments(s: SparkSession, d: String): DataFrame = {
+    val segsCol = expr(
+      """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 4.0) as int) - 1),
+        |          i -> concat_ws(' ', slice(split(text, ' '), i * 4 + 1, 4)))""".stripMargin)
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(segsCol).as(Seq("seg_no", "seg")))
+    val freq = segs.groupBy("seg")
+      .agg(countDistinct("doc_id").as("nd"))
+    segs.join(freq, "seg")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(
+            filter(sort_array(collect_list(struct(col("seg_no"), col("seg"),
+                                                  (col("nd") === 1).as("keep")))),
+                   x => x.getField("keep")),
+            x => x.getField("seg"))).as("text_kept"),
+        count(lit(1)).as("n_segs"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_segments"      -> (qDedupSegments _),
     "q_dedup_replay"        -> (qDedupReplay _),
     "q_dedup_minhash"       -> (qDedupMinhash _),
     "q_dedup_minhash_xx"    -> (qDedupMinhashXx _),
@@ -282,6 +319,23 @@ object Dedup {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_segments" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST((pos - 1) // 4 AS BIGINT) AS seg_no,
+        |         string_agg(word, ' ' ORDER BY pos) AS seg
+        |  FROM words GROUP BY doc_id, (pos - 1) // 4),
+        |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+        |SELECT s.doc_id,
+        |       COALESCE(string_agg(CASE WHEN f.nd = 1 THEN s.seg END, ' ' ORDER BY s.seg_no), '') AS text_kept,
+        |       COUNT(*) AS n_segs,
+        |       SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_dropped
+        |FROM segs s JOIN freq f USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q_dedup_replay" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value

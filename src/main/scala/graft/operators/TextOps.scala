@@ -268,6 +268,29 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** EXT: sequence packing — assign documents to fixed-token-budget bins
+    * (512 here), the batch-construction step before training: a running
+    * token total in deterministic doc order, bin = exclusive-cumsum / budget
+    * (a document straddling the boundary opens the next bin, the standard
+    * contiguous-fill packing). The window partitions by SOURCE, not
+    * globally — the 100 TB-safe shape: each source's cumsum is an
+    * independent partition-local scan, no single-partition global window.
+    * Bin stats (doc count, token sum, id range) come out of the same
+    * grouped pass. */
+  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("c", sum("n_tokens").over(w))
+      .groupBy(col("source"),
+               floor((col("c") - col("n_tokens")) / lit(512.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
   /** EXT: stratified sampling — exactly `n` docs per language (the
     * class-balancing shape), deterministic via hash-order ranking inside
     * each stratum. One window shuffle on the stratum key. */
@@ -385,6 +408,7 @@ object TextOps {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_curate_source_cap" -> (qCurateSourceCap _),
     "q_mix_temperature"   -> (qMixTemperature _),
+    "q_pack_sequences"    -> (qPackSequences _),
     "q_corpus_curate"    -> (qCorpusCurate _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -402,6 +426,20 @@ object TextOps {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks)
+        |SELECT source, CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM cum GROUP BY source, CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT)
+        |ORDER BY source, bin""".stripMargin,
     "q_text_decontam" ->
       s"""WITH bench AS (
         |  SELECT DISTINCT unnest($duckShingles) AS shingle

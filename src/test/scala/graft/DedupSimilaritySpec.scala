@@ -256,6 +256,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(qInPOrder.zip(qInPOrder.tail).forall { case (a, b) => b >= a })
   }
 
+  test("segment dedup: kept+dropped partition each doc; kept text has no cross-doc segment") {
+    val out = Dedup.qDedupSegments(spark, sf).collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val kept = r.getAs[String]("text_kept")
+      val nKept = if (kept.isEmpty) 0L else (kept.split(" ").length + 3) / 4
+      assert(nKept + r.getAs[Long]("n_dropped") === r.getAs[Long]("n_segs"))
+    }
+    // something was actually identified as boilerplate in this corpus
+    assert(out.map(_.getAs[Long]("n_dropped")).sum > 0)
+    // surviving segments are globally unique: re-running dedup on the
+    // kept text drops nothing
+    val segsOf = (t: String) => t.split(" ").grouped(4).map(_.mkString(" ")).toSeq
+    val survivors = out.flatMap(r => segsOf(r.getAs[String]("text_kept")).filter(_.nonEmpty)
+      .map(_ -> r.getAs[Long]("doc_id")))
+    val byDocCount = survivors.groupBy(_._1).map { case (_, v) => v.map(_._2).distinct.size }
+    assert(byDocCount.forall(_ === 1))
+  }
+
+  test("sequence packing: bins fill contiguously and conserve every token") {
+    val out = TextOps.qPackSequences(spark, sf).collect()
+    val totalTokens = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("sum_tokens")).sum === totalTokens)
+    // within each source, bins are consecutive from 0 and doc-id ranges
+    // never overlap (contiguous fill)
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("bin"))
+      assert(sorted.map(_.getAs[Long]("bin")).toSeq === sorted.indices.map(_.toLong))
+      val ranges = sorted.map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+      ranges.zip(ranges.tail).foreach { case ((_, lastA), (firstB, _)) =>
+        assert(lastA < firstB)
+      }
+      // exclusive-cumsum binning: bin b+1 only opens once the running
+      // token total has reached its boundary, so every prefix of bins
+      // must carry at least 512 * (bins so far) tokens
+      val prefix = sorted.map(_.getAs[Long]("sum_tokens")).scanLeft(0L)(_ + _).drop(1)
+      prefix.init.zipWithIndex.foreach { case (p, i) => assert(p >= 512L * (i + 1)) }
+    }
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
