@@ -67,6 +67,46 @@ class LayoutSpec extends SparkSpec {
     assert(salted.map(_.toString).toSeq === plain.map(_.toString).toSeq)
   }
 
+  test("runtime bloom-filter pruning injects into the big side of a shuffle join") {
+    // The 100 TB join-pruning mechanism: a selective filter on one join
+    // side makes Catalyst inject might_contain(bloom(keys)) into the OTHER
+    // side's scan, so the big table drops non-matching rows before the
+    // shuffle. Tiny corpora fail the size heuristics, so lower them (and
+    // disable broadcast — runtime filters only apply to shuffle joins);
+    // at production scale the defaults trigger on their own.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val joined = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        .join(Tables.orders(spark, sf)
+                .filter(col("o_orderpriority") === "1-URGENT")
+                .select("o_orderkey", "o_totalprice"),
+              col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom filter on the lineitem side:\n$optimized")
+      // and the filter is transparent: row set identical with it disabled
+      val withFilter = joined.count()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(withFilter === Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        .join(Tables.orders(spark, sf)
+                .filter(col("o_orderpriority") === "1-URGENT")
+                .select("o_orderkey", "o_totalprice"),
+              col("l_orderkey") === col("o_orderkey")).count())
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("time-partitioned layout: one output partition per time key") {
     val df = Tables.events(spark, sf)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
