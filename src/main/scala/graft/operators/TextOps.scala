@@ -268,6 +268,28 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** EXT: unigram-LM surprisal scoring — the CCNet/KenLM quality-filter
+    * shape with the corpus's own unigram model: mean -ln p(word) per
+    * document (low = head-like fluent text, high = rare-token noise; a
+    * real pipeline thresholds on it per language). Two aggregates — the
+    * vocabulary (tiny relative to the corpus; broadcastable at 100 TB for
+    * any reasonable vocab) and the per-doc mean — with the word stream
+    * joined to the model, never materialized per-doc. The score rounds to
+    * 1e-4: the only cross-engine drift source is the last ulp of ln(), ~9
+    * orders of magnitude below the rounding grid. */
+  def qTextUnigramLp(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").as("n"))
+    words.join(broadcast(vocab), "word")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(-log(col("c").cast("double") / col("n"))), 4).as("surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** EXT: sequence packing — assign documents to fixed-token-budget bins
     * (512 here), the batch-construction step before training: a running
     * token total in deterministic doc order, bin = exclusive-cumsum / budget
@@ -409,6 +431,7 @@ object TextOps {
     "q_curate_source_cap" -> (qCurateSourceCap _),
     "q_mix_temperature"   -> (qMixTemperature _),
     "q_pack_sequences"    -> (qPackSequences _),
+    "q_text_unigram_lp"   -> (qTextUnigramLp _),
     "q_corpus_curate"    -> (qCorpusCurate _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -426,6 +449,15 @@ object TextOps {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_unigram_lp" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+        |tot AS (SELECT SUM(c) AS n FROM vocab)
+        |SELECT w.doc_id, COUNT(*) AS n_tokens,
+        |       ROUND(AVG(-LN(v.c / t.n)), 4) AS surprisal
+        |FROM words w JOIN vocab v USING (word), tot t
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens

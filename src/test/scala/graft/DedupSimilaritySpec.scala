@@ -298,6 +298,22 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("unigram surprisal: scores bounded by the rarest/commonest word's self-information") {
+    val out = TextOps.qTextUnigramLp(spark, sf).collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(_.getAs[Long]("count"))
+    val n = counts.sum.toDouble
+    val lo = -math.log(counts.max / n) - 1e-4
+    val hi = -math.log(counts.min / n) + 1e-4
+    out.foreach { r =>
+      val sp = r.getAs[Double]("surprisal")
+      assert(sp >= lo && sp <= hi, s"surprisal $sp outside [$lo, $hi]")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
