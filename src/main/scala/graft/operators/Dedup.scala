@@ -280,12 +280,15 @@ object Dedup {
     * sort_array(collect_list(struct(...))) makes the reassembly order
     * deterministic. At 100 TB this runs per-shard exactly like CCNet: the
     * segment-frequency table is the only shuffled state, and it shuffles
-    * (hash, count) pairs an order of magnitude smaller than the corpus. */
+    * (hash, count) pairs an order of magnitude smaller than the corpus.
+    * The fanout repartition doubles as a materialization point: both the
+    * frequency aggregate and the instance join hang off the SAME exchange
+    * subtree, so ReuseExchange computes the scan+segmentation once. */
   def qDedupSegments(s: SparkSession, d: String): DataFrame = {
     val segsCol = expr(
       """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 4.0) as int) - 1),
         |          i -> concat_ws(' ', slice(split(text, ' '), i * 4 + 1, 4)))""".stripMargin)
-    val segs = Tables.documents(s, d)
+    val segs = fanout(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), posexplode(segsCol).as(Seq("seg_no", "seg")))
     val freq = segs.groupBy("seg")
       .agg(countDistinct("doc_id").as("nd"))
