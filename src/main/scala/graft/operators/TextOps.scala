@@ -290,11 +290,16 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** EXT: sequence packing — assign documents to fixed-token-budget bins
-    * (512 here), the batch-construction step before training: a running
-    * token total in deterministic doc order, bin = exclusive-cumsum / budget
-    * (a document straddling the boundary opens the next bin, the standard
-    * contiguous-fill packing). The window partitions by SOURCE, not
+  /** EXT: sequence packing — assign documents to 512-token-budget bins,
+    * the batch-construction step before training: a running token total
+    * in deterministic doc order, bin = exclusive-cumsum / budget. This is
+    * contiguous-fill CHUNK ASSIGNMENT, not greedy bin packing: a document
+    * whose tokens straddle a boundary stays in (and overfills) the bin
+    * its first token lands in — training handles the overflow by
+    * truncation/continuation — and a document longer than the budget
+    * advances the running total past several boundaries, so bin ids can
+    * skip (greedy close-on-overflow packing is inherently sequential
+    * state and has no cumsum form). The window partitions by SOURCE, not
     * globally — the 100 TB-safe shape: each source's cumsum is an
     * independent partition-local scan, no single-partition global window.
     * Bin stats (doc count, token sum, id range) come out of the same

@@ -266,6 +266,11 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     // something was actually identified as boilerplate in this corpus
     assert(out.map(_.getAs[Long]("n_dropped")).sum > 0)
+    // precondition for the reconstructions here: no empty tokens
+    // (double/leading/trailing spaces) in the corpus — the operator
+    // handles them, but String.split drops them on this round-trip
+    assert(Tables.documents(spark, sf)
+      .filter(col("text").rlike("  |^ | $")).count() === 0)
     // surviving segments are globally unique: re-running dedup on the
     // kept text drops nothing
     val segsOf = (t: String) => t.split(" ").grouped(4).map(_.mkString(" ")).toSeq
@@ -281,20 +286,23 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(sum(size(split(col("text"), " ")).cast("long")))
       .collect().head.getLong(0)
     assert(out.map(_.getAs[Long]("sum_tokens")).sum === totalTokens)
-    // within each source, bins are consecutive from 0 and doc-id ranges
-    // never overlap (contiguous fill)
+    // within each source, bins start at 0, ascend, and doc-id ranges
+    // never overlap (contiguous fill); ids may skip only when a single
+    // document exceeds the whole budget
     out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
       val sorted = rows.sortBy(_.getAs[Long]("bin"))
-      assert(sorted.map(_.getAs[Long]("bin")).toSeq === sorted.indices.map(_.toLong))
+      assert(sorted.head.getAs[Long]("bin") === 0L)
       val ranges = sorted.map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
       ranges.zip(ranges.tail).foreach { case ((_, lastA), (firstB, _)) =>
         assert(lastA < firstB)
       }
-      // exclusive-cumsum binning: bin b+1 only opens once the running
-      // token total has reached its boundary, so every prefix of bins
-      // must carry at least 512 * (bins so far) tokens
+      // exclusive-cumsum binning: a bin with id b only opens once the
+      // running token total has reached b * 512, so the cumulative
+      // tokens through each bin must be at least the NEXT bin's boundary
       val prefix = sorted.map(_.getAs[Long]("sum_tokens")).scanLeft(0L)(_ + _).drop(1)
-      prefix.init.zipWithIndex.foreach { case (p, i) => assert(p >= 512L * (i + 1)) }
+      prefix.init.zip(sorted.tail).foreach { case (p, next) =>
+        assert(p >= 512L * next.getAs[Long]("bin"))
+      }
     }
   }
 

@@ -86,22 +86,21 @@ class LayoutSpec extends SparkSpec {
       conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
       conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      val joined = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      // one builder for both sides of the with/without comparison — the
+      // transparency check is only valid on the identical query
+      def mkJoin() = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
         .join(Tables.orders(spark, sf)
                 .filter(col("o_orderpriority") === "1-URGENT")
                 .select("o_orderkey", "o_totalprice"),
               col("l_orderkey") === col("o_orderkey"))
+      val joined = mkJoin()
       val optimized = joined.queryExecution.optimizedPlan.toString
       assert(optimized.contains("might_contain"),
         s"expected an injected bloom filter on the lineitem side:\n$optimized")
       // and the filter is transparent: row set identical with it disabled
       val withFilter = joined.count()
       conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      assert(withFilter === Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-        .join(Tables.orders(spark, sf)
-                .filter(col("o_orderpriority") === "1-URGENT")
-                .select("o_orderkey", "o_totalprice"),
-              col("l_orderkey") === col("o_orderkey")).count())
+      assert(withFilter === mkJoin().count())
     } finally saved.foreach { case (k, v) =>
       v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
     }

@@ -8,6 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf: String = "/root/testdata/sf0.001"
+  // the next size up, for tests whose invariant is degenerate at sf0.001
+  def sf01: String = "/root/testdata/sf0.01"
 }
 
 object SparkSpec {

@@ -81,7 +81,6 @@ class TpchSpec extends SparkSpec {
   test("Q16: NOT IN plans as an anti join and excluded suppliers never appear") {
     // sf0.01: the smallest corpus whose exclusion set (negative-balance
     // suppliers) is non-empty, so the anti join actually removes rows
-    val sf01 = "/root/testdata/sf0.01"
     val df = Tpch.qTpchQ16(spark, sf01)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Anti"), plan)
@@ -125,7 +124,6 @@ class TpchSpec extends SparkSpec {
   test("Q22: threshold filter keeps only above-average balances") {
     // sf0.01: the smallest corpus where some customer both clears the
     // average-balance threshold and placed no 1998 order
-    val sf01 = "/root/testdata/sf0.01"
     val rows = Tpch.qTpchQ22(spark, sf01).collect()
     assert(rows.nonEmpty)
     val avg = Tables.customer(spark, sf01).filter(col("c_acctbal") > 0.0)
