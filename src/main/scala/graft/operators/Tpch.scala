@@ -275,6 +275,108 @@ object Tpch {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** Q7 (volume shipping): the symmetric nation-pair probe — two aliases
+    * of the SAME dimension table (supplier's nation vs customer's nation)
+    * with an OR'd pair predicate, grouped by derived year. Both nation
+    * sides broadcast; the fact-fact lineitem-orders shuffle is the only
+    * big exchange. */
+  def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** Q8 (national market share): an 8-table join whose aggregate is a
+    * RATIO of conditional to total volume per year. Both sums stay
+    * DECIMAL until a final double cast, and the division happens on the
+    * two identical doubles in both engines, so the 1e-6-rounded share
+    * hash-agrees. */
+  def qTpchQ8(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT o_year,
+        |  ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |             n2.n_name AS nation
+        |      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        |        AND p_type = 'STANDARD') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  /** Q10 (returned items): revenue lost to returns per customer, top 20 —
+    * the Q3 star shape plus a selective fact-side flag filter and a wide
+    * grouping key carrying customer attributes through the aggregate. */
+  def qTpchQ10(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
+  /** Q14 (promotion effect): single-row conditional-ratio aggregate over a
+    * month of shipments — the percent-of-total pattern with the same
+    * decimal-until-the-end discipline as Q8. */
+  def qTpchQ14(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """SELECT
+        |  ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |        / CAST(SUM(volume) AS DOUBLE), 6) AS promo_revenue,
+        |  COUNT(*) AS n
+        |FROM (SELECT p_type,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00') pr""".stripMargin)
+  }
+
+  /** Q15 (top supplier): argmax-over-aggregate — a CTE computes quarterly
+    * revenue per supplier, reused TWICE (join probe + scalar MAX);
+    * equality is on the identical decimal-summed double, so the winner
+    * set hash-agrees. The TPC-H view becomes a plain CTE. */
+  def qTpchQ15(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** Q6: forecasting revenue change — pushed range filters, 1-row result. */
   def qTpchQ6(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -292,8 +394,13 @@ object Tpch {
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q12" -> (qTpchQ12 _),
     "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q16" -> (qTpchQ16 _),
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q18" -> (qTpchQ18 _),
@@ -442,5 +549,67 @@ object Tpch {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |             n2.n_name AS nation
+        |      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        |        AND p_type = 'STANDARD') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT
+        |  ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |        / CAST(SUM(volume) AS DOUBLE), 6) AS promo_revenue,
+        |  COUNT(*) AS n
+        |FROM (SELECT p_type,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00') pr""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }

@@ -136,6 +136,55 @@ class TpchSpec extends SparkSpec {
     }
   }
 
+  test("Q7: only the two requested nations appear, in both directions") {
+    // sf0.01: the smallest corpus where both directions of the nation
+    // pair ship lineitems inside the date window
+    val rows = Tpch.qTpchQ7(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+    assert(rows.forall(r => Set(1996L, 1997L).contains(r.getAs[Long]("l_year"))))
+  }
+
+  test("Q8: market share is a valid fraction per year") {
+    val rows = Tpch.qTpchQ8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("Q10: top-20 returned-revenue customers, strictly rank-ordered") {
+    val rows = Tpch.qTpchQ10(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(revs.forall(_ > 0))
+  }
+
+  test("Q14: promo share is a percentage and counts every joined row") {
+    val row = Tpch.qTpchQ14(spark, sf).collect().head
+    val p = row.getAs[Double]("promo_revenue")
+    assert(p >= 0.0 && p <= 100.0)
+    assert(row.getAs[Long]("n") > 0)
+  }
+
+  test("Q15: every winner carries exactly the recomputed maximum revenue") {
+    val rows = Tpch.qTpchQ15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxRev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)")))
+             .cast("double").as("rev"))
+      .agg(max("rev")).collect().head.getDouble(0)
+    rows.foreach(r => assert(r.getAs[Double]("total_revenue") === maxRev))
+  }
+
   test("Q6 equals the sum of per-row ext*disc over the filtered set") {
     val row = Tpch.qTpchQ6(spark, sf).collect().head
     val manual = Tables.lineitem(spark, sf)
