@@ -362,7 +362,49 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** EXT: semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings, then prune near-duplicate
+    * pairs WITHIN each cluster only — the clustering bounds the quadratic,
+    * so the pair join is an equi-join on the cluster id whose per-bucket
+    * cost is n_c², never n². At 100 TB you raise k (the paper uses 50k
+    * clusters) so n_c stays bounded; here k = 8 deterministic seed
+    * centroids (vec_id < 8, broadcast — the [[qAnnIvf]] assignment shape
+    * over ALL vectors).
+    *
+    * Keep rule: a vector is pruned iff some SMALLER vec_id in its cluster
+    * sits above the cosine threshold — deterministic and engine-portable,
+    * where the paper's "keep the example farthest from the centroid" needs
+    * a second ranking pass (same join shape) without changing the
+    * communication pattern this query exists to verify. Output is the
+    * per-cluster summary: total, pruned, kept, first pruned id. */
+  def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(c))
+      .withColumn("cos", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val m = assigned.join(e, "vec_id") // (vec_id, cid, v, nrm)
+    val pruned = m.as("a")
+      .join(m.as("b"), col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosPair, 4) > 0.4)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("pr", lit(1L))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+           sum(coalesce(col("pr"), lit(0L))).as("n_pruned"),
+           min(when(col("pr") === 1L, col("vec_id"))).as("first_pruned"))
+      .withColumn("n_kept", col("n") - col("n_pruned"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_semantic"  -> (qDedupSemantic _),
     "q_array_explode"   -> (qArrayExplode _),
     "q_sim_cosine"      -> (qSimCosine _),
     "q_ann_brute_topk"  -> (qAnnBruteTopk _),
@@ -383,6 +425,25 @@ object Similarity {
   private val duckCos = "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)"
 
   val oracle: Map[String, String] = Map(
+    // same assignment tie-break as q_ann_ivf_kmeans's CTE chain; the
+    // within-cluster pair join mirrors the Spark equi-join on cid exactly
+    "q_dedup_semantic" ->
+      s"""WITH e AS MATERIALIZED ($duckVecs),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
+        |  FROM e CROSS JOIN c) WHERE rk = 1),
+        |m AS (SELECT a.vec_id, a.cid, e.v, e.nrm FROM a JOIN e USING (vec_id)),
+        |p AS (SELECT DISTINCT y.vec_id FROM m x JOIN m y
+        |      ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |      WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) > 0.4)
+        |SELECT cid, COUNT(*) AS n,
+        |  SUM(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS n_pruned,
+        |  MIN(p.vec_id) AS first_pruned,
+        |  COUNT(*) - SUM(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS n_kept
+        |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+        |GROUP BY cid ORDER BY cid""".stripMargin,
     "q_array_explode" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_v,

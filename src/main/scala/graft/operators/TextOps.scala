@@ -426,7 +426,115 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** EXT: hashed-feature linear quality classifier — the fastText-style
+    * architecture every web-scale filter uses (CCNet's fastText LID,
+    * GPT-3/LLaMA's quality classifiers): hash word uni+bigrams into a
+    * fixed bucket space, average the per-bucket weights, squash through a
+    * sigmoid. Real deployments load trained weights; here the weight table
+    * is a deterministic closed form over the bucket id (sin((b+1)·0.917))
+    * so both engines materialize the identical model — what the oracle
+    * verifies is the full feature-hash → lookup → mean → sigmoid pipeline,
+    * which is exactly the part that has to scale.
+    *
+    * Scale shape: pure per-row array expressions (no explode, no shuffle,
+    * no UDF) — the classifier runs inside whole-stage codegen at scan
+    * speed; a trained weight vector would enter as one broadcast map
+    * lookup without changing the plan.
+    *
+    * Portability: bucket = first two md5 hex nibbles via position-in-
+    * alphabet (`instr`), since Spark and DuckDB share no hex→int builtin;
+    * both engines fold the weight sum left-to-right (`aggregate` /
+    * `list_reduce`), so the FP order is identical and 1e-4 rounding dwarfs
+    * the last-ulp sin() drift. */
+  def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val grams = expr(
+      """CASE WHEN size(split(text, ' ')) < 2 THEN split(text, ' ')
+        |ELSE concat(split(text, ' '),
+        |  transform(sequence(1, size(split(text, ' ')) - 1),
+        |    i -> concat(element_at(split(text, ' '), i), '_',
+        |                element_at(split(text, ' '), i + 1)))) END""".stripMargin)
+    val score = expr(
+      """round(1.0 / (1.0 + exp(-(-0.1 +
+        |  aggregate(grams, cast(0.0 AS double), (acc, g) -> acc + sin(
+        |    ((instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1) + 1) * 0.917))
+        |  / size(grams)))), 4)""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"),
+              size(col("grams")).cast("long").as("n_feats"),
+              score.as("score"))
+      .withColumn("keep", (col("score") > 0.5).cast("long"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** EXT: token-budget epoch allocation — the data-mixing step after
+    * [[qMixTemperature]]: given a training budget B and the α-tempered
+    * target share q_i per source, each source contributes
+    * min(B·q_i, cap·n_i) tokens (cap = 4 epochs — the "don't repeat data
+    * more than a few times" rule from the data-constrained-scaling
+    * literature). Emits per-source target, effective tokens, and the
+    * repeat factor ×100. Same 100 TB shape as the temperature mix: one
+    * partial aggregation to per-source mass, then a source-count-sized
+    * global window — the corpus never shuffles twice. */
+  def qMixTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy() // per-source rollup: tiny by definition
+    Tables.documents(s, d)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("ws"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_tokens"))
+      .withColumn("p", col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
+      .withColumn("pa", pow(col("p"), lit(0.3)))
+      .withColumn("q", col("pa") / sum(col("pa")).over(all))
+      .withColumn("target_tokens",
+        floor(col("q") * lit(100000.0) + lit(0.5)).cast("long"))
+      .withColumn("eff_tokens", least(col("target_tokens"), col("n_tokens") * 4))
+      .withColumn("epochs_x100",
+        floor(col("eff_tokens").cast("double") / col("n_tokens") * 100.0 + lit(0.5)).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+              col("target_tokens"), col("eff_tokens"), col("epochs_x100"))
+      .orderBy("source")
+  }
+
+  /** EXT: URL curation — normalize → canonical-dedup → per-domain rollup,
+    * the RefinedWeb/C4 front-door steps. The corpus has no URL column, so
+    * a deterministic pseudo-URL is derived per document (scheme/host case
+    * noise, a tracking parameter, a trailing slash, a fragment — the four
+    * classic normalization hazards, parameterized by doc_id so they all
+    * occur); the operator under test is the normalization chain and the
+    * canonical-key dedup, which read the same on a real crawl table.
+    * Normalization: lowercase → strip fragment → strip utm_* params →
+    * strip trailing slash. All codegen'd regexp chains; the dedup is one
+    * hash-agg on the canonical URL, shuffling (key, count) only. */
+  def qCurateUrls(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.com/"), col("lang"),
+      lit("/doc"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0,
+           concat(lit("?id="), (col("doc_id") % 7).cast("string"), lit("&utm_source=feed")))
+        .when(col("doc_id") % 3 === 1, lit("/"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+    val norm = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(url), "#.*$", ""),
+        "[?&]utm_[a-z_]+=[^&#]*", ""),
+      "/$", "")
+    val domain = regexp_extract(norm, "https://([^/]+)/", 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("u"), domain.as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("u")).as("n_canonical"),
+           min(col("doc_id")).as("first_doc"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_mix_token_budget"  -> (qMixTokenBudget _),
+    "q_curate_urls"       -> (qCurateUrls _),
     "q_text_decontam"     -> (qTextDecontam _),
     "q_text_pii_redact"   -> (qTextPiiRedact _),
     "q_text_repetition"   -> (qTextRepetition _),
@@ -454,6 +562,58 @@ object TextOps {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // identical bucket formula + identical left-fold order (list_reduce
+    // mirrors Spark's `aggregate`); 1e-4 rounding absorbs sin() last-ulp
+    "q_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN tk
+        |        ELSE list_concat(tk, [tk[i] || '_' || tk[i+1]
+        |                              for i in generate_series(1, len(tk) - 1)]) END AS grams
+        |      FROM t)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_feats,
+        |  ROUND(1.0 / (1.0 + exp(-(-0.1 +
+        |    list_reduce(list_transform(grams, x -> sin(CAST(
+        |      (strpos('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substring(md5(x), 2, 1)) - 1) + 1 AS DOUBLE) * 0.917)),
+        |      (a, b) -> a + b) / len(grams)))), 4) AS score,
+        |  CAST(CASE WHEN ROUND(1.0 / (1.0 + exp(-(-0.1 +
+        |    list_reduce(list_transform(grams, x -> sin(CAST(
+        |      (strpos('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substring(md5(x), 2, 1)) - 1) + 1 AS DOUBLE) * 0.917)),
+        |      (a, b) -> a + b) / len(grams)))), 4) > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM g ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q_mix_token_budget" ->
+      """WITH m AS (SELECT source, COUNT(*) AS n_docs,
+        |             SUM(len(string_split(text, ' '))) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |s AS (SELECT source, n_docs, n_tokens,
+        |        POW(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 0.3) AS pa
+        |      FROM m),
+        |q AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor(pa / SUM(pa) OVER () * 100000.0 + 0.5) AS BIGINT) AS target_tokens
+        |      FROM s)
+        |SELECT source, n_docs, n_tokens, target_tokens,
+        |  LEAST(target_tokens, n_tokens * 4) AS eff_tokens,
+        |  CAST(floor(CAST(LEAST(target_tokens, n_tokens * 4) AS DOUBLE) / n_tokens * 100.0 + 0.5)
+        |       AS BIGINT) AS epochs_x100
+        |FROM q ORDER BY source""".stripMargin,
+    "q_curate_urls" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || source || '.Example.com/' || lang || '/doc' ||
+        |    CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed'
+        |          WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |        regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |          '#.*$', ''), '[?&]utm_[a-z_]+=[^&#]*', ''), '/$', '') AS cu
+        |      FROM u)
+        |SELECT regexp_extract(cu, 'https://([^/]+)/', 1) AS domain,
+        |  COUNT(*) AS n_urls, COUNT(DISTINCT cu) AS n_canonical,
+        |  MIN(doc_id) AS first_doc
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_unigram_lp" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -322,6 +322,87 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: clusters conserve vectors; pruned set matches brute-force recomputation") {
+    val out = Similarity.qDedupSemantic(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum === total, "every vector lands in exactly one cluster")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n") - r.getAs[Long]("n_pruned"))
+      assert(r.getAs[Long]("n_pruned") >= 0)
+    }
+    // brute-force ground truth at sf0.001: recompute assignment + within-
+    // cluster pairs driver-side and compare the per-cluster pruned counts
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = vs.filter(_._1 < 8)
+    val assign = vs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+    }.toMap
+    val prunedTruth = vs.collect { case (id, v) if vs.exists { case (id2, v2) =>
+      id2 < id && assign(id2) == assign(id) &&
+        math.rint(cos(v2, v) * 10000) / 10000 > 0.4 } => id }.toSet
+    val prunedByCluster = prunedTruth.groupBy(assign).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pruned") === prunedByCluster.getOrElse(r.getAs[Long]("cid"), 0L),
+        s"cluster ${r.getAs[Long]("cid")} pruned count")
+    }
+    assert(prunedTruth.nonEmpty, "corpus plants near-dup pairs; some must prune")
+  }
+
+  test("quality classifier: valid probabilities, uni+bigram feature count, deterministic") {
+    val out = TextOps.qQualityClassifier(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0.0 && s < 1.0, s"sigmoid output $s")
+      // n tokens >= 2 => n unigrams + (n-1) bigrams
+      assert(r.getAs[Long]("n_feats") === 2 * nTok(r.getAs[Long]("doc_id")) - 1)
+      assert(r.getAs[Long]("keep") === (if (s > 0.5) 1L else 0L))
+    }
+    // the hashed model is a pure function of the text: identical on rerun
+    assert(out.toSeq === TextOps.qQualityClassifier(spark, sf).collect().toSeq)
+    assert(out.map(_.getAs[Long]("keep")).distinct.length === 2,
+      "threshold should split the corpus, not degenerate to one class")
+  }
+
+  test("token-budget mixing: targets sum to the budget, epoch cap binds, effective <= both bounds") {
+    val out = TextOps.qMixTokenBudget(spark, sf).collect()
+    assert(out.length === 20) // one row per source
+    val targetSum = out.map(_.getAs[Long]("target_tokens")).sum
+    assert(math.abs(targetSum - 100000L) <= out.length,
+      s"rounded shares must sum to the budget +/- one ulp per source, got $targetSum")
+    out.foreach { r =>
+      val (n, t, e) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"),
+                       r.getAs[Long]("eff_tokens"))
+      assert(e === math.min(t, 4 * n))
+      val ep = r.getAs[Long]("epochs_x100")
+      assert(ep <= 400, s"epoch cap 4 violated: $ep")
+      assert(ep === math.floor(e.toDouble / n * 100.0 + 0.5).toLong)
+    }
+  }
+
+  test("URL curation: canonicalization collapses case/fragment/utm/slash variants per domain") {
+    val out = TextOps.qCurateUrls(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_urls")).sum === total)
+    out.foreach { r =>
+      assert(r.getAs[String]("domain").matches("www\\.src\\d+\\.example\\.com"),
+        s"host must be lowercased: ${r.getAs[String]("domain")}")
+      assert(r.getAs[Long]("n_canonical") <= r.getAs[Long]("n_urls"))
+    }
+    // normalization must actually merge something: raw URL variants differ
+    // by construction (trailing slash / fragment), canonical keys collapse
+    assert(out.map(_.getAs[Long]("n_canonical")).sum < total)
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))

@@ -117,6 +117,36 @@ class SqlFrontendSpec extends SparkSpec {
       "comma-join syntax must still plan as equi-joins")
   }
 
+  test("TPC-H Q7/Q8: self-aliased and regioned dims all broadcast, one fact-fact exchange family") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case r: ReusedExchangeExec => flatten(r.child)
+        case _ => p.children.toSeq.flatMap(flatten)
+      })
+    // Q7 joins nation TWICE (supplier's vs customer's nation) — both
+    // aliases must broadcast independently; Q8 adds part + region on top.
+    // The lineitem-orders(-customer) chain is the only non-broadcast join.
+    // sf0.01: the smallest corpus where Q7's nation pair ships in-window
+    for ((df, minBroadcasts) <- Seq((operators.Tpch.qTpchQ7(spark, sf01), 3),
+                                    (operators.Tpch.qTpchQ8(spark, sf01), 4))) {
+      assert(df.collect().nonEmpty)
+      val all = flatten(df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      })
+      val broadcasts = all.count(_.isInstanceOf[BroadcastHashJoinExec])
+      assert(broadcasts >= minBroadcasts,
+        s"dimension sides should broadcast, got $broadcasts")
+      assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+        "comma-join syntax must still plan as equi-joins")
+    }
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
