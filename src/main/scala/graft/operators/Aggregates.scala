@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Num, Tables}
@@ -148,6 +148,92 @@ object Aggregates {
               col("exact_p50"))
       .orderBy("lang")
 
+  /** A7 variant: Count-Min sketch — the mergeable heavy-hitter counter
+    * (Cormode & Muthukrishnan 2005), and unlike HLL/KLL it is EXACTLY
+    * engine-portable: every cell is a SUM over deterministic md5-derived
+    * buckets, so partial aggregation, partition order, and merge order
+    * cannot change a single counter — the oracle hashes the whole
+    * pipeline, not a tolerance band. depth 4 × width 16 (deliberately
+    * narrow so the 31-word vocabulary collides and the estimate-vs-truth
+    * gap is exercised); estimate = min over rows, always ≥ the true count.
+    *
+    * Scale shape: the build is one explode + partial-agg shuffle whose
+    * output is AT MOST depth×width = 64 cells no matter the corpus size —
+    * the sketch IS the map-side combiner. The probe side (vocabulary)
+    * joins the 64-cell sketch by broadcast. */
+  def qSketchCountMin(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+    def bucket(r: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(md5(concat('$r|', word)), 1, 1)) - 1")
+    val cells = words
+      .select(explode(array((0 until 4).map(r =>
+        struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+    val sketch = cells.groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val truth = words.groupBy("word").agg(count(lit(1)).as("true_n"))
+    val probes = truth
+      .select(col("word"), col("true_n"),
+              explode(array((0 until 4).map(r =>
+                struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+      .select(col("word"), col("true_n"), col("rb.r").as("r"), col("rb.b").as("b"))
+    probes.join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("word", "true_n")
+      .agg(min(col("c")).as("est_n"))
+      .withColumn("overest", (col("est_n") > col("true_n")).cast("long"))
+      .orderBy("word")
+  }
+
+  /** W1+O1 variant: time-series gap-fill with linear interpolation — the
+    * `time_bucket_gapfill` shape (TimescaleDB/InfluxDB): densify the
+    * hourly per-type event counts onto the full regular grid, then fill
+    * each gap from its bracketing observations. The reference's domain is
+    * exactly this — irregular model timesteps resampled onto a regular
+    * cadence before rasterization.
+    *
+    * Shape: the grid is types × sequence(min_hour, max_hour) from a
+    * broadcast 1-row bounds aggregate; prev/next observations come from
+    * ignoreNulls last/first over per-type ordered windows (two narrow
+    * window passes, partitioned by type — no global window, no self-join);
+    * gap edges (before first / after last observation) stay null and are
+    * flagged. At 100 TB the heavy input collapses to the hourly aggregate
+    * first; everything downstream is grid-sized. */
+  def qTsGapfill(s: SparkSession, d: String): DataFrame = {
+    val hh = date_trunc("hour", col("ts"))
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), hh.as("hh"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = Tables.events(s, d).agg(min(hh).as("h0"), max(hh).as("h1"))
+    val grid = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+              explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hh"))
+    val hnum = (unix_timestamp(col("hh")) / 3600L).cast("long")
+    val wPrev = Window.partitionBy("event_type").orderBy("hh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("event_type").orderBy("hh")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val joined = grid.join(hourly, Seq("event_type", "hh"), "left")
+      .withColumn("h", hnum)
+      .withColumn("ph", last(when(col("n").isNotNull, hnum), ignoreNulls = true).over(wPrev))
+      .withColumn("pn", last(col("n"), ignoreNulls = true).over(wPrev))
+      .withColumn("nh", first(when(col("n").isNotNull, hnum), ignoreNulls = true).over(wNext))
+      .withColumn("nn", first(col("n"), ignoreNulls = true).over(wNext))
+    joined.select(
+        col("event_type"),
+        date_format(col("hh"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n").as("n_actual"),
+        when(col("n").isNotNull, col("n").cast("double"))
+          .when(col("ph").isNotNull && col("nh").isNotNull,
+                round(col("pn") + (col("nn") - col("pn")) * (col("h") - col("ph")) /
+                      (col("nh") - col("ph")), 4))
+          .as("n_filled"),
+        when(col("n").isNotNull, "actual")
+          .when(col("ph").isNotNull && col("nh").isNotNull, "interp")
+          .otherwise("edge").as("src"))
+      .orderBy("event_type", "hour")
+  }
+
   /** W3 variant: RANGE frame — all orders within ±1000.00 of the current
     * price per customer (value-based frame vs the row-based q_win_running).
     * Prices ordered as integer cents: the DataFrame rangeBetween API takes
@@ -266,6 +352,8 @@ object Aggregates {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_countmin"  -> (qSketchCountMin _),
+    "q_ts_gapfill"       -> (qTsGapfill _),
     "q_agg_stats"        -> (qAggStats _),
     "q_win_distribution" -> (qWinDistribution _),
     "q_stream_sliding"   -> (qStreamSliding _),
@@ -289,6 +377,58 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical md5-nibble buckets; every cell is a SUM, so the sketch is
+    // bit-identical across engines — the estimate is exact arithmetic
+    "q_sketch_countmin" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |cells AS (SELECT r, strpos('0123456789abcdef',
+        |            substring(md5(CAST(r AS VARCHAR) || '|' || word), 1, 1)) - 1 AS b
+        |          FROM words, generate_series(0, 3) AS t(r)),
+        |sketch AS (SELECT r, b, COUNT(*) AS c FROM cells GROUP BY r, b),
+        |truth AS (SELECT word, COUNT(*) AS true_n FROM words GROUP BY word),
+        |probes AS (SELECT word, true_n, r, strpos('0123456789abcdef',
+        |             substring(md5(CAST(r AS VARCHAR) || '|' || word), 1, 1)) - 1 AS b
+        |           FROM truth, generate_series(0, 3) AS t(r))
+        |SELECT word, true_n, MIN(c) AS est_n,
+        |  CAST(CASE WHEN MIN(c) > true_n THEN 1 ELSE 0 END AS BIGINT) AS overest
+        |FROM probes JOIN sketch USING (r, b)
+        |GROUP BY word, true_n ORDER BY word""".stripMargin,
+    "q_ts_gapfill" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS n
+        |                FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(date_trunc('hour', ts)) AS h0,
+        |                  max(date_trunc('hour', ts)) AS h1 FROM events),
+        |grid AS (SELECT t.event_type, g.hh
+        |         FROM (SELECT DISTINCT event_type FROM hourly) t,
+        |              (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hh
+        |               FROM bounds) g),
+        |j AS (SELECT grid.event_type, grid.hh, hourly.n,
+        |        CAST(epoch(grid.hh) / 3600 AS BIGINT) AS h
+        |      FROM grid LEFT JOIN hourly USING (event_type, hh)),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hh
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        |  last_value(n IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hh
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn,
+        |  first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hh
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh,
+        |  first_value(n IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hh
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nn
+        |  FROM j)
+        |SELECT event_type, strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  n AS n_actual,
+        |  CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+        |       WHEN ph IS NOT NULL AND nh IS NOT NULL
+        |       THEN ROUND(pn + (nn - pn) * CAST(h - ph AS DOUBLE) / (nh - ph), 4)
+        |       END AS n_filled,
+        |  CASE WHEN n IS NOT NULL THEN 'actual'
+        |       WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
+        |       ELSE 'edge' END AS src
+        |FROM w ORDER BY event_type, hour""".stripMargin,
     "q_agg_stats" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  ROUND(SQRT((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -382,11 +382,16 @@ object Similarity {
     val c = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    // assigned is consumed three times (both pair sides + the summary);
+    // localCheckpoint materializes the narrow (vec_id, cid) pairs so the
+    // scoring scan runs ONCE, not once per consumer (the same lineage
+    // fence Dedup.qDedupClusters A/B-measured)
     val assigned = e.crossJoin(broadcast(c))
       .withColumn("cos", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cid"))
+      .localCheckpoint()
     val m = assigned.join(e, "vec_id") // (vec_id, cid, v, nrm)
     val pruned = m.as("a")
       .join(m.as("b"), col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))

@@ -354,6 +354,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(prunedTruth.nonEmpty, "corpus plants near-dup pairs; some must prune")
   }
 
+  test("semantic dedup plans the pair join as a cid equi-join; only the codebook crosses") {
+    // The SemDeDup scale contract: the quadratic must be bounded by the
+    // cluster equi-join — the ONLY nested-loop allowed is the broadcast
+    // 8-row codebook assignment (same exemption as q_ann_ivf).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val qe = Similarity.qDedupSemantic(spark, sf).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val loops = plan.collectWithSubqueries {
+      case j: CartesianProductExec        => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    // the codebook assignment is fenced behind a localCheckpoint (it runs
+    // once, not once per consumer), so the DOWNSTREAM plan — pair join,
+    // prune, summary — must be pure equi-join/aggregate: zero nested loops
+    assert(loops.isEmpty, s"pair join must be a cid equi-join, found ${loops.size}:\n$plan")
+  }
+
   test("quality classifier: valid probabilities, uni+bigram feature count, deterministic") {
     val out = TextOps.qQualityClassifier(spark, sf).collect()
     assert(out.nonEmpty)

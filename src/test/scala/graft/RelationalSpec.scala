@@ -81,4 +81,52 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[Double]("approx_p90") >= a, "p90 >= p50")
     }
   }
+
+  test("count-min sketch: estimates dominate truth, collisions overestimate, mass conserves") {
+    val out = graft.operators.Aggregates.qSketchCountMin(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t, e) = (r.getAs[Long]("true_n"), r.getAs[Long]("est_n"))
+      assert(e >= t, s"CMS must never underestimate: ${r.getAs[String]("word")} $e < $t")
+      assert(r.getAs[Long]("overest") === (if (e > t) 1L else 0L))
+    }
+    // width 16 < vocabulary size forces collisions on this corpus
+    assert(out.exists(_.getAs[Long]("overest") === 1L), "expected at least one collision")
+    // exact words whose estimate equals truth must also exist (d=4 rescues most)
+    assert(out.exists(_.getAs[Long]("overest") === 0L))
+    // determinism: the sketch is pure sums over md5 buckets
+    assert(out.toSeq === graft.operators.Aggregates.qSketchCountMin(spark, sf).collect().toSeq)
+  }
+
+  test("gap-fill densifies to the full grid; interpolated values sit between their brackets") {
+    val out = graft.operators.Aggregates.qTsGapfill(spark, sf01).collect()
+    val types = out.map(_.getAs[String]("event_type")).distinct
+    // dense: every type spans the identical full hour grid
+    val hoursPerType = out.groupBy(_.getAs[String]("event_type")).values.map(_.length).toSet
+    assert(hoursPerType.size === 1, s"all types must densify to one grid: $hoursPerType")
+    assert(out.length === types.length * hoursPerType.head)
+    val srcs = out.map(_.getAs[String]("src")).toSet
+    assert(srcs.contains("actual") && srcs.contains("interp"), s"corpus has gaps: $srcs")
+    out.groupBy(_.getAs[String]("event_type")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[String]("hour"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        r.getAs[String]("src") match {
+          case "actual" =>
+            assert(r.getAs[Double]("n_filled") === r.getAs[Long]("n_actual").toDouble)
+          case "interp" =>
+            assert(r.isNullAt(r.fieldIndex("n_actual")))
+            // bracketing observations exist on both sides
+            val prev = sorted.take(i).reverse.find(_.getAs[String]("src") == "actual")
+            val next = sorted.drop(i + 1).find(_.getAs[String]("src") == "actual")
+            assert(prev.isDefined && next.isDefined)
+            val (lo, hi) = (prev.get.getAs[Double]("n_filled"), next.get.getAs[Double]("n_filled"))
+            val v = r.getAs[Double]("n_filled")
+            assert(v >= math.min(lo, hi) - 1e-9 && v <= math.max(lo, hi) + 1e-9,
+              s"interpolant $v outside [$lo, $hi]")
+          case "edge" =>
+            assert(r.isNullAt(r.fieldIndex("n_filled")))
+        }
+      }
+    }
+  }
 }
