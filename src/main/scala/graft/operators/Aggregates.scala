@@ -203,7 +203,9 @@ object Aggregates {
     val hourly = Tables.events(s, d)
       .groupBy(col("event_type"), hh.as("hh"))
       .agg(count(lit(1)).as("n"))
-    val bounds = Tables.events(s, d).agg(min(hh).as("h0"), max(hh).as("h1"))
+    // min/max of truncated ts == min/max over hourly's keys: derive the
+    // bounds from the grid-sized aggregate, not a second raw-table scan
+    val bounds = hourly.agg(min("hh").as("h0"), max("hh").as("h1"))
     val grid = hourly.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
@@ -396,8 +398,7 @@ object Aggregates {
     "q_ts_gapfill" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS n
         |                FROM events GROUP BY 1, 2),
-        |bounds AS (SELECT min(date_trunc('hour', ts)) AS h0,
-        |                  max(date_trunc('hour', ts)) AS h1 FROM events),
+        |bounds AS (SELECT min(hh) AS h0, max(hh) AS h1 FROM hourly),
         |grid AS (SELECT t.event_type, g.hh
         |         FROM (SELECT DISTINCT event_type FROM hourly) t,
         |              (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hh

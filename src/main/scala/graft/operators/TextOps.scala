@@ -253,7 +253,18 @@ object TextOps {
     * aggregation to per-source token mass, then a 20-row global window
     * for the two normalizations — the heavy input never shuffles twice.
     * Shares (p, q) emit as 1e-5 fixed-point integers. */
-  def qMixTemperature(s: SparkSession, d: String): DataFrame = {
+  def qMixTemperature(s: SparkSession, d: String): DataFrame =
+    temperedShares(s, d)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+              floor(col("p") * lit(100000.0) + lit(0.5)).cast("long").as("pi5"),
+              floor(col("q") * lit(100000.0) + lit(0.5)).cast("long").as("qi5"))
+      .orderBy("source")
+
+  /** Per-source token mass with the α = 0.3 tempered target share —
+    * the single source of truth [[qMixTemperature]] and
+    * [[qMixTokenBudget]] both build on (one partial aggregation, then a
+    * source-count-sized global window for the two normalizations). */
+  private def temperedShares(s: SparkSession, d: String): DataFrame = {
     val all = Window.partitionBy() // the per-source rollup: tiny by definition
     Tables.documents(s, d)
       .select(col("source"), size(toks(col("text"))).cast("long").as("ws"))
@@ -262,10 +273,6 @@ object TextOps {
       .withColumn("p", col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
       .withColumn("pa", pow(col("p"), lit(0.3)))
       .withColumn("q", col("pa") / sum(col("pa")).over(all))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-              floor(col("p") * lit(100000.0) + lit(0.5)).cast("long").as("pi5"),
-              floor(col("q") * lit(100000.0) + lit(0.5)).cast("long").as("qi5"))
-      .orderBy("source")
   }
 
   /** EXT: unigram-LM surprisal scoring — the CCNet/KenLM quality-filter
@@ -478,15 +485,8 @@ object TextOps {
     * repeat factor ×100. Same 100 TB shape as the temperature mix: one
     * partial aggregation to per-source mass, then a source-count-sized
     * global window — the corpus never shuffles twice. */
-  def qMixTokenBudget(s: SparkSession, d: String): DataFrame = {
-    val all = Window.partitionBy() // per-source rollup: tiny by definition
-    Tables.documents(s, d)
-      .select(col("source"), size(toks(col("text"))).cast("long").as("ws"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_tokens"))
-      .withColumn("p", col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
-      .withColumn("pa", pow(col("p"), lit(0.3)))
-      .withColumn("q", col("pa") / sum(col("pa")).over(all))
+  def qMixTokenBudget(s: SparkSession, d: String): DataFrame =
+    temperedShares(s, d)
       .withColumn("target_tokens",
         floor(col("q") * lit(100000.0) + lit(0.5)).cast("long"))
       .withColumn("eff_tokens", least(col("target_tokens"), col("n_tokens") * 4))
@@ -495,7 +495,6 @@ object TextOps {
       .select(col("source"), col("n_docs"), col("n_tokens"),
               col("target_tokens"), col("eff_tokens"), col("epochs_x100"))
       .orderBy("source")
-  }
 
   /** EXT: URL curation — normalize → canonical-dedup → per-domain rollup,
     * the RefinedWeb/C4 front-door steps. The corpus has no URL column, so
@@ -569,19 +568,17 @@ object TextOps {
         |g AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN tk
         |        ELSE list_concat(tk, [tk[i] || '_' || tk[i+1]
         |                              for i in generate_series(1, len(tk) - 1)]) END AS grams
-        |      FROM t)
-        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_feats,
+        |      FROM t),
+        |sc AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_feats,
         |  ROUND(1.0 / (1.0 + exp(-(-0.1 +
         |    list_reduce(list_transform(grams, x -> sin(CAST(
         |      (strpos('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 16 +
         |      (strpos('0123456789abcdef', substring(md5(x), 2, 1)) - 1) + 1 AS DOUBLE) * 0.917)),
-        |      (a, b) -> a + b) / len(grams)))), 4) AS score,
-        |  CAST(CASE WHEN ROUND(1.0 / (1.0 + exp(-(-0.1 +
-        |    list_reduce(list_transform(grams, x -> sin(CAST(
-        |      (strpos('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 16 +
-        |      (strpos('0123456789abcdef', substring(md5(x), 2, 1)) - 1) + 1 AS DOUBLE) * 0.917)),
-        |      (a, b) -> a + b) / len(grams)))), 4) > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM g ORDER BY doc_id LIMIT 200""".stripMargin,
+        |      (a, b) -> a + b) / len(grams)))), 4) AS score
+        |  FROM g)
+        |SELECT doc_id, n_feats, score,
+        |  CAST(CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sc ORDER BY doc_id LIMIT 200""".stripMargin,
     "q_mix_token_budget" ->
       """WITH m AS (SELECT source, COUNT(*) AS n_docs,
         |             SUM(len(string_split(text, ' '))) AS n_tokens
@@ -608,7 +605,8 @@ object TextOps {
         |  FROM documents),
         |n AS (SELECT doc_id,
         |        regexp_replace(regexp_replace(regexp_replace(lower(url),
-        |          '#.*$', ''), '[?&]utm_[a-z_]+=[^&#]*', ''), '/$', '') AS cu
+        |          '#.*$', '', 'g'), '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+        |          '/$', '', 'g') AS cu
         |      FROM u)
         |SELECT regexp_extract(cu, 'https://([^/]+)/', 1) AS domain,
         |  COUNT(*) AS n_urls, COUNT(DISTINCT cu) AS n_canonical,

@@ -293,7 +293,8 @@ object Tpch {
         |        AND c_nationkey = n2.n_nationkey
         |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00') shipping
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
@@ -317,7 +318,8 @@ object Tpch {
         |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
         |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
         |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
-        |        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |        AND p_type = 'STANDARD') all_nations
         |GROUP BY o_year ORDER BY o_year""".stripMargin)
   }
@@ -560,7 +562,8 @@ object Tpch {
         |        AND c_nationkey = n2.n_nationkey
         |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00') shipping
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_tpch_q8" ->
@@ -575,7 +578,8 @@ object Tpch {
         |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
         |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
         |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
-        |        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |        AND p_type = 'STANDARD') all_nations
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_tpch_q10" ->
