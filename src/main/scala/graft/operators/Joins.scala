@@ -123,7 +123,33 @@ object Joins {
               coalesce(col("o_totalprice"), lit(0.0)).as("price0"))
       .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
 
+  /** EXT: blocked fuzzy join — the entity-resolution/record-linkage shape:
+    * candidate pairs come from an EQUI-join on a blocking key (here the
+    * name's noun), then a bounded edit-distance verify on candidates only —
+    * never an all-pairs comparison. Spark's thresholded `levenshtein`
+    * (3-arg form) early-exits the DP band once the bound is exceeded, so
+    * the verify cost is O(threshold·len) per candidate, and at 100 TB the
+    * shuffle carries (block, name) pairs while each block's quadratic is
+    * bounded by block size — the same contract as the LSH band joins and
+    * [[graft.operators.Similarity.qDedupSemantic]]'s clusters. Blocking
+    * trades recall for scale: cross-block near-matches are invisible by
+    * design (the spec quantifies it against unblocked ground truth). */
+  def qJoinFuzzy(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+    names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 3))
+      .filter(col("dist") >= 0)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+              col("a.block").as("block"), col("dist").cast("long").as("dist"),
+              (col("a.n_parts") + col("b.n_parts")).as("n_parts_both"))
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_fuzzy"         -> (qJoinFuzzy _),
     "q_join_full_outer"    -> (qJoinFullOuter _),
     "q_join_hash_equi"     -> (qJoinHashEqui _),
     "q_join_broadcast_dim" -> (qJoinBroadcastDim _),
@@ -136,6 +162,18 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB has no thresholded levenshtein; the plain distance filtered
+    // at the same bound returns identical values on every kept row
+    "q_join_fuzzy" ->
+      """WITH names AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+        |blocked AS (SELECT p_name, n_parts, split_part(p_name, ' ', 2) AS block FROM names)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b, a.block,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_parts + b.n_parts AS n_parts_both
+        |FROM blocked a JOIN blocked b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_join_full_outer" ->
       """SELECT c_custkey, o_orderkey, COALESCE(o_totalprice, 0.0) AS price0
         |FROM customer

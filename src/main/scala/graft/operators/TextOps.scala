@@ -496,6 +496,28 @@ object TextOps {
               col("target_tokens"), col("eff_tokens"), col("epochs_x100"))
       .orderBy("source")
 
+  /** EXT: overlapping-window document chunking — the retrieval/RAG
+    * ingestion primitive (and the long-document training splitter):
+    * 64-token windows on a 48-token stride (16-token overlap so no
+    * boundary context is lost), the trailing window clamped, each chunk
+    * content-addressed by its hash. Pure per-row array expressions
+    * (sequence → explode → slice): the only shuffle is whatever consumes
+    * the chunks; at 100 TB chunking happens at scan speed and the chunk
+    * table carries (doc_id, start, hash), not re-copied text. */
+  def qChunkDocuments(s: SparkSession, d: String): DataFrame = {
+    val tks = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n"),
+              explode(expr("sequence(1, size(tk), 48)")).as("start"),
+              col("tk"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+              least(lit(64), col("n") - col("start") + 1).cast("long").as("n_tok"),
+              substring(md5(concat_ws(" ", slice(col("tk"), col("start"), lit(64)))), 1, 16)
+                .as("h"))
+      .orderBy("doc_id", "start")
+  }
+
   /** EXT: URL curation — normalize → canonical-dedup → per-domain rollup,
     * the RefinedWeb/C4 front-door steps. The corpus has no URL column, so
     * a deterministic pseudo-URL is derived per document (scheme/host case
@@ -534,6 +556,7 @@ object TextOps {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mix_token_budget"  -> (qMixTokenBudget _),
     "q_curate_urls"       -> (qCurateUrls _),
+    "q_chunk_documents"   -> (qChunkDocuments _),
     "q_text_decontam"     -> (qTextDecontam _),
     "q_text_pii_redact"   -> (qTextPiiRedact _),
     "q_text_repetition"   -> (qTextRepetition _),
@@ -579,6 +602,14 @@ object TextOps {
         |SELECT doc_id, n_feats, score,
         |  CAST(CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM sc ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, len(tk) AS n, unnest(generate_series(1, len(tk), 48)) AS start, tk
+        |      FROM t)
+        |SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |  CAST(LEAST(64, n - start + 1) AS BIGINT) AS n_tok,
+        |  substring(md5(list_aggregate(tk[start:start+63], 'string_agg', ' ')), 1, 16) AS h
+        |FROM c ORDER BY doc_id, start""".stripMargin,
     "q_mix_token_budget" ->
       """WITH m AS (SELECT source, COUNT(*) AS n_docs,
         |             SUM(len(string_split(text, ' '))) AS n_tokens

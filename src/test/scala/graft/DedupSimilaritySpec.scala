@@ -424,6 +424,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_canonical")).sum < total)
   }
 
+  test("chunking: strided starts cover every token; trailing window clamps; hashes are content-addressed") {
+    val out = TextOps.qChunkDocuments(spark, sf).collect()
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val starts = rows.map(_.getAs[Long]("start")).sorted
+      // strided from 1, step 48, last start <= n
+      assert(starts.head === 1L)
+      assert(starts.zip(starts.tail).forall { case (a, b) => b - a === 48L })
+      assert(starts.last <= nTok(id))
+      rows.foreach { r =>
+        val exp = math.min(64L, nTok(id) - r.getAs[Long]("start") + 1)
+        assert(r.getAs[Long]("n_tok") === exp)
+        assert(r.getAs[String]("h").matches("[0-9a-f]{16}"))
+      }
+      // full coverage: last chunk reaches the final token
+      assert(starts.last + rows.map(_.getAs[Long]("n_tok")).max >= nTok(id))
+    }
+    // identical texts chunk to identical hash sequences (content addressing)
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("start")).map(_.getAs[String]("h")).toSeq)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupTexts = texts.groupBy(_._2).values.filter(_.size > 1)
+    dupTexts.foreach { g =>
+      val ids = g.map(_._1)
+      assert(ids.map(byDoc(_)).toSet.size === 1)
+    }
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))

@@ -98,6 +98,35 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq === graft.operators.Aggregates.qSketchCountMin(spark, sf).collect().toSeq)
   }
 
+  test("fuzzy join: blocked pairs equal the same-noun subset of unblocked ground truth") {
+    val out = graft.operators.Joins.qJoinFuzzy(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("dist") >= 1 && r.getAs[Long]("dist") <= 3)
+      assert(r.getAs[String]("name_a") < r.getAs[String]("name_b"))
+    }
+    // unblocked ground truth, driver-side (64 distinct names — bounded)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val truth = for {
+      a <- names; b <- names if a < b && lev(a, b) <= 3
+    } yield (a, b, a.split(" ")(1) == b.split(" ")(1))
+    val sameBlock = truth.filter(_._3).map(t => (t._1, t._2)).toSet
+    val got = out.map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"))).toSet
+    assert(got === sameBlock, "blocked join must find exactly the same-noun near-pairs")
+    // and the blocking recall on this corpus is documented-high, not degenerate
+    assert(sameBlock.size * 2 >= truth.length, s"recall ${sameBlock.size}/${truth.length}")
+  }
+
   test("gap-fill densifies to the full grid; interpolated values sit between their brackets") {
     val out = graft.operators.Aggregates.qTsGapfill(spark, sf01).collect()
     val types = out.map(_.getAs[String]("event_type")).distinct
