@@ -166,12 +166,18 @@ object Aggregates {
       .select(explode(split(col("text"), " ")).as("word"))
     def bucket(r: Int): Column =
       expr(s"instr('0123456789abcdef', substring(md5(concat('$r|', word)), 1, 1)) - 1")
-    val cells = words
-      .select(explode(array((0 until 4).map(r =>
-        struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
-      .select(col("rb.r").as("r"), col("rb.b").as("b"))
-    val sketch = cells.groupBy("r", "b").agg(count(lit(1)).as("c"))
+    // one scan: the sketch's counters are sums, so they aggregate exactly
+    // from the per-word truth counts (cell = Σ true_n over colliding
+    // words) — the corpus is read once and everything downstream is
+    // vocabulary-sized
     val truth = words.groupBy("word").agg(count(lit(1)).as("true_n"))
+      .localCheckpoint()
+    val sketch = truth
+      .select(col("true_n"),
+              explode(array((0 until 4).map(r =>
+                struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("true_n")).as("c"))
     val probes = truth
       .select(col("word"), col("true_n"),
               explode(array((0 until 4).map(r =>
@@ -200,9 +206,13 @@ object Aggregates {
     * first; everything downstream is grid-sized. */
   def qTsGapfill(s: SparkSession, d: String): DataFrame = {
     val hh = date_trunc("hour", col("ts"))
+    // hourly is consumed three times (type list, bounds, the grid join);
+    // localCheckpoint materializes the grid-sized aggregate so the raw
+    // events table is scanned ONCE, not once per consumer
     val hourly = Tables.events(s, d)
       .groupBy(col("event_type"), hh.as("hh"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     // min/max of truncated ts == min/max over hourly's keys: derive the
     // bounds from the grid-sized aggregate, not a second raw-table scan
     val bounds = hourly.agg(min("hh").as("h0"), max("hh").as("h1"))
