@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -245,7 +246,56 @@ object Relational {
                 .select(col("o_custkey").cast("long").as("custkey")))
       .orderBy("custkey")
 
+  /** EXT: SCD Type-2 interval construction — turn a change stream into
+    * validity intervals, the temporal-warehouse primitive: collapse
+    * consecutive same-value events per key (lag), then close each
+    * surviving interval with the NEXT transition (lead), the open one
+    * flagged current. Two window passes over the SAME (user_id, event_id)
+    * ordering — one shuffle on the key, no self-join; at 100 TB each
+    * user's history is one partition-local scan. */
+  def qScd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, d)
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("event_id"), 1).over(w) - 1)
+      .select(col("user_id"), col("event_type"),
+              col("event_id").as("valid_from"), col("valid_to"),
+              col("valid_to").isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** EXT: CDC upsert merge (SCD Type-1) — the warehouse MERGE statement's
+    * core as a composition: new snapshot = (base ANTI JOIN delta keys)
+    * UNION delta. The delta is derived deterministically from the base
+    * (every 10th customer re-rated, five brand-new keys) so the oracle
+    * replays the identical merge. At 100 TB the anti join shuffles on the
+    * upsert key (or broadcasts a small delta — the common CDC case); the
+    * base is never rewritten wholesale, which is the point of MERGE. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val rerated = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+    val fresh = base.filter(col("c_custkey") < 5)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              lit(0.0).as("c_acctbal"))
+    val delta = rerated.union(fresh)
+    val merged = base.join(delta.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .union(delta)
+    merged
+      .groupBy((col("c_custkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"),
+           max(col("c_custkey")).as("max_key"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_intervals"  -> (qScd2Intervals _),
+    "q_merge_upsert"    -> (qMergeUpsert _),
     "q_scan_project_limit" -> (qScanProjectLimit _),
     "q_scan_prune_time"    -> (qScanPruneTime _),
     "q_proj_index_shift"   -> (qProjIndexShift _),
@@ -270,6 +320,31 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |           FROM events WHERE user_id < 100),
+        |t AS (SELECT user_id, event_id, event_type FROM e
+        |      WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, event_id AS valid_from,
+        |  LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS valid_to,
+        |  CAST(CASE WHEN LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM t ORDER BY user_id, valid_from""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+        |delta AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal FROM base
+        |          WHERE c_custkey % 10 = 0
+        |          UNION ALL
+        |          SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS c_acctbal FROM base
+        |          WHERE c_custkey < 5),
+        |merged AS (SELECT * FROM base
+        |           WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)
+        |           UNION ALL SELECT * FROM delta)
+        |SELECT c_custkey % 7 AS bucket, COUNT(*) AS n,
+        |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+        |  MAX(c_custkey) AS max_key
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_scan_project_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem

@@ -127,6 +127,49 @@ class RelationalSpec extends SparkSpec {
     assert(sameBlock.size * 2 >= truth.length, s"recall ${sameBlock.size}/${truth.length}")
   }
 
+  test("SCD2 intervals tile each user's history; one open interval; point-in-time lookups agree") {
+    val out = graft.operators.Relational.qScd2Intervals(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("valid_from"))
+      // exactly one current (null valid_to), and it is the last interval
+      assert(sorted.count(_.getAs[Long]("is_current") === 1L) === 1)
+      assert(sorted.last.getAs[Long]("is_current") === 1L)
+      // consecutive intervals abut exactly and change value
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") === b.getAs[Long]("valid_from") - 1)
+          assert(a.getAs[String]("event_type") !== b.getAs[String]("event_type"))
+        case _ =>
+      }
+    }
+    // point-in-time: every raw event falls inside an interval of its own type
+    val events = Tables.events(spark, sf).filter(col("user_id") < 100)
+      .select("user_id", "event_id", "event_type").collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    events.foreach { e =>
+      val iv = byUser(e.getAs[Long]("user_id")).find { r =>
+        val from = r.getAs[Long]("valid_from")
+        val to = if (r.isNullAt(r.fieldIndex("valid_to"))) Long.MaxValue
+                 else r.getAs[Long]("valid_to")
+        e.getAs[Long]("event_id") >= from && e.getAs[Long]("event_id") <= to
+      }
+      assert(iv.isDefined && iv.get.getAs[String]("event_type") === e.getAs[String]("event_type"))
+    }
+  }
+
+  test("merge upsert: row count and balance mass shift exactly by the delta") {
+    val out = graft.operators.Relational.qMergeUpsert(spark, sf).collect()
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .collect()
+    val nRerated = base.count(_.getLong(0) % 10 === 0)
+    assert(out.map(_.getAs[Long]("n")).sum === base.length + 5L)
+    assert(out.map(_.getAs[Long]("sum_cents")).sum ===
+      base.map(_.getLong(1)).sum + 10000L * nRerated)
+    assert(out.map(_.getAs[Long]("max_key")).max >= 1000000L, "fresh keys inserted")
+  }
+
   test("gap-fill densifies to the full grid; interpolated values sit between their brackets") {
     val out = graft.operators.Aggregates.qTsGapfill(spark, sf01).collect()
     val types = out.map(_.getAs[String]("event_type")).distinct
