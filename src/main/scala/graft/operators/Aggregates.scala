@@ -261,6 +261,26 @@ object Aggregates {
       .orderBy("o_orderkey")
   }
 
+  /** W3 variant: TIME-range rolling window — the "events in the trailing
+    * hour" shape (rate limiting, rolling MAU, anomaly baselines): a RANGE
+    * frame over epoch seconds, [-3599, 0] from each event. Distinct from
+    * [[qWinRangeFrame]]'s value-range frame: the frame key here is event
+    * TIME, so out-of-order arrival density directly widens/narrows each
+    * row's peer set. One shuffle on the partition key; at 100 TB the frame
+    * scan is bounded by the hour's event density per type, not the table. */
+  def qWinTimeRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("es"))
+      .rangeBetween(-3599L, 0L)
+    Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .withColumn("es", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("event_type"), col("es"),
+              count(lit(1)).over(w).as("n_trailing_hour"),
+              sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+                .as("sum_trailing_hour"))
+      .orderBy("event_id")
+  }
+
   /** A6 variant: explicit GROUPING SETS — (returnflag), (linestatus), () —
     * a shape rollup/cube can't express. */
   def qAggGroupingSets(s: SparkSession, d: String): DataFrame =
@@ -366,6 +386,7 @@ object Aggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_countmin"  -> (qSketchCountMin _),
     "q_ts_gapfill"       -> (qTsGapfill _),
+    "q_win_time_range"   -> (qWinTimeRange _),
     "q_agg_stats"        -> (qAggStats _),
     "q_win_distribution" -> (qWinDistribution _),
     "q_stream_sliding"   -> (qStreamSliding _),
@@ -405,6 +426,14 @@ object Aggregates {
         |  CAST(CASE WHEN MIN(c) > true_n THEN 1 ELSE 0 END AS BIGINT) AS overest
         |FROM probes JOIN sketch USING (r, b)
         |GROUP BY word, true_n ORDER BY word""".stripMargin,
+    "q_win_time_range" ->
+      """SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |  COUNT(*) OVER w AS n_trailing_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_hour
+        |FROM events WHERE event_id < 2000
+        |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_ts_gapfill" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS n
         |                FROM events GROUP BY 1, 2),

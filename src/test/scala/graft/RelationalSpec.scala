@@ -127,6 +127,21 @@ class RelationalSpec extends SparkSpec {
     assert(sameBlock.size * 2 >= truth.length, s"recall ${sameBlock.size}/${truth.length}")
   }
 
+  test("time-range window: trailing-hour peer sets match brute-force recomputation") {
+    val out = graft.operators.Aggregates.qWinTimeRange(spark, sf).collect()
+    assert(out.nonEmpty)
+    val events = out.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("es"),
+                               r.getAs[Long]("event_id")))
+    out.foreach { r =>
+      val (ty, es) = (r.getAs[String]("event_type"), r.getAs[Long]("es"))
+      val expected = events.count(e => e._1 == ty && e._2 >= es - 3599 && e._2 <= es)
+      assert(r.getAs[Long]("n_trailing_hour") === expected.toLong,
+        s"event ${r.getAs[Long]("event_id")} trailing count")
+    }
+    // the frame is genuinely sliding: counts vary across the stream
+    assert(out.map(_.getAs[Long]("n_trailing_hour")).distinct.length > 1)
+  }
+
   test("SCD2 intervals tile each user's history; one open interval; point-in-time lookups agree") {
     val out = graft.operators.Relational.qScd2Intervals(spark, sf).collect()
     assert(out.nonEmpty)
