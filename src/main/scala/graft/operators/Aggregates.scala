@@ -172,17 +172,15 @@ object Aggregates {
     // vocabulary-sized
     val truth = words.groupBy("word").agg(count(lit(1)).as("true_n"))
       .localCheckpoint()
-    val sketch = truth
-      .select(col("true_n"),
-              explode(array((0 until 4).map(r =>
-                struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(sum(col("true_n")).as("c"))
-    val probes = truth
+    // ONE (word, true_n, r, b) projection feeds both the sketch build and
+    // the probe side — the md5-bucket expression exists in exactly one place
+    val rb = truth
       .select(col("word"), col("true_n"),
               explode(array((0 until 4).map(r =>
                 struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
       .select(col("word"), col("true_n"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val sketch = rb.groupBy("r", "b").agg(sum(col("true_n")).as("c"))
+    val probes = rb
     probes.join(broadcast(sketch), Seq("r", "b"))
       .groupBy("word", "true_n")
       .agg(min(col("c")).as("est_n"))
@@ -427,11 +425,13 @@ object Aggregates {
         |FROM probes JOIN sketch USING (r, b)
         |GROUP BY word, true_n ORDER BY word""".stripMargin,
     "q_win_time_range" ->
-      """SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      """SELECT event_id, event_type,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
         |  COUNT(*) OVER w AS n_trailing_hour,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_hour
         |FROM events WHERE event_id < 2000
-        |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |WINDOW w AS (PARTITION BY event_type
+        |             ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT)
         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q_ts_gapfill" ->

@@ -441,8 +441,10 @@ class DedupSimilaritySpec extends SparkSpec {
         assert(r.getAs[Long]("n_tok") === exp)
         assert(r.getAs[String]("h").matches("[0-9a-f]{16}"))
       }
-      // full coverage: last chunk reaches the final token
-      assert(starts.last + rows.map(_.getAs[Long]("n_tok")).max >= nTok(id))
+      // full coverage: the LAST chunk's own extent reaches the final token
+      val lastNtok = rows.filter(_.getAs[Long]("start") === starts.last)
+        .head.getAs[Long]("n_tok")
+      assert(starts.last + lastNtok - 1 === nTok(id))
     }
     // identical texts chunk to identical hash sequences (content addressing)
     val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
