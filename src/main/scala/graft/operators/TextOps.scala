@@ -325,6 +325,33 @@ object TextOps {
       .orderBy("source", "bin")
   }
 
+  /** EXT: REPRODUCIBLE weighted sampling — Efraimidis-Spirakis exponential
+    * keys (VLDB 2006): each row draws u ~ U(0,1) and competes with key
+    * -ln(u)/w; the k smallest keys are a weighted-without-replacement
+    * sample (here w = n_chars: longer docs proportionally likelier). The
+    * randomness is md5-derived (first 8 hex nibbles folded to a 32-bit
+    * int), so like [[qSampleHash]] the same rows win on every engine, run,
+    * and cluster size — rand() cannot do that. Selection is a global
+    * top-k = TakeOrderedAndProject (bounded heap per partition, k rows to
+    * the driver), never a full sort: the scale-safe "sample 1M docs by
+    * quality weight from 100 TB" shape. */
+  def qSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val h = expr(
+      """aggregate(sequence(1, 8), 0L, (a, i) ->
+        |  a * 16 + instr('0123456789abcdef',
+        |                 substring(md5(cast(doc_id AS string)), i, 1)) - 1)""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("u", (h + lit(0.5)) / lit(4294967296.0))
+      // order on the 1e-6-rounded key (+ id tiebreak) so the SELECTED SET
+      // is immune to last-ulp ln() drift between engines
+      .withColumn("ki6",
+        floor(-log(col("u")) / col("n_chars") * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(col("ki6"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_chars"), col("ki6"))
+  }
+
   /** EXT: stratified sampling — exactly `n` docs per language (the
     * class-balancing shape), deterministic via hash-order ranking inside
     * each stratum. One window shuffle on the stratum key. */
@@ -557,6 +584,7 @@ object TextOps {
     "q_mix_token_budget"  -> (qMixTokenBudget _),
     "q_curate_urls"       -> (qCurateUrls _),
     "q_chunk_documents"   -> (qChunkDocuments _),
+    "q_sample_weighted"   -> (qSampleWeighted _),
     "q_text_decontam"     -> (qTextDecontam _),
     "q_text_pii_redact"   -> (qTextPiiRedact _),
     "q_text_repetition"   -> (qTextRepetition _),
@@ -602,6 +630,16 @@ object TextOps {
         |SELECT doc_id, n_feats, score,
         |  CAST(CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM sc ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  (list_reduce([CAST(strpos('0123456789abcdef',
+        |       substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |     for i in generate_series(1, 8)], (a, b) -> a * 16 + b) + 0.5)
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(floor(-ln(u) / n_chars * 1000000.0 + 0.5) AS BIGINT) AS ki6
+        |FROM t ORDER BY ki6, doc_id LIMIT 20""".stripMargin,
     "q_chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |c AS (SELECT doc_id, len(tk) AS n, unnest(generate_series(1, len(tk), 48)) AS start, tk

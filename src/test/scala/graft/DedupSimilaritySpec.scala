@@ -458,6 +458,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("weighted sampling: exact agreement with recomputed E-S keys; weighting shifts the sample") {
+    val out = TextOps.qSampleWeighted(spark, sf).collect()
+    assert(out.length === 20)
+    // recompute the Efraimidis-Spirakis keys driver-side from first principles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(docId: Long, w: Long): Long = {
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = hex.foldLeft(0L)((a, c) => a * 16 + Integer.parseInt(c.toString, 16))
+      val u = (h + 0.5) / 4294967296.0
+      math.floor(-math.log(u) / w * 1e6 + 0.5).toLong
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.map { case (id, w) => (key(id, w), id, w) }
+      .sortBy(t => (t._1, t._2)).take(20)
+    assert(out.map(r => (r.getAs[Long]("ki6"), r.getAs[Long]("doc_id"),
+                         r.getAs[Long]("n_chars"))).toSeq === expected.toSeq)
+    // weighting works: the winners skew long (mean weight above corpus mean)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = out.map(_.getAs[Long]("n_chars")).sum.toDouble / out.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
