@@ -471,9 +471,11 @@ object TextOps {
     * which is exactly the part that has to scale.
     *
     * Scale shape: pure per-row array expressions (no explode, no shuffle,
-    * no UDF) — the classifier runs inside whole-stage codegen at scan
-    * speed; a trained weight vector would enter as one broadcast map
-    * lookup without changing the plan.
+    * no UDF) — the classifier runs at scan speed with zero data movement
+    * (the array fold itself is a CodegenFallback expression, but it sits
+    * inside the codegen'd projection and touches each gram once); a
+    * trained weight vector would enter as one broadcast map lookup
+    * without changing the plan.
     *
     * Portability: bucket = first two md5 hex nibbles via position-in-
     * alphabet (`instr`), since Spark and DuckDB share no hex→int builtin;
