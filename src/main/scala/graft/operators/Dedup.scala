@@ -306,7 +306,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXT: asymmetric CONTAINMENT dedup — the wrapper-page/excerpt detector
+    * Jaccard-based LSH structurally misses: an excerpt shares ~all of ITS
+    * shingles with its source but few of the source's (Jaccard ≈ |A|/|B|,
+    * far below any banding threshold), so minhash banding never surfaces
+    * the pair. Candidates instead come from the inverted shingle index
+    * (equi-join on the shingle) with STOP-SHINGLE pruning — shingles in
+    * > 50 docs are dropped before the self-join, the df-cap that bounds
+    * per-shingle pair fan-out (the standard inverted-index join guard; at
+    * 100 TB the cap is what keeps the join linear in postings, and the
+    * pruned-space containment is what real pipelines score anyway).
+    * Containment is measured in the PRUNED shingle space, denominator =
+    * the smaller set: excerpts planted from the first 20 tokens of docs
+    * 0-49 score 1.0 against their sources. */
+  def qDedupContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val excerpts = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+              concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text"))
+    val inv = fanout(docs.union(excerpts), "doc_id")
+      .select(col("doc_id"), explode(shingles3).as("sh"))
+    val keep = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+      .select("sh")
+    val pruned = inv.join(keep, "sh")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("ci4",
+        floor(col("inter") / least(col("n1"), col("n2")) * 10000.0 + 0.5).cast("long"))
+      .filter(col("ci4") >= 8000)
+      .select("d1", "d2", "n1", "n2", "inter", "ci4")
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_segments"      -> (qDedupSegments _),
     "q_dedup_replay"        -> (qDedupReplay _),
     "q_dedup_minhash"       -> (qDedupMinhash _),
@@ -322,6 +362,26 @@ object Dedup {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_containment" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 200000 AS doc_id,
+        |                list_aggregate(string_split(text, ' ')[1:20], 'string_agg', ' ') AS text
+        |              FROM documents WHERE doc_id < 50),
+        |sh AS (SELECT doc_id, $duckShingles AS s
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)),
+        |inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |keep AS (SELECT sh FROM inv GROUP BY sh HAVING COUNT(*) <= 50),
+        |pr AS (SELECT inv.doc_id, inv.sh FROM inv JOIN keep USING (sh)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM pr GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |          FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, s1.n AS n1, s2.n AS n2, inter,
+        |  CAST(floor(inter / LEAST(s1.n, s2.n) * 10000.0 + 0.5) AS BIGINT) AS ci4
+        |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE floor(inter / LEAST(s1.n, s2.n) * 10000.0 + 0.5) >= 8000
+        |ORDER BY d1, d2""".stripMargin,
     "q_dedup_segments" ->
       """WITH words AS (
         |  SELECT doc_id,

@@ -458,6 +458,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containment dedup: every planted excerpt scores 1.0 vs its source; Jaccard banding misses them") {
+    val out = Dedup.qDedupContainment(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("inter") <=
+        math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")))
+      assert(r.getAs[Long]("ci4") >= 8000 && r.getAs[Long]("ci4") <= 10000)
+    }
+    // all 50 planted excerpts surface against their own source, fully contained
+    val excerptPairs = out.filter(_.getAs[Long]("d2") >= 200000L)
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("ci4")))
+    (0L until 50L).foreach { id =>
+      val hit = excerptPairs.find(p => p._1 === id && p._2 === id + 200000L)
+      assert(hit.isDefined, s"excerpt of doc $id not found")
+      assert(hit.get._3 === 10000L, s"excerpt of doc $id not fully contained")
+    }
+    // the motivating property: for excerpt->source pairs Jaccard is only
+    // |A|/|B| (far below the 0.6 banding design point of qDedupMinhash)
+    // while containment is 1.0 — the regime Jaccard-LSH structurally
+    // misses and this operator exists for. Verify on the real texts:
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // (docs as short as the excerpt itself ARE their excerpt — the
+    // asymmetric regime only exists where the source is much longer)
+    val jaccs = texts.values.filter(_.split(" ").length > 40).map { t =>
+      val full = shingleSet(t)
+      val exc = shingleSet(t.split(" ").take(20).mkString(" "))
+      exc.intersect(full).size.toDouble / exc.union(full).size
+    }
+    assert(jaccs.nonEmpty && jaccs.forall(_ < 0.6),
+      s"long-source excerpt Jaccard must sit below the banding design point")
+  }
+
   test("weighted sampling: exact agreement with recomputed E-S keys; weighting shifts the sample") {
     val out = TextOps.qSampleWeighted(spark, sf).collect()
     assert(out.length === 20)
