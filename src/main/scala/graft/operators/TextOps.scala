@@ -284,7 +284,12 @@ object TextOps {
     * joined to the model, never materialized per-doc. The score rounds to
     * 1e-4: the only cross-engine drift source is the last ulp of ln(), ~9
     * orders of magnitude below the rounding grid. */
-  def qTextUnigramLp(s: SparkSession, d: String): DataFrame = {
+  def qTextUnigramLp(s: SparkSession, d: String): DataFrame =
+    surprisalPerDoc(s, d).orderBy("doc_id")
+
+  /** (doc_id, n_tokens, surprisal) — the unigram-LM core shared by
+    * [[qTextUnigramLp]] and [[qCuratePercentile]]. */
+  private def surprisalPerDoc(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("word"))
     val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
@@ -294,7 +299,28 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
            round(avg(-log(col("c").cast("double") / col("n"))), 4).as("surprisal"))
-      .orderBy("doc_id")
+  }
+
+  /** EXT: per-language percentile split on the LM score — the CCNet
+    * head/middle/tail recipe: rank each language's documents by unigram
+    * surprisal and cut into terciles (head = most fluent third). Relative
+    * thresholds are the point — an absolute perplexity cutoff is
+    * incomparable across languages, the percentile is self-calibrating.
+    * NTILE runs over the ROUNDED surprisal with a doc_id tiebreak, so the
+    * tercile boundaries are engine-deterministic. One window shuffle on
+    * the language key over doc-level rows (the corpus itself never
+    * reaches the window — [[surprisalPerDoc]] reduced it already). */
+  def qCuratePercentile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("surprisal"), col("doc_id"))
+    surprisalPerDoc(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .groupBy("lang", "tercile")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("n_tokens"),
+           min("surprisal").as("min_sp"),
+           max("surprisal").as("max_sp"))
+      .orderBy("lang", "tercile")
   }
 
   /** EXT: sequence packing — assign documents to 512-token-budget bins,
@@ -587,6 +613,7 @@ object TextOps {
     "q_curate_urls"       -> (qCurateUrls _),
     "q_chunk_documents"   -> (qChunkDocuments _),
     "q_sample_weighted"   -> (qSampleWeighted _),
+    "q_curate_percentile" -> (qCuratePercentile _),
     "q_text_decontam"     -> (qTextDecontam _),
     "q_text_pii_redact"   -> (qTextPiiRedact _),
     "q_text_repetition"   -> (qTextRepetition _),
@@ -632,6 +659,22 @@ object TextOps {
         |SELECT doc_id, n_feats, score,
         |  CAST(CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM sc ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q_curate_percentile" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+        |tot AS (SELECT SUM(c) AS n FROM vocab),
+        |sp AS (SELECT w.doc_id, COUNT(*) AS n_tokens,
+        |         ROUND(AVG(-LN(v.c / t.n)), 4) AS surprisal
+        |       FROM words w JOIN vocab v USING (word), tot t
+        |       GROUP BY w.doc_id),
+        |ranked AS (SELECT d.lang, sp.n_tokens, sp.surprisal,
+        |  CAST(NTILE(3) OVER (PARTITION BY d.lang
+        |                      ORDER BY sp.surprisal, sp.doc_id) AS BIGINT) AS tercile
+        |  FROM sp JOIN documents d USING (doc_id))
+        |SELECT lang, tercile, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+        |  MIN(surprisal) AS min_sp, MAX(surprisal) AS max_sp
+        |FROM ranked GROUP BY lang, tercile ORDER BY lang, tercile""".stripMargin,
     "q_sample_weighted" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  (list_reduce([CAST(strpos('0123456789abcdef',

@@ -458,6 +458,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("percentile curation: terciles partition each language, ordered and near-equal-sized") {
+    val out = TextOps.qCuratePercentile(spark, sf).collect()
+    val perLang = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("tercile"))
+      assert(sorted.map(_.getAs[Long]("tercile")).toSeq === (1L to sorted.length))
+      // terciles partition the language's docs, sizes differ by at most 1
+      assert(sorted.map(_.getAs[Long]("n_docs")).sum === perLang(lang))
+      val sizes = sorted.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      // surprisal bands are ordered: head's max <= middle's min etc.
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_sp") <= b.getAs[Double]("min_sp") + 1e-9)
+        case _ =>
+      }
+    }
+  }
+
   test("containment dedup: every planted excerpt scores 1.0 vs its source; Jaccard banding misses them") {
     val out = Dedup.qDedupContainment(spark, sf).collect()
     out.foreach { r =>
