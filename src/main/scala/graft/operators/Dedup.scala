@@ -321,8 +321,12 @@ object Dedup {
     * 0-49 score 1.0 against their sources. */
   def qDedupContainment(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
+    // excerpt ids live in the NEGATIVE namespace (-(id+1)): real doc_ids
+    // are non-negative at any corpus size, so the plant can never collide
+    // (an additive offset would silently merge postings once the corpus
+    // outgrows it)
     val excerpts = docs.filter(col("doc_id") < 50)
-      .select((col("doc_id") + 200000L).as("doc_id"),
+      .select((-(col("doc_id") + 1L)).as("doc_id"),
               concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text"))
     val inv = fanout(docs.union(excerpts), "doc_id")
       .select(col("doc_id"), explode(shingles3).as("sh"))
@@ -365,7 +369,7 @@ object Dedup {
     "q_dedup_containment" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents
         |              UNION ALL
-        |              SELECT doc_id + 200000 AS doc_id,
+        |              SELECT -(doc_id + 1) AS doc_id,
         |                list_aggregate(string_split(text, ' ')[1:20], 'string_agg', ' ') AS text
         |              FROM documents WHERE doc_id < 50),
         |sh AS (SELECT doc_id, $duckShingles AS s

@@ -285,18 +285,22 @@ object TextOps {
     * 1e-4: the only cross-engine drift source is the last ulp of ln(), ~9
     * orders of magnitude below the rounding grid. */
   def qTextUnigramLp(s: SparkSession, d: String): DataFrame =
-    surprisalPerDoc(s, d).orderBy("doc_id")
+    surprisalPerDoc(s, d)
+      .select("doc_id", "n_tokens", "surprisal")
+      .orderBy("doc_id")
 
-  /** (doc_id, n_tokens, surprisal) — the unigram-LM core shared by
-    * [[qTextUnigramLp]] and [[qCuratePercentile]]. */
+  /** (doc_id, lang, n_tokens, surprisal) — the unigram-LM core shared by
+    * [[qTextUnigramLp]] and [[qCuratePercentile]]. lang rides along from
+    * the single corpus scan (functionally dependent on doc_id) so the
+    * percentile split never re-reads the table. */
   private def surprisalPerDoc(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
     val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
     val tot = vocab.agg(sum("c").as("n"))
     words.join(broadcast(vocab), "word")
       .crossJoin(broadcast(tot))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),
            round(avg(-log(col("c").cast("double") / col("n"))), 4).as("surprisal"))
   }
@@ -313,7 +317,6 @@ object TextOps {
   def qCuratePercentile(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("surprisal"), col("doc_id"))
     surprisalPerDoc(s, d)
-      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
       .withColumn("tercile", ntile(3).over(w).cast("long"))
       .groupBy("lang", "tercile")
       .agg(count(lit(1)).as("n_docs"),
@@ -368,6 +371,9 @@ object TextOps {
         |                 substring(md5(cast(doc_id AS string)), i, 1)) - 1)""".stripMargin)
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"))
+      // a zero-weight row can never win an E-S draw — and without this
+      // guard -ln(u)/0 is NULL, which Spark sorts FIRST and DuckDB LAST
+      .filter(col("n_chars") > 0)
       .withColumn("u", (h + lit(0.5)) / lit(4294967296.0))
       // order on the 1e-6-rounded key (+ id tiebreak) so the SELECTED SET
       // is immune to last-ulp ln() drift between engines
@@ -681,7 +687,7 @@ object TextOps {
         |       substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
         |     for i in generate_series(1, 8)], (a, b) -> a * 16 + b) + 0.5)
         |    / 4294967296.0 AS u
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars,
         |  CAST(floor(-ln(u) / n_chars * 1000000.0 + 0.5) AS BIGINT) AS ki6
         |FROM t ORDER BY ki6, doc_id LIMIT 20""".stripMargin,

@@ -485,11 +485,12 @@ class DedupSimilaritySpec extends SparkSpec {
         math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")))
       assert(r.getAs[Long]("ci4") >= 8000 && r.getAs[Long]("ci4") <= 10000)
     }
-    // all 50 planted excerpts surface against their own source, fully contained
-    val excerptPairs = out.filter(_.getAs[Long]("d2") >= 200000L)
+    // all 50 planted excerpts surface against their own source, fully
+    // contained; excerpt ids are -(id+1), so they appear on the d1 side
+    val excerptPairs = out.filter(_.getAs[Long]("d1") < 0L)
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("ci4")))
     (0L until 50L).foreach { id =>
-      val hit = excerptPairs.find(p => p._1 === id && p._2 === id + 200000L)
+      val hit = excerptPairs.find(p => p._1 === -(id + 1) && p._2 === id)
       assert(hit.isDefined, s"excerpt of doc $id not found")
       assert(hit.get._3 === 10000L, s"excerpt of doc $id not fully contained")
     }
