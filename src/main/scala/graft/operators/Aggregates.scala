@@ -148,6 +148,29 @@ object Aggregates {
               col("exact_p50"))
       .orderBy("lang")
 
+  /** A2 variant: fixed-width histogram — the profiling/binning primitive
+    * (width_bucket): 10 equal bins over [min, max] of order totals, edges
+    * from a broadcast 1-row bounds aggregate, the top edge clamped into
+    * the last bin. Bin arithmetic is the identical IEEE expression in
+    * both engines, so assignments hash-agree; two scans of the input
+    * (bounds + binning) is the canonical two-pass histogram — at 100 TB
+    * the first pass is a columnar min/max that parquet row-group
+    * statistics largely answer. */
+  def qAggHistogram(s: SparkSession, d: String): DataFrame = {
+    val bounds = Tables.orders(s, d)
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    Tables.orders(s, d)
+      .select(col("o_totalprice").as("x"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(9L), floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0))
+                         .cast("long")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+           min(col("x")).as("min_price"), max(col("x")).as("max_price"))
+      .orderBy("bin")
+  }
+
   /** A7 variant: Count-Min sketch — the mergeable heavy-hitter counter
     * (Cormode & Muthukrishnan 2005), and unlike HLL/KLL it is EXACTLY
     * engine-portable: every cell is a SUM over deterministic md5-derived
@@ -383,6 +406,7 @@ object Aggregates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_countmin"  -> (qSketchCountMin _),
+    "q_agg_histogram"    -> (qAggHistogram _),
     "q_ts_gapfill"       -> (qTsGapfill _),
     "q_win_time_range"   -> (qWinTimeRange _),
     "q_agg_stats"        -> (qAggStats _),
@@ -424,6 +448,12 @@ object Aggregates {
         |  CAST(CASE WHEN MIN(c) > true_n THEN 1 ELSE 0 END AS BIGINT) AS overest
         |FROM probes JOIN sketch USING (r, b)
         |GROUP BY word, true_n ORDER BY word""".stripMargin,
+    "q_agg_histogram" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+        |SELECT LEAST(9, CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bin,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders, b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_win_time_range" ->
       """SELECT event_id, event_type,
         |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,

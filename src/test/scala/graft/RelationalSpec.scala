@@ -82,6 +82,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("histogram: bins partition all rows, edges ordered, extremes in end bins") {
+    val out = graft.operators.Aggregates.qAggHistogram(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum === total)
+    assert(out.map(_.getAs[Long]("bin")).forall(b => b >= 0 && b <= 9))
+    // per-bin [min,max] ranges are disjoint and ordered by bin
+    val sorted = out.sortBy(_.getAs[Long]("bin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"))
+      case _ =>
+    }
+    val (lo, hi) = (sorted.head.getAs[Double]("min_price"),
+                    sorted.last.getAs[Double]("max_price"))
+    val bounds = Tables.orders(spark, sf)
+      .agg(min("o_totalprice"), max("o_totalprice")).collect().head
+    assert(lo === bounds.getDouble(0) && hi === bounds.getDouble(1))
+  }
+
   test("count-min sketch: estimates dominate truth, collisions overestimate, mass conserves") {
     val out = graft.operators.Aggregates.qSketchCountMin(spark, sf).collect()
     assert(out.nonEmpty)
