@@ -219,7 +219,7 @@ object Multimodal {
       .select(col("doc_id"),
               explode(sequence(lit(0), (length(col("payload")) / lit(100)).cast("int") - 1,
                                lit(10))).as("frame_idx"))
-      .select(col("doc_id"), col("frame_idx"),
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
               (col("frame_idx") * 100).cast("long").as("byte_off"))
       .orderBy("doc_id", "frame_idx")
       .limit(500)

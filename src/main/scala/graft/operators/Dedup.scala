@@ -400,7 +400,7 @@ object Dedup {
         |SELECT s.doc_id,
         |       COALESCE(string_agg(CASE WHEN f.nd = 1 THEN s.seg END, ' ' ORDER BY s.seg_no), '') AS text_kept,
         |       COUNT(*) AS n_segs,
-        |       SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_dropped
+        |       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM segs s JOIN freq f USING (seg)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q_dedup_replay" ->

@@ -342,7 +342,7 @@ object Relational {
         |           WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)
         |           UNION ALL SELECT * FROM delta)
         |SELECT c_custkey % 7 AS bucket, COUNT(*) AS n,
-        |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  MAX(c_custkey) AS max_key
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_scan_project_limit" ->

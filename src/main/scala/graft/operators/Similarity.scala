@@ -444,9 +444,9 @@ object Similarity {
         |      ON x.cid = y.cid AND x.vec_id < y.vec_id
         |      WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) > 0.4)
         |SELECT cid, COUNT(*) AS n,
-        |  SUM(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS n_pruned,
+        |  CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_pruned,
         |  MIN(p.vec_id) AS first_pruned,
-        |  COUNT(*) - SUM(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS n_kept
+        |  CAST(COUNT(*) - SUM(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
         |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
         |GROUP BY cid ORDER BY cid""".stripMargin,
     "q_array_explode" ->

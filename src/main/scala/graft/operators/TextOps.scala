@@ -678,7 +678,7 @@ object TextOps {
         |  CAST(NTILE(3) OVER (PARTITION BY d.lang
         |                      ORDER BY sp.surprisal, sp.doc_id) AS BIGINT) AS tercile
         |  FROM sp JOIN documents d USING (doc_id))
-        |SELECT lang, tercile, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+        |SELECT lang, tercile, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |  MIN(surprisal) AS min_sp, MAX(surprisal) AS max_sp
         |FROM ranked GROUP BY lang, tercile ORDER BY lang, tercile""".stripMargin,
     "q_sample_weighted" ->
@@ -701,7 +701,7 @@ object TextOps {
         |FROM c ORDER BY doc_id, start""".stripMargin,
     "q_mix_token_budget" ->
       """WITH m AS (SELECT source, COUNT(*) AS n_docs,
-        |             SUM(len(string_split(text, ' '))) AS n_tokens
+        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |           FROM documents GROUP BY source),
         |s AS (SELECT source, n_docs, n_tokens,
         |        POW(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 0.3) AS pa
@@ -751,7 +751,7 @@ object TextOps {
         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
         |  FROM toks)
         |SELECT source, CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT) AS bin,
-        |       COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM cum GROUP BY source, CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT)
         |ORDER BY source, bin""".stripMargin,
