@@ -162,9 +162,10 @@ object Aggregates {
     Tables.orders(s, d)
       .select(col("o_totalprice").as("x"))
       .crossJoin(broadcast(bounds))
-      .withColumn("bin",
-        least(lit(9L), floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0))
-                         .cast("long")))
+      .withColumn("bin", // degenerate single-valued column: everything in bin 0
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(9L),
+            floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0)).cast("long"))))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
            min(col("x")).as("min_price"), max(col("x")).as("max_price"))
@@ -450,7 +451,9 @@ object Aggregates {
         |GROUP BY word, true_n ORDER BY word""".stripMargin,
     "q_agg_histogram" ->
       """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
-        |SELECT LEAST(9, CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bin,
+        |SELECT CASE WHEN hi = lo THEN 0
+        |            ELSE LEAST(9, CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT))
+        |       END AS bin,
         |  COUNT(*) AS n, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM orders, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,

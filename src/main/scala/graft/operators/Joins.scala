@@ -137,7 +137,10 @@ object Joins {
   def qJoinFuzzy(s: SparkSession, d: String): DataFrame = {
     val names = Tables.part(s, d)
       .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
-      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      // one-token names: element_at yields NULL (row would silently drop
+      // from the equi-join) — coalesce to '' so they share a block, the
+      // same convention as the oracle's split_part (which returns '')
+      .withColumn("block", coalesce(element_at(split(col("p_name"), " "), 2), lit("")))
     names.as("a").join(names.as("b"),
         col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
       .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 3))

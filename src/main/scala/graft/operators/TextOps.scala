@@ -289,16 +289,35 @@ object TextOps {
       .select("doc_id", "n_tokens", "surprisal")
       .orderBy("doc_id")
 
+  /** Vocabulary rows above which the unigram model is joined by shuffle
+    * instead of broadcast. 4M rows ≈ low hundreds of MB hashed — far under
+    * Spark's 8 GB broadcast hard cap and above any real LM vocabulary
+    * (BPE vocabs are 32k-256k; CCNet's word-level models ~1M), but raw
+    * 100 TB web text has 1e9+ distinct "tokens" and must not be collected
+    * to the driver. */
+  private[graft] val MaxBroadcastVocab = 4L << 20
+
   /** (doc_id, lang, n_tokens, surprisal) — the unigram-LM core shared by
     * [[qTextUnigramLp]] and [[qCuratePercentile]]. lang rides along from
     * the single corpus scan (functionally dependent on doc_id) so the
     * percentile split never re-reads the table. */
-  private def surprisalPerDoc(s: SparkSession, d: String): DataFrame = {
+  private def surprisalPerDoc(s: SparkSession, d: String): DataFrame =
+    surprisalPerDoc(s, d, MaxBroadcastVocab)
+
+  /** Size-gated core: the vocabulary aggregate is localCheckpoint-pinned
+    * (built once even when the caller's plan references it twice), counted,
+    * and broadcast only when it fits; an unbounded raw-web vocab falls back
+    * to a plain shuffle join on the word key. */
+  private[graft] def surprisalPerDoc(s: SparkSession, d: String,
+                                     maxBroadcastVocab: Long): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
-    val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("c")).localCheckpoint()
     val tot = vocab.agg(sum("c").as("n"))
-    words.join(broadcast(vocab), "word")
+    val model =
+      if (vocab.count() <= maxBroadcastVocab) broadcast(vocab)
+      else vocab.hint("shuffle_merge") // forbid a stats-misestimated broadcast
+    words.join(model, "word")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),

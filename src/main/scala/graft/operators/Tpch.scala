@@ -155,26 +155,28 @@ object Tpch {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
   }
 
-  /** Q2 shape (minimum-cost supplier): correlated scalar MIN subquery with
-    * its own join inside — Catalyst decorrelates to a grouped MIN aggregate
-    * joined back on the correlation key (p_partkey), so the "for each part,
-    * the cheapest supplier" semantics cost one aggregate + one join, never
-    * a per-row subquery. The corpus has no partsupp table; DISTINCT
-    * (l_partkey, l_suppkey) from lineitem is its natural surrogate, and
-    * s_acctbal stands in for ps_supplycost. The double equality is an
-    * exact copy-compare (no arithmetic on either side), so both engines
-    * agree bit-for-bit. */
+  /** Q2 shape (minimum-cost supplier): the classic correlated scalar MIN
+    * rewritten as a window MIN — `MIN(s_acctbal) OVER (PARTITION BY
+    * l_partkey)` on the one ps⋈supplier frame, filter equality. Same
+    * semantics as the correlated subquery Catalyst would decorrelate, but
+    * the expensive input — DISTINCT (l_partkey, l_suppkey) from lineitem,
+    * the corpus's partsupp surrogate — is computed ONCE instead of twice
+    * (the subquery form repeats it inside the correlation). The window
+    * shuffles the same partkey-keyed rows the decorrelated join-back
+    * would, so the rewrite strictly removes one full lineitem distinct.
+    * s_acctbal stands in for ps_supplycost; the equality is an exact
+    * copy-compare (no arithmetic), so both engines agree bit-for-bit. */
   def qTpchQ2(s: SparkSession, d: String): DataFrame = {
     graft.Views.register(s, d)
     s.sql(
       """SELECT s_acctbal, s_name, n_name, p_partkey, p_type
-        |FROM part, (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, supplier, nation
-        |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
-        |  AND s_nationkey = n_nationkey AND p_size = 15
-        |  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
-        |                   FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
-        |                   JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
-        |                   WHERE ps2.l_partkey = p_partkey)
+        |FROM (SELECT ps.l_partkey, s_acctbal, s_name, s_nationkey,
+        |             MIN(s_acctbal) OVER (PARTITION BY ps.l_partkey) AS min_bal
+        |      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |      JOIN supplier ON s_suppkey = ps.l_suppkey) best
+        |JOIN part ON p_partkey = best.l_partkey AND p_size = 15
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal = min_bal
         |ORDER BY s_acctbal DESC, s_name, p_partkey""".stripMargin)
   }
 

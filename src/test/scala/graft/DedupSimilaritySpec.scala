@@ -322,6 +322,19 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("unigram surprisal: forced-low vocab broadcast threshold falls back to shuffle join, identical result") {
+    val gated = TextOps.surprisalPerDoc(spark, sf, maxBroadcastVocab = 0L)
+      .select("doc_id", "n_tokens", "surprisal").orderBy("doc_id")
+    // the gate must actually change the static join strategy (pre-AQE —
+    // at test scale AQE may legitimately re-broadcast the small side at
+    // runtime; the point is the plan no longer FORCES a driver collect)
+    val static = gated.queryExecution.sparkPlan.toString
+    assert(!static.contains("BroadcastHashJoin"),
+           s"vocab join still broadcast under zero threshold:\n$static")
+    val base = TextOps.qTextUnigramLp(spark, sf).collect()
+    assert(gated.collect().toSeq === base.toSeq)
+  }
+
   test("semantic dedup: clusters conserve vectors; pruned set matches brute-force recomputation") {
     val out = Similarity.qDedupSemantic(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()

@@ -87,7 +87,7 @@ class MultimodalSpec extends SparkSpec {
     }
     // the relational frames query agrees on (doc, frame) membership
     val rel = Multimodal.qMultimodalFrames(spark, sf).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx").toInt)).toSet
     val typedSet = frames.filter(f => f.doc_id % 3 == 2).map(f => (f.doc_id, f.frame_idx)).toSet
     assert(rel.subsetOf(typedSet)) // rel is LIMITed; typed covers all videos
   }

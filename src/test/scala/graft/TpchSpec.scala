@@ -55,6 +55,11 @@ class TpchSpec extends SparkSpec {
     val df = Tpch.qTpchQ2(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
+    // the partsupp surrogate (DISTINCT l_partkey, l_suppkey) must be
+    // aggregated once — two HashAggregate nodes (partial + final), not the
+    // four the old self-repeating correlated-subquery form planned
+    val distincts = "HashAggregate\\(keys=\\[l_partkey".r.findAllIn(plan).length
+    assert(distincts <= 2, s"lineitem distinct planned $distincts times:\n$plan")
     val rows = df.collect()
     assert(rows.nonEmpty)
     // recompute each part's min acctbal independently and cross-check
