@@ -24,8 +24,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * projected as `grid.array`, maps promoted to first-class coordinates
   * the way xarray does), and Structures (members flattened under dotted
   * names, last component promoted when unshadowed — the grouped-file
-  * shape Hyrax serves). Sequences are n/a by design (SURVEY §2.1 S12)
-  * and fail by name.
+  * shape Hyrax serves), and Sequences (the protocol's relational
+  * construct, decoded straight to a DataFrame with the constraint
+  * expression — projection + selection — executed server-side).
   *
   * Scale shape: identical to the file-backed readers — the tiny
   * DDS+DAS parse happens once per task open, and each
@@ -140,7 +141,15 @@ object Dap2 {
     * top-level array, `grid.member` for Grid members. */
   case class DapVar(name: String, typ: String, dims: Seq[DapDim], proj: String)
 
-  case class Dds(name: String, vars: Seq[DapVar])
+  /** One member of a DAP2 Sequence — atomic scalar only (the tabular
+    * station/point-obs shape Hyrax and ERDDAP serve). */
+  case class DapSeqMember(name: String, typ: String)
+
+  /** A DAP2 Sequence: the protocol's relational construct — an unbounded
+    * ordered bag of instances, each one value per member. */
+  case class DapSeq(name: String, members: Seq[DapSeqMember])
+
+  case class Dds(name: String, vars: Seq[DapVar], seqs: Seq[DapSeq] = Nil)
 
   private val atomicTypes = Set(
     "Byte", "Int16", "UInt16", "Int32", "UInt32", "Float32", "Float64", "String", "Url")
@@ -187,6 +196,7 @@ object Dap2 {
     val c = new Cursor(tokenize(text), "DDS")
     c.expect("Dataset"); c.expect("{")
     val vars = Vector.newBuilder[DapVar]
+    val seqs = Vector.newBuilder[DapSeq]
     val gridMaps = Vector.newBuilder[(String, DapVar)] // (grid name, map var)
 
     def arrayDims(): Seq[DapDim] = {
@@ -256,10 +266,31 @@ object Dap2 {
             gridMaps += m.name.dropRight(bare.length + 1) -> m.copy(name = bare)
           }
         case "Sequence" =>
-          throw new IllegalArgumentException(
-            "DDS: Sequence is n/a by design (SURVEY §2.1 S12) — a relational/tabular " +
-              "DAP construct the NetCDF classic model never serves; the reference's " +
-              "xarray path refuses it the same way")
+          // DAP2's relational construct: an unbounded bag of instances,
+          // one scalar per member — decoded by [[parseDodsSequence]] and
+          // surfaced as a DataFrame by [[sequenceToDataFrame]]. Flat
+          // atomic members only; a nested constructor fails by name.
+          c.expect("Sequence"); c.expect("{")
+          val members = Vector.newBuilder[DapSeqMember]
+          while (c.peek != "}") {
+            c.peek match {
+              case t @ ("Sequence" | "Structure" | "Grid") =>
+                throw new IllegalArgumentException(
+                  s"DDS: $t nested in a Sequence is outside the subset this client speaks")
+              case _ =>
+                val typ = c.next()
+                require(atomicTypes.contains(typ),
+                  s"DDS: expected atomic Sequence member type, got '$typ'")
+                val mname = c.next()
+                require(c.peek == ";",
+                  "DDS: Sequence member arrays are outside the subset this client speaks")
+                c.expect(";")
+                members += DapSeqMember(mname, typ)
+            }
+          }
+          c.expect("}")
+          val sname = c.next(); c.expect(";")
+          seqs += DapSeq(sname, members.result())
         case _ => vars += atomicDecl("")
       }
     }
@@ -279,7 +310,7 @@ object Dap2 {
         Some(m.copy(name = s"$g.${m.name}", proj = s"$g.${m.name}"))
       else None
     }
-    Dds(dsName, base ++ promoted)
+    Dds(dsName, base ++ promoted, seqs.result())
   }
 
   // ---- DAS -------------------------------------------------------------
@@ -366,6 +397,112 @@ object Dap2 {
         throw new IllegalArgumentException(s"DAP2 array type $other not decodable as numbers")
     }
     out
+  }
+
+  // ---- Sequence (DAP2 §7.3.2: the relational construct) ----------------
+
+  /** XDR instance framing: each Sequence instance is preceded by a
+    * start-of-instance word, the stream ends with end-of-sequence. */
+  private val StartOfInstance = 0x5A000000
+  private val EndOfSequence = 0xA5000000
+
+  /** Decode one member value. XDR promotes every integer narrower than 32
+    * bits to a 4-byte word (value in the low-order bits); String/Url are
+    * counted bytes padded to a 4-byte boundary. */
+  private def readSeqValue(bb: ByteBuffer, typ: String): Any = typ match {
+    case "Float64" => bb.getDouble()
+    case "Float32" => bb.getFloat()
+    case "Int32"   => bb.getInt()
+    case "UInt32"  => bb.getInt().toLong & 0xffffffffL
+    case "Int16"   => bb.getInt()
+    case "UInt16"  => bb.getInt() & 0xffff
+    case "Byte"    => bb.getInt() & 0xff
+    case "String" | "Url" =>
+      val len = bb.getInt()
+      require(len >= 0 && len <= bb.remaining(),
+        s"sequence String length $len exceeds remaining stream")
+      val bytes = new Array[Byte](len)
+      bb.get(bytes)
+      bb.position(bb.position() + ((4 - (len % 4)) % 4)) // XDR pad
+      new String(bytes, "UTF-8")
+    case other =>
+      throw new IllegalArgumentException(s"DAP2 Sequence member type $other not decodable")
+  }
+
+  /** Decode a `.dods` Sequence body: the response's OWN constrained DDS
+    * (the text before `Data:`) names the projected members and their
+    * order — a server-side projection `?seq.a,seq.c` changes both, so the
+    * wire text, not the caller's unconstrained idea of the schema, drives
+    * the decode. Returns the projected sequence and its rows. */
+  private[graft] def parseDodsSequence(body: Array[Byte]): (DapSeq, Seq[Seq[Any]]) = {
+    val at = {
+      val a = indexOf(body, DataMarker)
+      if (a >= 0) a else indexOf(body, DataMarkerCrlf)
+    }
+    require(at >= 0, "malformed .dods response: no 'Data:' separator")
+    val constrained = parseDds(new String(body, 0, at, "US-ASCII"))
+    require(constrained.seqs.nonEmpty, ".dods response carries no Sequence")
+    require(constrained.seqs.length == 1,
+      "multiple Sequences in one .dods response are outside the subset this client speaks")
+    val seq = constrained.seqs.head
+    val bb = ByteBuffer.wrap(body, at, body.length - at).order(ByteOrder.BIG_ENDIAN)
+    val rows = Vector.newBuilder[Seq[Any]]
+    var marker = bb.getInt()
+    while (marker == StartOfInstance) {
+      rows += seq.members.map(m => readSeqValue(bb, m.typ))
+      marker = bb.getInt()
+    }
+    require(marker == EndOfSequence,
+      f"sequence stream: unexpected marker 0x$marker%08X (want start 0x5A000000 / end 0xA5000000)")
+    (seq, rows.result())
+  }
+
+  /** DAP2 type → Spark type for the tabular surface. */
+  private def seqSparkType(typ: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    typ match {
+      case "Float64"                            => DoubleType
+      case "Float32"                            => FloatType
+      case "UInt32"                             => LongType
+      case "Byte" | "Int16" | "UInt16" | "Int32" => IntegerType
+      case "String" | "Url"                     => StringType
+      case other =>
+        throw new IllegalArgumentException(s"DAP2 Sequence member type $other has no Spark type")
+    }
+  }
+
+  /** A DAP2 Sequence as a DataFrame — the Spark-native reading of the
+    * protocol's relational construct (reference boundary: the xarray path
+    * at run/utilities/adcirc_dask_utilities.py:36-44 refuses Sequences;
+    * this client speaks them, SURVEY §2.1 S12).
+    *
+    * `ce` is a DAP constraint expression passed through VERBATIM
+    * (`seq.a,seq.b&seq.a>5`) — projection AND selection execute on the
+    * server, so the wire carries exactly the surviving fields/instances:
+    * pushdown by protocol, not plan rewrite. The decoded schema follows
+    * the response's own constrained DDS.
+    *
+    * Scale shape: a Sequence endpoint is one unseekable stream (no
+    * hyperslab addressing), so one fetch decodes it — the right shape for
+    * the station/point-obs tables Sequences carry (small next to gridded
+    * fields). The rows parallelize into the session default partitioning
+    * for whatever joins follow; a corpus of MANY endpoints fans out one
+    * task per URL upstream, the same striping [[Ingest]] uses. */
+  def sequenceToDataFrame(spark: org.apache.spark.sql.SparkSession, rawUrl: String,
+                          ce: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.{Row, types}
+    val base = stripForce(rawUrl)
+    val query = ce.map { c =>
+      "?" + c.replace("[", "%5B").replace("]", "%5D")
+        .replace("<", "%3C").replace(">", "%3E").replace(" ", "%20")
+    }.getOrElse("")
+    val (seq, rows) = parseDodsSequence(fetchBytesRetrying(s"$base.dods$query"))
+    val schema = StructType(seq.members.map(m =>
+      types.StructField(m.name, seqSparkType(m.typ), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), math.max(1, rows.length / 10000)),
+      schema)
   }
 }
 

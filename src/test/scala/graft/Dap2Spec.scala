@@ -240,7 +240,7 @@ class Dap2Spec extends SparkSpec {
     assert(byName("time").dims.map(_.name) === Seq("time"))
   }
 
-  test("Structure members flatten with promotion; Sequence fails by name") {
+  test("Structure members flatten with promotion; nested Sequence fails by name") {
     // the grouped-NetCDF-4 shape Hyrax serves: members reachable bare
     // when unshadowed, dotted when shadowed; nesting flattens through
     val structDds =
@@ -262,8 +262,26 @@ class Dap2Spec extends SparkSpec {
     assert(byName("lat").proj === "coords.lat")        // promoted member
     assert(byName("quality").proj === "coords.flags.quality") // nested, promoted
     val e = intercept[IllegalArgumentException](Dap2.parseDds(
-      "Dataset { Sequence { Float64 t; } obs; } s;"))
-    assert(e.getMessage.contains("n/a by design"))
+      "Dataset { Sequence { Sequence { Float64 t; } inner; } obs; } s;"))
+    assert(e.getMessage.contains("nested in a Sequence"))
+  }
+
+  test("Sequence DDS parses to a typed member list") {
+    val d = Dap2.parseDds(
+      """Dataset {
+        |    Float64 time[time = 4];
+        |    Sequence {
+        |        Int32 id;
+        |        String station;
+        |        Float64 temp;
+        |        Byte flag;
+        |    } obs;
+        |} station_obs;
+        |""".stripMargin)
+    assert(d.seqs.map(_.name) === Seq("obs"))
+    assert(d.seqs.head.members.map(m => (m.name, m.typ)) ===
+      Seq(("id", "Int32"), ("station", "String"), ("temp", "Float64"), ("flag", "Byte")))
+    assert(d.vars.map(_.name) === Seq("time")) // arrays still parse alongside
   }
 
   test("DAS parse: typed values, quoted strings, nested containers") {
@@ -545,6 +563,101 @@ class Dap2Spec extends SparkSpec {
       assert(w === 10 && h === 10 && cloudOrdered)
       assert(vals.exists(v => !v.isNaN)) // wet cells interpolated
     }
+  }
+
+  // ---- Sequence: DAP2's relational construct -> DataFrame --------------
+
+  /** XDR-encode a Sequence `.dods` body the way libdap does: constrained
+    * DDS text, `Data:`, then per instance a 0x5A000000 marker and each
+    * member XDR-encoded (integers promoted to 4-byte words, strings
+    * counted + padded), closed by 0xA5000000. */
+  private def seqDods(members: Seq[(String, String)], rows: Seq[Seq[Any]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeBytes("Dataset {\n    Sequence {\n" +
+      members.map { case (t, n) => s"        $t $n;\n" }.mkString +
+      "    } obs;\n} station_obs;\n")
+    o.writeBytes("\nData:\n")
+    rows.foreach { r =>
+      o.writeInt(0x5A000000)
+      r.zip(members).foreach { case (v, (t, _)) =>
+        t match {
+          case "Int32" | "Int16" | "UInt16" | "Byte" => o.writeInt(v.asInstanceOf[Int])
+          case "UInt32"  => o.writeInt(v.asInstanceOf[Long].toInt)
+          case "Float64" => o.writeDouble(v.asInstanceOf[Double])
+          case "Float32" => o.writeFloat(v.asInstanceOf[Float])
+          case "String" | "Url" =>
+            val b = v.toString.getBytes("UTF-8")
+            o.writeInt(b.length); o.write(b)
+            (0 until ((4 - (b.length % 4)) % 4)).foreach(_ => o.writeByte(0))
+        }
+      }
+    }
+    o.writeInt(0xA5000000)
+    o.flush(); bos.toByteArray
+  }
+
+  private val obsMembers = Seq(
+    "Int32" -> "id", "String" -> "station", "Float64" -> "temp",
+    "Byte" -> "flag", "UInt32" -> "count")
+  private val obsRows: Seq[Seq[Any]] = Seq(
+    Seq(1, "duck", 12.5, 7, 3000000000L),     // UInt32 above Int.MaxValue
+    Seq(2, "okracoke", -3.25, 255, 12L),      // Byte at its unsigned max
+    Seq(3, "x", 0.0, 0, 0L))                  // 1-char string: 3 pad bytes
+
+  test("Sequence XDR decode: markers, word-promoted ints, padded strings, empty bag") {
+    val (seq, rows) = Dap2.parseDodsSequence(seqDods(obsMembers, obsRows))
+    assert(seq.members.map(_.name) === Seq("id", "station", "temp", "flag", "count"))
+    assert(rows === obsRows)
+    // an empty sequence (selection matched nothing) is just END
+    val (_, none) = Dap2.parseDodsSequence(seqDods(obsMembers, Nil))
+    assert(none.isEmpty)
+    // a truncated/garbage marker fails loudly, never returns partial rows
+    val bad = seqDods(obsMembers, obsRows)
+    bad(bad.length - 4) = 0x11 // corrupt the END marker
+    val e = intercept[IllegalArgumentException](Dap2.parseDodsSequence(bad))
+    assert(e.getMessage.contains("unexpected marker"))
+  }
+
+  test("sequenceToDataFrame: full table, and a server-side CE projects + selects") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: com.sun.net.httpserver.HttpExchange, bytes: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    server.createContext("/dods/obs.dods",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val q = Option(ex.getRequestURI.getRawQuery)
+          .map(java.net.URLDecoder.decode(_, "UTF-8")).getOrElse("")
+        seen += q
+        // the "server" evaluates the one CE the test sends: project two
+        // members, keep temp>0 instances — the wire carries only those
+        val body =
+          if (q.isEmpty) seqDods(obsMembers, obsRows)
+          else seqDods(Seq("String" -> "station", "Float64" -> "temp"),
+                       obsRows.filter(_(2).asInstanceOf[Double] > 0)
+                         .map(r => Seq(r(1), r(2))))
+        send(ex, body)
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/dods/obs"
+      val full = Dap2.sequenceToDataFrame(spark, url)
+      assert(full.schema.map(f => (f.name, f.dataType.simpleString)) ===
+        Seq("id" -> "int", "station" -> "string", "temp" -> "double",
+            "flag" -> "int", "count" -> "bigint"))
+      assert(full.count() === 3L)
+      assert(full.where("station = 'duck'").head().getAs[Long]("count") === 3000000000L)
+      // schema follows the RESPONSE's constrained DDS, not the full DDS
+      val sel = Dap2.sequenceToDataFrame(spark, url,
+        ce = Some("obs.station,obs.temp&obs.temp>0"))
+      assert(sel.schema.map(_.name) === Seq("station", "temp"))
+      assert(sel.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ===
+        Set("duck" -> 12.5))
+      assert(seen.toSeq === Seq("", "obs.station,obs.temp&obs.temp>0"))
+    } finally server.stop(0)
   }
 
   test("varToParquet dispatch over DAP2: fixed var masks fill to null") {
