@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -349,7 +350,38 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** EXT: exact-substring window dedup — the scalable form of
+    * suffix-array substring deduplication (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): instead of
+    * one global suffix array (inherently sequential, memory-bound), hash
+    * every w=8-token window and count occurrences; a window seen more
+    * than once anywhere in the corpus is duplicated text, and the per-doc
+    * duplicated-window ratio is the removal signal. The window count
+    * rides a single shuffle of (doc_id, 16-char hash prefix) pairs —
+    * never the text — and the per-doc rollup reuses the same exchange.
+    * At 100 TB this is the standard approximation: fixed-width windows
+    * trade the suffix array's arbitrary-length matches for an
+    * embarrassingly parallel two-aggregate plan. */
+  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> substring(md5(array_join(slice(tk, i, 8), ' ')), 1, 16))"))
+        .as("h"))
+    wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+           sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .where(col("n_dup") > 0)
+      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_win"))
+      .select("doc_id", "n_win", "n_dup", "dup_ppm")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring"  -> (qDedupSubstring _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_segments"      -> (qDedupSegments _),
     "q_dedup_replay"        -> (qDedupReplay _),
@@ -366,6 +398,20 @@ object Dedup {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id,
+        |        unnest([substring(md5(list_aggregate(tk[i:i+7], 'string_agg', ' ')), 1, 16)
+        |                for i in generate_series(1, len(tk) - 7)]) AS h
+        |      FROM t WHERE len(tk) >= 8),
+        |c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM w)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_win,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000000
+        |       // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM c GROUP BY doc_id
+        |HAVING SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents
         |              UNION ALL

@@ -182,6 +182,71 @@ object TextOps {
       .limit(200)
   }
 
+  /** EXT: BM25 phrase-query relevance — the retrieval scorer TF-IDF
+    * approximates: saturating term frequency (k1 = 1.2) + document-length
+    * normalization (b = 0.75), over BIGRAM phrases (the corpus's unigram
+    * vocabulary is so small every unigram's df ≈ N, which degenerates any
+    * idf — phrases restore selectivity, and phrase-query BM25 is a real
+    * retrieval shape). All arithmetic is scaled-integer DIV — the SURVEY
+    * §5.1 discipline: k/b fixed-point at x1000, idf replaced by the
+    * rank-equivalent (N-df)/df (monotone with ln((N-df+.5)/(df+.5))), so
+    * both engines agree bit-for-bit with no libm in the loop.
+    * Plan: one explode+aggregate for tf (the phrase IN-filter prunes
+    * BEFORE the aggregate — the shuffle carries only query-phrase hits),
+    * df as a window count over the tiny tf frame (no second corpus
+    * pass), corpus stats broadcast. Top-k is TakeOrderedAndProject. */
+  def qTextBm25(s: SparkSession, d: String): DataFrame = {
+    val phrases = Seq("join vector", "customer hash", "slow merge")
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(expr("transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+          .as("phrase"))
+      .filter(col("phrase").isin(phrases: _*))
+      .groupBy("doc_id", "dl", "phrase").agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("phrase")))
+      .crossJoin(broadcast(stats))
+      .withColumn("dlr_x1000", expr("dl * 1000 * n_docs DIV sum_dl"))
+      .withColumn("k_x1000", expr("1200 * (250 + 750 * dlr_x1000 DIV 1000) DIV 1000"))
+      .withColumn("tfc_x1000", expr("tf * 2200 * 1000 DIV (tf * 1000 + k_x1000)"))
+      .withColumn("idf_x1000", expr("(n_docs - df) * 1000000 DIV df"))
+      .groupBy("doc_id")
+      .agg(sum(expr("idf_x1000 * tfc_x1000")).as("bm25_x"),
+           count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_x").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "bm25_x", "n_terms")
+  }
+
+  /** EXT: DETERMINISTIC corpus shuffle — reproducible global training
+    * order: every doc keyed by md5(doc_id ':' seed), total order = key
+    * order. Same permutation on every engine, every run, every cluster
+    * size — the property rand()-based shuffling cannot give (and the
+    * reason epoch shuffles in real pipelines are keyed hashes, not
+    * rand()). A new seed is a new independent permutation.
+    * Scale shape: the full-corpus materialization is a range-partitioned
+    * sort on the key (Spark's orderBy — sampled range exchange, no single
+    * reducer), with positions implicit as (range partition, offset); the
+    * probe here takes the epoch HEAD via TakeOrderedAndProject (top-50 on
+    * the key, never a global sort materialized to one task) and numbers
+    * only those 50 rows. */
+  def qCorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val head = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":42"))).as("k"))
+      .orderBy("k")
+      .limit(50)
+    head
+      .withColumn("pos", row_number().over(Window.orderBy("k")).cast("long"))
+      .select("pos", "doc_id", "k")
+      .orderBy("pos")
+  }
+
   /** EXT: the composed curation pipeline — the stages above chained the
     * way a production corpus build runs them: normalize → keep one doc
     * per normalized-content hash (min doc_id) → quality gate (score ≥ 2)
@@ -633,6 +698,8 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bm25"         -> (qTextBm25 _),
+    "q_corpus_shuffle"    -> (qCorpusShuffle _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mix_token_budget"  -> (qMixTokenBudget _),
     "q_curate_urls"       -> (qCurateUrls _),
@@ -666,6 +733,35 @@ object TextOps {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // scaled-integer BM25: every DIV placed identically on both sides
+    // (DuckDB's `//` == Spark's DIV on BIGINT), idf rank-equivalent
+    "q_text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |        unnest([tk[i] || ' ' || tk[i+1]
+        |                for i in generate_series(1, len(tk) - 1)]) AS phrase
+        |      FROM t WHERE len(tk) >= 2),
+        |tf AS (SELECT doc_id, dl, phrase, COUNT(*) AS tf FROM p
+        |       WHERE phrase IN ('join vector', 'customer hash', 'slow merge')
+        |       GROUP BY doc_id, dl, phrase),
+        |wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY phrase) AS df FROM tf),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |       FROM documents),
+        |sc AS (SELECT doc_id,
+        |        ((n_docs - df) * 1000000 // df) *
+        |        (tf * 2200 * 1000 //
+        |         (tf * 1000 +
+        |          (1200 * (250 + 750 * (dl * 1000 * n_docs // sum_dl) // 1000) // 1000))) AS sc
+        |       FROM wdf, st)
+        |SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS bm25_x,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM sc GROUP BY doc_id ORDER BY bm25_x DESC, doc_id LIMIT 20""".stripMargin,
+    "q_corpus_shuffle" ->
+      """SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS pos, doc_id, k
+        |FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        |      FROM documents ORDER BY k LIMIT 50)
+        |ORDER BY pos""".stripMargin,
     // identical bucket formula + identical left-fold order (list_reduce
     // mirrors Spark's `aggregate`); 1e-4 rounding absorbs sin() last-ulp
     "q_quality_classifier" ->

@@ -335,6 +335,68 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(gated.collect().toSeq === base.toSeq)
   }
 
+  test("substring-window dedup matches a brute-force window count exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+    // brute force: every 8-token window, global multiset count
+    val wins = docs.flatMap { case (id, tk) =>
+      tk.sliding(8).filter(_.length == 8).map(w => id -> w.mkString(" "))
+    }
+    val freq = wins.groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = wins.groupBy(_._1).map { case (id, ws) =>
+      val nDup = ws.count(w => freq(w._2) > 1)
+      (id, ws.size.toLong, nDup.toLong, nDup.toLong * 1000000L / ws.size)
+    }.filter(_._3 > 0).toSeq.sortBy(_._1)
+    val got = Dedup.qDedupSubstring(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_win"),
+                 r.getAs[Long]("n_dup"), r.getAs[Long]("dup_ppm"))).toSeq
+    assert(got === expected)
+    // planted exact re-crawl duplicates share EVERY window: dup_ppm 1e6
+    assert(got.count(_._4 == 1000000L) >= 2)
+  }
+
+  test("BM25: integer scoring matches brute-force; longer docs rank below shorter at equal tf") {
+    val phrases = Set("join vector", "customer hash", "slow merge")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+    val nDocs = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val tf = docs.flatMap { case (id, tk) =>
+      tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        .filter(phrases).groupBy(identity)
+        .map { case (p, os) => (id, tk.length.toLong, p, os.size.toLong) }
+    }
+    val df = tf.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expected = tf.groupBy(_._1).map { case (id, rows) =>
+      val s = rows.map { case (_, dl, p, f) =>
+        val dlr = dl * 1000L * nDocs / sumDl
+        val k = 1200L * (250L + 750L * dlr / 1000L) / 1000L
+        val tfc = f * 2200L * 1000L / (f * 1000L + k)
+        val idf = (nDocs - df(p)) * 1000000L / df(p)
+        idf * tfc
+      }.sum
+      (id, s, rows.size.toLong)
+    }.toSeq.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = TextOps.qTextBm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_x"), r.getAs[Long]("n_terms"))).toSeq
+    assert(got === expected)
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("corpus shuffle: deterministic bijective epoch head, ordered by the seeded key") {
+    val a = TextOps.qCorpusShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("k")))
+    val b = TextOps.qCorpusShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("k")))
+    assert(a.toSeq === b.toSeq)                  // reproducible across runs
+    assert(a.map(_._1).toSeq === (1L to 50L))    // dense positions
+    assert(a.map(_._2).distinct.length === 50)   // no doc twice
+    assert(a.map(_._3).toSeq === a.map(_._3).sorted.toSeq) // key-ordered
+    // the epoch head is NOT doc_id order: the hash actually permutes
+    assert(a.map(_._2).toSeq !== a.map(_._2).sorted.toSeq)
+  }
+
   test("semantic dedup: clusters conserve vectors; pruned set matches brute-force recomputation") {
     val out = Similarity.qDedupSemantic(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()
