@@ -1116,12 +1116,13 @@ object Hdf5 {
         require(computed == stored,
           f"${ds.name}: fletcher32 mismatch (stored 0x$stored%08x, computed 0x$computed%08x) — corrupted chunk")
         body
-      case 4 =>
-        throw new IllegalArgumentException(
-          s"${ds.name}: szip (HDF5 filter 4) is n/a by design (SURVEY §2.1 S11): an " +
-            "optional external codec even for libhdf5; netcdf-c defaults to deflate " +
-            "and ASGS output never carries it. Re-write the file with deflate " +
-            "(nccopy -d4) to ingest it here.")
+      case 4 => // szip: CCSDS 121.0-B extended Rice (SURVEY §2.1 S11, closed r6)
+        // client data as H5Z_FILTER_SZIP stores it:
+        // [options_mask, bits_per_pixel, pixels_per_block, pixels_per_scanline]
+        val cv = f.clientValues
+        require(cv.length >= 4, s"${ds.name}: szip filter carries ${cv.length} client values, need 4")
+        val n = cv(1)
+        Szip.decode(bytes, cv(0), n, cv(2), cv(3), expected / Szip.sampleBytes(n))
       case other =>
         throw new IllegalArgumentException(
           s"${ds.name}: HDF5 filter id $other unsupported (deflate/shuffle/fletcher32 handled)")

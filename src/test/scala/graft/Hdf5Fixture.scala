@@ -185,6 +185,95 @@ object Hdf5Fixture {
     out
   }
 
+  /** Test-side CCSDS 121.0-B extended-Rice ENCODER — the szip (HDF5
+    * filter 4) bit-stream producer, spec-derived like every other fixture
+    * writer here; [[graft.sources.Szip]] must invert it. Picks the
+    * cheapest option per block, so realistic inputs exercise zero-run/
+    * ROS, second-extension, FS, k-splitting and no-compression paths.
+    * Public so SzipSpec can drive parameter-grid roundtrips directly. */
+  def szipEncode(samples: Array[Long], optionsMask: Int, n: Int, j: Int, pps: Int): Array[Byte] = {
+    val nn = (optionsMask & 32) != 0
+    val m = if (n <= 8) 3 else if (n <= 16) 4 else 5
+    val uncompId = (1 << m) - 1
+    val maxK = math.min(uncompId - 2, n - 2)
+    val xmax = (1L << n) - 1
+    val bits = new scala.collection.mutable.ArrayBuffer[Boolean]
+    def put(v: Long, w: Int): Unit =
+      (w - 1 to 0 by -1).foreach(b => bits += ((v >> b) & 1L) == 1L)
+    def putFs(v: Long): Unit = { var z = 0L; while (z < v) { bits += false; z += 1 }; bits += true }
+    var at = 0
+    while (at < samples.length) {
+      val len = math.min(pps, samples.length - at)
+      val blocks = (len + j - 1) / j
+      val padded = blocks * j
+      // pad with the last real sample: zero deltas under NN
+      val s = Array.tabulate(padded)(i => samples(at + math.min(i, len - 1)))
+      val mapped = new Array[Long](padded)
+      if (nn) {
+        var p = s(0)
+        for (i <- 1 until padded) {
+          val d = s(i) - p
+          val theta = math.min(p, xmax - p)
+          mapped(i) =
+            if (d >= -theta && d <= theta) { if (d >= 0) 2 * d else -2 * d - 1 }
+            else theta + math.abs(d)
+          p = s(i)
+        }
+      } else for (i <- 0 until padded) mapped(i) = s(i)
+      var b = 0
+      while (b < blocks) {
+        val first = nn && b == 0
+        val lo = b * j + (if (first) 1 else 0)
+        val vals = (lo until (b + 1) * j).map(mapped)
+        if (vals.forall(_ == 0L)) { // zero-block run, segment-bounded
+          val segEnd = math.min(((b / 64) + 1) * 64, blocks)
+          var e = b + 1
+          while (e < segEnd && (e * j until (e + 1) * j).forall(i => mapped(i) == 0L)) e += 1
+          val run = e - b
+          put(0, m); put(0, 1)
+          if (first) put(s(0), n)
+          if (e == segEnd) putFs(4) // remainder of segment (or scanline)
+          else if (run <= 4) putFs(run - 1)
+          else putFs(run)
+          b = e
+        } else {
+          val cnt = vals.length
+          val refBits = if (first) n else 0
+          def splitCost(k: Int): Long = m + refBits + vals.map(_ >> k).sum + cnt + cnt.toLong * k
+          val (bestK, bestKCost) = (0 to maxK).map(k => k -> splitCost(k)).minBy(_._2)
+          val pairs = (0 until j / 2).map { g =>
+            if (first && g == 0) (0L, mapped(b * j + 1)) // phantom-zero pair
+            else (mapped(b * j + 2 * g), mapped(b * j + 2 * g + 1))
+          }
+          // γ = s(s+1)/2 + d₂ overflows Long for large pair sums — SE is
+          // only ever competitive for tiny deltas, so gate it there
+          val seViable = pairs.forall { case (d1, d2) => d1 + d2 < (1L << 20) }
+          val gammas =
+            if (seViable) pairs.map { case (d1, d2) => val ds = d1 + d2; ds * (ds + 1) / 2 + d2 }
+            else Seq.empty[Long]
+          val seCost = if (seViable) m + 1 + refBits + gammas.map(_ + 1).sum else Long.MaxValue
+          val rawCost = m.toLong + refBits + cnt.toLong * n
+          if (seCost < bestKCost && seCost < rawCost) {
+            put(0, m); put(1, 1); if (first) put(s(0), n); gammas.foreach(putFs)
+          } else if (bestKCost <= rawCost) {
+            put(bestK + 1, m); if (first) put(s(0), n)
+            vals.foreach(v => putFs(v >> bestK))
+            if (bestK > 0) vals.foreach(v => put(v & ((1L << bestK) - 1), bestK))
+          } else {
+            put(uncompId, m); if (first) put(s(0), n); vals.foreach(put(_, n))
+          }
+          b += 1
+        }
+      }
+      at += len
+    }
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    bits.zipWithIndex.foreach { case (bit, i) =>
+      if (bit) out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+    }
+    out
+  }
+
   /** v1 object header: 16-byte prologue + 8-byte-aligned messages. */
   private def writeObjectHeaderV1(buf: Buf, messages: Seq[(Int, Array[Byte])]): Long = {
     buf.align8()
@@ -229,7 +318,8 @@ object Hdf5Fixture {
   private def writeChunks(buf: Buf, shape: Array[Long], chunk: Array[Int],
                           cellAt: Array[Long] => Double, fillPad: Double,
                           transform: Array[Byte] => Array[Byte] = identity,
-                          leafSize: Int = 0): Long = {
+                          leafSize: Int = 0, elemSize: Int = 8,
+                          putElem: (ByteBuffer, Double) => Unit = (bb, v) => bb.putDouble(v)): Long = {
     val rank = shape.length
     val grid = shape.indices.map(d => ((shape(d) + chunk(d) - 1) / chunk(d)).toInt)
     val chunkElems = chunk.product
@@ -243,13 +333,13 @@ object Hdf5Fixture {
       o
     }
     val chunkAddrSizes = origins.map { o =>
-      val raw = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val raw = ByteBuffer.allocate(chunkElems * elemSize).order(ByteOrder.LITTLE_ENDIAN)
       val idx = new Array[Long](rank)
       for (e <- 0 until chunkElems) {
         var rem = e
         for (d <- (rank - 1) to 0 by -1) { idx(d) = o(d) + rem % chunk(d); rem /= chunk(d) }
         val inBounds = (0 until rank).forall(d => idx(d) < shape(d))
-        raw.putDouble(if (inBounds) cellAt(idx) else fillPad)
+        putElem(raw, if (inBounds) cellAt(idx) else fillPad)
       }
       val stored = transform(raw.array())
       buf.align8(); val addr = buf.pos
@@ -1044,6 +1134,11 @@ object Hdf5Fixture {
       else fieldAt.map(_(ts, node)).getOrElse(ts * 100.0 + node + 0.25)
     def zetaMax(node: Int): Double = if (dryMax(node)) fill else 900.0 + node
     def time(ts: Int): Double = timeAt(ts)
+    /** int32 wind field for the szip-filtered variable: jumping values in
+      * the head (split/uncompressed blocks), a constant tail (zero-delta
+      * blocks → zero-run codewords). */
+    def wind(ts: Int, node: Int): Double =
+      if (node >= 7) 300.0 else ((ts * 131 + node * 67) % 800).toDouble
   }
 
   /** netcdf-c-shaped file: superblock v0 + old-style group + chunked
@@ -1053,7 +1148,8 @@ object Hdf5Fixture {
   def writeV0(c: Content, compress: Boolean = false,
               zetaFilterIdOverride: Option[Int] = None,
               corruptTimeChunk: Boolean = false,
-              v1LeafSize: Int = 0): Array[Byte] = {
+              v1LeafSize: Int = 0,
+              szipWind: Boolean = false): Array[Byte] = {
     val buf = new Buf()
     buf.bb.position(96) // superblock v0 reserved; patched last
 
@@ -1076,6 +1172,19 @@ object Hdf5Fixture {
       idx => c.zeta(idx(0).toInt, idx(1).toInt), fillPad = c.fill,
       transform = if (compress) (b => deflateBytes(shuffleBytes(b, 8))) else identity,
       leafSize = v1LeafSize)
+    // szip-filtered int32 record var: samples flow LE-int32 raw chunk →
+    // extended-Rice bit stream; cd_values as H5Z_FILTER_SZIP stores them
+    val szipOpts = 128 | 32 | 16 // RAW | NN | MSB (matches the BE dtype below)
+    val windBtree =
+      if (!szipWind) Undef
+      else writeChunks(buf, Array(c.t.toLong, c.n.toLong), Array(2, 5),
+        idx => c.wind(idx(0).toInt, idx(1).toInt), fillPad = 0.0,
+        transform = raw => {
+          val ib = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          val vals = Array.fill(raw.length / 4)(ib.getInt().toLong & 0xffffffffL)
+          szipEncode(vals, szipOpts, n = 32, j = 4, pps = 5)
+        },
+        elemSize = 4, putElem = (bb, v) => bb.putInt(v.toInt))
 
     // ---- dataset object headers
     val xOh = writeObjectHeaderV1(buf, Seq(
@@ -1117,10 +1226,19 @@ object Hdf5Fixture {
            .getOrElse(Seq(2 -> Array(8), 1 -> Array(4)))))
        else Seq.empty))
 
+    val windOh =
+      if (!szipWind) Undef
+      else writeObjectHeaderV1(buf, Seq(
+        0x0001 -> dataspace(Array(c.t.toLong, c.n.toLong), unlimitedFirst = true),
+        0x0003 -> i32Type(bigEndian = true),
+        0x0008 -> chunkedLayout(windBtree, Array(2, 5), 4),
+        0x000B -> filterPipelineMsg(Seq(4 -> Array(szipOpts, 32, 4, 5)))))
+
     // ---- old-style root group: local heap, SNOD (name-sorted), B-tree
-    val entries = Seq( // MUST be in ascending name order for SNOD
+    val entries = (Seq( // MUST be in ascending name order for SNOD
       "element" -> eleOh, "time" -> timeOh, "x" -> xOh,
-      "y" -> yOh, "zeta" -> zetaOh, "zeta_max" -> zmaxOh)
+      "y" -> yOh, "zeta" -> zetaOh, "zeta_max" -> zmaxOh) ++
+      (if (szipWind) Seq("wind" -> windOh) else Seq.empty)).sortBy(_._1)
 
     buf.align8()
     val heapDataAddr = buf.pos + 32

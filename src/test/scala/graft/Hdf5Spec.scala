@@ -355,7 +355,10 @@ class Hdf5Spec extends SparkSpec {
     } finally nc.close()
   }
 
-  test("szip fails by name citing the n/a-by-design survey row") {
+  test("szip with a malformed filter message fails loudly, never decodes garbage") {
+    // filter 4 declared with NO client values (a corrupt/truncated filter
+    // message): the szip path (SzipSpec covers the working decode) must
+    // refuse by name instead of guessing parameters
     val dir = Files.createTempDirectory("graft_h5uf").toString
     val p = s"$dir/szip.nc"
     Files.write(Paths.get(p), Hdf5Fixture.writeV0(c, compress = true,
@@ -364,8 +367,7 @@ class Hdf5Spec extends SparkSpec {
     try {
       val e = intercept[IllegalArgumentException](nc.readRecord("zeta", 0))
       assert(e.getMessage.contains("szip"))
-      assert(e.getMessage.contains("n/a by design"))
-      assert(e.getMessage.contains("nccopy -d4")) // the actionable way out
+      assert(e.getMessage.contains("client values"))
     } finally nc.close()
   }
 
