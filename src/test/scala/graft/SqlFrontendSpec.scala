@@ -147,6 +147,23 @@ class SqlFrontendSpec extends SparkSpec {
     }
   }
 
+  test("percentile curation: the NTILE window receives doc-level rows, never the exploded corpus") {
+    // the CCNet split ranks DOCUMENTS; if the per-token explode ever
+    // leaked above the doc-level aggregate, the window would shuffle the
+    // whole token stream — at 100 TB the difference between a doc-count
+    // window and a corpus-sized one. Assert the optimized plan orders
+    // Window above the doc-level Aggregate above the Generate (explode).
+    val plan = operators.TextOps.qCuratePercentile(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val winAt = plan.indexOf("Window [")
+    val genAt = plan.indexOf("Generate explode")
+    assert(winAt >= 0, s"no Window in plan:\n$plan")
+    assert(genAt >= 0, s"no explode in plan:\n$plan")
+    val aggBetween = plan.substring(winAt, genAt).contains("Aggregate [")
+    assert(winAt < genAt && aggBetween,
+      s"NTILE window is not above the doc-level aggregate:\n$plan")
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
