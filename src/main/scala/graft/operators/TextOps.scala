@@ -247,6 +247,53 @@ object TextOps {
       .orderBy("pos")
   }
 
+  /** EXT: BPE merge learning — TOKENIZER TRAINING over the corpus, the
+    * one pipeline stage upstream of token counting: learn the first K
+    * byte-pair merges (Sennrich et al. 2016 word-level BPE). Scale shape:
+    * the iteration state is the WORD VOCABULARY (distinct words → char
+    * sequences + frequencies), bounded by vocab size, never corpus size —
+    * the corpus is scanned exactly once to build it. Each step is one
+    * explode+aggregate over the vocab (pair counts, freq-weighted), one
+    * 1-row driver read (the argmax — the same iterative-scalar pattern as
+    * the k-means/label-propagation loops), and one narrow `aggregate` HOF
+    * rewrite fold (greedy left-to-right, non-overlapping — the fold's
+    * accumulator-last check reproduces BPE's pairing exactly), fenced by
+    * localCheckpoint so lineage stays flat across steps. Ties break
+    * (count desc, left, right) — engine-deterministic. Rows-only gate by
+    * design: the per-step rewrite is not single-statement SQL; the spec
+    * matches a first-principles Scala BPE learner exactly. */
+  def qBpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val steps = 4
+    var vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(w, ''), c -> c <> '')").as("tokens"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to steps) {
+      val best = vocab
+        .where(size(col("tokens")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(tokens) - 1), i -> struct(tokens[i-1] AS l, tokens[i] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, n) = (best.getAs[String]("l"), best.getAs[String]("r"), best.getAs[Long]("n"))
+      merges += ((step.toLong, l, r, n))
+      val (a, b) = (lit(l), lit(r))
+      vocab = vocab.select(
+        aggregate(col("tokens"), expr("cast(array() as array<string>)"),
+          (acc, x) => when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+                           concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+                        .otherwise(concat(acc, array(x)))).as("tokens"),
+        col("freq")).localCheckpoint()
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count").orderBy("step")
+  }
+
   /** EXT: the composed curation pipeline — the stages above chained the
     * way a production corpus build runs them: normalize → keep one doc
     * per normalized-content hash (min doc_id) → quality gate (score ≥ 2)
@@ -700,6 +747,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25"         -> (qTextBm25 _),
     "q_corpus_shuffle"    -> (qCorpusShuffle _),
+    "q_bpe_merges"        -> (qBpeMerges _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mix_token_budget"  -> (qMixTokenBudget _),
     "q_curate_urls"       -> (qCurateUrls _),

@@ -384,6 +384,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall(_._2 > 0))
   }
 
+  test("BPE merge learning matches a first-principles Sennrich learner exactly") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    // reference learner: word vocab -> char seqs, K greedy merges
+    val freqs = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getAs[String]("w").split("").filter(_.nonEmpty).toSeq -> r.getAs[Long]("count"))
+    var vocab = freqs
+    val expected = (1 to 4).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (toks, f) =>
+        toks.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      vocab = vocab.map { case (toks, f) => // greedy left-to-right rewrite
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) { out.remove(out.length - 1); out += (l + r) }
+          else out += x
+        }
+        (out.toSeq, f)
+      }
+      (step.toLong, l, r, n)
+    }
+    val got = TextOps.qBpeMerges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("left"),
+                 r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    assert(got === expected)
+    // merges are real compressions: counts positive and non-increasing
+    assert(expected.map(_._4).forall(_ > 0))
+  }
+
   test("corpus shuffle: deterministic bijective epoch head, ordered by the seeded key") {
     val a = TextOps.qCorpusShuffle(spark, sf).collect()
       .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("k")))

@@ -116,6 +116,24 @@ class SzipSpec extends SparkSpec {
     roundtrip(s, RawNnMsb, 8, 6, 30)
   }
 
+  test("roundtrip: final scanline shorter than one block") {
+    // 10 samples, pps=8, J=4: scanline 2 has len=2 inside one padded block
+    val s = Array.tabulate(10)(i => (i * 3 + 1).toLong)
+    roundtrip(s, RawNnMsb, 8, 4, 8)
+    roundtrip(s, RawEcMsb, 8, 4, 8)
+  }
+
+  test("output byte order is exactly MSB/LSB, checked at the byte level") {
+    // one 16-bit sample 0x1234 via the no-compression option, EC: the
+    // J=2 block still codes two samples (the pad is decoded + discarded)
+    val bits = "1111" + "0001001000110100" + "0001001000110100"
+    val bytes = bits.padTo(40, '0').grouped(8).map(x => Integer.parseInt(x, 2).toByte).toArray
+    val msbOut = Szip.decode(bytes, RawEcMsb, 16, 2, 2, 1)
+    assert(msbOut.take(2).toSeq === Seq(0x12.toByte, 0x34.toByte))
+    val lsbOut = Szip.decode(bytes, RawEcLsb, 16, 2, 2, 1)
+    assert(lsbOut.take(2).toSeq === Seq(0x34.toByte, 0x12.toByte))
+  }
+
   // ---- guards ----------------------------------------------------------
 
   test("guards: >32-bit, 3-byte imagery shape, missing RAW, truncation all fail loudly") {
