@@ -1122,7 +1122,16 @@ object Hdf5 {
         val cv = f.clientValues
         require(cv.length >= 4, s"${ds.name}: szip filter carries ${cv.length} client values, need 4")
         val n = cv(1)
-        Szip.decode(bytes, cv(0), n, cv(2), cv(3), expected / Szip.sampleBytes(n))
+        // H5Zszip prepends the uncompressed byte count as a 4-byte LE word
+        // before the Rice stream (UINT32ENCODE in the encode path) —
+        // verify it against the chunk's expected size, then skip it
+        require(bytes.length >= 4, s"${ds.name}: szip chunk shorter than its size header")
+        val stored = (bytes(0) & 0xffL) | ((bytes(1) & 0xffL) << 8) |
+          ((bytes(2) & 0xffL) << 16) | ((bytes(3) & 0xffL) << 24)
+        require(stored == expected,
+          s"${ds.name}: szip stored uncompressed size $stored != chunk size $expected")
+        Szip.decode(java.util.Arrays.copyOfRange(bytes, 4, bytes.length),
+          cv(0), n, cv(2), cv(3), expected / Szip.sampleBytes(n))
       case other =>
         throw new IllegalArgumentException(
           s"${ds.name}: HDF5 filter id $other unsupported (deflate/shuffle/fletcher32 handled)")

@@ -1182,7 +1182,11 @@ object Hdf5Fixture {
         transform = raw => {
           val ib = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
           val vals = Array.fill(raw.length / 4)(ib.getInt().toLong & 0xffffffffL)
-          szipEncode(vals, szipOpts, n = 32, j = 4, pps = 5)
+          val stream = szipEncode(vals, szipOpts, n = 32, j = 4, pps = 5)
+          // H5Zszip prepends the uncompressed byte count, 4-byte LE
+          val out = ByteBuffer.allocate(4 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
+          out.putInt(raw.length).put(stream)
+          out.array()
         },
         elemSize = 4, putElem = (bb, v) => bb.putInt(v.toInt))
 
