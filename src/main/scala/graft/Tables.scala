@@ -22,18 +22,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and convert to
-    * a microsecond TimestampType with integer division (a double division
-    * would lose precision above 2^53 ns). DuckDB keeps ns precision; every
-    * oracle query therefore only compares ts at >= second granularity. */
+  /** events.ts has shipped as both INT64 TIMESTAMP(NANOS) and
+    * timestamp[us] parquet across corpus generations, so the loader adapts
+    * to the SCANNED dtype instead of assuming one physical encoding:
+    *  - LongType (nanosAsLong legacy read of ns): integer-divide to micros
+    *    (double division would lose precision above 2^53 ns);
+    *  - TIMESTAMP_NTZ (plain timestamp[us], isAdjustedToUTC=false): cast to
+    *    session-tz TimestampType — value-preserving because every session
+    *    in this engine pins spark.sql.session.timeZone=UTC;
+    *  - TimestampType: already canonical.
+    * DuckDB reads the same file natively; oracles compare ts at >= second
+    * granularity so ns-vs-us precision never matters. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or date-like): normalize to TimestampType
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
-  /** events with ts left as raw INT64 nanos — for queries that need
-    * range predicates PUSHED to the parquet scan (the derived-timestamp
-    * column blocks pushdown past IsNotNull). */
+  /** events with ts exactly as scanned (raw INT64 nanos on old corpora,
+    * timestamp on new) — for queries that need range predicates PUSHED to
+    * the parquet scan (a derived column blocks pushdown past IsNotNull).
+    * Callers must branch on `schema("ts").dataType` for their bounds. */
   def eventsRawTs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")

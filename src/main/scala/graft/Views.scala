@@ -12,8 +12,21 @@ object Views {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings")
 
+  /** Per-table isolation: one source's schema drift or missing file must
+    * degrade THAT view only, never the whole SQL frontend (round-6 lesson:
+    * an eager `Tables.events` failure here took down all 15 TPC-H queries
+    * that never touch events). Failures are recorded and re-thrown only if
+    * the caller asks for the failed view. */
   def register(s: SparkSession, sfDir: String): Unit = {
-    names.foreach(n => Tables.table(s, sfDir, n).createOrReplaceTempView(n))
-    Tables.events(s, sfDir).createOrReplaceTempView("events")
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, Throwable)]
+    names.foreach { n =>
+      try Tables.table(s, sfDir, n).createOrReplaceTempView(n)
+      catch { case e: Throwable => failures += ((n, e)) }
+    }
+    try Tables.events(s, sfDir).createOrReplaceTempView("events")
+    catch { case e: Throwable => failures += (("events", e)) }
+    failures.foreach { case (n, e) =>
+      System.err.println(s"[views] view '$n' unavailable: ${e.getMessage}")
+    }
   }
 }

@@ -130,28 +130,73 @@ object Interp {
   def qInterpBarycentric(s: SparkSession, d: String): DataFrame =
     interpolate(s, K, G, T)
 
+  /** Above this many series rows (timesteps × nodes) the value join stops
+    * broadcasting: the production shape is ~3e5 nodes × O(10²) timesteps ≈
+    * 3e7 rows — a driver-memory scale-killer as a broadcast. 4M rows ×
+    * ~24 B ≈ 100 MB is the conventional broadcast comfort ceiling. */
+  val BroadcastSeriesMaxRows: Long = 4L * 1000 * 1000
+
   /** Generalized pipeline at any mesh/grid/time scale — used by the scale
     * test at ~80k triangles x 250k cells (the production mesh magnitude,
     * BASELINE.md) to prove the bucket-join rewrite holds at 100x the
-    * oracle-checked toy size. */
-  def interpolate(s: SparkSession, k: Int, g: Int, t: Int): DataFrame = {
+    * oracle-checked toy size.
+    *
+    * The series join is SIZE-GATED (`broadcastSeries`; default: row-count
+    * gate against [[BroadcastSeriesMaxRows]]):
+    *  - small series (the oracle toy, short hindcasts): three broadcast
+    *    equi-joins — zero shuffles, the fastest plan when it fits;
+    *  - at scale: the cell map's three corners EXPLODE to
+    *    (cell, corner, node_id, w) rows and join the series ONCE on
+    *    node_id — a single shuffled equi-join (both sides hashed on
+    *    node_id) instead of 3 broadcasts of a timesteps×nodes fact table.
+    *    A max(when(corner=i)) pivot restores v1/v2/v3 per cell. On a real
+    *    cluster, persisting corners and series with
+    *    [[graft.plans.Layout.writeBucketed]] on node_id makes this join
+    *    Exchange-free (the LayoutSpec pattern).
+    * Both paths compute the SAME fixed-order FP expression
+    * ((w1·v1 + w2·v2) + w3·v3), so they are bit-identical — InterpSpec
+    * asserts it. */
+  def interpolate(s: SparkSession, k: Int, g: Int, t: Int,
+                  broadcastSeries: Option[Boolean] = None): DataFrame = {
     val sv = series(s, k, t)
-    val s1 = sv.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
-    val s2 = sv.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
-    val s3 = sv.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
-    cellMap(s, k, g)
-      .join(broadcast(s1), col("n1") === col("m1"))
-      .join(broadcast(s2), col("n2") === col("m2") && col("ts") === col("t2"))
-      .join(broadcast(s3), col("n3") === col("m3") && col("ts") === col("t3"))
-      .select(col("ts"), col("grow"), col("gcol"),
-              // zi in 1e-4 units as an integer: floor(x*1e4 + 0.5) is exact on
-              // doubles, so identical FP inputs give identical integers in any
-              // engine — no decimal-rounding semantics in the comparison path
-              // (Spark's round() is BigDecimal-string HALF_UP, DuckDB's is
-              // numeric; they disagree on shortest-repr .5 boundaries).
-              floor((col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3"))
-                    * lit(10000.0) + lit(0.5)).cast("long").as("zi4"))
-      .orderBy("ts", "grow", "gcol")
+    val cells = cellMap(s, k, g)
+    val seriesRows = t.toLong * k * k
+    val small = broadcastSeries.getOrElse(seriesRows <= BroadcastSeriesMaxRows)
+    // zi in 1e-4 units as an integer: floor(x*1e4 + 0.5) is exact on
+    // doubles, so identical FP inputs give identical integers in any
+    // engine — no decimal-rounding semantics in the comparison path
+    // (Spark's round() is BigDecimal-string HALF_UP, DuckDB's is
+    // numeric; they disagree on shortest-repr .5 boundaries).
+    def zi4(sum: Column): Column =
+      floor(sum * lit(10000.0) + lit(0.5)).cast("long").as("zi4")
+    val out =
+      if (small) {
+        val s1 = sv.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
+        val s2 = sv.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
+        val s3 = sv.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
+        cells
+          .join(broadcast(s1), col("n1") === col("m1"))
+          .join(broadcast(s2), col("n2") === col("m2") && col("ts") === col("t2"))
+          .join(broadcast(s3), col("n3") === col("m3") && col("ts") === col("t3"))
+          .select(col("ts"), col("grow"), col("gcol"),
+                  zi4(col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3")))
+      } else {
+        val corners = cells.select(col("grow"), col("gcol"), explode(array(
+            struct(lit(1).as("corner"), col("n1").as("node_id"), col("w1").as("w")),
+            struct(lit(2).as("corner"), col("n2").as("node_id"), col("w2").as("w")),
+            struct(lit(3).as("corner"), col("n3").as("node_id"), col("w3").as("w")))).as("c"))
+          .select(col("grow"), col("gcol"),
+                  col("c.corner").as("corner"), col("c.node_id").as("node_id"),
+                  col("c.w").as("w"))
+        corners.join(sv, Seq("node_id")) // one shuffled equi-join, no broadcast hint
+          .groupBy(col("ts"), col("grow"), col("gcol"))
+          .agg(max(when(col("corner") === 1, col("w") * col("value"))).as("wv1"),
+               max(when(col("corner") === 2, col("w") * col("value"))).as("wv2"),
+               max(when(col("corner") === 3, col("w") * col("value"))).as("wv3"))
+          .select(col("ts"), col("grow"), col("gcol"),
+                  zi4(col("wv1") + col("wv2") + col("wv3")))
+      }
+    out.orderBy("ts", "grow", "gcol")
   }
 
   /** Raster geometry for an arbitrary mesh: bbox + g×g cells. Pixel-is-area

@@ -45,10 +45,20 @@ object Relational {
     * leave only IsNotNull pushable. On a ts-partitioned layout this same
     * bound becomes partition pruning. */
   def qScanPruneTime(s: SparkSession, d: String): DataFrame = {
-    val loNanos = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000000L
-    val hiNanos = java.time.Instant.parse("2024-01-01T06:00:00Z").getEpochSecond * 1000000000L
-    Tables.eventsRawTs(s, d)
-      .filter(col("ts") >= lit(loNanos) && col("ts") < lit(hiNanos))
+    val raw = Tables.eventsRawTs(s, d)
+    // Bound literals in the SCANNED dtype so the range predicate reaches the
+    // parquet scan (row-group min/max skipping); a cast over the column would
+    // leave only IsNotNull pushable. Old corpora scan ts as raw INT64 nanos,
+    // new ones as timestamp[us] — both push down.
+    val (lo, hi) = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000000L),
+         lit(java.time.Instant.parse("2024-01-01T06:00:00Z").getEpochSecond * 1000000000L))
+      case dt =>
+        (lit("2024-01-01 00:00:00").cast(dt), lit("2024-01-01 06:00:00").cast(dt))
+    }
+    raw
+      .filter(col("ts") >= lo && col("ts") < hi)
       .select("event_id", "event_type", "user_id", "value")
       .orderBy("event_id")
   }

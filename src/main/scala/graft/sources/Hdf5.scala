@@ -14,17 +14,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - superblock v0/v1 (what netcdf-c writes by default) and v2/v3
   *  - object headers v1 and v2 ("OHDR"), with continuation blocks
   *  - old-style groups: symbol-table message → B-tree v1 (node type 0)
-  *    → SNOD entries → local heap names (netcdf-c's layout), and
-  *    new-style COMPACT groups (Link messages); dense/fractal-heap
-  *    groups fail with a clear error
+  *    → SNOD entries → local heap names (netcdf-c's layout), new-style
+  *    COMPACT groups (Link messages), and DENSE groups (Link Info
+  *    message → fractal heap + B-tree v2 of link records)
   *  - messages: dataspace (v1/v2), datatype (fixed-point, IEEE float,
   *    string), data layout v3 (compact / contiguous / chunked),
   *    attribute (v1/v2/v3)
-  *  - chunked raw data via the v1 B-tree (node type 1), with the three
+  *  - chunked raw data via the v1 B-tree (node type 1), with the four
   *    filters real NetCDF-4 producers use: deflate (id 1, via
-  *    java.util.zip), shuffle (id 2, byte transposition), and
-  *    fletcher32 (id 3, trailing checksum). Unknown filter ids fail
-  *    with the id in the message.
+  *    java.util.zip), shuffle (id 2, byte transposition), fletcher32
+  *    (id 3, trailing checksum), and szip (id 4, CCSDS 121.0-B Rice —
+  *    [[Szip]]). Unknown filter ids fail with the id in the message.
   *
   * Scale shape: identical to [[NetCdf3]] — metadata is a handful of KB
   * parsed per-task from a few small ranged reads; bulk data reads are

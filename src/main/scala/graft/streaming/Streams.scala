@@ -22,20 +22,21 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet physical schema — ts is INT64 TIMESTAMP(NANOS), which the
-    * file stream must read as raw long (same contract as Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming scan of an events-parquet directory → typed event stream. */
+  /** Streaming scan of an events-parquet directory → typed event stream.
+    * File streams need an explicit schema; probe it from the existing files
+    * with a one-footer batch read, then normalize ts to TimestampType the
+    * same way Tables.events does (raw INT64 nanos on old corpora,
+    * timestamp[us]/NTZ on new — session tz is pinned UTC so the cast is
+    * value-preserving). */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val physical = s.read.parquet(dir).schema
+    val stream = s.readStream.schema(physical).parquet(dir)
+    physical("ts").dataType match {
+      case LongType      => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => stream
+      case _             => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling event-time aggregation with a 1-hour watermark — the streaming

@@ -78,6 +78,39 @@ class InterpSpec extends SparkSpec {
     }
   }
 
+  test("series-join paths are bit-identical: broadcast (toy) vs corner-explode shuffle (scale)") {
+    // both compute ((w1·v1 + w2·v2) + w3·v3) in fixed order, so the zi4
+    // integers must agree EXACTLY — the property that lets the size gate
+    // switch plans without touching the oracle
+    val viaBroadcast = Interp.interpolate(spark, Interp.K, Interp.G, Interp.T,
+        broadcastSeries = Some(true)).collect()
+    val viaShuffle = Interp.interpolate(spark, Interp.K, Interp.G, Interp.T,
+        broadcastSeries = Some(false)).collect()
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast.map(_.toString).toSeq === viaShuffle.map(_.toString).toSeq)
+  }
+
+  test("above the gate the series side carries NO broadcast hint (driver-memory safety at 3e7 rows)") {
+    // production shape: ~3e5 nodes × O(10²) timesteps ≈ 3e7 series rows.
+    // Just BUILD the plan (no execution) and assert no broadcast hint wraps
+    // any series projection — AQE remains free to broadcast if the runtime
+    // size fits, but the code must not force it.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = Interp.interpolate(spark, 600, 10, 100) // 600²×100 = 36M rows > gate
+    val seriesCols = Set("v1", "v2", "v3", "value")
+    val hints = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.child.output.map(_.name).toSet.intersect(seriesCols).nonEmpty => h
+    }
+    assert(hints.isEmpty,
+      s"series must not be broadcast above the gate:\n${hints.mkString("\n")}")
+    // and the toy path (below the gate) DOES broadcast — the fast plan stays
+    val toy = Interp.interpolate(spark, Interp.K, Interp.G, Interp.T)
+    val toyHints = toy.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.child.output.map(_.name).toSet.intersect(seriesCols).nonEmpty => h
+    }
+    assert(toyHints.size === 3, s"toy series should broadcast 3x, got ${toyHints.size}")
+  }
+
   test("scale: bucket-join interp at production mesh magnitude (79k triangles, 250k cells)") {
     // BASELINE.md: production mesh ~4.5e5 triangles, raster 70.7M cells.
     // k=200/g=500 → 79,202 triangles × 250,000 cells: a naive containment

@@ -239,6 +239,28 @@ class SqlFrontendSpec extends SparkSpec {
       Set((2L, 0, "a b c"), (2L, 1, "b c d")))
   }
 
+  test("Views.register isolates per-table failure: broken events leaves TPC-H views usable") {
+    // round-6 regression class: events' schema drifted and its eager load
+    // threw inside register(), killing all 15 TPC-H queries that never
+    // touch events. Build a corpus dir whose events.parquet is garbage and
+    // assert the SQL frontend still serves the healthy tables.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("views-isolation")
+    Views.names.foreach { n =>
+      Files.copy(Paths.get(s"$sf/$n.parquet"), dir.resolve(s"$n.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(dir.resolve("events.parquet"), "not a parquet file".getBytes)
+    Views.register(spark, dir.toString) // must not throw
+    val n = spark.sql(
+      """SELECT n_name, COUNT(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin).count()
+    assert(n > 0)
+    // re-register the real corpus so later tests see the good views
+    Views.register(spark, sf)
+  }
+
   test("IVF assignment partitions the non-codebook vectors") {
     val rows = operators.Similarity.qAnnIvf(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_assigned")).sum
