@@ -148,6 +148,31 @@ object Aggregates {
               col("exact_p50"))
       .orderBy("lang")
 
+  /** A7 partner: EXACT per-group percentiles via the inverse-distribution
+    * PERCENTILE_DISC — returns an actual data value (the smallest with
+    * cumulative fraction >= p), so there is NO interpolation arithmetic to
+    * drift between engines; the only FP step is the final decimal→double
+    * cast of a stored value. Scale shape: percentile_disc is a sort-based
+    * aggregate — per-group sort of the group's values; with group-by keys
+    * of reasonable cardinality each group sorts locally after one shuffle
+    * on the key (same cost class as any orderBy-within-group), and the
+    * KLL sketch [[qApproxQuantile]] remains the unbounded-cardinality
+    * fallback. */
+  def qAggPercentileExact(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("p50_qty"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("p95_qty"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .cast("double").as("p50_price"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .cast("double").as("p99_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** A2 variant: fixed-width histogram — the profiling/binning primitive
     * (width_bucket): 10 equal bins over [min, max] of order totals, edges
     * from a broadcast 1-row bounds aggregate, the top edge clamped into
@@ -417,6 +442,7 @@ object Aggregates {
     "q_unpivot"          -> (qUnpivot _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_approx_quantile"  -> (qApproxQuantile _),
+    "q_agg_percentile_exact" -> (qAggPercentileExact _),
     "q_win_range_frame"  -> (qWinRangeFrame _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_pivot_events"     -> (qPivotEvents _),
@@ -433,6 +459,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // percentile_disc picks an ACTUAL stored value (no interpolation), so
+    // the only FP step is the final decimal->double cast on both engines
+    "q_agg_percentile_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS p50_qty,
+        |  CAST(quantile_disc(l_quantity, 0.95) AS DOUBLE) AS p95_qty,
+        |  CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS p50_price,
+        |  CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS p99_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // identical md5-nibble buckets; every cell is a SUM, so the sketch is
     // bit-identical across engines — the estimate is exact arithmetic
     "q_sketch_countmin" ->

@@ -86,8 +86,13 @@ object Joins {
   /** J4+O1: meshgrid — cartesian product of two generated axis relations
     * (reference np.meshgrid, run/adcircTime2cogs.py:76,81). */
   def qJoinCrossGrid(s: SparkSession, d: String): DataFrame = {
-    val xs = s.range(0, 10).toDF("i")
-    val ys = s.range(0, 10).toDF("j")
+    // one split per axis: a default range(10) inherits defaultParallelism
+    // (32) splits, so every stage schedules 32 near-empty tasks and the
+    // query's cost is pure scheduler overhead; the meshgrid itself is the
+    // PRODUCT of the axes, so parallelism belongs to the joined result
+    // (AQE re-splits it), not the axis relations
+    val xs = s.range(0, 10, 1, 1).toDF("i")
+    val ys = s.range(0, 10, 1, 1).toDF("j")
     xs.crossJoin(ys)
       .select(col("i"), col("j"),
               (lit(BigDecimal("-98.0")) + col("i") * lit(BigDecimal("0.005")))

@@ -294,6 +294,43 @@ object TextOps {
     merges.toSeq.toDF("step", "left", "right", "pair_count").orderBy("step")
   }
 
+  /** EXT: BPE ENCODING — the apply half of the tokenizer story
+    * ([[qBpeMerges]] trains; this tokenizes the corpus with the learned
+    * merges and reports real BPE token counts per document, the number
+    * that actually prices a training run). Scale shape: the merge table is
+    * tokenizer-sized (K rows, driver state by construction, like any real
+    * tokenizer's vocab file); encoding runs over the DISTINCT word
+    * vocabulary — each merge step is the same narrow greedy-fold rewrite
+    * the learner uses, vocab-sized, never corpus-sized — and the encoded
+    * lengths join back to the word stream size-gated on
+    * [[MaxBroadcastVocab]]. Rows-only gate by design (the K chained folds
+    * are not single-statement SQL); the spec matches a first-principles
+    * Scala encoder on the whole vocabulary. */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = qBpeMerges(s, d).orderBy("step").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    var enc = words.select("w").distinct()
+      .select(col("w"), expr("filter(split(w, ''), c -> c <> '')").as("tokens"))
+    for ((l, r) <- merges) {
+      val (a, b) = (lit(l), lit(r))
+      enc = enc.select(col("w"),
+        aggregate(col("tokens"), expr("cast(array() as array<string>)"),
+          (acc, x) => when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+                           concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+                        .otherwise(concat(acc, array(x)))).as("tokens"))
+    }
+    val lens = enc.select(col("w"), size(col("tokens")).cast("long").as("n_bpe"))
+      .localCheckpoint()
+    val m = if (lens.count() <= MaxBroadcastVocab) broadcast(lens)
+            else lens.hint("shuffle_merge")
+    words.join(m, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_bpe").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** EXT: the composed curation pipeline — the stages above chained the
     * way a production corpus build runs them: normalize → keep one doc
     * per normalized-content hash (min doc_id) → quality gate (score ≥ 2)
@@ -434,6 +471,38 @@ object TextOps {
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),
            round(avg(-log(col("c").cast("double") / col("n"))), 4).as("surprisal"))
+  }
+
+  /** EXT: bigram-LM conditional surprisal — one order up from
+    * [[qTextUnigramLp]]: mean -ln p(w_i | w_{i-1}) per document under the
+    * corpus's own MLE bigram model (p = c(w1 w2) / Σ_w c(w1 w)). Unigram
+    * surprisal scores vocabulary rarity; the bigram score adds local
+    * fluency (a doc of common words in improbable ORDER now scores high) —
+    * the next rung on the CCNet/KenLM quality-filter ladder. The context
+    * denominator is the bigram-stream marginal (Σ over bigrams sharing the
+    * left word), attached to the model rows by ONE window over the tiny
+    * model frame — never a second corpus pass. Join is size-gated like the
+    * unigram model: broadcast under [[MaxBroadcastVocab]] distinct
+    * bigrams, shuffle-merge beyond (raw web text has ~1e9+ bigrams).
+    * Docs with <2 tokens have no bigrams and drop out on both engines. */
+  def qTextBigramLm(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+        .as("phrase"))
+    val model0 = big.groupBy("phrase").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val model = model0.withColumn("c1",
+      sum("c2").over(Window.partitionBy(split(col("phrase"), " ").getItem(0))))
+    val m =
+      if (model0.count() <= MaxBroadcastVocab) broadcast(model)
+      else model.hint("shuffle_merge")
+    big.join(m, "phrase")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(-log(col("c2").cast("double") / col("c1"))), 4).as("surprisal"))
+      .orderBy("doc_id")
   }
 
   /** EXT: per-language percentile split on the LM score — the CCNet
@@ -748,6 +817,7 @@ object TextOps {
     "q_text_bm25"         -> (qTextBm25 _),
     "q_corpus_shuffle"    -> (qCorpusShuffle _),
     "q_bpe_merges"        -> (qBpeMerges _),
+    "q_bpe_encode"        -> (qBpeEncode _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mix_token_budget"  -> (qMixTokenBudget _),
     "q_curate_urls"       -> (qCurateUrls _),
@@ -764,6 +834,7 @@ object TextOps {
     "q_mix_temperature"   -> (qMixTemperature _),
     "q_pack_sequences"    -> (qPackSequences _),
     "q_text_unigram_lp"   -> (qTextUnigramLp _),
+    "q_text_bigram_lm"    -> (qTextBigramLm _),
     "q_corpus_curate"    -> (qCorpusCurate _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -904,6 +975,22 @@ object TextOps {
         |       ROUND(AVG(-LN(v.c / t.n)), 4) AS surprisal
         |FROM words w JOIN vocab v USING (word), tot t
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    // bigram conditional MLE: denominator = the bigram-stream marginal of
+    // the LEFT word (a window over the model), so p sums to 1 per context
+    "q_text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id,
+        |        unnest([tk[i] || ' ' || tk[i+1]
+        |                for i in generate_series(1, len(tk) - 1)]) AS phrase
+        |      FROM t WHERE len(tk) >= 2),
+        |m AS (SELECT phrase, COUNT(*) AS c2 FROM b GROUP BY phrase),
+        |m2 AS (SELECT phrase, c2,
+        |         SUM(c2) OVER (PARTITION BY string_split(phrase, ' ')[1]) AS c1
+        |       FROM m)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |       ROUND(AVG(-LN(m2.c2 / m2.c1)), 4) AS surprisal
+        |FROM b JOIN m2 USING (phrase)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens

@@ -418,6 +418,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expected.map(_._4).forall(_ > 0))
   }
 
+  test("BPE encoding matches a first-principles encoder over the whole vocabulary") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    // independent learner+encoder in plain Scala (same algorithm class as
+    // the learner test above, extended with the apply step)
+    val freqs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("w")))
+    var vocab = freqs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .map { case (w, f) => w.split("").filter(_.nonEmpty).toSeq -> (w, f) }.toSeq
+    def rewrite(toks: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r) { out.remove(out.length - 1); out += (l + r) }
+        else out += x
+      }
+      out.toSeq
+    }
+    (1 to 4).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (toks, (_, f)) =>
+        toks.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((l, r), _) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      vocab = vocab.map { case (toks, wf) => (rewrite(toks, l, r), wf) }
+    }
+    val bpeLen = vocab.map { case (toks, (w, _)) => w -> toks.length.toLong }.toMap
+    val expected = freqs.groupBy(_._1).map { case (doc, ws) =>
+      (doc, ws.length.toLong, ws.map(x => bpeLen(x._2)).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.qBpeEncode(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+                 r.getAs[Long]("n_bpe_tokens"))).toSeq
+    assert(got === expected)
+    // merges actually compress: BPE token count strictly below char count somewhere
+    val charTotal = freqs.map(_._2.length.toLong).sum
+    assert(got.map(_._3).sum < charTotal)
+  }
+
   test("corpus shuffle: deterministic bijective epoch head, ordered by the seeded key") {
     val a = TextOps.qCorpusShuffle(spark, sf).collect()
       .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"), r.getAs[String]("k")))
