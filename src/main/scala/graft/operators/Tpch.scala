@@ -234,26 +234,38 @@ object Tpch {
       .agg(sum(extD * (lit(BigDecimal("1.00")) - discD)).cast("double").as("revenue"),
            count(lit(1)).as("n"))
 
-  /** Q21 (suppliers who kept orders waiting): the double-correlation probe —
-    * one EXISTS (another supplier touched the same order → left SEMI join)
-    * and one NOT EXISTS whose predicate references attributes from TWO
-    * outer tables (l1.l_orderkey/l_suppkey AND o_orderdate → left ANTI
-    * join after the outer join has produced both). Adapted to the corpus
-    * (no commit/receipt dates): "late" = shipped more than a year after
-    * the order date. */
+  /** Q21 (suppliers who kept orders waiting): the double-correlation
+    * probe. The textbook form carries one EXISTS (another supplier
+    * touched the same order) and one NOT EXISTS referencing TWO outer
+    * tables (l1 + o_orderdate), which decorrelates to a semi join plus an
+    * anti join — THREE lineitem scans and three orderkey shuffles. Both
+    * correlations are per-order set facts, so this form computes them
+    * with per-order window counts over the single lineitem⋈orders frame:
+    * EXISTS ⇔ the order has ≥2 distinct suppliers; NOT EXISTS ⇔ the
+    * order's LATE-supplier set is exactly {l1's supplier}. One lineitem
+    * scan, and the window's hash partitioning on l_orderkey REUSES the
+    * join exchange — no extra shuffle. (collect_set skips NULLs, so the
+    * CASE gives the late-only distinct count.) The correlated original
+    * stays as the DuckDB oracle — two independent formulations must
+    * hash-agree. Q4/q_sql_not_exists keep the decorrelation demos.
+    * Adapted to the corpus (no commit/receipt dates): "late" = shipped
+    * more than a year after the order date. */
   def qTpchQ21(s: SparkSession, d: String): DataFrame = {
     graft.Views.register(s, d)
     s.sql(
       """SELECT s_name, COUNT(*) AS numwait
-        |FROM supplier, lineitem l1, orders
-        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-        |  AND o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAYS
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAYS)
+        |FROM (
+        |  SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAYS
+        |              THEN l_suppkey END AS late_supp,
+        |         SIZE(collect_set(l_suppkey)
+        |              OVER (PARTITION BY l_orderkey)) AS n_supp,
+        |         SIZE(collect_set(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAYS
+        |                               THEN l_suppkey END)
+        |              OVER (PARTITION BY l_orderkey)) AS n_late_supp
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F') t
+        |JOIN supplier ON s_suppkey = late_supp
+        |WHERE n_supp >= 2 AND n_late_supp = 1
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
   }
 

@@ -117,13 +117,51 @@ class TpchSpec extends SparkSpec {
     assert(row.getAs[Long]("n") === total)
   }
 
-  test("Q21: semi+anti double correlation — no group exceeds its supplier's late-line count") {
+  test("Q21: window form scans lineitem once and matches the correlated semi+anti original") {
     val df = Tpch.qTpchQ21(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("Semi") && plan.contains("Anti"), plan)
     val rows = df.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Long]("numwait") > 0))
+    // plan shape: the rewrite's whole point — ONE lineitem scan feeding a
+    // per-order window, instead of semi+anti joins over three scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Semi") && !plan.contains("Anti"), plan)
+    // count actual scan NODES over lineitem (the string form repeats the
+    // path in Location/ReadSchema lines)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case r: ReusedExchangeExec => flatten(r.child)
+        case _ => p.children.toSeq.flatMap(flatten)
+      })
+    val inner = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val liScans = flatten(inner).collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => s
+    }
+    assert(liScans.length === 1, s"expected one lineitem scan, plan:\n$plan")
+    // equivalence: the textbook correlated form must produce the same rows
+    graft.Views.register(spark, sf)
+    val correlated = spark.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAYS
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAYS)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin).collect()
+    assert(rows.map(_.toString).toSeq === correlated.map(_.toString).toSeq)
   }
 
   test("Q22: threshold filter keeps only above-average balances") {
