@@ -18,6 +18,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (args(0) == "dedup") dedupProbe(spark, args(1).toInt)
     else if (args(0) == "clusters") clustersProbe(spark, args(1))
+    else if (args(0) == "bigram") bigramProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -48,6 +49,28 @@ object ScaleProbe {
       println(f"clusters fence=$mode%-7s median=${runs(2)}%.2f s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
     }
     spark.conf.unset("spark.graft.clusters.fence")
+  }
+
+  /** Bigram-LM scale probe: replicate the sf0.1 corpus `mult`× with a
+    * per-replica token appended (new doc boundaries add new bigrams, so
+    * the model grows sublinearly while the stream grows linearly — the
+    * production shape). Evidence for SCALE.md: the per-doc scoring cost
+    * is linear in corpus size; the window runs over the MODEL frame only.
+    * Usage: tools/run_verify.sh bigram <mult> graft.ScaleProbe */
+  private def bigramProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val big = (0 until mult).map { r =>
+      base.select((col("doc_id") + lit(r.toLong * 1000000)).as("doc_id"),
+                  concat(col("text"), lit(s" rep$r")).as("text"))
+    }.reduce(_ union _)
+    big.write.mode("overwrite").parquet("/tmp/graft_bigram_probe")
+    val docs = spark.read.parquet("/tmp/graft_bigram_probe")
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val n = operators.TextOps.bigramLm(docs).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"bigram-lm mult=$mult: $nDocs%,d docs -> $n%,d scored in $secs%.1f s (${nDocs / secs}%,.0f docs/s)")
   }
 
   /** Dedup scale probe: replicate the sf0.1 corpus `mult`× with shifted

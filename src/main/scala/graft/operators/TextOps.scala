@@ -485,8 +485,13 @@ object TextOps {
     * unigram model: broadcast under [[MaxBroadcastVocab]] distinct
     * bigrams, shuffle-merge beyond (raw web text has ~1e9+ bigrams).
     * Docs with <2 tokens have no bigrams and drop out on both engines. */
-  def qTextBigramLm(s: SparkSession, d: String): DataFrame = {
-    val big = Tables.documents(s, d)
+  def qTextBigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLm(Tables.documents(s, d))
+
+  /** Core over any (doc_id, text) frame — reused by ScaleProbe's
+    * replication probe. */
+  private[graft] def bigramLm(docs: DataFrame): DataFrame = {
+    val big = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(

@@ -121,6 +121,16 @@ class InterpSpec extends SparkSpec {
     info(f"interpolated $n rows in $secs%.1fs")
     assert(n === 2L * 500 * 500) // every cell claimed, both timesteps
     assert(secs < 120.0, f"bucket-join interp too slow: $secs%.1fs")
+    // and the SCALE join path (corner-explode shuffle, what production
+    // series sizes select) executes at the same magnitude with the same
+    // row count — the gate switches plans, never results
+    val t1 = System.nanoTime()
+    val n2 = graft.operators.Interp.interpolate(spark, 200, 500, 2,
+      broadcastSeries = Some(false)).count()
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    info(f"corner-explode path: $n2 rows in $secs2%.1fs")
+    assert(n2 === n)
+    assert(secs2 < 120.0, f"corner-explode interp too slow: $secs2%.1fs")
   }
 
   test("property (scalacheck): interpolation at a node reproduces the node value") {
