@@ -35,15 +35,20 @@ object Tables {
     * granularity so ns-vs-us precision never matters. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (or date-like): normalize to TimestampType
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    normalizeTs(table(s, d, "events"))
   }
+
+  /** The ts-normalization contract, shared by the batch loader above and
+    * the streaming source ([[graft.streaming.Streams.readEvents]]) so the
+    * next encoding generation is fixed in ONE place. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ (or date-like): normalize to TimestampType
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   /** events with ts exactly as scanned (raw INT64 nanos on old corpora,
     * timestamp on new) — for queries that need range predicates PUSHED to
     * the parquet scan (a derived column blocks pushdown past IsNotNull).

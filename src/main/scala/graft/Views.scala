@@ -25,17 +25,26 @@ object Views {
   /** Per-table isolation: one source's schema drift or missing file must
     * degrade THAT view only, never the whole SQL frontend (round-6 lesson:
     * an eager `Tables.events` failure here took down all 15 TPC-H queries
-    * that never touch events). Failures are recorded and re-thrown only if
-    * the caller asks for the failed view. */
+    * that never touch events). A failed table is logged and its view
+    * DROPPED, so asking for it fails with TABLE_OR_VIEW_NOT_FOUND rather
+    * than silently serving a previously-registered corpus's rows. */
   def register(s: SparkSession, sfDir: String): Unit = {
     if (sfDir == registered.get(s)) return
+    // invalidate BEFORE mutating the catalog: if this registration fails
+    // partway, the memo must not keep claiming the previous dir is live
+    registered.remove(s)
     val failures = scala.collection.mutable.ListBuffer.empty[(String, Throwable)]
-    names.foreach { n =>
-      try Tables.table(s, sfDir, n).createOrReplaceTempView(n)
-      catch { case e: Throwable => failures += ((n, e)) }
-    }
-    try Tables.events(s, sfDir).createOrReplaceTempView("events")
-    catch { case e: Throwable => failures += (("events", e)) }
+    def bind(n: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      try df.createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        // drop any stale binding from a previously-registered dir — the
+        // next use must fail with TABLE_OR_VIEW_NOT_FOUND, not silently
+        // serve the other corpus's rows
+        s.catalog.dropTempView(n)
+        failures += ((n, e))
+      }
+    names.foreach(n => bind(n)(Tables.table(s, sfDir, n)))
+    bind("events")(Tables.events(s, sfDir))
     failures.foreach { case (n, e) =>
       System.err.println(s"[views] view '$n' unavailable: ${e.getMessage}")
     }

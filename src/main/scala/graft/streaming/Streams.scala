@@ -22,21 +22,27 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** events schema for a source dir with no files yet (the
+    * start-stream-then-files-arrive landing-directory pattern, where a
+    * probe read cannot infer anything): the current corpus encoding. */
+  val eventsLandingSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** Streaming scan of an events-parquet directory → typed event stream.
     * File streams need an explicit schema; probe it from the existing files
-    * with a one-footer batch read, then normalize ts to TimestampType the
-    * same way Tables.events does (raw INT64 nanos on old corpora,
+    * with a one-footer batch read (falling back to [[eventsLandingSchema]]
+    * on an empty landing dir), then normalize ts to TimestampType via the
+    * shared `Tables.normalizeTs` (raw INT64 nanos on old corpora,
     * timestamp[us]/NTZ on new — session tz is pinned UTC so the cast is
     * value-preserving). */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = s.read.parquet(dir).schema
-    val stream = s.readStream.schema(physical).parquet(dir)
-    physical("ts").dataType match {
-      case LongType      => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampType => stream
-      case _             => stream.withColumn("ts", col("ts").cast(TimestampType))
-    }
+    val physical =
+      try s.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsLandingSchema }
+    graft.Tables.normalizeTs(s.readStream.schema(physical).parquet(dir))
   }
 
   /** Tumbling event-time aggregation with a 1-hour watermark — the streaming

@@ -251,14 +251,22 @@ class SqlFrontendSpec extends SparkSpec {
         StandardCopyOption.REPLACE_EXISTING)
     }
     Files.write(dir.resolve("events.parquet"), "not a parquet file".getBytes)
+    Views.register(spark, sf) // healthy corpus first — binds a good events view
     Views.register(spark, dir.toString) // must not throw
     val n = spark.sql(
       """SELECT n_name, COUNT(*) AS n FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin).count()
     assert(n > 0)
-    // re-register the real corpus so later tests see the good views
+    // the failed table must NOT silently serve the previously-registered
+    // corpus — its stale view is dropped, so the next use fails loudly
+    val err = intercept[Exception](spark.sql("SELECT COUNT(*) FROM events").collect())
+    assert(err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+           err.getMessage.contains("events"), err.getMessage)
+    // and the memo was invalidated by the partial failure: re-registering
+    // the original corpus is NOT a no-op — events comes back
     Views.register(spark, sf)
+    assert(spark.sql("SELECT COUNT(*) FROM events").collect().head.getLong(0) > 0)
   }
 
   test("IVF assignment partitions the non-codebook vectors") {

@@ -50,6 +50,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("readEvents starts on an EMPTY landing dir and picks up files that arrive later") {
+    // the start-stream-then-files-arrive pattern: schema inference has
+    // nothing to probe, so readEvents falls back to the landing schema
+    val dir = Files.createTempDirectory("graft_stream_empty")
+    val stream = Streams.readEvents(spark, dir.toString) // must not throw
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // files land after the stream was defined; a run then sees them
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+               StandardCopyOption.REPLACE_EXISTING)
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("landing_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("landing_test").collect().head.getLong(0)
+    assert(n === Tables.events(spark, sf).count())
+  }
+
   test("dropDuplicatesWithinWatermark collapses a fully re-delivered stream") {
     // deliver the identical parquet TWICE (at-least-once redelivery); the
     // keyed dedup must emit each event exactly once
