@@ -58,6 +58,34 @@ object Similarity {
       .orderBy("vec_id")
       .limit(50)
 
+  /** EXT: random-projection dimensionality reduction (sparse
+    * Johnson–Lindenstrauss): 64-d float embeddings → 8-d via a
+    * DETERMINISTIC ternary projection matrix w(j,i) ∈ {-1,0,1} derived
+    * from md5("j:i") (Achlioptas-style sparse JL; the md5 derivation makes
+    * the matrix a pure function of indices, so Spark and the oracle bake
+    * the IDENTICAL constants and the dot products fold in the same order —
+    * hash-comparable with no RNG state anywhere). Scale shape: a map-only
+    * pass — 8 codegen'd [[vecDot]] evaluations per row, no shuffle, no
+    * broadcast — the standard pre-step that makes downstream ANN/IVF run
+    * on 8-byte-per-dim-cheaper vectors at 100 TB. */
+  val ProjOutDims = 8
+  val ProjInDims  = 64
+  private[graft] lazy val projW: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(ProjOutDims, ProjInDims) { (j, i) =>
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      (((h(0) & 0xff) % 3) - 1).toDouble
+    }
+  }
+  def qEmbedProject(s: SparkSession, d: String): DataFrame = {
+    val cols = (0 until ProjOutDims).map { j =>
+      round(vecDot(vD, array(projW(j).map(lit).toIndexedSeq: _*)), 4).as(s"p$j")
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy("vec_id")
+  }
+
   /** F7+EXT (manifest): all-pairs cosine on a 51-vector window, top 20. */
   def qSimCosine(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).filter(col("vec_id") <= 50)
@@ -412,6 +440,7 @@ object Similarity {
     "q_dedup_semantic"  -> (qDedupSemantic _),
     "q_array_explode"   -> (qArrayExplode _),
     "q_sim_cosine"      -> (qSimCosine _),
+    "q_embed_project"   -> (qEmbedProject _),
     "q_ann_brute_topk"  -> (qAnnBruteTopk _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_ivf"         -> (qAnnIvf _),
@@ -454,6 +483,17 @@ object Similarity {
         |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_v,
         |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS last_v
         |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin,
+    // identical md5-derived ternary matrix baked as literals on both sides;
+    // list_dot_product folds pairwise-sequential like the codegen'd vecDot
+    "q_embed_project" -> {
+      val ps = projW.zipWithIndex.map { case (row, j) =>
+        s"ROUND(list_dot_product(v, ${row.mkString("[", ", ", "]")}::DOUBLE[]), 4) AS p$j"
+      }.mkString(",\n        |       ")
+      s"""SELECT vec_id,
+        |       $ps
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |ORDER BY vec_id""".stripMargin
+    },
     "q_sim_cosine" ->
       s"""WITH e AS ($duckVecs)
         |SELECT a.vec_id AS v1, b.vec_id AS v2, ROUND($duckCos, 4) AS cos

@@ -471,6 +471,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.map(_._2).toSeq !== a.map(_._2).sorted.toSeq)
   }
 
+  test("random projection: ternary deterministic matrix, linear, non-degenerate") {
+    val w = Similarity.projW
+    assert(w.length === Similarity.ProjOutDims)
+    assert(w.forall(_.length === Similarity.ProjInDims))
+    assert(w.flatten.forall(x => x == -1.0 || x == 0.0 || x == 1.0))
+    // rows are distinct directions (a repeated row would waste an output dim)
+    assert(w.map(_.toSeq).distinct.length === w.length)
+    // linearity on integer vectors is EXACT with ternary weights:
+    // proj(a + b) == proj(a) + proj(b) — the JL property that makes the
+    // projection distance-preserving in expectation
+    val rnd = new scala.util.Random(3)
+    val a = Array.fill(Similarity.ProjInDims)(rnd.nextInt(100).toDouble)
+    val b = Array.fill(Similarity.ProjInDims)(rnd.nextInt(100).toDouble)
+    def proj(v: Array[Double]) = w.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+    val lhs = proj(a.zip(b).map { case (x, y) => x + y })
+    val rhs = proj(a).zip(proj(b)).map { case (x, y) => x + y }
+    assert(lhs.toSeq === rhs.toSeq)
+    // and the engine query produces one row per vector with all 8 dims
+    val rows = Similarity.qEmbedProject(spark, sf).collect()
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    assert(rows.head.schema.fieldNames.toSeq ===
+      "vec_id" +: (0 until Similarity.ProjOutDims).map(j => s"p$j"))
+    // non-degenerate: some projected dimension varies across vectors
+    assert(rows.map(_.getAs[Double]("p0")).distinct.length > 1)
+  }
+
   test("semantic dedup: clusters conserve vectors; pruned set matches brute-force recomputation") {
     val out = Similarity.qDedupSemantic(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()
