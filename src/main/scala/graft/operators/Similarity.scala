@@ -86,6 +86,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** EXT: IVF over PROJECTED vectors — the composed production recipe the
+    * two pieces exist for: coarse-quantize in the cheap 8-d projected
+    * space (cosine against 8 projected centroids — 1/8th the arithmetic
+    * of full-width assignment), then rank the query's cell by EXACT 64-d
+    * cosine. Coarse-then-refine is how real ANN serves 1e9+ vectors: the
+    * reduced space prunes, the original space decides. All constants are
+    * the md5-derived [[projW]], so the whole two-stage pipeline is
+    * hash-comparable. Scale shape: assignment is a broadcast(8-row) cross
+    * join + per-vector argmax window; refinement is an equi-join on the
+    * cell key — never all-pairs. */
+  def qAnnIvfProj(s: SparkSession, d: String): DataFrame = {
+    val pvCol = array((0 until ProjOutDims).map(j =>
+      vecDot(col("v"), array(projW(j).map(lit).toIndexedSeq: _*))): _*)
+    val base = vecs(s, d)
+      .withColumn("pv", pvCol)
+      .withColumn("pnrm", sqrt(vecDot(col("pv"), col("pv"))))
+    val cb = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid8"), col("pv").as("cpv"), col("pnrm").as("cpnrm"))
+    def assign(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("cos8").desc, col("cid8"))
+      df.crossJoin(broadcast(cb))
+        .withColumn("cos8",
+          round(vecDot(col("pv"), col("cpv")) / (col("pnrm") * col("cpnrm")), 4))
+        .withColumn("rk8", row_number().over(w))
+        .filter(col("rk8") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid8").as("cell"))
+    }
+    val q = assign(base.filter(col("vec_id") >= 8 && col("vec_id") < 13)).as("a")
+    val cand = assign(base.filter(col("vec_id") >= 13)).as("b")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    q.join(cand, col("a.cell") === col("b.cell"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
+              round(cosPair, 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("qid", "rk")
+  }
+
   /** F7+EXT (manifest): all-pairs cosine on a 51-vector window, top 20. */
   def qSimCosine(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).filter(col("vec_id") <= 50)
@@ -441,6 +479,7 @@ object Similarity {
     "q_array_explode"   -> (qArrayExplode _),
     "q_sim_cosine"      -> (qSimCosine _),
     "q_embed_project"   -> (qEmbedProject _),
+    "q_ann_ivf_proj"    -> (qAnnIvfProj _),
     "q_ann_brute_topk"  -> (qAnnBruteTopk _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_ivf"         -> (qAnnIvf _),
@@ -493,6 +532,35 @@ object Similarity {
         |       $ps
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |ORDER BY vec_id""".stripMargin
+    },
+    // coarse assign on the md5-ternary projection (identical constants),
+    // exact 64-d refine inside the cell; rounding-then-rank both sides
+    "q_ann_ivf_proj" -> {
+      val pvList = projW.map(row =>
+        s"list_dot_product(v, ${row.mkString("[", ", ", "]")}::DOUBLE[])")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id, v, $pvList AS pv FROM e),
+        |pn AS (SELECT vec_id, v, pv, sqrt(list_dot_product(pv, pv)) AS pnrm FROM p),
+        |cb AS (SELECT vec_id AS cid8, pv AS cpv, pnrm AS cpnrm FROM pn WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, cell FROM (
+        |  SELECT pn.vec_id, pn.v, cb.cid8 AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY pn.vec_id
+        |      ORDER BY ROUND(list_dot_product(pn.pv, cb.cpv) / (pn.pnrm * cb.cpnrm), 4) DESC,
+        |               cb.cid8) AS rk8
+        |  FROM pn CROSS JOIN cb) WHERE rk8 = 1),
+        |q AS (SELECT * FROM asg WHERE vec_id >= 8 AND vec_id < 13),
+        |c AS (SELECT * FROM asg WHERE vec_id >= 13),
+        |nr AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    ROUND(list_dot_product(q.v, c.v) / (nq.nrm * nc.nrm), 4) AS cos
+        |  FROM q JOIN c ON q.cell = c.cell
+        |  JOIN nr nq ON nq.vec_id = q.vec_id
+        |  JOIN nr nc ON nc.vec_id = c.vec_id),
+        |ranked AS (SELECT qid, cid, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
     },
     "q_sim_cosine" ->
       s"""WITH e AS ($duckVecs)

@@ -497,6 +497,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("p0")).distinct.length > 1)
   }
 
+  test("projected IVF: dense ranks, non-increasing cosine, candidates come from the query's cell") {
+    val rows = Similarity.qAnnIvfProj(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+                 r.getAs[Double]("cos"), r.getAs[Long]("rk")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length))
+      assert(sorted.length <= 3)
+      // cosine non-increasing down the ranking
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-(_: Double)).toSeq,
+        s"query $qid ranking out of order: $sorted")
+      // candidates are disjoint from queries and the codebook
+      assert(rs.forall(_._2 >= 13))
+    }
+  }
+
   test("semantic dedup: clusters conserve vectors; pruned set matches brute-force recomputation") {
     val out = Similarity.qDedupSemantic(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()
