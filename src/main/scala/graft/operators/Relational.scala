@@ -238,6 +238,28 @@ object Relational {
       .groupBy("k").agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** F8 (VARIANT): the same extraction through Spark 4's two OTHER
+    * semi-structured paths — `from_json` with an explicit schema (the
+    * typed route: JsonToStructs plans once, no per-row path parse) and
+    * VARIANT (`parse_json` + `try_variant_get`, the open-schema route for
+    * data whose shape isn't known at plan time). Both must agree with
+    * each other row-wise: `n_agree` counts agreements per group and the
+    * oracle pins n_agree = n, so a divergence between the two engines'
+    * JSON semantics OR between Spark's own two paths breaks the hash.
+    * At 100 TB the typed route is the hot path (codegen'd struct
+    * access); VARIANT trades ~2× decode cost for schema freedom. */
+  def qJsonVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("kt"),
+        expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("kv"))
+      .groupBy(col("kt").as("k"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("kv") === col("kt"), 1L).otherwise(0L)).as("n_agree"))
+      .orderBy("k")
+
   /** Set ops (SURVEY §2.7): nation keys of customers vs suppliers. */
   private def custNations(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_nationkey").cast("long").as("nationkey")).distinct()
@@ -324,6 +346,7 @@ object Relational {
     "q_regex_extract"      -> (qRegexExtract _),
     "q_date_parts"         -> (qDateParts _),
     "q_json_props"         -> (qJsonProps _),
+    "q_json_variant"       -> (qJsonVariant _),
     "q_set_union"          -> (qSetUnion _),
     "q_set_intersect"      -> (qSetIntersect _),
     "q_set_except"         -> (qSetExcept _),
@@ -501,6 +524,12 @@ object Relational {
         |FROM lineitem GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    // n_agree = n pins Spark's from_json and VARIANT paths to each other
+    // AND to DuckDB's json_extract
+    "q_json_variant" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       COUNT(*) AS n, COUNT(*) AS n_agree
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q_set_union" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
