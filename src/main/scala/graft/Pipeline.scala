@@ -39,15 +39,25 @@ object Pipeline {
 
   /** Programmatic entry; returns the number of COGs written. (Do NOT
     * count the raster here — an extra action would recompute the whole
-    * interpolation; the write is the one materialization.) */
+    * interpolation; the write is the one materialization, and the QA
+    * metrics ride on it via `observe` — the Spark-native form of the
+    * reference's per-stage loguru counters, costing zero extra passes.) */
   def run(s: SparkSession, ncPath: String, outDir: String, g: Int,
           varName: String = "fort_63_zeta"): Long = {
+    import org.apache.spark.sql.functions._
     sources.Ingest.fort63ToParquet(s, ncPath, s"$outDir/tables")
     val nodes = sources.Ingest.nodes(s, s"$outDir/tables")
     val elements = sources.Ingest.elements(s, s"$outDir/tables")
     val series = sources.Ingest.series(s, s"$outDir/tables")
     val spec = operators.Interp.gridSpec(nodes, g)
-    val raster = operators.Interp.interpolateTables(nodes, elements, series, spec)
+    val obs = new org.apache.spark.sql.Observation("raster-qa")
+    val raster = operators.Interp
+      .interpolateTables(nodes, elements, series, spec)
+      .observe(obs,
+        count(lit(1)).as("wet_cells"),
+        approx_count_distinct(col("ts")).as("timesteps"), // observe forbids DISTINCT aggs
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
     // real decoded instants name the COGs (the reference's timeregex
     // contract); record-index names only when the file has no time axis
     val labels = sources.Ingest.timeLabels(s, s"$outDir/tables")
@@ -55,6 +65,9 @@ object Pipeline {
     plans.RasterSink.sidecars(varName).foreach { case (name, body) =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/$name"), body)
     }
+    val m = obs.get // collected by the write's own action — no recompute
+    System.err.println(s"[pipeline] wet_cells=${m("wet_cells")} " +
+      s"timesteps=${m("timesteps")} value_range=[${m("min_value")}, ${m("max_value")}]")
     new java.io.File(s"$outDir/cogs").listFiles().count(_.getName.endsWith(".tiff")).toLong
   }
 }
