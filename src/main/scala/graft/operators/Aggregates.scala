@@ -417,6 +417,35 @@ object Aggregates {
       .orderBy("o_orderstatus")
   }
 
+  /** EXT: correlation + covariance profiling — the two-column moment
+    * family (does quantity track price inside a return class?). Built-in
+    * corr()/covar_samp() accumulate with engine-specific Welford updates
+    * whose FP error differs between Spark and DuckDB, so this computes
+    * the MOMENTS exactly (decimal sums of 2-dp values and their products
+    * — the Num.moneySum discipline) and combines them in one fixed-order
+    * double expression: identical inputs, identical operation order,
+    * bit-identical result on both engines. Scale shape: a single partial
+    * aggregate — five decimal sums + a count per group — nothing about
+    * the two-pass textbook formula survives; this IS the one-pass form
+    * with exact partials. */
+  def qAggCorr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val n   = count(lit(1)).cast("double")
+    val sx  = sum(x).cast("double")
+    val sy  = sum(y).cast("double")
+    val sxx = sum(x * x).cast("double")
+    val syy = sum(y * y).cast("double")
+    val sxy = sum(x * y).cast("double")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           round((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_qp"),
+           round((sxy - sx * sy / n) / (n - lit(1.0)), 4).as("covar_qp"))
+      .orderBy("l_returnflag")
+  }
+
   /** W4 completion: ntile / percent_rank / cume_dist — the distribution
     * ranking family over a bounded key set. */
   def qWinDistribution(s: SparkSession, d: String): DataFrame = {
@@ -443,6 +472,7 @@ object Aggregates {
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_approx_quantile"  -> (qApproxQuantile _),
     "q_agg_percentile_exact" -> (qAggPercentileExact _),
+    "q_agg_corr"         -> (qAggCorr _),
     "q_win_range_frame"  -> (qWinRangeFrame _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_pivot_events"     -> (qPivotEvents _),
@@ -468,6 +498,21 @@ object Aggregates {
         |  CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS p50_price,
         |  CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS p99_price,
         |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact decimal moments -> one fixed-order double expression: the
+    // engines' Welford corr()/covar() accumulations differ, the moments
+    // do not
+    "q_agg_corr" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+        |    / sqrt((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+        |           * (COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |              - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))), 6) AS corr_qp,
+        |  ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1.0), 4) AS covar_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // identical md5-nibble buckets; every cell is a SUM, so the sketch is
     // bit-identical across engines — the estimate is exact arithmetic
