@@ -54,6 +54,73 @@ object Aggregates {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  /** EXT: ordered funnel — the event-analytics staple: how many users
+    * signup → then click AFTER the signup → then purchase AFTER that
+    * click. Each stage's anchor is the MIN event time satisfying the
+    * stage predicate given the previous anchor, so the whole funnel is
+    * three conditional MIN aggregates over ONE per-user frame (events
+    * grouped once; stage ordering enforced by the time comparisons, not
+    * by joins). Deterministic: min over timestamps. Scale shape: one
+    * shuffle on user_id; conditional aggregation is partial-aggregated
+    * map-side like any min. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val perUser = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("s_ts"))
+      .join(ev, Seq("user_id"))
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(when(col("event_type") === "click" && col("ts") >= col("s_ts"),
+                    col("ts"))).as("c_ts"))
+      .join(ev, Seq("user_id"))
+      .groupBy(col("user_id"), col("s_ts"), col("c_ts"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"),
+                    col("ts"))).as("p_ts"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("s_ts").isNotNull.cast("long")).as("n_signup"),
+      sum(col("c_ts").isNotNull.cast("long")).as("n_click_after"),
+      sum(col("p_ts").isNotNull.cast("long")).as("n_purchase_after"))
+  }
+
+  /** EXT: cohort retention — users bucketed by FIRST-seen day, activity
+    * counted per whole-week offset from that day (day arithmetic, not
+    * calendar weeks, so no engine week-start convention can drift).
+    * COUNT(DISTINCT user) per (cohort_day, week_offset) is exact on both
+    * engines. Scale shape: two shuffles — the per-user first-day
+    * aggregate, then the (cohort, offset) rollup of (user, day) distinct
+    * pairs; both keys are bounded (users, days). */
+  def qCohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("c_day"))
+    ev.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("c_day"),
+              expr("CAST(datediff(day, c_day) DIV 7 AS BIGINT)").as("wk"))
+      .groupBy(col("c_day"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .filter(col("wk") <= 4)
+      .orderBy("c_day", "wk")
+      .limit(200)
+  }
+
+  /** A2 variant: EQUI-DEPTH histogram (deciles by population, the
+    * profiling partner of the equi-width [[qAggHistogram]]): NTILE over a
+    * total order (price, key tiebreak — engine-deterministic), then
+    * per-bucket count/min/max. Scale note: a global NTILE is a
+    * range-partitioned sort; the sketch path ([[qApproxQuantile]]) is the
+    * unbounded-input form, this is the exact profile. */
+  def qAggHistogramEqdepth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min("o_totalprice").as("lo"),
+           max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  }
+
   /** A6: rollup — grouping-set expansion (Catalyst Expand); null grouping
     * keys normalized to 'ALL' on both engines. */
   def qAggRollup(s: SparkSession, d: String): DataFrame =
@@ -473,6 +540,9 @@ object Aggregates {
     "q_approx_quantile"  -> (qApproxQuantile _),
     "q_agg_percentile_exact" -> (qAggPercentileExact _),
     "q_agg_corr"         -> (qAggCorr _),
+    "q_funnel"           -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_agg_histogram_eqdepth" -> (qAggHistogramEqdepth _),
     "q_win_range_frame"  -> (qWinRangeFrame _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_pivot_events"     -> (qPivotEvents _),
@@ -499,6 +569,39 @@ object Aggregates {
         |  CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS p99_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // stage anchors = conditional MINs given the previous anchor; same
+    // three-pass CTE shape
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, s.s_ts,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s.s_ts THEN e.ts END) AS c_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id GROUP BY e.user_id, s.s_ts),
+        |p AS (SELECT e.user_id, c.s_ts, c.c_ts,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.c_ts THEN e.ts END) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id, c.s_ts, c.c_ts)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN s_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+        |  CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
+        |FROM p""".stripMargin,
+    // day-offset weeks (no calendar week-start conventions); exact
+    // COUNT(DISTINCT) both sides
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS c_day FROM ev GROUP BY user_id)
+        |SELECT c_day, CAST(date_diff('day', c_day, day) // 7 AS BIGINT) AS wk,
+        |       COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        |WHERE date_diff('day', c_day, day) // 7 <= 4
+        |GROUP BY c_day, wk ORDER BY c_day, wk LIMIT 200""".stripMargin,
+    "q_agg_histogram_eqdepth" ->
+      """WITH b AS (SELECT o_totalprice,
+        |    CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // exact decimal moments -> one fixed-order double expression: the
     // engines' Welford corr()/covar() accumulations differ, the moments
     // do not
