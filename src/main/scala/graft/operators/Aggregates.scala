@@ -57,24 +57,30 @@ object Aggregates {
   /** EXT: ordered funnel — the event-analytics staple: how many users
     * signup → then click AFTER the signup → then purchase AFTER that
     * click. Each stage's anchor is the MIN event time satisfying the
-    * stage predicate given the previous anchor, so the whole funnel is
-    * three conditional MIN aggregates over ONE per-user frame (events
-    * grouped once; stage ordering enforced by the time comparisons, not
-    * by joins). Deterministic: min over timestamps. Scale shape: one
-    * shuffle on user_id; conditional aggregation is partial-aggregated
-    * map-side like any min. */
+    * stage predicate given the previous anchor; the three anchors are
+    * CHAINED whole-partition windows over the SAME user_id partitioning,
+    * so Catalyst plans ONE events scan and ONE shuffle (three Window
+    * nodes back to back, no re-exchange — each stage's conditional MIN
+    * can reference the previous stage's column because a whole-partition
+    * window value is a constant within the user). The per-user collapse
+    * reuses the same partitioning; stage ordering is enforced by the
+    * time comparisons, not by joins. Deterministic: min over
+    * timestamps. The oracle states the same logic as three sequential
+    * grouped CTEs — two formulations, one hash. */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-    val perUser = ev.groupBy("user_id")
-      .agg(min(when(col("event_type") === "signup", col("ts"))).as("s_ts"))
-      .join(ev, Seq("user_id"))
-      .groupBy(col("user_id"), col("s_ts"))
-      .agg(min(when(col("event_type") === "click" && col("ts") >= col("s_ts"),
-                    col("ts"))).as("c_ts"))
-      .join(ev, Seq("user_id"))
-      .groupBy(col("user_id"), col("s_ts"), col("c_ts"))
-      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"),
-                    col("ts"))).as("p_ts"))
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables.events(s, d).select("user_id", "event_type", "ts")
+      .withColumn("s_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") >= col("s_ts"),
+                 col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"),
+                 col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(first("s_ts").as("s_ts"), first("c_ts").as("c_ts"),
+           first("p_ts").as("p_ts")) // whole-partition windows: constant per user
     perUser.agg(
       count(lit(1)).as("n_users"),
       sum(col("s_ts").isNotNull.cast("long")).as("n_signup"),
