@@ -69,6 +69,28 @@ object Layout {
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Small-file compaction — the operational fix for the classic
+    * streaming/incremental-ingest failure mode: thousands of KB-sized
+    * parquet files whose per-file open/footer cost dominates every scan.
+    * Sizes the target partition count from the directory's ACTUAL bytes
+    * (filesystem metadata, no data read), rewrites once, atomically
+    * swaps. At 100 TB this runs per-partition-directory (per day/hour),
+    * not whole-table. Returns the new file count. */
+  def compact(s: SparkSession, dir: String, targetBytes: Long = 128L << 20): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    s.read.parquet(dir).repartition(parts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + "._compact_old")
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, true)
+    fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
   /** Repartition-by-range + sortWithinPartitions: the write layout that
     * gives downstream readers both partition pruning (on `partCol`) and
     * row-group min/max skipping (on `sortCol`) — the engine's version of

@@ -137,6 +137,23 @@ class LayoutSpec extends SparkSpec {
       fact.filter(col("day") === someDay).count())
   }
 
+  test("compaction rewrites a many-small-files dir into size-targeted files, row-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // 64 tiny files — the streaming-sink debris shape
+    Tables.orders(spark, sf).repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 64)
+    val sum0 = spark.read.parquet(dir)
+      .agg(sum(col("o_orderkey"))).collect().head.getLong(0)
+    val n0 = spark.read.parquet(dir).count()
+    val after = Layout.compact(spark, dir, targetBytes = 512L << 10)
+    assert(after < before, s"$after files after compacting $before")
+    // rewrite is transparent: same rows, same content
+    assert(spark.read.parquet(dir).count() === n0)
+    assert(spark.read.parquet(dir)
+      .agg(sum(col("o_orderkey"))).collect().head.getLong(0) === sum0)
+  }
+
   test("time-partitioned layout: one output partition per time key") {
     val df = Tables.events(spark, sf)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
