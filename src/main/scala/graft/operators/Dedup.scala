@@ -268,6 +268,28 @@ object Dedup {
       .orderBy("event_type")
   }
 
+  /** EXT: time-window event debounce — telemetry cleaning: drop an event
+    * that repeats its (user, type) within 5 minutes of the PREVIOUS RAW
+    * occurrence (LAG semantics — a debounce; the chained-throttle variant
+    * that measures from the last KEPT event is inherently sequential and
+    * is what [[graft.streaming.Streams.dedupEvents]]'s watermark state
+    * covers on the stream). One window shuffle on the (user, type) key;
+    * deterministic ts+event_id order. */
+  def qDedupWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("kept",
+        (col("prev_ts").isNull ||
+         col("ts") >= col("prev_ts") + expr("INTERVAL 5 MINUTES")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum("kept").as("n_kept"),
+           (count(lit(1)) - sum("kept")).as("n_debounced"))
+      .orderBy("event_type")
+  }
+
   /** EXT: segment-level (CCNet-style line/boilerplate) dedup — the granular
     * pass exact-dedup misses: a segment (4-word non-overlapping span here;
     * a line or paragraph in a real crawl) that recurs across DISTINCT
@@ -385,6 +407,7 @@ object Dedup {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_segments"      -> (qDedupSegments _),
     "q_dedup_replay"        -> (qDedupReplay _),
+    "q_dedup_window"        -> (qDedupWindow _),
     "q_dedup_minhash"       -> (qDedupMinhash _),
     "q_dedup_minhash_xx"    -> (qDedupMinhashXx _),
     "q_dedup_simhash"       -> (qDedupSimhash _),
@@ -449,6 +472,20 @@ object Dedup {
         |       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM segs s JOIN freq f USING (seg)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // LAG-based debounce: kept = first occurrence OR >= 5 min after the
+    // previous raw occurrence of the same (user, type)
+    "q_dedup_window" ->
+      """WITH lagd AS (
+        |  SELECT event_type,
+        |    LAG(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev_ts, ts
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |                  OR ts >= prev_ts + INTERVAL 5 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+        |                 AND ts < prev_ts + INTERVAL 5 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+        |FROM lagd GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_replay" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
