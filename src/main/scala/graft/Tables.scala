@@ -12,8 +12,29 @@ import org.apache.spark.sql.functions._
   * a partitioned table (partitioned by date/ts); the API is unchanged.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Reader memo per session: `spark.read.parquet` pays a footer read
+    * (schema inference) + directory listing at DATAFRAME CREATION, and a
+    * bench/driver run builds each table's frame hundreds of times. A
+    * DataFrame is an immutable logical plan, so reusing one per
+    * (session, path) is safe; a regenerated corpus arrives under a new
+    * sfDir (new key). Weak on the session so stopped sessions drop. */
+  private val readerMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = readerMemo.synchronized {
+      var m = readerMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        readerMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(s"$sfDir/$name.parquet",
+      spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
