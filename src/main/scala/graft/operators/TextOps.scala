@@ -20,6 +20,14 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Fan the single-split corpus parquet across tasks BEFORE a per-doc
+    * token/shingle explode: without it one task owns the whole expansion
+    * (cpu ≈ wall in the bench telemetry). Deterministic (hash on the
+    * key); at 100 TB the input arrives in thousands of splits and this
+    * exchange is noise next to the explode it balances. */
+  private def fanout(docs: DataFrame): DataFrame =
+    docs.repartition(32, col("doc_id"))
+
   /** Occurrences of literal substring `pat` in `c` — the classic
     * (len - len(replace)) / len(pat) trick; identical in DuckDB. */
   private def occ(c: Column, pat: String): Column =
@@ -165,7 +173,7 @@ object TextOps {
     * documented SURVEY §5.1 discipline). Two aggregations + one window,
     * all shuffling (doc, token, counts) tuples only. */
   def qTextTfidf(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
+    val tf = fanout(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     // df as a window count over tf — ONE extra shuffle on tok, no join,
@@ -198,7 +206,7 @@ object TextOps {
   def qTextBm25(s: SparkSession, d: String): DataFrame = {
     val phrases = Seq("join vector", "customer hash", "slow merge")
     val docs = Tables.documents(s, d)
-    val tf = docs
+    val tf = fanout(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
@@ -459,7 +467,7 @@ object TextOps {
     * to a plain shuffle join on the word key. */
   private[graft] def surprisalPerDoc(s: SparkSession, d: String,
                                      maxBroadcastVocab: Long): DataFrame = {
-    val words = Tables.documents(s, d)
+    val words = fanout(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
     val vocab = words.groupBy("word").agg(count(lit(1)).as("c")).localCheckpoint()
     val tot = vocab.agg(sum("c").as("n"))
@@ -491,7 +499,7 @@ object TextOps {
   /** Core over any (doc_id, text) frame — reused by ScaleProbe's
     * replication probe. */
   private[graft] def bigramLm(docs: DataFrame): DataFrame = {
-    val big = docs
+    val big = fanout(docs)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -638,6 +646,12 @@ object TextOps {
     val bench = docs.filter(col("doc_id") < 10)
       .select(explode(shingles3).as("shingle")).distinct()
     docs.filter(col("doc_id") >= 10)
+      // single-split parquet at corpus sizes: fan out BEFORE the shingle
+      // explode so the expansion + broadcast probe parallelize (cpu ~= wall
+      // without this — one task owned the whole corpus scan); at 100 TB
+      // the input arrives in thousands of splits and the exchange is
+      // noise next to the explode it balances
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"), explode(shingles3).as("shingle"))
       .join(broadcast(bench), "shingle")
       .groupBy("doc_id")
