@@ -12,29 +12,48 @@ import org.apache.spark.sql.functions._
   * a partitioned table (partitioned by date/ts); the API is unchanged.
   */
 object Tables {
-  /** Reader memo per session: `spark.read.parquet` pays a footer read
-    * (schema inference) + directory listing at DATAFRAME CREATION, and a
+  /** Reader memo: `spark.read.parquet` pays a footer read (schema
+    * inference) + directory listing at DATAFRAME CREATION, and a
     * bench/driver run builds each table's frame hundreds of times. A
     * DataFrame is an immutable logical plan, so reusing one per
     * (session, path) is safe; a regenerated corpus arrives under a new
-    * sfDir (new key). Weak on the session so stopped sessions drop. */
+    * sfDir (new key). LRU-bounded at 4 sessions — a memoized DataFrame
+    * strongly references its session, so a WeakHashMap on the session
+    * could never collect (the classic value-refers-to-key trap); bounded
+    * eviction caps retention at 4 sessions' worth of plans,
+    * deterministically, instead of pretending weakness. In-place
+    * rewrites of a memoized path must call [[invalidate]]
+    * (Layout.compact does). */
+  private val MaxMemoSessions = 4
   private val readerMemo =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
-
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = readerMemo.synchronized {
-      var m = readerMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        readerMemo.put(spark, m)
-      }
-      m
+    new java.util.LinkedHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            scala.collection.concurrent.TrieMap[String, DataFrame]]): Boolean =
+        size() > MaxMemoSessions
     }
-    perSession.getOrElseUpdate(s"$sfDir/$name.parquet",
-      spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  private def memoFor(spark: SparkSession) = readerMemo.synchronized {
+    var m = readerMemo.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      readerMemo.put(spark, m)
+    }
+    m
   }
+
+  /** Drop memoized readers under `pathPrefix` for this session — required
+    * after rewriting a table's files IN PLACE (the memoized frame's file
+    * listing is frozen at creation and would read deleted files). */
+  def invalidate(spark: SparkSession, pathPrefix: String): Unit = {
+    val m = memoFor(spark)
+    m.keys.filter(_.startsWith(pathPrefix)).foreach(m.remove)
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memoFor(spark).getOrElseUpdate(s"$sfDir/$name.parquet",
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -257,7 +257,9 @@ object Relational {
         expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("kv"))
       .groupBy(col("kt").as("k"))
       .agg(count(lit(1)).as("n"),
-           sum(when(col("kv") === col("kt"), 1L).otherwise(0L)).as("n_agree"))
+           // null-SAFE equality: both paths returning NULL (missing /
+           // malformed k) is agreement, not divergence
+           sum(when(col("kv") <=> col("kt"), 1L).otherwise(0L)).as("n_agree"))
       .orderBy("k")
 
   /** Set ops (SURVEY §2.7): nation keys of customers vs suppliers. */

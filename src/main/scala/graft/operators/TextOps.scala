@@ -645,13 +645,7 @@ object TextOps {
     val docs = Tables.documents(s, d)
     val bench = docs.filter(col("doc_id") < 10)
       .select(explode(shingles3).as("shingle")).distinct()
-    docs.filter(col("doc_id") >= 10)
-      // single-split parquet at corpus sizes: fan out BEFORE the shingle
-      // explode so the expansion + broadcast probe parallelize (cpu ~= wall
-      // without this — one task owned the whole corpus scan); at 100 TB
-      // the input arrives in thousands of splits and the exchange is
-      // noise next to the explode it balances
-      .repartition(32, col("doc_id"))
+    fanout(docs.filter(col("doc_id") >= 10))
       .select(col("doc_id"), explode(shingles3).as("shingle"))
       .join(broadcast(bench), "shingle")
       .groupBy("doc_id")

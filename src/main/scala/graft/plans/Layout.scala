@@ -82,12 +82,22 @@ object Layout {
     val totalBytes = fs.getContentSummary(path).getLength
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "._compact_old")
+    // leftovers from a crashed prior run must not make the renames below
+    // silently merge INTO an existing directory (HDFS/local rename-into
+    // semantics) — fail fast if a backup exists, clear a stale tmp
+    require(!fs.exists(bak),
+      s"$bak exists — a prior compact crashed mid-swap; recover it manually")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     s.read.parquet(dir).repartition(parts)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(dir + "._compact_old")
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
+    // two renames with a checked window (not atomic — the sequence is
+    // crash-RECOVERABLE, never silently wrong: each step verifies)
+    require(fs.rename(path, bak), s"rename $path -> $bak failed")
+    require(fs.rename(tmp, path), s"rename $tmp -> $path failed ($bak holds the data)")
     fs.delete(bak, true)
+    // the rewrite invalidates any memoized reader of this path
+    graft.Tables.invalidate(s, dir)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet")).toLong
   }
 

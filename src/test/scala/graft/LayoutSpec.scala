@@ -138,19 +138,23 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("compaction rewrites a many-small-files dir into size-targeted files, row-identical") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = s"$base/t.parquet"
     // 64 tiny files — the streaming-sink debris shape
     Tables.orders(spark, sf).repartition(64).write.parquet(dir)
     val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(before === 64)
-    val sum0 = spark.read.parquet(dir)
+    // memoize a reader of this path BEFORE compacting — the in-place
+    // rewrite must invalidate it (a frozen file listing would throw
+    // FileNotFound on the deleted originals)
+    val n0 = Tables.table(spark, base, "t").count()
+    val sum0 = Tables.table(spark, base, "t")
       .agg(sum(col("o_orderkey"))).collect().head.getLong(0)
-    val n0 = spark.read.parquet(dir).count()
     val after = Layout.compact(spark, dir, targetBytes = 512L << 10)
     assert(after < before, s"$after files after compacting $before")
-    // rewrite is transparent: same rows, same content
-    assert(spark.read.parquet(dir).count() === n0)
-    assert(spark.read.parquet(dir)
+    // rewrite is transparent AND the memoized reader was refreshed
+    assert(Tables.table(spark, base, "t").count() === n0)
+    assert(Tables.table(spark, base, "t")
       .agg(sum(col("o_orderkey"))).collect().head.getLong(0) === sum0)
   }
 
