@@ -28,6 +28,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // legacy events encodings readable from session build (no loader conf mutation)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -85,9 +86,12 @@ object Bench {
     failed.foreach { case (name, err) =>
       System.err.println(s"BENCH ERROR: $name failed: ${err.take(300)}")
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // ms precision is plenty for second-scale samples, and rounding keeps
+    // the full JSON (~7 KB at 143 queries) from doubling on long doubles
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, _, c, _) => "\"" + k + "\":" + c }
+    val cpus_ = results.map { case (k, _, c, _) => "\"" + k + "\":" + r3(c) }
       .mkString("{", ",", "}")
     val stalls = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -95,8 +99,19 @@ object Bench {
     val nErr = failed.size
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"cpu_sec":$cpus_,"stalled":$stalls,"sf":"$sfDir"}"""
+    // The driver keeps only a ~2 KB tail of the captured stream (observed
+    // across r1-r7 artifacts), so the full 143-query maps cannot survive
+    // there — but the box-load adjudication evidence (r7 verdict #2) is
+    // dominated by the FEW slowest samples. The contract line therefore
+    // carries cpu_sec_total, the stalled list, and the top-10 slowest as
+    // {name: [wall_sec, cpu_sec]} — compact enough for any tail window;
+    // the complete per-query maps live in the committed BENCH_FULL.json.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, c, _) => "\"" + k + "\":[" + r3(v) + "," + r3(c) + "]" }
+      .mkString("{", ",", "}")
+    val cpuTotal = r3(results.map(_._3).sum)
     val contract =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":{},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":{},"cpu_sec_total":$cpuTotal,"stalled":$stalls,"slowest":$slowest,"sf":"$sfDir"}"""
     try {
       Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
       Files.writeString(Paths.get("BENCH_TOTAL.json"), contract + "\n")
@@ -105,6 +120,9 @@ object Bench {
     spark.stop()
     // AFTER stop(): no Spark shutdown chatter can interleave past it,
     // and the short form can't be tail-truncated by a bounded capture.
+    // Mirrored to stderr — the r7 driver artifact tailed STDERR, so the
+    // contract must be the last line on BOTH streams.
     println(contract)
+    System.err.println(contract)
   }
 }

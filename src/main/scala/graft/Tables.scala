@@ -48,7 +48,9 @@ object Tables {
     * listing is frozen at creation and would read deleted files). */
   def invalidate(spark: SparkSession, pathPrefix: String): Unit = {
     val m = memoFor(spark)
-    m.keys.filter(_.startsWith(pathPrefix)).foreach(m.remove)
+    // path-separator boundary: ".../sf1" must not evict ".../sf10/orders"
+    m.keys.filter(k => k == pathPrefix || k.startsWith(pathPrefix + "/"))
+      .foreach(m.remove)
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -72,11 +74,16 @@ object Tables {
     *    in this engine pins spark.sql.session.timeZone=UTC;
     *  - TimestampType: already canonical.
     * DuckDB reads the same file natively; oracles compare ts at >= second
-    * granularity so ns-vs-us precision never matters. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * granularity so ns-vs-us precision never matters.
+    *
+    * Legacy INT64-nanos files additionally need
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which every session
+    * builder in this engine sets at BUILD time (Graft.session, the mains,
+    * the test harness) — a loader must never mutate session conf as a side
+    * effect (r7 advice: a mid-session conf flip changes semantics for
+    * unrelated readers of other nanos files). */
+  def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(table(s, d, "events"))
-  }
 
   /** The ts-normalization contract, shared by the batch loader above and
     * the streaming source ([[graft.streaming.Streams.readEvents]]) so the
@@ -93,10 +100,8 @@ object Tables {
     * timestamp on new) — for queries that need range predicates PUSHED to
     * the parquet scan (a derived column blocks pushdown past IsNotNull).
     * Callers must branch on `schema("ts").dataType` for their bounds. */
-  def eventsRawTs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsRawTs(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
-  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -136,6 +136,64 @@ object Interp {
     * ~24 B ≈ 100 MB is the conventional broadcast comfort ceiling. */
   val BroadcastSeriesMaxRows: Long = 4L * 1000 * 1000
 
+  /** Byte form of the same gate, for [[interpolateTables]] where the series
+    * row count is not statically known (arbitrary ingested tables):
+    * Catalyst's optimized-plan `stats.sizeInBytes` (actual file bytes for
+    * parquet-backed relations, row-width products for generated ones)
+    * against the conventional ~100 MB broadcast comfort ceiling —
+    * 4M rows × ~24 B ≈ 100 MB, the same line [[BroadcastSeriesMaxRows]]
+    * draws in rows. */
+  val BroadcastSeriesMaxBytes: Long = 100L << 20
+
+  /** The size-gated series value join shared by [[interpolate]] (the oracle
+    * query) and [[interpolateTables]] (the end-to-end ADCIRC pipeline) — so
+    * the engine's best plan for the reference's core computation
+    * (run/adcircTime2cogs.py:199-200) is the plan BOTH entry points run.
+    *
+    *  - `small = true` (toy meshes, short hindcasts): three broadcast
+    *    equi-joins on node_id — zero shuffles, fastest when the fact fits;
+    *  - `small = false` (production: ~3e5 nodes × O(10²) timesteps): the
+    *    cell map's three corners EXPLODE to (cell, corner, node_id, w) rows
+    *    and join the series ONCE on node_id — a single shuffled equi-join
+    *    (both sides hashed on node_id) instead of 3 shuffles of a
+    *    timesteps×nodes fact; a max(when(corner=i)) pivot restores the
+    *    three addends. On a real cluster, persisting both sides with
+    *    [[graft.plans.Layout.writeBucketed]] on node_id makes the join
+    *    Exchange-free (LayoutSpec pattern).
+    *
+    * Both paths emit the SAME fixed-order FP sum ((w1·v1 + w2·v2) + w3·v3),
+    * so they are bit-identical — InterpSpec asserts it on both entry points.
+    * In: cells (grow, gcol, n1..n3, w1..w3), sv (ts, node_id, value).
+    * Out: (ts, grow, gcol, value). */
+  private[graft] def joinSeriesGated(cells: DataFrame, sv: DataFrame,
+                                     small: Boolean): DataFrame =
+    if (small) {
+      val s1 = sv.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
+      val s2 = sv.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
+      val s3 = sv.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
+      cells
+        .join(broadcast(s1), col("n1") === col("m1"))
+        .join(broadcast(s2), col("n2") === col("m2") && col("ts") === col("t2"))
+        .join(broadcast(s3), col("n3") === col("m3") && col("ts") === col("t3"))
+        .select(col("ts"), col("grow"), col("gcol"),
+                (col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3")).as("value"))
+    } else {
+      val corners = cells.select(col("grow"), col("gcol"), explode(array(
+          struct(lit(1).as("corner"), col("n1").as("node_id"), col("w1").as("w")),
+          struct(lit(2).as("corner"), col("n2").as("node_id"), col("w2").as("w")),
+          struct(lit(3).as("corner"), col("n3").as("node_id"), col("w3").as("w")))).as("c"))
+        .select(col("grow"), col("gcol"),
+                col("c.corner").as("corner"), col("c.node_id").as("node_id"),
+                col("c.w").as("w"))
+      corners.join(sv, Seq("node_id")) // one shuffled equi-join, no broadcast hint
+        .groupBy(col("ts"), col("grow"), col("gcol"))
+        .agg(max(when(col("corner") === 1, col("w") * col("value"))).as("wv1"),
+             max(when(col("corner") === 2, col("w") * col("value"))).as("wv2"),
+             max(when(col("corner") === 3, col("w") * col("value"))).as("wv3"))
+        .select(col("ts"), col("grow"), col("gcol"),
+                (col("wv1") + col("wv2") + col("wv3")).as("value"))
+    }
+
   /** Generalized pipeline at any mesh/grid/time scale — used by the scale
     * test at ~80k triangles x 250k cells (the production mesh magnitude,
     * BASELINE.md) to prove the bucket-join rewrite holds at 100x the
@@ -169,34 +227,9 @@ object Interp {
     // numeric; they disagree on shortest-repr .5 boundaries).
     def zi4(sum: Column): Column =
       floor(sum * lit(10000.0) + lit(0.5)).cast("long").as("zi4")
-    val out =
-      if (small) {
-        val s1 = sv.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
-        val s2 = sv.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
-        val s3 = sv.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
-        cells
-          .join(broadcast(s1), col("n1") === col("m1"))
-          .join(broadcast(s2), col("n2") === col("m2") && col("ts") === col("t2"))
-          .join(broadcast(s3), col("n3") === col("m3") && col("ts") === col("t3"))
-          .select(col("ts"), col("grow"), col("gcol"),
-                  zi4(col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3")))
-      } else {
-        val corners = cells.select(col("grow"), col("gcol"), explode(array(
-            struct(lit(1).as("corner"), col("n1").as("node_id"), col("w1").as("w")),
-            struct(lit(2).as("corner"), col("n2").as("node_id"), col("w2").as("w")),
-            struct(lit(3).as("corner"), col("n3").as("node_id"), col("w3").as("w")))).as("c"))
-          .select(col("grow"), col("gcol"),
-                  col("c.corner").as("corner"), col("c.node_id").as("node_id"),
-                  col("c.w").as("w"))
-        corners.join(sv, Seq("node_id")) // one shuffled equi-join, no broadcast hint
-          .groupBy(col("ts"), col("grow"), col("gcol"))
-          .agg(max(when(col("corner") === 1, col("w") * col("value"))).as("wv1"),
-               max(when(col("corner") === 2, col("w") * col("value"))).as("wv2"),
-               max(when(col("corner") === 3, col("w") * col("value"))).as("wv3"))
-          .select(col("ts"), col("grow"), col("gcol"),
-                  zi4(col("wv1") + col("wv2") + col("wv3")))
-      }
-    out.orderBy("ts", "grow", "gcol")
+    joinSeriesGated(cells, sv, small)
+      .select(col("ts"), col("grow"), col("gcol"), zi4(col("value")))
+      .orderBy("ts", "grow", "gcol")
   }
 
   /** Raster geometry for an arbitrary mesh: bbox + g×g cells. Pixel-is-area
@@ -222,9 +255,16 @@ object Interp {
     * toy, parameterized by the mesh bbox. grow counts DOWN from maxY
     * (north-up raster rows, reference run/adcircTime2cogs.py:74-75).
     * Output (ts, grow, gcol, value) — one raster value per cell per
-    * timestep, cells outside the mesh absent (the reference's NaN mask). */
+    * timestep, cells outside the mesh absent (the reference's NaN mask).
+    *
+    * The series value join is SIZE-GATED through [[joinSeriesGated]] (the
+    * same helper as the oracle query): below [[BroadcastSeriesMaxBytes]]
+    * of Catalyst-estimated series bytes it broadcasts; above, it takes the
+    * corner-explode single shuffled equi-join. `broadcastSeries` overrides
+    * the gate for tests / operators who know their data. */
   def interpolateTables(nodesDf: DataFrame, elementsDf: DataFrame,
-                        seriesDf: DataFrame, spec: GridSpec): DataFrame = {
+                        seriesDf: DataFrame, spec: GridSpec,
+                        broadcastSeries: Option[Boolean] = None): DataFrame = {
     val s = nodesDf.sparkSession
     val g = spec.g
     val grid = s.range(0, g.toLong * g).toDF("id")
@@ -269,15 +309,10 @@ object Interp {
       .withColumn("rn", row_number().over(first))
       .filter(col("rn") === 1)
       .select("grow", "gcol", "ele_id", "n1", "n2", "n3", "w1", "w2", "w3")
-    val s1 = seriesDf.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
-    val s2 = seriesDf.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
-    val s3 = seriesDf.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
-    cells
-      .join(s1, col("n1") === col("m1"))
-      .join(s2, col("n2") === col("m2") && col("ts") === col("t2"))
-      .join(s3, col("n3") === col("m3") && col("ts") === col("t3"))
-      .select(col("ts"), col("grow"), col("gcol"),
-              (col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3")).as("value"))
+    val sv = seriesDf.select(col("ts"), col("node_id"), col("value"))
+    val small = broadcastSeries.getOrElse(
+      sv.queryExecution.optimizedPlan.stats.sizeInBytes <= BroadcastSeriesMaxBytes)
+    joinSeriesGated(cells, sv, small)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

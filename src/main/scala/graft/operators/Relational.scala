@@ -254,7 +254,10 @@ object Relational {
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType)))).getField("k").as("kt"),
-        expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("kv"))
+        // try_parse_json: a malformed props row must yield NULL (agreeing
+        // with from_json and the DuckDB oracle), not fail the query —
+        // parse_json throws on bad JSON (r7 advice)
+        expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").as("kv"))
       .groupBy(col("kt").as("k"))
       .agg(count(lit(1)).as("n"),
            // null-SAFE equality: both paths returning NULL (missing /

@@ -96,8 +96,12 @@ object Layout {
     require(fs.rename(path, bak), s"rename $path -> $bak failed")
     require(fs.rename(tmp, path), s"rename $tmp -> $path failed ($bak holds the data)")
     fs.delete(bak, true)
-    // the rewrite invalidates any memoized reader of this path
+    // the rewrite invalidates any memoized reader of this path AND the
+    // SQL frontend's registration memo — bound temp views froze their file
+    // listings over the now-deleted originals; the next Views.register
+    // must rebind, not early-return
     graft.Tables.invalidate(s, dir)
+    graft.Views.invalidate(s)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet")).toLong
   }
 

@@ -36,9 +36,17 @@ object Streams {
     * on an empty landing dir), then normalize ts to TimestampType via the
     * shared `Tables.normalizeTs` (raw INT64 nanos on old corpora,
     * timestamp[us]/NTZ on new — session tz is pinned UTC so the cast is
-    * value-preserving). */
+    * value-preserving).
+    *
+    * Empty-landing-dir contract (r7 advice): the fallback schema declares
+    * the CURRENT corpus encoding (timestamp[us]); a landing dir is
+    * new-encoding-only by contract. If legacy INT64-nanos files land after
+    * the stream starts, the TimestampType-vs-INT64(NANOS) mismatch FAILS
+    * the first micro-batch at the parquet scan (Spark refuses the
+    * physical-type mismatch) rather than misreading — restart the stream
+    * against the now-non-empty dir and the probe read routes the nanos
+    * branch of normalizeTs. */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physical =
       try s.read.parquet(dir).schema
       catch { case _: org.apache.spark.sql.AnalysisException => eventsLandingSchema }

@@ -111,6 +111,49 @@ class InterpSpec extends SparkSpec {
     assert(toyHints.size === 3, s"toy series should broadcast 3x, got ${toyHints.size}")
   }
 
+  test("tables entry point: broadcast and corner-explode paths are bit-identical") {
+    // r7 verdict weak #1: the end-to-end pipeline (interpolateTables) must
+    // run the SAME size-gated join as the oracle query — both overrides of
+    // the gate must agree exactly through the *tables* entry point
+    val nodesDf = Interp.nodes(spark, 8)
+    val elementsDf = Interp.elements(spark, 8)
+    val seriesDf = Interp.series(spark, 8, 2)
+    val spec = Interp.gridSpec(nodesDf, 12)
+    val a = Interp.interpolateTables(nodesDf, elementsDf, seriesDf, spec, Some(true))
+      .orderBy("ts", "grow", "gcol").collect()
+    val b = Interp.interpolateTables(nodesDf, elementsDf, seriesDf, spec, Some(false))
+      .orderBy("ts", "grow", "gcol").collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
+  test("tables entry point: production-shape series stats select the single-shuffle corner-explode join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    // ~3e7-row series (3e5 nodes × 100 ts — the BASELINE.md production
+    // shape). Never executed: the assertion is on the PLAN the gate picks.
+    val nodesDf = Interp.nodes(spark, 4)
+    val elementsDf = Interp.elements(spark, 4)
+    val seriesDf = spark.range(0, 30L * 1000 * 1000).toDF("id").select(
+      (col("id") % 100).as("ts"),
+      (col("id") / 100).cast("long").as("node_id"),
+      col("id").cast("double").as("value"))
+    val spec = Interp.GridSpec(0.0, 3.0, 0.0, 3.0, 10)
+    val out = Interp.interpolateTables(nodesDf, elementsDf, seriesDf, spec)
+    val plan = out.queryExecution.analyzed
+    // corner-explode marker: the pivot column only exists on the scale path
+    assert(plan.toString.contains("corner"), "expected the corner-explode join shape")
+    // exactly ONE join touches the series fact: 3 node-coordinate joins +
+    // grid⋈triangles + 1 series join = 5 (the broadcast form would be 7)
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size === 5, s"expected 5 joins (single series join), got ${joins.size}")
+    // and no broadcast hint wraps the series side — only the tiny node dim
+    val seriesCols = Set("value", "v1", "v2", "v3")
+    val badHints = plan.collect {
+      case h: ResolvedHint if h.child.output.map(_.name).toSet.intersect(seriesCols).nonEmpty => h
+    }
+    assert(badHints.isEmpty, s"series must not be broadcast above the gate:\n$badHints")
+  }
+
   test("scale: bucket-join interp at production mesh magnitude (79k triangles, 250k cells)") {
     // BASELINE.md: production mesh ~4.5e5 triangles, raster 70.7M cells.
     // k=200/g=500 → 79,202 triangles × 250,000 cells: a naive containment

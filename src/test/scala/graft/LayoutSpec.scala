@@ -158,6 +158,26 @@ class LayoutSpec extends SparkSpec {
       .agg(sum(col("o_orderkey"))).collect().head.getLong(0) === sum0)
   }
 
+  test("SQL views survive in-place compaction (Views memo invalidated with the reader memo)") {
+    // r7 advice (medium): compact() invalidated the Tables reader memo but
+    // not Views — the registration memo turned the defensive re-register
+    // into a no-op, leaving temp views with frozen listings over deleted
+    // pre-compaction files (FileNotFoundException on the SQL frontend).
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_views").toString
+    // clone the smallest corpus so Views.register finds every table
+    new java.io.File(sf).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(base, f.getName))
+    }
+    Views.register(spark, base)
+    val n0 = spark.sql("SELECT count(*) AS n FROM documents").collect().head.getLong(0)
+    assert(n0 > 0)
+    Layout.compact(spark, s"$base/documents.parquet", targetBytes = 256L << 10)
+    // every SQL-frontend query re-registers defensively; post-compaction
+    // that call must REBIND (memo invalidated), not early-return
+    Views.register(spark, base)
+    assert(spark.sql("SELECT count(*) AS n FROM documents").collect().head.getLong(0) === n0)
+  }
+
   test("time-partitioned layout: one output partition per time key") {
     val df = Tables.events(spark, sf)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))

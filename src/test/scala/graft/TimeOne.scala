@@ -4,7 +4,9 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", false).config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+      .config("spark.ui.enabled", false).config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // legacy events encodings readable from session build (no loader conf mutation)
+      .getOrCreate()
     
     val sf = args(0); val names = args.drop(1)
     names.foreach { n => SparkEntry.queries(n)(spark, sf).count() } // warm
