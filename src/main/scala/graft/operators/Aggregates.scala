@@ -195,31 +195,77 @@ object Aggregates {
               col("n"), col("sum_value"))
       .orderBy("ws")
 
-  /** A7: HLL++ sketch distinct — approximate, so rows-only checked (no
-    * oracle entry; DuckDB's approx_count_distinct uses a different sketch). */
+  /** A7 (mergeable form): Apache DataSketches HLL with an explicit
+    * pre-aggregate → re-aggregate split — THE 100 TB sketch pattern. A
+    * petabyte pipeline never recomputes distincts from raw events: it
+    * stores a per-partition (here per-day) sketch ONCE, then any rollup
+    * (weekly, per-type, global) is a cheap union of kilobyte sketches —
+    * no second pass over the fact table. `approx_count_distinct`'s HLL++
+    * state never leaves its one aggregation; `hll_sketch_agg` makes the
+    * state a first-class column. Oracle: same checked-bound shape as
+    * [[qApproxDistinct]] — exact count hashed, the sketch pinned within
+    * 5% of it (lgK=12 → rsd ≈ 1.6%). */
+  def qSketchMerge(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+           countDistinct(col("user_id")).as("exact_daily"))
+    // downstream rollup reads ONLY the daily sketch relation
+    daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+           sum(col("exact_daily")).as("sum_daily_users"))
+      .join(Tables.events(s, d).groupBy("event_type")
+              .agg(countDistinct(col("user_id")).as("exact_users")),
+            Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("sum_daily_users"),
+              (abs(col("approx") - col("exact_users")).cast("double") /
+                 col("exact_users").cast("double") <= lit(0.05)).as("within_bound"))
+      .orderBy("event_type")
+  }
+
+  /** A7: HLL++ sketch distinct. The sketch ESTIMATE is engine-specific
+    * (DuckDB's approx_count_distinct is a different sketch), so the raw
+    * number can never hash-match an oracle — but its ERROR BOUND can
+    * (r7 verdict #7): the query emits |approx − exact| / exact <= 0.05
+    * (5× the requested 1% rsd) as a boolean next to the exact count, and
+    * the oracle pins the boolean TRUE. The artifact then carries a CHECKED
+    * accuracy bound instead of a rows-only row. Spark's HLL++ is
+    * hash-based with no RNG and register-merge is commutative, so the
+    * boolean is deterministic across partitionings. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
            countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+              (abs(col("approx") - col("exact_users")).cast("double") /
+                 col("exact_users").cast("double") <= lit(0.05)).as("within_bound"))
       .orderBy("event_type")
 
   /** A7 variant: approximate quantiles via the KLL-style percentile_approx
     * sketch — fixed-size mergeable state per group (the unbounded-input
-    * partner to the exact interpolated median in q_agg_stats). Rows-only
-    * checked: sketch internals differ per engine; RelationalSpec bounds
-    * the error against the exact percentile instead. */
-  def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    * partner to the exact interpolated median in q_agg_stats). Same
+    * checked-bound oracle shape as [[qApproxDistinct]] (r7 verdict #7):
+    * the sketch VALUES are engine-specific, so the hash carries the exact
+    * discrete percentiles plus booleans pinning the sketch within 5% (or
+    * ±2 chars on tiny groups — GK rank error at accuracy 10000 is <1 row
+    * at corpus group sizes) of exact. */
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    def within(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= greatest(abs(exact) * lit(0.05), lit(2.0))
     Tables.documents(s, d)
       .groupBy("lang")
       .agg(percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)), lit(10000))
-             .as("approx_p50_p90"),
-           expr("percentile(n_chars, 0.5)").as("exact_p50"))
-      .select(col("lang"),
-              element_at(col("approx_p50_p90"), 1).cast("double").as("approx_p50"),
-              element_at(col("approx_p50_p90"), 2).cast("double").as("approx_p90"),
-              col("exact_p50"))
+             .as("ap"),
+           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+             .cast("double").as("exact_p50"),
+           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+             .cast("double").as("exact_p90"))
+      .select(col("lang"), col("exact_p50"), col("exact_p90"),
+              within(element_at(col("ap"), 1).cast("double"), col("exact_p50")).as("p50_within"),
+              within(element_at(col("ap"), 2).cast("double"), col("exact_p90")).as("p90_within"))
       .orderBy("lang")
+  }
 
   /** A7 partner: EXACT per-group percentiles via the inverse-distribution
     * PERCENTILE_DISC — returns an actual data value (the smallest with
@@ -544,6 +590,7 @@ object Aggregates {
     "q_unpivot"          -> (qUnpivot _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_approx_quantile"  -> (qApproxQuantile _),
+    "q_sketch_merge"     -> (qSketchMerge _),
     "q_agg_percentile_exact" -> (qAggPercentileExact _),
     "q_agg_corr"         -> (qAggCorr _),
     "q_funnel"           -> (qFunnel _),
@@ -565,6 +612,35 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // the exact count is hash-compared; the HLL estimate itself is
+    // engine-specific, so what the oracle pins is the CHECKED 5%-of-exact
+    // accuracy bound (TRUE on the DuckDB side, computed on the Spark side)
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // mergeable-sketch rollup: the exact counts (global + summed daily)
+    // hash; the day-sketch union is pinned within 5% of exact
+    "q_sketch_merge" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         COUNT(DISTINCT user_id) AS exact_daily
+        |  FROM events GROUP BY day, event_type)
+        |SELECT e.event_type, e.exact_users,
+        |       CAST(d.sum_daily_users AS BIGINT) AS sum_daily_users,
+        |       TRUE AS within_bound
+        |FROM (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |      FROM events GROUP BY event_type) e
+        |JOIN (SELECT event_type, SUM(exact_daily) AS sum_daily_users
+        |      FROM daily GROUP BY event_type) d USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    // same pattern: exact discrete percentiles hashed, sketch accuracy
+    // bounds pinned TRUE
+    "q_approx_quantile" ->
+      """SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS exact_p50,
+        |  CAST(quantile_disc(n_chars, 0.9) AS DOUBLE) AS exact_p90,
+        |  TRUE AS p50_within, TRUE AS p90_within
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // percentile_disc picks an ACTUAL stored value (no interpolation), so
     // the only FP step is the final decimal->double cast on both engines
     "q_agg_percentile_exact" ->

@@ -165,6 +165,19 @@ object Interp {
     * so they are bit-identical — InterpSpec asserts it on both entry points.
     * In: cells (grow, gcol, n1..n3, w1..w3), sv (ts, node_id, value).
     * Out: (ts, grow, gcol, value). */
+  /** Corner-explode of a cell map: (cell, corner, node_id, w) rows — the
+    * scale-path join layout. Factored so layout tooling and LayoutSpec can
+    * persist it bucketed by node_id ([[graft.plans.Layout.writeBucketed]]),
+    * which makes the production series join Exchange-free. */
+  private[graft] def cornersOf(cells: DataFrame): DataFrame =
+    cells.select(col("grow"), col("gcol"), explode(array(
+        struct(lit(1).as("corner"), col("n1").as("node_id"), col("w1").as("w")),
+        struct(lit(2).as("corner"), col("n2").as("node_id"), col("w2").as("w")),
+        struct(lit(3).as("corner"), col("n3").as("node_id"), col("w3").as("w")))).as("c"))
+      .select(col("grow"), col("gcol"),
+              col("c.corner").as("corner"), col("c.node_id").as("node_id"),
+              col("c.w").as("w"))
+
   private[graft] def joinSeriesGated(cells: DataFrame, sv: DataFrame,
                                      small: Boolean): DataFrame =
     if (small) {
@@ -178,14 +191,7 @@ object Interp {
         .select(col("ts"), col("grow"), col("gcol"),
                 (col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3")).as("value"))
     } else {
-      val corners = cells.select(col("grow"), col("gcol"), explode(array(
-          struct(lit(1).as("corner"), col("n1").as("node_id"), col("w1").as("w")),
-          struct(lit(2).as("corner"), col("n2").as("node_id"), col("w2").as("w")),
-          struct(lit(3).as("corner"), col("n3").as("node_id"), col("w3").as("w")))).as("c"))
-        .select(col("grow"), col("gcol"),
-                col("c.corner").as("corner"), col("c.node_id").as("node_id"),
-                col("c.w").as("w"))
-      corners.join(sv, Seq("node_id")) // one shuffled equi-join, no broadcast hint
+      cornersOf(cells).join(sv, Seq("node_id")) // one shuffled equi-join, no broadcast hint
         .groupBy(col("ts"), col("grow"), col("gcol"))
         .agg(max(when(col("corner") === 1, col("w") * col("value"))).as("wv1"),
              max(when(col("corner") === 2, col("w") * col("value"))).as("wv2"),

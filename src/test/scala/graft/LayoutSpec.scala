@@ -56,6 +56,74 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("bucketed interp layout: series join is Exchange-free at the 79k-triangle production shape") {
+    // r7 verdict #3: SURVEY §4 prescribes bucketing cell_map corners and
+    // series by node_id for an Exchange-free barycentric series join;
+    // LayoutSpec proved the pattern generically but never on the interp
+    // relations. k=200/g=500: 79,202 triangles, 250k cells, 750k corner
+    // rows — the production mesh magnitude of the scale test.
+    import graft.operators.Interp
+    val k = 200; val g = 500; val t = 2
+    for (tb <- Seq("interp_corners_b", "interp_series_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$tb")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    // materialize both relations as plain parquet ONCE (cellMap is the
+    // expensive part); bucket from the parquet so the comparison below
+    // isolates the join Exchange, not recomputation
+    val base = java.nio.file.Files.createTempDirectory("graft_interp_layout").toString
+    Interp.cornersOf(Interp.cellMap(spark, k, g))
+      .write.mode("overwrite").parquet(s"$base/corners")
+    Interp.series(spark, k, t).write.mode("overwrite").parquet(s"$base/series")
+    Layout.writeBucketed(spark.read.parquet(s"$base/corners"), "interp_corners_b", "node_id", 8)
+    Layout.writeBucketed(spark.read.parquet(s"$base/series"), "interp_series_b", "node_id", 8)
+    // the downstream pivot of joinSeriesGated's scale path
+    def pivot(c: org.apache.spark.sql.DataFrame, sv: org.apache.spark.sql.DataFrame) =
+      c.join(sv, Seq("node_id"))
+        .groupBy(col("ts"), col("grow"), col("gcol"))
+        .agg(max(when(col("corner") === 1, col("w") * col("value"))).as("wv1"),
+             max(when(col("corner") === 2, col("w") * col("value"))).as("wv2"),
+             max(when(col("corner") === 3, col("w") * col("value"))).as("wv3"))
+    // production planning: nothing fits broadcast at 3e7 series rows, so
+    // disable it here — the comparison is shuffled-join vs bucket-join
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // pure join on the bucket key: ZERO shuffles end to end
+      val keyAgg = spark.table("interp_corners_b")
+        .join(spark.table("interp_series_b"), Seq("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("n"))
+      keyAgg.collect()
+      assert(countShuffles(keyAgg.queryExecution.executedPlan) === 0,
+        s"bucketed corners⋈series must be Exchange-free:\n${keyAgg.queryExecution.executedPlan}")
+      // full scale-path pivot: the ONLY exchange left is the (ts,grow,gcol)
+      // re-key the algorithm genuinely needs — the join itself is free
+      val t0 = System.nanoTime()
+      val shuffled = pivot(spark.read.parquet(s"$base/corners"),
+                           spark.read.parquet(s"$base/series"))
+      val n1 = shuffled.count()
+      val secsShuffled = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val bucketed = pivot(spark.table("interp_corners_b"), spark.table("interp_series_b"))
+      val n2 = bucketed.count()
+      val secsBucketed = (System.nanoTime() - t1) / 1e9
+      assert(n1 === t.toLong * g * g)
+      assert(n2 === n1, "bucketing must never change results")
+      val sShuf = countShuffles(shuffled.queryExecution.executedPlan)
+      val sBuck = countShuffles(bucketed.queryExecution.executedPlan)
+      assert(sBuck === 1, s"bucketed pivot should keep only the agg exchange, found $sBuck")
+      assert(sShuf > sBuck, s"unbucketed pivot should shuffle the join sides (found $sShuf vs $sBuck)")
+      info(f"pivot at 79k triangles: unbucketed $secsShuffled%.1fs ($sShuf shuffles) vs bucketed $secsBucketed%.1fs ($sBuck shuffle)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("salted join is row-identical to the plain join") {
     val large = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
     val small = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
