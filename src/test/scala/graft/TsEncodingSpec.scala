@@ -105,4 +105,27 @@ class TsEncodingSpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
+
+  test("legacy nanos files landing in a started empty-dir stream fail fast, never misread") {
+    // readEvents' empty-landing fallback declares the CURRENT encoding
+    // (timestamp[us]); the documented contract (r7 advice) is that a
+    // legacy INT64-nanos file arriving later must FAIL the micro-batch at
+    // the scan — a loud schema error, never silently-absurd timestamps.
+    val landing = Files.createTempDirectory("landing-nanos").toString
+    val stream = streaming.Streams.readEvents(spark, landing)
+    assert(stream.schema("ts").dataType === TimestampType) // fallback path
+    val q = streaming.Streams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("nanos_landing")
+      .outputMode("append").start()
+    try {
+      val src = new java.io.File(s"$nanosDir/events.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(landing, src.getName))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      info(s"failed fast as documented: ${String.valueOf(ex.getMessage).take(120)}")
+    } finally q.stop()
+  }
 }
