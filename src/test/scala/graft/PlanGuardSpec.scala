@@ -80,6 +80,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(s.smj === 0 && s.shuffles <= 2, s"axis relations are tiny: $s")
   }
 
+  test("global plan hygiene: every declared query — cross joins only against stats-tiny sides, zero UDFs") {
+    // The repo-wide invariants the r7 audit verified by hand ("every
+    // crossJoin is broadcast(tiny) by construction; zero UDFs anywhere"),
+    // promoted to an executable sweep over ALL declared queries so a
+    // future operator can't silently regress them. Logical-plan level:
+    // cheap (no physical planning), and stats-based so the whitelist is
+    // self-maintaining — a condition-less join is fine iff its smaller
+    // side is bounded tiny (generated axes, broadcast codebooks).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val TinyBytes = BigInt(32L << 20)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>
+        val minSide = j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes)
+        assert(minSide <= TinyBytes,
+          s"$name: condition-less join whose smaller side is $minSide bytes — unbounded product risk")
+      }
+      val udfs = plan.collect { case p =>
+        p.expressions.flatMap(_.collect { case u: ScalaUDF => u }) }.flatten
+      assert(udfs.isEmpty, s"$name: ScalaUDF in plan — hot paths must stay codegen'd: $udfs")
+    }
+  }
+
   test("q_text_bigram_lm: size-gated model join, no all-pairs, bounded shuffles") {
     val s = signature("q_text_bigram_lm")
     info(s.toString)
