@@ -87,7 +87,7 @@ object Bench {
       System.err.println(s"BENCH ERROR: $name failed: ${err.take(300)}")
     }
     // ms precision is plenty for second-scale samples, and rounding keeps
-    // the full JSON (~7 KB at 143 queries) from doubling on long doubles
+    // the full JSON (~7 KB at 144 queries) from doubling on long doubles
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

@@ -33,7 +33,13 @@ object CorpusProbe {
           s"""{"table":"$t","scanned":"$scanned","normalized":"$normalized"}"""
         } catch {
           case e: Throwable =>
-            s"""{"table":"$t","error":"${String.valueOf(e.getMessage).replace('"', '\'').take(200)}"}"""
+            // full JSON-string escaping: Spark schema errors are routinely
+            // multi-line and backslash-laden, and the one-line-per-table
+            // contract must survive exactly when drift is detected
+            val msg = String.valueOf(e.getMessage).take(300)
+              .replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+            s"""{"table":"$t","error":"$msg"}"""
         }
       println(line)
     }

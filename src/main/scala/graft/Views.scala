@@ -28,15 +28,6 @@ object Views {
     * that never touch events). A failed table is logged and its view
     * DROPPED, so asking for it fails with TABLE_OR_VIEW_NOT_FOUND rather
     * than silently serving a previously-registered corpus's rows. */
-  /** Forget this session's registration memo so the NEXT register() call
-    * rebinds every view with fresh file listings. Required after rewriting
-    * any registered table's files in place (Layout.compact calls this
-    * alongside Tables.invalidate): a bound temp view freezes its file
-    * listing at bind time, and the memo would otherwise turn the rebind
-    * into an early-return no-op — leaving SQL queries reading deleted
-    * pre-compaction files (r7 advice, medium). */
-  def invalidate(s: SparkSession): Unit = registered.remove(s)
-
   def register(s: SparkSession, sfDir: String): Unit = {
     if (sfDir == registered.get(s)) return
     // invalidate BEFORE mutating the catalog: if this registration fails
@@ -59,4 +50,13 @@ object Views {
     }
     if (failures.isEmpty) registered.put(s, sfDir)
   }
+
+  /** Forget this session's registration memo so the NEXT register() call
+    * rebinds every view with fresh file listings. Required after rewriting
+    * any registered table's files in place (Layout.compact calls this
+    * alongside Tables.invalidate): a bound temp view freezes its file
+    * listing at bind time, and the memo would otherwise turn the rebind
+    * into an early-return no-op — leaving SQL queries reading deleted
+    * pre-compaction files (r7 advice, medium). */
+  def invalidate(s: SparkSession): Unit = registered.remove(s)
 }

@@ -247,23 +247,28 @@ object Aggregates {
     * partner to the exact interpolated median in q_agg_stats). Same
     * checked-bound oracle shape as [[qApproxDistinct]] (r7 verdict #7):
     * the sketch VALUES are engine-specific, so the hash carries the exact
-    * discrete percentiles plus booleans pinning the sketch within 5% (or
-    * ±2 chars on tiny groups — GK rank error at accuracy 10000 is <1 row
-    * at corpus group sizes) of exact. */
+    * discrete percentiles plus booleans pinning the sketch inside a RANK
+    * bracket — the observed values at p±0.01. A value-relative tolerance
+    * would be data-dependent (a gap in the distribution at the rank
+    * boundary could flip it on a regenerated corpus); the rank bracket is
+    * what GK actually guarantees (rank error ≤ n/accuracy = n/10000,
+    * orders of magnitude inside the ±0.01·n margin), so the boolean is
+    * deterministic for ANY data. */
   def qApproxQuantile(s: SparkSession, d: String): DataFrame = {
-    def within(approx: Column, exact: Column): Column =
-      abs(approx - exact) <= greatest(abs(exact) * lit(0.05), lit(2.0))
+    def disc(p: Double): Column =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY n_chars)").cast("double")
     Tables.documents(s, d)
       .groupBy("lang")
       .agg(percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)), lit(10000))
              .as("ap"),
-           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
-             .cast("double").as("exact_p50"),
-           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
-             .cast("double").as("exact_p90"))
+           disc(0.5).as("exact_p50"), disc(0.9).as("exact_p90"),
+           disc(0.49).as("p50_lo"), disc(0.51).as("p50_hi"),
+           disc(0.89).as("p90_lo"), disc(0.91).as("p90_hi"))
       .select(col("lang"), col("exact_p50"), col("exact_p90"),
-              within(element_at(col("ap"), 1).cast("double"), col("exact_p50")).as("p50_within"),
-              within(element_at(col("ap"), 2).cast("double"), col("exact_p90")).as("p90_within"))
+              element_at(col("ap"), 1).cast("double")
+                .between(col("p50_lo"), col("p50_hi")).as("p50_within"),
+              element_at(col("ap"), 2).cast("double")
+                .between(col("p90_lo"), col("p90_hi")).as("p90_within"))
       .orderBy("lang")
   }
 

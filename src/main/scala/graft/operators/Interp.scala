@@ -162,9 +162,52 @@ object Interp {
     *    Exchange-free (LayoutSpec pattern).
     *
     * Both paths emit the SAME fixed-order FP sum ((w1·v1 + w2·v2) + w3·v3),
-    * so they are bit-identical — InterpSpec asserts it on both entry points.
+    * so they are bit-identical — InterpSpec asserts it on both entry
+    * points, including on a SPARSE series (a (ts, node_id) row missing
+    * entirely — the ADCIRC ingest-gap case): the small path's inner joins
+    * drop the cell-timestep, and the scale path matches by keeping only
+    * groups with all three corners PRESENT (count(corner) = 3 counts
+    * presence, not non-null value, so a masked-to-null dry-node VALUE
+    * still yields a null raster row on both paths). Precondition on both
+    * paths: (ts, node_id) unique in sv — the reference's data model.
+    *
+    * `hintBroadcast`: the toy/oracle path (statically-known tiny generated
+    * series) FORCES the broadcast; [[interpolateTables]] passes false so
+    * below the shape gate the planner's autoBroadcastJoinThreshold / AQE
+    * decide from actual file stats — a forced hint would override the
+    * threshold using compressed-on-disk size and could pin three
+    * decompressed copies of a ~100 MB file in driver memory.
     * In: cells (grow, gcol, n1..n3, w1..w3), sv (ts, node_id, value).
     * Out: (ts, grow, gcol, value). */
+  private[graft] def joinSeriesGated(cells: DataFrame, sv: DataFrame,
+                                     small: Boolean,
+                                     hintBroadcast: Boolean = true): DataFrame =
+    if (small) {
+      def hinted(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
+      val s1 = sv.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
+      val s2 = sv.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
+      val s3 = sv.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
+      cells
+        .join(hinted(s1), col("n1") === col("m1"))
+        .join(hinted(s2), col("n2") === col("m2") && col("ts") === col("t2"))
+        .join(hinted(s3), col("n3") === col("m3") && col("ts") === col("t3"))
+        .select(col("ts"), col("grow"), col("gcol"),
+                (col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3")).as("value"))
+    } else {
+      cornersOf(cells).join(sv, Seq("node_id")) // one shuffled equi-join, no broadcast hint
+        .groupBy(col("ts"), col("grow"), col("gcol"))
+        .agg(max(when(col("corner") === 1, col("w") * col("value"))).as("wv1"),
+             max(when(col("corner") === 2, col("w") * col("value"))).as("wv2"),
+             max(when(col("corner") === 3, col("w") * col("value"))).as("wv3"),
+             // PRESENCE count (a null-VALUED corner row still counts): a
+             // group missing a corner's (ts, node_id) series row must
+             // vanish, exactly as the small path's inner joins drop it
+             count(col("corner")).as("_nc"))
+        .filter(col("_nc") === 3)
+        .select(col("ts"), col("grow"), col("gcol"),
+                (col("wv1") + col("wv2") + col("wv3")).as("value"))
+    }
+
   /** Corner-explode of a cell map: (cell, corner, node_id, w) rows — the
     * scale-path join layout. Factored so layout tooling and LayoutSpec can
     * persist it bucketed by node_id ([[graft.plans.Layout.writeBucketed]]),
@@ -177,28 +220,6 @@ object Interp {
       .select(col("grow"), col("gcol"),
               col("c.corner").as("corner"), col("c.node_id").as("node_id"),
               col("c.w").as("w"))
-
-  private[graft] def joinSeriesGated(cells: DataFrame, sv: DataFrame,
-                                     small: Boolean): DataFrame =
-    if (small) {
-      val s1 = sv.select(col("ts"), col("node_id").as("m1"), col("value").as("v1"))
-      val s2 = sv.select(col("ts").as("t2"), col("node_id").as("m2"), col("value").as("v2"))
-      val s3 = sv.select(col("ts").as("t3"), col("node_id").as("m3"), col("value").as("v3"))
-      cells
-        .join(broadcast(s1), col("n1") === col("m1"))
-        .join(broadcast(s2), col("n2") === col("m2") && col("ts") === col("t2"))
-        .join(broadcast(s3), col("n3") === col("m3") && col("ts") === col("t3"))
-        .select(col("ts"), col("grow"), col("gcol"),
-                (col("w1") * col("v1") + col("w2") * col("v2") + col("w3") * col("v3")).as("value"))
-    } else {
-      cornersOf(cells).join(sv, Seq("node_id")) // one shuffled equi-join, no broadcast hint
-        .groupBy(col("ts"), col("grow"), col("gcol"))
-        .agg(max(when(col("corner") === 1, col("w") * col("value"))).as("wv1"),
-             max(when(col("corner") === 2, col("w") * col("value"))).as("wv2"),
-             max(when(col("corner") === 3, col("w") * col("value"))).as("wv3"))
-        .select(col("ts"), col("grow"), col("gcol"),
-                (col("wv1") + col("wv2") + col("wv3")).as("value"))
-    }
 
   /** Generalized pipeline at any mesh/grid/time scale — used by the scale
     * test at ~80k triangles x 250k cells (the production mesh magnitude,
@@ -265,9 +286,11 @@ object Interp {
     *
     * The series value join is SIZE-GATED through [[joinSeriesGated]] (the
     * same helper as the oracle query): below [[BroadcastSeriesMaxBytes]]
-    * of Catalyst-estimated series bytes it broadcasts; above, it takes the
-    * corner-explode single shuffled equi-join. `broadcastSeries` overrides
-    * the gate for tests / operators who know their data. */
+    * of Catalyst-estimated series bytes it keeps the 3-join shape
+    * (UNHINTED — planner/AQE choose broadcast from real file stats);
+    * above, it takes the corner-explode single shuffled equi-join.
+    * `broadcastSeries` overrides the gate for tests / operators who know
+    * their data. */
   def interpolateTables(nodesDf: DataFrame, elementsDf: DataFrame,
                         seriesDf: DataFrame, spec: GridSpec,
                         broadcastSeries: Option[Boolean] = None): DataFrame = {
@@ -318,7 +341,11 @@ object Interp {
     val sv = seriesDf.select(col("ts"), col("node_id"), col("value"))
     val small = broadcastSeries.getOrElse(
       sv.queryExecution.optimizedPlan.stats.sizeInBytes <= BroadcastSeriesMaxBytes)
-    joinSeriesGated(cells, sv, small)
+    // hintBroadcast = false: the gate picks the JOIN SHAPE only; whether
+    // the 3-join's series side actually broadcasts is left to the
+    // planner's threshold + AQE over real file stats (a forced hint from
+    // compressed-size estimates could OOM the driver at 3× decompressed)
+    joinSeriesGated(cells, sv, small, hintBroadcast = false)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -127,6 +127,38 @@ class InterpSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("sparse or null-valued series rows: both gate paths agree exactly") {
+    // review finding r8: a MISSING (ts, node_id) series row (ADCIRC ingest
+    // gap) must drop the cell-timestep on BOTH paths (small = inner-join
+    // semantics; scale = corner-presence filter), while a PRESENT row with
+    // a masked-to-null VALUE must keep the row (null raster value) on both
+    val nodesDf = Interp.nodes(spark, 8)
+    val elementsDf = Interp.elements(spark, 8)
+    val full = Interp.series(spark, 8, 2)
+    val spec = Interp.gridSpec(nodesDf, 12)
+    def runBoth(series: org.apache.spark.sql.DataFrame) = {
+      val a = Interp.interpolateTables(nodesDf, elementsDf, series, spec, Some(true))
+        .orderBy("ts", "grow", "gcol").collect()
+      val b = Interp.interpolateTables(nodesDf, elementsDf, series, spec, Some(false))
+        .orderBy("ts", "grow", "gcol").collect()
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        "gate paths must agree row-for-row")
+      a
+    }
+    val fullRows = runBoth(full).length
+    // node 9 = lattice (1,1): a corner of several mapped cells
+    val sparse = full.filter(!(col("ts") === 0 && col("node_id") === 9))
+    val sparseRows = runBoth(sparse)
+    assert(sparseRows.length < fullRows,
+      "a missing corner series row must drop its cell-timesteps")
+    val nulled = full.withColumn("value",
+      when(col("ts") === 0 && col("node_id") === 9, lit(null).cast("double"))
+        .otherwise(col("value")))
+    val nulledRows = runBoth(nulled)
+    assert(nulledRows.length === fullRows,
+      "a present-but-null series value must keep the row (null raster cell)")
+  }
+
   test("tables entry point: production-shape series stats select the single-shuffle corner-explode join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
     // ~3e7-row series (3e5 nodes × 100 ts — the BASELINE.md production
