@@ -393,6 +393,134 @@ object Tpch {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** Deterministic partsupp: the one TPC-H relation the driver corpus does
+    * not ship, generated identically here and in the DuckDB oracle CTE so
+    * Q9/Q11/Q20 get real hash gates instead of n/a.
+    *
+    * Formula (dbgen's supplier-spread rule, `tpch-dbgen/build.c` PS_SUPP
+    * published in the TPC-H spec §4.2.3, adapted to the corpus's 0-based
+    * keys): for each part p and i ∈ 0..3,
+    *   ps_suppkey = (p + i·(S DIV 4) + (p DIV S)) mod S
+    * with S = |supplier|. dbgen keeps the (p DIV S) term INSIDE the
+    * multiplicand; that relies on S/4 ≫ p/S (true at SF ≥ 1 where
+    * S = 10 000·SF) — at the test corpus's S = 10 a step of 5 or 10 would
+    * collapse the four offsets onto two or one suppkey, so the term moves
+    * outside the multiplier, making the four offsets {0, S/4, 2·S/4,
+    * 3·S/4} distinct for every S ≥ 4 while keeping the per-part-block
+    * rotation. availqty/supplycost replace dbgen's RNG streams with pure
+    * key hashes (exact 2-decimal values, so the double division by 100 is
+    * bit-identical across engines):
+    *   ps_availqty   = (p·7 + s·11) mod 9999 + 1          ∈ [1, 9999]
+    *   ps_supplycost = ((p·31 + s·17) mod 90000 + 10000)/100 ∈ [100, 1000)
+    *
+    * Plan shape: map-side generate — part scan × broadcast 1-row supplier
+    * count × a 4-element explode. No shuffle; at 100 TB partsupp is never
+    * materialized, it streams out of the part scan (4 rows out per row
+    * in), and the downstream joins shuffle on the SAME ps_partkey/
+    * ps_suppkey keys they would with a stored table. */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    val sCnt = Tables.supplier(s, d).agg(count(lit(1)).as("s_cnt"))
+    Tables.part(s, d).select("p_partkey")
+      .crossJoin(broadcast(sCnt))
+      .select(col("p_partkey"), col("s_cnt"),
+              explode(array((0 to 3).map(i => lit(i.toLong)): _*)).as("i"))
+      .select(col("p_partkey").as("ps_partkey"),
+              ((col("p_partkey") + col("i") * expr("s_cnt DIV 4")
+                 + expr("p_partkey DIV s_cnt")) % col("s_cnt")).as("ps_suppkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+              (((col("ps_partkey") * 7 + col("ps_suppkey") * 11) % 9999) + 1)
+                .cast("int").as("ps_availqty"),
+              ((((col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 90000) + 10000)
+                .cast("double") / 100.0).as("ps_supplycost"))
+  }
+
+  /** Shared DuckDB CTE prefix generating the same partsupp relation —
+    * `//` is DuckDB integer division (Spark's DIV); all arithmetic is
+    * BIGINT in both engines. */
+  private val partsuppCte: String =
+    """WITH ps0 AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + i * (s_cnt // 4) + (p_partkey // s_cnt)) % s_cnt AS ps_suppkey
+      |  FROM part, (SELECT COUNT(*) AS s_cnt FROM supplier) sc, generate_series(0,3) g(i)
+      |), partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |         CAST((ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS INT) AS ps_availqty,
+      |         CAST((ps_partkey * 31 + ps_suppkey * 17) % 90000 + 10000 AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM ps0
+      |)""".stripMargin
+
+  /** Register corpus views + the generated partsupp for the SQL-form
+    * partsupp queries. View creation is catalog-only (no files), so the
+    * unmemoized partsupp rebind is free. */
+  private def registerWithPartsupp(s: SparkSession, d: String): Unit = {
+    graft.Views.register(s, d)
+    partsupp(s, d).createOrReplaceTempView("partsupp")
+  }
+
+  /** Q9 (product-type profit): the 6-table fact-heavy join — lineitem
+    * shuffles ONCE on l_orderkey for orders and hits partsupp on the
+    * composite (partkey, suppkey) key; part/supplier/nation broadcast.
+    * partsupp only matches the lineitem pairs dbgen WOULD have generated
+    * (~4/S of pairs), which both engines agree on exactly. amount stays
+    * DECIMAL until the post-agg double cast. Name filter '%bolt%' stands
+    * in for the spec's '%green%' (corpus color-noun vocabulary). */
+  def qTpchQ9(s: SparkSession, d: String): DataFrame = {
+    registerWithPartsupp(s, d)
+    s.sql(
+      """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |             - CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        |      FROM part, supplier, lineitem, partsupp, orders, nation
+        |      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+        |        AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+        |        AND s_nationkey = n_nationkey AND p_name LIKE '%bolt%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin)
+  }
+
+  /** Q11 (important stock): grouped value per partkey vs an uncorrelated
+    * scalar threshold — the threshold subquery runs once and broadcasts
+    * as a literal; both sides aggregate the SAME decimal product before
+    * one double cast, so the > compare sees bit-identical doubles.
+    * NATION_3 has suppliers at every corpus SF (sparse nations at
+    * sf0.001 would make the spec's single-nation filter empty). */
+  def qTpchQ11(s: SparkSession, d: String): DataFrame = {
+    registerWithPartsupp(s, d)
+    s.sql(
+      """SELECT ps_partkey,
+        |  CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(ps_availqty AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM partsupp, supplier, nation
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |GROUP BY ps_partkey
+        |HAVING CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(ps_availqty AS DECIMAL(18,2))) AS DOUBLE) >
+        | (SELECT CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(ps_availqty AS DECIMAL(18,2))) AS DOUBLE) * 0.0005
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+        |ORDER BY value DESC, ps_partkey""".stripMargin)
+  }
+
+  /** Q20 (excess stock): the nested-semi-join probe — IN(part names) →
+    * IN(partsupp) → correlated scalar half-year-sales threshold, which
+    * Catalyst decorrelates into an aggregate joined back on the composite
+    * key. An empty sales group yields NULL → excluded, identically in
+    * both engines. The spec's selective nation filter is dropped (1
+    * supplier per nation at sf0.001 → 0/1-row fixture); the nation dim
+    * join is kept for the output column, preserving the plan shape. */
+  def qTpchQ20(s: SparkSession, d: String): DataFrame = {
+    registerWithPartsupp(s, d)
+    s.sql(
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps_suppkey FROM partsupp
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        |                       WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |                         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** Q6: forecasting revenue change — pushed range filters, 1-row result. */
   def qTpchQ6(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -412,7 +540,9 @@ object Tpch {
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q9" -> (qTpchQ9 _),
     "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q11" -> (qTpchQ11 _),
     "q_tpch_q12" -> (qTpchQ12 _),
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q14" -> (qTpchQ14 _),
@@ -421,6 +551,7 @@ object Tpch {
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q20" -> (qTpchQ20 _),
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_tpch_q22" -> (qTpchQ22 _),
     "q_sql_not_exists" -> (qSqlNotExists _),
@@ -617,6 +748,41 @@ object Tpch {
         |      FROM lineitem JOIN part ON l_partkey = p_partkey
         |      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00') pr""".stripMargin,
+    "q_tpch_q9" -> (partsuppCte +
+      """
+        |SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |             - CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        |      FROM part, supplier, lineitem, partsupp, orders, nation
+        |      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+        |        AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+        |        AND s_nationkey = n_nationkey AND p_name LIKE '%bolt%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin),
+    "q_tpch_q11" -> (partsuppCte +
+      """
+        |SELECT ps_partkey,
+        |  CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(ps_availqty AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM partsupp, supplier, nation
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |GROUP BY ps_partkey
+        |HAVING CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(ps_availqty AS DECIMAL(18,2))) AS DOUBLE) >
+        | (SELECT CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(ps_availqty AS DECIMAL(18,2))) AS DOUBLE) * 0.0005
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+        |ORDER BY value DESC, ps_partkey""".stripMargin),
+    "q_tpch_q20" -> (partsuppCte +
+      """
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps_suppkey FROM partsupp
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        |                       WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |                         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_suppkey""".stripMargin),
     "q_tpch_q15" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,

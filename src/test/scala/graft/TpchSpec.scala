@@ -228,6 +228,85 @@ class TpchSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("total_revenue") === maxRev))
   }
 
+  test("partsupp: 4 distinct suppliers per part, keys in range, shuffle-free generate") {
+    val df = Tpch.partsupp(spark, sf)
+    val nPart = Tables.part(spark, sf).count()
+    val nSupp = Tables.supplier(spark, sf).count()
+    val rows = df.collect()
+    assert(rows.length === nPart * 4)
+    // PK uniqueness = the collision the dbgen-formula adaptation exists to
+    // prevent at tiny S (S/4-multiples stay distinct for every S >= 4)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < nSupp)
+      val qty = r.getInt(2); assert(qty >= 1 && qty <= 9999)
+      val cost = r.getDouble(3); assert(cost >= 100.0 && cost < 1000.0)
+      // bit-identity claim: the stored double IS integer-hash / 100.0 as
+      // one IEEE division (what the DuckDB CTE computes too)
+      val (p, sk) = (r.getLong(0), r.getLong(1))
+      assert(cost === ((p * 31 + sk * 17) % 90000 + 10000).toDouble / 100.0)
+      assert(r.getInt(2) === ((p * 7 + sk * 11) % 9999 + 1).toInt)
+    }
+    // map-side generate: part scan x broadcast 1-row count x explode — a
+    // ShuffleExchange here would mean the 100 TB path materializes 4x part
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("Q9: profit totals match an independent DataFrame recomputation") {
+    val rows = Tpch.qTpchQ9(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year")))
+    assert(keys.distinct.length === keys.length)
+    val total = rows.map(_.getAs[Double]("sum_profit")).sum
+    val manual = Tables.lineitem(spark, sf)
+      .join(Tpch.partsupp(spark, sf),
+            col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+      .join(Tables.part(spark, sf).filter(col("p_name").like("%bolt%")),
+            col("p_partkey") === col("l_partkey"))
+      .select((col("l_extendedprice").cast("decimal(18,2)") *
+                 (lit(BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)")) -
+               col("ps_supplycost").cast("decimal(18,2)") *
+                 col("l_quantity").cast("decimal(18,2)")).as("amount"))
+      .agg(sum("amount").cast("double")).collect().head.getDouble(0)
+    assert(math.abs(total - manual) < 1e-6, s"$total vs $manual")
+  }
+
+  test("Q11: every surviving partkey clears the recomputed threshold; below-threshold excluded") {
+    val rows = Tpch.qTpchQ11(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val base = Tpch.partsupp(spark, sf01)
+      .join(Tables.supplier(spark, sf01), col("s_suppkey") === col("ps_suppkey"))
+      .join(Tables.nation(spark, sf01).filter(col("n_name") === "NATION_3"),
+            col("n_nationkey") === col("s_nationkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_supplycost").cast("decimal(18,2)") *
+               col("ps_availqty").cast("decimal(18,2)")).cast("double").as("v"))
+    val all = base.collect().map(r => r.getAs[Long]("ps_partkey") -> r.getAs[Double]("v")).toMap
+    val threshold = all.values.sum * 0.0005
+    val survived = rows.map(_.getAs[Long]("ps_partkey")).toSet
+    assert(survived === all.filter(_._2 > threshold).keySet)
+    val vals = rows.map(_.getAs[Double]("value"))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("Q20: exactly the suppliers holding excess red-part stock vs 1997 sales") {
+    val rows = Tpch.qTpchQ20(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val sales = Tables.lineitem(spark, sf01)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("l_quantity").as("qty"))
+    val expected = Tpch.partsupp(spark, sf01)
+      .join(Tables.part(spark, sf01).filter(col("p_name").like("red%")),
+            col("p_partkey") === col("ps_partkey"))
+      .join(sales, col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .filter(col("ps_availqty") > lit(0.5) * col("qty"))
+      .select("ps_suppkey").distinct().as[Long].collect().toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet === expected)
+  }
+
   test("Q6 equals the sum of per-row ext*disc over the filtered set") {
     val row = Tpch.qTpchQ6(spark, sf).collect().head
     val manual = Tables.lineitem(spark, sf)
