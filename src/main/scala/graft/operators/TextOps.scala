@@ -267,9 +267,10 @@ object TextOps {
     * rewrite fold (greedy left-to-right, non-overlapping — the fold's
     * accumulator-last check reproduces BPE's pairing exactly), fenced by
     * localCheckpoint so lineage stays flat across steps. Ties break
-    * (count desc, left, right) — engine-deterministic. Rows-only gate by
-    * design: the per-step rewrite is not single-statement SQL; the spec
-    * matches a first-principles Scala BPE learner exactly. */
+    * (count desc, left, right) — engine-deterministic. Oracle-hashed as
+    * of r9: the K bounded steps unroll into DuckDB CTEs, with the greedy
+    * fold expressed as a per-word positional recursion ([[bpeStepCte]]);
+    * the spec additionally matches a first-principles Scala learner. */
   def qBpeMerges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val steps = 4
@@ -311,9 +312,11 @@ object TextOps {
     * vocabulary — each merge step is the same narrow greedy-fold rewrite
     * the learner uses, vocab-sized, never corpus-sized — and the encoded
     * lengths join back to the word stream size-gated on
-    * [[MaxBroadcastVocab]]. Rows-only gate by design (the K chained folds
-    * are not single-statement SQL); the spec matches a first-principles
-    * Scala encoder on the whole vocabulary. */
+    * [[MaxBroadcastVocab]]. Oracle-hashed as of r9: re-applying the
+    * merges in order to each word's char split reproduces the training
+    * chain's final vocab state exactly, so the oracle counts len(v4.t)
+    * from the same CTE chain the merges oracle builds; the spec
+    * additionally matches a first-principles Scala encoder. */
   def qBpeEncode(s: SparkSession, d: String): DataFrame = {
     val merges = qBpeMerges(s, d).orderBy("step").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
@@ -864,7 +867,58 @@ object TextOps {
     """list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
+  /** DuckDB twin of one BPE training step k: best pair of vocab v{k-1}
+    * by (count DESC, left, right) — exactly [[qBpeMerges]]'s tie-break —
+    * then the same greedy left-fold rewrite as a per-word POSITIONAL
+    * recursion (string replace is NOT equivalent: on [a,a,a,a,a] with
+    * merge (a,a) a non-overlapping scan that loses the consumed boundary
+    * yields [aa,a,aa] where the fold yields [aa,aa,a], and later pair
+    * counts diverge). MATERIALIZED is load-bearing: DuckDB inlines CTEs
+    * by default, and a recursive term re-deriving v{k-1} per iteration
+    * turns 0.1 s into minutes at sf0.1 (measured 112 s → 0.1 s). */
+  private def bpeStepCte(k: Int): String = {
+    val p = s"v${k - 1}"
+    s"""b$k AS MATERIALIZED (SELECT l, r, n FROM (
+       |  SELECT pr.l AS l, pr.r AS r, SUM(freq) AS n
+       |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(t)-1),
+       |                i -> {'l': t[i], 'r': t[i+1]})) AS pr
+       |        FROM $p WHERE len(t) >= 2)
+       |  GROUP BY 1, 2) ORDER BY n DESC, l, r LIMIT 1),
+       |f$k(w, i, acc) AS (
+       |  SELECT w, 1, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE [t[1]] END FROM $p
+       |  UNION ALL
+       |  SELECT f.w, f.i + 1,
+       |    CASE WHEN acc[-1] = b.l AND v.t[f.i + 1] = b.r
+       |         THEN list_append(acc[:len(acc)-1], b.l || b.r)
+       |         ELSE list_append(acc, v.t[f.i + 1]) END
+       |  FROM f$k f JOIN $p v ON f.w = v.w CROSS JOIN b$k b WHERE f.i < len(v.t)),
+       |v$k AS MATERIALIZED (SELECT f.w, v.freq, f.acc AS t FROM f$k f JOIN $p v ON f.w = v.w
+       |         WHERE f.i = GREATEST(len(v.t), 1))""".stripMargin
+  }
+
+  /** Shared 4-step BPE training chain: v0 = per-word char lists with
+    * corpus frequencies, then bpeStepCte(1..4). v4 holds every word's
+    * final token list — which is also exactly what [[qBpeEncode]]'s
+    * sequential re-application of the learned merges produces, so the
+    * encode oracle just counts len(v4.t). */
+  private val bpeTrainCtes: String =
+    """WITH RECURSIVE
+      |v0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq, list_filter(string_split(w, ''), c -> c <> '') AS t
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+      |""".stripMargin + (1 to 4).map(bpeStepCte).mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> (bpeTrainCtes + """
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, l AS "left", r AS "right", CAST(n AS BIGINT) AS pair_count FROM b1
+      |  UNION ALL SELECT 2, l, r, CAST(n AS BIGINT) FROM b2
+      |  UNION ALL SELECT 3, l, r, CAST(n AS BIGINT) FROM b3
+      |  UNION ALL SELECT 4, l, r, CAST(n AS BIGINT) FROM b4) ORDER BY step""".stripMargin),
+    "q_bpe_encode" -> (bpeTrainCtes + """
+      |SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(len(v4.t)) AS BIGINT) AS n_bpe_tokens
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+      |JOIN v4 ON v4.w = d.w
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
     // scaled-integer BM25: every DIV placed identically on both sides
     // (DuckDB's `//` == Spark's DIV on BIGINT), idf rank-equivalent
     "q_text_bm25" ->
