@@ -21,8 +21,11 @@ object Bench {
     val sfDir = args.headOption.filter(_.nonEmpty)
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // toIntOption: the env value is interpolated UNQUOTED into both JSON
+    // artifacts, so a non-numeric value must fall back, not emit invalid
+    // JSON (r8 advice)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors()))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,9 +80,25 @@ object Bench {
       run() // warm-up
       val samples = (1 to (if (iterative(name)) 3 else 2)).map(_ => run()).sortBy(_._1)
       val (t, cpu) = if (iterative(name)) samples(1) else samples.head
-      // transient-stall flag: measured samples of the same query differing
-      // by >3x means one absorbed external load — the artifact self-reports
-      val stalled = samples.last._1 > 3.0 * samples.head._1
+      // TRANSIENT-STALL predicate (r8 verdict: the old spread-only test
+      // cried wolf on the three heaviest healthy queries — their sample
+      // spread came from GC debt, which stretches wall AND cpu together).
+      // A real external stall has a distinct signature: the slow sample's
+      // wall stretches while its PROCESS cpu does not (the scheduler gave
+      // our threads nothing). So flag only when BOTH hold:
+      //   (a) spread: slowest sample > 3x fastest (something transient
+      //       hit exactly one sample), AND
+      //   (b) cpu starvation: the slow sample's achieved parallelism
+      //       (cpu/wall) collapsed below HALF the fast sample's — GC,
+      //       codegen, or genuine heavy work keep the ratio intact, only
+      //       cpu denial breaks it.
+      // Sustained whole-box contention cannot produce per-sample spread;
+      // that case is adjudicated by the top-level "contended" field below.
+      val fast = samples.head; val slow = samples.last
+      val spread = slow._1 > 3.0 * fast._1
+      val fastPar = fast._2 / math.max(fast._1, 1e-3)
+      val slowPar = slow._2 / math.max(slow._1, 1e-3)
+      val stalled = spread && slowPar < 0.5 * fastPar
       System.gc()
       (name, t, cpu, stalled)
     }
@@ -104,8 +123,22 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
             .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "[]" }
+    // SUSTAINED-CONTENTION flag: constant external load produces no
+    // per-sample spread (both samples stretch equally), so the per-query
+    // stalled list cannot see it. It IS visible as runnable demand beyond
+    // this process's own use: loadavg(1m) minus our own average core
+    // occupancy (cpu_sec_total / wall_total). Quiet box: the difference
+    // is ~0 (the loadavg is mostly us). `stress -c 24` alongside: +24.
+    // Margin 4 absorbs daemons and loadavg lag.
+    val contended =
+      try {
+        val load1 = java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+        val ownRate = results.map(_._3).sum / math.max(total, 1e-3)
+        load1 - ownRate > 4.0
+      } catch { case _: Throwable => false }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"threads":$cpus,"loadavg":$loadavg,"queries":$qs,"cpu_sec":$cpus_,"stalled":$stalls,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"threads":$cpus,"loadavg":$loadavg,"contended":$contended,"queries":$qs,"cpu_sec":$cpus_,"stalled":$stalls,"sf":"$sfDir"}"""
     // The driver keeps only a ~2 KB tail of the captured stream (observed
     // across r1-r7 artifacts), so the full 143-query maps cannot survive
     // there — but the box-load adjudication evidence (r7 verdict #2) is
@@ -118,7 +151,7 @@ object Bench {
       .mkString("{", ",", "}")
     val cpuTotal = r3(results.map(_._3).sum)
     val contract =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"threads":$cpus,"loadavg":$loadavg,"queries":{},"cpu_sec_total":$cpuTotal,"stalled":$stalls,"slowest":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"threads":$cpus,"loadavg":$loadavg,"contended":$contended,"queries":{},"cpu_sec_total":$cpuTotal,"stalled":$stalls,"slowest":$slowest,"sf":"$sfDir"}"""
     try {
       Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
       Files.writeString(Paths.get("BENCH_TOTAL.json"), contract + "\n")
