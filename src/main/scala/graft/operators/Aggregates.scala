@@ -619,7 +619,13 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     // the exact count is hash-compared; the HLL estimate itself is
     // engine-specific, so what the oracle pins is the CHECKED 5%-of-exact
-    // accuracy bound (TRUE on the DuckDB side, computed on the Spark side)
+    // accuracy bound (TRUE on the DuckDB side, computed on the Spark side).
+    // TRIAGE NOTE (r8 advice): the 5% bound is deterministic for a FIXED
+    // corpus but data-dependent — if the driver regenerates testdata and
+    // one of these queries hash-fails ONLY on a within_bound column, that
+    // is a sketch-accuracy miss on the new data (a rare >5% HLL/GK
+    // deviation), NOT an engine correctness bug; re-check the exact_*
+    // columns before burning time on the engine
     "q_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound

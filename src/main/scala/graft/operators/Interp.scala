@@ -339,8 +339,19 @@ object Interp {
       .filter(col("rn") === 1)
       .select("grow", "gcol", "ele_id", "n1", "n2", "n3", "w1", "w2", "w3")
     val sv = seriesDf.select(col("ts"), col("node_id"), col("value"))
+    // The shape gate must agree with the PLANNER's broadcast decision
+    // (r8 advice): with hintBroadcast=false, a series sized between the
+    // session's autoBroadcastJoinThreshold and BroadcastSeriesMaxBytes
+    // would select the 3-join shape but plan three SHUFFLED joins —
+    // strictly worse than the corner-explode path's single shuffle. Gate
+    // on min(threshold, ceiling); threshold <= 0 (broadcast disabled)
+    // always takes the corner-explode path.
+    val plannerThreshold =
+      org.apache.spark.sql.GraftSqlShim.autoBroadcastJoinThreshold(sv.sparkSession)
+    val gateBytes = math.min(BroadcastSeriesMaxBytes, plannerThreshold)
     val small = broadcastSeries.getOrElse(
-      sv.queryExecution.optimizedPlan.stats.sizeInBytes <= BroadcastSeriesMaxBytes)
+      gateBytes > 0 &&
+        sv.queryExecution.optimizedPlan.stats.sizeInBytes <= gateBytes)
     // hintBroadcast = false: the gate picks the JOIN SHAPE only; whether
     // the 3-join's series side actually broadcasts is left to the
     // planner's threshold + AQE over real file stats (a forced hint from

@@ -16,6 +16,15 @@ object GraftSqlShim {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The session's EFFECTIVE autoBroadcastJoinThreshold in bytes (<= 0 =
+    * broadcast disabled). SQLConf is `private[sql]`; shape gates that
+    * choose between a broadcast-shaped and a shuffle-shaped plan must
+    * read the same number the planner will use, not a library constant
+    * (r8 advice: a side sized between the two produced three shuffled
+    * joins — the worst of both shapes). */
+  def autoBroadcastJoinThreshold(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
+
   /** Register a function builder on a live session's registry (the registry
     * is `private[sql]`; SparkSessionExtensions covers only session build
     * time). */

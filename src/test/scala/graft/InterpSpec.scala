@@ -186,6 +186,38 @@ class InterpSpec extends SparkSpec {
     assert(badHints.isEmpty, s"series must not be broadcast above the gate:\n$badHints")
   }
 
+  test("gate mid-zone: series above the planner's broadcast threshold takes corner-explode") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // r8 advice: a series sized between autoBroadcastJoinThreshold and
+    // BroadcastSeriesMaxBytes used to select the 3-join 'small' shape,
+    // which the planner (unhinted) would run as THREE SHUFFLED joins.
+    // The gate now reads the session threshold, so shrinking it must
+    // flip the same series to the single-shuffle corner-explode shape.
+    val nodesDf = Interp.nodes(spark, 8)
+    val elementsDf = Interp.elements(spark, 8)
+    val seriesDf = Interp.series(spark, 8, 4) // a few KB — above a 1KB threshold
+    val spec = Interp.gridSpec(nodesDf, 12)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1KB")
+      val mid = Interp.interpolateTables(nodesDf, elementsDf, seriesDf, spec)
+      val joins = mid.queryExecution.analyzed.collect { case j: Join => j }
+      assert(joins.size === 5, s"mid-zone must corner-explode (5 joins), got ${joins.size}")
+      // broadcast disabled entirely (-1) must also fall through
+      spark.conf.set(key, "-1")
+      val off = Interp.interpolateTables(nodesDf, elementsDf, seriesDf, spec)
+      val joinsOff = off.queryExecution.analyzed.collect { case j: Join => j }
+      assert(joinsOff.size === 5, s"threshold -1 must corner-explode, got ${joinsOff.size}")
+      // and with the default threshold restored the tiny toy series is
+      // back under the gate: 3-join small shape (7 joins)
+      spark.conf.set(key, saved)
+      val smallShape = Interp.interpolateTables(nodesDf, elementsDf, seriesDf, spec)
+      val joinsSmall = smallShape.queryExecution.analyzed.collect { case j: Join => j }
+      assert(joinsSmall.size === 7, s"tiny series must keep the 3-join shape, got ${joinsSmall.size}")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("scale: bucket-join interp at production mesh magnitude (79k triangles, 250k cells)") {
     // BASELINE.md: production mesh ~4.5e5 triangles, raster 70.7M cells.
     // k=200/g=500 → 79,202 triangles × 250,000 cells: a naive containment

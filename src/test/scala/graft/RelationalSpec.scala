@@ -213,6 +213,30 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("max_key")).max >= 1000000L, "fresh keys inserted")
   }
 
+  test("percentile_disc convention fixture: exact rank boundaries, independent of corpus data") {
+    // r8 advice: q_approx_quantile/q_agg_percentile_exact equate Spark's
+    // percentile_disc ("smallest value with cume_dist >= p") with DuckDB's
+    // quantile_disc. The r8 hashes matched at all SFs, but only on the
+    // corpus's data; this fixture pins the mapping at the EXACT rank
+    // boundaries where conventions could diverge. DuckDB 1.0 verified by
+    // hand for the same fixtures: n=10 p=0.5 -> 5 (not 6), p=0.9 -> 9;
+    // n=4 p=0.25/0.5/0.75 -> 1/2/3. A failure here after a Spark upgrade
+    // means the oracle convention broke, not the corpus.
+    import spark.implicits._
+    val ten = (1 to 10).toDF("x")
+    val r10 = ten.select(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").as("p50"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY x)").as("p90")).collect().head
+    assert(r10.getAs[Int]("p50") === 5, "even n at p*n integral: smallest with cume_dist >= p")
+    assert(r10.getAs[Int]("p90") === 9)
+    val four = (1 to 4).toDF("x")
+    val r4 = four.select(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)").as("q1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)").as("q3")).collect().head
+    assert((r4.getAs[Int]("q1"), r4.getAs[Int]("q2"), r4.getAs[Int]("q3")) === ((1, 2, 3)))
+  }
+
   test("gap-fill densifies to the full grid; interpolated values sit between their brackets") {
     val out = graft.operators.Aggregates.qTsGapfill(spark, sf01).collect()
     val types = out.map(_.getAs[String]("event_type")).distinct
