@@ -20,6 +20,7 @@ object ScaleProbe {
     if (args(0) == "dedup") dedupProbe(spark, args(1).toInt)
     else if (args(0) == "clusters") clustersProbe(spark, args(1))
     else if (args(0) == "bigram") bigramProbe(spark, args(1).toInt)
+    else if (args(0) == "kmeans") kmeansProbe(spark, args(1))
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -72,6 +73,42 @@ object ScaleProbe {
     val n = operators.TextOps.bigramLm(docs).count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"bigram-lm mult=$mult: $nDocs%,d docs -> $n%,d scored in $secs%.1f s (${nDocs / secs}%,.0f docs/s)")
+  }
+
+  /** K-means ANN probe at REAL codebook size (VERDICT r8 #7): replicate
+    * the sf0.1 embeddings `mult`× with a deterministic per-replica
+    * element perturbation (so replicas aren't bit-identical vectors),
+    * then run [[operators.Similarity.kmeansIvfFrame]] at k centroids for
+    * `iters` rounds. Prints the analytic codebook broadcast size
+    * (k × dim × 8 B — the payload the per-round broadcast actually
+    * carries) and per-round wall via the onRound hook — the SCALE.md
+    * evidence that the broadcast-codebook shape survives k ≫ 8.
+    * Usage: tools/run_verify.sh kmeans <mult>,<k>,<iters> graft.ScaleProbe */
+  private def kmeansProbe(spark: SparkSession, arg: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorMath.vecDot
+    val Array(mult, k, iters) = arg.split(",").map(_.toInt)
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val big = (0 until mult).map { r =>
+      base.select((col("vec_id") + lit(r.toLong * 1000000)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i === lit(r % 64), lit(0.01 * (r % 17 + 1))).otherwise(lit(0.0)))
+          .as("v"))
+    }.reduce(_ union _)
+    big.write.mode("overwrite").parquet("/tmp/graft_kmeans_probe")
+    val e = spark.read.parquet("/tmp/graft_kmeans_probe")
+      .repartition(32, col("vec_id"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val nVecs = e.count()
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    println(f"kmeans k=$k dim=$dim: codebook broadcast = ${k.toLong * dim * 8}%,d B analytic (${k.toLong * dim * 8 / 1024.0 / 1024.0}%.2f MiB)")
+    val t0 = System.nanoTime()
+    val (assigned, meanCos) = operators.Similarity.kmeansIvfFrame(e, iters, k,
+      (r, secs) => println(f"kmeans round $r: $secs%.1f s"))
+    val nonEmpty = assigned.select(countDistinct(col("cid"))).head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"kmeans mult=$mult k=$k iters=$iters: $nVecs%,d vecs, $nonEmpty%,d non-empty cells in $secs%.1f s; meanCos=${meanCos.map(c => f"$c%.4f").mkString(",")}")
   }
 
   /** Dedup scale probe: replicate the sf0.1 corpus `mult`× with shifted

@@ -326,10 +326,27 @@ object Similarity {
     * assignment-join + one Aggregator pass; `localCheckpoint` truncates
     * lineage so round r's plan doesn't replay rounds 1..r-1. Returns the
     * final assignment plus the per-round mean cosine (inertia proxy) —
-    * which must be non-decreasing, the property the spec asserts. */
-  def kmeansIvf(s: SparkSession, d: String, iters: Int): (DataFrame, Seq[Double]) = {
+    * which must be non-decreasing, the property the spec asserts.
+    *
+    * `k` parameterizes the codebook size with DETERMINISTIC seeding (the
+    * k lowest vec_ids — stable across runs/partitionings, no RNG state).
+    * The codebook broadcast stays k × dim × 8 B + struct overhead
+    * (k=4096 × 64-d ≈ 2 MB) — broadcastable at any real k; the per-round
+    * scan cost is O(n·k·dim) dots, which is why production coarse-assigns
+    * in the 8-d projected space ([[qAnnIvfProj]]) when k grows.
+    * `onRound(i, secs)` fires after each round's action — the ScaleProbe
+    * `kmeans` mode uses it for per-round wall evidence (SCALE.md). */
+  def kmeansIvf(s: SparkSession, d: String, iters: Int, k: Int = 8,
+                onRound: (Int, Double) => Unit = (_, _) => ()): (DataFrame, Seq[Double]) =
+    kmeansIvfFrame(vecs(s, d), iters, k, onRound)
+
+  /** [[kmeansIvf]] over an arbitrary prepared (vec_id, v, nrm) frame —
+    * the entry the replicated-corpus scale probe drives. */
+  private[graft] def kmeansIvfFrame(e: DataFrame, iters: Int, k: Int,
+                                    onRound: (Int, Double) => Unit = (_, _) => ())
+      : (DataFrame, Seq[Double]) = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = vecs(s, d)
     def assign(cents: DataFrame): DataFrame = {
       val c = cents
         .withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
@@ -340,11 +357,13 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("cid"), col("cos"))
     }
-    var centroids = e.filter(col("vec_id") < 8)
+    var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val meanCos = Seq.newBuilder[Double]
     var assigned = assign(centroids)
+    var round = 0
     (1 to iters).foreach { _ =>
+      val t0 = System.nanoTime()
       meanCos += assigned.agg(avg(col("cos"))).head().getDouble(0)
       centroids = assigned
         .select(col("cid"), col("v")).as[(Long, Array[Double])]
@@ -353,6 +372,8 @@ object Similarity {
         .toDF("cid", "cv")
         .localCheckpoint()
       assigned = assign(centroids)
+      round += 1
+      onRound(round, (System.nanoTime() - t0) / 1e9)
     }
     meanCos += assigned.agg(avg(col("cos"))).head().getDouble(0)
     (assigned, meanCos.result())

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins._
+
+/** AQE-on plan guard (VERDICT r8 #6): [[PlanGuardSpec]] pins the STATIC
+  * planner's output with AQE disabled — but at runtime AQE re-plans
+  * stage-by-stage (that's its job), and nothing pinned the FINAL adaptive
+  * plans. This spec executes the headline queries at sf0.1 with AQE ON
+  * (the shared session default — the configuration production runs) and
+  * asserts the invariants that must survive ANY legitimate re-plan:
+  *
+  *   - no nested-loop / cartesian join materializes at runtime
+  *     (the one tolerated BroadcastNestedLoopJoin is the meshgrid
+  *     product, which IS the operator);
+  *   - parquet pushdown is not lost (the scans inside the final stages
+  *     still carry non-empty PushedFilters);
+  *   - broadcast joins are never DEMOTED (AQE may promote SMJ→BHJ from
+  *     runtime stats, never the reverse, so a bhj lower bound is stable).
+  *
+  * Mechanism: the action must run the query's OWN QueryExecution — a
+  * `df.write` builds a fresh QueryExecution for the write command and
+  * leaves the df's adaptive plan untouched — so we drive
+  * `queryExecution.toRdd` directly (`foreachPartition` consuming rows on
+  * executors; nothing reaches the driver). `AdaptiveSparkPlanExec
+  * .doExecute` materializes every intermediate stage and commits the
+  * final plan, after which `executedPlan` IS the plan that ran
+  * (`isFinalPlan=true`); a QueryExecutionListener would hand us the same
+  * object, minus its async-bus race. AQE wraps materialized stages in
+  * leaf `QueryStageExec` nodes that `collect` does not descend into —
+  * [[flatten]] recurses through stages, reused exchanges, and nested
+  * adaptive plans so the census sees every operator that actually ran.
+  */
+class AdaptivePlanGuardSpec extends SparkSpec {
+
+  def sf1: String = "/root/testdata/sf0.1"
+
+  /** Every physical node that actually executed, descending through the
+    * AQE wrappers (leaf QueryStageExec / AdaptiveSparkPlanExec nodes). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    p +: inner.flatMap(flatten)
+  }
+
+  case class FinalSig(bhj: Int, smj: Int, shj: Int, nlj: Int, cartesian: Int,
+                      pushedScans: Int, adaptive: Boolean)
+
+  /** Execute the query end-to-end (rows consumed on executors — full
+    * materialization, no driver collect), then census its FINAL adaptive
+    * plan. */
+  private def finalSignature(df: DataFrame): FinalSig = {
+    df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+    val top = df.queryExecution.executedPlan
+    val nodes = flatten(top)
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    FinalSig(
+      bhj       = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      smj       = nodes.count(_.isInstanceOf[SortMergeJoinExec]),
+      shj       = nodes.count(_.isInstanceOf[ShuffledHashJoinExec]),
+      nlj       = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      cartesian = nodes.count(_.isInstanceOf[CartesianProductExec]),
+      pushedScans = scans.count(_.metadata.get("PushedFilters").exists(_ != "[]")),
+      adaptive = nodes.exists {
+        case a: AdaptiveSparkPlanExec => a.isFinalPlan
+        case _                        => false
+      })
+  }
+
+  private def run(name: String, dir: String = sf1): FinalSig = {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "this guard exists to pin the ADAPTIVE final plans")
+    val s = finalSignature(SparkEntry.queries(name)(spark, dir))
+    info(s"$name: $s")
+    assert(s.adaptive, s"$name: expected an executed AdaptiveSparkPlanExec (isFinalPlan)")
+    s
+  }
+
+  test("q_tpch_q5 final adaptive plan: star stays broadcast, pushdown survives") {
+    val s = run("q_tpch_q5")
+    assert(s.nlj === 0 && s.cartesian === 0, s"no nested-loop in the star at runtime: $s")
+    assert(s.bhj >= 4, s"AQE must not demote the broadcast dims: $s")
+    assert(s.pushedScans >= 4, s"pushdown lost in a final stage: $s")
+  }
+
+  test("q_interp_barycentric final adaptive plan: containment never degrades to a product") {
+    val s = run("q_interp_barycentric")
+    assert(s.nlj === 0 && s.cartesian === 0,
+      s"bucket equi-join must hold under AQE re-plan: $s")
+  }
+
+  test("q_text_decontam final adaptive plan: no all-pairs, eval side still hash-joined") {
+    val s = run("q_text_decontam")
+    assert(s.nlj === 0 && s.cartesian === 0, s"no all-pairs at runtime: $s")
+  }
+
+  test("q_text_bigram_lm final adaptive plan: model join never a product") {
+    val s = run("q_text_bigram_lm")
+    assert(s.nlj === 0 && s.cartesian === 0, s"no all-pairs at runtime: $s")
+  }
+
+  test("q_join_cross_grid final adaptive plan: the product is broadcast-driven, never cartesian") {
+    val s = run("q_join_cross_grid")
+    // the meshgrid NLJ over broadcast(tiny axes) IS the operator; what
+    // must never appear is a non-broadcast CartesianProduct
+    assert(s.cartesian === 0, s"meshgrid must stay broadcast-driven: $s")
+  }
+
+  test("q_dedup_minhash_xx final adaptive plan: banded candidate join stays equi") {
+    val s = run("q_dedup_minhash_xx")
+    assert(s.nlj === 0 && s.cartesian === 0,
+      s"LSH banding must never degrade to all-pairs: $s")
+  }
+
+  test("q_join_asof final adaptive plan: no join blowup") {
+    val s = run("q_join_asof")
+    assert(s.nlj === 0 && s.cartesian === 0, s"as-of is a window, not a product: $s")
+  }
+}
