@@ -291,6 +291,28 @@ object Interp {
     * above, it takes the corner-explode single shuffled equi-join.
     * `broadcastSeries` overrides the gate for tests / operators who know
     * their data. */
+  /** The bucket-exploded triangle relation of [[interpolateTables]] —
+    * one row per (triangle, overlapped raster bucket), the exact relation
+    * the containment join shuffles on (tbx, tby). Factored out so
+    * SkewSpec can quantify bucket-key skew on a clustered (coastal)
+    * mesh against the same relation the production join sees. */
+  private[graft] def bucketTris(nodesDf: DataFrame, elementsDf: DataFrame,
+                                spec: GridSpec): DataFrame = {
+    val g = spec.g
+    val n = broadcast(nodesDf)
+    elementsDf
+      .join(n.select(col("node_id").as("n1"), col("lon").as("x1"), col("lat").as("y1")), "n1")
+      .join(n.select(col("node_id").as("n2"), col("lon").as("x2"), col("lat").as("y2")), "n2")
+      .join(n.select(col("node_id").as("n3"), col("lon").as("x3"), col("lat").as("y3")), "n3")
+      // bucket range in grid-cell units, clipped to the raster
+      .withColumn("tbx", explode(sequence(
+        greatest(floor((least(col("x1"), col("x2"), col("x3")) - lit(spec.minX)) / lit(spec.resX)), lit(0L)),
+        least(floor((greatest(col("x1"), col("x2"), col("x3")) - lit(spec.minX)) / lit(spec.resX)), lit(g - 1L)))))
+      .withColumn("tby", explode(sequence(
+        greatest(floor((lit(spec.maxY) - greatest(col("y1"), col("y2"), col("y3"))) / lit(spec.resY)), lit(0L)),
+        least(floor((lit(spec.maxY) - least(col("y1"), col("y2"), col("y3"))) / lit(spec.resY)), lit(g - 1L)))))
+  }
+
   def interpolateTables(nodesDf: DataFrame, elementsDf: DataFrame,
                         seriesDf: DataFrame, spec: GridSpec,
                         broadcastSeries: Option[Boolean] = None): DataFrame = {
@@ -304,18 +326,7 @@ object Interp {
               (lit(spec.maxY) - (col("grow") + lit(0.5)) * lit(spec.resY)).as("ym"))
       .withColumn("bx", col("gcol").cast("long"))
       .withColumn("by", floor((lit(spec.maxY) - col("ym")) / lit(spec.resY)).cast("long"))
-    val n = broadcast(nodesDf)
-    val tris = elementsDf
-      .join(n.select(col("node_id").as("n1"), col("lon").as("x1"), col("lat").as("y1")), "n1")
-      .join(n.select(col("node_id").as("n2"), col("lon").as("x2"), col("lat").as("y2")), "n2")
-      .join(n.select(col("node_id").as("n3"), col("lon").as("x3"), col("lat").as("y3")), "n3")
-      // bucket range in grid-cell units, clipped to the raster
-      .withColumn("tbx", explode(sequence(
-        greatest(floor((least(col("x1"), col("x2"), col("x3")) - lit(spec.minX)) / lit(spec.resX)), lit(0L)),
-        least(floor((greatest(col("x1"), col("x2"), col("x3")) - lit(spec.minX)) / lit(spec.resX)), lit(g - 1L)))))
-      .withColumn("tby", explode(sequence(
-        greatest(floor((lit(spec.maxY) - greatest(col("y1"), col("y2"), col("y3"))) / lit(spec.resY)), lit(0L)),
-        least(floor((lit(spec.maxY) - least(col("y1"), col("y2"), col("y3"))) / lit(spec.resY)), lit(g - 1L)))))
+    val tris = bucketTris(nodesDf, elementsDf, spec)
     val det = (col("y2") - col("y3")) * (col("x1") - col("x3")) +
               (col("x3") - col("x2")) * (col("y1") - col("y3"))
     val w1 = ((col("y2") - col("y3")) * (col("xm") - col("x3")) +

@@ -1,9 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins._
 
 /** AQE-on plan guard (VERDICT r8 #6): [[PlanGuardSpec]] pins the STATIC
@@ -38,18 +37,6 @@ class AdaptivePlanGuardSpec extends SparkSpec {
 
   def sf1: String = "/root/testdata/sf0.1"
 
-  /** Every physical node that actually executed, descending through the
-    * AQE wrappers (leaf QueryStageExec / AdaptiveSparkPlanExec nodes). */
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val inner: Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case r: ReusedExchangeExec    => Seq(r.child)
-      case other                    => other.children
-    }
-    p +: inner.flatMap(flatten)
-  }
-
   case class FinalSig(bhj: Int, smj: Int, shj: Int, nlj: Int, cartesian: Int,
                       pushedScans: Int, adaptive: Boolean)
 
@@ -57,9 +44,7 @@ class AdaptivePlanGuardSpec extends SparkSpec {
     * materialization, no driver collect), then census its FINAL adaptive
     * plan. */
   private def finalSignature(df: DataFrame): FinalSig = {
-    df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
-    val top = df.queryExecution.executedPlan
-    val nodes = flatten(top)
+    val nodes = AdaptivePlans.executeAndFlatten(df)
     val scans = nodes.collect { case s: FileSourceScanExec => s }
     FinalSig(
       bhj       = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
