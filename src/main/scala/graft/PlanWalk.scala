@@ -6,11 +6,12 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** Shared AQE-aware plan traversal for the adaptive guards
-  * ([[AdaptivePlanGuardSpec]], [[SkewSpec]]): AQE wraps materialized
-  * stages in leaf `QueryStageExec` nodes that `SparkPlan.collect` does
-  * not descend into, so a census of what actually RAN must recurse
-  * through stages, reused exchanges, and nested adaptive plans. */
-object AdaptivePlans {
+  * (AdaptivePlanGuardSpec, SkewSpec) and the ScaleProbe pipeline census:
+  * AQE wraps materialized stages in leaf `QueryStageExec` nodes that
+  * `SparkPlan.collect` does not descend into, so a census of what
+  * actually RAN must recurse through stages, reused exchanges, and
+  * nested adaptive plans. */
+object PlanWalk {
 
   /** Every physical node reachable from `p`, descending through the AQE
     * wrappers. Call only after the plan has executed (otherwise

@@ -44,7 +44,7 @@ class AdaptivePlanGuardSpec extends SparkSpec {
     * materialization, no driver collect), then census its FINAL adaptive
     * plan. */
   private def finalSignature(df: DataFrame): FinalSig = {
-    val nodes = AdaptivePlans.executeAndFlatten(df)
+    val nodes = PlanWalk.executeAndFlatten(df)
     val scans = nodes.collect { case s: FileSourceScanExec => s }
     FinalSig(
       bhj       = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),

@@ -81,7 +81,7 @@ class SkewSpec extends SparkSpec {
     try {
       val df = Interp
         .interpolateTables(nodes, elements, series, spec, broadcastSeries = Some(true))
-      val nodesRan = AdaptivePlans.executeAndFlatten(df)
+      val nodesRan = PlanWalk.executeAndFlatten(df)
       val skewJoins = nodesRan.collect {
         case j: SortMergeJoinExec if j.isSkewJoin    => j
         case j: ShuffledHashJoinExec if j.isSkewJoin => j
