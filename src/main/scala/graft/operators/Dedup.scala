@@ -64,7 +64,23 @@ object Dedup {
     * (band, band_hash) → distinct pairs. The band-hash shuffle carries
     * ~50 bytes/doc; bucket sizes are bounded by construction. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sig = fanout(Tables.documents(s, d), "doc_id")
+    val bands = minhashBands(fanout(Tables.documents(s, d), "doc_id"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** (doc_id, b, bh): the md5-minhash LSH band relation of a document
+    * frame — the signature construction shared by [[qDedupMinhash]] (self
+    * join) and [[qDedupIncremental]] (index join). This IS the relation a
+    * production pipeline persists as its dedup index: ~50 bytes/doc,
+    * appended per crawl, bucketed on bh ([[graft.plans.Layout
+    * .writeBucketed]]) so every future batch joins it Exchange-free. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val sig = docs
       .select(col("doc_id"), explode(shingles3).as("sh1"))
       .select(col("doc_id"),
               md5(concat(lit("0|"), col("sh1"))).as("h0"),
@@ -76,15 +92,38 @@ object Dedup {
       .groupBy("doc_id")
       .agg(min(col("s0")).as("mh0"),
            (1 until 8).map(k => min(col(s"s$k")).as(s"mh$k")): _*)
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as(Seq("b", "bh")))
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-      .orderBy("d1", "d2")
+  }
+
+  /** EXT: INCREMENTAL dedup — the nightly-crawl production pattern. A new
+    * batch of documents must be deduped against the EXISTING corpus
+    * without re-scanning corpus text: the corpus is represented solely by
+    * its persisted band-signature index ([[minhashBands]] — ~50 B/doc),
+    * and the batch's bands join it on (b, bh). Here the deterministic
+    * split doc_id % 5 == 0 plays the new crawl (20%); the rest is corpus.
+    *
+    * Scale shape (inverted from the self-join): the batch side is
+    * BROADCAST — a day's crawl is always small next to the accumulated
+    * index — so the giant index is never shuffled at all; with the index
+    * persisted bucketed on bh the probe is also scan-local. Corpus text
+    * is untouched: at 100 TB the nightly job reads kilobytes of index
+    * per new document, not the corpus.
+    *
+    * Output: one row per duplicate batch doc — its smallest matching
+    * corpus doc and how many of the 4 bands agreed. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(fanout(Tables.documents(s, d), "doc_id"))
+    val corpusIdx = bands.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
+    val batch = bands.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("new_id"), col("b"), col("bh"))
+    corpusIdx.join(broadcast(batch), Seq("b", "bh"))
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"),
+           countDistinct(col("b")).as("n_bands"))
+      .orderBy("doc_id")
   }
 
   /** EXT: the 100 TB minhash — identical banding to [[qDedupMinhash]] but
@@ -410,6 +449,7 @@ object Dedup {
     "q_dedup_window"        -> (qDedupWindow _),
     "q_dedup_minhash"       -> (qDedupMinhash _),
     "q_dedup_minhash_xx"    -> (qDedupMinhashXx _),
+    "q_dedup_incremental"   -> (qDedupIncremental _),
     "q_dedup_simhash"       -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -523,6 +563,18 @@ object Dedup {
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> substring(md5(CAST(k // 4 AS VARCHAR) || '|' || x), (k % 4) * 8 + 1, 8)))
+        |   for k in generate_series(0, 7)] AS mh FROM sh),
+        |bands AS (SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS bh
+        |          FROM sig, generate_series(0, 3) g(b))
+        |SELECT n.doc_id AS doc_id, min(c.doc_id) AS dup_of, count(DISTINCT n.b) AS n_bands
+        |FROM bands n JOIN bands c ON n.b = c.b AND n.bh = c.bh
+        |WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_simhash" ->
       """WITH sig AS (SELECT doc_id,
         |  list_aggregate([CASE WHEN len(list_filter(ht, h -> substring(h, k+1, 1) >= '8')) * 2 > len(ht)

@@ -731,6 +731,38 @@ class DedupSimilaritySpec extends SparkSpec {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("incremental dedup: batch bands broadcast, corpus index never shuffled, hits agree with the self-join") {
+    // plan shape — the inverted-broadcast scale claim: the NEW batch is
+    // the broadcast side, so the accumulated corpus index (the huge side
+    // at 100 TB) is joined without an exchange of its own rows
+    val df = Dedup.qDedupIncremental(spark, sf)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins._
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "batch bands must broadcast")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        "the corpus index must not be sort-merge shuffled for a small batch")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    // semantics — every incremental hit must be a pair the full self-join
+    // also finds (batch doc + its dup_of corpus doc share a band), with
+    // the batch/corpus split and band count well-formed
+    val hits = df.collect()
+    assert(hits.nonEmpty, "planted re-crawl duplicates cross the %5 split at this sf")
+    val selfPairs = Dedup.qDedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hits.foreach { r =>
+      val (nid, dup, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nid % 5 == 0 && dup % 5 != 0, s"split violated: $nid dup_of $dup")
+      assert(nb >= 1 && nb <= 4, s"band count out of range: $nb")
+      val pair = (math.min(nid, dup), math.max(nid, dup))
+      assert(selfPairs.contains(pair), s"incremental hit $pair unknown to the self-join")
+    }
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
