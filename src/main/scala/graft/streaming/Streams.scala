@@ -146,6 +146,49 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** series-parquet landing schema for [[interpStream]]: the
+    * `sources.Ingest` long-form layout, one file per forecast cycle. */
+  val seriesLandingSchema: StructType = StructType(Seq(
+    StructField("ts", LongType), StructField("node_id", LongType),
+    StructField("value", DoubleType)))
+
+  /** The reference's OPERATIONAL cadence as a stream (§2.9 meets the
+    * core pipeline): ASGS drops one fort.63 series per forecast cycle
+    * (run/adcircTime2cogs.py is invoked per cycle); here a file-source
+    * stream watches the series landing dir and every micro-batch — one
+    * cycle's (ts, node_id, value) rows; files are atomic and carry whole
+    * timesteps, the landing contract — is interpolated against the
+    * STATIC cell map and written as one raster delta, exactly-once by
+    * batchId.
+    *
+    * Scale shape: the expensive precompute (the containment join that
+    * builds the cell map) is pinned ONCE via localCheckpoint — the mesh
+    * does not change between cycles, the reference's precomputed
+    * interpolator contract (adcircTime2cogs.py:165-171) — so each cycle
+    * pays only the corner-explode equi-join on node_id + pivot over ITS
+    * OWN rows: cost per cycle is O(cycle series), state-free (foreachBatch
+    * is stateless — no watermark, no state store), and a backlog of
+    * cycles processes concurrently on a cluster. The scale-path join is
+    * used unconditionally: a cycle's series lands as files whose size the
+    * planner cannot see mid-stream, and the corner-explode shape is the
+    * one that never transits the driver. */
+  def interpStream(seriesDir: String, cells: DataFrame, outDir: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = cells.sparkSession
+    // pay the containment join once, not once per micro-batch
+    val cellsPinned = cells.localCheckpoint()
+    s.readStream.schema(seriesLandingSchema).parquet(seriesDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Interp.joinSeriesGated(cellsPinned, batch, small = false)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 

@@ -206,4 +206,36 @@ class StreamingSpec extends SparkSpec {
     assert(totalEvents <= nRaw)
     assert(sessions.forall(s => s.getAs[Long]("first_id") <= s.getAs[Long]("last_id")))
   }
+
+  test("streaming interpolation: per-cycle micro-batches union to the batch raster, incrementally") {
+    import graft.operators.Interp
+    val landing = Files.createTempDirectory("graft_interp_landing").toString
+    val out = Files.createTempDirectory("graft_interp_out").toString
+    val ckpt = Files.createTempDirectory("graft_interp_ckpt").toString
+    val cells = Interp.cellMap(spark, Interp.K, Interp.G)
+    val series = Interp.series(spark, Interp.K, Interp.T)
+
+    // cycle 1 lands: ts 0..1
+    series.filter(col("ts") < 2).coalesce(1).write.mode("append").parquet(landing)
+    Streams.interpStream(landing, cells, out, ckpt).awaitTermination(120000)
+    // cycle 2 lands: ts 2; the restarted stream must process ONLY new files
+    series.filter(col("ts") === 2).coalesce(1).write.mode("append").parquet(landing)
+    Streams.interpStream(landing, cells, out, ckpt).awaitTermination(120000)
+
+    val deltas = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch_"))
+    assert(deltas.length === 2, s"expected one delta per cycle: ${deltas.mkString(",")}")
+    val second = spark.read.parquet(s"$out/batch_1")
+    assert(second.select(countDistinct(col("ts"))).head().getLong(0) === 1L &&
+           second.agg(min(col("ts"))).head().getLong(0) === 2L,
+      "incremental run must carry only the newly landed cycle")
+
+    // union of deltas == the batch engine over the full series, bit-equal
+    // (same corner-explode pivot, same fixed-order FP sum)
+    val streamed = spark.read.parquet(deltas.map(_.getPath).toIndexedSeq: _*)
+      .collect().map(_.toString).sorted
+    val batch = Interp.joinSeriesGated(cells, series, small = false)
+      .collect().map(_.toString).sorted
+    assert(streamed.length === batch.length && streamed.sameElements(batch),
+      s"streamed union (${streamed.length}) != batch raster (${batch.length})")
+  }
 }
