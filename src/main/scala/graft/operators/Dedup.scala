@@ -111,6 +111,15 @@ object Dedup {
     * is untouched: at 100 TB the nightly job reads kilobytes of index
     * per new document, not the corpus.
     *
+    * The broadcast is SIZE-GATED like every other forced hint in the
+    * engine (the interp series gate pattern): a BACKFILL "batch" — a
+    * month of crawls replayed at once — can be GBs of bands, and a
+    * forced hint would override the planner's threshold straight into a
+    * driver OOM. Below min(planner threshold, 100 MB ceiling) of
+    * Catalyst-estimated batch bytes the hint applies; above, the join is
+    * left unhinted — a shuffled equi-join on (b, bh), Exchange-free on
+    * the index side when it is persisted bucketed on bh.
+    *
     * Output: one row per duplicate batch doc — its smallest matching
     * corpus doc and how many of the 4 bands agreed. */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
@@ -119,7 +128,14 @@ object Dedup {
       .select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
     val batch = bands.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("new_id"), col("b"), col("bh"))
-    corpusIdx.join(broadcast(batch), Seq("b", "bh"))
+    val thr = org.apache.spark.sql.GraftSqlShim.autoBroadcastJoinThreshold(s)
+    val gateBytes = math.min(100L << 20, thr)
+    val hinted =
+      if (gateBytes > 0 &&
+          batch.queryExecution.optimizedPlan.stats.sizeInBytes <= gateBytes)
+        broadcast(batch)
+      else batch
+    corpusIdx.join(hinted, Seq("b", "bh"))
       .groupBy(col("new_id").as("doc_id"))
       .agg(min(col("corpus_id")).as("dup_of"),
            countDistinct(col("b")).as("n_bands"))

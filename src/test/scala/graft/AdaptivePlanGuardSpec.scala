@@ -108,4 +108,19 @@ class AdaptivePlanGuardSpec extends SparkSpec {
     val s = run("q_join_asof")
     assert(s.nlj === 0 && s.cartesian === 0, s"as-of is a window, not a product: $s")
   }
+
+  test("q_tpch_q9 final adaptive plan: 6-table profit join stays hash-based, pushdown survives") {
+    val s = run("q_tpch_q9")
+    // the one tolerated BNLJ is Tpch.partsupp's crossJoin(broadcast(1-row
+    // supplier count)) — the generated-relation scaffold, not a join
+    // strategy regression; a CartesianProduct must still never appear
+    assert(s.nlj <= 1 && s.cartesian === 0, s"no non-broadcast product in the profit join: $s")
+    assert(s.pushedScans >= 1, s"pushdown lost in a final stage: $s")
+  }
+
+  test("q_dedup_incremental final adaptive plan: index probe stays equi, batch broadcast survives") {
+    val s = run("q_dedup_incremental")
+    assert(s.nlj === 0 && s.cartesian === 0, s"band probe must stay an equi-join: $s")
+    assert(s.bhj >= 1, s"batch side must broadcast below the gate: $s")
+  }
 }

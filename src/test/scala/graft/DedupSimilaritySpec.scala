@@ -761,6 +761,27 @@ class DedupSimilaritySpec extends SparkSpec {
       val pair = (math.min(nid, dup), math.max(nid, dup))
       assert(selfPairs.contains(pair), s"incremental hit $pair unknown to the self-join")
     }
+
+    // backfill gate: with broadcast disabled (the huge-batch condition)
+    // the hint must NOT be forced — the join falls back to a shuffled
+    // equi-join on (b, bh) with identical rows
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val savedThr = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "-1")
+    try {
+      val fb = Dedup.qDedupIncremental(spark, sf)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = fb.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins._
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        "a backfill-sized batch must not be force-broadcast")
+      assert(fb.collect().map(_.toString).sorted.sameElements(
+               hits.map(_.toString).sorted),
+        "gated fallback must be row-identical")
+    } finally {
+      spark.conf.set(thrKey, savedThr)
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
   }
 
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
