@@ -318,6 +318,59 @@ object Similarity {
       .limit(200)
   }
 
+  /** EXT: product quantization (PQ) with asymmetric-distance (ADC)
+    * top-k — the FAISS IVF-PQ compression leg of the ANN family, and the
+    * piece that makes 1e9+-vector search tractable: each 64-d vector is
+    * encoded as 8 sub-codes (one argmin per 8-d subspace against a
+    * 4-centroid sub-codebook), so a candidate costs 8 BYTES instead of
+    * 256 — 1e9 vectors become an 8 GB scannable code table — and query
+    * scoring is 8 integer table lookups (the ADC LUT) instead of 64 FP
+    * multiplies.
+    *
+    * Plan shape: encode = one scan × broadcast(32-row codebook) + argmin
+    * rank window (map-heavy, one shuffle on (vec,subspace) windows);
+    * LUT = queries × codebook, 160 rows, broadcast; ADC = codes ⋈ LUT
+    * equi-join on (subspace, code) + a SUM OF LONGS per (query, vec) —
+    * LUT entries are 1e-4 fixed-point quantized BEFORE the sum, so the
+    * aggregate is integer, partition-order-independent, and engine-exact
+    * (the [[qVecCentroid]] convention). Codebook = the sub-slices of
+    * vec_id < 4 — the same deterministic seed-fixture convention as
+    * [[qAnnIvf]]; a production build trains each sub-codebook with the
+    * [[kmeansIvfFrame]] loop without changing this query's shape.
+    * Top-10 per query by (ADC distance, vec_id) — fully hash-gated. */
+  def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val sub = e
+      .select(col("vec_id"), explode(array((0 until 8).map(lit): _*)).as("j"), col("v"))
+      .select(col("vec_id"), col("j"), expr("slice(v, j*8+1, 8)").as("sv"))
+    val cb = sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("j").as("cj"), col("sv").as("cv"))
+    // ||x-c||² in ONE fixed-order expression so Spark and DuckDB produce
+    // bit-equal doubles (argmin ties then resolve identically by cid)
+    def dist2(x: Column, c: Column): Column =
+      vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c)
+    val wEnc = Window.partitionBy("vec_id", "j").orderBy(col("dd").asc, col("cid"))
+    val enc = sub.filter(col("vec_id") >= 5)
+      .join(broadcast(cb), col("j") === col("cj"))
+      .withColumn("dd", dist2(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("j"), col("cid"))
+    val lut = sub.filter(col("vec_id") < 5)
+      .join(broadcast(cb), col("j") === col("cj"))
+      .select(col("vec_id").as("qid"), col("j").as("lj"), col("cid").as("lcid"),
+              floor(dist2(col("sv"), col("cv")) * lit(10000.0) + lit(0.5))
+                .cast("long").as("ld"))
+    val wTop = Window.partitionBy("qid").orderBy(col("di4").asc, col("cand"))
+    enc.join(broadcast(lut), col("j") === col("lj") && col("cid") === col("lcid"))
+      .groupBy(col("qid"), col("vec_id").as("cand"))
+      .agg(sum(col("ld")).as("di4"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("cand"), col("rk"), col("di4"))
+      .orderBy("qid", "rk")
+  }
+
   /** K-means refinement of the IVF codebook — the loop SURVEY §2.10
     * promises the [[graft.functions.VectorCentroid]] Aggregator for:
     * assign each vector to its nearest centroid (broadcast codebook, one
@@ -510,6 +563,7 @@ object Similarity {
     "q_ann_ivf_kmeans"  -> (qAnnIvfKmeans _),
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_vec_quantize"    -> (qVecQuantize _),
+    "q_ann_pq"          -> (qAnnPq _),
   )
 
   /** Pre-normed CTE + single dot per pair — mirrors the Spark plan exactly
@@ -605,6 +659,36 @@ object Similarity {
         |  FROM embeddings)
         |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec
         |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // identical fixed-order ||x-c||² expression, identical 1e-4
+    // quantize-before-sum, identical (distance, vec_id) tie-breaks —
+    // the whole PQ pipeline is engine-exact
+    "q_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, j, list_slice(v, j*8+1, j*8+8) AS sv
+        |        FROM e, generate_series(0, 7) g(j)),
+        |cb AS (SELECT vec_id AS cid, j AS cj, sv AS cv FROM sub WHERE vec_id < 4),
+        |enc AS (SELECT vec_id, j, cid FROM (
+        |  SELECT d.vec_id, d.j, cb.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j ORDER BY
+        |      (list_dot_product(d.sv, d.sv)
+        |         - CAST(2.0 AS DOUBLE) * list_dot_product(d.sv, cb.cv)
+        |         + list_dot_product(cb.cv, cb.cv)) ASC, cb.cid) AS rk
+        |  FROM sub d JOIN cb ON d.j = cb.cj WHERE d.vec_id >= 5)
+        |  WHERE rk = 1),
+        |lut AS (SELECT q.vec_id AS qid, cb.cj AS lj, cb.cid AS lcid,
+        |  CAST(floor((list_dot_product(q.sv, q.sv)
+        |         - CAST(2.0 AS DOUBLE) * list_dot_product(q.sv, cb.cv)
+        |         + list_dot_product(cb.cv, cb.cv))
+        |        * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ld
+        |  FROM sub q JOIN cb ON q.j = cb.cj WHERE q.vec_id < 5),
+        |adc AS (SELECT l.qid, c.vec_id AS cand, CAST(SUM(l.ld) AS BIGINT) AS di4
+        |        FROM enc c JOIN lut l ON c.j = l.lj AND c.cid = l.lcid
+        |        GROUP BY 1, 2)
+        |SELECT qid, cand, rk, di4 FROM (
+        |  SELECT qid, cand, di4,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY di4 ASC, cand) AS rk
+        |  FROM adc) WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS ($duckVecs),
         |scored AS (SELECT b.vec_id AS vid, a.vec_id AS cid, ROUND($duckCos, 4) AS cos

@@ -784,6 +784,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ/ADC: well-formed ranked lists, monotone distances, above-chance recall vs exact L2") {
+    val pq = Similarity.qAnnPq(spark, sf).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rk")).toSeq.sorted === (1L to 10L))
+      val ds = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("di4"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "ADC distance non-decreasing in rank")
+    }
+    // recall floor vs EXACT L2 top-10 (the metric ADC approximates):
+    // random overlap would be ~0.05/query; the 2-bit fixture codebook
+    // (4 seed centroids/subspace — oracle-stable, deliberately coarse)
+    // measured 10/50 total at this sf. Production trains 8-bit
+    // sub-codebooks with the kmeansIvfFrame loop; the query shape is
+    // identical, only the codebook rows change.
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cd = e.filter(col("vec_id") >= 5)
+    val d2 = vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("qv"), col("v")) +
+      vecDot(col("qv"), col("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id"))
+    val exact = cd.crossJoin(broadcast(q))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = pq.count(r => exact.contains((r.getAs[Long]("qid"), r.getAs[Long]("cand"))))
+    info(s"ADC∩exact-L2 overlap: $overlap/50")
+    assert(overlap >= 5, s"PQ recall collapsed below the fixture floor: $overlap/50")
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
