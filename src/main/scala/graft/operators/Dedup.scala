@@ -306,6 +306,46 @@ object Dedup {
     else out
   }
 
+  /** (doc_id, grp, split): every document labeled with its leakage unit
+    * (its near-dup cluster from [[qDedupClusters]]; singletons group as
+    * themselves) and its md5-assigned split. Factored so the spec can
+    * assert pair-level co-splitting on the same relation the query
+    * aggregates. The cluster-label join is UNHINTED: tiny here (AQE
+    * broadcasts it), but at 100 TB the label table is every near-dup
+    * doc — persisted bucketed on doc_id next to the corpus it joins. */
+  private[graft] def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val clusters = qDedupClusters(s, d)
+    val h = substring(md5(col("grp").cast("string")), 1, 2)
+    Tables.documents(s, d).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("grp"))
+      .withColumn("split",
+        when(h < "e6", "train").when(h < "f3", "val").otherwise("test"))
+  }
+
+  /** EXT: leakage-free train/val/test split — the held-out-set rule a
+    * training pipeline must enforce: near-duplicates of a training
+    * document must NOT land in the held-out sets, or the eval metric is
+    * contaminated (the dedup-before-split discipline of Lee et al.
+    * 2022). Unit of assignment = the near-dup CLUSTER (connected
+    * components over the LSH candidate graph; docs in no pair form
+    * singleton groups), assigned by a pure md5 function of the group
+    * label — content-independent, reproducible at any parallelism, and
+    * engine-portable: first md5 byte < 0xe6 → train (230/256 ≈ 89.8%),
+    * < 0xf3 → val (≈5.1%), else test. Because split is a FUNCTION of the
+    * group, no group can straddle splits by construction; the spec
+    * additionally asserts every LSH candidate pair co-splits.
+    * Scale: the expensive part is the cluster labeling the dedup stage
+    * already produced; the split itself is one label join + a map-only
+    * hash over the corpus. */
+  def qSplitLeakageFree(s: SparkSession, d: String): DataFrame =
+    splitAssign(s, d)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("grp")).as("n_groups"),
+           sum(col("doc_id")).as("id_sum"))
+      .orderBy("split")
+
   /** EXT + §2.9: replay dedup, batch form of [[graft.streaming.Streams
     * .dedupEvents]] — an at-least-once feed re-delivers a slice of events
     * (every 50th id here); keyed dropDuplicates collapses them before the
@@ -470,6 +510,7 @@ object Dedup {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_clusters"      -> (qDedupClusters _),
+    "q_split_leakage_free"  -> (qSplitLeakageFree _),
   )
 
   private val duckShingles =
@@ -568,6 +609,35 @@ object Dedup {
         |  UNION
         |  SELECT e.src, cc.lbl FROM edges e JOIN cc ON cc.v = e.dst)
         |SELECT v AS doc_id, MIN(lbl) AS cluster FROM cc GROUP BY v ORDER BY doc_id""".stripMargin,
+    // same component CTE as q_dedup_clusters, then the md5 split of the
+    // group label — engine-portable hex-string thresholds
+    "q_split_leakage_free" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> substring(md5(CAST(k // 4 AS VARCHAR) || '|' || x), (k % 4) * 8 + 1, 8)))
+        |   for k in generate_series(0, 7)] AS mh FROM sh),
+        |bands AS (SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS bh
+        |          FROM sig, generate_series(0, 3) g(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |          FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |cc(v, lbl) AS (
+        |  SELECT v, v AS lbl FROM verts
+        |  UNION
+        |  SELECT e.src, cc.lbl FROM edges e JOIN cc ON cc.v = e.dst)
+        |, labels AS (SELECT v AS doc_id, MIN(lbl) AS grp FROM cc GROUP BY v)
+        |, assigned AS (
+        |  SELECT d.doc_id, COALESCE(l.grp, d.doc_id) AS grp,
+        |    CASE WHEN substring(md5(CAST(COALESCE(l.grp, d.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substring(md5(CAST(COALESCE(l.grp, d.doc_id) AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+        |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),

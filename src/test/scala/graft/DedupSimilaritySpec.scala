@@ -784,6 +784,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("leakage-free split: every LSH candidate pair lands in the same split; shares sane") {
+    val assign = Dedup.splitAssign(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(assign.nonEmpty)
+    val pairs = Dedup.qDedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus has planted near-duplicates")
+    pairs.foreach { case (a, b) =>
+      assert(assign(a) == assign(b),
+        s"near-dup pair ($a, $b) straddles splits ${assign(a)}/${assign(b)} — held-out leakage")
+    }
+    // the hash split must roughly honor 90/5/5 (group-level binomial
+    // noise at this sf: wide tolerance, catches a broken threshold)
+    val n = assign.size.toDouble
+    val trainShare = assign.values.count(_ == "train") / n
+    info(f"train share: $trainShare%.3f over ${n.toInt} docs")
+    assert(trainShare > 0.8 && trainShare < 0.97, s"train share off: $trainShare")
+  }
+
   test("PQ/ADC: well-formed ranked lists, monotone distances, above-chance recall vs exact L2") {
     val pq = Similarity.qAnnPq(spark, sf).collect()
     val byQ = pq.groupBy(_.getAs[Long]("qid"))
