@@ -79,7 +79,7 @@ object Dedup {
     * production pipeline persists as its dedup index: ~50 bytes/doc,
     * appended per crawl, bucketed on bh ([[graft.plans.Layout
     * .writeBucketed]]) so every future batch joins it Exchange-free. */
-  private def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val sig = docs
       .select(col("doc_id"), explode(shingles3).as("sh1"))
       .select(col("doc_id"),

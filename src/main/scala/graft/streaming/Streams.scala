@@ -189,6 +189,57 @@ object Streams {
       .start()
   }
 
+  /** documents landing schema for [[dedupStream]]: one parquet file per
+    * crawl, (doc_id, text). */
+  val docsLandingSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Streaming incremental dedup — [[graft.operators.Dedup
+    * .qDedupIncremental]]'s production loop as a stream: crawl files land
+    * in `docsDir`; each micro-batch (one crawl)
+    *   1. computes its minhash bands ([[graft.operators.Dedup
+    *      .minhashBands]] — the same signature family as the batch
+    *      engine, so index entries are interchangeable),
+    *   2. probes the ACCUMULATED band index for cross-crawl duplicates
+    *      (one (doc_id, dup_of, n_bands) delta per batchId; the first
+    *      crawl, probing an empty index, writes no hits),
+    *   3. appends its own bands to the index as a batchId-named subdir —
+    *      an idempotent re-run overwrites the same subdir, keeping the
+    *      index exactly-once.
+    * The index is the ONLY state and lives in storage, not the stream —
+    * restart-safe, shared with the batch engine, bucketable on bh. The
+    * probe join is UNHINTED: per-batch AQE sees the real crawl size and
+    * broadcasts the small side itself (the batch gate's planner-decides
+    * principle, without driver-side stats guessing mid-stream).
+    * Within-crawl duplicates are the batch self-join's job
+    * ([[graft.operators.Dedup.qDedupMinhash]]); this stream owns the
+    * cross-crawl axis. */
+  def dedupStream(s: SparkSession, docsDir: String, indexDir: String,
+                  hitsDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.schema(docsLandingSchema).parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bands = graft.operators.Dedup
+          .minhashBands(batch.repartition(32, col("doc_id")))
+        val idx =
+          try Some(s.read.option("recursiveFileLookup", "true").parquet(indexDir))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        idx.foreach { corpus =>
+          corpus.select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
+            .join(bands.select(col("doc_id").as("new_id"), col("b"), col("bh")),
+                  Seq("b", "bh"))
+            .groupBy(col("new_id").as("doc_id"))
+            .agg(min(col("corpus_id")).as("dup_of"),
+                 countDistinct(col("b")).as("n_bands"))
+            .write.mode("overwrite").parquet(s"$hitsDir/batch_$batchId")
+        }
+        bands.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 

@@ -207,6 +207,38 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.forall(s => s.getAs[Long]("first_id") <= s.getAs[Long]("last_id")))
   }
 
+  test("streaming incremental dedup: cross-crawl hits equal the batch index probe exactly") {
+    import graft.operators.Dedup
+    val landing = Files.createTempDirectory("graft_dedup_landing").toString
+    val index = Files.createTempDirectory("graft_dedup_index").resolve("idx").toString
+    val hits = Files.createTempDirectory("graft_dedup_hits").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+    // crawl 1 = the %5!=0 corpus side; crawl 2 = the %5==0 batch side —
+    // the exact split q_dedup_incremental uses, so the streamed result
+    // has a closed-form batch twin
+    docs.filter(col("doc_id") % 5 =!= 0).coalesce(1).write.mode("append").parquet(landing)
+    Streams.dedupStream(spark, landing, index, hits, ckpt).awaitTermination(120000)
+    docs.filter(col("doc_id") % 5 === 0).coalesce(1).write.mode("append").parquet(landing)
+    Streams.dedupStream(spark, landing, index, hits, ckpt).awaitTermination(120000)
+
+    // first crawl probed an empty index: no hits delta; second crawl's
+    // delta must match the batch query row for row
+    assert(!new java.io.File(s"$hits/batch_0").exists(),
+      "first crawl has no prior index — must write no hits")
+    val streamed = spark.read.parquet(s"$hits/batch_1")
+      .orderBy("doc_id").collect().map(_.toString)
+    val batch = Dedup.qDedupIncremental(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"streamed hits (${streamed.length}) != batch probe (${batch.length})")
+    // and the index now carries every crawl's bands — restart-safe state
+    val idxDocs = spark.read.option("recursiveFileLookup", "true").parquet(index)
+      .select(countDistinct(col("doc_id"))).head().getLong(0)
+    assert(idxDocs === docs.count(), "index must accumulate all crawled docs' bands")
+  }
+
   test("streaming interpolation: per-cycle micro-batches union to the batch raster, incrementally") {
     import graft.operators.Interp
     val landing = Files.createTempDirectory("graft_interp_landing").toString
