@@ -371,6 +371,47 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** EXT: reciprocal-rank fusion (RRF, Cormack et al. 2009) — the
+    * standard hybrid-retrieval combiner: rank the same candidates under
+    * two independent rankers (here cosine and L2 over the embeddings —
+    * genuinely different orders for un-normalized vectors; in a full
+    * stack the second leg is BM25), then fuse by
+    * Σ 1/(60 + rank_i) over the legs where the candidate appears in the
+    * top-50. Scored in EXACT integer arithmetic — 10⁹ DIV (60 + rank) —
+    * so the fusion is engine-portable with no FP anywhere.
+    *
+    * Plan shape: ONE broadcast scoring pass computes both metrics (the
+    * cross join is against the 5-row query set), then two rank windows
+    * over the same (qid)-partitioned exchange; the fused top-10 rides a
+    * third window on the same key. At 100 TB each leg is its own ANN
+    * probe (IVF/PQ/BM25) producing (qid, cand, rank) lists, and the
+    * fusion is this same tiny join — RRF never touches raw scores, which
+    * is exactly why it composes rankers with incomparable scales. */
+  def qAnnRrf(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"),
+        (vecDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"),
+        (vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), col("qv")) +
+          vecDot(col("qv"), col("qv"))).as("l2"))
+    val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val wL2 = Window.partitionBy("qid").orderBy(col("l2").asc, col("cand"))
+    val wTop = Window.partitionBy("qid").orderBy(col("rrf").desc, col("cand"))
+    scored
+      .withColumn("rc", row_number().over(wCos).cast("long"))
+      .withColumn("rl", row_number().over(wL2).cast("long"))
+      .filter(col("rc") <= 50 || col("rl") <= 50)
+      .withColumn("rrf",
+        when(col("rc") <= 50, expr("1000000000L DIV (60 + rc)")).otherwise(lit(0L)) +
+        when(col("rl") <= 50, expr("1000000000L DIV (60 + rl)")).otherwise(lit(0L)))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("cand"), col("rk"), col("rrf"))
+      .orderBy("qid", "rk")
+  }
+
   /** K-means refinement of the IVF codebook — the loop SURVEY §2.10
     * promises the [[graft.functions.VectorCentroid]] Aggregator for:
     * assign each vector to its nearest centroid (broadcast codebook, one
@@ -564,6 +605,7 @@ object Similarity {
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_vec_quantize"    -> (qVecQuantize _),
     "q_ann_pq"          -> (qAnnPq _),
+    "q_ann_rrf"         -> (qAnnRrf _),
   )
 
   /** Pre-normed CTE + single dot per pair — mirrors the Spark plan exactly
@@ -659,6 +701,33 @@ object Similarity {
         |  FROM embeddings)
         |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec
         |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // both legs' score expressions are the fixed-order FP forms whose
+    // bit-equality every ANN oracle in this file already relies on; the
+    // fusion itself is exact integer DIV arithmetic
+    "q_ann_rrf" ->
+      s"""WITH e AS ($duckVecs),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cand,
+        |    list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cos,
+        |    (list_dot_product(c.v, c.v)
+        |       - CAST(2.0 AS DOUBLE) * list_dot_product(c.v, q.v)
+        |       + list_dot_product(q.v, q.v)) AS l2
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT qid, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2 ASC, cand) AS rl
+        |  FROM scored),
+        |fused AS (
+        |  SELECT qid, cand,
+        |    (CASE WHEN rc <= 50 THEN 1000000000 // (60 + rc) ELSE 0 END
+        |     + CASE WHEN rl <= 50 THEN 1000000000 // (60 + rl) ELSE 0 END) AS rrf
+        |  FROM ranked WHERE rc <= 50 OR rl <= 50)
+        |SELECT qid, cand, rk, rrf FROM (
+        |  SELECT qid, cand, rrf,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, cand) AS rk
+        |  FROM fused) WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin,
     // identical fixed-order ||x-c||² expression, identical 1e-4
     // quantize-before-sum, identical (distance, vec_id) tie-breaks —
     // the whole PQ pipeline is engine-exact

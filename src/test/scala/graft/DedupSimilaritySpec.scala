@@ -837,6 +837,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(overlap >= 5, s"PQ recall collapsed below the fixture floor: $overlap/50")
   }
 
+  test("RRF fusion: well-formed lists, score bounds, consensus dominance") {
+    val out = Similarity.qAnnRrf(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    val maxScore = 1000000000L / 61 * 2  // top-1 in BOTH legs
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rk")).toSeq.sorted === (1L to 10L))
+      val ss = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("rrf"))
+      assert(ss.zip(ss.tail).forall { case (a, b) => a >= b }, "rrf non-increasing in rank")
+      // every fused score is a sum of at most two reciprocal terms
+      assert(ss.forall(v => v > 0 && v <= maxScore), s"score out of range: ${ss.toSeq}")
+      // consensus dominance: the fused #1 must beat any single-leg-only
+      // candidate's best possible score (one leg at rank 1)
+      assert(ss.head >= 1000000000L / 61,
+        "fused top-1 cannot score below a single leg's best")
+    }
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
