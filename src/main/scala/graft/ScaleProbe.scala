@@ -22,6 +22,7 @@ object ScaleProbe {
     else if (args(0) == "bigram") bigramProbe(spark, args(1).toInt)
     else if (args(0) == "kmeans") kmeansProbe(spark, args(1))
     else if (args(0) == "pipeline") pipelineProbe(spark, args(1))
+    else if (args(0) == "incdedup") incdedupProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -146,6 +147,43 @@ object ScaleProbe {
         println(s"pipeline observed join shape: corner-explode generates=$generates, " +
           s"series join=${shuffledSeries.mkString(",")}, broadcast-on-node_id=${broadcastSeries.size}" + verdict)
     }
+  }
+
+  /** Incremental-dedup probe: hold the BATCH fixed (the base sf0.1
+    * corpus) while the persisted band INDEX grows `mult`× — the nightly
+    * job's trajectory as the corpus accumulates. The probe wall should
+    * track the index SCAN (bands are ~50 B/doc parquet) plus O(batch)
+    * join work, never O(index) shuffle — the claim SCALE.md makes for
+    * `q_dedup_incremental`. Prints index build (one-time, amortized over
+    * every future cycle) and probe wall separately.
+    * Usage: tools/run_verify.sh incdedup <mult> graft.ScaleProbe */
+  private def incdedupProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+    val nBatch = base.count()
+    // index corpus: replicas 1..mult with shifted ids + a shift token
+    val corpus = (1 to mult).map { r =>
+      base.select((col("doc_id") + lit(r.toLong * 1000000)).as("doc_id"),
+                  concat(col("text"), lit(s" rep$r")).as("text"))
+    }.reduce(_ union _)
+    val t0 = System.nanoTime()
+    operators.Dedup.minhashBands(corpus.repartition(32, col("doc_id")))
+      .write.mode("overwrite").parquet("/tmp/graft_incdedup_index")
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    val idx = spark.read.parquet("/tmp/graft_incdedup_index")
+    val idxBytes = new java.io.File("/tmp/graft_incdedup_index").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val t1 = System.nanoTime()
+    val batchBands = operators.Dedup
+      .minhashBands(base.repartition(32, col("doc_id")))
+      .select(col("doc_id").as("new_id"), col("b"), col("bh"))
+    val hits = idx.select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
+      .join(broadcast(batchBands), Seq("b", "bh"))
+      .groupBy("new_id")
+      .agg(min(col("corpus_id")).as("dup_of"), countDistinct(col("b")).as("n_bands"))
+      .count()
+    val probeSecs = (System.nanoTime() - t1) / 1e9
+    println(f"incdedup mult=$mult: index ${nBatch * mult}%,d docs ($idxBytes%,d B parquet, built $buildSecs%.1f s); batch $nBatch%,d docs -> $hits%,d dup'd in $probeSecs%.1f s probe")
   }
 
   /** K-means ANN probe at REAL codebook size (VERDICT r8 #7): replicate
