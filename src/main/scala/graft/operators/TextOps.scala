@@ -542,6 +542,66 @@ object TextOps {
       .orderBy("lang", "tercile")
   }
 
+  /** EXT: DSIR — data selection via importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169): score every raw document by how much more
+    * likely its hashed-n-gram features are under a TARGET distribution
+    * (here: the English slice, standing in for "looks like the eval
+    * domain") than under the RAW corpus distribution, then keep the
+    * top-weighted docs. The published recipe is exactly this — hashed
+    * unigram/bigram counts, two smoothed multinomials, per-doc
+    * log-likelihood-ratio weight Σ c_b·(ln p̂_t(b) − ln p̂_r(b)) — and it
+    * is the standard pretraining-data targeting pass between raw crawl
+    * and mixture construction.
+    *
+    * Engine portability (SURVEY §5.1): the feature space is the first 2
+    * hex chars of md5(token) — B = 256 buckets as STRING keys, no
+    * numeric hex conversion in either engine. The only libm call, the
+    * per-BUCKET smoothed LLR, is quantized to a 1e-6 fixed-point BIGINT
+    * *before* any per-doc arithmetic, so document weights are exact
+    * integer dot products Σ c_b·llr_q(b) — partition-order-independent
+    * and bit-identical across engines (the q_sample_weighted precedent:
+    * a last-ulp ln() difference moves a weight only if the true value
+    * sits within ~1e-16 of a 5e-7 rounding boundary).
+    *
+    * Plan: ONE corpus scan — explode tokens → (doc_id, bucket) counts
+    * (shuffle carries ≤256 rows/doc of (key, partial count), map-side
+    * combined); the 256-row model folds out of that same frame via a
+    * conditional re-aggregate (c_t as a CASE sum, no second scan) and
+    * BROADCASTS back onto the per-doc frame; the weight re-aggregate
+    * keys on doc_id; top-k is TakeOrderedAndProject. At 100 TB the
+    * model stays 256 rows regardless of corpus size, nothing quadratic
+    * exists, and the heavy shuffle is bounded by docs × 256 — the same
+    * envelope as the TF-IDF family. Production uses a bigger B and
+    * bigram features; the plan is B-invariant. */
+  def qCurateDsir(s: SparkSession, d: String): DataFrame = {
+    val docBucket = fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+              explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"),
+               substring(md5(col("tok")), 1, 2).as("b"))
+      .agg(count(lit(1)).as("c"))
+    // 256-row smoothed LLR model from the SAME frame (conditional agg —
+    // target = the English slice, raw = everything), totals via a window
+    // over the model itself (256 rows; no driver round-trip)
+    val model = docBucket.groupBy("b")
+      .agg(sum(col("c")).as("c_r"),
+           sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("c_t"))
+    val wAll = Window.partitionBy()
+    val llr = model
+      .withColumn("n_r", sum(col("c_r")).over(wAll))
+      .withColumn("n_t", sum(col("c_t")).over(wAll))
+      .select(col("b"), floor(
+        (log((col("c_t") + lit(1.0)) / (col("n_t") + lit(256.0))) -
+         log((col("c_r") + lit(1.0)) / (col("n_r") + lit(256.0)))) * lit(1e6)
+          + lit(0.5)).cast("long").as("llr_q"))
+    docBucket.join(broadcast(llr), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c") * col("llr_q")).as("weight_q"),
+           sum(col("c")).as("n_tokens"))
+      .orderBy(col("weight_q").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** EXT: sequence packing — assign documents to 512-token-budget bins,
     * the batch-construction step before training: a running token total
     * in deterministic doc order, bin = exclusive-cumsum / budget. This is
@@ -840,6 +900,7 @@ object TextOps {
     "q_chunk_documents"   -> (qChunkDocuments _),
     "q_sample_weighted"   -> (qSampleWeighted _),
     "q_curate_percentile" -> (qCuratePercentile _),
+    "q_curate_dsir"       -> (qCurateDsir _),
     "q_text_decontam"     -> (qTextDecontam _),
     "q_text_pii_redact"   -> (qTextPiiRedact _),
     "q_text_repetition"   -> (qTextRepetition _),
@@ -982,6 +1043,31 @@ object TextOps {
         |SELECT lang, tercile, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |  MIN(surprisal) AS min_sp, MAX(surprisal) AS max_sp
         |FROM ranked GROUP BY lang, tercile ORDER BY lang, tercile""".stripMargin,
+    // DSIR: the llr CTE quantizes the one libm expression to a 1e-6
+    // fixed-point BIGINT per BUCKET, so the per-doc weights below it are
+    // exact integer sums — identical partial-agg-order story as Spark.
+    "q_curate_dsir" ->
+      """WITH db AS (
+        |  SELECT doc_id, lang, substring(md5(tok), 1, 2) AS b, COUNT(*) AS c
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, lang, substring(md5(tok), 1, 2)),
+        |model AS (
+        |  SELECT b, SUM(c) AS c_r,
+        |         SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS c_t
+        |  FROM db GROUP BY b),
+        |tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM model),
+        |llr AS (
+        |  SELECT b, CAST(floor(
+        |    (ln((c_t + 1.0) / (n_t + 256.0)) - ln((c_r + 1.0) / (n_r + 256.0)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS llr_q
+        |  FROM model, tot)
+        |SELECT doc_id, lang,
+        |       CAST(SUM(c * llr_q) AS BIGINT) AS weight_q,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens
+        |FROM db JOIN llr USING (b)
+        |GROUP BY doc_id, lang
+        |ORDER BY weight_q DESC, doc_id LIMIT 100""".stripMargin,
     "q_sample_weighted" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  (list_reduce([CAST(strpos('0123456789abcdef',

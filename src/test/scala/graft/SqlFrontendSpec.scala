@@ -164,6 +164,72 @@ class SqlFrontendSpec extends SparkSpec {
       s"NTILE window is not above the doc-level aggregate:\n$plan")
   }
 
+  test("DSIR weights: exact vs first-principles reimplementation, target skew, broadcast model join") {
+    import java.security.MessageDigest
+    val out = operators.TextOps.qCurateDsir(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+
+    // First-principles reimplementation (pure JVM, no Spark expressions):
+    // md5-hex bucket, smoothed 256-bucket LLR quantized to 1e-6 longs,
+    // integer per-doc dot product — must match the engine EXACTLY.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(tok: String): String = {
+      val dig = MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      f"${dig(0) & 0xff}%02x".take(2)
+    }
+    val perDoc: Map[Long, (String, Map[String, Long])] = docs.map { case (id, lang, text) =>
+      val cs = text.split(" ", -1).groupBy(bucket).map { case (b, ts) => b -> ts.length.toLong }
+      id -> (lang, cs)
+    }.toMap
+    val cR = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cT = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    perDoc.foreach { case (_, (lang, cs)) =>
+      cs.foreach { case (b, c) =>
+        cR(b) += c; if (lang == "en") cT(b) += c
+      }
+    }
+    val nR = cR.values.sum.toDouble; val nT = cT.values.sum.toDouble
+    def llrQ(b: String): Long =
+      math.floor((math.log((cT(b) + 1.0) / (nT + 256.0)) -
+                  math.log((cR(b) + 1.0) / (nR + 256.0))) * 1e6 + 0.5).toLong
+    val expected = perDoc.map { case (id, (lang, cs)) =>
+      id -> (lang, cs.map { case (b, c) => c * llrQ(b) }.sum, cs.values.sum)
+    }
+    out.foreach { case (id, lang, w, n) =>
+      val (eLang, eW, eN) = expected(id)
+      assert(lang == eLang && w == eW && n == eN,
+        s"doc $id: engine ($lang,$w,$n) != reimpl ($eLang,$eW,$eN)")
+    }
+
+    // Target skew — per TOKEN, because the raw DSIR weight is a sum over
+    // tokens and so length-dominated (the toy corpus shares most of its
+    // vocabulary across languages; doc length is the largest raw-weight
+    // factor). English documents must carry a higher mean per-token LLR
+    // than non-target ones, and the top-k selection must OVERREPRESENT
+    // the target language vs its corpus share — the point of importance
+    // resampling.
+    val en = out.filter(_._2 == "en").map(r => r._3.toDouble / r._4)
+    val other = out.filter(_._2 != "en").map(r => r._3.toDouble / r._4)
+    assert(en.nonEmpty && other.nonEmpty)
+    assert(en.sum / en.size > other.sum / other.size,
+      s"en per-token mean ${en.sum / en.size} not above non-target ${other.sum / other.size}")
+    val corpusEnShare = docs.count(_._2 == "en").toDouble / docs.length
+    val selectedEnShare = out.count(_._2 == "en").toDouble / out.length
+    assert(selectedEnShare > corpusEnShare,
+      s"selection en share $selectedEnShare not above corpus share $corpusEnShare")
+
+    // Plan: the 256-row model joins back by BROADCAST (never a shuffle of
+    // the per-doc frame on the bucket key), and nothing plans cartesian.
+    val phys = operators.TextOps.qCurateDsir(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"model join not broadcast:\n$phys")
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+      s"unexpected unbounded join:\n$phys")
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
