@@ -23,6 +23,7 @@ object ScaleProbe {
     else if (args(0) == "kmeans") kmeansProbe(spark, args(1))
     else if (args(0) == "pipeline") pipelineProbe(spark, args(1))
     else if (args(0) == "incdedup") incdedupProbe(spark, args(1).toInt)
+    else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -220,6 +221,38 @@ object ScaleProbe {
     val nonEmpty = assigned.select(countDistinct(col("cid"))).head().getLong(0)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"kmeans mult=$mult k=$k iters=$iters: $nVecs%,d vecs, $nonEmpty%,d non-empty cells in $secs%.1f s; meanCos=${meanCos.map(c => f"$c%.4f").mkString(",")}")
+  }
+
+  /** DSIR probe: replicate the sf0.1 corpus `mult`× (per-replica token
+    * appended so replica vocabularies differ; langs cycle so the target
+    * slice grows with the corpus) and score every document. The claim
+    * under test for SCALE.md: per-doc scoring cost is ~linear in corpus
+    * size, and the LLR model the join broadcasts stays EXACTLY 256 rows
+    * no matter how large the corpus grows — the property that makes the
+    * plan corpus-size-invariant at 100 TB.
+    * Usage: tools/run_verify.sh dsir <mult> graft.ScaleProbe */
+  private def dsirProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "lang", "text")
+    val big = (0 until mult).map { r =>
+      base.select((col("doc_id") + lit(r.toLong * 1000000)).as("doc_id"),
+                  col("lang"),
+                  concat(col("text"), lit(s" rep$r")).as("text"))
+    }.reduce(_ union _)
+    big.write.mode("overwrite").parquet("/tmp/graft_dsir_probe")
+    val docs = spark.read.parquet("/tmp/graft_dsir_probe")
+      .repartition(32, col("doc_id"))
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val w = operators.TextOps.dsirWeights(docs)
+    val scored = w.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the broadcast relation's true cardinality: distinct buckets seen
+    val nBuckets = w.sparkSession.read.parquet("/tmp/graft_dsir_probe")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(substring(md5(col("tok")), 1, 2)).distinct().count()
+    println(f"dsir mult=$mult: $nDocs%,d docs -> $scored%,d scored in $secs%.1f s (${nDocs / secs}%,.0f docs/s); model rows=$nBuckets")
   }
 
   /** Dedup scale probe: replicate the sf0.1 corpus `mult`× with shifted

@@ -573,8 +573,15 @@ object TextOps {
     * exists, and the heavy shuffle is bounded by docs × 256 — the same
     * envelope as the TF-IDF family. Production uses a bigger B and
     * bigram features; the plan is B-invariant. */
-  def qCurateDsir(s: SparkSession, d: String): DataFrame = {
-    val docBucket = fanout(Tables.documents(s, d))
+  def qCurateDsir(s: SparkSession, d: String): DataFrame =
+    dsirWeights(fanout(Tables.documents(s, d)))
+      .orderBy(col("weight_q").desc, col("doc_id"))
+      .limit(100)
+
+  /** The DSIR core over any (doc_id, lang, text) frame — factored so
+    * [[graft.ScaleProbe]] can drive it at replicated-corpus scale. */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val docBucket = docs
       .select(col("doc_id"), col("lang"),
               explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("lang"),
@@ -598,8 +605,6 @@ object TextOps {
       .groupBy("doc_id", "lang")
       .agg(sum(col("c") * col("llr_q")).as("weight_q"),
            sum(col("c")).as("n_tokens"))
-      .orderBy(col("weight_q").desc, col("doc_id"))
-      .limit(100)
   }
 
   /** EXT: sequence packing — assign documents to 512-token-budget bins,
