@@ -123,4 +123,14 @@ class AdaptivePlanGuardSpec extends SparkSpec {
     assert(s.nlj === 0 && s.cartesian === 0, s"band probe must stay an equi-join: $s")
     assert(s.bhj >= 1, s"batch side must broadcast below the gate: $s")
   }
+
+  test("q_curate_dsir final adaptive plan: 256-row LLR model stays broadcast, no product") {
+    val s = run("q_curate_dsir")
+    // the model join-back must survive as a broadcast hash join (the
+    // model is ≤256 rows by construction — if AQE ever planned it as a
+    // shuffle the per-doc frame would re-key on the bucket, the exact
+    // movement the operator exists to avoid at 100 TB)
+    assert(s.bhj >= 1, s"LLR model join-back must broadcast: $s")
+    assert(s.nlj === 0 && s.cartesian === 0, s"no unbounded product in DSIR: $s")
+  }
 }
