@@ -583,7 +583,48 @@ object Aggregates {
       .orderBy("o_orderkey")
   }
 
+  /** EXT: robust per-group anomaly screen — median/MAD z-scores, the
+    * data-quality outlier rule that survives the outliers themselves
+    * (mean/stddev are dragged by the very points being hunted; the median
+    * and the median absolute deviation both have a 50% breakdown point —
+    * Leys et al. 2013, the standard ingest screen before a metric feeds a
+    * training-data pipeline). The classic cutoff is |x−med| > 3·1.4826·MAD
+    * (1.4826 rescales MAD to σ under normality); the two constants are
+    * pre-multiplied into the single literal 4.4478 so both engines compare
+    * against the SAME double — no cross-engine FP-ordering seam.
+    *
+    * Both quantile layers use the DISCRETE percentile (percentile_disc ↔
+    * DuckDB quantile_disc, the [[qAggPercentileExact]] convention pinned
+    * by its boundary fixture spec), so every derived number is copy-or-
+    * subtract arithmetic on corpus doubles — no interpolation to drift.
+    *
+    * Scale shape: two sort-based grouped aggregates over the SAME
+    * event_type key (bounded cardinality — the per-group medians are a
+    * KB-sized relation, broadcast back), then one map-side flag pass
+    * folded into the final count aggregate. The fact shuffles on
+    * event_type once per quantile layer; nothing else moves. */
+  def qAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           min(col("med")).as("med"),
+           min(col("mad")).as("mad"),
+           sum(when(col("dev") > col("mad") * lit(4.4478), 1L).otherwise(0L))
+             .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 DIV n"))
+      .select("event_type", "n", "med", "mad", "n_outliers", "outlier_ppm")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_mad"      -> (qAnomalyMad _),
     "q_sketch_countmin"  -> (qSketchCountMin _),
     "q_agg_histogram"    -> (qAggHistogram _),
     "q_ts_gapfill"       -> (qTsGapfill _),
@@ -617,6 +658,22 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // discrete quantiles both layers (quantile_disc = stored values, no
+    // interpolation); 4.4478 = 3 * 1.4826 pre-multiplied so both engines
+    // compare against the identical double literal
+    "q_anomaly_mad" ->
+      """WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_type, m.med, ABS(e.value - m.med) AS dev
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n, MIN(d.med) AS med, MIN(a.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dev > a.mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN d.dev > a.mad * 4.4478 THEN 1 ELSE 0 END) * 1000000
+        |       // COUNT(*) AS BIGINT) AS outlier_ppm
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // the exact count is hash-compared; the HLL estimate itself is
     // engine-specific, so what the oracle pins is the CHECKED 5%-of-exact
     // accuracy bound (TRUE on the DuckDB side, computed on the Spark side).

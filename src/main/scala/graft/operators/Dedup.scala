@@ -142,6 +142,82 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Fixture split shared by [[qDedupBloom]] and its spec: corpus =
+    * doc_id % 5 != 0, batch = the rest PLUS re-crawled copies of corpus
+    * docs < 40 planted under the negative-id namespace (the
+    * [[qDedupContainment]] plant convention — real ids are non-negative
+    * at any corpus size, so the plant can never collide). */
+  private[graft] def bloomSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .unionAll(corpus.filter(col("doc_id") < 40)
+        .select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
+    (corpus, batch)
+  }
+
+  /** Build a Bloom filter over xxhash64(text) of `corpus` and return the
+    * batch rows that MIGHT be re-crawls — the map-side prefilter of
+    * [[qDedupBloom]], exposed so the spec can measure its selectivity.
+    * The filter is built with `DataFrameStatFunctions.bloomFilter` (the
+    * same OR-merge treeAggregate Spark's own runtime join filters use) and
+    * probed through the codegen'd `BloomFilterMightContain` expression
+    * with the serialized filter as a BINARY literal — deserialized once
+    * per task, never per row. */
+  private[graft] def bloomSurvivors(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    // expected n from the corpus row count (a parquet-footer-level action);
+    // over-estimating only oversizes the filter. Bits are capped at the
+    // engine's 100 MB broadcast ceiling by DEGRADING fpp rather than
+    // splitting the filter: a weaker bloom lets more candidates through to
+    // the confirm join — it never changes the answer.
+    val n = math.max(1L, corpus.count())
+    val wantBits = // optimal m = -n ln(fpp) / ln(2)^2 at fpp = 1%
+      math.ceil(-n * math.log(0.01) / (math.log(2.0) * math.log(2.0))).toLong
+    val bits = math.max(64L, math.min(wantBits, (100L << 20) * 8L))
+    val bf = corpus.select(xxhash64(col("text")).as("k")).stat.bloomFilter("k", n, bits)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightHit = GraftSqlShim.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      GraftSqlShim.expression(xxhash64(col("text")))))
+    batch.filter(mightHit)
+  }
+
+  /** EXT: Bloom-prefilter cross-run EXACT dedup — the other half of the
+    * nightly-crawl pattern beside [[qDedupIncremental]]: the band index
+    * catches NEAR-duplicates; this catches exact re-crawls without
+    * touching any index. The accumulated corpus is summarized by ONE
+    * Bloom filter over xxhash64(text); the new batch probes it MAP-SIDE
+    * (scan-speed, no shuffle, the filter rides the task binary once per
+    * executor), and only the surviving sliver reaches the exact
+    * md5-keyed confirm join. The filter is invisible to correctness:
+    * Bloom filters have zero false negatives, and the confirm join
+    * removes the false positives — so the DuckDB oracle is the PLAIN
+    * hash join with no bloom at all, and the spec pins both that the
+    * answer is bit-identical to the unfiltered path and that the
+    * prefilter actually prunes.
+    *
+    * Sizing at 100 TB: bits are fixed at build time (~1.2 GB per 10⁹
+    * corpus docs at 1% fpp), independent of batch size, capped at 100 MB
+    * by degrading fpp (see [[bloomSurvivors]]). Daily cost: one bounded
+    * treeAggregate over corpus HASHES — never text — to refresh the
+    * filter, then batch probing is a map over the scan. Output: one row
+    * per duplicate batch doc with its canonical corpus doc and the
+    * corpus copy count. */
+  def qDedupBloom(s: SparkSession, d: String): DataFrame = {
+    val (corpus, batch) = bloomSplit(s, d)
+    val corpusByHash = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("dup_of"), count(lit(1)).as("n_copies"))
+    bloomSurvivors(corpus, batch)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusByHash, "h")
+      .select("doc_id", "dup_of", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** EXT: the 100 TB minhash — identical banding to [[qDedupMinhash]] but
     * with INTEGER hashing: 8 `xxhash64(seed_k, shingle)` BIGINTs replace
     * two md5 hex digests + 8 substring slices per shingle, and the
@@ -506,6 +582,7 @@ object Dedup {
     "q_dedup_minhash"       -> (qDedupMinhash _),
     "q_dedup_minhash_xx"    -> (qDedupMinhashXx _),
     "q_dedup_incremental"   -> (qDedupIncremental _),
+    "q_dedup_bloom"         -> (qDedupBloom _),
     "q_dedup_simhash"       -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -518,6 +595,19 @@ object Dedup {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The bloom prefilter is invisible to the oracle: zero false negatives
+    // by construction, false positives removed by the confirm join — so the
+    // reference semantics ARE the plain hash join.
+    "q_dedup_bloom" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |          UNION ALL
+        |          SELECT -(doc_id + 1) AS doc_id, text FROM corpus WHERE doc_id < 40),
+        |ca AS (SELECT md5(text) AS h, MIN(doc_id) AS dup_of, COUNT(*) AS n_copies
+        |       FROM corpus GROUP BY md5(text))
+        |SELECT b.doc_id, ca.dup_of, ca.n_copies
+        |FROM batch b JOIN ca ON md5(b.text) = ca.h
+        |ORDER BY b.doc_id""".stripMargin,
     "q_dedup_substring" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |w AS (SELECT doc_id,

@@ -784,6 +784,48 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefilter dedup: zero false negatives, real pruning, answer identical to the unfiltered path") {
+    val (corpus, batch) = Dedup.bloomSplit(spark, sf)
+    val nBatch = batch.count()
+    val survivors = Dedup.bloomSurvivors(corpus, batch)
+    val nSurvive = survivors.count()
+
+    // exact duplicate set — the unfiltered reference path the oracle runs
+    import org.apache.spark.sql.functions._
+    val trueDups = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpus.select(md5(col("text")).as("h")).distinct(), "h")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trueDups.nonEmpty, "planted re-crawls exist at this sf")
+
+    // zero false negatives: every true duplicate survives the bloom
+    val survived = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trueDups.subsetOf(survived),
+      s"bloom dropped true duplicates: ${trueDups -- survived}")
+
+    // the prefilter prunes: at 1% target fpp the non-duplicate bulk of
+    // the batch must be rejected map-side (allow a loose 25% margin so a
+    // corpus regeneration with more planted dups cannot flake this)
+    assert(nSurvive < nBatch,
+      s"bloom rejected nothing ($nSurvive of $nBatch)")
+    assert(nSurvive - trueDups.size <= math.max(2L, nBatch / 4),
+      s"false-positive flood: $nSurvive survivors for ${trueDups.size} dups in $nBatch")
+
+    // end-to-end: the query result equals the plain hash join with the
+    // bloom removed (same columns, same rows, same canonical dup_of)
+    val out = Dedup.qDedupBloom(spark, sf).collect()
+    val ref = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpus.groupBy(md5(col("text")).as("h"))
+              .agg(min(col("doc_id")).as("dup_of"), count(lit(1)).as("n_copies")), "h")
+      .select("doc_id", "dup_of", "n_copies")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toString).toSeq === ref.map(_.toString).toSeq,
+      "bloom-prefiltered answer must be identical to the unfiltered join")
+    out.foreach { r =>
+      assert(r.getLong(1) % 5 != 0, s"dup_of ${r.getLong(1)} not a corpus doc")
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
   test("leakage-free split: every LSH candidate pair lands in the same split; shares sane") {
     val assign = Dedup.splitAssign(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
