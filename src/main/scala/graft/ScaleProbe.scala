@@ -23,6 +23,8 @@ object ScaleProbe {
     else if (args(0) == "kmeans") kmeansProbe(spark, args(1))
     else if (args(0) == "pipeline") pipelineProbe(spark, args(1))
     else if (args(0) == "incdedup") incdedupProbe(spark, args(1).toInt)
+    else if (args(0) == "bloom") bloomProbe(spark, args(1).toInt)
+    else if (args(0) == "ppjoin") ppjoinProbe(spark, args(1))
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
@@ -253,6 +255,71 @@ object ScaleProbe {
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(substring(md5(col("tok")), 1, 2)).distinct().count()
     println(f"dsir mult=$mult: $nDocs%,d docs -> $scored%,d scored in $secs%.1f s (${nDocs / secs}%,.0f docs/s); model rows=$nBuckets")
+  }
+
+  /** Bloom-prefilter probe: grow the CORPUS `mult`× while the batch (the
+    * base sf0.1 corpus) stays fixed — the nightly exact-re-crawl
+    * trajectory. 10% of batch docs are planted verbatim in the corpus;
+    * the rest differ (per-replica token), so the probe measures the two
+    * things SCALE.md claims: the filter build is one bounded aggregate
+    * over corpus hashes whose OUTPUT size is set by n·fpp (printed), and
+    * the map-side probe rejects the non-duplicate bulk at ~the target
+    * fpp regardless of corpus size.
+    * Usage: tools/run_verify.sh bloom <mult> graft.ScaleProbe */
+  private def bloomProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+    val corpus = (1 to mult).map { r =>
+      base.select((col("doc_id") + lit(r.toLong * 1000000)).as("doc_id"),
+        // plant every 10th base doc verbatim (a true re-crawl); the rest
+        // get a replica token so they are new content
+        when(col("doc_id") % 10 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(s" rep$r"))).as("text"))
+    }.reduce(_ union _)
+    corpus.write.mode("overwrite").parquet("/tmp/graft_bloom_probe")
+    val corpusP = spark.read.parquet("/tmp/graft_bloom_probe")
+    val nCorpus = corpusP.count()
+    val nBatch = base.count()
+    val t0 = System.nanoTime()
+    val survivors = operators.Dedup.bloomSurvivors(corpusP, base)
+    val nSurvive = survivors.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nDups = base.filter(col("doc_id") % 10 === 0).count()
+    println(f"bloom mult=$mult: corpus $nCorpus%,d docs; batch $nBatch%,d -> $nSurvive%,d survivors " +
+      f"($nDups%,d true dups, fp=${(nSurvive - nDups).toDouble / math.max(1, nBatch - nDups)}%.4f) " +
+      f"in $secs%.1f s build+probe")
+  }
+
+  /** PPJoin probe: candidate pairs with the rarest-first prefix filter vs
+    * the unfiltered inverted-index join at sf0.1 — the deterministic
+    * pruning ratio SCALE.md claims, plus end-to-end wall.
+    * Usage: tools/run_verify.sh ppjoin <sfDir> graft.ScaleProbe */
+  private def ppjoinProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val inv = Tables.documents(spark, sfDir)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+          |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)).as("sh"))
+    val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = inv.join(dfreq, "sh").withColumn("rk",
+      row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    val sizes = ordered.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pref = ordered.join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
+      .select("doc_id", "sh")
+    def pairs(ix: org.apache.spark.sql.DataFrame): Long =
+      ix.as("a").join(ix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val nBrute = pairs(inv.select("doc_id", "sh"))
+    val nPref = pairs(pref)
+    val t0 = System.nanoTime()
+    val nOut = operators.Dedup.qDedupPpjoin(spark, sfDir).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"ppjoin $sfDir: brute candidates $nBrute%,d -> prefix candidates $nPref%,d " +
+      f"(${100.0 * nPref / math.max(1, nBrute)}%.1f%%), $nOut%,d J>=0.8 pairs, full join $secs%.1f s")
   }
 
   /** Dedup scale probe: replicate the sf0.1 corpus `mult`× with shifted

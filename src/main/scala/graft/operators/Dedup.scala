@@ -250,6 +250,70 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** EXT: EXACT-threshold set-similarity self-join via prefix filtering —
+    * the PPJoin family (Xiao et al., WWW 2008 / Chaudhuri et al., ICDE
+    * 2006), the deterministic complement to the LSH candidates: MinHash
+    * banding is probabilistic (a J ≥ τ pair can be missed); this join
+    * returns EVERY pair with shingle-set Jaccard ≥ 0.8, exactly.
+    *
+    * The filter that makes it scale: order each document's shingles by
+    * GLOBAL rarity (df, then shingle — a total order, shingles are
+    * distinct per doc), and keep only the first |x| − ⌈τ|x|⌉ + 1 as the
+    * doc's PREFIX. Two sets with J ≥ τ must share at least one prefix
+    * element under a common order, so the inverted index is built over
+    * prefixes only — and rarest-first ordering makes those the most
+    * selective postings, bounding the candidate quadratic by rare-bucket
+    * sizes instead of the corpus. Candidates then verify with an EXACT
+    * intersection count (two equi-joins over the full shingle relation,
+    * restricted to candidates), and the τ test is pure integer
+    * arithmetic: inter·10 ≥ 8·(n1+n2−inter) — no FP anywhere, so both
+    * engines agree bit-for-bit. ⌈0.8n⌉ = (8n+9) DIV 10 keeps the prefix
+    * length integral in both engines too.
+    *
+    * Scale shape: every step is an equi-join or a doc_id-partitioned
+    * window — no all-pairs anywhere; the df relation shuffles once on
+    * shingle (at 100 TB the vocabulary is itself huge, so it is NOT
+    * broadcast — AQE may promote per-stats); verification cost is
+    * O(candidates × doc length), and candidates are prefix-bounded. */
+  def qDedupPpjoin(s: SparkSession, d: String): DataFrame = {
+    // fenced: the (doc, shingle) relation feeds FOUR consumers (df count,
+    // rarity ordering, both sides of the intersection verify) — unfenced,
+    // Catalyst plans the scan→split→shingle subtree once per consumer
+    // (the DSIR lesson: exchange reuse dedupes shuffles, not per-row
+    // compute). One corpus scan, one shingle pass, compact rows after.
+    val inv = fanout(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), explode(shingles3).as("sh"))
+      .localCheckpoint()
+    val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = inv.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    val sizes = ordered.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pref = ordered.join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
+      .select("doc_id", "sh", "n")
+    // LENGTH filter inside the candidate join (the PPJoin size condition):
+    // J >= τ forces τ·max(n1,n2) <= min(n1,n2), so size-incompatible pairs
+    // are pruned BEFORE the distinct — exact (a necessary condition), in
+    // the same integer arithmetic as the final test
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+              col("a.n") * 10 >= col("b.n") * 8 && col("b.n") * 10 >= col("a.n") * 8)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val t1 = inv.select(col("doc_id").as("d1"), col("sh"))
+    val t2 = inv.select(col("doc_id").as("d2"), col("sh"))
+    cand.join(t1, "d1").join(t2, Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 8)
+      .withColumn("j4", expr("inter * 10000 DIV (n1 + n2 - inter)"))
+      .select("d1", "d2", "n1", "n2", "inter", "j4")
+      .orderBy("d1", "d2")
+  }
+
   /** EXT: 32-bit SimHash over distinct tokens — bit k set iff the majority of
     * token-md5s have hex digit k ≥ '8' (i.e. top bit of that nibble set).
     * Exact-signature groups = near-duplicate clusters. Signature is one
@@ -583,6 +647,7 @@ object Dedup {
     "q_dedup_minhash_xx"    -> (qDedupMinhashXx _),
     "q_dedup_incremental"   -> (qDedupIncremental _),
     "q_dedup_bloom"         -> (qDedupBloom _),
+    "q_dedup_ppjoin"        -> (qDedupPpjoin _),
     "q_dedup_simhash"       -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -608,6 +673,33 @@ object Dedup {
         |SELECT b.doc_id, ca.dup_of, ca.n_copies
         |FROM batch b JOIN ca ON md5(b.text) = ca.h
         |ORDER BY b.doc_id""".stripMargin,
+    // mirrors the engine's prefix-filter algorithm (same global (df, sh)
+    // order, same ⌈0.8n⌉ prefix, same integer τ test) — prefix filtering
+    // is exact, so this IS the full Jaccard ≥ 0.8 join
+    "q_dedup_ppjoin" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |dfq AS (SELECT sh, COUNT(*) AS df FROM inv GROUP BY sh),
+        |ord AS (SELECT i.doc_id, i.sh,
+        |          ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.sh) AS rk
+        |        FROM inv i JOIN dfq d USING (sh)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+        |pref AS (SELECT o.doc_id, o.sh FROM ord o JOIN sizes z USING (doc_id)
+        |         WHERE o.rk <= z.n - ((8 * z.n + 9) // 10) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |ints AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+        |         FROM cand c
+        |         JOIN inv t1 ON t1.doc_id = c.d1
+        |         JOIN inv t2 ON t2.doc_id = c.d2 AND t2.sh = t1.sh
+        |         GROUP BY c.d1, c.d2)
+        |SELECT i.d1, i.d2, s1.n AS n1, s2.n AS n2, i.inter,
+        |       i.inter * 10000 // (s1.n + s2.n - i.inter) AS j4
+        |FROM ints i JOIN sizes s1 ON i.d1 = s1.doc_id
+        |            JOIN sizes s2 ON i.d2 = s2.doc_id
+        |WHERE i.inter * 10 >= (s1.n + s2.n - i.inter) * 8
+        |ORDER BY i.d1, i.d2""".stripMargin,
     "q_dedup_substring" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |w AS (SELECT doc_id,

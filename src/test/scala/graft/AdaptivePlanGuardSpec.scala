@@ -124,6 +124,17 @@ class AdaptivePlanGuardSpec extends SparkSpec {
     assert(s.bhj >= 1, s"batch side must broadcast below the gate: $s")
   }
 
+  test("q_dedup_ppjoin final adaptive plan: prefix candidate join stays equi") {
+    val s = run("q_dedup_ppjoin")
+    assert(s.nlj === 0 && s.cartesian === 0,
+      s"prefix filtering must never degrade to all-pairs: $s")
+  }
+
+  test("q_dedup_bloom final adaptive plan: map-side prefilter, confirm join never a product") {
+    val s = run("q_dedup_bloom")
+    assert(s.nlj === 0 && s.cartesian === 0, s"confirm join must stay equi: $s")
+  }
+
   test("q_curate_dsir final adaptive plan: 256-row LLR model stays broadcast, no product") {
     val s = run("q_curate_dsir")
     // the model join-back must survive as a broadcast hash join (the

@@ -784,6 +784,52 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ppjoin: prefix filtering is complete — result equals the brute-force exact Jaccard join") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.qDedupPpjoin(spark, sf).collect()
+    assert(out.nonEmpty, "planted near-duplicates reach Jaccard >= 0.8 at this sf")
+
+    // brute force: full inverted-index pair join, no prefix filter — the
+    // ground truth the prefix lemma must reproduce exactly
+    val inv = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+          |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin))
+        .as("sh"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = inv.as("a")
+      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 8)
+      .select("d1", "d2", "n1", "n2", "inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === brute,
+      s"prefix filter broke exactness: missing=${brute -- got} extra=${got -- brute}")
+
+    // every reported pair really is at/above the threshold, in exact
+    // integer arithmetic, and j4 is consistent
+    out.foreach { r =>
+      val (n1, n2, inter, j4) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(inter * 10 >= (n1 + n2 - inter) * 8)
+      assert(j4 == inter * 10000 / (n1 + n2 - inter))
+    }
+
+    // scale shape: no cartesian / nested-loop anywhere in the plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.qDedupPpjoin(spark, sf).queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins._
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+             plan.collect { case j: CartesianProductExec => j }.isEmpty,
+        "ppjoin must be equi-joins only")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bloom-prefilter dedup: zero false negatives, real pruning, answer identical to the unfiltered path") {
     val (corpus, batch) = Dedup.bloomSplit(spark, sf)
     val nBatch = batch.count()
