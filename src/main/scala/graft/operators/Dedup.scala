@@ -164,20 +164,27 @@ object Dedup {
     * probed through the codegen'd `BloomFilterMightContain` expression
     * with the serialized filter as a BINARY literal — deserialized once
     * per task, never per row. */
+  /** Bloom sizing for [[qDedupBloom]]: the optimal m = −n·ln(fpp)/ln²2 at
+    * the 1% target, CAPPED at the engine's 100 MB broadcast ceiling by
+    * DEGRADING fpp rather than splitting the filter — a weaker bloom lets
+    * more candidates through to the confirm join; it never changes the
+    * answer. The cap binds above n ≈ 8.8×10⁷ corpus docs (unreachable in
+    * a spec run, so the arithmetic is unit-tested directly). */
+  private[graft] def bloomBits(n: Long): Long = {
+    val wantBits =
+      math.ceil(-n * math.log(0.01) / (math.log(2.0) * math.log(2.0))).toLong
+    math.max(64L, math.min(wantBits, (100L << 20) * 8L))
+  }
+
   private[graft] def bloomSurvivors(corpus: DataFrame, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlShim
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     // expected n from the corpus row count (a parquet-footer-level action);
-    // over-estimating only oversizes the filter. Bits are capped at the
-    // engine's 100 MB broadcast ceiling by DEGRADING fpp rather than
-    // splitting the filter: a weaker bloom lets more candidates through to
-    // the confirm join — it never changes the answer.
+    // over-estimating only oversizes the filter
     val n = math.max(1L, corpus.count())
-    val wantBits = // optimal m = -n ln(fpp) / ln(2)^2 at fpp = 1%
-      math.ceil(-n * math.log(0.01) / (math.log(2.0) * math.log(2.0))).toLong
-    val bits = math.max(64L, math.min(wantBits, (100L << 20) * 8L))
-    val bf = corpus.select(xxhash64(col("text")).as("k")).stat.bloomFilter("k", n, bits)
+    val bf = corpus.select(xxhash64(col("text")).as("k"))
+      .stat.bloomFilter("k", n, bloomBits(n))
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val mightHit = GraftSqlShim.column(BloomFilterMightContain(

@@ -237,6 +237,51 @@ class RelationalSpec extends SparkSpec {
     assert((r4.getAs[Int]("q1"), r4.getAs[Int]("q2"), r4.getAs[Int]("q3")) === ((1, 2, 3)))
   }
 
+  test("anomaly screen: engine output matches a first-principles median/MAD recomputation") {
+    // recompute per-type median, MAD, and outlier counts from the raw
+    // events rows in plain Scala — the same independence anchor the DSIR
+    // spec uses, so the operator is gated even without the DuckDB oracle
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // percentile_disc(0.5): smallest value with cume_dist >= 0.5 — index
+    // ceil(n/2)-1 in a 0-based sorted array (the pinned convention)
+    def disc(sorted: Array[Double]): Double = sorted((sorted.length + 1) / 2 - 1)
+    val expected = raw.map { case (t, vs) =>
+      val med = disc(vs)
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      val mad = disc(devs)
+      val nOut = vs.count(v => math.abs(v - med) > mad * 4.4478)
+      (t, (vs.length.toLong, med, mad, nOut.toLong))
+    }
+    val got = operators.Aggregates.qAnomalyMad(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (n, med, mad, nOut) = expected(r.getString(0))
+      assert(r.getLong(1) === n, s"${r.getString(0)}: n")
+      assert(r.getDouble(2) === med, s"${r.getString(0)}: median")
+      assert(r.getDouble(3) === mad, s"${r.getString(0)}: MAD")
+      assert(r.getLong(4) === nOut, s"${r.getString(0)}: outlier count")
+      assert(r.getLong(5) === nOut * 1000000L / n, s"${r.getString(0)}: ppm")
+    }
+  }
+
+  test("bloom sizing: optimal bits at small n, fpp-degrading cap at corpus scale") {
+    import graft.operators.Dedup
+    // optimal m = ceil(-n ln(0.01) / ln^2 2) ≈ 9.585 bits/key below the cap
+    assert(Dedup.bloomBits(1000L) === math.ceil(
+      -1000L * math.log(0.01) / (math.log(2.0) * math.log(2.0))).toLong)
+    assert(Dedup.bloomBits(1L) === 64L, "floor for degenerate corpora")
+    // the 100 MB ceiling binds above ~8.8e7 keys: bits stop growing (fpp
+    // degrades instead of splitting the filter — correctness unaffected,
+    // the confirm join owns exactness)
+    val cap = (100L << 20) * 8L
+    assert(Dedup.bloomBits(100000000L) === cap)
+    assert(Dedup.bloomBits(10000000000L) === cap, "1e10 keys: still one capped filter")
+    assert(Dedup.bloomBits(87000000L) < cap, "just below the binding point: optimal sizing")
+  }
+
   test("gap-fill densifies to the full grid; interpolated values sit between their brackets") {
     val out = graft.operators.Aggregates.qTsGapfill(spark, sf01).collect()
     val types = out.map(_.getAs[String]("event_type")).distinct
