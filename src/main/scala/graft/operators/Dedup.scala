@@ -282,7 +282,14 @@ object Dedup {
     * shingle (at 100 TB the vocabulary is itself huge, so it is NOT
     * broadcast — AQE may promote per-stats); verification cost is
     * O(candidates × doc length), and candidates are prefix-bounded. */
-  def qDedupPpjoin(s: SparkSession, d: String): DataFrame = {
+  def qDedupPpjoin(s: SparkSession, d: String): DataFrame = ppjoin(s, d, 8)
+
+  /** The parameterized form: τ = tau10/10 (integer tenths keep every
+    * filter in exact integer arithmetic — the production knob, same
+    * convention as the k-means k/iters parameterization). The declared
+    * query pins tau10 = 8 as its oracle-stable fixture. */
+  private[graft] def ppjoin(s: SparkSession, d: String, tau10: Int): DataFrame = {
+    require(tau10 >= 1 && tau10 <= 10, s"tau10 out of (0,1]: $tau10")
     // fenced: the (doc, shingle) relation feeds FOUR consumers (df count,
     // rarity ordering, both sides of the intersection verify) — unfenced,
     // Catalyst plans the scan→split→shingle subtree once per consumer
@@ -297,7 +304,7 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
     val sizes = ordered.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pref = ordered.join(sizes, "doc_id")
-      .filter(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
+      .filter(col("rk") <= col("n") - expr(s"($tau10 * n + 9) DIV 10") + 1)
       .select("doc_id", "sh", "n")
     // LENGTH filter inside the candidate join (the PPJoin size condition):
     // J >= τ forces τ·max(n1,n2) <= min(n1,n2), so size-incompatible pairs
@@ -306,7 +313,8 @@ object Dedup {
     val cand = pref.as("a")
       .join(pref.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-              col("a.n") * 10 >= col("b.n") * 8 && col("b.n") * 10 >= col("a.n") * 8)
+              col("a.n") * 10 >= col("b.n") * tau10 &&
+              col("b.n") * 10 >= col("a.n") * tau10)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val t1 = inv.select(col("doc_id").as("d1"), col("sh"))
@@ -315,7 +323,7 @@ object Dedup {
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 8)
+      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * tau10)
       .withColumn("j4", expr("inter * 10000 DIV (n1 + n2 - inter)"))
       .select("d1", "d2", "n1", "n2", "inter", "j4")
       .orderBy("d1", "d2")

@@ -803,12 +803,20 @@ class DedupSimilaritySpec extends SparkSpec {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 8)
       .select("d1", "d2", "n1", "n2", "inter")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def bruteAt(tau10: Int) =
+      brute.filter { case (_, _, n1, n2, i) => i * 10 >= (n1 + n2 - i) * tau10 }.toSet
     val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
-    assert(got === brute,
-      s"prefix filter broke exactness: missing=${brute -- got} extra=${got -- brute}")
+    assert(got === bruteAt(8),
+      s"prefix filter broke exactness: missing=${bruteAt(8) -- got} extra=${got -- bruteAt(8)}")
+    // the parameterized form: a LOOSER τ widens the prefix and must stay
+    // complete at its own threshold too
+    val got6 = Dedup.ppjoin(spark, sf, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got6 === bruteAt(6),
+      s"tau=0.6 leg broke exactness: missing=${bruteAt(6) -- got6} extra=${got6 -- bruteAt(6)}")
+    assert(got.subsetOf(got6), "tighter threshold must be a subset of the looser one")
 
     // every reported pair really is at/above the threshold, in exact
     // integer arithmetic, and j4 is consistent
