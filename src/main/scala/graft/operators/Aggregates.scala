@@ -195,6 +195,33 @@ object Aggregates {
               col("n"), col("sum_value"))
       .orderBy("ws")
 
+  /** §2.9: BATCH form of the stream-stream interval join
+    * ([[graft.streaming.Streams.clickToPurchase]] is the watermarked
+    * streaming twin; StreamingSpec proves the two match row-for-row, and
+    * this entry puts the semantics under the DuckDB hash gate). Clicks
+    * join the purchases that follow within one hour for the same user —
+    * an equi-join on user_id with the interval bound as a residual
+    * predicate, so the plan is one keyed shuffle (or zero, bucketed by
+    * user_id), never a time-range nested loop; in the streaming form the
+    * same bound is what keeps the join STATE finite. The gap lands as
+    * whole seconds (timestamp→long floors identically to DuckDB's
+    * date_diff boundary count); value is a copy — no FP arithmetic. */
+  def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"), col("value"))
+    clicks.join(purchases, "user_id")
+      .filter(col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+              (col("p_ts").cast("long") - col("c_ts").cast("long")).as("gap_s"),
+              col("value"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** A7 (mergeable form): Apache DataSketches HLL with an explicit
     * pre-aggregate → re-aggregate split — THE 100 TB sketch pattern. A
     * petabyte pipeline never recomputes distincts from raw events: it
@@ -655,12 +682,23 @@ object Aggregates {
     "q_win_rank"         -> (qWinRank _),
     "q_win_running"      -> (qWinRunning _),
     "q_stream_tumbling"  -> (qStreamTumbling _),
+    "q_stream_join"      -> (qStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     // discrete quantiles both layers (quantile_disc = stored values, no
     // interpolation); 4.4478 = 3 * 1.4826 pre-multiplied so both engines
     // compare against the identical double literal
+    "q_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, c.user_id,
+        |       date_diff('second', c_ts, p_ts) AS gap_s, value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_anomaly_mad" ->
       """WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med
         |             FROM events GROUP BY event_type),
