@@ -176,10 +176,11 @@ object Dedup {
     math.max(64L, math.min(wantBits, (100L << 20) * 8L))
   }
 
-  private[graft] def bloomSurvivors(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.GraftSqlShim
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
+  /** Build the corpus Bloom filter over xxhash64(text) and return its
+    * serialized bytes (Spark's `sketch.BloomFilter` wire format — the
+    * same OR-merge treeAggregate the engine's runtime join filters use;
+    * driver memory envelope = the filter itself, ≤ the 100 MB cap). */
+  private[graft] def buildBloom(corpus: DataFrame): Array[Byte] = {
     // expected n from the corpus row count (a parquet-footer-level action);
     // over-estimating only oversizes the filter
     val n = math.max(1L, corpus.count())
@@ -187,11 +188,35 @@ object Dedup {
       .stat.bloomFilter("k", n, bloomBits(n))
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Persist the corpus filter as a sidecar artifact — the PRODUCTION
+    * form: the nightly job refreshes the filter once after ingesting the
+    * day's accepted docs; every subsequent batch probe LOADS it instead
+    * of re-aggregating the corpus (the exact-dedup twin of the persisted
+    * band index [[qDedupIncremental]] probes). Returns the byte size. */
+  private[graft] def writeBloomIndex(corpus: DataFrame, path: String): Long = {
+    val bytes = buildBloom(corpus)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    bytes.length.toLong
+  }
+
+  /** Map-side prefilter from serialized filter bytes: the codegen'd
+    * `BloomFilterMightContain` with the filter as a BINARY literal —
+    * rides the task binary, deserializes once per task, never per row. */
+  private[graft] def bloomSurvivorsBytes(bloom: Array[Byte], batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
     val mightHit = GraftSqlShim.column(BloomFilterMightContain(
-      Literal(bos.toByteArray, BinaryType),
+      Literal(bloom, BinaryType),
       GraftSqlShim.expression(xxhash64(col("text")))))
     batch.filter(mightHit)
   }
+
+  private[graft] def bloomSurvivors(corpus: DataFrame, batch: DataFrame): DataFrame =
+    bloomSurvivorsBytes(buildBloom(corpus), batch)
 
   /** EXT: Bloom-prefilter cross-run EXACT dedup — the other half of the
     * nightly-crawl pattern beside [[qDedupIncremental]]: the band index

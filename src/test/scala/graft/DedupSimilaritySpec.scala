@@ -880,6 +880,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bloom index persists: loaded filter probes identically to the in-memory build, across batches") {
+    val (corpus, batch) = Dedup.bloomSplit(spark, sf)
+    val path = "/tmp/graft_bloom_index.bin"
+    val size = Dedup.writeBloomIndex(corpus, path)
+    // size is the serialized sketch: bits/8 plus a small header
+    val expectBits = Dedup.bloomBits(corpus.count())
+    assert(size >= expectBits / 8 && size <= expectBits / 8 + 64,
+      s"artifact size $size vs expected ~${expectBits / 8} B")
+    val loaded = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // the loaded artifact must reproduce the in-memory build's decisions
+    val fresh = Dedup.bloomSurvivors(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaIndex = Dedup.bloomSurvivorsBytes(loaded, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex === fresh, "persisted filter must probe identically")
+    // a SECOND batch (different slice) probes the same artifact with no
+    // rebuild — the nightly pattern: one refresh, many probes
+    import org.apache.spark.sql.functions._
+    val batch2 = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 1)
+    val hits2 = Dedup.bloomSurvivorsBytes(loaded, batch2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // corpus docs probe the filter built over themselves: all must hit
+    assert(batch2.count() === hits2.size,
+      "corpus members have zero false negatives against their own filter")
+  }
+
   test("leakage-free split: every LSH candidate pair lands in the same split; shares sane") {
     val assign = Dedup.splitAssign(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
