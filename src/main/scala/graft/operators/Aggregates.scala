@@ -650,7 +650,29 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** A-family completion: deterministic per-group MODE — the most
+    * frequent o_orderpriority per o_orderstatus. Native `mode()` (Spark
+    * 3.4+/DuckDB) leaves TIES engine-defined, so the operator is the
+    * window form with the tie pinned by (count DESC, value ASC) — the
+    * q_topk_group discipline applied to a 1-row-per-group argmax. Scale:
+    * one grouped count (map-side combined — the shuffle carries
+    * group × distinct-value rows, not the fact), then a window over that
+    * tiny relation. */
+  def qAggMode(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("o_orderstatus")
+          .orderBy(col("n").desc, col("o_orderpriority"))))
+      .filter(col("rk") === 1)
+      .select("o_orderstatus", "o_orderpriority", "n")
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_mode"         -> (qAggMode _),
     "q_anomaly_mad"      -> (qAnomalyMad _),
     "q_sketch_countmin"  -> (qSketchCountMin _),
     "q_agg_histogram"    -> (qAggHistogram _),
@@ -689,6 +711,13 @@ object Aggregates {
     // discrete quantiles both layers (quantile_disc = stored values, no
     // interpolation); 4.4478 = 3 * 1.4826 pre-multiplied so both engines
     // compare against the identical double literal
+    "q_agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY n DESC, o_orderpriority) AS rk FROM c)
+        |SELECT o_orderstatus, o_orderpriority, n
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
     "q_stream_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
         |           FROM events WHERE event_type = 'click'),

@@ -904,7 +904,35 @@ object TextOps {
       .orderBy("domain")
   }
 
+  /** EXT: n-gram NOVELTY scoring — the corpus-freshness diagnostic for a
+    * rolling crawl: per document, the share of its distinct shingles that
+    * appear for the FIRST time in that document under doc_id (= crawl)
+    * order. A declining novelty curve over ingest order is the standard
+    * signal that a crawl has started re-fetching known content and the
+    * dedup budget should grow (the complement of the dedup family: this
+    * measures how much there is left to dedup). Pure integer arithmetic
+    * on the shared shingle construction: first-occurrence = min(doc_id)
+    * per shingle (one grouped aggregate over (doc, shingle) — the same
+    * shuffle class as the df count every dedup op pays), novelty = a
+    * per-doc rollup with the ppm DIV convention. At 100 TB the shingle
+    * relation is the ~100 B/row signature class — never text. */
+  def qTextNovelty(s: SparkSession, d: String): DataFrame = {
+    val inv = Tables.documents(s, d)
+      .repartition(math.max(32, s.sparkContext.defaultParallelism), col("doc_id"))
+      .select(col("doc_id"), explode(shingles3).as("sh"))
+    val first = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    inv.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_novel"))
+      .withColumn("novel_ppm", expr("n_novel * 1000000 DIV n_sh"))
+      .select("doc_id", "n_sh", "n_novel", "novel_ppm")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_novelty"      -> (qTextNovelty _),
     "q_text_bm25"         -> (qTextBm25 _),
     "q_corpus_shuffle"    -> (qCorpusShuffle _),
     "q_bpe_merges"        -> (qBpeMerges _),
@@ -984,6 +1012,17 @@ object TextOps {
       |""".stripMargin + (1 to 4).map(bpeStepCte).mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_text_novelty" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM inv GROUP BY sh)
+        |SELECT i.doc_id, COUNT(*) AS n_sh,
+        |  CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END) * 1000000
+        |       // COUNT(*) AS BIGINT) AS novel_ppm
+        |FROM inv i JOIN f USING (sh)
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
     "q_bpe_merges" -> (bpeTrainCtes + """
       |SELECT * FROM (
       |  SELECT CAST(1 AS BIGINT) AS step, l AS "left", r AS "right", CAST(n AS BIGINT) AS pair_count FROM b1
