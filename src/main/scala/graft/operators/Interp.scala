@@ -370,14 +370,116 @@ object Interp {
     joinSeriesGated(cells, sv, small, hintBroadcast = false)
   }
 
+  /** EXT: inverse-distance-weighted regridding over a radius-bounded
+    * spatial kNN join — the OTHER classic regridding kernel beside
+    * barycentric containment (the GIS fallback wherever a point falls
+    * outside the mesh hull or the mesh is a scattered point cloud, not a
+    * triangulation). The kNN join is the new plan class here: nodes
+    * explode to their bucket plus its 8 neighbors (radius-bounded — a
+    * cell's candidates are exactly the nodes within one bucket width, the
+    * production contract: beyond the radius a cell is unmapped, ADCIRC's
+    * dry-cell semantics), cells equi-join their single bucket, and a
+    * per-cell window keeps the 4 nearest by (squared distance, node_id) —
+    * ties pinned, distances as IEEE +/× of identically-constructed
+    * doubles, so ranks agree bit-for-bit across engines. The 4 neighbors
+    * then PIVOT to one row and the IDW ratio
+    * (Σ vᵢ/d²ᵢ)/(Σ 1/d²ᵢ) evaluates as a SINGLE fixed-order expression —
+    * no aggregation-order FP (the corner-pivot discipline of
+    * [[joinSeriesGated]]), rounded via the integer floor(x·10⁴+0.5)
+    * convention. Scale shape: the node fan-out is a constant 9×; the
+    * kNN window shuffles (cell, candidate) pairs once on the cell key —
+    * the GroupTopK custom plan is the drop-in if the candidate fan-out
+    * ever grows. */
+  def qInterpIdw(s: SparkSession, d: String): DataFrame = {
+    val vals = series(s, K, 1).filter(col("ts") === 0).drop("ts")
+    val nd = nodes(s, K).join(vals, "node_id")
+    val ndx = nd
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("node_id"), col("lon"), col("lat"), col("value"),
+              (floor(col("lon")).cast("long") + col("dx")).as("bx"),
+              (floor(col("lat")).cast("long") + col("dy")).as("by"))
+    val cand = grid(s, G).join(ndx, Seq("bx", "by"))
+      .withColumn("d2", (col("lon") - col("xm")) * (col("lon") - col("xm")) +
+                        (col("lat") - col("ym")) * (col("lat") - col("ym")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("gcol", "grow").orderBy(col("d2"), col("node_id"))))
+      .filter(col("rk") <= 4)
+    def pick(i: Int, c: String) = max(when(col("rk") === i, col(c)))
+    cand.groupBy("gcol", "grow")
+      .agg(pick(1, "value").as("v1"), pick(1, "d2").as("e1"),
+           pick(2, "value").as("v2"), pick(2, "d2").as("e2"),
+           pick(3, "value").as("v3"), pick(3, "d2").as("e3"),
+           pick(4, "value").as("v4"), pick(4, "d2").as("e4"))
+      .select(col("gcol"), col("grow"),
+        // exact hit (d² = 0 — a centroid ON a node): IDW's limit is the
+        // node value itself; CaseWhen evaluates lazily, so the division
+        // never runs for those rows (ANSI-safe in both engines)
+        when(col("e1") === 0.0, floor(col("v1") * 10000.0 + 0.5))
+          .otherwise(
+            floor((col("v1") / col("e1") + col("v2") / col("e2") +
+                   col("v3") / col("e3") + col("v4") / col("e4")) /
+                  (lit(1.0) / col("e1") + lit(1.0) / col("e2") +
+                   lit(1.0) / col("e3") + lit(1.0) / col("e4")) * 10000.0 + 0.5))
+          .cast("long").as("idw4"))
+      .orderBy("grow", "gcol")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interp_barycentric" -> (qInterpBarycentric _),
+    "q_interp_idw"         -> (qInterpIdw _),
   )
 
   /** The same construction in ANSI SQL — every arithmetic step casts to
     * DOUBLE before FP math so DuckDB's DECIMAL literal inference can't
     * diverge from Spark's double literals. */
   val oracle: Map[String, String] = Map(
+    // identical generated relations; the IDW ratio is the same fixed-order
+    // single expression, so every double is bit-identical across engines
+    "q_interp_idw" -> s"""
+      |WITH nodes AS (
+      |  SELECT i AS node_id, CAST(i % $K AS DOUBLE) AS lon, CAST(i // $K AS DOUBLE) AS lat
+      |  FROM range(0, ${K * K}) t(i)),
+      |vals AS (
+      |  SELECT i AS node_id,
+      |    round(sin(CAST(i AS DOUBLE) * CAST(0.7 AS DOUBLE)
+      |            + CAST(0 AS DOUBLE) * CAST(1.3 AS DOUBLE)) * CAST(10.0 AS DOUBLE), 4) AS value
+      |  FROM range(0, ${K * K}) t(i)),
+      |grid AS (
+      |  SELECT CAST(i % $G AS INT) AS gcol, CAST(i // $G AS INT) AS grow,
+      |    CAST(0.3 AS DOUBLE) + CAST(i % $G AS DOUBLE) * CAST(0.38 AS DOUBLE) AS xm,
+      |    CAST(0.3 AS DOUBLE) + CAST(i // $G AS DOUBLE) * CAST(0.38 AS DOUBLE) AS ym
+      |  FROM range(0, ${G * G}) t(i)),
+      |gridb AS (SELECT *, CAST(floor(xm) AS BIGINT) AS bx, CAST(floor(ym) AS BIGINT) AS by FROM grid),
+      |ndx AS (
+      |  SELECT n.node_id, n.lon, n.lat, v.value,
+      |         CAST(floor(n.lon) AS BIGINT) + dx AS bx,
+      |         CAST(floor(n.lat) AS BIGINT) + dy AS by
+      |  FROM nodes n JOIN vals v USING (node_id)
+      |  CROSS JOIN (VALUES (-1), (0), (1)) ox(dx)
+      |  CROSS JOIN (VALUES (-1), (0), (1)) oy(dy)),
+      |cand AS (
+      |  SELECT g.gcol, g.grow, x.value,
+      |    (x.lon - g.xm) * (x.lon - g.xm) + (x.lat - g.ym) * (x.lat - g.ym) AS d2,
+      |    ROW_NUMBER() OVER (PARTITION BY g.gcol, g.grow
+      |      ORDER BY (x.lon - g.xm) * (x.lon - g.xm) + (x.lat - g.ym) * (x.lat - g.ym),
+      |               x.node_id) AS rk
+      |  FROM gridb g JOIN ndx x ON g.bx = x.bx AND g.by = x.by),
+      |piv AS (
+      |  SELECT gcol, grow,
+      |    MAX(CASE WHEN rk = 1 THEN value END) AS v1, MAX(CASE WHEN rk = 1 THEN d2 END) AS e1,
+      |    MAX(CASE WHEN rk = 2 THEN value END) AS v2, MAX(CASE WHEN rk = 2 THEN d2 END) AS e2,
+      |    MAX(CASE WHEN rk = 3 THEN value END) AS v3, MAX(CASE WHEN rk = 3 THEN d2 END) AS e3,
+      |    MAX(CASE WHEN rk = 4 THEN value END) AS v4, MAX(CASE WHEN rk = 4 THEN d2 END) AS e4
+      |  FROM cand WHERE rk <= 4 GROUP BY gcol, grow)
+      |SELECT gcol, grow,
+      |  CAST(CASE WHEN e1 = 0
+      |    THEN floor(v1 * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |    ELSE floor((v1 / e1 + v2 / e2 + v3 / e3 + v4 / e4)
+      |       / (CAST(1.0 AS DOUBLE) / e1 + CAST(1.0 AS DOUBLE) / e2
+      |        + CAST(1.0 AS DOUBLE) / e3 + CAST(1.0 AS DOUBLE) / e4)
+      |       * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) END AS BIGINT) AS idw4
+      |FROM piv ORDER BY grow, gcol""".stripMargin,
     "q_interp_barycentric" -> s"""
       |WITH nodes AS (
       |  SELECT i AS node_id, CAST(i % $K AS DOUBLE) AS lon, CAST(i // $K AS DOUBLE) AS lat

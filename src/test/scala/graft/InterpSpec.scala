@@ -78,6 +78,32 @@ class InterpSpec extends SparkSpec {
     }
   }
 
+  test("IDW kNN regridding: convex bounds, exact-hit limit, full coverage") {
+    val out = Interp.qInterpIdw(spark, sf).collect()
+    assert(out.length === Interp.G * Interp.G, "every cell regrids (radius covers the grid)")
+    // IDW is a convex combination of its k neighbor values: every output
+    // must sit inside the global field envelope (|value| <= 10 rounded)
+    out.foreach { r =>
+      val v = r.getLong(2)
+      assert(v >= -100001 && v <= 100001, s"cell (${r.getInt(0)},${r.getInt(1)}): idw4 $v outside envelope")
+    }
+    // exact-hit limit: rebuild candidate ranks and check any d2=0 cell
+    // reports exactly its node's value (the CASE branch, not the ratio)
+    val vals = Interp.series(spark, Interp.K, 1).filter(col("ts") === 0).drop("ts")
+    val nd = Interp.nodes(spark, Interp.K).join(vals, "node_id")
+    val hits = Interp.grid(spark, Interp.G)
+      .join(nd, col("lon") === col("xm") && col("lat") === col("ym"))
+      .select(col("gcol"), col("grow"),
+              floor(col("value") * 10000.0 + 0.5).cast("long").as("want"))
+      .collect()
+    assert(hits.nonEmpty, "the lattice plants at least one exact centroid-on-node hit")
+    val byCell = out.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    hits.foreach { h =>
+      assert(byCell((h.getInt(0), h.getInt(1))) === h.getLong(2),
+        s"exact hit at (${h.getInt(0)},${h.getInt(1)}) must return the node value")
+    }
+  }
+
   test("series-join paths are bit-identical: broadcast (toy) vs corner-explode shuffle (scale)") {
     // both compute ((w1·v1 + w2·v2) + w3·v3) in fixed order, so the zi4
     // integers must agree EXACTLY — the property that lets the size gate
