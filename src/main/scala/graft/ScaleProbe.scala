@@ -24,6 +24,15 @@ object ScaleProbe {
     else if (args(0) == "pipeline") pipelineProbe(spark, args(1))
     else if (args(0) == "incdedup") incdedupProbe(spark, args(1).toInt)
     else if (args(0) == "bloom") bloomProbe(spark, args(1).toInt)
+    else if (args(0) == "idw") {
+      // IDW kNN regridding at production raster magnitude:
+      //   tools/run_verify.sh idw <k>,<g> graft.ScaleProbe   (e.g. 600,1500)
+      val Array(k, g) = args(1).split(",").map(_.toInt)
+      val t0 = System.nanoTime()
+      val n = operators.Interp.idw(spark, k, g).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"idw k=$k g=$g: ${k.toLong * k}%,d nodes x ${g.toLong * g}%,d cells -> $n%,d regridded in $secs%.1f s (${n / secs}%,.0f cells/s)")
+    }
     else if (args(0) == "ppjoin") ppjoinProbe(spark, args(1))
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
     else {

@@ -135,6 +135,12 @@ class AdaptivePlanGuardSpec extends SparkSpec {
     assert(s.nlj === 0 && s.cartesian === 0, s"confirm join must stay equi: $s")
   }
 
+  test("q_interp_idw final adaptive plan: kNN candidates stay bucket-equi-joined") {
+    val s = run("q_interp_idw")
+    assert(s.nlj === 0 && s.cartesian === 0,
+      s"the radius-bounded kNN must never degrade to a distance cross join: $s")
+  }
+
   test("q_curate_dsir final adaptive plan: 256-row LLR model stays broadcast, no product") {
     val s = run("q_curate_dsir")
     // the model join-back must survive as a broadcast hash join (the
