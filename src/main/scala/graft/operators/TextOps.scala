@@ -917,9 +917,13 @@ object TextOps {
     * per-doc rollup with the ppm DIV convention. At 100 TB the shingle
     * relation is the ~100 B/row signature class — never text. */
   def qTextNovelty(s: SparkSession, d: String): DataFrame = {
+    // fenced: first-occurrence agg + the join-back both consume the
+    // shingle relation — one corpus scan, one shingle pass (the
+    // DSIR/ppjoin fence discipline)
     val inv = Tables.documents(s, d)
       .repartition(math.max(32, s.sparkContext.defaultParallelism), col("doc_id"))
       .select(col("doc_id"), explode(shingles3).as("sh"))
+      .localCheckpoint()
     val first = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
     inv.join(first, "sh")
       .groupBy("doc_id")
