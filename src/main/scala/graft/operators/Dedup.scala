@@ -324,30 +324,37 @@ object Dedup {
       .select(col("doc_id"), explode(shingles3).as("sh"))
       .localCheckpoint()
     val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ordered = inv.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
-    val sizes = ordered.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pref = ordered.join(sizes, "doc_id")
-      .filter(col("rk") <= col("n") - expr(s"($tau10 * n + 9) DIV 10") + 1)
-      .select("doc_id", "sh", "n")
+    // rarity-sorted shingle array per doc, prefix by SLICE — one hash
+    // aggregation replaces the doc-partitioned window AND the separate
+    // sizes aggregate (the IDW top-k lesson: sorting a ≤n_doc-element
+    // array inside a map-side-combining agg beats a global sort by
+    // (doc, df, sh)). Struct order (df, sh) IS the rarity sort key.
+    val pref = inv.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("a"))
+      .withColumn("ni", size(col("a")))
+      .select(col("doc_id"), col("ni").cast("long").as("n"),
+              explode(expr(s"slice(a, 1, CAST(ni - ($tau10 * ni + 9) DIV 10 + 1 AS INT))"))
+                .as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"), col("n"))
     // LENGTH filter inside the candidate join (the PPJoin size condition):
     // J >= τ forces τ·max(n1,n2) <= min(n1,n2), so size-incompatible pairs
     // are pruned BEFORE the distinct — exact (a necessary condition), in
-    // the same integer arithmetic as the final test
+    // the same integer arithmetic as the final test. Set sizes ride the
+    // candidate rows (functionally dependent on the doc ids), so the
+    // final τ test needs NO join back.
     val cand = pref.as("a")
       .join(pref.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
               col("a.n") * 10 >= col("b.n") * tau10 &&
               col("b.n") * 10 >= col("a.n") * tau10)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
     val t1 = inv.select(col("doc_id").as("d1"), col("sh"))
     val t2 = inv.select(col("doc_id").as("d2"), col("sh"))
     cand.join(t1, "d1").join(t2, Seq("d2", "sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
       .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * tau10)
       .withColumn("j4", expr("inter * 10000 DIV (n1 + n2 - inter)"))
       .select("d1", "d2", "n1", "n2", "inter", "j4")
