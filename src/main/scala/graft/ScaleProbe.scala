@@ -34,6 +34,7 @@ object ScaleProbe {
       println(f"idw k=$k g=$g: ${k.toLong * k}%,d nodes x ${g.toLong * g}%,d cells -> $n%,d regridded in $secs%.1f s (${n / secs}%,.0f cells/s)")
     }
     else if (args(0) == "ppjoin") ppjoinProbe(spark, args(1))
+    else if (args(0) == "ppjoinx") ppjoinGrowthProbe(spark, args(1).toInt)
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
@@ -297,6 +298,27 @@ object ScaleProbe {
     println(f"bloom mult=$mult: corpus $nCorpus%,d docs; batch $nBatch%,d -> $nSurvive%,d survivors " +
       f"($nDups%,d true dups, fp=${(nSurvive - nDups).toDouble / math.max(1, nBatch - nDups)}%.4f) " +
       f"in $secs%.1f s build+probe")
+  }
+
+  /** PPJoin growth probe: replicate the sf0.1 corpus `mult`× (replica
+    * texts append one token, so every replica family is a TRUE J ≥ 0.8
+    * clique — output grows with the planted duplicate mass, which is the
+    * point: the join's cost is candidate/output-bound, not corpus²).
+    * Usage: tools/run_verify.sh ppjoinx <mult> graft.ScaleProbe */
+  private def ppjoinGrowthProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+    val big = (0 to mult).map { r =>
+      if (r == 0) base
+      else base.select((col("doc_id") + lit(r.toLong * 1000000)).as("doc_id"),
+                       concat(col("text"), lit(s" rep$r")).as("text"))
+    }.reduce(_ union _)
+    big.write.mode("overwrite").parquet("/tmp/graft_ppjoin_probe/documents.parquet")
+    val nDocs = spark.read.parquet("/tmp/graft_ppjoin_probe/documents.parquet").count()
+    val t0 = System.nanoTime()
+    val nOut = operators.Dedup.qDedupPpjoin(spark, "/tmp/graft_ppjoin_probe").count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"ppjoinx mult=$mult: $nDocs%,d docs -> $nOut%,d J>=0.8 pairs in $secs%.1f s")
   }
 
   /** PPJoin probe: candidate pairs with the rarest-first prefix filter vs
