@@ -189,6 +189,33 @@ object Streams {
       .start()
   }
 
+  /** [[interpStream]] emitting the reference's ACTUAL operational
+    * artifact per forecast cycle: one tiled/overview COG per timestep
+    * (run/adcircTime2cogs.py's write_cog contract) instead of a parquet
+    * delta — each micro-batch interpolates its own cycle against the
+    * once-pinned cell map and streams the grids straight into
+    * [[graft.plans.RasterSink.writeCogs]] (one grid per task, pixel data
+    * never on the driver), under an exactly-once batchId subdir. This
+    * closes the streaming loop end-to-end: landing series files in, the
+    * reference's cloud-ordered GeoTIFFs out, per cycle. */
+  def interpStreamCogs(seriesDir: String, cells: DataFrame,
+                       spec: graft.operators.Interp.GridSpec, outDir: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = cells.sparkSession
+    val cellsPinned = cells.localCheckpoint()
+    s.readStream.schema(seriesLandingSchema).parquet(seriesDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.plans.RasterSink.writeCogs(
+          graft.operators.Interp.joinSeriesGated(cellsPinned, batch, small = false),
+          spec, s"$outDir/batch_$batchId", "fort_63_zeta")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** documents landing schema for [[dedupStream]]: one parquet file per
     * crawl, (doc_id, text). */
   val docsLandingSchema: StructType = StructType(Seq(

@@ -239,6 +239,43 @@ class StreamingSpec extends SparkSpec {
     assert(idxDocs === docs.count(), "index must accumulate all crawled docs' bands")
   }
 
+  test("streaming interpolation emits per-cycle COGs that decode back value-exact") {
+    import graft.operators.Interp
+    import graft.plans.RasterSink
+    val landing = Files.createTempDirectory("graft_cogstream_landing").toString
+    val out = Files.createTempDirectory("graft_cogstream_out").toString
+    val ckpt = Files.createTempDirectory("graft_cogstream_ckpt").toString
+    val cells = Interp.cellMap(spark, Interp.K, Interp.G)
+    val series = Interp.series(spark, Interp.K, Interp.T)
+    val spec = Interp.gridSpec(Interp.nodes(spark, Interp.K), Interp.G)
+
+    series.coalesce(1).write.mode("append").parquet(landing)
+    Streams.interpStreamCogs(landing, cells, spec, out, ckpt).awaitTermination(120000)
+
+    val files = new java.io.File(s"$out/batch_0").listFiles()
+      .filter(_.getName.endsWith(".tiff"))
+    assert(files.length === Interp.T, s"one COG per timestep: ${files.length}")
+
+    // decode the stream's artifacts and compare to the batch raster,
+    // Float32-rounded (the COG's sample format)
+    val expected = Interp.joinSeriesGated(cells, series, small = false)
+      .collect()
+      .map(r => ((r.getAs[Long]("ts"), r.getAs[Int]("grow"), r.getAs[Int]("gcol")),
+                 r.getAs[Double]("value").toFloat.toDouble)).toMap
+    val back = RasterSink.readGeoTiffs(spark, s"$out/batch_0").collect()
+    assert(back.length === Interp.T * Interp.G * Interp.G, "full grids decoded")
+    var finite = 0
+    back.foreach { r =>
+      val key = (r.getAs[Long]("ts"), r.getAs[Int]("grow"), r.getAs[Int]("gcol"))
+      val v = r.getAs[Double]("value")
+      expected.get(key) match {
+        case Some(e) => assert(v === e, s"cell $key"); finite += 1
+        case None => assert(v.isNaN, s"unmapped cell $key must be NODATA")
+      }
+    }
+    assert(finite === expected.size, "every interpolated cell reached a COG")
+  }
+
   test("streaming interpolation: per-cycle micro-batches union to the batch raster, incrementally") {
     import graft.operators.Interp
     val landing = Files.createTempDirectory("graft_interp_landing").toString
