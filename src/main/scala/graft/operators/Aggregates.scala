@@ -631,14 +631,8 @@ object Aggregates {
     * folded into the final count aggregate. The fact shuffles on
     * event_type once per quantile layer; nothing else moves. */
   def qAnomalyMad(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select("event_type", "value")
-    val med = ev.groupBy("event_type")
-      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
-    val dev = ev.join(broadcast(med), "event_type")
-      .withColumn("dev", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type")
-      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
-    dev.join(broadcast(mad), "event_type")
+    val (dev, model) = madModel(s, d)
+    dev.join(broadcast(model.select("event_type", "mad")), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
            min(col("med")).as("med"),
@@ -669,6 +663,22 @@ object Aggregates {
       .filter(col("rk") === 1)
       .select("o_orderstatus", "o_orderpriority", "n")
       .orderBy("o_orderstatus")
+  }
+
+  /** The trained half of the anomaly screen, shared with the STREAMING
+    * scorer ([[graft.streaming.Streams.anomalyStream]] — train offline,
+    * score online): returns the deviation frame and the per-type
+    * (med, mad) model relation (bounded by event-type cardinality —
+    * KB-sized, the broadcast side everywhere it is consumed). */
+  private[graft] def madModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    (dev, mad.join(broadcast(med), "event_type"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

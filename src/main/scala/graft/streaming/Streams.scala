@@ -129,6 +129,20 @@ object Streams {
         col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Train offline, score ONLINE — the third state-sharing pattern beside
+    * the storage-resident band index ([[dedupStream]]) and the pinned
+    * cell map ([[interpStream]]): the KB-sized per-type (med, mad) MODEL
+    * relation trained by the batch engine
+    * ([[graft.operators.Aggregates]]'s robust anomaly screen) broadcasts
+    * into a stateless stream-static join, flagging each arriving event
+    * MAP-SIDE with the same pre-multiplied cutoff the batch screen uses —
+    * no state store, no watermark, no shuffle of the stream. */
+  def anomalyStream(events: DataFrame, model: DataFrame): DataFrame =
+    events.join(broadcast(model), "event_type")
+      .withColumn("is_outlier",
+        abs(col("value") - col("med")) > col("mad") * lit(4.4478))
+      .select("event_id", "event_type", "value", "is_outlier")
+
   /** foreachBatch sink: the escape hatch for sinks Structured Streaming
     * has no native writer for (upserts, JDBC, multi-sink fan-out, or the
     * GeoTIFF writer). Each micro-batch arrives as a plain DataFrame with

@@ -239,6 +239,32 @@ class StreamingSpec extends SparkSpec {
     assert(idxDocs === docs.count(), "index must accumulate all crawled docs' bands")
   }
 
+  test("streaming anomaly scoring: broadcast batch model flags the stream identically to the batch screen") {
+    val src = stageEventsDir()
+    val model = graft.operators.Aggregates.madModel(spark, sf)._2
+    val q = Streams.anomalyStream(Streams.readEvents(spark, src), model)
+      .writeStream.format("memory").queryName("anom_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("anom_test").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_outlier")).toMap
+
+    // batch truth: flag every raw event against the same collected model
+    val m = model.collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    val expected = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map { r =>
+        val (med, mad) = m(r.getAs[String]("event_type"))
+        r.getAs[Long]("event_id") -> (math.abs(r.getAs[Double]("value") - med) > mad * 4.4478)
+      }.toMap
+    assert(streamed.size === expected.size, "every event scored exactly once")
+    assert(streamed === expected, "stream flags must equal the batch screen's")
+    assert(streamed.valuesIterator.contains(true), "the corpus contains outliers")
+    assert(streamed.valuesIterator.contains(false), "and inliers")
+  }
+
   test("streaming interpolation emits per-cycle COGs that decode back value-exact") {
     import graft.operators.Interp
     import graft.plans.RasterSink
