@@ -644,6 +644,20 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** EXT: the ROW-LEVEL half of the anomaly screen — the actual
+    * drop-list a pipeline consumes (which events violate the robust
+    * cutoff), putting the per-row semantics under the hash gate next to
+    * [[qAnomalyMad]]'s grouped counts. Every output column is a copy of
+    * a corpus double or the model's discrete quantiles — zero derived
+    * FP in the result. */
+  def qAnomalyFlags(s: SparkSession, d: String): DataFrame = {
+    val (dev, model) = madModel(s, d)
+    dev.join(broadcast(model.select("event_type", "mad")), "event_type")
+      .filter(col("dev") > col("mad") * lit(4.4478))
+      .select("event_id", "event_type", "value", "med", "mad")
+      .orderBy("event_id")
+  }
+
   /** A-family completion: deterministic per-group MODE — the most
     * frequent o_orderpriority per o_orderstatus. Native `mode()` (Spark
     * 3.4+/DuckDB) leaves TIES engine-defined, so the operator is the
@@ -671,7 +685,7 @@ object Aggregates {
     * (med, mad) model relation (bounded by event-type cardinality —
     * KB-sized, the broadcast side everywhere it is consumed). */
   private[graft] def madModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val ev = Tables.events(s, d).select("event_type", "value")
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
     val med = ev.groupBy("event_type")
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
     val dev = ev.join(broadcast(med), "event_type")
@@ -684,6 +698,7 @@ object Aggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_mode"         -> (qAggMode _),
     "q_anomaly_mad"      -> (qAnomalyMad _),
+    "q_anomaly_flags"    -> (qAnomalyFlags _),
     "q_sketch_countmin"  -> (qSketchCountMin _),
     "q_agg_histogram"    -> (qAggHistogram _),
     "q_ts_gapfill"       -> (qTsGapfill _),
@@ -721,6 +736,18 @@ object Aggregates {
     // discrete quantiles both layers (quantile_disc = stored values, no
     // interpolation); 4.4478 = 3 * 1.4826 pre-multiplied so both engines
     // compare against the identical double literal
+    "q_anomaly_flags" ->
+      """WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |               ABS(e.value - m.med) AS dev
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value, d.med, a.mad
+        |FROM dev d JOIN mad a USING (event_type)
+        |WHERE d.dev > a.mad * 4.4478
+        |ORDER BY d.event_id""".stripMargin,
     "q_agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |           FROM orders GROUP BY 1, 2),
