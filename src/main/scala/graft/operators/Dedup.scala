@@ -257,12 +257,13 @@ object Dedup {
     * key = xxhash64 of the two row mins (one long, not a 16-char concat),
     * so the band shuffle carries ~20 bytes/doc.
     *
-    * Oracle-portability blocker (documented per round-1 review): DuckDB
-    * has no xxhash64-compatible function, so this variant is gated by
-    * Scala tests instead of the DuckDB hash compare — identical docs must
-    * always collide, and candidates must substantially agree with the
-    * md5 variant (same banding math, independent hash family). The md5
-    * variant stays as the oracle-checked correctness anchor. */
+    * Oracle (r10 — the former rows-only asterisk, retired): DuckDB has
+    * no xxHash64 builtin, so the oracle REIMPLEMENTS the full XXH64
+    * algorithm in HUGEINT modular arithmetic ([[Xxh64DuckSql]] — stripe
+    * fold, tail words, avalanche, and Spark's exact INT-literal/LONG
+    * type dispatch), making this query hash-gated like every other. The
+    * spec gates (identical docs collide; substantial agreement with the
+    * independent md5 family) remain as well. */
   def qDedupMinhashXx(s: SparkSession, d: String): DataFrame = {
     val sig = fanout(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(shingles3).as("sh1"))
@@ -707,6 +708,9 @@ object Dedup {
       |  for i in generate_series(1, len(t) - 2)])""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // full xxHash64 reimplementation in DuckDB HUGEINT arithmetic — see
+    // Xxh64DuckSql for the derivation and its validation ledger
+    "q_dedup_minhash_xx" -> Xxh64DuckSql.minhashXxOracle(duckShingles),
     // The bloom prefilter is invisible to the oracle: zero false negatives
     // by construction, false positives removed by the confirm join — so the
     // reference semantics ARE the plain hash join.
@@ -720,27 +724,20 @@ object Dedup {
         |SELECT b.doc_id, ca.dup_of, ca.n_copies
         |FROM batch b JOIN ca ON md5(b.text) = ca.h
         |ORDER BY b.doc_id""".stripMargin,
-    // mirrors the engine's prefix-filter algorithm (same global (df, sh)
-    // order, same ⌈0.8n⌉ prefix, same integer τ test) — prefix filtering
-    // is exact, so this IS the full Jaccard ≥ 0.8 join
+    // deliberately NOT the engine's algorithm (r9 advice): the oracle is
+    // the PLAIN unfiltered inverted-index Jaccard >= 0.8 join — no df
+    // ordering, no prefix, no length condition — so a shared
+    // prefix-lemma bug on the engine side CANNOT cancel out in the
+    // compare. Every pair of docs sharing any shingle is scored; the
+    // engine's prefix-filtered plan must reproduce this exactly.
     "q_dedup_ppjoin" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
         |inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-        |dfq AS (SELECT sh, COUNT(*) AS df FROM inv GROUP BY sh),
-        |ord AS (SELECT i.doc_id, i.sh,
-        |          ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.sh) AS rk
-        |        FROM inv i JOIN dfq d USING (sh)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
-        |pref AS (SELECT o.doc_id, o.sh FROM ord o JOIN sizes z USING (doc_id)
-        |         WHERE o.rk <= z.n - ((8 * z.n + 9) // 10) + 1),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-        |ints AS (SELECT c.d1, c.d2, COUNT(*) AS inter
-        |         FROM cand c
-        |         JOIN inv t1 ON t1.doc_id = c.d1
-        |         JOIN inv t2 ON t2.doc_id = c.d2 AND t2.sh = t1.sh
-        |         GROUP BY c.d1, c.d2)
+        |ints AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
         |SELECT i.d1, i.d2, s1.n AS n1, s2.n AS n2, i.inter,
         |       i.inter * 10000 // (s1.n + s2.n - i.inter) AS j4
         |FROM ints i JOIN sizes s1 ON i.d1 = s1.doc_id

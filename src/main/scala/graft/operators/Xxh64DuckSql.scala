@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** xxHash64 re-expressed as DuckDB SQL — the oracle arithmetic that closes
+  * the engine's last rows-only gap (r9 verdict #2): `q_dedup_minhash_xx`
+  * hashes with Spark's `xxhash64`, and DuckDB has no xxHash64 builtin, so
+  * the oracle REIMPLEMENTS it in pure HUGEINT modular arithmetic (the same
+  * bounded-kernel-unrolling precedent as the BPE recursive-CTE oracle,
+  * TextOps.scala).
+  *
+  * Source algorithm: XXH64 (xxHash, Yann Collet — public spec; Spark's
+  * implementation is catalyst's XXH64.java). Every mod-2⁶⁴ operation maps
+  * to HUGEINT (signed 128-bit) arithmetic that can never overflow:
+  *  - mul64(a,b): 64×64→64 split as a = a1·2³² + a0; a·b mod 2⁶⁴ =
+  *    (a0·b0 + 2³²·((a1·b0 + a0·b1) mod 2³²)) mod 2⁶⁴ — every term < 2⁶⁵.
+  *  - rotl64(x,r): ((x mod 2⁶⁴⁻ʳ)·2ʳ + x div 2⁶⁴⁻ʳ) — pure arithmetic.
+  *  - xor: DuckDB's xor() accepts HUGEINT; operands stay in [0, 2⁶⁴).
+  *  - bytes: hex(encode(s)) (UTF-8 → uppercase hex), parsed pair-wise via
+  *    strpos — byte-exact for any input, not just ASCII.
+  *
+  * Loop structure maps to list_reduce with a PREPENDED initial accumulator
+  * (list_reduce has no init parameter; prepending makes an empty tail a
+  * no-op, so zero-word/zero-byte tails need no special case):
+  *  - ≥32-byte stripes: state = [v1,v2,v3,v4] (LIST of HUGEINT), one
+  *    reduce step per 32-byte stripe, then the merge fold over the same
+  *    four accumulators;
+  *  - 8-byte tail words, then the optional 4-byte lane, then single bytes.
+  * Sequential dependences that would blow up as one nested expression
+  * (each mix step references its operand 3-6×, so naive nesting grows
+  * ~100× per avalanche) are instead staged through chained CTE columns —
+  * constant depth, linear text size.
+  *
+  * Type-dispatch fidelity: Spark's xxhash64(lit(k), col) hashes the INT
+  * literal through XXH64.hashInt (4-byte path) and chains the result as
+  * the seed of the string hash; the per-k seeds here are computed BY
+  * catalyst's own XXH64.hashInt at oracle-construction time, so the SQL
+  * cannot drift from the engine's dispatch. Band hashes over two LONG
+  * columns chain two hashLong evaluations the same way.
+  *
+  * Validated (r10): stepwise against catalyst XXH64 (hashInt/hashLong/
+  * hashUnsafeBytes over 2,456 cases incl. empty, 31/32/33/71-byte and
+  * multi-byte-UTF-8 inputs — 0 mismatches), then end-to-end: the full
+  * generated oracle hash-matches the engine's q_dedup_minhash_xx output.
+  */
+private[operators] object Xxh64DuckSql {
+  private val M  = BigInt("18446744073709551616") // 2^64
+  private val P1 = BigInt("11400714785074694791")
+  private val P2 = BigInt("14029467366897019727")
+  private val P3 = BigInt("1609587929392839161")
+  private val P4 = BigInt("9650029242287828579")
+  private val P5 = BigInt("2870177450012600261")
+
+  private def mul64(a: String, b: String): String =
+    s"((($a)%4294967296)*(($b)%4294967296)" +
+      s" + (((($a)//4294967296)*(($b)%4294967296)" +
+      s" + (($a)%4294967296)*(($b)//4294967296)) % 4294967296)" +
+      s" * 4294967296) % $M"
+
+  private def add64(a: String, b: String): String = s"((($a) + ($b)) % $M)"
+
+  private def rotl(x: String, r: Int): String = {
+    val lo = BigInt(1) << (64 - r); val hi = BigInt(1) << r
+    s"(((($x) % $lo) * $hi) + (($x) // $lo))"
+  }
+
+  private def xor64(a: String, b: String): String =
+    s"xor(($a)::HUGEINT, ($b)::HUGEINT)"
+
+  private def shr(x: String, n: Int): String = s"(($x) // ${BigInt(1) << n})"
+
+  /** 8-byte tail-word mix: acc ^= rotl31(lane·P2)·P1; rotl(acc,27)·P1+P4. */
+  private def round64(acc: String, lane: String): String = {
+    val k = mul64(rotl(mul64(lane, P2.toString), 31), P1.toString)
+    add64(mul64(rotl(xor64(acc, k), 27), P1.toString), P4.toString)
+  }
+
+  /** stripe accumulator mix: v = rotl(v + lane·P2, 31)·P1. */
+  private def stripeRound(v: String, lane: String): String =
+    mul64(rotl(add64(v, mul64(lane, P2.toString)), 31), P1.toString)
+
+  /** post-stripe merge fold: acc = (acc ^ rotl31(v·P2)·P1)·P1 + P4. */
+  private def mergeRound(acc: String, v: String): String = {
+    val k = mul64(rotl(mul64(v, P2.toString), 31), P1.toString)
+    add64(mul64(xor64(acc, k), P1.toString), P4.toString)
+  }
+
+  /** little-endian 8-byte lane of 1-based byte list `bs` at 0-based `off`. */
+  private def lane8(bs: String, off: String): String =
+    (0 until 8).map(j => s"($bs[$off+${j + 1}]*${BigInt(1) << (8 * j)})")
+      .mkString("(", " + ", s") % $M")
+
+  private def lane4(bs: String, off: String): String =
+    (0 until 4).map(j => s"($bs[$off+${j + 1}]*${BigInt(1) << (8 * j)})")
+      .mkString("(", " + ", ")")
+
+  /** The final avalanche, staged as three chained column expressions
+    * (src_f1, src_f2, then the final unsigned value). */
+  private def fmixStages(src: String, pre: String): Seq[(String, String)] = Seq(
+    s"${src}_f1" -> mul64(xor64(pre, shr(pre, 33)), P2.toString),
+    s"${src}_f2" -> mul64(xor64(s"${src}_f1", shr(s"${src}_f1", 29)), P3.toString),
+    src -> xor64(s"${src}_f2", shr(s"${src}_f2", 32)))
+
+  private def signedOf(u: String): String =
+    s"(CASE WHEN $u >= 9223372036854775808 THEN $u - $M ELSE $u END)::BIGINT"
+
+  /** CTE chain hashing every distinct string of `tbl.shcol` under each
+    * seed: emits relations xb..xh; final xh(sh, k, x) with x = SIGNED
+    * xxh64(utf8_bytes(sh), seed_k). */
+  private def bytesHashCtes(tbl: String, shcol: String, seeds: Seq[BigInt]): String = {
+    val seedRows = seeds.zipWithIndex
+      .map { case (s, k) => s"($k, $s::HUGEINT)" }.mkString(", ")
+    val stripeLam = "(a, x) -> [" + (0 until 4).map(j =>
+      stripeRound(s"a[${j + 1}]", lane8("bs", s"(32*(x[1]::BIGINT-1)+${8 * j})")))
+      .mkString(", ") + "]"
+    val wordLam = s"(a, x) -> ${round64("a", "x")}"
+    val byteLam = s"(a, x) -> ${mul64(rotl(xor64("a", s"((x*$P5) % $M)"), 11), P1.toString)}"
+    val mergeLam = s"(a, x) -> ${mergeRound("a", "x")}"
+    val fm = fmixStages("hsh", "acc3")
+    val hexd = "0123456789ABCDEF"
+    s"""xb AS (SELECT $shcol AS sh, octet_length(encode($shcol)) AS n, hex(encode($shcol)) AS hx
+       |       FROM $tbl),
+       |xc AS (SELECT sh, n,
+       |         [((strpos('$hexd', substr(hx, 2*i-1, 1))-1)*16
+       |            + strpos('$hexd', substr(hx, 2*i, 1))-1)::HUGEINT
+       |          for i in generate_series(1, n)] AS bs
+       |       FROM xb),
+       |xd AS (SELECT sh, n, bs, n//32 AS nst,
+       |         [${lane8("bs", "((n//32)*32 + 8*(w-1))")}
+       |          for w in generate_series(1, (n%32)//8)] AS lanes8,
+       |         (n - n%8 + (CASE WHEN n%8 >= 4 THEN 4 ELSE 0 END)) AS tb0,
+       |         (n%8 >= 4) AS has4
+       |       FROM xc),
+       |xs AS (SELECT k, sd FROM (VALUES $seedRows) v(k, sd)),
+       |xe AS (SELECT sh, n, bs, nst, lanes8, tb0, has4, k, sd,
+       |         CASE WHEN nst = 0 THEN NULL
+       |              ELSE list_reduce(list_prepend(
+       |                     [${add64("sd", (P1 + P2).toString)}, ${add64("sd", P2.toString)}, sd, ${add64("sd", (M - P1).toString)}],
+       |                     [[w::HUGEINT] for w in generate_series(1, nst)]),
+       |                   $stripeLam) END AS vs
+       |       FROM xd CROSS JOIN xs),
+       |xf AS (SELECT sh, n, bs, lanes8, tb0, has4, k,
+       |         CASE WHEN vs IS NULL THEN ${add64("sd", P5.toString)}
+       |              ELSE list_reduce(list_prepend(
+       |                     (${add64(add64(add64(rotl("vs[1]", 1), rotl("vs[2]", 7)), rotl("vs[3]", 12)), rotl("vs[4]", 18))}),
+       |                     vs), $mergeLam) END AS accs
+       |       FROM xe),
+       |xg AS (SELECT sh, bs, tb0, has4, k, n,
+       |         list_reduce(list_prepend(${add64("accs", "n::HUGEINT")}, lanes8), $wordLam) AS acc1
+       |       FROM xf),
+       |xh4 AS (SELECT sh, bs, tb0, k, n,
+       |         CASE WHEN has4
+       |              THEN ${add64(mul64(rotl(xor64("acc1", s"((${lane4("bs", "(tb0-4)")}*$P1) % $M)"), 23), P2.toString), P3.toString)}
+       |              ELSE acc1 END AS acc2
+       |       FROM xg),
+       |xh8 AS (SELECT sh, k,
+       |         list_reduce(list_prepend(acc2, bs[tb0+1:n]), $byteLam) AS acc3
+       |       FROM xh4),
+       |xh9 AS (SELECT sh, k, ${fm(0)._2} AS hsh_f1 FROM xh8),
+       |xh10 AS (SELECT sh, k, ${fm(1)._2} AS hsh_f2 FROM xh9),
+       |xh AS (SELECT sh, k, ${signedOf(fm(2)._2)} AS x FROM xh10)""".stripMargin
+  }
+
+  private def unsign(col: String): String =
+    s"(CASE WHEN ($col) < 0 THEN ($col)::HUGEINT + $M ELSE ($col)::HUGEINT END)"
+
+  /** Column stages for XXH64.hashLong(lane, seed) — pre-fmix accumulator,
+    * the three fmix stages, and the final signed expression. */
+  private def hashLongStages(src: String, lane: String, seedExpr: String)
+      : (Seq[(String, String)], String) = {
+    val pre = round64(add64(seedExpr, (P5 + 8).toString), lane)
+    val stages = (s"${src}_t" -> pre) +: fmixStages(s"${src}_u", s"${src}_t")
+    (stages, signedOf(s"${src}_u"))
+  }
+
+  /** The complete q_dedup_minhash_xx oracle: identical shingling to the
+    * md5 variant, xxh64 signatures over DISTINCT shingles (hash once,
+    * join back), per-doc min per seed, band hashes via chained hashLong,
+    * banded self-join. */
+  def minhashXxOracle(duckShingles: String): String = {
+    // the engine's own dispatch computes the per-k seeds: lit(k) is an
+    // IntegerType literal, so xxhash64(lit(k), sh) seeds the string hash
+    // with catalyst hashInt(k, 42)
+    val seeds = (0 until 8).map(k => {
+      val v = BigInt(XXH64.hashInt(k, 42L))
+      if (v < 0) v + M else v
+    })
+    val (h1s, h1sig) = hashLongStages("h1", unsign("ua"), "42::HUGEINT")
+    val (h2s, h2sig) = hashLongStages("h2", unsign("ub"), unsign("h1s"))
+    s"""WITH shd AS (SELECT doc_id, $duckShingles AS s
+       |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |inv AS (SELECT doc_id, unnest(s) AS shingle FROM shd),
+       |dsh AS (SELECT DISTINCT shingle AS s FROM inv),
+       |${bytesHashCtes("dsh", "s", seeds)},
+       |sig AS (SELECT doc_id, list(mn ORDER BY k) AS mh
+       |        FROM (SELECT i.doc_id, h.k, MIN(h.x) AS mn
+       |              FROM inv i JOIN xh h ON i.shingle = h.sh GROUP BY 1, 2)
+       |        GROUP BY doc_id),
+       |b0 AS (SELECT doc_id, b, mh[2*b+1] AS ua, mh[2*b+2] AS ub
+       |       FROM sig, generate_series(0, 3) g(b)),
+       |b1 AS (SELECT doc_id, b, ub, ${h1s(0)._2} AS h1_t FROM b0),
+       |b2 AS (SELECT doc_id, b, ub, ${h1s(1)._2} AS h1_u_f1 FROM b1),
+       |b3 AS (SELECT doc_id, b, ub, ${h1s(2)._2} AS h1_u_f2 FROM b2),
+       |b4 AS (SELECT doc_id, b, ub, ${h1s(3)._2} AS h1_u FROM b3),
+       |b5 AS (SELECT doc_id, b, ub, $h1sig AS h1s FROM b4),
+       |c1 AS (SELECT doc_id, b, ${h2s(0)._2} AS h2_t FROM b5),
+       |c2 AS (SELECT doc_id, b, ${h2s(1)._2} AS h2_u_f1 FROM c1),
+       |c3 AS (SELECT doc_id, b, ${h2s(2)._2} AS h2_u_f2 FROM c2),
+       |c4 AS (SELECT doc_id, b, ${h2s(3)._2} AS h2_u FROM c3),
+       |bands AS (SELECT doc_id, b, $h2sig AS bh FROM c4)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
+  }
+}

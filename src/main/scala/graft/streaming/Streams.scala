@@ -136,9 +136,17 @@ object Streams {
     * ([[graft.operators.Aggregates]]'s robust anomaly screen) broadcasts
     * into a stateless stream-static join, flagging each arriving event
     * MAP-SIDE with the same pre-multiplied cutoff the batch screen uses —
-    * no state store, no watermark, no shuffle of the stream. */
+    * no state store, no watermark, no shuffle of the stream.
+    *
+    * The model join is LEFT OUTER (r9 advice): an event whose type the
+    * model has never seen is arguably the most anomalous thing the
+    * stream can carry, so it must not be silently dropped — it is
+    * emitted with `is_outlier` NULL (tri-state contract: true = outlier,
+    * false = inlier, null = UNSCORABLE, no trained baseline; the
+    * consumer routes nulls to the same quarantine as trues). The
+    * StreamingSpec exercises an unknown type end-to-end. */
   def anomalyStream(events: DataFrame, model: DataFrame): DataFrame =
-    events.join(broadcast(model), "event_type")
+    events.join(broadcast(model), Seq("event_type"), "left")
       .withColumn("is_outlier",
         abs(col("value") - col("med")) > col("mad") * lit(4.4478))
       .select("event_id", "event_type", "value", "is_outlier")
@@ -209,9 +217,15 @@ object Streams {
     * delta — each micro-batch interpolates its own cycle against the
     * once-pinned cell map and streams the grids straight into
     * [[graft.plans.RasterSink.writeCogs]] (one grid per task, pixel data
-    * never on the driver), under an exactly-once batchId subdir. This
-    * closes the streaming loop end-to-end: landing series files in, the
-    * reference's cloud-ordered GeoTIFFs out, per cycle. */
+    * never on the driver), under a batchId subdir that is IDEMPOTENT BY
+    * BATCHID, committed atomically (r9 advice): foreachBatch is
+    * at-least-once, so a mid-batch failure can leave partial files —
+    * the COGs are therefore written to `batch_N.tmp` and the directory
+    * is RENAMED to `batch_N` only on success (one atomic syscall on a
+    * local/posix fs; a retry first deletes any stale tmp and re-renders,
+    * so a concurrent reader only ever observes absent-or-complete
+    * cycles). This closes the streaming loop end-to-end: landing series
+    * files in, the reference's cloud-ordered GeoTIFFs out, per cycle. */
   def interpStreamCogs(seriesDir: String, cells: DataFrame,
                        spec: graft.operators.Interp.GridSpec, outDir: String,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -222,9 +236,23 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.plans.RasterSink.writeCogs(
-          graft.operators.Interp.joinSeriesGated(cellsPinned, batch, small = false),
-          spec, s"$outDir/batch_$batchId", "fort_63_zeta")
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val tmp = Paths.get(s"$outDir/batch_$batchId.tmp")
+        val fin = Paths.get(s"$outDir/batch_$batchId")
+        // a retry of this batchId re-renders from scratch: clear stale
+        // partial output, never merge into it
+        def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(Files.delete(_))
+        }
+        rmTree(tmp)
+        if (!Files.exists(fin)) {
+          graft.plans.RasterSink.writeCogs(
+            graft.operators.Interp.joinSeriesGated(cellsPinned, batch, small = false),
+            spec, tmp.toString, "fort_63_zeta")
+          Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+          ()
+        } // else: a completed cycle already committed — idempotent skip
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

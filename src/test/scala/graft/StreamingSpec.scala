@@ -241,28 +241,43 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming anomaly scoring: broadcast batch model flags the stream identically to the batch screen") {
     val src = stageEventsDir()
+    // plant one event whose TYPE the model has never seen (r9 advice):
+    // same physical schema as the staged corpus file (raw read/write, so
+    // a legacy INT64-nanos ts round-trips bit-identically), sentinel id
+    val raw = spark.read.parquet(s"$src/events.parquet")
+    val unseenId = 999999999L
+    raw.limit(1)
+      .withColumn("event_id", lit(unseenId))
+      .withColumn("event_type", lit("__unseen_type__"))
+      .write.mode("append").parquet(src)
     val model = graft.operators.Aggregates.madModel(spark, sf)._2
     val q = Streams.anomalyStream(Streams.readEvents(spark, src), model)
       .writeStream.format("memory").queryName("anom_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val streamed = spark.table("anom_test").collect()
-      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_outlier")).toMap
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("is_outlier"))) None
+         else Some(r.getAs[Boolean]("is_outlier")))).toMap
 
     // batch truth: flag every raw event against the same collected model
     val m = model.collect()
       .map(r => r.getAs[String]("event_type") ->
         (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
-    val expected = Tables.events(spark, sf)
+    val expected: Map[Long, Option[Boolean]] = Tables.events(spark, sf)
       .select("event_id", "event_type", "value").collect()
       .map { r =>
         val (med, mad) = m(r.getAs[String]("event_type"))
-        r.getAs[Long]("event_id") -> (math.abs(r.getAs[Double]("value") - med) > mad * 4.4478)
-      }.toMap
-    assert(streamed.size === expected.size, "every event scored exactly once")
+        r.getAs[Long]("event_id") ->
+          Some(math.abs(r.getAs[Double]("value") - med) > mad * 4.4478)
+      }.toMap + (unseenId -> None)
+    assert(streamed.size === expected.size,
+      "every event scored exactly once — including the unknown-type event")
     assert(streamed === expected, "stream flags must equal the batch screen's")
-    assert(streamed.valuesIterator.contains(true), "the corpus contains outliers")
-    assert(streamed.valuesIterator.contains(false), "and inliers")
+    assert(streamed.valuesIterator.contains(Some(true)), "the corpus contains outliers")
+    assert(streamed.valuesIterator.contains(Some(false)), "and inliers")
+    assert(streamed(unseenId).isEmpty,
+      "an event type absent from the model must surface as UNSCORABLE (null), not drop")
   }
 
   test("streaming interpolation emits per-cycle COGs that decode back value-exact") {
