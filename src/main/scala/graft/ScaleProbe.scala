@@ -23,6 +23,7 @@ object ScaleProbe {
     else if (args(0) == "kmeans") kmeansProbe(spark, args(1))
     else if (args(0) == "pipeline") pipelineProbe(spark, args(1))
     else if (args(0) == "incdedup") incdedupProbe(spark, args(1).toInt)
+    else if (args(0) == "compact") compactProbe(spark, args(1).toInt)
     else if (args(0) == "bloom") bloomProbe(spark, args(1).toInt)
     else if (args(0) == "idw") {
       // IDW kNN regridding at production raster magnitude:
@@ -33,9 +34,11 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"idw k=$k g=$g: ${k.toLong * k}%,d nodes x ${g.toLong * g}%,d cells -> $n%,d regridded in $secs%.1f s (${n / secs}%,.0f cells/s)")
     }
+    else if (args(0) == "fencevar") fencevarProbe(spark, args(1))
     else if (args(0) == "ppjoin") ppjoinProbe(spark, args(1))
     else if (args(0) == "ppjoinx") ppjoinGrowthProbe(spark, args(1).toInt)
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
+    else if (args(0) == "recall") recallProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -66,6 +69,36 @@ object ScaleProbe {
       println(f"clusters fence=$mode%-7s median=${runs(2)}%.2f s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
     }
     spark.conf.unset("spark.graft.clusters.fence")
+  }
+
+  /** Fence-variance probe (r9 verdict #1b): 5 timed runs of the two
+    * queries whose walls swung run-to-run in the r9 driver bench
+    * (q_curate_dsir 0.8↔5.8 s, q_dedup_clusters 1.6↔4.0 s), under each
+    * fence implementation — `pin` (Fence's MEMORY_ONLY pin, the r10
+    * default) vs `local` (localCheckpoint's MEMORY_AND_DISK with its
+    * eager disk write). Prints median AND min..max spread per mode —
+    * the spread is the number under test, not the median.
+    * Usage: tools/run_verify.sh fencevar <sfDir> graft.ScaleProbe */
+  private def fencevarProbe(spark: SparkSession, sfDir: String): Unit = {
+    def run(q: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      q(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val targets = Seq(
+      "q_curate_dsir" -> (operators.TextOps.qCurateDsir _),
+      "q_dedup_clusters" -> (operators.Dedup.qDedupClusters _))
+    Seq("pin", "local").foreach { mode =>
+      spark.conf.set("spark.graft.fence", mode)
+      targets.foreach { case (name, q) =>
+        run(q) // warm-up
+        val runs = (1 to 5).map(_ => run(q)).sorted
+        println(f"fencevar $mode%-5s $name%-17s median=${runs(2)}%.2f s " +
+          f"spread=${runs.head}%.2f..${runs.last}%.2f (${runs.last / runs.head}%.1fx) " +
+          f"runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      }
+    }
+    spark.conf.unset("spark.graft.fence")
   }
 
   /** Bigram-LM scale probe: replicate the sf0.1 corpus `mult`× with a
@@ -199,6 +232,53 @@ object ScaleProbe {
     println(f"incdedup mult=$mult: index ${nBatch * mult}%,d docs ($idxBytes%,d B parquet, built $buildSecs%.1f s); batch $nBatch%,d docs -> $hits%,d dup'd in $probeSecs%.1f s probe")
   }
 
+  /** Band-index compaction probe (r9 verdict #5): build a mult×-grown
+    * index (the incdedup trajectory), time the nightly probe, then
+    * RETIRE half the replicas via [[operators.Dedup.compactBandIndex]]
+    * and time the probe again — the SCALE.md claim is that probe cost
+    * tracks the LIVE index, so compaction returns the nightly job to
+    * the cost it had before the dead replicas accumulated.
+    * Usage: tools/run_verify.sh compact <mult> graft.ScaleProbe */
+  private def compactProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+    val corpus = (1 to mult).map { r =>
+      base.select((col("doc_id") + lit(r.toLong * 1000000)).as("doc_id"),
+                  concat(col("text"), lit(s" rep$r")).as("text"))
+    }.reduce(_ union _)
+    val indexDir = "/tmp/graft_compact_probe/idx"
+    val rm = new java.io.File("/tmp/graft_compact_probe")
+    if (rm.exists()) { def d(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(d)); f.delete() }; d(rm) }
+    operators.Dedup.minhashBands(corpus.repartition(32, col("doc_id")))
+      .write.parquet(s"$indexDir/batch_0")
+    val batchBands = operators.Dedup
+      .minhashBands(base.repartition(32, col("doc_id")))
+    def dirBytes(p: String): Long = {
+      def w(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(w).sum).getOrElse(0L) else f.length()
+      w(new java.io.File(p))
+    }
+    def probe(): Double = {
+      val idx = spark.read.option("recursiveFileLookup", "true").parquet(indexDir)
+      val t0 = System.nanoTime()
+      operators.Dedup.dedupIncremental(idx, batchBands).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // warm-up
+    val tFull = (1 to 3).map(_ => probe()).sorted.apply(1)
+    val bytesFull = dirBytes(indexDir)
+    // retain replicas 1..mult/2 — the rest retire
+    val active = corpus.filter(col("doc_id") < (mult / 2 + 1).toLong * 1000000)
+      .select("doc_id")
+    val t0 = System.nanoTime()
+    val (before, after) = operators.Dedup.compactBandIndex(spark, indexDir, active)
+    val compactSecs = (System.nanoTime() - t0) / 1e9
+    probe() // warm-up on the new files
+    val tHalf = (1 to 3).map(_ => probe()).sorted.apply(1)
+    println(f"compact mult=$mult: index $before%,d rows ($bytesFull%,d B) probe $tFull%.2f s -> " +
+      f"compacted $after%,d rows (${dirBytes(indexDir)}%,d B, $compactSecs%.1f s one-time) probe $tHalf%.2f s")
+  }
+
   /** K-means ANN probe at REAL codebook size (VERDICT r8 #7): replicate
     * the sf0.1 embeddings `mult`× with a deterministic per-replica
     * element perturbation (so replicas aren't bit-identical vectors),
@@ -233,6 +313,200 @@ object ScaleProbe {
     val nonEmpty = assigned.select(countDistinct(col("cid"))).head().getLong(0)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"kmeans mult=$mult k=$k iters=$iters: $nVecs%,d vecs, $nonEmpty%,d non-empty cells in $secs%.1f s; meanCos=${meanCos.map(c => f"$c%.4f").mkString(",")}")
+  }
+
+  /** ANN recall probe (r9 verdict #3): measured recall@10 for the three
+    * approximate indexes against exact ground truth, at the replicated
+    * 50 k-vector shape (mult=25 × the 2 k sf0.1 embeddings, perturbed
+    * per replica so replicas are near- but not bit-identical — the
+    * near-dup-heavy distribution a dedup/retrieval corpus actually has).
+    *
+    *  - IVF (full-width): 64-cell codebook = one k-means round over
+    *    deterministic seeds; queries probe their top-nprobe cells
+    *    (nprobe ∈ 1,2,4,8 — the recall-vs-cells curve), candidates
+    *    rank by exact cosine inside the probed cells.
+    *  - IVF-proj: identical, but cell ASSIGNMENT runs in the 8-d
+    *    md5-ternary projection (the qAnnIvfProj recipe) — measures what
+    *    the cheap coarse space costs in recall.
+    *  - PQ/ADC: 8 subspaces × cb sub-centroids (cb ∈ 4, 16 → 16/32-bit
+    *    codes — the recall-vs-code-bits curve) against exact-L2 truth.
+    *
+    * Ground truth = brute-force exact top-10 (cosine for the IVF pair,
+    * L2 for PQ) over the same candidates. Recall@10 = mean |∩|/10 over
+    * 20 queries. SCALE.md records the lines; AnnRecallSpec pins floors
+    * at the declared fixture shape.
+    * Usage: tools/run_verify.sh recall <mult> graft.ScaleProbe */
+  private def recallProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorMath.vecDot
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val big = (0 until mult).map { r =>
+      base.select((col("vec_id") + lit(r.toLong * 1000000)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i === lit(r % 64), lit(0.01 * (r % 17 + 1))).otherwise(lit(0.0)))
+          .as("v"))
+    }.reduce(_ union _)
+    big.write.mode("overwrite").parquet("/tmp/graft_recall_probe")
+    val e = spark.read.parquet("/tmp/graft_recall_probe")
+      .repartition(32, col("vec_id"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .localCheckpoint()
+    val nVecs = e.count()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .localCheckpoint()
+    val cand = e.filter(col("vec_id") >= 20)
+    val K = 10
+    def top10(scored: org.apache.spark.sql.DataFrame, asc: Boolean) = {
+      val o = if (asc) col("s").asc else col("s").desc
+      val w = Window.partitionBy("qid").orderBy(o, col("cand"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        .select("qid", "cand")
+    }
+    val scoredAll = cand.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"),
+        (vecDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"),
+        (vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), col("qv")) +
+          vecDot(col("qv"), col("qv"))).as("l2"))
+      .localCheckpoint()
+    def topN(scored: org.apache.spark.sql.DataFrame, asc: Boolean, n: Int) = {
+      val o = if (asc) col("s").asc else col("s").desc
+      val w = Window.partitionBy("qid").orderBy(o, col("cand"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+        .select("qid", "cand")
+    }
+    val gtCos = top10(scoredAll.select(col("qid"), col("cand"), col("cos").as("s")), asc = false)
+      .localCheckpoint()
+    val gtL2 = top10(scoredAll.select(col("qid"), col("cand"), col("l2").as("s")), asc = true)
+      .localCheckpoint()
+    // the relaxed standard variant (approx top-10 inside exact top-100):
+    // the replicated corpus makes the exact top-10 a set of near-ties
+    // (25 perturbed copies of the same base vector), so strict recall
+    // also measures tie-break luck; containment in the exact top-100
+    // separates "returns true near neighbors" from "resolves 1e-4-scale
+    // ties the code length cannot see"
+    val gtL2Wide = topN(scoredAll.select(col("qid"), col("cand"), col("l2").as("s")),
+                        asc = true, 100).localCheckpoint()
+    val nQ = q.count()
+    def recall(approx: org.apache.spark.sql.DataFrame,
+               gt: org.apache.spark.sql.DataFrame): Double =
+      gt.join(approx, Seq("qid", "cand"), "left_semi").count().toDouble / (nQ * K)
+    // containment of the k approx results in the WIDE truth set: the
+    // numerator counts approx rows, so /(nQ*K) still normalizes to [0,1]
+    def contained(approx: org.apache.spark.sql.DataFrame,
+                  gtWide: org.apache.spark.sql.DataFrame): Double =
+      approx.join(gtWide, Seq("qid", "cand"), "left_semi").count().toDouble / (nQ * K)
+
+    // ---- IVF / IVF-proj: 64 cells, one refinement round over seeds ----
+    val kCells = 64
+    def centroidsOf(assigned: org.apache.spark.sql.DataFrame) = {
+      import spark.implicits._
+      assigned.join(e, "vec_id").select(col("cid"), col("v"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.VectorCentroid.toColumn.name("cv"))
+        .toDF("cid", "cv")
+        .withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
+        .localCheckpoint()
+    }
+    def assignTop(df: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
+                  vcol: String, ncol: String, cvcol: String, cncol: String, n: Int) = {
+      val w = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("acos", vecDot(col(vcol), col(cvcol)) / (col(ncol) * col(cncol)))
+        .withColumn("ark", row_number().over(w))
+        .filter(col("ark") <= n)
+    }
+    val seeds0 = cand.filter(col("vec_id") < 1000000 && col("vec_id") % (2000 / kCells) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+              col("nrm").as("cnrm")).localCheckpoint()
+    val round1 = assignTop(cand, seeds0, "v", "nrm", "cv", "cnrm", 1)
+      .select(col("vec_id"), col("cid"))
+    val cents = centroidsOf(round1)
+    val candCells = assignTop(cand, cents, "v", "nrm", "cv", "cnrm", 1)
+      .select(col("vec_id").as("cand"), col("cid").as("cell"),
+              col("v").as("cv2"), col("nrm").as("cn2"))
+      .localCheckpoint()
+    def ivfRecall(nprobe: Int): Double = {
+      val qCells = assignTop(
+        q.select(col("qid").as("vec_id"), col("qv").as("v"), col("qn").as("nrm")),
+        cents, "v", "nrm", "cv", "cnrm", nprobe)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+                col("cid").as("cell"))
+      val scored = qCells.join(candCells, "cell")
+        .select(col("qid"), col("cand"),
+          (vecDot(col("cv2"), col("qv")) / (col("cn2") * col("qn"))).as("s"))
+      recall(top10(scored, asc = false), gtCos)
+    }
+    // ---- IVF-proj: assignment in the 8-d projection ----
+    val pvOf = (vc: org.apache.spark.sql.Column) => array(
+      (0 until operators.Similarity.ProjOutDims).map(j =>
+        vecDot(vc, array(operators.Similarity.projW(j).map(lit).toIndexedSeq: _*))): _*)
+    val centsP = cents
+      .withColumn("cpv", pvOf(col("cv")))
+      .withColumn("cpn", sqrt(vecDot(col("cpv"), col("cpv"))))
+      .localCheckpoint()
+    val candP = cand
+      .withColumn("pv", pvOf(col("v")))
+      .withColumn("pn", sqrt(vecDot(col("pv"), col("pv"))))
+    val candCellsP = assignTop(candP, centsP, "pv", "pn", "cpv", "cpn", 1)
+      .select(col("vec_id").as("cand"), col("cid").as("cell"),
+              col("v").as("cv2"), col("nrm").as("cn2"))
+      .localCheckpoint()
+    def ivfProjRecall(nprobe: Int): Double = {
+      val qP = q.select(col("qid").as("vec_id"), col("qv").as("v"), col("qn").as("nrm"))
+        .withColumn("pv", pvOf(col("v")))
+        .withColumn("pn", sqrt(vecDot(col("pv"), col("pv"))))
+      val qCells = assignTop(qP, centsP, "pv", "pn", "cpv", "cpn", nprobe)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+                col("cid").as("cell"))
+      val scored = qCells.join(candCellsP, "cell")
+        .select(col("qid"), col("cand"),
+          (vecDot(col("cv2"), col("qv")) / (col("cn2") * col("qn"))).as("s"))
+      recall(top10(scored, asc = false), gtCos)
+    }
+    // ---- PQ/ADC: 8 subspaces x cb sub-centroids vs exact-L2 truth ----
+    def pqRecall(cb: Int): (Double, Double) = {
+      val sub = e
+        .select(col("vec_id"), explode(array((0 until 8).map(lit): _*)).as("j"), col("v"))
+        .select(col("vec_id"), col("j"), expr("slice(v, j*8+1, 8)").as("sv"))
+      val cbT = sub.filter(col("vec_id") < 1000000 && col("vec_id") % (2000 / cb) === 0)
+        .withColumn("cid", dense_rank().over(Window.partitionBy("j").orderBy("vec_id")))
+        .select(col("cid"), col("j").as("cj"), col("sv").as("cv"))
+      def dist2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c)
+      val wEnc = Window.partitionBy("vec_id", "j").orderBy(col("dd").asc, col("cid"))
+      val enc = sub.filter(col("vec_id") >= 20)
+        .join(broadcast(cbT), col("j") === col("cj"))
+        .withColumn("dd", dist2(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(wEnc))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("j"), col("cid"))
+      val lut = sub.filter(col("vec_id") < 20)
+        .join(broadcast(cbT), col("j") === col("cj"))
+        .select(col("vec_id").as("qid"), col("j").as("lj"), col("cid").as("lcid"),
+                floor(dist2(col("sv"), col("cv")) * lit(10000.0) + lit(0.5))
+                  .cast("long").as("ld"))
+      val adc = enc.join(broadcast(lut), col("j") === col("lj") && col("cid") === col("lcid"))
+        .groupBy(col("qid"), col("vec_id").as("cand"))
+        .agg(sum(col("ld")).as("s"))
+      val t = top10(adc, asc = true).localCheckpoint()
+      (recall(t, gtL2), contained(t, gtL2Wide))
+    }
+    println(f"recall shape: $nVecs%,d vectors, $nQ queries, k=10, $kCells IVF cells")
+    Seq(1, 2, 4, 8).foreach { np =>
+      println(f"recall ivf      nprobe=$np%-2d recall@10=${ivfRecall(np)}%.3f")
+    }
+    Seq(1, 2, 4, 8).foreach { np =>
+      println(f"recall ivf-proj nprobe=$np%-2d recall@10=${ivfProjRecall(np)}%.3f")
+    }
+    Seq(4, 16).foreach { cb =>
+      val (strict, inTop100) = pqRecall(cb)
+      println(f"recall pq       cb=$cb%-3d (${(math.log(cb) / math.log(2)).round * 8} code bits) " +
+        f"recall@10=$strict%.3f in-top100=$inTop100%.3f")
+    }
   }
 
   /** DSIR probe: replicate the sf0.1 corpus `mult`× (per-replica token

@@ -124,9 +124,22 @@ object Dedup {
     * corpus doc and how many of the 4 bands agreed. */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBands(fanout(Tables.documents(s, d), "doc_id"))
-    val corpusIdx = bands.filter(col("doc_id") % 5 =!= 0)
+    dedupIncremental(bands.filter(col("doc_id") % 5 =!= 0),
+                     bands.filter(col("doc_id") % 5 === 0))
+  }
+
+  /** The PRODUCTION entry (r9 verdict #7 — the declared query above is a
+    * thin fixture binding of this): probe an accumulated band INDEX with
+    * an arbitrary new batch's bands. Both sides are (doc_id, b, bh) band
+    * relations ([[minhashBands]] output — the index as persisted/
+    * accumulated across crawls, the batch as computed from tonight's
+    * documents). The size-gated inverted broadcast and the output
+    * contract are exactly the declared query's (see its Scaladoc). */
+  def dedupIncremental(corpusBands: DataFrame, batchBands: DataFrame): DataFrame = {
+    val s = corpusBands.sparkSession
+    val corpusIdx = corpusBands
       .select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
-    val batch = bands.filter(col("doc_id") % 5 === 0)
+    val batch = batchBands
       .select(col("doc_id").as("new_id"), col("b"), col("bh"))
     val thr = org.apache.spark.sql.GraftSqlShim.autoBroadcastJoinThreshold(s)
     val gateBytes = math.min(100L << 20, thr)
@@ -140,6 +153,45 @@ object Dedup {
       .agg(min(col("corpus_id")).as("dup_of"),
            countDistinct(col("b")).as("n_bands"))
       .orderBy("doc_id")
+  }
+
+  /** Band-index LIFECYCLE maintenance (r9 verdict #5): the persisted
+    * index accumulates one band set per crawled document FOREVER — docs
+    * later removed from the corpus (dedup'd away, takedowns, retention
+    * expiry) keep taxing every nightly probe with dead postings, and
+    * worse, keep MATCHING: a probe against a dead doc's bands reports a
+    * duplicate of a document that no longer exists. `compactBandIndex`
+    * rewrites the index keeping only the bands of the ACTIVE doc set:
+    * one LEFT SEMI join on doc_id (the index never carries more than
+    * its own (doc_id, b, bh) rows through the shuffle; the active-ids
+    * relation is a narrow id list — at 100 TB it is itself large, so
+    * the join is left unhinted and AQE/bucketing decide, the
+    * qDedupIncremental convention), written to a single compacted
+    * subdir that REPLACES the accumulated batch_N subdirs via the
+    * tmp-dir + atomic-rename commit (the interpStreamCogs protocol —
+    * a reader never observes a partial index). Returns
+    * (rowsBefore, rowsAfter). Probe evidence: ScaleProbe `compact`
+    * mode shows probe cost flat after compaction (SCALE.md). */
+  def compactBandIndex(s: SparkSession, indexDir: String, active: DataFrame): (Long, Long) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val idx = s.read.option("recursiveFileLookup", "true").parquet(indexDir)
+    val before = idx.count()
+    val kept = idx.join(active.select("doc_id"), Seq("doc_id"), "left_semi")
+    val tmp = indexDir.stripSuffix("/") + ".compact.tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    val after = s.read.parquet(tmp).count()
+    // swap: old index out, compacted tree in — both renames atomic; the
+    // old tree is deleted only after the new one is committed
+    val old = Paths.get(indexDir.stripSuffix("/") + ".old")
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+    }
+    rmTree(old)
+    Files.move(Paths.get(indexDir), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(indexDir), StandardCopyOption.ATOMIC_MOVE)
+    rmTree(old)
+    (before, after)
   }
 
   /** Fixture split shared by [[qDedupBloom]] and its spec: corpus =
@@ -241,6 +293,15 @@ object Dedup {
     * corpus copy count. */
   def qDedupBloom(s: SparkSession, d: String): DataFrame = {
     val (corpus, batch) = bloomSplit(s, d)
+    dedupBloom(corpus, batch)
+  }
+
+  /** The PRODUCTION entry (r9 verdict #7 — the declared query above is a
+    * thin fixture binding of this): bloom-prefiltered exact dedup of an
+    * arbitrary (doc_id, text) batch against an arbitrary (doc_id, text)
+    * corpus. Plan shape and output contract as documented on the
+    * declared query. */
+  def dedupBloom(corpus: DataFrame, batch: DataFrame): DataFrame = {
     val corpusByHash = corpus.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("dup_of"), count(lit(1)).as("n_copies"))
     bloomSurvivors(corpus, batch)
@@ -320,10 +381,10 @@ object Dedup {
     // rarity ordering, both sides of the intersection verify) — unfenced,
     // Catalyst plans the scan→split→shingle subtree once per consumer
     // (the DSIR lesson: exchange reuse dedupes shuffles, not per-row
-    // compute). One corpus scan, one shingle pass, compact rows after.
-    val inv = fanout(Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"), explode(shingles3).as("sh"))
-      .localCheckpoint()
+    // compute). One corpus scan, one shingle pass, compact rows after;
+    // memory-pinned (graft.Fence, r10 — no eager disk write).
+    val inv = graft.Fence(fanout(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), explode(shingles3).as("sh")))
     val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
     // rarity-sorted shingle array per doc, prefix by SLICE — one hash
     // aggregation replaces the doc-partitioned window AND the separate
@@ -453,18 +514,22 @@ object Dedup {
     * Oracle: DuckDB computes the same components with a recursive CTE
     * (min reachable label == component min on the symmetric graph). */
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    // Per-round lineage fence, A/B-measured at sf0.1 (ScaleProbe
-    // "clusters" mode, 5-run medians): localCheckpoint 1.97 s vs
-    // persist(MEMORY_AND_DISK)+count 6.84 s. persist caches partitions
-    // but does NOT truncate lineage, so every round re-analyzes a plan
-    // that grew by one (join + agg) — the 3.5× gap is driver-side plan
-    // work, exactly what checkpointing exists to cap. Kept selectable
-    // (spark.graft.clusters.fence=persist) so the A/B stays runnable.
+    // Per-round lineage fence. A/B history: localCheckpoint 1.97 s vs
+    // bare persist(MEMORY_AND_DISK)+count 6.84 s at sf0.1 (r2 A/B —
+    // persist alone does NOT truncate lineage, so every round
+    // re-analyzes a plan that grew by one join+agg; the 3.5× gap is
+    // driver-side plan work, exactly what checkpointing exists to cap).
+    // r10: the default moved to graft.Fence's memory pin — it truncates
+    // lineage like localCheckpoint but skips the eager MEMORY_AND_DISK
+    // write whose cost swung this query 1.6↔4.0 s with box state (r9
+    // driver bench). Both historical modes stay selectable
+    // (spark.graft.clusters.fence=persist, spark.graft.fence=local) so
+    // the A/Bs remain runnable.
     val usePersist =
       s.conf.getOption("spark.graft.clusters.fence").contains("persist")
     var pinned: List[DataFrame] = Nil
     def fence(df: DataFrame): DataFrame =
-      if (!usePersist) df.localCheckpoint()
+      if (!usePersist) graft.Fence(df)
       else {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count() // materialize now, while the previous round is still cached

@@ -96,10 +96,15 @@ object Similarity {
     * hash-comparable. Scale shape: assignment is a broadcast(8-row) cross
     * join + per-vector argmax window; refinement is an equi-join on the
     * cell key — never all-pairs. */
-  def qAnnIvfProj(s: SparkSession, d: String): DataFrame = {
+  def qAnnIvfProj(s: SparkSession, d: String): DataFrame = ivfProjTopk(vecs(s, d))
+
+  /** [[qAnnIvfProj]] over an arbitrary (vec_id, v, nrm) frame — exposed
+    * so AnnRecallSpec can measure planted-neighbor recall on a corpus
+    * with known ground truth (same id-keyed fixture splits). */
+  private[graft] def ivfProjTopk(vv: DataFrame): DataFrame = {
     val pvCol = array((0 until ProjOutDims).map(j =>
       vecDot(col("v"), array(projW(j).map(lit).toIndexedSeq: _*))): _*)
-    val base = vecs(s, d)
+    val base = vv
       .withColumn("pv", pvCol)
       .withColumn("pnrm", sqrt(vecDot(col("pv"), col("pv"))))
     val cb = base.filter(col("vec_id") < 8)
@@ -338,8 +343,13 @@ object Similarity {
     * [[qAnnIvf]]; a production build trains each sub-codebook with the
     * [[kmeansIvfFrame]] loop without changing this query's shape.
     * Top-10 per query by (ADC distance, vec_id) — fully hash-gated. */
-  def qAnnPq(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("v"))
+  def qAnnPq(s: SparkSession, d: String): DataFrame = pqAdcTopk(vecs(s, d))
+
+  /** [[qAnnPq]] over an arbitrary (vec_id, v, ...) frame — exposed so
+    * AnnRecallSpec can measure planted-neighbor recall (same id-keyed
+    * fixture splits: codebook vec_id < 4, queries < 5, candidates ≥ 5). */
+  private[graft] def pqAdcTopk(vv: DataFrame): DataFrame = {
+    val e = vv.select(col("vec_id"), col("v"))
     val sub = e
       .select(col("vec_id"), explode(array((0 until 8).map(lit): _*)).as("j"), col("v"))
       .select(col("vec_id"), col("j"), expr("slice(v, j*8+1, 8)").as("sv"))

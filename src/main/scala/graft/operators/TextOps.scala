@@ -584,19 +584,20 @@ object TextOps {
     // The feature relation feeds BOTH the model build and the scoring
     // join; unfenced, Catalyst plans the scan + explode + md5 + count
     // subtree twice (exchange reuse would dedupe only the scan's
-    // shuffle, not the per-token compute above it). localCheckpoint
+    // shuffle, not the per-token compute above it). The fence
     // materializes the compact (doc, bucket, count) relation once —
     // ≤256 small rows per document, the feature table a production DSIR
     // run persists anyway — so the corpus text is read and hashed
     // exactly once. Same fence precedent as surprisalPerDoc's vocab and
-    // the dedup cluster rounds.
-    val docBucket = docs
+    // the dedup cluster rounds; memory-pinned (graft.Fence, r10) because
+    // localCheckpoint's eager disk write swung this query 0.8↔5.8 s
+    // run-to-run in the r9 driver bench.
+    val docBucket = graft.Fence(docs
       .select(col("doc_id"), col("lang"),
               explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("lang"),
                substring(md5(col("tok")), 1, 2).as("b"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("c")))
     // 256-row smoothed LLR model from the SAME frame (conditional agg —
     // target = the English slice, raw = everything), totals via a window
     // over the model itself (256 rows; no driver round-trip)

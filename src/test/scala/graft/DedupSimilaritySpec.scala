@@ -731,6 +731,53 @@ class DedupSimilaritySpec extends SparkSpec {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("band-index compaction: removed docs' bands drop, survivors' probe hits are unchanged") {
+    import java.nio.file.Files
+    val indexDir = Files.createTempDirectory("graft_band_index").toString + "/idx"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // accumulate the index the way the nightly stream does: two crawl
+    // subdirs of band rows
+    val bands = Dedup.minhashBands(corpus.repartition(8, col("doc_id")))
+    bands.filter(col("doc_id") % 2 === 0).write.parquet(s"$indexDir/batch_0")
+    bands.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$indexDir/batch_1")
+    val batchBands = Dedup.minhashBands(batch.repartition(8, col("doc_id")))
+    val hitsBefore = Dedup.dedupIncremental(
+      spark.read.option("recursiveFileLookup", "true").parquet(indexDir),
+      batchBands).collect()
+    assert(hitsBefore.nonEmpty, "fixture must produce cross-split duplicates")
+
+    // retire a third of the corpus (retention expiry); compact
+    val active = corpus.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    val activeIds = active.collect().map(_.getLong(0)).toSet
+    val (before, after) = Dedup.compactBandIndex(spark, indexDir, active)
+    assert(before > after, s"compaction must drop rows ($before -> $after)")
+
+    // the rewritten index holds EXACTLY the active docs' bands
+    val reread = spark.read.option("recursiveFileLookup", "true").parquet(indexDir)
+    assert(reread.count() === after)
+    val rereadIds = reread.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rereadIds.subsetOf(activeIds), "no removed doc's bands may survive")
+    assert(reread.count() ===
+      bands.join(active, Seq("doc_id"), "left_semi").count(),
+      "kept rows = the active subset of the original bands")
+
+    // probe semantics after compaction: no hit may name a removed doc,
+    // and hits are exactly the before-hits recomputed in the pruned
+    // index (dup_of can shift to the next-smallest ACTIVE corpus match)
+    val hitsAfter = Dedup.dedupIncremental(reread, batchBands).collect()
+    hitsAfter.foreach { r =>
+      assert(activeIds.contains(r.getLong(1)),
+        s"hit names removed corpus doc ${r.getLong(1)}")
+    }
+    val expectAfter = Dedup.dedupIncremental(
+      bands.join(active, Seq("doc_id"), "left_semi"), batchBands)
+      .collect().map(_.toString).sorted
+    assert(hitsAfter.map(_.toString).sorted.sameElements(expectAfter),
+      "post-compaction probe must equal the probe over the logically-pruned index")
+  }
+
   test("incremental dedup: batch bands broadcast, corpus index never shuffled, hits agree with the self-join") {
     // plan shape — the inverted-broadcast scale claim: the NEW batch is
     // the broadcast side, so the accumulated corpus index (the huge side
