@@ -39,6 +39,7 @@ object ScaleProbe {
     else if (args(0) == "ppjoinx") ppjoinGrowthProbe(spark, args(1).toInt)
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
     else if (args(0) == "recall") recallProbe(spark, args(1).toInt)
+    else if (args(0) == "stream") streamProbe(spark, args(1))
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -193,6 +194,95 @@ object ScaleProbe {
         println(s"pipeline observed join shape: corner-explode generates=$generates, " +
           s"series join=${shuffledSeries.mkString(",")}, broadcast-on-node_id=${broadcastSeries.size}" + verdict)
     }
+  }
+
+  /** Streaming-pipeline probe at production magnitude (r9 verdict #4):
+    * [[graft.streaming.Streams.interpStreamCogs]] — the spec-scale-only
+    * leg until now — driven at the 3e5-node ASGS forecast shape: a
+    * backlog of `cycles` forecast-cycle series files (one file per
+    * cycle, `tsPer` timesteps × k² nodes each) lands in the watched dir,
+    * ONE stream run processes them as one micro-batch per cycle
+    * (maxFilesPerBatch=1), and every cycle's COGs commit under their
+    * batchId subdir. Measured and printed:
+    *  - per-cycle trigger wall (StreamingQueryListener progress) — the
+    *    SCALE.md per-cycle number;
+    *  - the cell-map containment join is paid ONCE, not per cycle: the
+    *    one-time pin wall is printed, and the captured per-batch
+    *    interpolation QueryExecution is checked to read the static side
+    *    from the pinned RDD scan with NO (tbx,tby) containment join
+    *    anywhere in it — the no-re-scan-per-batch claim observed on the
+    *    plan that ran, not assumed.
+    * Usage: tools/run_verify.sh stream <k>,<g>,<cycles>,<tsPer> graft.ScaleProbe
+    *   (550,2000,10,2 ≈ the 302,500-node forecast mesh onto 4M cells/ts) */
+  private def streamProbe(spark: SparkSession, arg: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{GenerateExec, RDDScanExec}
+    val Array(k, g, cycles, tsPer) = arg.split(",").map(_.toInt)
+    val root = "/tmp/graft_stream_probe"
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(root))
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    new java.io.File(landing).mkdirs()
+
+    // the heavy static precompute, paid once for the whole stream
+    val t0 = System.nanoTime()
+    val cells = operators.Interp.cellMap(spark, k, g)
+    val spec = operators.Interp.gridSpec(operators.Interp.nodes(spark, k), g)
+    // stage the backlog: one file per forecast cycle, tsPer timesteps each
+    (0 until cycles).foreach { c =>
+      operators.Interp.series(spark, k, tsPer)
+        .select((col("ts") + lit(c.toLong * tsPer)).as("ts"), col("node_id"), col("value"))
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    val stageSecs = (System.nanoTime() - t0) / 1e9
+
+    // observe per-batch walls + the executed interpolation plans
+    val walls = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0)
+          walls.put(e.progress.batchId,
+            e.progress.durationMs.getOrDefault("triggerExecution", 0L) / 1e3)
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.QueryExecution]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = captured.add(qe)
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+
+    val t1 = System.nanoTime()
+    val q = streaming.Streams.interpStreamCogs(landing, cells, spec, out, ckpt,
+      maxFilesPerBatch = Some(1))
+    q.awaitTermination()
+    val streamSecs = (System.nanoTime() - t1) / 1e9
+
+    val batches = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_")).sortBy(_.getName)
+    val cogCounts = batches.map(_.listFiles().count(_.getName.endsWith(".tiff")))
+    println(f"stream k=$k g=$g: ${k.toLong * k}%,d nodes x ${g.toLong * g}%,d cells/ts; " +
+      f"$cycles cycles x $tsPer ts staged+cellmap in $stageSecs%.1f s; " +
+      f"stream drained backlog in $streamSecs%.1f s (${streamSecs / cycles}%.1f s/cycle)")
+    import scala.jdk.CollectionConverters._
+    walls.asScala.toSeq.sortBy(_._1).foreach { case (b, w) =>
+      println(f"stream batch_$b: trigger wall $w%.1f s, ${cogCounts.lift(b.toInt).getOrElse(0)} COGs")
+    }
+    // plan verdict: interpolation batches must read the PINNED cell map
+    // (RDD scan) and contain NO (tbx,tby) containment join
+    val interpQes = captured.asScala.filter { qe =>
+      PlanWalk.flatten(qe.executedPlan).exists(_.isInstanceOf[GenerateExec]) &&
+        qe.executedPlan.toString.contains("corner")
+    }.toSeq
+    val pinned = interpQes.count(qe =>
+      PlanWalk.flatten(qe.executedPlan).exists(_.isInstanceOf[RDDScanExec]))
+    val rescans = interpQes.count(qe => qe.executedPlan.toString.contains("tbx"))
+    println(s"stream plan: ${interpQes.size} interpolation batches captured, " +
+      s"$pinned read the pinned-RDD cell map, $rescans re-ran the containment join" +
+      (if (rescans == 0 && pinned == interpQes.size && interpQes.nonEmpty)
+         " -> STATIC SIDE PINNED ONCE (as designed)" else " -> UNEXPECTED"))
   }
 
   /** Incremental-dedup probe: hold the BATCH fixed (the base sf0.1

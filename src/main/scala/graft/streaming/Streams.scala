@@ -228,10 +228,20 @@ object Streams {
     * files in, the reference's cloud-ordered GeoTIFFs out, per cycle. */
   def interpStreamCogs(seriesDir: String, cells: DataFrame,
                        spec: graft.operators.Interp.GridSpec, outDir: String,
-                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                       checkpoint: String,
+                       maxFilesPerBatch: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val s = cells.sparkSession
     val cellsPinned = cells.localCheckpoint()
-    s.readStream.schema(seriesLandingSchema).parquet(seriesDir)
+    // maxFilesPerBatch: one landing FILE is one forecast cycle (the
+    // landing contract), so capping files-per-trigger makes a staged
+    // BACKLOG process as one micro-batch per cycle — the shape the
+    // ScaleProbe `stream` mode measures per-cycle walls on. Unset, an
+    // AvailableNow run folds the whole backlog into one batch.
+    val src = maxFilesPerBatch.foldLeft(
+      s.readStream.schema(seriesLandingSchema))(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    src.parquet(seriesDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
