@@ -88,7 +88,8 @@ object ScaleProbe {
     }
     val targets = Seq(
       "q_curate_dsir" -> (operators.TextOps.qCurateDsir _),
-      "q_dedup_clusters" -> (operators.Dedup.qDedupClusters _))
+      "q_dedup_clusters" -> (operators.Dedup.qDedupClusters _),
+      "q_dedup_ppjoin" -> (operators.Dedup.qDedupPpjoin _))
     Seq("pin", "local").foreach { mode =>
       spark.conf.set("spark.graft.fence", mode)
       targets.foreach { case (name, q) =>

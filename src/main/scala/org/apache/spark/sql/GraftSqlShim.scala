@@ -38,11 +38,20 @@ object GraftSqlShim {
     * localCheckpoint: the ContextCleaner drops the cached blocks once
     * the RDD is unreachable. */
   def pinMemory(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
-    val rdd = df.queryExecution.toRdd.map(_.copy())
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     rdd.count()
-    spark.internalCreateDataFrame(rdd, df.schema)
+    // LogicalRDD.fromDataset — the SAME leaf construction Dataset
+    // .checkpoint uses — carries the fenced plan's output PARTITIONING
+    // and ordering through the fence (expr-ids rewritten onto the new
+    // leaf). A bare internalCreateDataFrame defaults the leaf to
+    // UnknownPartitioning, which made every downstream consumer of a
+    // hash-partitioned fenced relation re-shuffle it (measured: the
+    // 4-consumer ppjoin shingle relation at sf0.1 ran 3.0 s vs 1.7 s).
+    classic.Dataset.ofRows(spark,
+      execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
   }
 
   /** Register a function builder on a live session's registry (the registry
