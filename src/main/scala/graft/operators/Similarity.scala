@@ -422,6 +422,42 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** EXT: HARD-NEGATIVE mining — the contrastive-training data op
+    * (sentence-embedding / retrieval training: each anchor needs
+    * negatives that are hard — high similarity — but not false
+    * negatives — near-duplicates or same-class examples). For each
+    * anchor (vec_id < 5): rank candidates by cosine, EXCLUDE (a)
+    * same-label rows (potential positives) and (b) near-duplicates
+    * above the dedup threshold (cos ≥ 0.95 in 4-dp rounded space —
+    * the qDedupEmbedding convention: a crawl replica is not a
+    * negative, it is a label error waiting to happen), keep the top 8
+    * hardest per anchor.
+    *
+    * Plan shape: ONE broadcast scoring pass (5-row anchor set × the
+    * candidate scan — the qAnnBruteTopk plan class) + a per-anchor
+    * rank window; both exclusions are map-side predicates on the
+    * scored rows, so at 100 TB this is the exact brute-topk envelope,
+    * and the production form swaps the scoring pass for any ANN probe
+    * in this file (IVF/PQ/LSH emit the same (qid, cand, cos) rows).
+    * Scores ride as 4-dp rounds so both engines rank identical
+    * doubles. */
+  def qMineHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).join(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("nrm").as("qn"), col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    e.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"), col("label"), col("qlabel"),
+              round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .filter(col("label") =!= col("qlabel") && col("cos") < 0.95)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 8)
+      .select("qid", "cand", "rk", "cos")
+      .orderBy("qid", "rk")
+  }
+
   /** K-means refinement of the IVF codebook — the loop SURVEY §2.10
     * promises the [[graft.functions.VectorCentroid]] Aggregator for:
     * assign each vector to its nearest centroid (broadcast codebook, one
@@ -616,6 +652,7 @@ object Similarity {
     "q_vec_quantize"    -> (qVecQuantize _),
     "q_ann_pq"          -> (qAnnPq _),
     "q_ann_rrf"         -> (qAnnRrf _),
+    "q_mine_hard_negatives" -> (qMineHardNegatives _),
   )
 
   /** Pre-normed CTE + single dot per pair — mirrors the Spark plan exactly
@@ -625,6 +662,22 @@ object Similarity {
   private val duckCos = "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)"
 
   val oracle: Map[String, String] = Map(
+    // same pre-normed cosine + 4-dp round as the ANN family; both
+    // exclusions are plain predicates, the rank the same (cos DESC,
+    // cand) tie-break
+    "q_mine_hard_negatives" ->
+      s"""WITH e AS (SELECT n.vec_id, n.v, n.nrm, m.label
+        |           FROM ($duckVecs) n
+        |           JOIN embeddings m ON n.vec_id = m.vec_id),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS cand,
+        |    ROUND($duckCos, 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5
+        |  WHERE b.label <> a.label),
+        |ranked AS (SELECT qid, cand, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS BIGINT) AS rk
+        |  FROM scored WHERE cos < 0.95)
+        |SELECT qid, cand, rk, cos FROM ranked WHERE rk <= 8
+        |ORDER BY qid, rk""".stripMargin,
     // same assignment tie-break as q_ann_ivf_kmeans's CTE chain; the
     // within-cluster pair join mirrors the Spark equi-join on cid exactly
     "q_dedup_semantic" ->

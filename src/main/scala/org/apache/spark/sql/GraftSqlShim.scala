@@ -26,8 +26,8 @@ object GraftSqlShim {
     spark.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
 
   /** Lineage fence WITHOUT the local-disk write: materialize the frame's
-    * InternalRow RDD into MEMORY_ONLY storage and wrap it as a leaf
-    * (`internalCreateDataFrame` — the same mechanism `localCheckpoint`
+    * InternalRow RDD into MEMORY_ONLY storage and wrap it as a
+    * `LogicalRDD` leaf (the same construction `Dataset.localCheckpoint`
     * uses, minus the checkpoint machinery's forced MEMORY_AND_DISK level
     * whose eager disk write was measured swinging multi-consumer queries
     * 0.8↔5.8 s run-to-run with box state, r9 verdict #1b). Rows are

@@ -731,6 +731,42 @@ class DedupSimilaritySpec extends SparkSpec {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("hard-negative mining: no same-label rows, no near-dups, matches a first-principles recompute") {
+    val out = Similarity.qMineHardNegatives(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand"),
+                 r.getAs[Long]("rk"), r.getAs[Double]("cos")))
+    assert(out.nonEmpty && out.length <= 5 * 8)
+    // ground truth on the driver: full cosine ranking per anchor with
+    // both exclusions applied, 4-dp rounded like the engine
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+                 r.getAs[Seq[Double]]("v").toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = rows.filter(_._1 < 5).flatMap { case (qid, qlabel, qv) =>
+      rows.filter(r => r._1 >= 5 && r._2 != qlabel)
+        .map { case (cid, _, cv) =>
+          (cid, BigDecimal(cos(cv, qv)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .filter(_._2 < 0.95)
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(8).zipWithIndex
+        .map { case ((cid, c), i) => (qid, cid, (i + 1).toLong, c) }
+    }
+    assert(out.sorted.sameElements(expected.sorted),
+      s"mined negatives (${out.length}) differ from brute recompute (${expected.length})")
+    // and the exclusions actually bit: some same-label or near-dup row
+    // was dropped from at least one anchor's raw top-8
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    assert(out.forall { case (q, c, _, _) => labels(c) != labels(q) },
+      "a same-label candidate leaked into the negatives")
+  }
+
   test("band-index compaction: removed docs' bands drop, survivors' probe hits are unchanged") {
     import java.nio.file.Files
     val indexDir = Files.createTempDirectory("graft_band_index").toString + "/idx"
