@@ -458,6 +458,76 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** EXT: MMR diversified retrieval (Maximal Marginal Relevance,
+    * Carbonell & Goldstein 1998) — the RAG/result-diversification op:
+    * greedily select k=4 results per query maximizing
+    * λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s) with λ = 0.7 — each step
+    * penalizes candidates similar to what is already selected, so the
+    * final set covers the neighborhood instead of returning four
+    * near-copies of the top hit.
+    *
+    * The greedy loop is BOUNDED (k steps, the k-means/BPE driver-loop
+    * precedent — no driver-side data, one tiny broadcast join per
+    * step): candidates are prefiltered to each query's cosine top-12
+    * (one scoring pass + rank window — the brute-topk envelope; at
+    * 100 TB this prefilter is any ANN probe), then step i joins the
+    * ≤i-row-per-query selected set back (broadcast — ≤ 5k rows at any
+    * corpus size since it is (queries × k) vectors) to compute the
+    * diversity penalty, and one rank window picks the argmax. All
+    * similarities live in 4-dp rounded space and the MMR score is one
+    * fixed-order expression over them, so DuckDB replays the identical
+    * greedy trajectory; ties break by cand id. */
+  def qAnnMmr(s: SparkSession, d: String): DataFrame = {
+    // λ and (1−λ) as SEPARATE double literals (0.7 and 0.3): computing
+    // 1.0−0.7 in Scala gives 0.30000000000000004, while DuckDB's 0.3
+    // casts to the nearest-double 0.3 — same-literal-both-sides is the
+    // engine-portability rule (SURVEY §7.5.2)
+    val e = vecs(s, d)
+    val q0 = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cosq").desc, col("cand"))
+    // candidate pool: top-12 by query cosine, vectors ride along for
+    // the pairwise penalty joins
+    val pool = e.filter(col("vec_id") >= 5).crossJoin(broadcast(q0))
+      .select(col("qid"), col("vec_id").as("cand"), col("v").as("cv"),
+              col("nrm").as("cn"),
+              round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cosq"))
+      .withColumn("prk", row_number().over(wTop))
+      .filter(col("prk") <= 12)
+      .drop("prk")
+      .localCheckpoint()
+    // greedy: step 1 = pure relevance argmax; steps 2..4 subtract the
+    // max selected-similarity penalty
+    var selected = pool
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("cand"), col("cv"), col("cn"),
+              col("cosq"), lit(1L).as("step"))
+      .localCheckpoint()
+    (2 to 4).foreach { step =>
+      val sel = selected.select(col("qid").as("sqid"), col("cand").as("scand"),
+                                col("cv").as("sv"), col("cn").as("sn"))
+      val remaining = pool.join(
+        selected.select(col("qid"), col("cand"), lit(1).as("taken")),
+        Seq("qid", "cand"), "left_anti")
+      val penalized = remaining.join(broadcast(sel), col("qid") === col("sqid"))
+        .withColumn("cosd",
+          round(vecDot(col("cv"), col("sv")) / (col("cn") * col("sn")), 4))
+        .groupBy("qid", "cand", "cv", "cn", "cosq")
+        .agg(max(col("cosd")).as("pen"))
+        .withColumn("mmr",
+          round(lit(0.7) * col("cosq") - lit(0.3) * col("pen"), 4))
+      val wSel = Window.partitionBy("qid").orderBy(col("mmr").desc, col("cand"))
+      selected = selected.unionByName(penalized
+        .withColumn("rk", row_number().over(wSel))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("cand"), col("cv"), col("cn"),
+                col("cosq"), lit(step.toLong).as("step")))
+        .localCheckpoint()
+    }
+    selected.select("qid", "step", "cand", "cosq").orderBy("qid", "step")
+  }
+
   /** K-means refinement of the IVF codebook — the loop SURVEY §2.10
     * promises the [[graft.functions.VectorCentroid]] Aggregator for:
     * assign each vector to its nearest centroid (broadcast codebook, one
@@ -653,7 +723,43 @@ object Similarity {
     "q_ann_pq"          -> (qAnnPq _),
     "q_ann_rrf"         -> (qAnnRrf _),
     "q_mine_hard_negatives" -> (qMineHardNegatives _),
+    "q_ann_mmr"             -> (qAnnMmr _),
   )
+
+  /** DuckDB CTE chain replaying [[qAnnMmr]]'s greedy trajectory: steps
+    * 2..4 generated as (penalty agg → argmax pick → selected union)
+    * triples — the kmeans a1/c1/a2 chained-CTE precedent. */
+  private def mmrOracle: String = {
+    val steps = (2 to 4).map { i =>
+      s"""pen$i AS (SELECT p.qid, p.cand, p.cosq,
+         |    MAX(ROUND(list_dot_product(p.cv, s.cv) / (p.cn * s.cn), 4)) AS pen
+         |  FROM pool p JOIN sel${i - 1} s USING (qid)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |                    WHERE x.qid = p.qid AND x.cand = p.cand)
+         |  GROUP BY p.qid, p.cand, p.cosq),
+         |pick$i AS (SELECT t.qid, t.cand, p.cv, p.cn, t.cosq, CAST($i AS BIGINT) AS step
+         |  FROM (SELECT qid, cand, cosq, ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY ROUND(CAST(0.7 AS DOUBLE) * cosq
+         |                         - CAST(0.3 AS DOUBLE) * pen, 4) DESC, cand) AS rk
+         |        FROM pen$i) t
+         |  JOIN pool p ON p.qid = t.qid AND p.cand = t.cand
+         |  WHERE t.rk = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($duckVecs),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+       |pool0 AS (SELECT q.qid, c.vec_id AS cand, c.v AS cv, c.nrm AS cn,
+       |    ROUND(list_dot_product(c.v, q.qv) / (c.nrm * q.qn), 4) AS cosq
+       |  FROM e c, q WHERE c.vec_id >= 5),
+       |pool AS (SELECT qid, cand, cv, cn, cosq FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosq DESC, cand) AS prk
+       |  FROM pool0) WHERE prk <= 12),
+       |sel1 AS (SELECT qid, cand, cv, cn, cosq, CAST(1 AS BIGINT) AS step FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosq DESC, cand) AS rk
+       |  FROM pool) WHERE rk = 1),
+       |$steps
+       |SELECT qid, step, cand, cosq FROM sel4 ORDER BY qid, step""".stripMargin
+  }
 
   /** Pre-normed CTE + single dot per pair — mirrors the Spark plan exactly
     * (same sqrt-once-then-multiply FP order). */
@@ -662,6 +768,9 @@ object Similarity {
   private val duckCos = "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)"
 
   val oracle: Map[String, String] = Map(
+    // greedy replay in chained CTEs; identical 4-dp score space and
+    // (score DESC, cand) tie-break each step
+    "q_ann_mmr" -> mmrOracle,
     // same pre-normed cosine + 4-dp round as the ANN family; both
     // exclusions are plain predicates, the rank the same (cos DESC,
     // cand) tie-break

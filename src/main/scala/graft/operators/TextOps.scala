@@ -689,6 +689,53 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** EXT: PROPORTIONAL stratified sampling with EXACT largest-remainder
+    * allocation (Hamilton apportionment) — the subcorpus-construction op
+    * [[qSampleStratified]]'s fixed per-stratum quota cannot express:
+    * "sample exactly N/10 documents, each source represented in
+    * proportion to its size". Quotas are pure integer arithmetic —
+    * base_s = (n_s·T) DIV N, the T − Σbase leftover seats go to the
+    * largest remainders ((n_s·T) MOD N, ties by source) — so Σalloc = T
+    * EXACTLY, no engine FP anywhere. Membership inside each stratum is
+    * the md5-rank order (deterministic at any parallelism, the
+    * qSampleHash convention); the id_sum output hash-gates the exact
+    * selected SET, not just counts.
+    *
+    * Scale shape: the allocation math runs on the per-source count
+    * relation (|sources| rows — windows over it are free); the
+    * selection is one rank window per stratum. At 100 TB the rank
+    * window becomes the per-stratum select-k (histogram the hash
+    * prefix → exact threshold, two scans — the exact-percentile
+    * partner's envelope); the fixture-scale plan keeps the window. */
+  def qSampleProportional(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+    val strata = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    val alloc = strata
+      .withColumn("n", sum(col("n_s")).over(wAll))
+      .withColumn("t", expr("n DIV 10"))
+      .withColumn("base", expr("n_s * t DIV n"))
+      .withColumn("rem", expr("n_s * t % n"))
+      .withColumn("leftover", col("t") - sum(col("base")).over(wAll))
+      .withColumn("seat", row_number().over(wRem))
+      .withColumn("alloc",
+        col("base") + when(col("seat") <= col("leftover"), 1L).otherwise(0L))
+      .select("source", "n_s", "alloc")
+    val wRank = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(wRank))
+      .join(broadcast(alloc), "source")
+      .filter(col("rn") <= col("alloc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+      .join(broadcast(alloc), "source")
+      .select(col("source"), col("n_s").as("n_docs"), col("alloc"),
+              col("n_sampled"), col("id_sum"))
+      .orderBy("source")
+  }
+
   /** EXT: shingle table via the custom [[graft.functions.ShingleGenerator]]
     * (§2.10 Generator surface) — one row in, (pos, shingle) rows out,
     * planned through the stock Generate operator. Bounded input window
@@ -955,6 +1002,7 @@ object TextOps {
     "q_shingle_gen"       -> (qShingleGen _),
     "q_sample_hash"       -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_proportional" -> (qSampleProportional _),
     "q_curate_source_cap" -> (qCurateSourceCap _),
     "q_mix_temperature"   -> (qMixTemperature _),
     "q_pack_sequences"    -> (qPackSequences _),
@@ -1271,6 +1319,27 @@ object TextOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    // identical integer Hamilton apportionment + md5-rank membership;
+    // id_sum gates the exact selected set
+    "q_sample_proportional" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |a0 AS (SELECT source, n_s, CAST(SUM(n_s) OVER () AS BIGINT) AS n FROM s),
+        |a1 AS (SELECT source, n_s, n, n // 10 AS t,
+        |         n_s * (n // 10) // n AS base, n_s * (n // 10) % n AS rem
+        |       FROM a0),
+        |a2 AS (SELECT *, (t - CAST(SUM(base) OVER () AS BIGINT)) AS leftover,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS seat FROM a1),
+        |alloc AS (SELECT source, n_s,
+        |    CAST(base + CASE WHEN seat <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM a2),
+        |r AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT a.source, a.n_s AS n_docs, a.alloc, COUNT(*) AS n_sampled,
+        |       CAST(SUM(r.doc_id) AS BIGINT) AS id_sum
+        |FROM r JOIN alloc a USING (source)
+        |WHERE r.rn <= a.alloc
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q_curate_source_cap" ->
       """WITH r AS (SELECT source, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source

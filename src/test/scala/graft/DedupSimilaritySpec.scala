@@ -767,6 +767,69 @@ class DedupSimilaritySpec extends SparkSpec {
       "a same-label candidate leaked into the negatives")
   }
 
+  test("proportional stratified sampling: exact total, quota property, allocation filled") {
+    val out = TextOps.qSampleProportional(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+                 r.getAs[Long]("alloc"), r.getAs[Long]("n_sampled")))
+    val n = Tables.documents(spark, sf).count()
+    val t = n / 10
+    assert(out.map(_._4).sum === t, s"Hamilton apportionment must hit the target EXACTLY: ${out.map(_._4).sum} != $t")
+    out.foreach { case (src, nS, alloc, sampled) =>
+      assert(sampled === alloc, s"$src: stratum under-filled ($sampled of $alloc)")
+      // quota property: every allocation within 1 of the ideal share
+      val ideal = nS.toDouble * t / n
+      assert(math.abs(alloc - ideal) < 1.0, s"$src: alloc $alloc vs ideal $ideal")
+    }
+  }
+
+  test("MMR retrieval: greedy trajectory matches a first-principles replay; diversity beats plain top-k") {
+    val out = Similarity.qAnnMmr(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("step"), r.getAs[Long]("cand")))
+    assert(out.length === 5 * 4, "4 selections for each of 5 queries")
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("v").toArray).toMap
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      val c = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // replay the greedy loop per query on the driver
+    val expected = (0L until 5L).flatMap { qid =>
+      val pool = rows.filter(_._1 >= 5)
+        .map { case (id, v) => (id, cos4(v, rows(qid))) }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(12)
+      var sel = Vector(pool.head._1)
+      (2 to 4).foreach { step =>
+        val pick = pool.filterNot(p => sel.contains(p._1))
+          .map { case (id, cq) =>
+            val pen = sel.map(sid => cos4(rows(id), rows(sid))).max
+            val mmr = BigDecimal(0.7 * cq - 0.3 * pen)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (id, mmr)
+          }.minBy { case (id, m) => (-m, id) }._1
+        sel = sel :+ pick
+      }
+      sel.zipWithIndex.map { case (id, i) => (qid, (i + 1).toLong, id) }
+    }
+    assert(out.sorted.sameElements(expected.sorted),
+      "engine MMR trajectory differs from the first-principles replay")
+    // diversity: per query, the selected set's max pairwise cosine must
+    // not exceed the plain top-4's (usually strictly lower)
+    val byQ = out.groupBy(_._1)
+    val looser = (0L until 5L).count { qid =>
+      val selIds = byQ(qid).sortBy(_._2).map(_._3)
+      val topIds = rows.filter(_._1 >= 5)
+        .map { case (id, v) => (id, cos4(v, rows(qid))) }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1)
+      def maxPair(ids: Seq[Long]): Double =
+        (for (a <- ids; b <- ids if a < b) yield cos4(rows(a), rows(b))).max
+      maxPair(selIds) <= maxPair(topIds)
+    }
+    assert(looser === 5, "MMR selection must never be LESS diverse than plain top-k")
+  }
+
   test("band-index compaction: removed docs' bands drop, survivors' probe hits are unchanged") {
     import java.nio.file.Files
     val indexDir = Files.createTempDirectory("graft_band_index").toString + "/idx"
