@@ -40,6 +40,7 @@ object ScaleProbe {
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
     else if (args(0) == "recall") recallProbe(spark, args(1).toInt)
     else if (args(0) == "stream") streamProbe(spark, args(1))
+    else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -70,6 +71,43 @@ object ScaleProbe {
       println(f"clusters fence=$mode%-7s median=${runs(2)}%.2f s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
     }
     spark.conf.unset("spark.graft.clusters.fence")
+  }
+
+  /** Select-k probe: the stratified sampler's two selection forms at
+    * replicated scale — full per-stratum rank WINDOW (one sort per
+    * stratum partition — the straggler at corpus scale) vs the
+    * two-scan hash-prefix select-k ([[operators.TextOps
+    * .selectKByHash]]: 256-bucket histogram + boundary-only ranking).
+    * Replicas keep the SAME 4 sources, so each stratum grows mult× —
+    * exactly the per-stratum blowup that kills the window form.
+    * Usage: tools/run_verify.sh selectk <mult> graft.ScaleProbe */
+  private def selectkProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "source")
+    val big = (0 until mult).map { r =>
+      base.select((col("doc_id") + lit(r.toLong * 1000000)).as("doc_id"), col("source"))
+    }.reduce(_ union _)
+    big.write.mode("overwrite").parquet("/tmp/graft_selectk_probe")
+    val docs = spark.read.parquet("/tmp/graft_selectk_probe")
+    val n = docs.count()
+    // equal alloc per source: n/10 spread by stratum share (flat corpus
+    // -> same per-stratum quota; exactness is the spec's job, this
+    // probe measures wall)
+    val alloc = docs.groupBy("source").agg((count(lit(1)) / 10).cast("long").as("alloc"))
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val c = f; (c, (System.nanoTime() - t0) / 1e9)
+    }
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    def windowForm: Long = docs.withColumn("rn", row_number().over(w))
+      .join(alloc, "source").filter(col("rn") <= col("alloc")).count()
+    def twoScan: Long = operators.TextOps.selectKByHash(docs, alloc).count()
+    windowForm; twoScan // warm-up
+    val (c1, t1) = time(windowForm)
+    val (c2, t2) = time(twoScan)
+    println(f"selectk mult=$mult: $n%,d docs, 4 strata -> window $c1%,d in $t1%.1f s; " +
+      f"two-scan $c2%,d in $t2%.1f s (${t1 / t2}%.1fx)")
   }
 
   /** Fence-variance probe (r9 verdict #1b): 5 timed runs of the two

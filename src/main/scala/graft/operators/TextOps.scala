@@ -736,6 +736,56 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** The 100 TB path [[qSampleProportional]]'s doc promises, implemented
+    * (not just claimed): per-stratum smallest-k selection WITHOUT a
+    * rank window over the full stratum. A stratum at corpus scale is
+    * billions of rows behind one window partition — a straggler sort.
+    * Two-scan hash-prefix select-k instead:
+    *  - pass 1: one grouped count over (source, first-2-hex-chars of
+    *    the rank hash) — a ≤256·|sources|-row histogram; a cumulative
+    *    window over THAT tiny relation finds each stratum's threshold
+    *    bucket (first prefix where the running count reaches alloc)
+    *    and how many rows of the boundary bucket are still needed;
+    *  - pass 2: rows strictly below the threshold prefix pass with NO
+    *    ranking at all (their hash is smaller than every boundary-
+    *    bucket hash by prefix order); only the ~n_s/256 boundary-bucket
+    *    rows get a rank window.
+    * The selected SET is identical to the full window form by
+    * construction (prefix order is a prefix of full-hash order; the
+    * boundary ranks by the same (h, doc_id) key) — DedupSimilaritySpec
+    * asserts set equality, and ScaleProbe `selectk` measures both forms
+    * at replicated scale. `alloc` columns: (source, alloc). */
+  private[graft] def selectKByHash(docs: DataFrame, alloc: DataFrame): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val withP = docs.select(col("doc_id"), col("source"), h.as("h"),
+                            substring(h, 1, 2).as("p"))
+    val hist = withP.groupBy("source", "p").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("source").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(alloc, "source")
+      .filter(col("cum") >= col("alloc"))
+      .groupBy("source")
+      .agg(min(col("p")).as("tb"))
+    val bounds = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(thr, "source")
+      .filter(col("p") === col("tb"))
+      .join(alloc, "source")
+      .select(col("source"), col("tb"),
+              (col("alloc") - (col("cum") - col("cnt"))).as("need"))
+    val wBoundary = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val below = withP.join(broadcast(bounds), "source").filter(col("p") < col("tb"))
+      .select("source", "doc_id")
+    val boundary = withP.join(broadcast(bounds), "source")
+      .filter(col("p") === col("tb"))
+      .withColumn("rk", row_number().over(wBoundary))
+      .filter(col("rk") <= col("need"))
+      .select("source", "doc_id")
+    below.unionByName(boundary)
+  }
+
   /** EXT: shingle table via the custom [[graft.functions.ShingleGenerator]]
     * (§2.10 Generator surface) — one row in, (pos, shingle) rows out,
     * planned through the stock Generate operator. Bounded input window

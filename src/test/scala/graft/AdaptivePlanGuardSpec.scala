@@ -150,4 +150,20 @@ class AdaptivePlanGuardSpec extends SparkSpec {
     assert(s.bhj >= 1, s"LLR model join-back must broadcast: $s")
     assert(s.nlj === 0 && s.cartesian === 0, s"no unbounded product in DSIR: $s")
   }
+
+  test("q_mine_hard_negatives final adaptive plan: one broadcast scoring pass, nothing unbounded") {
+    val s = run("q_mine_hard_negatives")
+    // the ONE tolerated BNLJ is the broadcast(5-row anchor set) scoring
+    // product — it IS the brute-topk operator; a second product or a
+    // cartesian would mean the label join degraded
+    assert(s.nlj <= 1 && s.cartesian === 0,
+      s"only the broadcast anchor scoring pass may be a product: $s")
+  }
+
+  test("q_sample_proportional final adaptive plan: allocation joins broadcast, no product") {
+    val s = run("q_sample_proportional")
+    assert(s.nlj === 0 && s.cartesian === 0,
+      s"allocation must join by key, never product: $s")
+    assert(s.bhj >= 1, s"the |sources|-row allocation must broadcast: $s")
+  }
 }

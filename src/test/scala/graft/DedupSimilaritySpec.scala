@@ -782,6 +782,35 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-scan hash select-k picks the IDENTICAL set as the full rank window") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    // the same Hamilton allocation the declared query computes
+    val strata = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val n = docs.count(); val t = n / 10
+    val rows = strata.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_s")))
+    val base = rows.map { case (s, ns) => (s, ns, ns * t / n, ns * t % n) }
+    val leftover = (t - base.map(_._3).sum).toInt
+    val seats = base.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .take(leftover).map(_._1).toSet
+    val alloc = base.map { case (s, _, b, _) => (s, b + (if (seats(s)) 1L else 0L)) }
+    import spark.implicits._
+    val allocDf = alloc.toSeq.toDF("source", "alloc")
+
+    val twoScan = TextOps.selectKByHash(docs, allocDf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // reference: the full per-stratum rank window
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val windowed = docs.withColumn("rn", row_number().over(w))
+      .join(allocDf, "source").filter(col("rn") <= col("alloc"))
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(twoScan === windowed,
+      s"two-scan set (${twoScan.size}) must equal the window set (${windowed.size})")
+    assert(twoScan.size.toLong === alloc.map(_._2).sum, "every stratum filled exactly")
+  }
+
   test("MMR retrieval: greedy trajectory matches a first-principles replay; diversity beats plain top-k") {
     val out = Similarity.qAnnMmr(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("step"), r.getAs[Long]("cand")))
