@@ -699,6 +699,13 @@ object Dedup {
     val excerpts = docs.filter(col("doc_id") < 50)
       .select((-(col("doc_id") + 1L)).as("doc_id"),
               concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text"))
+    // inv/pruned are multi-consumer but deliberately UNFENCED — the
+    // fence rule is MEASURED per site, not assumed: the A/B (TimeOne,
+    // sf0.1) ran 1.60 s unfenced vs 1.80 s with both fenced. Here
+    // ReuseExchange and the cheap per-consumer re-explode undercut the
+    // cost of materializing two ~1e6-row pins; dsir/ppjoin went the
+    // other way because their shared subtrees carry md5/token work that
+    // exchange reuse cannot dedupe.
     val inv = fanout(docs.union(excerpts), "doc_id")
       .select(col("doc_id"), explode(shingles3).as("sh"))
     val keep = inv.groupBy("sh").agg(count(lit(1)).as("df"))
