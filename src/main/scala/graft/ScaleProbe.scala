@@ -41,6 +41,7 @@ object ScaleProbe {
     else if (args(0) == "recall") recallProbe(spark, args(1).toInt)
     else if (args(0) == "stream") streamProbe(spark, args(1))
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
+    else if (args(0) == "dstream") dstreamProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -71,6 +72,70 @@ object ScaleProbe {
       println(f"clusters fence=$mode%-7s median=${runs(2)}%.2f s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
     }
     spark.conf.unset("spark.graft.clusters.fence")
+  }
+
+  /** Streaming-dedup probe at crawl magnitude: [[graft.streaming
+    * .Streams.dedupStream]] — spec-scale only until now — replaying a
+    * backlog of `crawls` nightly crawls (one landing file each; crawl
+    * c = the 5k-doc sf0.1 corpus with shifted ids and a per-crawl
+    * token, except every 10th doc is an EXACT re-crawl of crawl 0's
+    * text) as one micro-batch per crawl through ONE stream run.
+    * Measured and printed per crawl: trigger wall, cross-crawl dup
+    * hits delta, accumulated index rows — the claims under test being
+    * that per-crawl cost tracks the CRAWL (the accumulated index is
+    * probed, never reshuffled) and that dup hits appear exactly when a
+    * crawl re-delivers known text.
+    * Usage: tools/run_verify.sh dstream <crawls> graft.ScaleProbe */
+  private def dstreamProbe(spark: SparkSession, crawls: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_dstream_probe"
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(root))
+    val (docsDir, idx, hits, ckpt) =
+      (s"$root/docs", s"$root/idx", s"$root/hits", s"$root/ckpt")
+    new java.io.File(docsDir).mkdirs()
+    val base = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+    // crawl c: every 10th doc is an EXACT re-crawl of crawl 0's text;
+    // the rest interleave a crawl marker after every 4th word — that
+    // touches ~3/4 of all 3-shingles (J ≈ 0.14 vs any other crawl's
+    // variant), genuinely NEW content to the banding, unlike an
+    // appended token (J ≈ 0.97 — still a near-dup, correctly flagged)
+    (0 until crawls).foreach { c =>
+      val marked = expr(
+        s"""array_join(flatten(transform(
+           |  sequence(0, cast(ceil(size(split(text, ' ')) / 4.0) as int) - 1),
+           |  i -> concat(slice(split(text, ' '), i * 4 + 1, 4), array('c$c')))), ' ')""".stripMargin)
+      base.select((col("doc_id") + lit(c.toLong * 1000000)).as("doc_id"),
+          when(col("doc_id") % 10 === 0, col("text")).otherwise(marked).as("text"))
+        .coalesce(1).write.mode("append").parquet(docsDir)
+    }
+    val walls = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0)
+          walls.put(e.progress.batchId,
+            e.progress.durationMs.getOrDefault("triggerExecution", 0L) / 1e3)
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    val t0 = System.nanoTime()
+    streaming.Streams.dedupStream(spark, docsDir, idx, hits, ckpt,
+      maxFilesPerBatch = Some(1)).awaitTermination()
+    val total = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val nDocs = base.count()
+    println(f"dstream: $crawls crawls x $nDocs%,d docs drained in $total%.1f s")
+    (0 until crawls).foreach { c =>
+      val h = new java.io.File(s"$hits/batch_$c")
+      val nHits = if (h.exists()) spark.read.parquet(h.toString).count() else 0L
+      val idxRows = spark.read.option("recursiveFileLookup", "true").parquet(idx)
+        .count() // current accumulated size (post-run, same for all)
+      val w = walls.asScala.getOrElse(c.toLong, Double.NaN)
+      println(f"dstream crawl $c: wall $w%.1f s, $nHits%,d cross-crawl dup hits" +
+        (if (c == crawls - 1) f" (index now $idxRows%,d band rows)" else ""))
+    }
   }
 
   /** Select-k probe: the stratified sampler's two selection forms at

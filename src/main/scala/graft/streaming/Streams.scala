@@ -294,8 +294,16 @@ object Streams {
     * ([[graft.operators.Dedup.qDedupMinhash]]); this stream owns the
     * cross-crawl axis. */
   def dedupStream(s: SparkSession, docsDir: String, indexDir: String,
-                  hitsDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    s.readStream.schema(docsLandingSchema).parquet(docsDir)
+                  hitsDir: String, checkpoint: String,
+                  maxFilesPerBatch: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one landing FILE = one crawl (the landing contract); capping
+    // files-per-trigger lets a staged backlog replay as one micro-batch
+    // per crawl — the ScaleProbe `dstream` measurement shape
+    val src = maxFilesPerBatch.foldLeft(
+      s.readStream.schema(docsLandingSchema))(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    src.parquet(docsDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -318,6 +326,7 @@ object Streams {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
