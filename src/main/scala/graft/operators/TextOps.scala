@@ -786,6 +786,91 @@ object TextOps {
     below.unionByName(boundary)
   }
 
+  /** EXT: corpus SNAPSHOT DIFF — the data-versioning op every managed
+    * training corpus needs: given two crawl snapshots, report what was
+    * added, removed, changed, and untouched — by CONTENT hash, so a
+    * re-crawl that re-delivers identical bytes is "unchanged", not
+    * "changed". Fixture snapshot B simulates the next crawl: doc_id%13
+    * == 3 removed, %13 == 5 edited (a token appended), and a new-docs
+    * batch under the negative-id namespace (the plant convention).
+    *
+    * Plan shape: ONE full-outer equi-join on doc_id with md5(text)
+    * computed map-side on each scan — at 100 TB both sides' hashes live
+    * in the corpus catalog (the exact-dedup sidecar this engine already
+    * maintains), so the diff is a join of two hash tables, never a text
+    * read; the per-status rollup reuses the join's exchange. Output:
+    * one row per status with count and an id_sum membership gate. */
+  def qCorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val a = docs.select(col("doc_id"), md5(col("text")).as("ha"))
+    val b = docs.filter(col("doc_id") % 13 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 13 === 7)
+        .select((-(col("doc_id") + 1L)).as("doc_id"),
+                concat(lit("fresh "), col("text")).as("text")))
+      .select(col("doc_id"), md5(col("text")).as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") === col("hb"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("status")
+  }
+
+  /** EXT: corpus DRIFT between two snapshots — the distribution-shift
+    * monitor a continuously-crawled corpus needs: Jensen-Shannon
+    * divergence (in nats) between the hashed-token distributions of
+    * two slices (fixture: even vs odd doc_ids), over the SAME 256
+    * md5-prefix buckets as DSIR — the B-bucket hashing that keeps the
+    * comparison relation tiny no matter the vocabulary.
+    *
+    * Engine-exactness (the DSIR convention): the per-bucket JSD
+    * contribution ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) is ONE fixed-order
+    * double expression evaluated on per-bucket counts and the two
+    * window totals, quantized to 1e-9 fixed point PER BUCKET — any
+    * cross-bucket aggregation downstream is an integer sum, order-
+    * independent and bit-identical across engines. Absent-side buckets
+    * take the p·ln(p)→0 limit through a lazy CASE. Output: all
+    * occupied buckets with both counts and the quantized contribution
+    * — the total JSD is one integer sum away; the per-bucket rows ARE
+    * the drill-down a drift alert needs.
+    *
+    * Plan: one token explode → (bucket, side) hash-agg (map-side
+    * combined, ≤512 groups), conditional pivot to (na, nb), two window
+    * totals over ≤256 rows. Nothing scales with corpus bytes except
+    * the one scan. */
+  def qCorpusDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+              explode(toks(col("text"))).as("tok"))
+      .groupBy(substring(md5(col("tok")), 1, 2).as("b"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+           sum(when(col("in_a"), 0L).otherwise(1L)).as("nb"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("ta", sum(col("na")).over(wAll))
+      .withColumn("tb", sum(col("nb")).over(wAll))
+      .withColumn("jsd_q9", floor(
+        (when(col("na") > 0,
+           col("na") / col("ta") *
+             log(lit(2.0) * (col("na") / col("ta")) /
+                 (col("na") / col("ta") + col("nb") / col("tb"))))
+           .otherwise(lit(0.0)) +
+         when(col("nb") > 0,
+           col("nb") / col("tb") *
+             log(lit(2.0) * (col("nb") / col("tb")) /
+                 (col("na") / col("ta") + col("nb") / col("tb"))))
+           .otherwise(lit(0.0))) * lit(0.5) * lit(1e9) + lit(0.5)).cast("long"))
+      .select("b", "na", "nb", "jsd_q9")
+      .orderBy("b")
+  }
+
   /** EXT: shingle table via the custom [[graft.functions.ShingleGenerator]]
     * (§2.10 Generator surface) — one row in, (pos, shingle) rows out,
     * planned through the stock Generate operator. Bounded input window
@@ -1053,6 +1138,8 @@ object TextOps {
     "q_sample_hash"       -> (qSampleHash _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_proportional" -> (qSampleProportional _),
+    "q_corpus_diff"       -> (qCorpusDiff _),
+    "q_corpus_drift"      -> (qCorpusDrift _),
     "q_curate_source_cap" -> (qCurateSourceCap _),
     "q_mix_temperature"   -> (qMixTemperature _),
     "q_pack_sequences"    -> (qPackSequences _),
@@ -1369,6 +1456,54 @@ object TextOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    // content-hash diff: same simulated snapshot B, same status rules
+    "q_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 13 = 5 THEN text || ' edited' ELSE text END) AS hb
+        |      FROM documents WHERE doc_id % 13 <> 3
+        |      UNION ALL
+        |      SELECT -(doc_id + 1), md5('fresh ' || text)
+        |      FROM documents WHERE doc_id % 13 = 7)
+        |SELECT status, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.ha IS NULL THEN 'added'
+        |         WHEN b.hb IS NULL THEN 'removed'
+        |         WHEN a.ha = b.hb THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical fixed-order JSD expression over the same 256 md5
+    // buckets; per-bucket 1e-9 quantization BEFORE any cross-bucket
+    // arithmetic (the DSIR fixed-point convention)
+    "q_corpus_drift" ->
+      """WITH c AS (
+        |  SELECT substring(md5(tok), 1, 2) AS b,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |t AS (SELECT b, na, nb,
+        |        CAST(SUM(na) OVER () AS BIGINT) AS ta,
+        |        CAST(SUM(nb) OVER () AS BIGINT) AS tb
+        |      FROM c)
+        |SELECT b, na, nb,
+        |  CAST(floor((
+        |      (CASE WHEN na > 0
+        |            THEN (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)) *
+        |                 ln((CAST(2.0 AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)))
+        |                    / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |                       + (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))))
+        |            ELSE CAST(0.0 AS DOUBLE) END
+        |       + CASE WHEN nb > 0
+        |            THEN (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) *
+        |                 ln((CAST(2.0 AS DOUBLE) * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+        |                    / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |                       + (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))))
+        |            ELSE CAST(0.0 AS DOUBLE) END)
+        |      * CAST(0.5 AS DOUBLE) * CAST(1000000000.0 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE))) AS BIGINT) AS jsd_q9
+        |FROM t ORDER BY b""".stripMargin,
     // identical integer Hamilton apportionment + md5-rank membership;
     // id_sum gates the exact selected set
     "q_sample_proportional" ->

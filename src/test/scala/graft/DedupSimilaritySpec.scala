@@ -782,6 +782,60 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("corpus diff: statuses partition both snapshots; counts match a first-principles recompute") {
+    val out = TextOps.qCorpusDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("id_sum"))).toMap
+    assert(out.keySet === Set("added", "removed", "changed", "unchanged"))
+    val docs = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val added = docs.filter(_ % 13 == 7).map(id => -(id + 1))
+    val removed = docs.filter(_ % 13 == 3)
+    val changed = docs.filter(_ % 13 == 5)
+    val unchanged = docs.filterNot(id => id % 13 == 3 || id % 13 == 5)
+    assert(out("added") === ((added.length.toLong, added.sum)))
+    assert(out("removed") === ((removed.length.toLong, removed.sum)))
+    assert(out("changed") === ((changed.length.toLong, changed.sum)))
+    assert(out("unchanged") === ((unchanged.length.toLong, unchanged.sum)))
+    // statuses cover A ∪ B exactly once
+    assert(out.values.map(_._1).sum === docs.length + added.length)
+  }
+
+  test("corpus drift: per-bucket JSD matches a first-principles recompute; total within [0, ln 2]") {
+    val out = TextOps.qCorpusDrift(spark, sf).collect()
+      .map(r => (r.getAs[String]("b"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+                 r.getAs[Long]("jsd_q9")))
+    assert(out.nonEmpty && out.forall(_._4 >= 0), "JSD contributions are nonnegative")
+    val totalJsd = out.map(_._4).sum / 1e9
+    assert(totalJsd >= 0 && totalJsd <= math.log(2.0) + 1e-9,
+      s"JSD (nats) must lie in [0, ln 2]: $totalJsd")
+    // even/odd halves of the same corpus share a vocabulary: drift tiny
+    assert(totalJsd < 0.05, s"same-distribution fixture should drift little: $totalJsd")
+    // first-principles recompute from raw token counts
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    Tables.documents(spark, sf).select("doc_id", "text").collect().foreach { r =>
+      val even = r.getAs[Long]("doc_id") % 2 == 0
+      r.getAs[String]("text").split(" ").foreach { tok =>
+        val b = md5hex(tok).substring(0, 2)
+        val (a0, b0) = counts.getOrElse(b, (0L, 0L))
+        counts(b) = if (even) (a0 + 1, b0) else (a0, b0 + 1)
+      }
+    }
+    val ta = counts.values.map(_._1).sum.toDouble
+    val tb = counts.values.map(_._2).sum.toDouble
+    out.foreach { case (b, na, nb, q9) =>
+      val (ea, eb) = counts(b)
+      assert(na === ea && nb === eb, s"bucket $b counts")
+      val p = na / ta; val q = nb / tb
+      val term = (if (na > 0) p * math.log(2.0 * p / (p + q)) else 0.0) +
+                 (if (nb > 0) q * math.log(2.0 * q / (p + q)) else 0.0)
+      val expQ9 = math.floor(term * 0.5 * 1e9 + 0.5).toLong
+      assert(math.abs(q9 - expQ9) <= 1, s"bucket $b: engine $q9 vs recompute $expQ9")
+    }
+  }
+
   test("two-scan hash select-k picks the IDENTICAL set as the full rank window") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source")
     // the same Hamilton allocation the declared query computes
