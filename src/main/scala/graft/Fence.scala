@@ -26,4 +26,28 @@ object Fence {
       case Some("local") => df.localCheckpoint()
       case _             => org.apache.spark.sql.GraftSqlShim.pinMemory(df)
     }
+
+  /** RDD-lineage CUT: a raw `localCheckpoint` for the one caller class
+    * that needs the PHYSICAL lineage truncated, not just the Catalyst
+    * plan — sealing the survivor of a persist-mode iterative loop
+    * before its superseded round pins are unpersisted (qDedupClusters'
+    * A/B branch). Everything else uses [[apply]]; FenceGateSpec greps
+    * main source so this file stays the only raw `.localCheckpoint()`
+    * call site in the engine (r10 verdict #2). */
+  def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** Unpersist a [[apply]]-fenced frame's pinned blocks once it is
+    * SUPERSEDED — the iterative-loop discipline (r10 advice): without
+    * this, round r's pin keeps rounds 1..r-1's MEMORY_ONLY blocks
+    * reachable and cache usage grows per round. Caller contract:
+    * release `prev` only after the superseding fence has materialized
+    * (apply is eager) and `prev` will not be read again; an eviction of
+    * the LIVE pin then recomputes through the released round's plan —
+    * correct under [[org.apache.spark.sql.GraftSqlShim.pinMemory]]'s
+    * documented determinism assumption, just slower. No-op in `local`
+    * mode, where the checkpointed blocks ARE the data (lineage is
+    * truncated, so dropping them would lose it). */
+  def release(df: DataFrame): Unit =
+    if (!df.sparkSession.conf.getOption("spark.graft.fence").contains("local"))
+      org.apache.spark.sql.GraftSqlShim.releasePin(df)
 }

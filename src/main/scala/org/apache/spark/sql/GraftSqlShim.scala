@@ -36,7 +36,18 @@ object GraftSqlShim {
     * partition recomputes from RDD lineage (correct, just slower) rather
     * than spilling to disk up front. Cleanup follows the same path as
     * localCheckpoint: the ContextCleaner drops the cached blocks once
-    * the RDD is unreachable. */
+    * the RDD is unreachable.
+    *
+    * DETERMINISM ASSUMPTION (r10 advice): unlike localCheckpoint, the
+    * pin does NOT truncate RDD lineage — an evicted (or released)
+    * partition recomputes from the upstream plan. Every fenced relation
+    * in this engine is a deterministic function of its parquet inputs
+    * (no RNG, no wall-clock, hash-partitioned exchanges), so a
+    * recompute reproduces the same rows; a nondeterministic upstream
+    * would silently diverge where localCheckpoint would fail instead —
+    * that is the one contract pin-mode callers accept. Iterative loops
+    * must [[graft.Fence.release]] superseded pins so cache usage stays
+    * O(1) in the round count. */
   def pinMemory(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val spark = ds.sparkSession
@@ -53,6 +64,24 @@ object GraftSqlShim {
     classic.Dataset.ofRows(spark,
       execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
   }
+
+  /** Drop the MEMORY_ONLY blocks behind a [[pinMemory]]-fenced frame (the
+    * iterative-loop release half of the pin contract — see the
+    * determinism note on [[pinMemory]]). Walks the frame's analyzed plan
+    * for `LogicalRDD` leaves and unpersists their RDDs non-blockingly; a
+    * frame with no pinned leaf (never fenced, or fenced through the
+    * `local` mode whose blocks ARE the data) is a no-op, so callers can
+    * release unconditionally. The match is EXACTLY MEMORY_ONLY — the
+    * level [[pinMemory]] sets and localCheckpoint never does (it forces
+    * MEMORY_AND_DISK) — so a checkpoint-backed leaf, whose blocks are
+    * unrecoverable once dropped, can never be released by mistake. */
+  def releasePin(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD
+          if lr.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_ONLY =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Register a function builder on a live session's registry (the registry
     * is `private[sql]`; SparkSessionExtensions covers only session build
