@@ -27,27 +27,35 @@ object Fence {
       case _             => org.apache.spark.sql.GraftSqlShim.pinMemory(df)
     }
 
-  /** RDD-lineage CUT: a raw `localCheckpoint` for the one caller class
-    * that needs the PHYSICAL lineage truncated, not just the Catalyst
-    * plan — sealing the survivor of a persist-mode iterative loop
-    * before its superseded round pins are unpersisted (qDedupClusters'
-    * A/B branch). Everything else uses [[apply]]; FenceGateSpec greps
-    * main source so this file stays the only raw `.localCheckpoint()`
-    * call site in the engine (r10 verdict #2). */
+  /** RDD-lineage CUT: the engine's one spelling of a raw
+    * `localCheckpoint` — for call sites that want checkpoint semantics
+    * REGARDLESS of the fence mode: sealing the survivor of an
+    * iterative loop before the superseded round pins are released
+    * (qDedupClusters' A/B branch), one-time static pins whose blocks
+    * must survive eviction pressure for a whole stream's lifetime
+    * (Streams' cell maps), and probe-input pins whose timing isolation
+    * must not vary with `spark.graft.fence` (ScaleProbe). FenceGateSpec
+    * greps main source so this file stays the only raw
+    * `.localCheckpoint()` call site in the engine (r10 verdict #2). */
   def cut(df: DataFrame): DataFrame = df.localCheckpoint()
 
   /** Unpersist a [[apply]]-fenced frame's pinned blocks once it is
     * SUPERSEDED — the iterative-loop discipline (r10 advice): without
     * this, round r's pin keeps rounds 1..r-1's MEMORY_ONLY blocks
-    * reachable and cache usage grows per round. Caller contract:
-    * release `prev` only after the superseding fence has materialized
-    * (apply is eager) and `prev` will not be read again; an eviction of
-    * the LIVE pin then recomputes through the released round's plan —
-    * correct under [[org.apache.spark.sql.GraftSqlShim.pinMemory]]'s
-    * documented determinism assumption, just slower. No-op in `local`
-    * mode, where the checkpointed blocks ARE the data (lineage is
-    * truncated, so dropping them would lose it). */
+    * reachable and cache usage grows per round. Caller contract: pass
+    * the fenced frame ITSELF (the exact frame [[apply]] returned —
+    * see [[org.apache.spark.sql.GraftSqlShim.releasePin]]), release it
+    * only after the superseding fence has materialized (apply is
+    * eager) and it will not be read again; an eviction of the LIVE pin
+    * then recomputes through the released round's plan — correct under
+    * [[org.apache.spark.sql.GraftSqlShim.pinMemory]]'s documented
+    * determinism assumption, just slower. Delegates unconditionally:
+    * releasePin's exact-MEMORY_ONLY storage-level match already makes
+    * it a no-op on a `local`-mode (localCheckpoint-backed,
+    * MEMORY_AND_DISK) frame, and matching on the LEVEL rather than the
+    * session conf stays correct when the conf is flipped between fence
+    * time and release time (ScaleProbe's fencevar A/B does exactly
+    * that). */
   def release(df: DataFrame): Unit =
-    if (!df.sparkSession.conf.getOption("spark.graft.fence").contains("local"))
-      org.apache.spark.sql.GraftSqlShim.releasePin(df)
+    org.apache.spark.sql.GraftSqlShim.releasePin(df)
 }

@@ -546,11 +546,11 @@ object ScaleProbe {
     val e = spark.read.parquet("/tmp/graft_recall_probe")
       .repartition(32, col("vec_id"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     val nVecs = e.count()
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     val cand = e.filter(col("vec_id") >= 20)
     val K = 10
     def top10(scored: org.apache.spark.sql.DataFrame, asc: Boolean) = {
@@ -564,7 +564,7 @@ object ScaleProbe {
         (vecDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"),
         (vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), col("qv")) +
           vecDot(col("qv"), col("qv"))).as("l2"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     def topN(scored: org.apache.spark.sql.DataFrame, asc: Boolean, n: Int) = {
       val o = if (asc) col("s").asc else col("s").desc
       val w = Window.partitionBy("qid").orderBy(o, col("cand"))
@@ -572,9 +572,9 @@ object ScaleProbe {
         .select("qid", "cand")
     }
     val gtCos = top10(scoredAll.select(col("qid"), col("cand"), col("cos").as("s")), asc = false)
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     val gtL2 = top10(scoredAll.select(col("qid"), col("cand"), col("l2").as("s")), asc = true)
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     // the relaxed standard variant (approx top-10 inside exact top-100):
     // the replicated corpus makes the exact top-10 a set of near-ties
     // (25 perturbed copies of the same base vector), so strict recall
@@ -582,7 +582,7 @@ object ScaleProbe {
     // separates "returns true near neighbors" from "resolves 1e-4-scale
     // ties the code length cannot see"
     val gtL2Wide = topN(scoredAll.select(col("qid"), col("cand"), col("l2").as("s")),
-                        asc = true, 100).localCheckpoint()
+                        asc = true, 100).transform(graft.Fence.cut)
     val nQ = q.count()
     def recall(approx: org.apache.spark.sql.DataFrame,
                gt: org.apache.spark.sql.DataFrame): Double =
@@ -603,7 +603,7 @@ object ScaleProbe {
         .agg(graft.functions.VectorCentroid.toColumn.name("cv"))
         .toDF("cid", "cv")
         .withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
-        .localCheckpoint()
+        .transform(graft.Fence.cut)
     }
     def assignTop(df: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
                   vcol: String, ncol: String, cvcol: String, cncol: String, n: Int) = {
@@ -615,14 +615,14 @@ object ScaleProbe {
     }
     val seeds0 = cand.filter(col("vec_id") < 1000000 && col("vec_id") % (2000 / kCells) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
-              col("nrm").as("cnrm")).localCheckpoint()
+              col("nrm").as("cnrm")).transform(graft.Fence.cut)
     val round1 = assignTop(cand, seeds0, "v", "nrm", "cv", "cnrm", 1)
       .select(col("vec_id"), col("cid"))
     val cents = centroidsOf(round1)
     val candCells = assignTop(cand, cents, "v", "nrm", "cv", "cnrm", 1)
       .select(col("vec_id").as("cand"), col("cid").as("cell"),
               col("v").as("cv2"), col("nrm").as("cn2"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     def ivfRecall(nprobe: Int): Double = {
       val qCells = assignTop(
         q.select(col("qid").as("vec_id"), col("qv").as("v"), col("qn").as("nrm")),
@@ -641,14 +641,14 @@ object ScaleProbe {
     val centsP = cents
       .withColumn("cpv", pvOf(col("cv")))
       .withColumn("cpn", sqrt(vecDot(col("cpv"), col("cpv"))))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     val candP = cand
       .withColumn("pv", pvOf(col("v")))
       .withColumn("pn", sqrt(vecDot(col("pv"), col("pv"))))
     val candCellsP = assignTop(candP, centsP, "pv", "pn", "cpv", "cpn", 1)
       .select(col("vec_id").as("cand"), col("cid").as("cell"),
               col("v").as("cv2"), col("nrm").as("cn2"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     def ivfProjRecall(nprobe: Int): Double = {
       val qP = q.select(col("qid").as("vec_id"), col("qv").as("v"), col("qn").as("nrm"))
         .withColumn("pv", pvOf(col("v")))
@@ -686,7 +686,7 @@ object ScaleProbe {
       val adc = enc.join(broadcast(lut), col("j") === col("lj") && col("cid") === col("lcid"))
         .groupBy(col("qid"), col("vec_id").as("cand"))
         .agg(sum(col("ld")).as("s"))
-      val t = top10(adc, asc = true).localCheckpoint()
+      val t = top10(adc, asc = true).transform(graft.Fence.cut)
       (recall(t, gtL2), contained(t, gtL2Wide))
     }
     println(f"recall shape: $nVecs%,d vectors, $nQ queries, k=10, $kCells IVF cells")

@@ -371,7 +371,7 @@ object Aggregates {
     // words) — the corpus is read once and everything downstream is
     // vocabulary-sized
     val truth = words.groupBy("word").agg(count(lit(1)).as("true_n"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     // ONE (word, true_n, r, b) projection feeds both the sketch build and
     // the probe side — the md5-bucket expression exists in exactly one place
     val rb = truth
@@ -410,7 +410,7 @@ object Aggregates {
     val hourly = Tables.events(s, d)
       .groupBy(col("event_type"), hh.as("hh"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     // min/max of truncated ts == min/max over hourly's keys: derive the
     // bounds from the grid-sized aggregate, not a second raw-table scan
     val bounds = hourly.agg(min("hh").as("h0"), max("hh").as("h1"))

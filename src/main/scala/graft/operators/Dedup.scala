@@ -527,15 +527,21 @@ object Dedup {
     // the A/Bs remain runnable.
     val usePersist =
       s.conf.getOption("spark.graft.clusters.fence").contains("persist")
-    var pinned: List[DataFrame] = Nil
     def fence(df: DataFrame): DataFrame =
       if (!usePersist) graft.Fence(df)
       else {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count() // materialize now, while the previous round is still cached
-        pinned = df :: pinned
         df
       }
+    // Release discipline (r11 advice): each round's fence supersedes the
+    // previous round's — release it as soon as the new fence has
+    // materialized, so cache usage stays O(1) in the round count in BOTH
+    // modes (pin mode: Fence.release drops the MEMORY_ONLY blocks, an
+    // eviction of the live pin recomputes through lineage; persist mode:
+    // plain unpersist, the frame recomputes from its own plan).
+    def release(df: DataFrame): Unit =
+      if (!usePersist) graft.Fence.release(df) else { df.unpersist(false); () }
     val pairs = fence(qDedupMinhash(s, d).select("d1", "d2"))
     val sym = fence(pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
@@ -546,17 +552,24 @@ object Dedup {
     while (curSum < prevSum) {
       val prop = sym.join(labels.withColumnRenamed("v", "w"), col("dst") === col("w"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val prev = labels
       labels = fence(labels
         .join(prop, col("v") === col("src"), "left")
         .select(col("v"),
                 least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      release(prev) // the new fence is materialized; round r-1 is superseded
       prevSum = curSum
       curSum = labels.agg(sum("lbl")).head().getLong(0)
     }
     val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
-    if (usePersist) { val keep = out.localCheckpoint(); pinned.foreach(_.unpersist(false)); keep }
-    else out
+    // Seal the SURVIVOR with a real lineage cut, then release everything
+    // the loop pinned: pairs/sym back only the converged labels' recompute
+    // path once the cut has copied the rows out, and the final labels
+    // fence itself is superseded by the cut.
+    val keep = graft.Fence.cut(out)
+    release(labels); release(sym); release(pairs)
+    keep
   }
 
   /** (doc_id, grp, split): every document labeled with its leakage unit

@@ -495,15 +495,20 @@ object Similarity {
       .withColumn("prk", row_number().over(wTop))
       .filter(col("prk") <= 12)
       .drop("prk")
-      .localCheckpoint()
+      .transform(graft.Fence(_))
     // greedy: step 1 = pure relevance argmax; steps 2..4 subtract the
-    // max selected-similarity penalty
+    // max selected-similarity penalty. Each step's selected set is
+    // fenced (3 consumers next step: penalty join, anti-join, union)
+    // and the superseded step's fence released once the new one has
+    // materialized (r10 verdict #2 / r11 advice — the iterative-loop
+    // pin discipline; at fixture scale this is noise, at 100 TB it is
+    // what keeps the loop's cache footprint O(1) in k).
     var selected = pool
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") === 1)
       .select(col("qid"), col("cand"), col("cv"), col("cn"),
               col("cosq"), lit(1L).as("step"))
-      .localCheckpoint()
+      .transform(graft.Fence(_))
     (2 to 4).foreach { step =>
       val sel = selected.select(col("qid").as("sqid"), col("cand").as("scand"),
                                 col("cv").as("sv"), col("cn").as("sn"))
@@ -518,14 +523,17 @@ object Similarity {
         .withColumn("mmr",
           round(lit(0.7) * col("cosq") - lit(0.3) * col("pen"), 4))
       val wSel = Window.partitionBy("qid").orderBy(col("mmr").desc, col("cand"))
-      selected = selected.unionByName(penalized
+      val prev = selected
+      selected = graft.Fence(selected.unionByName(penalized
         .withColumn("rk", row_number().over(wSel))
         .filter(col("rk") === 1)
         .select(col("qid"), col("cand"), col("cv"), col("cn"),
-                col("cosq"), lit(step.toLong).as("step")))
-        .localCheckpoint()
+                col("cosq"), lit(step.toLong).as("step"))))
+      graft.Fence.release(prev)
     }
-    selected.select("qid", "step", "cand", "cosq").orderBy("qid", "step")
+    val out = selected.select("qid", "step", "cand", "cosq").orderBy("qid", "step")
+    graft.Fence.release(pool)
+    out
   }
 
   /** K-means refinement of the IVF codebook — the loop SURVEY §2.10
@@ -580,7 +588,7 @@ object Similarity {
         .groupByKey(_._1).mapValues(_._2)
         .agg(graft.functions.VectorCentroid.toColumn.name("cv"))
         .toDF("cid", "cv")
-        .localCheckpoint()
+        .transform(graft.Fence.cut)
       assigned = assign(centroids)
       round += 1
       onRound(round, (System.nanoTime() - t0) / 1e9)
@@ -620,7 +628,7 @@ object Similarity {
         .groupByKey(_._1).mapValues(_._2)
         .agg(graft.functions.VectorCentroid.toColumn.name("cv"))
         .toDF("cid", "cv")
-        .localCheckpoint()
+        .transform(graft.Fence.cut)
     var cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     var assigned = assign(cents)
@@ -688,7 +696,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cid"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     val m = assigned.join(e, "vec_id") // (vec_id, cid, v, nrm)
     val pruned = m.as("a")
       .join(m.as("b"), col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))

@@ -278,7 +278,7 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(w, ''), c -> c <> '')").as("tokens"), col("freq"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (step <- 1 to steps) {
       val best = vocab
@@ -298,7 +298,7 @@ object TextOps {
           (acc, x) => when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
                            concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
                         .otherwise(concat(acc, array(x)))).as("tokens"),
-        col("freq")).localCheckpoint()
+        col("freq")).transform(graft.Fence.cut)
     }
     merges.toSeq.toDF("step", "left", "right", "pair_count").orderBy("step")
   }
@@ -333,7 +333,7 @@ object TextOps {
                         .otherwise(concat(acc, array(x)))).as("tokens"))
     }
     val lens = enc.select(col("w"), size(col("tokens")).cast("long").as("n_bpe"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     val m = if (lens.count() <= MaxBroadcastVocab) broadcast(lens)
             else lens.hint("shuffle_merge")
     words.join(m, "w")
@@ -472,7 +472,7 @@ object TextOps {
                                      maxBroadcastVocab: Long): DataFrame = {
     val words = fanout(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
-    val vocab = words.groupBy("word").agg(count(lit(1)).as("c")).localCheckpoint()
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("c")).transform(graft.Fence.cut)
     val tot = vocab.agg(sum("c").as("n"))
     val model =
       if (vocab.count() <= maxBroadcastVocab) broadcast(vocab)
@@ -508,7 +508,7 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
         .as("phrase"))
-    val model0 = big.groupBy("phrase").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val model0 = big.groupBy("phrase").agg(count(lit(1)).as("c2")).transform(graft.Fence.cut)
     val model = model0.withColumn("c1",
       sum("c2").over(Window.partitionBy(split(col("phrase"), " ").getItem(0))))
     val m =
@@ -1106,7 +1106,7 @@ object TextOps {
     val inv = Tables.documents(s, d)
       .repartition(math.max(32, s.sparkContext.defaultParallelism), col("doc_id"))
       .select(col("doc_id"), explode(shingles3).as("sh"))
-      .localCheckpoint()
+      .transform(graft.Fence.cut)
     val first = inv.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
     inv.join(first, "sh")
       .groupBy("doc_id")

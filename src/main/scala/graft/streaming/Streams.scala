@@ -198,7 +198,7 @@ object Streams {
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val s = cells.sparkSession
     // pay the containment join once, not once per micro-batch
-    val cellsPinned = cells.localCheckpoint()
+    val cellsPinned = cells.transform(graft.Fence.cut)
     s.readStream.schema(seriesLandingSchema).parquet(seriesDir)
       .writeStream
       .outputMode("append")
@@ -232,7 +232,7 @@ object Streams {
                        maxFilesPerBatch: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val s = cells.sparkSession
-    val cellsPinned = cells.localCheckpoint()
+    val cellsPinned = cells.transform(graft.Fence.cut)
     // maxFilesPerBatch: one landing FILE is one forecast cycle (the
     // landing contract), so capping files-per-trigger makes a staged
     // BACKLOG process as one micro-batch per cycle — the shape the

@@ -74,7 +74,18 @@ object GraftSqlShim {
     * release unconditionally. The match is EXACTLY MEMORY_ONLY — the
     * level [[pinMemory]] sets and localCheckpoint never does (it forces
     * MEMORY_AND_DISK) — so a checkpoint-backed leaf, whose blocks are
-    * unrecoverable once dropped, can never be released by mistake. */
+    * unrecoverable once dropped, can never be released by mistake.
+    *
+    * Pass the fenced frame ITSELF, not a frame DERIVED from it: this
+    * walks the whole plan, so releasing a derived frame would drop
+    * every pinned leaf under it — including pins that sibling
+    * consumers still read. That is correct-but-slow (they recompute
+    * through lineage) but silently defeats the fence for those
+    * consumers. Note also that a post-release recompute can reorder
+    * rows WITHIN a shuffle partition (task-level nondeterminism the
+    * pin had frozen), so the determinism assumption extends only to
+    * order-insensitive consumers — every aggregation/join in this
+    * engine, but not e.g. a zipWithIndex over the raw pin. */
   def releasePin(df: DataFrame): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
       case lr: execution.LogicalRDD
