@@ -166,31 +166,56 @@ object Dedup {
     * its own (doc_id, b, bh) rows through the shuffle; the active-ids
     * relation is a narrow id list — at 100 TB it is itself large, so
     * the join is left unhinted and AQE/bucketing decide, the
-    * qDedupIncremental convention), written to a single compacted
-    * subdir that REPLACES the accumulated batch_N subdirs via the
-    * tmp-dir + atomic-rename commit (the interpStreamCogs protocol —
-    * a reader never observes a partial index). Returns
-    * (rowsBefore, rowsAfter). Probe evidence: ScaleProbe `compact`
-    * mode shows probe cost flat after compaction (SCALE.md). */
+    * qDedupIncremental convention), committed through the Hadoop
+    * `FileSystem` API so the same code runs on file://, hdfs:// and
+    * s3a:// (r10 verdict #1: the old java.nio ATOMIC_MOVE threw on
+    * hdfs and was meaningless on s3a).
+    *
+    * COMMIT PROTOCOL — `indexDir` exists at every instant and no state
+    * is ever stranded outside it:
+    *  1. the kept rows are written to `_compact_<epoch>.tmp` INSIDE
+    *     indexDir — leading `_` means every parquet reader's path
+    *     filter ignores it, so the in-progress write is invisible;
+    *  2. ONE `fs.rename` to `compacted_<epoch>` makes the new
+    *     generation visible (dir-level rename: atomic on posix/HDFS;
+    *     on S3A a bounded copy of this generation's files — never a
+    *     window where the index is absent);
+    *  3. the superseded entries (the batch_N dirs and any older
+    *     compacted_*) are deleted.
+    * Crash states: before 2 → index unchanged, a hidden tmp is left
+    * and swept by the next compaction's step 0; between 2 and 3 → old
+    * AND new generations are both visible. That transient superset is
+    * SAFE by construction: probe aggregation ([[dedupIncremental]]'s
+    * min(corpus_id) + countDistinct(b)) is invariant under duplicated
+    * index rows, and the dead rows still present are exactly the
+    * pre-compaction state — the spec proves a doubled index probes
+    * identically. Readers concurrent with step 3's deletes should set
+    * `spark.sql.files.ignoreMissingFiles` (standard for any
+    * compacting parquet layout) or schedule compaction off probe
+    * windows. Returns (rowsBefore, rowsAfter). Probe evidence:
+    * ScaleProbe `compact` mode shows probe cost flat after compaction
+    * (SCALE.md). */
   def compactBandIndex(s: SparkSession, indexDir: String, active: DataFrame): (Long, Long) = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    // step 0: sweep hidden tmps stranded by a crashed prior compaction
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("_compact_") && p.getName.endsWith(".tmp"))
+      .foreach(p => fs.delete(p, true))
+    val superseded = fs.listStatus(dir).map(_.getPath).filter(p => visible(p.getName))
     val idx = s.read.option("recursiveFileLookup", "true").parquet(indexDir)
     val before = idx.count()
     val kept = idx.join(active.select("doc_id"), Seq("doc_id"), "left_semi")
-    val tmp = indexDir.stripSuffix("/") + ".compact.tmp"
-    kept.write.mode("overwrite").parquet(tmp)
-    val after = s.read.parquet(tmp).count()
-    // swap: old index out, compacted tree in — both renames atomic; the
-    // old tree is deleted only after the new one is committed
-    val old = Paths.get(indexDir.stripSuffix("/") + ".old")
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.delete(_))
-    }
-    rmTree(old)
-    Files.move(Paths.get(indexDir), old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(indexDir), StandardCopyOption.ATOMIC_MOVE)
-    rmTree(old)
+    val epoch = System.currentTimeMillis()
+    val tmp = new Path(dir, s"_compact_$epoch.tmp")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    val after = s.read.parquet(tmp.toString).count()
+    val fin = new Path(dir, s"compacted_$epoch")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"compaction commit rename failed: $tmp -> $fin")
+    superseded.foreach(p => fs.delete(p, true))
     (before, after)
   }
 

@@ -915,7 +915,9 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("band-index compaction: removed docs' bands drop, survivors' probe hits are unchanged") {
     import java.nio.file.Files
-    val indexDir = Files.createTempDirectory("graft_band_index").toString + "/idx"
+    // explicit file:// Hadoop URI: the commit path must run through the
+    // FileSystem API (the object-store-portable protocol), not java.nio
+    val indexDir = "file://" + Files.createTempDirectory("graft_band_index").toString + "/idx"
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
@@ -930,11 +932,25 @@ class DedupSimilaritySpec extends SparkSpec {
       batchBands).collect()
     assert(hitsBefore.nonEmpty, "fixture must produce cross-split duplicates")
 
+    // crash state A (before the commit rename): a stranded hidden tmp
+    // must be invisible to every reader of the index
+    val preCount = spark.read.option("recursiveFileLookup", "true")
+      .parquet(indexDir).count()
+    bands.limit(5).write.parquet(s"$indexDir/_compact_999.tmp")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(indexDir).count() === preCount,
+      "a mid-write hidden tmp generation leaked into the visible index")
+
     // retire a third of the corpus (retention expiry); compact
     val active = corpus.filter(col("doc_id") % 3 =!= 0).select("doc_id")
     val activeIds = active.collect().map(_.getLong(0)).toSet
     val (before, after) = Dedup.compactBandIndex(spark, indexDir, active)
+    assert(before === preCount, "step-0 sweep must not count the stranded tmp")
     assert(before > after, s"compaction must drop rows ($before -> $after)")
+    // the stranded tmp was swept by step 0
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/_compact_999.tmp")))
 
     // the rewritten index holds EXACTLY the active docs' bands
     val reread = spark.read.option("recursiveFileLookup", "true").parquet(indexDir)
@@ -958,6 +974,25 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(hitsAfter.map(_.toString).sorted.sameElements(expectAfter),
       "post-compaction probe must equal the probe over the logically-pruned index")
+
+    // crash state B (after the commit rename, before the superseded
+    // deletes): old batch dirs AND the committed generation both
+    // visible. The probe aggregate is invariant under the duplicated
+    // active rows, so a mid-commit reader computes the PRE-compaction
+    // answer (dead rows still present) — never a corrupt one.
+    val midDir = indexDir + "_mid"
+    bands.filter(col("doc_id") % 2 === 0).write.parquet(s"$midDir/batch_0")
+    bands.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$midDir/batch_1")
+    val gen = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .map(_.getPath).filter(_.getName.startsWith("compacted_")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, gen, fs,
+      new org.apache.hadoop.fs.Path(midDir, gen.getName), false,
+      spark.sparkContext.hadoopConfiguration)
+    val hitsMid = Dedup.dedupIncremental(
+      spark.read.option("recursiveFileLookup", "true").parquet(midDir),
+      batchBands).collect().map(_.toString).sorted
+    assert(hitsMid.sameElements(hitsBefore.map(_.toString).sorted),
+      "mid-commit (old+new visible) probe must equal the pre-compaction probe")
   }
 
   test("incremental dedup: batch bands broadcast, corpus index never shuffled, hits agree with the self-join") {
