@@ -11,16 +11,22 @@ Usage: tools/bench_diff.py OLD.json NEW.json [topN]
 Prints: totals, common-subset sums and sum/median ratios, the topN
 regressions and improvements, and queries present on only one side.
 """
-import json, subprocess, sys
+import json, os, subprocess, sys
 
 
 def load(spec):
-    if ":" in spec and not spec.endswith(".json") or ":" in spec.split("/")[-1]:
+    # A plain readable path wins; anything else with a colon is a git
+    # ref spec (ref:path - the ref may itself contain slashes, e.g.
+    # origin/main:BENCH_FULL.json, and the path may too, so no amount
+    # of string-splitting beats just checking the filesystem first).
+    if os.path.exists(spec):
+        return json.load(open(spec))
+    if ":" in spec:
         out = subprocess.run(["git", "show", spec], capture_output=True, text=True)
         if out.returncode != 0:
             sys.exit(f"git show {spec} failed: {out.stderr.strip()}")
         return json.loads(out.stdout)
-    return json.load(open(spec))
+    sys.exit(f"not a file and not a git ref spec: {spec}")
 
 
 def main():
