@@ -347,8 +347,10 @@ object Similarity {
 
   /** [[qAnnPq]] over an arbitrary (vec_id, v, ...) frame — exposed so
     * AnnRecallSpec can measure planted-neighbor recall (same id-keyed
-    * fixture splits: codebook vec_id < 4, queries < 5, candidates ≥ 5). */
-  private[graft] def pqAdcTopk(vv: DataFrame): DataFrame = {
+    * fixture splits: codebook vec_id < 4, queries < 5, candidates ≥ 5).
+    * `k` widens the ADC list ([[pqRerankTopk]] asks for the candidate
+    * pool, not the final answer). */
+  private[graft] def pqAdcTopk(vv: DataFrame, k: Int = 10): DataFrame = {
     val e = vv.select(col("vec_id"), col("v"))
     val sub = e
       .select(col("vec_id"), explode(array((0 until 8).map(lit): _*)).as("j"), col("v"))
@@ -376,8 +378,50 @@ object Similarity {
       .groupBy(col("qid"), col("vec_id").as("cand"))
       .agg(sum(col("ld")).as("di4"))
       .withColumn("rk", row_number().over(wTop).cast("long"))
-      .filter(col("rk") <= 10)
+      .filter(col("rk") <= k)
       .select(col("qid"), col("cand"), col("rk"), col("di4"))
+      .orderBy("qid", "rk")
+  }
+
+  /** EXT: PQ with EXACT RE-RANK — the production IVF-PQ retrieval
+    * shape (FAISS's refine step): the compressed codes nominate a
+    * candidate pool (ADC top-100 per query — [[pqAdcTopk]]), then the
+    * ≤100 survivors are re-scored with EXACT cosine against their full
+    * vectors and the top-10 re-ranked on that. This is the answer to
+    * the measured PQ degradation (SCALE.md recall curves: 16-bit codes
+    * cannot resolve 1e-4-scale ties among near-dup replicas, strict
+    * recall falls 0.415 → 0.265 as the corpus doubles, while top-100
+    * CONTAINMENT holds ~1.0) — the codes only need to be good enough
+    * to contain the true neighbors; exactness is restored on a pool
+    * whose size is independent of corpus size.
+    *
+    * Plan shape: the ADC stage is [[qAnnPq]]'s (scan × broadcast
+    * codebook + integer-LUT aggregate); the re-rank joins the
+    * (queries × 100)-row candidate list BACK to the vector table —
+    * broadcast of the tiny list against the corpus scan, so the
+    * expensive exact math runs on ≤100 rows per query no matter how
+    * many vectors exist. Scores ride as 4-dp rounds (the ANN-family
+    * convention) so both engines rank identical doubles. */
+  def qAnnPqRerank(s: SparkSession, d: String): DataFrame =
+    pqRerankTopk(vecs(s, d))
+
+  /** [[qAnnPqRerank]] over an arbitrary (vec_id, v, nrm) frame —
+    * exposed for AnnRecallSpec's measured-recall floors. */
+  private[graft] def pqRerankTopk(vv: DataFrame): DataFrame = {
+    val e = (if (vv.columns.contains("nrm")) vv
+             else vv.withColumn("nrm", sqrt(vecDot(col("v"), col("v")))))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val pool = pqAdcTopk(e, k = 100).select("qid", "cand")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    e.join(broadcast(pool), col("vec_id") === col("cand"))
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cand"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("cand"), col("rk"), col("cos"))
       .orderBy("qid", "rk")
   }
 
@@ -729,6 +773,7 @@ object Similarity {
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_vec_quantize"    -> (qVecQuantize _),
     "q_ann_pq"          -> (qAnnPq _),
+    "q_ann_pq_rerank"   -> (qAnnPqRerank _),
     "q_ann_rrf"         -> (qAnnRrf _),
     "q_mine_hard_negatives" -> (qMineHardNegatives _),
     "q_ann_mmr"             -> (qAnnMmr _),
@@ -937,6 +982,46 @@ object Similarity {
         |  SELECT qid, cand, di4,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY di4 ASC, cand) AS rk
         |  FROM adc) WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin,
+    // the q_ann_pq CTE chain widened to a top-100 pool, then the exact
+    // cosine re-rank: same pre-normed cosine + 4-dp round + (cos DESC,
+    // cand) tie-break as the rest of the ANN family
+    "q_ann_pq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, j, list_slice(v, j*8+1, j*8+8) AS sv
+        |        FROM e, generate_series(0, 7) g(j)),
+        |cb AS (SELECT vec_id AS cid, j AS cj, sv AS cv FROM sub WHERE vec_id < 4),
+        |enc AS (SELECT vec_id, j, cid FROM (
+        |  SELECT d.vec_id, d.j, cb.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j ORDER BY
+        |      (list_dot_product(d.sv, d.sv)
+        |         - CAST(2.0 AS DOUBLE) * list_dot_product(d.sv, cb.cv)
+        |         + list_dot_product(cb.cv, cb.cv)) ASC, cb.cid) AS rk
+        |  FROM sub d JOIN cb ON d.j = cb.cj WHERE d.vec_id >= 5)
+        |  WHERE rk = 1),
+        |lut AS (SELECT q.vec_id AS qid, cb.cj AS lj, cb.cid AS lcid,
+        |  CAST(floor((list_dot_product(q.sv, q.sv)
+        |         - CAST(2.0 AS DOUBLE) * list_dot_product(q.sv, cb.cv)
+        |         + list_dot_product(cb.cv, cb.cv))
+        |        * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ld
+        |  FROM sub q JOIN cb ON q.j = cb.cj WHERE q.vec_id < 5),
+        |adc AS (SELECT l.qid, c.vec_id AS cand, CAST(SUM(l.ld) AS BIGINT) AS di4
+        |        FROM enc c JOIN lut l ON c.j = l.lj AND c.cid = l.lcid
+        |        GROUP BY 1, 2),
+        |pool AS (SELECT qid, cand FROM (
+        |  SELECT qid, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY di4 ASC, cand) AS rk
+        |  FROM adc) WHERE rk <= 100),
+        |en AS ($duckVecs),
+        |rer AS (SELECT p.qid, p.cand,
+        |    ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 4) AS cos
+        |  FROM pool p
+        |  JOIN en c ON c.vec_id = p.cand
+        |  JOIN en q ON q.vec_id = p.qid)
+        |SELECT qid, cand, rk, cos FROM (
+        |  SELECT qid, cand, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS BIGINT) AS rk
+        |  FROM rer) WHERE rk <= 10
         |ORDER BY qid, rk""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS ($duckVecs),

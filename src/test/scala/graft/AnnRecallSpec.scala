@@ -82,6 +82,41 @@ class AnnRecallSpec extends SparkSpec {
       s"planted copies per query in projected-IVF top-3: $perQuery (floor 2 each)")
   }
 
+  test("PQ re-rank restores recall@10 >= 0.9 at the 50k shape where plain PQ measures ~0.4") {
+    // the ScaleProbe `recall 25` corpus: 25 perturbed replicas of the 2k
+    // sf0.1 embeddings — the near-dup-heavy distribution where 16-bit
+    // ADC codes measured 0.415 strict recall (SCALE.md). The re-rank
+    // leg must restore >= 0.9 against the engine's own exact scorer
+    // (brute-force cosine in the SAME 4-dp score space and (cos DESC,
+    // cand) tie-break — with 25 near-tie replicas per neighborhood, an
+    // unrounded truth would measure last-ulp tie luck, not retrieval).
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val big = (0 until 25).map { r =>
+      base.select((col("vec_id") + lit(r.toLong * 1000000)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i === lit(r % 64), lit(0.01 * (r % 17 + 1))).otherwise(lit(0.0)))
+          .as("v"))
+    }.reduce(_ unionByName _)
+    val e = normed(big).repartition(8, col("vec_id")).localCheckpoint()
+    val got = Similarity.pqRerankTopk(e).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand"))).toSet
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val gt = e.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select("qid", "cand").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand")))
+    val recall = gt.count(got) / 50.0
+    info(f"PQ-rerank recall@10 at 50k vectors: $recall%.3f (plain-PQ SCALE.md point: 0.415)")
+    assert(recall >= 0.9, f"re-rank recall floor: $recall%.3f >= 0.9")
+  }
+
   test("fixture regression floors: PQ recall vs exact-L2 truth at sf0.01") {
     val e = normed(baseVecs).localCheckpoint()
     val out = Similarity.pqAdcTopk(e).collect()
