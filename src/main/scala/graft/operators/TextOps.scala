@@ -703,37 +703,70 @@ object TextOps {
     *
     * Scale shape: the allocation math runs on the per-source count
     * relation (|sources| rows — windows over it are free); the
-    * selection is one rank window per stratum. At 100 TB the rank
-    * window becomes the per-stratum select-k (histogram the hash
-    * prefix → exact threshold, two scans — the exact-percentile
-    * partner's envelope); the fixture-scale plan keeps the window. */
+    * selection is STATS-GATED between the two equivalent forms (r10
+    * verdict #7): below `spark.graft.selectk.bytes` (default 512 MB of
+    * Catalyst-estimated input — the ~20M-doc crossover the `selectk`
+    * probe measured) one rank window per stratum; above it the
+    * two-scan hash-prefix select-k ([[selectKByHash]] — no full-
+    * stratum sort, the 100 TB shape). Both branches pick the IDENTICAL
+    * set by construction (spec-pinned), so the gate is invisible to
+    * correctness. */
   def qSampleProportional(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "source")
-    val strata = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val alloc = hamiltonAlloc(docs.groupBy("source").agg(count(lit(1)).as("n_s")))
+    val gateBytes = s.conf.getOption("spark.graft.selectk.bytes")
+      .map(_.toLong).getOrElse(512L << 20)
+    val useSelectK =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(gateBytes)
+    // the select-k branch consumes alloc 4× (threshold, bounds, final
+    // join) and alloc is a FULL-CORPUS aggregate — fence it there so
+    // the corpus is scanned once for counts, not once per consumer;
+    // the window branch keeps its 2-consumer exchange-reuse plan
+    val allocF = if (useSelectK) graft.Fence(alloc) else alloc
+    val picked =
+      if (useSelectK) selectKByHash(docs, allocF.select("source", "alloc"))
+      else {
+        val wRank = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs
+          .withColumn("rn", row_number().over(wRank))
+          .join(broadcast(allocF), "source")
+          .filter(col("rn") <= col("alloc"))
+          .select("source", "doc_id")
+      }
+    picked
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+      .join(broadcast(allocF), "source")
+      .select(col("source"), col("n_s").as("n_docs"), col("alloc"),
+              col("n_sampled"), col("id_sum"))
+      .orderBy("source")
+  }
+
+  /** Hamilton largest-remainder allocation over a (source, n_s) count
+    * relation: T = N DIV 10 total seats, base_s = ⌊n_s·T/N⌋, the
+    * T − Σbase leftover seats to the largest remainders (ties by
+    * source) — Σalloc = T exactly. The n_s·T product runs in
+    * DECIMAL(38,0) (r11 advice): as BIGINTs it overflows at
+    * N ≳ 1.4e10 docs (n_s·T ~ N²/10 > 2⁶³), silently corrupting every
+    * quota at real corpus scale; decimal keeps the arithmetic exact to
+    * 38 digits and DuckDB's HUGEINT agrees digit-for-digit.
+    * Factored from [[qSampleProportional]] so the spec can plant
+    * synthetic counts AT the overflow scale (no fixture that size). */
+  private[graft] def hamiltonAlloc(strata: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     val wRem = Window.orderBy(col("rem").desc, col("source"))
-    val alloc = strata
+    strata
       .withColumn("n", sum(col("n_s")).over(wAll))
       .withColumn("t", expr("n DIV 10"))
-      .withColumn("base", expr("n_s * t DIV n"))
-      .withColumn("rem", expr("n_s * t % n"))
+      .withColumn("p", expr("CAST(n_s AS DECIMAL(38,0)) * t"))
+      .withColumn("base", expr("CAST(p DIV n AS BIGINT)"))
+      .withColumn("rem", expr("p % n"))
       .withColumn("leftover", col("t") - sum(col("base")).over(wAll))
       .withColumn("seat", row_number().over(wRem))
       .withColumn("alloc",
         col("base") + when(col("seat") <= col("leftover"), 1L).otherwise(0L))
       .select("source", "n_s", "alloc")
-    val wRank = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs
-      .withColumn("rn", row_number().over(wRank))
-      .join(broadcast(alloc), "source")
-      .filter(col("rn") <= col("alloc"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
-      .join(broadcast(alloc), "source")
-      .select(col("source"), col("n_s").as("n_docs"), col("alloc"),
-              col("n_sampled"), col("id_sum"))
-      .orderBy("source")
   }
 
   /** The 100 TB path [[qSampleProportional]]'s doc promises, implemented

@@ -782,6 +782,42 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("Hamilton allocation is exact at planted-overflow scale (n_s*t past 2^63)") {
+    // synthetic per-source counts at the scale the BIGINT product
+    // corrupts: N = 5.5e10 docs, T = 5.5e9 seats, n_s*T ~ 5.5e19 > 2^63.
+    // The DECIMAL(38,0) path must reproduce the BigInt ground truth.
+    import spark.implicits._
+    val counts = (0 until 11).map(i => (f"s$i%02d", 5_000_000_000L + i * 17L))
+    val out = TextOps.hamiltonAlloc(counts.toDF("source", "n_s"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    // first-principles BigInt Hamilton
+    val n = BigInt(counts.map(_._2).sum)
+    val t = n / 10
+    val base = counts.map { case (s, ns) =>
+      (s, (BigInt(ns) * t / n).toLong, BigInt(ns) * t % n) }
+    val leftover = (t - base.map(b => BigInt(b._2)).sum).toInt
+    val seats = base.sortBy { case (s, _, rem) => (-rem, s) }
+      .take(leftover).map(_._1).toSet
+    val expected = base.map { case (s, b, _) =>
+      s -> (b + (if (seats(s)) 1L else 0L)) }.toMap
+    assert(out === expected,
+      s"decimal allocation must match BigInt ground truth: $out vs $expected")
+    assert(out.values.map(BigInt(_)).sum === t, "seats must sum to T exactly")
+  }
+
+  test("stats gate: window and select-k branches of q_sample_proportional are identical") {
+    // force each branch via the gate conf; the declared query's output
+    // must be bit-identical either way (r10 verdict #7)
+    def run(): Array[String] =
+      TextOps.qSampleProportional(spark, sf).collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.selectk.bytes", Long.MaxValue.toString)
+    val windowed = try run() finally spark.conf.unset("spark.graft.selectk.bytes")
+    spark.conf.set("spark.graft.selectk.bytes", "-1")
+    val twoScan = try run() finally spark.conf.unset("spark.graft.selectk.bytes")
+    assert(windowed.nonEmpty && windowed.sameElements(twoScan),
+      "gate branches must be interchangeable")
+  }
+
   test("corpus diff: statuses partition both snapshots; counts match a first-principles recompute") {
     val out = TextOps.qCorpusDiff(spark, sf).collect()
       .map(r => r.getAs[String]("status") ->
