@@ -77,8 +77,12 @@ object Dedup {
     * frame — the signature construction shared by [[qDedupMinhash]] (self
     * join) and [[qDedupIncremental]] (index join). This IS the relation a
     * production pipeline persists as its dedup index: ~50 bytes/doc,
-    * appended per crawl, bucketed on bh ([[graft.plans.Layout
-    * .writeBucketed]]) so every future batch joins it Exchange-free. */
+    * appended per crawl, bucketed on the FULL probe key (b, bh)
+    * ([[graft.plans.Layout.writeBucketed]]'s multi-key form) so every
+    * future batch joins it Exchange-free — bucketing on bh alone does
+    * NOT qualify under Spark's default
+    * requireAllClusterKeysForCoPartition (LayoutSpec proves both the
+    * win and that failure mode on executed plans). */
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val sig = docs
       .select(col("doc_id"), explode(shingles3).as("sh1"))
@@ -107,7 +111,7 @@ object Dedup {
     * Scale shape (inverted from the self-join): the batch side is
     * BROADCAST — a day's crawl is always small next to the accumulated
     * index — so the giant index is never shuffled at all; with the index
-    * persisted bucketed on bh the probe is also scan-local. Corpus text
+    * persisted bucketed on (b, bh) the probe is also scan-local. Corpus text
     * is untouched: at 100 TB the nightly job reads kilobytes of index
     * per new document, not the corpus.
     *
@@ -118,7 +122,7 @@ object Dedup {
     * driver OOM. Below min(planner threshold, 100 MB ceiling) of
     * Catalyst-estimated batch bytes the hint applies; above, the join is
     * left unhinted — a shuffled equi-join on (b, bh), Exchange-free on
-    * the index side when it is persisted bucketed on bh.
+    * the index side when it is persisted bucketed on (b, bh).
     *
     * Output: one row per duplicate batch doc — its smallest matching
     * corpus doc and how many of the 4 bands agreed. */

@@ -49,10 +49,21 @@ object Layout {
   /** Write `df` bucketed by `key` into the session catalog as `table`.
     * Sorting within buckets additionally enables merge-join without sort. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-key form: bucket (and sort) by ALL of a join's equi-keys.
+    * This matters under Spark's default
+    * `spark.sql.requireAllClusterKeysForCoPartition=true`: a layout
+    * bucketed on a strict SUBSET of the join keys does not count as
+    * co-partitioned (the planner shuffles both sides on the full key
+    * set and disables the bucketed scan), so an Exchange-free probe
+    * join needs the bucket key set to equal the join key set —
+    * LayoutSpec proves both the win and this failure mode. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
     df.write
       .mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

@@ -48,6 +48,61 @@ class LayoutSpec extends SparkSpec {
       s"bucketed join+agg should be shuffle-free, found $shuffles:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("bucketed band index: dedupIncremental probes the index Exchange-free (Dedup.scala claim)") {
+    // r10 verdict #5: minhashBands' doc claims the persisted index,
+    // bucketed on bh, joins every future batch Exchange-free. Prove it
+    // on the EXECUTED adaptive plan: force the shuffled (non-broadcast)
+    // join form, then assert the index side of the probe join has no
+    // ShuffleExchange between the bucketed scan and the join.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    spark.sql("DROP TABLE IF EXISTS band_idx_b")
+    val dir = new java.io.File("/tmp/graft_warehouse/band_idx_b")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the FULL probe key (b, bh): under the default
+    // requireAllClusterKeysForCoPartition, bucketing on bh alone is
+    // NOT co-partitioning for the (b, bh) join — the planner shuffles
+    // both sides and disables the bucketed scan (verified: that layout
+    // plans "Bucketed: false (disabled by query planner)" + Exchange)
+    Layout.writeBucketed(
+      Dedup.minhashBands(docs.filter(col("doc_id") % 5 =!= 0)),
+      "band_idx_b", Seq("b", "bh"), 8)
+    val batch = Dedup.minhashBands(docs.filter(col("doc_id") % 5 === 0))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hits = Dedup.dedupIncremental(spark.table("band_idx_b"), batch)
+      val nodes = PlanWalk.executeAndFlatten(hits)
+      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+        PlanWalk.flatten(p).collect { case f: FileSourceScanExec => f }
+      def readsIndex(p: SparkPlan): Boolean = scansOf(p).exists(
+        _.relation.location.rootPaths.exists(_.toString.contains("band_idx_b")))
+      val probe = nodes.collect {
+        case j: SortMergeJoinExec if readsIndex(j.left) || readsIndex(j.right) => j
+        case j: ShuffledHashJoinExec if readsIndex(j.left) || readsIndex(j.right) => j
+      }
+      assert(probe.nonEmpty,
+        s"expected a shuffled equi-join over the bucketed index, plan:\n${nodes.head}")
+      probe.foreach { j =>
+        val side = if (readsIndex(j.children.head)) j.children.head else j.children(1)
+        val shuffles = PlanWalk.flatten(side).count(_.isInstanceOf[ShuffleExchangeExec])
+        assert(shuffles === 0,
+          s"index side of the probe join must be Exchange-free, found $shuffles:\n$side")
+        assert(scansOf(side).exists(_.bucketedScan),
+          s"index side must read through the bucketed scan:\n$side")
+      }
+      assert(hits.count() > 0, "fixture must produce duplicate hits")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("the same join unbucketed DOES shuffle (the cost bucketing removes)") {
     val joined = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
       .join(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
