@@ -102,6 +102,12 @@ object ScaleProbe {
     // touches ~3/4 of all 3-shingles (J ≈ 0.14 vs any other crawl's
     // variant), genuinely NEW content to the banding, unlike an
     // appended token (J ≈ 0.97 — still a near-dup, correctly flagged)
+    // file -> crawl, recorded AT WRITE TIME (append mode: any file not
+    // seen after crawl c-1's write belongs to crawl c) — the ground
+    // truth for batch attribution below (r11 advice: batchId == crawl
+    // was an assumption, not a fact; the file-source checkpoint log is
+    // the only authority on what each batch processed)
+    val fileCrawl = scala.collection.mutable.Map.empty[String, Int]
     (0 until crawls).foreach { c =>
       val marked = expr(
         s"""array_join(flatten(transform(
@@ -110,6 +116,9 @@ object ScaleProbe {
       base.select((col("doc_id") + lit(c.toLong * 1000000)).as("doc_id"),
           when(col("doc_id") % 10 === 0, col("text")).otherwise(marked).as("text"))
         .coalesce(1).write.mode("append").parquet(docsDir)
+      new java.io.File(docsDir).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => fileCrawl.getOrElseUpdate(f.getName, c))
     }
     val walls = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -127,15 +136,28 @@ object ScaleProbe {
     import scala.jdk.CollectionConverters._
     val nDocs = base.count()
     println(f"dstream: $crawls crawls x $nDocs%,d docs drained in $total%.1f s")
-    (0 until crawls).foreach { c =>
-      val h = new java.io.File(s"$hits/batch_$c")
-      val nHits = if (h.exists()) spark.read.parquet(h.toString).count() else 0L
-      val idxRows = spark.read.option("recursiveFileLookup", "true").parquet(idx)
-        .count() // current accumulated size (post-run, same for all)
-      val w = walls.asScala.getOrElse(c.toLong, Double.NaN)
-      println(f"dstream crawl $c: wall $w%.1f s, $nHits%,d cross-crawl dup hits" +
-        (if (c == crawls - 1) f" (index now $idxRows%,d band rows)" else ""))
+    // batchId -> crawl via the file-source checkpoint log: entry
+    // $ckpt/sources/0/<batchId> names the file(s) that batch processed
+    def crawlOfBatch(b: Long): Option[Int] = {
+      val log = new java.io.File(s"$ckpt/sources/0/$b")
+      if (!log.exists()) None
+      else {
+        val src = scala.io.Source.fromFile(log)
+        val txt = try src.mkString finally src.close()
+        """"path":"([^"]+)"""".r.findAllMatchIn(txt)
+          .flatMap(m => fileCrawl.get(new java.io.File(m.group(1)).getName))
+          .toSeq.headOption
+      }
     }
+    val idxRows = spark.read.option("recursiveFileLookup", "true").parquet(idx)
+      .count() // accumulated post-run size — computed ONCE
+    walls.asScala.toSeq.sortBy(_._1).foreach { case (b, w) =>
+      val h = new java.io.File(s"$hits/batch_$b")
+      val nHits = if (h.exists()) spark.read.parquet(h.toString).count() else 0L
+      val c = crawlOfBatch(b).map(_.toString).getOrElse("?")
+      println(f"dstream batch $b (crawl $c): wall $w%.1f s, $nHits%,d cross-crawl dup hits")
+    }
+    println(f"dstream index now $idxRows%,d band rows")
   }
 
   /** Select-k probe: the stratified sampler's two selection forms at

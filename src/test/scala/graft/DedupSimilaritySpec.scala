@@ -836,6 +836,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.values.map(_._1).sum === docs.length + added.length)
   }
 
+  test("corpusDiff public entry: arbitrary hash catalogs diff correctly") {
+    // the production form takes two (doc_id, h) catalogs directly —
+    // no document table, no fixture coupling
+    import spark.implicits._
+    val a = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("doc_id", "h")
+    val b = Seq((1L, "aa"), (2L, "XX"), (4L, "dd"), (9L, "ee"))
+      .toDF("doc_id", "h")
+    val out = TextOps.corpusDiff(a, b).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      "added"     -> ((1L, 9L)),   // 9
+      "removed"   -> ((1L, 3L)),   // 3
+      "changed"   -> ((1L, 2L)),   // 2
+      "unchanged" -> ((2L, 5L)))) // 1 + 4
+  }
+
   test("corpus drift: per-bucket JSD matches a first-principles recompute; total within [0, ln 2]") {
     val out = TextOps.qCorpusDrift(spark, sf).collect()
       .map(r => (r.getAs[String]("b"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
