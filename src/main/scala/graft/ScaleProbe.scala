@@ -38,7 +38,12 @@ object ScaleProbe {
     else if (args(0) == "ppjoin") ppjoinProbe(spark, args(1))
     else if (args(0) == "ppjoinx") ppjoinGrowthProbe(spark, args(1).toInt)
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
-    else if (args(0) == "recall") recallProbe(spark, args(1).toInt)
+    else if (args(0) == "recall") {
+      // recall <mult>[,<kCells>]  (e.g. "recall 500,2048" = 1M vectors)
+      val parts = args(1).split(",")
+      recallProbe(spark, parts(0).toInt,
+        if (parts.length > 1) parts(1).toInt else 64)
+    }
     else if (args(0) == "stream") streamProbe(spark, args(1))
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
     else if (args(0) == "dstream") dstreamProbe(spark, args(1).toInt)
@@ -537,8 +542,9 @@ object ScaleProbe {
     * per replica so replicas are near- but not bit-identical — the
     * near-dup-heavy distribution a dedup/retrieval corpus actually has).
     *
-    *  - IVF (full-width): 64-cell codebook = one k-means round over
-    *    deterministic seeds; queries probe their top-nprobe cells
+    *  - IVF (full-width): kCells-cell codebook (default 64; 2048 at the
+    *    1M shape — ~sqrt(n) cells) = one k-means round over
+    *    deterministic hash-spread seeds; queries probe their top-nprobe cells
     *    (nprobe ∈ 1,2,4,8 — the recall-vs-cells curve), candidates
     *    rank by exact cosine inside the probed cells.
     *  - IVF-proj: identical, but cell ASSIGNMENT runs in the 8-d
@@ -547,23 +553,44 @@ object ScaleProbe {
     *  - PQ/ADC: 8 subspaces × cb sub-centroids (cb ∈ 4, 16 → 16/32-bit
     *    codes — the recall-vs-code-bits curve) against exact-L2 truth.
     *
-    * Ground truth = brute-force exact top-10 (cosine for the IVF pair,
-    * L2 for PQ) over the same candidates. Recall@10 = mean |∩|/10 over
-    * 20 queries. SCALE.md records the lines; AnnRecallSpec pins floors
-    * at the declared fixture shape.
-    * Usage: tools/run_verify.sh recall <mult> graft.ScaleProbe */
-  private def recallProbe(spark: SparkSession, mult: Int): Unit = {
+    *  - PQ-rerank: the ADC top-100 pool re-scored with exact cosine
+    *    against the full vectors (the [[operators.Similarity
+    *    .pqRerankTopk]] / FAISS-refine shape) — measures whether the
+    *    pool's neighbor containment survives corpus growth even when
+    *    strict code-resolution recall does not.
+    *
+    * Ground truth = brute-force exact top-10 (cosine for the IVF pair
+    * and the rerank leg, L2 for raw PQ) over the same candidates.
+    * Recall@10 = mean |∩|/10 over 20 queries. SCALE.md records the
+    * lines; AnnRecallSpec pins floors at the declared fixture shape.
+    *
+    * Scale shape (r11 verdict #7, the 1M-vector point): every
+    * full-corpus cell/code assignment is a broadcast-crossJoin into a
+    * map-side-combine `max_by`/`min_by` aggregation — the nVecs×kCells
+    * candidate stream never shuffles (at 1M×2048 the windowed form
+    * would shuffle 2B rows carrying the 64-d vector; the agg form
+    * shuffles exactly one (vec_id, cid) row per vector per partition).
+    * Seeds/codebooks are hash-spread over the WHOLE corpus
+    * (xxhash64(vec_id) mod step), not replica 0 — above 2000 cells a
+    * base-replica-only rule runs out of distinct donors.
+    * Usage: tools/run_verify.sh recall <mult>[,<kCells>] graft.ScaleProbe */
+  private def recallProbe(spark: SparkSession, mult: Int, kCells: Int): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorMath.vecDot
     val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
-    val big = (0 until mult).map { r =>
-      base.select((col("vec_id") + lit(r.toLong * 1000000)).as("vec_id"),
+    // replica fan-out as ONE explode (a mult-way union is a mult-branch
+    // plan; at mult=500 analysis alone would dominate)
+    val big = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(mult - 1))).as("r"))
+      .select((col("vec_id") + col("r").cast("long") * 1000000L).as("vec_id"),
         transform(col("embedding"),
           (x, i) => x.cast("double") +
-            when(i === lit(r % 64), lit(0.01 * (r % 17 + 1))).otherwise(lit(0.0)))
+            when(i === pmod(col("r"), lit(64)),
+                 lit(0.01) * (pmod(col("r"), lit(17)) + 1).cast("double"))
+              .otherwise(lit(0.0)))
           .as("v"))
-    }.reduce(_ union _)
     big.write.mode("overwrite").parquet("/tmp/graft_recall_probe")
     val e = spark.read.parquet("/tmp/graft_recall_probe")
       .repartition(32, col("vec_id"))
@@ -615,8 +642,7 @@ object ScaleProbe {
                   gtWide: org.apache.spark.sql.DataFrame): Double =
       approx.join(gtWide, Seq("qid", "cand"), "left_semi").count().toDouble / (nQ * K)
 
-    // ---- IVF / IVF-proj: 64 cells, one refinement round over seeds ----
-    val kCells = 64
+    // ---- IVF / IVF-proj: kCells cells, one refinement round over seeds ----
     def centroidsOf(assigned: org.apache.spark.sql.DataFrame) = {
       import spark.implicits._
       assigned.join(e, "vec_id").select(col("cid"), col("v"))
@@ -627,6 +653,7 @@ object ScaleProbe {
         .withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
         .transform(graft.Fence.cut)
     }
+    // query-side assignment (≤20 rows × nprobe): windowed top-n is fine
     def assignTop(df: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
                   vcol: String, ncol: String, cvcol: String, cncol: String, n: Int) = {
       val w = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("cid"))
@@ -635,13 +662,26 @@ object ScaleProbe {
         .withColumn("ark", row_number().over(w))
         .filter(col("ark") <= n)
     }
-    val seeds0 = cand.filter(col("vec_id") < 1000000 && col("vec_id") % (2000 / kCells) === 0)
+    // corpus-side n=1 assignment: broadcast crossJoin projected to
+    // (vec_id, cid, acos) then argmax by map-side-combine max_by — the
+    // nVecs×kCells stream reduces to one row per vector per partition
+    // BEFORE the exchange (the window form would shuffle all of it,
+    // vector payload included: 2B rows × ~550 B at 1M×2048)
+    def assignBest(df: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
+                   vcol: String, ncol: String, cvcol: String, cncol: String) =
+      df.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (vecDot(col(vcol), col(cvcol)) / (col(ncol) * col(cncol))).as("acos"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("acos"), -col("cid"))).as("cid"))
+    val seedStep = math.max(1L, (nVecs - 20) / kCells)
+    val seeds0 = cand.filter(pmod(xxhash64(col("vec_id")), lit(seedStep)) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
               col("nrm").as("cnrm")).transform(graft.Fence.cut)
-    val round1 = assignTop(cand, seeds0, "v", "nrm", "cv", "cnrm", 1)
-      .select(col("vec_id"), col("cid"))
+    val round1 = assignBest(cand, seeds0, "v", "nrm", "cv", "cnrm")
     val cents = centroidsOf(round1)
-    val candCells = assignTop(cand, cents, "v", "nrm", "cv", "cnrm", 1)
+    val candCells = assignBest(cand, cents, "v", "nrm", "cv", "cnrm")
+      .join(e, "vec_id") // re-attach vectors AFTER the 1-row-per-vec agg
       .select(col("vec_id").as("cand"), col("cid").as("cell"),
               col("v").as("cv2"), col("nrm").as("cn2"))
       .transform(graft.Fence.cut)
@@ -667,7 +707,8 @@ object ScaleProbe {
     val candP = cand
       .withColumn("pv", pvOf(col("v")))
       .withColumn("pn", sqrt(vecDot(col("pv"), col("pv"))))
-    val candCellsP = assignTop(candP, centsP, "pv", "pn", "cpv", "cpn", 1)
+    val candCellsP = assignBest(candP, centsP, "pv", "pn", "cpv", "cpn")
+      .join(e, "vec_id")
       .select(col("vec_id").as("cand"), col("cid").as("cell"),
               col("v").as("cv2"), col("nrm").as("cn2"))
       .transform(graft.Fence.cut)
@@ -684,22 +725,26 @@ object ScaleProbe {
       recall(top10(scored, asc = false), gtCos)
     }
     // ---- PQ/ADC: 8 subspaces x cb sub-centroids vs exact-L2 truth ----
-    def pqRecall(cb: Int): (Double, Double) = {
+    // the ADC-scored (qid, cand, s) frame, shared by the raw-PQ and
+    // rerank legs; encoding is the same map-side-combine min_by shape
+    // as assignBest (8M sub-vectors × cb codewords never shuffle)
+    def pqAdc(cb: Int): org.apache.spark.sql.DataFrame = {
       val sub = e
         .select(col("vec_id"), explode(array((0 until 8).map(lit): _*)).as("j"), col("v"))
         .select(col("vec_id"), col("j"), expr("slice(v, j*8+1, 8)").as("sv"))
-      val cbT = sub.filter(col("vec_id") < 1000000 && col("vec_id") % (2000 / cb) === 0)
+      val cbStep = math.max(1L, nVecs / (2L * cb)) // ~2×cb donors, capped below
+      val cbT = sub.filter(pmod(xxhash64(col("vec_id")), lit(cbStep)) === 0)
         .withColumn("cid", dense_rank().over(Window.partitionBy("j").orderBy("vec_id")))
+        .filter(col("cid") <= cb)
         .select(col("cid"), col("j").as("cj"), col("sv").as("cv"))
       def dist2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
         vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c)
-      val wEnc = Window.partitionBy("vec_id", "j").orderBy(col("dd").asc, col("cid"))
       val enc = sub.filter(col("vec_id") >= 20)
         .join(broadcast(cbT), col("j") === col("cj"))
-        .withColumn("dd", dist2(col("sv"), col("cv")))
-        .withColumn("rk", row_number().over(wEnc))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("j"), col("cid"))
+        .select(col("vec_id"), col("j"), col("cid"),
+                dist2(col("sv"), col("cv")).as("dd"))
+        .groupBy("vec_id", "j")
+        .agg(min_by(col("cid"), struct(col("dd"), col("cid"))).as("cid"))
       val lut = sub.filter(col("vec_id") < 20)
         .join(broadcast(cbT), col("j") === col("cj"))
         .select(col("vec_id").as("qid"), col("j").as("lj"), col("cid").as("lcid"),
@@ -708,8 +753,102 @@ object ScaleProbe {
       val adc = enc.join(broadcast(lut), col("j") === col("lj") && col("cid") === col("lcid"))
         .groupBy(col("qid"), col("vec_id").as("cand"))
         .agg(sum(col("ld")).as("s"))
+      adc.transform(graft.Fence.cut)
+    }
+    def pqRecall(adc: org.apache.spark.sql.DataFrame): (Double, Double) = {
       val t = top10(adc, asc = true).transform(graft.Fence.cut)
       (recall(t, gtL2), contained(t, gtL2Wide))
+    }
+    // rerank leg (pqRerankTopk shape): ADC nominates top-100, exact
+    // cosine over the full vectors re-ranks the ≤100 survivors; truth
+    // for this leg is the exact-cosine top-10 (the metric the re-rank
+    // optimizes), so it measures end-to-end retrieval, not tie luck
+    def pqRerankRecall(adc: org.apache.spark.sql.DataFrame): Double = {
+      val pool = topN(adc, asc = true, 100)
+      val t = e.join(broadcast(pool), col("vec_id") === col("cand"))
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cand"),
+          (vecDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("s"))
+        .transform(df => top10(df, asc = false))
+      recall(t, gtCos)
+    }
+    // ---- composed IVF-PQ (the qAnnIvfPq shape): RESIDUAL codes, ADC
+    // restricted to the query's probed cells, exact-cosine re-rank of
+    // the 100-pool. The flat-PQ cliff at this corpus (tie class >
+    // pool) is exactly what this leg exists to reverse: cell probing
+    // bounds the candidate set to the query's own neighborhood before
+    // the pool is cut, and residual encoding shrinks the codes'
+    // dynamic range from unit scale to perturbation scale. ----
+    val candResid = candCells
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("cand").as("vec_id"), col("cell"),
+              zip_with(col("cv2"), col("cv"), (x, c) => x - c).as("rv"))
+    val rSub = candResid
+      .select(col("vec_id"), col("cell"),
+              explode(array((0 until 8).map(lit): _*)).as("j"), col("rv"))
+      .select(col("vec_id"), col("cell"), col("j"),
+              expr("slice(rv, j*8+1, 8)").as("sv"))
+      .transform(graft.Fence.cut)
+    def ivfPqRecall(cb: Int, nprobe: Int): Double = {
+      // codebook = hash-spread DONATED residuals (the operator's
+      // untrained-stand-in convention). Two dead ends measured and
+      // rejected on this corpus before settling here: (a) global
+      // most-frequent-distinct-pattern selection — each cell's
+      // centroid makes its no-perturbation residual a DISTINCT
+      // variant with ~7/8 of the cell behind it, so frequency ranking
+      // fills the whole codebook with no-hit variants and recall
+      // FALLS (0.63 → 0.425 at cb=256); (b) plain k-means from random
+      // donors — ~7/8 of seeds land in the no-hit mega-cluster and
+      // converge to one point, never splitting to cover hit patterns.
+      // Donated codewords at least represent their own cell's
+      // geometry; the remaining gap to the IVF ceiling is codebook
+      // TRAINING quality, which production buys with k-means++-style
+      // seeding (out of scope for a measurement probe).
+      val cbStep = math.max(1L, nVecs / (2L * cb))
+      val cbT = rSub.filter(pmod(xxhash64(col("vec_id")), lit(cbStep)) === 0)
+        .withColumn("cid", dense_rank().over(Window.partitionBy("j").orderBy("vec_id")))
+        .filter(col("cid") <= cb)
+        .select(col("cid"), col("j").as("cj"), col("sv").as("cw"))
+        .transform(graft.Fence.cut)
+      def dist2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c)
+      val enc = rSub.join(broadcast(cbT), col("j") === col("cj"))
+        .select(col("vec_id"), col("cell"), col("j"), col("cid"),
+                dist2(col("sv"), col("cw")).as("dd"))
+        .groupBy("vec_id", "cell", "j")
+        .agg(min_by(col("cid"), struct(col("dd"), col("cid"))).as("code"))
+      val qCells = assignTop(
+        q.select(col("qid").as("vec_id"), col("qv").as("v"), col("qn").as("nrm")),
+        cents, "v", "nrm", "cv", "cnrm", nprobe)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"),
+                zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv"))
+      val qSub = qCells
+        .select(col("qid"), col("cell"),
+                explode(array((0 until 8).map(lit): _*)).as("j"), col("qrv"))
+        .select(col("qid"), col("cell"), col("j"),
+                expr("slice(qrv, j*8+1, 8)").as("sv"))
+      // residual-scale LUT quantum: residuals on this corpus live at
+      // 1e-2 scale, so distances² live at 1e-4 — the family's 1e4
+      // fixed point (calibrated for unit-scale vectors) would collapse
+      // real distinctions into integer ties; 1e8 keeps the same
+      // RELATIVE resolution the unit-scale legs get
+      val lut = qSub.join(broadcast(cbT), col("j") === col("cj"))
+        .select(col("qid"), col("cell").as("lcell"), col("j").as("lj"),
+                col("cid").as("lcode"),
+                floor(dist2(col("sv"), col("cw")) * lit(1.0e8) + lit(0.5))
+                  .cast("long").as("ld"))
+      val adc = enc.join(broadcast(lut),
+          col("cell") === col("lcell") && col("j") === col("lj") &&
+            col("code") === col("lcode"))
+        .groupBy(col("qid"), col("vec_id").as("cand"))
+        .agg(sum(col("ld")).as("s"))
+      val pool = topN(adc, asc = true, 100)
+      val t = e.join(broadcast(pool), col("vec_id") === col("cand"))
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cand"),
+          (vecDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("s"))
+        .transform(df => top10(df, asc = false))
+      recall(t, gtCos)
     }
     println(f"recall shape: $nVecs%,d vectors, $nQ queries, k=10, $kCells IVF cells")
     Seq(1, 2, 4, 8).foreach { np =>
@@ -718,10 +857,19 @@ object ScaleProbe {
     Seq(1, 2, 4, 8).foreach { np =>
       println(f"recall ivf-proj nprobe=$np%-2d recall@10=${ivfProjRecall(np)}%.3f")
     }
-    Seq(4, 16).foreach { cb =>
-      val (strict, inTop100) = pqRecall(cb)
+    val cbs = if (nVecs > 500000) Seq(16, 256) else Seq(4, 16)
+    cbs.foreach { cb =>
+      val adc = pqAdc(cb)
+      val (strict, inTop100) = pqRecall(adc)
+      val rr = pqRerankRecall(adc)
       println(f"recall pq       cb=$cb%-3d (${(math.log(cb) / math.log(2)).round * 8} code bits) " +
-        f"recall@10=$strict%.3f in-top100=$inTop100%.3f")
+        f"recall@10=$strict%.3f in-top100=$inTop100%.3f rerank-recall@10=$rr%.3f")
+    }
+    cbs.foreach { cb =>
+      Seq(1, 2).foreach { np =>
+        println(f"recall ivfpq    cb=$cb%-3d nprobe=$np%-2d " +
+          f"rerank-recall@10=${ivfPqRecall(cb, np)}%.3f")
+      }
     }
   }
 

@@ -425,6 +425,115 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** EXT: composed IVF-PQ retrieval — the full production ANN stack
+    * (the FAISS IndexIVFPQ + refine shape) as ONE declared query:
+    * a coarse quantizer (8 cells, [[qAnnIvf]]'s donor convention)
+    * partitions the corpus; every candidate stores only its cell id
+    * plus an 8-byte PQ code of its RESIDUAL (v − cell centroid —
+    * residual encoding is what makes the codes sharp inside a cell:
+    * the coarse component is already carried by the cell id, so the
+    * sub-codebooks spend their bits on the remainder); a query probes
+    * its nprobe=2 nearest cells and ADC-scans ONLY those cells' codes
+    * with a per-(query, probed-cell) LUT built on the query residual;
+    * the ≤50-deep ADC pool then re-ranks by exact cosine over the
+    * full vectors ([[qAnnPqRerank]]'s refine leg).
+    *
+    * At 100 TB: the scannable state is cell + code (9 bytes/vector);
+    * centroids and sub-codebooks broadcast; per-query work is an
+    * equi-join of the probed cells' codes against a tiny integer LUT
+    * plus an exact pass over ≤50 survivors — cost scales with
+    * nprobe × cell size, never corpus size. The corpus-side cell
+    * argmax is a map-side-combine `max_by` (the nVecs×cells stream
+    * reduces to one row per vector BEFORE any exchange), and the
+    * residual join back to `vecs` reuses its (vec_id) hash
+    * partitioning — no extra shuffle.
+    *
+    * Engine-exact by the ANN family's conventions: cell argmax on
+    * 4-dp-rounded cosine, residuals as ONE elementwise IEEE subtract
+    * (bit-equal in both engines), ADC distances 1e-4 fixed-point
+    * LONGs before the SUM (integer, order-independent), final scores
+    * 4-dp rounds. */
+  def qAnnIvfPq(s: SparkSession, d: String): DataFrame =
+    ivfPqTopk(vecs(s, d))
+
+  /** [[qAnnIvfPq]] over an arbitrary (vec_id, v[, nrm]) frame — exposed
+    * for AnnRecallSpec's planted-neighbor floor (same id-keyed fixture
+    * splits: centroids < 8, queries < 5, candidates ≥ 8, residual
+    * codebook donors 8..11). */
+  private[graft] def ivfPqTopk(vv: DataFrame): DataFrame = {
+    val e = (if (vv.columns.contains("nrm")) vv
+             else vv.withColumn("nrm", sqrt(vecDot(col("v"), col("v")))))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    def roundCos = round(vecDot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4)
+    // corpus side: n=1 cell assignment as max_by (argmax before exchange)
+    val cand = e.filter(col("vec_id") >= 8)
+    val best = cand.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), roundCos.as("acos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("acos"), -col("cid"))).as("cell"))
+    val resid = best.join(cand, "vec_id")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+              zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    val sub = resid
+      .select(col("vec_id"), col("cell"),
+              explode(array((0 until 8).map(lit): _*)).as("j"), col("rv"))
+      .select(col("vec_id"), col("cell"), col("j"),
+              expr("slice(rv, j*8+1, 8)").as("sv"))
+    // residual sub-codebooks: donors = the first 4 candidates (8..11)
+    val cb = sub.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("ccid"), col("j").as("cj"), col("sv").as("cw"))
+    def dist2(x: Column, c: Column): Column =
+      vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c)
+    // encode: per (vec, subspace) argmin codeword, map-side-combined
+    val enc = sub.join(broadcast(cb), col("j") === col("cj"))
+      .select(col("vec_id"), col("cell"), col("j"), col("ccid"),
+              dist2(col("sv"), col("cw")).as("dd"))
+      .groupBy("vec_id", "cell", "j")
+      .agg(min_by(col("ccid"), struct(col("dd"), col("ccid"))).as("code"))
+    // query side (5 rows): top-2 probed cells, residual per probed cell
+    val qs = e.filter(col("vec_id") < 5)
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("cid"))
+    val qCells = qs.crossJoin(broadcast(cents))
+      .withColumn("acos", roundCos)
+      .withColumn("ark", row_number().over(wProbe))
+      .filter(col("ark") <= 2)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"),
+              zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv"))
+    val qSub = qCells
+      .select(col("qid"), col("cell"),
+              explode(array((0 until 8).map(lit): _*)).as("j"), col("qrv"))
+      .select(col("qid"), col("cell"), col("j"),
+              expr("slice(qrv, j*8+1, 8)").as("sv"))
+    val lut = qSub.join(broadcast(cb), col("j") === col("cj"))
+      .select(col("qid"), col("cell").as("lcell"), col("j").as("lj"),
+              col("ccid").as("lcode"),
+              floor(dist2(col("sv"), col("cw")) * lit(10000.0) + lit(0.5))
+                .cast("long").as("ld"))
+    val wPool = Window.partitionBy("qid").orderBy(col("di4").asc, col("cand"))
+    val pool = enc.join(broadcast(lut),
+        col("cell") === col("lcell") && col("j") === col("lj") &&
+          col("code") === col("lcode"))
+      .groupBy(col("qid"), col("vec_id").as("cand"))
+      .agg(sum(col("ld")).as("di4"))
+      .withColumn("rk", row_number().over(wPool))
+      .filter(col("rk") <= 50)
+      .select("qid", "cand")
+    val q = qs.select(col("vec_id").as("qid"), col("v").as("qv"),
+                      col("nrm").as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    e.join(broadcast(pool), col("vec_id") === col("cand"))
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cand"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("cand"), col("rk"), col("cos"))
+      .orderBy("qid", "rk")
+  }
+
   /** EXT: reciprocal-rank fusion (RRF, Cormack et al. 2009) — the
     * standard hybrid-retrieval combiner: rank the same candidates under
     * two independent rankers (here cosine and L2 over the embeddings —
@@ -774,6 +883,7 @@ object Similarity {
     "q_vec_quantize"    -> (qVecQuantize _),
     "q_ann_pq"          -> (qAnnPq _),
     "q_ann_pq_rerank"   -> (qAnnPqRerank _),
+    "q_ann_ivfpq"       -> (qAnnIvfPq _),
     "q_ann_rrf"         -> (qAnnRrf _),
     "q_mine_hard_negatives" -> (qMineHardNegatives _),
     "q_ann_mmr"             -> (qAnnMmr _),
@@ -1018,6 +1128,62 @@ object Similarity {
         |  FROM pool p
         |  JOIN en c ON c.vec_id = p.cand
         |  JOIN en q ON q.vec_id = p.qid)
+        |SELECT qid, cand, rk, cos FROM (
+        |  SELECT qid, cand, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS BIGINT) AS rk
+        |  FROM rer) WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin,
+    // composed IVF-PQ: same stage-by-stage mirror — rounded-cos cell
+    // argmax as a rank window, residuals as elementwise list_transform
+    // subtract (bit-equal IEEE against Spark's zip_with), residual PQ
+    // encode/LUT as the q_ann_pq CTEs with the cell carried through,
+    // integer ADC, exact-cosine re-rank of the 50-pool
+    "q_ann_ivfpq" ->
+      s"""WITH en AS ($duckVecs),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM en WHERE vec_id < 8),
+        |best AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cid AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |      ROUND(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC, c.cid) AS rk
+        |  FROM en b CROSS JOIN cents c WHERE b.vec_id >= 8) WHERE rk = 1),
+        |resid AS (SELECT b.vec_id, b.cell,
+        |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS rv
+        |  FROM best b JOIN en e USING (vec_id) JOIN cents c ON c.cid = b.cell),
+        |sub AS (SELECT vec_id, cell, j, list_slice(rv, j*8+1, j*8+8) AS sv
+        |        FROM resid, generate_series(0, 7) g(j)),
+        |cb AS (SELECT vec_id AS ccid, j AS cj, sv AS cw FROM sub WHERE vec_id < 12),
+        |enc AS (SELECT vec_id, cell, j, ccid AS code FROM (
+        |  SELECT d.vec_id, d.cell, d.j, cb.ccid,
+        |    ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j ORDER BY
+        |      (list_dot_product(d.sv, d.sv)
+        |         - CAST(2.0 AS DOUBLE) * list_dot_product(d.sv, cb.cw)
+        |         + list_dot_product(cb.cw, cb.cw)) ASC, cb.ccid) AS rk
+        |  FROM sub d JOIN cb ON d.j = cb.cj) WHERE rk = 1),
+        |qcell AS (SELECT qid, cell, qrv FROM (
+        |  SELECT b.vec_id AS qid, c.cid AS cell,
+        |    list_transform(generate_series(1, len(b.v)), i -> b.v[i] - c.cv[i]) AS qrv,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |      ROUND(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC, c.cid) AS rk
+        |  FROM en b CROSS JOIN cents c WHERE b.vec_id < 5) WHERE rk <= 2),
+        |qsub AS (SELECT qid, cell, j, list_slice(qrv, j*8+1, j*8+8) AS sv
+        |         FROM qcell, generate_series(0, 7) g(j)),
+        |lut AS (SELECT q.qid, q.cell AS lcell, cb.cj AS lj, cb.ccid AS lcode,
+        |  CAST(floor((list_dot_product(q.sv, q.sv)
+        |         - CAST(2.0 AS DOUBLE) * list_dot_product(q.sv, cb.cw)
+        |         + list_dot_product(cb.cw, cb.cw))
+        |        * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ld
+        |  FROM qsub q JOIN cb ON q.j = cb.cj),
+        |adc AS (SELECT l.qid, c.vec_id AS cand, CAST(SUM(l.ld) AS BIGINT) AS di4
+        |        FROM enc c JOIN lut l
+        |          ON c.cell = l.lcell AND c.j = l.lj AND c.code = l.lcode
+        |        GROUP BY 1, 2),
+        |pool AS (SELECT qid, cand FROM (
+        |  SELECT qid, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY di4 ASC, cand) AS rk
+        |  FROM adc) WHERE rk <= 50),
+        |rer AS (SELECT p.qid, p.cand,
+        |    ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 4) AS cos
+        |  FROM pool p JOIN en c ON c.vec_id = p.cand JOIN en q ON q.vec_id = p.qid)
         |SELECT qid, cand, rk, cos FROM (
         |  SELECT qid, cand, cos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS BIGINT) AS rk

@@ -151,6 +151,29 @@ class AdaptivePlanGuardSpec extends SparkSpec {
     assert(s.nlj === 0 && s.cartesian === 0, s"no unbounded product in DSIR: $s")
   }
 
+  test("q_ann_ivfpq final adaptive plan: every product broadcast-driven, corpus re-reads dedup via exchange reuse") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val nodes = PlanWalk.executeAndFlatten(
+      SparkEntry.queries("q_ann_ivfpq")(spark, sf1))
+    val cartesian = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    val nlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+    val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
+    info(s"q_ann_ivfpq: nlj=$nlj cartesian=$cartesian reusedExchanges=$reused")
+    // the tolerated NLJs are the broadcast(8-row centroid) products —
+    // cell assignment for candidates and probe selection for queries;
+    // a CartesianProduct would mean a product went non-broadcast
+    assert(cartesian === 0, "no non-broadcast product in IVF-PQ")
+    assert(nlj <= 8, s"only the centroid-broadcast products may be NLJ: $nlj")
+    // the operator references the corpus ~8 times (centroids, cell
+    // assignment, residuals, codebook donors, queries, re-rank); the
+    // (scan → repartition) Exchange subtrees are identical, so AQE must
+    // dedup them — at 100 TB this is the difference between one corpus
+    // read and eight
+    assert(reused >= 1,
+      "identical corpus-scan exchanges must be reused, not re-read")
+  }
+
   test("q_mine_hard_negatives final adaptive plan: one broadcast scoring pass, nothing unbounded") {
     val s = run("q_mine_hard_negatives")
     // the ONE tolerated BNLJ is the broadcast(5-row anchor set) scoring

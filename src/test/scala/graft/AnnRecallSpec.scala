@@ -117,6 +117,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, f"re-rank recall floor: $recall%.3f >= 0.9")
   }
 
+  test("composed IVF-PQ surfaces planted near-copies through cell probe + residual codes + re-rank") {
+    // the full-stack retrieval contract: a planted near-copy must (a)
+    // land in its query's argmax cell (tiny perturbation -> same coarse
+    // assignment), (b) survive the residual-ADC pool nomination, and
+    // (c) win the exact re-rank. A miss at ANY stage drops it from the
+    // top-10, so this floor gates the composition, not one stage.
+    val out = Similarity.ivfPqTopk(withPlants(baseVecs)).collect()
+    val found = out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand"))).toSet
+    val expected = for (q <- 0 until 5; j <- 1 to 3)
+      yield (q.toLong, 100000L + q * 10 + j)
+    val hit = expected.count(found)
+    info(s"planted copies in composed IVF-PQ top-10: $hit/15")
+    assert(hit >= 12,
+      s"planted-neighbor recall: $hit/15 planted copies in IVF-PQ top-10 (floor 12)")
+  }
+
   test("fixture regression floors: PQ recall vs exact-L2 truth at sf0.01") {
     val e = normed(baseVecs).localCheckpoint()
     val out = Similarity.pqAdcTopk(e).collect()
