@@ -28,7 +28,8 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.Interp.queries ++
     operators.Tpch.queries ++
-    multimodal.Multimodal.queries
+    multimodal.Multimodal.queries ++
+    sources.Warc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     operators.Similarity.oracle ++
     operators.Interp.oracle ++
     operators.Tpch.oracle ++
-    multimodal.Multimodal.oracle
+    multimodal.Multimodal.oracle ++
+    sources.Warc.oracle
 }

@@ -24,6 +24,39 @@ object RangeReader {
   def open(path: String): RangeReader =
     if (path.startsWith("http://") || path.startsWith("https://")) new HttpRangeReader(path)
     else new FileRangeReader(path)
+
+  /** Scheme-dispatching open for Hadoop-visible URIs: `http(s)` keeps
+    * the native range reader (a plain static host needs no Hadoop
+    * client); bare paths and `file:` URIs use RandomAccessFile; every
+    * other scheme (hdfs://, s3a://, …) goes through the Hadoop
+    * FileSystem client — positioned reads against an FSDataInputStream,
+    * the same API DFSClient/S3A serve Spark's own parquet scans with.
+    * `conf` arrives as a plain Map so tasks can rebuild a Configuration
+    * without serializing one (Configuration is not Serializable). */
+  def openHadoop(path: String, conf: Map[String, String]): RangeReader =
+    if (path.startsWith("http://") || path.startsWith("https://")) new HttpRangeReader(path)
+    else if (path.startsWith("file:"))
+      new FileRangeReader(new java.net.URI(path).getPath)
+    else if (!path.contains("://")) new FileRangeReader(path)
+    else {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      conf.foreach { case (k, v) => c.set(k, v) }
+      new HadoopRangeReader(path, c)
+    }
+}
+
+/** Hadoop `FileSystem` positioned reads — the object-store-correct leg
+  * of [[RangeReader.openHadoop]]. One open stream per reader (one per
+  * task); `readFully(position, …)` is the pread API every Hadoop
+  * filesystem implements natively (HDFS short-circuit, S3A ranged GET). */
+final class HadoopRangeReader(path: String, conf: org.apache.hadoop.conf.Configuration)
+    extends RangeReader {
+  private val p = new org.apache.hadoop.fs.Path(path)
+  private val fs = p.getFileSystem(conf)
+  val length: Long = fs.getFileStatus(p).getLen
+  private val in = fs.open(p)
+  def readFully(offset: Long, dst: Array[Byte]): Unit = in.readFully(offset, dst)
+  def close(): Unit = in.close()
 }
 
 final class FileRangeReader(path: String) extends RangeReader {
