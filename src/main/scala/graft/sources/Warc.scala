@@ -69,12 +69,21 @@ object Warc {
     * content_type, content_length, http_status, http_content_type,
     * body). */
   def read(s: SparkSession, pattern: String, splitBytes: Long = 64L << 20,
-           maxRecordBytes: Int = 64 << 20): DataFrame = {
+           maxRecordBytes: Int = 64 << 20): DataFrame =
+    readFiles(s, listFiles(s, pattern), splitBytes, maxRecordBytes)
+
+  /** [[read]] over an explicit (path, length) list — the leg a caller
+    * with its own file inventory uses (e.g. [[graft.streaming.Streams
+    * .crawlStream]], whose file-discovery stream already carries the
+    * length), skipping a second FileSystem listing round-trip. */
+  def readFiles(s: SparkSession, files: Seq[(String, Long)],
+                splitBytes: Long = 64L << 20,
+                maxRecordBytes: Int = 64 << 20): DataFrame = {
     require(splitBytes > 0 && maxRecordBytes > 0, "positive split/record caps")
+    require(files.nonEmpty, "empty WARC file list")
     val confMap: Map[String, String] =
       s.sparkContext.hadoopConfiguration.iterator().asScala
         .map(e => e.getKey -> e.getValue).toMap
-    val files = listFiles(s, pattern)
     val splits = files.flatMap { case (path, len) =>
       val gz = path.endsWith(".gz")
       if (gz || len <= splitBytes) Seq(Split(path, 0L, len, len, gz))

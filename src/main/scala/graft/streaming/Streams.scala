@@ -328,6 +328,83 @@ object Streams {
       .start()
   }
 
+  /** Streaming crawl ingest — the production front door: raw WARC
+    * containers (`.warc` / `.warc.gz`) land in `warcDir` as a crawler
+    * ships them; each micro-batch decodes exactly its newly-discovered
+    * files, persists the decoded `documents` shape, and dedups the
+    * crawl against every earlier crawl through the band index — the
+    * [[dedupStream]] protocol with [[graft.sources.Warc]] ingest fused
+    * in front.
+    *
+    * Discovery is a `binaryFile` readStream projected to (path,
+    * length): Spark's binary-file scan only materializes `content`
+    * when the required schema asks for it, so the discovery stream
+    * reads FILE LISTINGS, never archive bytes — at Common Crawl scale
+    * (tens of thousands of ~1 GB objects per crawl) the stream's own
+    * state is file names, and the checkpoint log gives exactly-once
+    * file processing across restarts for free. The per-batch file list
+    * is collected to the driver (bounded: names + lengths, the same
+    * inventory every Spark file source holds on the driver anyway) and
+    * handed to [[graft.sources.Warc.readFiles]], which fans the decode
+    * out over byte-range splits. Decode runs ONCE per batch: documents
+    * are written to `docsDir/batch_<id>` first, then bands derive from
+    * the read-back parquet (columnar, doc_id+text pruned) rather than
+    * re-running the container parse.
+    *
+    * Outputs per micro-batch (one crawl under `AvailableNow` +
+    * `maxFilesPerBatch` staging, the [[dedupStream]] convention):
+    * `docsDir/batch_<id>` — the decoded corpus increment;
+    * `hitsDir/batch_<id>` — (doc_id, dup_of, n_bands) cross-crawl
+    * near-dup hits against all EARLIER crawls; `indexDir/batch_<id>` —
+    * the crawl's band signatures, appended to the corpus index. */
+  def crawlStream(s: SparkSession, warcDir: String, docsDir: String,
+                  indexDir: String, hitsDir: String, checkpoint: String,
+                  maxFilesPerBatch: Option[Int] = None,
+                  splitBytes: Long = 64L << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // binaryFile's fixed source schema, spelled out because streaming
+    // sources refuse inference even for fixed-schema formats
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val src = maxFilesPerBatch.foldLeft(
+      s.readStream.format("binaryFile").schema(binaryFileSchema)
+        .option("pathGlobFilter", "*.{warc,warc.gz}"))(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    src.load(warcDir)
+      .select(col("path"), col("length")) // prunes `content`: listing-only stream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val files = batch.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+        if (files.nonEmpty) {
+          graft.sources.Warc.toDocuments(
+              graft.sources.Warc.readFiles(s, files, splitBytes))
+            .repartition(32, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$docsDir/batch_$batchId")
+          val bands = graft.operators.Dedup.minhashBands(
+            s.read.parquet(s"$docsDir/batch_$batchId").select("doc_id", "text"))
+          val idx =
+            try Some(s.read.option("recursiveFileLookup", "true").parquet(indexDir))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          idx.foreach { corpus =>
+            corpus.select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
+              .join(bands.select(col("doc_id").as("new_id"), col("b"), col("bh")),
+                    Seq("b", "bh"))
+              .groupBy(col("new_id").as("doc_id"))
+              .agg(min(col("corpus_id")).as("dup_of"),
+                   countDistinct(col("b")).as("n_bands"))
+              .write.mode("overwrite").parquet(s"$hitsDir/batch_$batchId")
+          }
+          bands.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 

@@ -239,6 +239,79 @@ class StreamingSpec extends SparkSpec {
     assert(idxDocs === docs.count(), "index must accumulate all crawled docs' bands")
   }
 
+  test("streaming crawl ingest: WARC drops decode once, dedup cross-crawl, discovery never reads bytes") {
+    import graft.operators.Dedup
+    import graft.sources.Warc
+    val warcDir = Files.createTempDirectory("graft_crawl_landing").toString
+    val docsOut = Files.createTempDirectory("graft_crawl_docs").toString
+    val index = Files.createTempDirectory("graft_crawl_index").resolve("idx").toString
+    val hits = Files.createTempDirectory("graft_crawl_hits").toString
+    val ckpt = Files.createTempDirectory("graft_crawl_ckpt").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+    // a crawler "ships" a crawl: export to staging, rename into the
+    // watched dir (atomic-appearance convention for file sources)
+    def ship(crawl: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_crawl_stage_$tag").toString
+      Warc.writeWarc(crawl, staging, partitions = 4)
+      new java.io.File(staging).listFiles()
+        .filter(f => !f.getName.startsWith(".")) // skip Hadoop local .crc sidecars
+        .foreach { f =>
+          Files.move(f.toPath, Paths.get(warcDir, s"$tag-${f.getName}"))
+        }
+    }
+    // same corpus split as the dedupStream test: crawl 1 = %5!=0,
+    // crawl 2 = %5==0 — cross-crawl near-dups exist by construction
+    ship(docs.filter(col("doc_id") % 5 =!= 0), "c1")
+    Streams.crawlStream(spark, warcDir, docsOut, index, hits, ckpt,
+      splitBytes = 32L << 10).awaitTermination(180000)
+    ship(docs.filter(col("doc_id") % 5 === 0), "c2")
+    Streams.crawlStream(spark, warcDir, docsOut, index, hits, ckpt,
+      splitBytes = 32L << 10).awaitTermination(180000)
+
+    // discovery stream reads listings, not archive bytes: the pruned
+    // binaryFile scan must not materialize the `content` column
+    val probe = spark.read.format("binaryFile").load(warcDir)
+      .select("path", "length")
+    assert(!probe.queryExecution.executedPlan.toString.contains("content"),
+      "discovery scan must prune binaryFile content")
+
+    // the documents the WARC round-trip preserves: urn-wrapped id,
+    // whitespace-collapsed text (the qWarcDocuments oracle transform)
+    val asShipped = docs.select(
+      concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("doc_id"),
+      trim(regexp_replace(col("text"), "\\s+", " ")).as("text"))
+    val decodedBack = spark.read.option("recursiveFileLookup", "true").parquet(docsOut)
+      .select("doc_id", "text")
+    assert(decodedBack.orderBy("doc_id").collect().map(_.toString).toSeq ===
+           asShipped.orderBy("doc_id").collect().map(_.toString).toSeq,
+      "every crawl batch must decode to the exact documents increment")
+
+    // crawl 1 probed an empty index → no hits; crawl 2's hits must equal
+    // a first-principles batch twin built with the public band operator
+    assert(!new java.io.File(s"$hits/batch_0").exists(),
+      "first crawl has no prior index — must write no hits")
+    val corpusBands = Dedup.minhashBands(
+      asShipped.filter(expr("cast(regexp_extract(doc_id, ':([0-9]+)>$', 1) as bigint) % 5 != 0")))
+    val batchBands = Dedup.minhashBands(
+      asShipped.filter(expr("cast(regexp_extract(doc_id, ':([0-9]+)>$', 1) as bigint) % 5 == 0")))
+    val twin = corpusBands.select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
+      .join(batchBands.select(col("doc_id").as("new_id"), col("b"), col("bh")),
+            Seq("b", "bh"))
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"), countDistinct(col("b")).as("n_bands"))
+    val streamed = spark.read.parquet(s"$hits/batch_1")
+      .orderBy("doc_id").collect().map(_.toString)
+    val want = twin.orderBy("doc_id").collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(want),
+      s"streamed hits (${streamed.length}) != batch twin (${want.length})")
+
+    // the index carries both crawls' bands — restart-safe corpus state
+    val idxDocs = spark.read.option("recursiveFileLookup", "true").parquet(index)
+      .select(countDistinct(col("doc_id"))).head().getLong(0)
+    assert(idxDocs === docs.count(), "index must accumulate all crawled docs' bands")
+  }
+
   test("streaming anomaly scoring: broadcast batch model flags the stream identically to the batch screen") {
     val src = stageEventsDir()
     // plant one event whose TYPE the model has never seen (r9 advice):
