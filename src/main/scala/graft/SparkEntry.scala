@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.Interp.queries ++
     operators.Tpch.queries ++
+    operators.Graph.queries ++
     multimodal.Multimodal.queries ++
     sources.Warc.queries
 
@@ -42,6 +43,7 @@ object SparkEntry {
     operators.Similarity.oracle ++
     operators.Interp.oracle ++
     operators.Tpch.oracle ++
+    operators.Graph.oracle ++
     multimodal.Multimodal.oracle ++
     sources.Warc.oracle
 }

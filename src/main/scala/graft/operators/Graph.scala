@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph operators over edge lists — the link-analysis family a
+  * crawl-scale training-data pipeline runs on its host/domain webgraph.
+  *
+  * Common Crawl publishes per-host and per-domain rank scores computed
+  * over exactly this shape of data (the `cc-main-*-host` webgraph
+  * releases), and quality-weighting documents by the rank of their host
+  * is a standard pretraining-curation signal. The substrate here is an
+  * edge list `(src, dst)` — the engine's job is the iterative linear
+  * algebra, which on Spark is the Pregel shape: a static, pre-shuffled
+  * edge relation joined each round against a narrow, evolving vertex
+  * relation ([[qDedupClusters]] iterates the same way for connected
+  * components).
+  *
+  * Engine-exactness: ranks are BIGINT fixed-point micro-units (1e12 =
+  * total probability mass 1.0). Every per-round step is integer
+  * arithmetic — contribution = `rank DIV out_degree`, damping =
+  * `(85 * x) DIV 100` — so sums are partition-order-independent and
+  * both engines compute bit-equal ranks, no FP anywhere (the
+  * [[TextOps.qTextBm25]] scaled-integer convention).
+  */
+object Graph {
+
+  /** PageRank over an arbitrary directed edge list — the PUBLIC entry
+    * ([[corpusDiff]] convention: the declared query below is a thin
+    * fixture binding of this).
+    *
+    * Semantics (Page et al. 1999, with the standard dangling-node
+    * mass redistribution): fixed `iters` power-iteration rounds of
+    *   r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u) + D/N)
+    * where D is the total rank mass sitting on dangling nodes
+    * (out-degree 0) this round, and d = `dampNum`/100.
+    *
+    * All arithmetic is BIGINT fixed-point (`scale` = mass 1.0):
+    * contributions are `rank DIV odeg` computed once per edge, the
+    * damped update is `tp + (dampNum * (in + dmShare)) DIV 100` — every
+    * division is a positive-integer floor both engines share, so the
+    * result is deterministic and oracle-hashable. Truncation loses at
+    * most a few units per node per round (spec-pinned mass bound).
+    *
+    * Plan shape, and why it holds at 100 TB:
+    *  - the edge relation is joined with out-degrees ONCE and lineage-cut
+    *    ([[graft.Fence.cut]]); each round re-reads that static frame —
+    *    the per-round cost is one broadcast of the 1-row dangling-mass
+    *    aggregate, one equi-join of edges against the narrow (node, rank)
+    *    relation, and one `groupBy(dst).sum` shuffle. Nothing about the
+    *    round grows with the round number: each round's vertex frame is
+    *    lineage-cut, so plan depth stays O(1) (the [[qDedupClusters]]
+    *    iteration discipline).
+    *  - vertex state is 16 bytes/node. A host-level webgraph at crawl
+    *    scale is ~1e8 nodes / ~1e10 edges — the rank relation is ~2 GB
+    *    cluster-wide while the edge relation dominates and is only ever
+    *    scanned, never mutated. Co-partitioning edges by `src` against
+    *    ranks by `node` makes the contribution join shuffle-free
+    *    ([[graft.plans.Layout.writeBucketed]]); the `dst` aggregation is
+    *    the one unavoidable shuffle, map-side-combined by Catalyst.
+    *  - dangling mass is a 1-row aggregate cross-joined in (broadcast),
+    *    not a driver action — the loop runs zero actions per round.
+    *
+    * @param edges (src: long, dst: long); self-loops and duplicate edges
+    *              are honored as given (dedupe upstream if undesired).
+    * @param iters fixed round count (power iteration; convergence for
+    *              d=0.85 is ~1e-1 per round — 5 rounds ranks hosts, 50
+    *              rounds reproduces published scores to 6 figures).
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampNum: Long = 85L,
+               scale: Long = 1000000000000L): DataFrame = {
+    // static frames, fenced once for the loop's lifetime and released
+    // at the end (the qDedupClusters discipline)
+    val nodes = graft.Fence(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count() // one bounded driver scalar, before the loop
+    require(n > 0, "pageRank: empty graph")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val e = graft.Fence(edges.join(deg, "src")) // (src, dst, odeg)
+    // dangling node set: receives links but emits none
+    val dangling = graft.Fence(
+      nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti"))
+    val base = scale / n                      // exact: both are driver longs
+    val tp = ((100L - dampNum) * base) / 100L // teleport term, exact
+    var r = graft.Fence(nodes.withColumn("rank", lit(base)))
+    (1 to iters).foreach { _ =>
+      val dm1 = r.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val in = e.join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank DIV odeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      val prev = r
+      r = graft.Fence(
+        nodes.join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .crossJoin(broadcast(dm1))
+          .select(col("node"),
+            (lit(tp) +
+              expr(s"($dampNum * (coalesce(m, 0L) + dm DIV ${n}L)) DIV 100"))
+              .as("rank")))
+      graft.Fence.release(prev) // the new fence is materialized; r-1 superseded
+    }
+    val keep = graft.Fence.cut(r)
+    graft.Fence.release(r); graft.Fence.release(dangling)
+    graft.Fence.release(e); graft.Fence.release(nodes)
+    keep
+  }
+
+  /** EXT: host-graph PageRank, declared + oracled — 5 damped rounds over
+    * a deterministic link graph derived from the documents table (the
+    * [[TextOps.qCurateUrls]] convention: synthetic tables carry no real
+    * hyperlinks, so the fixture derives them as a pure function of
+    * doc_id — node = doc_id mod 997, each doc emits 1 + doc_id%3 links
+    * dst = (31*doc_id + 7k) mod 997, deduped, self-loops dropped). The
+    * DuckDB oracle replays the derivation and all 5 rounds in unrolled
+    * CTEs with the identical integer arithmetic, so the ranks
+    * hash-match bit-for-bit. Output: every node with its fixed-point
+    * rank and rank order. */
+  def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = graphEdges(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc, col("node"))
+    pageRank(edges, iters = 5)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("node"), col("rank").as("rank_fp"), col("rk"))
+      .orderBy("node")
+  }
+
+  /** The derived fixture webgraph (see [[qGraphPagerank]]). */
+  private[graft] def graphEdges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % 3L)).as("k"))
+      .select((col("doc_id") % 997L).as("src"),
+              ((col("doc_id") * 31L + col("k") * 7L) % 997L).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (qGraphPagerank _)
+  )
+
+  // one unrolled PageRank round in DuckDB SQL (integer // = Spark DIV);
+  // `p` names the previous round's rank CTE, the result CTE is `r$i`
+  private def duckRound(i: Int, p: String): String =
+    s"""d$i AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dm FROM $p
+       |        LEFT JOIN deg ON $p.node = deg.src WHERE deg.src IS NULL),
+       |m$i AS (SELECT e.dst AS node, CAST(SUM($p.rank // e.odeg) AS BIGINT) AS m
+       |        FROM e JOIN $p ON e.src = $p.node GROUP BY e.dst),
+       |r$i AS (SELECT nodes.node,
+       |          CAST((SELECT tp FROM consts) +
+       |          (85 * (COALESCE(m$i.m, 0) + (SELECT dm FROM d$i) // (SELECT n FROM nn)))
+       |            // 100 AS BIGINT) AS rank
+       |        FROM nodes LEFT JOIN m$i ON nodes.node = m$i.node)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+        |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,
+        |                       ((doc_id * 31 + k * 7) % 997) AS dst
+        |       FROM documents CROSS JOIN ks
+        |       WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)),
+        |deg AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst, deg.odeg FROM e0 JOIN deg ON e0.src = deg.src),
+        |nodes AS (SELECT DISTINCT node FROM
+        |          (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |consts AS (SELECT 1000000000000 // n AS base,
+        |                  (15 * (1000000000000 // n)) // 100 AS tp FROM nn),
+        |r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
+        |${(1 to 5).map(i => duckRound(i, s"r${i - 1}")).mkString(",\n")}
+        |SELECT node, rank AS rank_fp,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
+        |FROM r5 ORDER BY node""".stripMargin
+  )
+}

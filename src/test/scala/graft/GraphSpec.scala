@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** [[operators.Graph.pageRank]] against an independent pure-Scala
+  * fixed-point reference: the distributed iteration must reproduce the
+  * driver-side loop BIT-EXACTLY (all arithmetic is BIGINT floor division,
+  * so there is exactly one correct answer), dangling mass must be
+  * redistributed, and total mass must stay within the truncation bound. */
+class GraphSpec extends SparkSpec {
+
+  /** Driver-side reference: same integer math, same semantics. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale / n
+    val tp = (15L * base) / 100L
+    var r: Map[Long, Long] = nodes.map(_ -> base).toMap
+    (1 to iters).foreach { _ =>
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (tp + (85L * (in.getOrElse(v, 0L) + dm / n)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runSpark(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+  }
+
+  test("pageRank matches the driver-side integer reference bit-exactly") {
+    // the classic 4-node example plus a dangling sink:
+    // 0->1, 0->2, 1->2, 2->0, 2->3 (3 emits nothing — dangling)
+    val edges = Seq[(Long, Long)]((0, 1), (0, 2), (1, 2), (2, 0), (2, 3))
+    for (iters <- Seq(1, 3, 5, 10)) {
+      assert(runSpark(edges, iters) === refPageRank(edges, iters),
+        s"iters=$iters")
+    }
+  }
+
+  test("dangling mass is redistributed, not lost") {
+    // star into a sink: without dangling redistribution the sink would
+    // absorb all mass and total rank would decay geometrically
+    val edges = Seq[(Long, Long)]((1, 9), (2, 9), (3, 9), (4, 9))
+    val r = runSpark(edges, 5)
+    val ref = refPageRank(edges, 5)
+    assert(r === ref)
+    // mass conservation: total stays within the floor-truncation bound
+    // (each node loses < 1 unit per DIV, 3 DIVs per node per round)
+    val total = r.values.sum
+    val n = r.size
+    assert(total <= 1000000000000L)
+    assert(total >= 1000000000000L - 5L * n * 3L - n,
+      s"mass decayed: $total")
+    // the sink is the top-ranked node, spokes are tied
+    assert(r(9L) > r(1L))
+    assert(Set(r(1L), r(2L), r(3L), r(4L)).size === 1)
+  }
+
+  test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
+    val out = Graph.qGraphPagerank(spark, sf).collect()
+    assert(out.length > 0)
+    val total = out.map(_.getLong(1)).sum
+    assert(total <= 1000000000000L && total > 900000000000L)
+    val byRk = out.sortBy(_.getLong(2))
+    assert(byRk.sliding(2).forall { case Array(a, b) =>
+      a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getLong(0) < b.getLong(0))
+    })
+  }
+}
