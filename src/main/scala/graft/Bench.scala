@@ -61,7 +61,8 @@ object Bench {
     //  - explicit GC between queries so heap debt from query N is not
     //    billed to query N+1 (also lets the ContextCleaner drop dead
     //    broadcast/shuffle state from earlier queries).
-    val iterative = Set("q_dedup_clusters", "q_ann_ivf_kmeans", "q_bpe_merges")
+    val iterative = Set("q_dedup_clusters", "q_ann_ivf_kmeans", "q_bpe_merges",
+                        "q_graph_pagerank", "q_ann_kmeanspp")
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // process CPU time alongside wall: under external box load the wall
     // stretches while cpu tracks actual work, so cpu<<wall in the artifact

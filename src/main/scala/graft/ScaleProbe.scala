@@ -802,14 +802,28 @@ object ScaleProbe {
       // converge to one point, never splitting to cover hit patterns.
       // Donated codewords at least represent their own cell's
       // geometry; the remaining gap to the IVF ceiling is codebook
-      // TRAINING quality, which production buys with k-means++-style
-      // seeding (out of scope for a measurement probe).
+      // TRAINING quality — the `ivfpq-t` leg below closes it with
+      // k-means|| D²-weighted seeding (Similarity.kmeansParCodebook),
+      // which is immune to (b): covered mass has D²=0 and stops
+      // attracting seeds, so far hit-patterns get them.
       val cbStep = math.max(1L, nVecs / (2L * cb))
       val cbT = rSub.filter(pmod(xxhash64(col("vec_id")), lit(cbStep)) === 0)
         .withColumn("cid", dense_rank().over(Window.partitionBy("j").orderBy("vec_id")))
         .filter(col("cid") <= cb)
         .select(col("cid"), col("j").as("cj"), col("sv").as("cw"))
         .transform(graft.Fence.cut)
+      ivfPqRecallWith(cbT, nprobe)
+    }
+    // trained variant: per-subspace k-means|| seeded codebooks over the
+    // SAME residual sub-vectors, weighted-top-cb reduction
+    def ivfPqRecallTrained(cb: Int, nprobe: Int): Double = {
+      val cbT = operators.Similarity.kmeansParCodebook(
+        rSub.select(col("vec_id").as("id"), col("j"), col("sv")),
+        k = cb, l = cb, rounds = 3)
+        .transform(graft.Fence.cut)
+      ivfPqRecallWith(cbT, nprobe)
+    }
+    def ivfPqRecallWith(cbT: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
       def dist2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
         vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c)
       val enc = rSub.join(broadcast(cbT), col("j") === col("cj"))
@@ -869,6 +883,12 @@ object ScaleProbe {
       Seq(1, 2).foreach { np =>
         println(f"recall ivfpq    cb=$cb%-3d nprobe=$np%-2d " +
           f"rerank-recall@10=${ivfPqRecall(cb, np)}%.3f")
+      }
+    }
+    cbs.foreach { cb =>
+      Seq(1, 2).foreach { np =>
+        println(f"recall ivfpq-t  cb=$cb%-3d nprobe=$np%-2d " +
+          f"rerank-recall@10=${ivfPqRecallTrained(cb, np)}%.3f")
       }
     }
   }

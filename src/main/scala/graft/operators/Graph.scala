@@ -138,8 +138,74 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** Harmonic centrality within a bounded radius — the OTHER published
+    * webgraph quality signal (Common Crawl ranks hosts by harmonic
+    * centrality, Boldi & Vigna "Axioms for centrality" 2014):
+    * H(v) = Σ_{u≠v, d(u,v)≤D} 1/d(u,v), distances along edge direction
+    * (u→v reachability). The PUBLIC entry; fixed-point BIGINT scoring
+    * (`scale DIV d` per reached pair) keeps it engine-exact.
+    *
+    * Algorithm: multi-source BFS by frontier expansion — R holds every
+    * (src, v, d) discovered so far; each round joins the frontier against
+    * the edge list, anti-joins R to keep only first discoveries (BFS
+    * distance = first round seen), unions, repeats `depth` times. Every
+    * round is one equi-join + one anti-join + a distinct — all hash
+    * shuffles on the pair key, lineage-cut per round.
+    *
+    * Scale honesty: R materializes reachable PAIRS — at web scale that is
+    * quadratic in the ball size, which is exactly why production systems
+    * compute this with HyperBall (Boldi & Vigna 2013): replace each
+    * node's source-set with a HyperLogLog register array, merge neighbor
+    * registers per round (same join shape, constant state per node), and
+    * read |ball(v,d)| − |ball(v,d−1)| off the counters. The exact form
+    * here IS the oracle-able semantics (and the correctness reference a
+    * HyperBall leg would be spec'd against); bounded depth and/or source
+    * sampling is how the exact form itself survives moderate graphs. */
+  def harmonic(edges: DataFrame, depth: Int,
+               scale: Long = 1000000L): DataFrame = {
+    val e = graft.Fence(edges.select(col("src"), col("dst")).distinct())
+    val nodes = graft.Fence(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    // R: (src, v, d) = d(src -> v) exact BFS distance, d <= depth
+    var r = graft.Fence(nodes.select(col("node").as("src"),
+                                     col("node").as("v"), lit(0).as("d")))
+    var frontier = r
+    (1 to depth).foreach { d =>
+      val next = frontier.join(e.withColumnRenamed("src", "v"), "v")
+        .select(col("src"), col("dst").as("v"))
+        .distinct()
+        .join(r.select("src", "v"), Seq("src", "v"), "left_anti")
+        .withColumn("d", lit(d))
+      val prevR = r; val prevF = frontier
+      frontier = graft.Fence(next)
+      r = graft.Fence(prevR.union(frontier))
+      graft.Fence.release(prevR)
+      if (!(prevF eq prevR)) graft.Fence.release(prevF)
+    }
+    val out = r.filter(col("d") > 0)
+      .groupBy(col("v").as("node"))
+      .agg(sum(expr(s"$scale DIV d")).as("harmonic_fp"),
+           count(lit(1)).as("n_reached"))
+    val keep = graft.Fence.cut(
+      nodes.join(out, Seq("node"), "left")
+        .select(col("node"),
+                coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"),
+                coalesce(col("n_reached"), lit(0L)).as("n_reached")))
+    if (!(frontier eq r)) graft.Fence.release(frontier)
+    graft.Fence.release(r); graft.Fence.release(nodes); graft.Fence.release(e)
+    keep
+  }
+
+  /** EXT: harmonic centrality over the fixture webgraph, depth 3,
+    * declared + oracled (unrolled BFS rounds as NOT-EXISTS CTEs in
+    * DuckDB, identical integer scoring). */
+  def qGraphHarmonic(s: SparkSession, d: String): DataFrame =
+    harmonic(graphEdges(s, d), depth = 3).orderBy("node")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (qGraphPagerank _)
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_harmonic" -> (qGraphHarmonic _)
   )
 
   // one unrolled PageRank round in DuckDB SQL (integer // = Spark DIV);
@@ -155,7 +221,36 @@ object Graph {
        |            // 100 AS BIGINT) AS rank
        |        FROM nodes LEFT JOIN m$i ON nodes.node = m$i.node)""".stripMargin
 
+  // one unrolled BFS round: frontier f$i = first-discovered pairs at
+  // distance i, r$i = everything known through distance i
+  private def duckBfsRound(i: Int): String = {
+    val pf = if (i == 1) "r0" else s"f${i - 1}"
+    s"""f$i AS (SELECT DISTINCT f.src, e.dst AS v FROM $pf f JOIN e ON f.v = e.src
+       |        WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} x
+       |                          WHERE x.src = f.src AND x.v = e.dst)),
+       |r$i AS (SELECT * FROM r${i - 1} UNION ALL SELECT src, v, $i AS d FROM f$i)""".stripMargin
+  }
+
+  private val duckFixtureEdges =
+    s"""ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+       |e AS (SELECT DISTINCT (doc_id % 997) AS src,
+       |                      ((doc_id * 31 + k * 7) % 997) AS dst
+       |      FROM documents CROSS JOIN ks
+       |      WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)),
+       |nodes AS (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_graph_harmonic" ->
+      s"""WITH $duckFixtureEdges,
+        |r0 AS (SELECT node AS src, node AS v, 0 AS d FROM nodes),
+        |${(1 to 3).map(duckBfsRound).mkString(",\n")},
+        |agg AS (SELECT v AS node, CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_fp,
+        |               CAST(COUNT(*) AS BIGINT) AS n_reached
+        |        FROM r3 WHERE d > 0 GROUP BY v)
+        |SELECT nodes.node AS node, COALESCE(agg.harmonic_fp, 0) AS harmonic_fp,
+        |       COALESCE(agg.n_reached, 0) AS n_reached
+        |FROM nodes LEFT JOIN agg ON nodes.node = agg.node ORDER BY nodes.node""".stripMargin,
     "q_graph_pagerank" ->
       s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
         |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,

@@ -750,6 +750,119 @@ object Similarity {
     (assigned, meanCos.result())
   }
 
+  /** k-means|| seeding (Bahmani et al. 2012, "Scalable k-means++") —
+    * deterministic, engine-portable form. Plain k-means from random or
+    * hash-spread donors fails on skewed codebook-training inputs (the
+    * SCALE.md 1M IVF-PQ finding: ~7/8 of residual sub-vectors collapse
+    * onto one no-perturbation pattern, so uniform donors land there and
+    * rare-but-important patterns get no codeword); D²-weighted seeding
+    * is the published fix — each round samples points with probability
+    * ∝ their squared distance to the nearest already-chosen seed, so
+    * mass that is ALREADY covered stops attracting seeds and far
+    * clusters get them instead.
+    *
+    * Input: one row per (id, j, sv) sub-vector, `j` the subspace (a
+    * single-subspace caller passes j=0). All subspaces train in ONE
+    * joint loop: per round, one broadcast of the current seed set, one
+    * scan computing each point's quantized D² (`floor(d2·dscale + .5)`
+    * as BIGINT — the PQ family's fixed-point convention, so both
+    * engines see identical integers), one 8-row cost aggregate, and a
+    * map-side sampling predicate in EXACT integer arithmetic:
+    *
+    *   pmod(xxhash64(lit(round), id), m)  <  (l · qd · m) DIV cost_j
+    *
+    * — the standard threshold form of "sample with prob l·d²/cost",
+    * with the hash as the deterministic coin (same coin across
+    * subspaces of one id; independence is across ids and rounds, which
+    * is what the expectation argument needs). Already-chosen seeds have
+    * qd = 0 (the three-dot d² of a vector against itself is IEEE-exact
+    * 0) so re-selection is impossible and the seed set needs no dedup.
+    * After `rounds` rounds, one assignment pass weights every candidate
+    * by the number of points it is nearest to (argmin on (qd, cand) —
+    * deterministic tie-break), the reduction Bahmani's final recluster
+    * needs. Returns (j, cand, cw, weight).
+    *
+    * At 100 TB: per round the candidate set is ~l rows per subspace —
+    * broadcast-sized by construction — and everything else is one scan
+    * with a map-side predicate; nothing shuffles but the 8-row cost
+    * aggregate and the final weight count. Rounds are O(log n) by the
+    * paper's bound; callers fix them (the engine's bounded-driver-loop
+    * convention). */
+  private[graft] def kmeansParSeed(sub: DataFrame, l: Int, rounds: Int,
+      m: Long = 1000000L, dscale: Double = 1.0e8): DataFrame = {
+    def d2q(x: Column, c: Column): Column =
+      floor((vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c))
+        * lit(dscale) + lit(0.5)).cast("long")
+    // fetch (j, cand, cw) rows for a chosen (j, cand) id set
+    def pick(ids: DataFrame): DataFrame =
+      sub.select(col("j"), col("id").as("cand"), col("sv").as("cw"))
+        .join(ids, Seq("j", "cand"))
+    var cents = graft.Fence(
+      pick(sub.groupBy("j").agg(min(col("id")).as("cand"))))
+    (1 to rounds).foreach { r =>
+      val qd = sub.join(broadcast(cents), "j")
+        .select(col("id"), col("j"), d2q(col("sv"), col("cw")).as("dd"))
+        .groupBy("id", "j").agg(min(col("dd")).as("qd"))
+      val cost = qd.groupBy("j").agg(sum(col("qd")).as("cost"))
+      val selIds = qd.join(broadcast(cost), "j")
+        .filter(col("cost") > 0 &&
+          pmod(xxhash64(lit(r), col("id")), lit(m)) <
+            expr(s"($l * qd * $m) DIV cost"))
+        .select(col("j"), col("id").as("cand"))
+      val prev = cents
+      cents = graft.Fence(prev.union(pick(selIds)))
+      graft.Fence.release(prev)
+    }
+    val asg = sub.join(broadcast(cents), "j")
+      .select(col("id"), col("j"), col("cand"),
+              d2q(col("sv"), col("cw")).as("dd"))
+      .groupBy("id", "j")
+      .agg(min_by(col("cand"), struct(col("dd"), col("cand"))).as("cand"))
+    val w = asg.groupBy("j", "cand").agg(count(lit(1)).as("weight"))
+    val out = cents.join(w, Seq("j", "cand"), "left")
+      .select(col("j"), col("cand"), col("cw"),
+              coalesce(col("weight"), lit(0L)).as("weight"))
+    val keep = graft.Fence.cut(out)
+    graft.Fence.release(cents)
+    keep
+  }
+
+  /** [[kmeansParSeed]] reduced to a PQ-style codebook: top-k candidates
+    * per subspace by (weight desc, cand) — Bahmani's weighted recluster
+    * simplified to weighted selection, which suffices when the
+    * oversampled candidate set already covers every cluster (the spec
+    * asserts exactly that coverage). Returns (cid, cj, cw). */
+  private[graft] def kmeansParCodebook(sub: DataFrame, k: Int, l: Int,
+      rounds: Int, dscale: Double = 1.0e8): DataFrame = {
+    val wSel = Window.partitionBy("j").orderBy(col("weight").desc, col("cand"))
+    kmeansParSeed(sub, l, rounds, dscale = dscale)
+      .withColumn("cid", row_number().over(wSel))
+      .filter(col("cid") <= k)
+      .select(col("cid"), col("j").as("cj"), col("cw"))
+  }
+
+  /** EXT: k-means|| seeding, declared + oracled — [[kmeansParSeed]] over
+    * the full 64-d embeddings as one subspace (j=0), l=4, 2 rounds: the
+    * coarse-quantizer seeding pass a production IVF build runs before
+    * Lloyd iterations ([[qAnnIvfKmeans]] is the Lloyd leg; this is the
+    * seeding leg — together they are the full trained-quantizer recipe).
+    * Output is integers only: the chosen seed ids, their assignment
+    * weights, and the selection rank. The DuckDB oracle replays both
+    * sampling rounds exactly — including the xxhash64 coin, via the
+    * [[Xxh64DuckSql]] HUGEINT reimplementation — so the seed CHOICE
+    * itself is hash-gated, not just the weights. */
+  def qAnnKmeanspp(s: SparkSession, d: String): DataFrame = {
+    val sub = vecs(s, d)
+      .select(col("vec_id").as("id"), lit(0).as("j"), col("v").as("sv"))
+    val wSel = Window.orderBy(col("weight").desc, col("cand"))
+    kmeansParSeed(sub, l = 4, rounds = 2)
+      .select(col("cand"), col("weight"))
+      .withColumn("rk", row_number().over(wSel).cast("long"))
+      .filter(col("rk") <= 8)
+      .select(col("rk"), col("cand"), col("weight"))
+      .orderBy("rk")
+  }
+
   /** EXT: k-means-refined IVF histogram after 2 rounds — now
     * ORACLE-HASHED. The generic [[kmeansIvf]] stays the §2.10 Aggregator
     * showcase (raw-double centroids, inertia-monotone, rows-only by FP
@@ -887,7 +1000,62 @@ object Similarity {
     "q_ann_rrf"         -> (qAnnRrf _),
     "q_mine_hard_negatives" -> (qMineHardNegatives _),
     "q_ann_mmr"             -> (qAnnMmr _),
+    "q_ann_kmeanspp"        -> (qAnnKmeanspp _),
   )
+
+  /** DuckDB replay of [[qAnnKmeanspp]]: both D²-sampling rounds in exact
+    * integer arithmetic, with the xxhash64 coin reproduced through the
+    * [[Xxh64DuckSql]] HUGEINT staged chain (one chain per round, each
+    * seeded by catalyst's own hashInt of the round literal). */
+  private def kmeansppOracle: String = {
+    def d2(p: String, c: String): String =
+      s"CAST(floor((list_dot_product($p, $p) - 2.0 * list_dot_product($p, $c)" +
+        s" + list_dot_product($c, $c)) * 100000000.0 + 0.5) AS BIGINT)"
+    // chain the staged hash columns through successive CTEs, carrying prior cols
+    def chain(stages: Seq[(String, String)], base: String, prefix: String)
+        : (String, String) = {
+      var rel = base; var carried = "id, qd"
+      val parts = stages.zipWithIndex.map { case ((nm, ex), i) =>
+        val nrel = s"$prefix$i"
+        val cte = s"$nrel AS (SELECT $carried, $ex AS $nm FROM $rel)"
+        carried = s"$carried, $nm"; rel = nrel
+        cte
+      }
+      (parts.mkString(",\n"), rel)
+    }
+    val (st1, pm1) = Xxh64DuckSql.pmodHashIntLongStages("g1", "id", 1, 1000000L)
+    val (st2, pm2) = Xxh64DuckSql.pmodHashIntLongStages("g2", "id", 2, 1000000L)
+    val (c1, last1) = chain(st1, "q1", "y1_")
+    val (c2, last2) = chain(st2, "q2", "y2_")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS sv FROM embeddings),
+       |c0 AS (SELECT id AS cand, sv AS cw FROM e WHERE id = (SELECT MIN(id) FROM e)),
+       |q1 AS (SELECT e.id, MIN(${d2("e.sv", "c.cw")}) AS qd
+       |       FROM e CROSS JOIN c0 c GROUP BY e.id),
+       |t1 AS (SELECT CAST(SUM(qd) AS BIGINT) AS cost FROM q1),
+       |$c1,
+       |sel1 AS (SELECT id FROM $last1, t1
+       |         WHERE cost > 0 AND $pm1 < (4 * qd * 1000000) // cost),
+       |cs1 AS (SELECT cand, cw FROM c0
+       |        UNION ALL SELECT e.id, e.sv FROM e JOIN sel1 USING (id)),
+       |q2 AS (SELECT e.id, MIN(${d2("e.sv", "c.cw")}) AS qd
+       |       FROM e CROSS JOIN cs1 c GROUP BY e.id),
+       |t2 AS (SELECT CAST(SUM(qd) AS BIGINT) AS cost FROM q2),
+       |$c2,
+       |sel2 AS (SELECT id FROM $last2, t2
+       |         WHERE cost > 0 AND $pm2 < (4 * qd * 1000000) // cost),
+       |cs2 AS (SELECT cand, cw FROM cs1
+       |        UNION ALL SELECT e.id, e.sv FROM e JOIN sel2 USING (id)),
+       |asg AS (SELECT id, cand FROM (
+       |  SELECT e.id, c.cand, ROW_NUMBER() OVER (PARTITION BY e.id
+       |    ORDER BY ${d2("e.sv", "c.cw")} ASC, c.cand) AS rn
+       |  FROM e CROSS JOIN cs2 c) WHERE rn = 1),
+       |w AS (SELECT cand, CAST(COUNT(*) AS BIGINT) AS weight FROM asg GROUP BY cand),
+       |wts AS (SELECT c.cand, COALESCE(w.weight, 0) AS weight
+       |        FROM (SELECT DISTINCT cand FROM cs2) c LEFT JOIN w USING (cand))
+       |SELECT * FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, cand) AS BIGINT) AS rk,
+       |         cand, weight FROM wts) WHERE rk <= 8 ORDER BY rk""".stripMargin
+  }
 
   /** DuckDB CTE chain replaying [[qAnnMmr]]'s greedy trajectory: steps
     * 2..4 generated as (penalty agg → argmax pick → selected union)
@@ -1295,5 +1463,6 @@ object Similarity {
         |ranked AS (SELECT qid, cid, cos,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk FROM scored)
         |SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_ann_kmeanspp" -> kmeansppOracle,
   )
 }

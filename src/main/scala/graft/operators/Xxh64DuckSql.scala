@@ -173,6 +173,20 @@ private[operators] object Xxh64DuckSql {
     (stages, signedOf(s"${src}_u"))
   }
 
+  /** CTE stage columns replaying Spark's `pmod(xxhash64(lit(r), <col>), m)`
+    * for a BIGINT column: catalyst's dispatch hashes the INT literal first
+    * (hashInt(r, 42), computed here BY catalyst at oracle-construction
+    * time) and chains the result as the seed of hashLong(<col>). Returns
+    * the staged column list (chain through successive CTEs, carrying
+    * prior columns — the minhashXxOracle band convention) and the final
+    * non-negative BIGINT pmod expression over the last stage. */
+  private[operators] def pmodHashIntLongStages(src: String, col: String,
+      r: Int, m: Long): (Seq[(String, String)], String) = {
+    val seed = { val v = BigInt(XXH64.hashInt(r, 42L)); if (v < 0) v + M else v }
+    val (stages, signed) = hashLongStages(src, unsign(col), s"$seed::HUGEINT")
+    (stages, s"((($signed) % $m) + $m) % $m")
+  }
+
   /** The complete q_dedup_minhash_xx oracle: identical shingling to the
     * md5 variant, xxh64 signatures over DISTINCT shingles (hash once,
     * join back), per-doc min per seed, band hashes via chained hashLong,

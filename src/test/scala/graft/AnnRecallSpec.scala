@@ -159,4 +159,49 @@ class AnnRecallSpec extends SparkSpec {
     assert(strict >= 0.12, f"strict recall floor: $strict%.2f >= 0.12")
     assert(wide >= 0.55, f"in-top100 containment floor: $wide%.2f >= 0.55")
   }
+
+  test("k-means|| seeding covers rare far clusters that uniform donors miss") {
+    // The SCALE.md 1M IVF-PQ failure shape, distilled: 97% of sub-vectors
+    // collapse onto one pattern (the no-perturbation residual), three
+    // 10-point clusters sit far away. Uniform/hash-spread donor selection
+    // lands in the mega-cluster; D²-weighted seeding must cover all four.
+    import spark.implicits._
+    val dim = 8
+    val mega = (0L until 970L).map(id => (id, 0, Array.fill(dim)(0.0)))
+    val far = for (c <- 1 to 3; p <- 0 until 10)
+      yield (1000L * c + p, 0,
+             Array.tabulate(dim)(i => if (i == c) 10.0 else 0.0))
+    val sub = (mega ++ far).toDF("id", "j", "sv")
+    def pat(id: Long): Long = if (id < 1000L) 0L else id / 1000L
+
+    // the contrast: hash-spread donors at the same budget (the probe's
+    // untrained convention — ~8 donors uniform over ids) see only the
+    // mega-cluster
+    val donorIds = sub.select(col("id"))
+      .filter(pmod(xxhash64(col("id")), lit(1000L / 8L)) === 0)
+      .orderBy("id").limit(8).collect().map(_.getLong(0))
+    val donorPats = donorIds.map(pat).toSet
+    info(s"uniform donors cover patterns: $donorPats")
+    assert(donorPats !== Set(0L, 1L, 2L, 3L),
+      s"fixture degenerate: uniform donors covered everything ($donorPats)")
+
+    val cand = Similarity.kmeansParSeed(sub, l = 8, rounds = 3).collect()
+    val covered = cand.map(r => pat(r.getLong(1))).toSet
+    info(s"k-means|| candidates: ${cand.length}, patterns covered: $covered")
+    assert(covered === Set(0L, 1L, 2L, 3L), s"covered=$covered")
+
+    // weighted reduction: the argmin tie-break routes every point of a
+    // pattern to that pattern's smallest candidate id, so per-pattern
+    // candidate weights sum to exactly the pattern's population
+    val byPat = cand.groupBy(r => pat(r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(byPat === Map(0L -> 970L, 1L -> 10L, 2L -> 10L, 3L -> 10L),
+      s"pattern mass: $byPat")
+
+    // codebook cut at k=4: exactly the four pattern representatives
+    // (duplicate same-pattern candidates carry weight 0 and rank below)
+    val cb = Similarity.kmeansParCodebook(sub, k = 4, l = 8, rounds = 3)
+      .collect()
+    assert(cb.length === 4)
+  }
 }

@@ -64,6 +64,35 @@ class GraphSpec extends SparkSpec {
     assert(Set(r(1L), r(2L), r(3L), r(4L)).size === 1)
   }
 
+  private def runHarmonic(edges: Seq[(Long, Long)], depth: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Graph.harmonic(edges.toDF("src", "dst"), depth)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("harmonic centrality: hand-computed path distances, depth bound respected") {
+    // directed path 0 -> 1 -> 2 -> 3 -> 4, depth 3: d(0,4)=4 is excluded
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 3), (3, 4))
+    val h = runHarmonic(edges, 3)
+    val u = 1000000L
+    assert(h(0L) === ((0L, 0L)))
+    assert(h(1L) === ((u, 1L)))
+    assert(h(2L) === ((u + u / 2, 2L)))
+    assert(h(3L) === ((u + u / 2 + u / 3, 3L)))
+    assert(h(4L) === ((u + u / 2 + u / 3, 3L)), "d=4 source must be excluded")
+  }
+
+  test("harmonic centrality: diamond counts each source once at its BFS distance") {
+    // 0->1, 0->2, 1->3, 2->3: node 3 is reached from 0 by two length-2
+    // paths — one discovery at d=2, not two
+    val edges = Seq[(Long, Long)]((0, 1), (0, 2), (1, 3), (2, 3))
+    val h = runHarmonic(edges, 3)
+    val u = 1000000L
+    assert(h(3L) === ((u + u + u / 2, 3L)))
+    assert(h(1L) === ((u, 1L)))
+    assert(h(0L) === ((0L, 0L)))
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
