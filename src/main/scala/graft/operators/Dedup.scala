@@ -542,64 +542,14 @@ object Dedup {
     *
     * Oracle: DuckDB computes the same components with a recursive CTE
     * (min reachable label == component min on the symmetric graph). */
-  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    // Per-round lineage fence. A/B history: localCheckpoint 1.97 s vs
-    // bare persist(MEMORY_AND_DISK)+count 6.84 s at sf0.1 (r2 A/B —
-    // persist alone does NOT truncate lineage, so every round
-    // re-analyzes a plan that grew by one join+agg; the 3.5× gap is
-    // driver-side plan work, exactly what checkpointing exists to cap).
-    // r10: the default moved to graft.Fence's memory pin — it truncates
-    // lineage like localCheckpoint but skips the eager MEMORY_AND_DISK
-    // write whose cost swung this query 1.6↔4.0 s with box state (r9
-    // driver bench). Both historical modes stay selectable
-    // (spark.graft.clusters.fence=persist, spark.graft.fence=local) so
-    // the A/Bs remain runnable.
-    val usePersist =
-      s.conf.getOption("spark.graft.clusters.fence").contains("persist")
-    def fence(df: DataFrame): DataFrame =
-      if (!usePersist) graft.Fence(df)
-      else {
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize now, while the previous round is still cached
-        df
-      }
-    // Release discipline (r11 advice): each round's fence supersedes the
-    // previous round's — release it as soon as the new fence has
-    // materialized, so cache usage stays O(1) in the round count in BOTH
-    // modes (pin mode: Fence.release drops the MEMORY_ONLY blocks, an
-    // eviction of the live pin recomputes through lineage; persist mode:
-    // plain unpersist, the frame recomputes from its own plan).
-    def release(df: DataFrame): Unit =
-      if (!usePersist) graft.Fence.release(df) else { df.unpersist(false); () }
-    val pairs = fence(qDedupMinhash(s, d).select("d1", "d2"))
-    val sym = fence(pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
-    var labels = fence(sym.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")))
-    var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum("lbl")).head().getLong(0)
-    while (curSum < prevSum) {
-      val prop = sym.join(labels.withColumnRenamed("v", "w"), col("dst") === col("w"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val prev = labels
-      labels = fence(labels
-        .join(prop, col("v") === col("src"), "left")
-        .select(col("v"),
-                least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
-      release(prev) // the new fence is materialized; round r-1 is superseded
-      prevSum = curSum
-      curSum = labels.agg(sum("lbl")).head().getLong(0)
-    }
-    val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    // the label-propagation kernel (with its fence A/B history and
+    // per-round release discipline) lives in [[Graph.connectedComponents]]
+    // since r12 — this is the MinHash-pair binding of it
+    Graph.connectedComponents(
+      qDedupMinhash(s, d).select(col("d1").as("src"), col("d2").as("dst")))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
-    // Seal the SURVIVOR with a real lineage cut, then release everything
-    // the loop pinned: pairs/sym back only the converged labels' recompute
-    // path once the cut has copied the rows out, and the final labels
-    // fence itself is superseded by the cut.
-    val keep = graft.Fence.cut(out)
-    release(labels); release(sym); release(pairs)
-    keep
-  }
 
   /** (doc_id, grp, split): every document labeled with its leakage unit
     * (its near-dup cluster from [[qDedupClusters]]; singletons group as

@@ -197,6 +197,94 @@ object Graph {
     keep
   }
 
+  /** Connected components over an undirected pair list — the third
+    * classic op of the graph family, and the engine's dedup-cluster
+    * kernel ([[Dedup.qDedupClusters]] is a thin binding of this over the
+    * MinHash candidate pairs; moved here in r12 so arbitrary edge lists
+    * get it too). Input: one row per undirected edge (src, dst);
+    * symmetrized internally. Output: (v, lbl) — every endpoint labeled
+    * with its component's minimum vertex id.
+    *
+    * Algorithm: Pregel-style min-label propagation — labels start as the
+    * vertex id and each round take the min over neighbors; the driver
+    * loop checks a monotone convergence metric (sum of labels, strictly
+    * decreasing until fixpoint) with ONE scalar action per round, and
+    * the lineage fence keeps plan depth O(1) across rounds (the standard
+    * iterative-graph shape on Spark; GraphX and MLlib iterate the same
+    * way). Rounds are bounded by component diameter. At 100 TB the same
+    * loop runs with the alternating large-star/small-star optimization —
+    * each round stays a (join + min-agg) pair on (vertex, label) tuples.
+    *
+    * Fence history (r2/r9/r10 A/Bs, measured on the dedup binding):
+    * localCheckpoint 1.97 s vs bare persist(MEMORY_AND_DISK)+count
+    * 6.84 s at sf0.1 — persist alone does NOT truncate lineage, so every
+    * round re-analyzes a plan that grew by one join+agg; the 3.5× gap is
+    * driver-side plan work. r10 moved the default to [[graft.Fence]]'s
+    * memory pin (truncates lineage like localCheckpoint, skips the eager
+    * MEMORY_AND_DISK write whose cost swung this query 1.6↔4.0 s with
+    * box state). Both modes stay selectable
+    * (spark.graft.clusters.fence=persist, spark.graft.fence=local) so
+    * the A/Bs remain runnable. Release discipline (r11 advice): each
+    * round's fence supersedes the previous round's and is released as
+    * soon as the new fence materializes — cache usage is O(1) in the
+    * round count in both modes. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val usePersist =
+      s.conf.getOption("spark.graft.clusters.fence").contains("persist")
+    def fence(df: DataFrame): DataFrame =
+      if (!usePersist) graft.Fence(df)
+      else {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize now, while the previous round is still cached
+        df
+      }
+    def release(df: DataFrame): Unit =
+      if (!usePersist) graft.Fence.release(df) else { df.unpersist(false); () }
+    val p = fence(pairs.select(col("src"), col("dst")))
+    val sym = fence(p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = fence(sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")))
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum("lbl")).head().getLong(0)
+    while (curSum < prevSum) {
+      val prop = sym.join(labels.withColumnRenamed("v", "w"), col("dst") === col("w"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val prev = labels
+      labels = fence(labels
+        .join(prop, col("v") === col("src"), "left")
+        .select(col("v"),
+                least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      release(prev) // the new fence is materialized; round r-1 is superseded
+      prevSum = curSum
+      curSum = labels.agg(sum("lbl")).head().getLong(0)
+    }
+    // Seal the SURVIVOR with a real lineage cut, then release everything
+    // the loop pinned.
+    val keep = graft.Fence.cut(labels)
+    release(labels); release(sym); release(p)
+    keep
+  }
+
+  /** EXT: connected components over a stratified fixture graph (8
+    * disjoint 125-node random subgraphs derived from doc_id — disjoint
+    * strata make the component structure non-trivial), declared +
+    * oracled with the recursive-CTE min-reachable-label replay (the
+    * [[Dedup.qDedupClusters]] oracle convention). */
+  def qGraphComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % 3L)).as("k"))
+      .select(
+        ((col("doc_id") % 8L) * 1000L + expr("doc_id DIV 8") % 125L).as("src"),
+        ((col("doc_id") % 8L) * 1000L + (col("doc_id") * 31L + col("k") * 7L) % 125L).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    connectedComponents(edges)
+      .select(col("v"), col("lbl").as("cluster"))
+      .orderBy("v")
+  }
+
   /** EXT: harmonic centrality over the fixture webgraph, depth 3,
     * declared + oracled (unrolled BFS rounds as NOT-EXISTS CTEs in
     * DuckDB, identical integer scoring). */
@@ -204,8 +292,9 @@ object Graph {
     harmonic(graphEdges(s, d), depth = 3).orderBy("node")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (qGraphPagerank _),
-    "q_graph_harmonic" -> (qGraphHarmonic _)
+    "q_graph_pagerank"   -> (qGraphPagerank _),
+    "q_graph_harmonic"   -> (qGraphHarmonic _),
+    "q_graph_components" -> (qGraphComponents _)
   )
 
   // one unrolled PageRank round in DuckDB SQL (integer // = Spark DIV);
@@ -241,6 +330,20 @@ object Graph {
        |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_components" ->
+      s"""WITH RECURSIVE ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+        |e0 AS (SELECT DISTINCT ((doc_id % 8) * 1000 + (doc_id // 8) % 125) AS src,
+        |                       ((doc_id % 8) * 1000 + (doc_id * 31 + k * 7) % 125) AS dst
+        |       FROM documents CROSS JOIN ks
+        |       WHERE k <= 1 + doc_id % 3
+        |         AND ((doc_id // 8) % 125) <> ((doc_id * 31 + k * 7) % 125)),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |cc(v, lbl) AS (
+        |  SELECT v, v AS lbl FROM verts
+        |  UNION
+        |  SELECT e.src, cc.lbl FROM edges e JOIN cc ON cc.v = e.dst)
+        |SELECT v, MIN(lbl) AS cluster FROM cc GROUP BY v ORDER BY v""".stripMargin,
     "q_graph_harmonic" ->
       s"""WITH $duckFixtureEdges,
         |r0 AS (SELECT node AS src, node AS v, 0 AS d FROM nodes),

@@ -93,6 +93,27 @@ class GraphSpec extends SparkSpec {
     assert(h(0L) === ((0L, 0L)))
   }
 
+  test("connectedComponents labels every vertex with its component min") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (10, 11), (20, 21), (21, 20))
+    val out = Graph.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("stratified fixture components never cross strata") {
+    val out = Graph.qGraphComponents(spark, sf).collect()
+    assert(out.nonEmpty)
+    // strata are disjoint by construction (node = stratum*1000 + local),
+    // so a component label must live in its member's stratum
+    assert(out.forall(r => r.getLong(1) / 1000L === r.getLong(0) / 1000L))
+    val strata = out.map(_.getLong(0) / 1000L).distinct
+    val comps = out.map(_.getLong(1)).distinct
+    info(s"strata=${strata.length} components=${comps.length}")
+    assert(comps.length >= strata.length)
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
