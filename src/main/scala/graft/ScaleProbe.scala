@@ -39,10 +39,14 @@ object ScaleProbe {
     else if (args(0) == "ppjoinx") ppjoinGrowthProbe(spark, args(1).toInt)
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
     else if (args(0) == "recall") {
-      // recall <mult>[,<kCells>]  (e.g. "recall 500,2048" = 1M vectors)
+      // recall <mult>[,<kCells>[,t[,<cb>]]]  (e.g. "recall 500,2048" =
+      // 1M vectors; trailing "t" = only the trained-codebook legs,
+      // optional fourth field = a single codebook size)
       val parts = args(1).split(",")
       recallProbe(spark, parts(0).toInt,
-        if (parts.length > 1) parts(1).toInt else 64)
+        if (parts.length > 1) parts(1).toInt else 64,
+        trainedOnly = parts.length > 2 && parts(2) == "t",
+        onlyCb = if (parts.length > 3) Some(parts(3).toInt) else None)
     }
     else if (args(0) == "stream") streamProbe(spark, args(1))
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
@@ -574,7 +578,9 @@ object ScaleProbe {
     * (xxhash64(vec_id) mod step), not replica 0 — above 2000 cells a
     * base-replica-only rule runs out of distinct donors.
     * Usage: tools/run_verify.sh recall <mult>[,<kCells>] graft.ScaleProbe */
-  private def recallProbe(spark: SparkSession, mult: Int, kCells: Int): Unit = {
+  private def recallProbe(spark: SparkSession, mult: Int, kCells: Int,
+                          trainedOnly: Boolean = false,
+                          onlyCb: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorMath.vecDot
@@ -700,14 +706,17 @@ object ScaleProbe {
     val pvOf = (vc: org.apache.spark.sql.Column) => array(
       (0 until operators.Similarity.ProjOutDims).map(j =>
         vecDot(vc, array(operators.Similarity.projW(j).map(lit).toIndexedSeq: _*))): _*)
-    val centsP = cents
+    // lazy: the proj leg's pinned frames cost ~1 GB at the 1M shape —
+    // only materialize them when that leg actually runs (trainedOnly
+    // skips it, and the heap headroom matters there)
+    lazy val centsP = cents
       .withColumn("cpv", pvOf(col("cv")))
       .withColumn("cpn", sqrt(vecDot(col("cpv"), col("cpv"))))
       .transform(graft.Fence.cut)
-    val candP = cand
+    lazy val candP = cand
       .withColumn("pv", pvOf(col("v")))
       .withColumn("pn", sqrt(vecDot(col("pv"), col("pv"))))
-    val candCellsP = assignBest(candP, centsP, "pv", "pn", "cpv", "cpn")
+    lazy val candCellsP = assignBest(candP, centsP, "pv", "pn", "cpv", "cpn")
       .join(e, "vec_id")
       .select(col("vec_id").as("cand"), col("cid").as("cell"),
               col("v").as("cv2"), col("nrm").as("cn2"))
@@ -865,24 +874,27 @@ object ScaleProbe {
       recall(t, gtCos)
     }
     println(f"recall shape: $nVecs%,d vectors, $nQ queries, k=10, $kCells IVF cells")
-    Seq(1, 2, 4, 8).foreach { np =>
-      println(f"recall ivf      nprobe=$np%-2d recall@10=${ivfRecall(np)}%.3f")
-    }
-    Seq(1, 2, 4, 8).foreach { np =>
-      println(f"recall ivf-proj nprobe=$np%-2d recall@10=${ivfProjRecall(np)}%.3f")
-    }
-    val cbs = if (nVecs > 500000) Seq(16, 256) else Seq(4, 16)
-    cbs.foreach { cb =>
-      val adc = pqAdc(cb)
-      val (strict, inTop100) = pqRecall(adc)
-      val rr = pqRerankRecall(adc)
-      println(f"recall pq       cb=$cb%-3d (${(math.log(cb) / math.log(2)).round * 8} code bits) " +
-        f"recall@10=$strict%.3f in-top100=$inTop100%.3f rerank-recall@10=$rr%.3f")
-    }
-    cbs.foreach { cb =>
-      Seq(1, 2).foreach { np =>
-        println(f"recall ivfpq    cb=$cb%-3d nprobe=$np%-2d " +
-          f"rerank-recall@10=${ivfPqRecall(cb, np)}%.3f")
+    val cbs = onlyCb.map(Seq(_)).getOrElse(
+      if (nVecs > 500000) Seq(16, 256) else Seq(4, 16))
+    if (!trainedOnly) {
+      Seq(1, 2, 4, 8).foreach { np =>
+        println(f"recall ivf      nprobe=$np%-2d recall@10=${ivfRecall(np)}%.3f")
+      }
+      Seq(1, 2, 4, 8).foreach { np =>
+        println(f"recall ivf-proj nprobe=$np%-2d recall@10=${ivfProjRecall(np)}%.3f")
+      }
+      cbs.foreach { cb =>
+        val adc = pqAdc(cb)
+        val (strict, inTop100) = pqRecall(adc)
+        val rr = pqRerankRecall(adc)
+        println(f"recall pq       cb=$cb%-3d (${(math.log(cb) / math.log(2)).round * 8} code bits) " +
+          f"recall@10=$strict%.3f in-top100=$inTop100%.3f rerank-recall@10=$rr%.3f")
+      }
+      cbs.foreach { cb =>
+        Seq(1, 2).foreach { np =>
+          println(f"recall ivfpq    cb=$cb%-3d nprobe=$np%-2d " +
+            f"rerank-recall@10=${ivfPqRecall(cb, np)}%.3f")
+        }
       }
     }
     cbs.foreach { cb =>

@@ -62,30 +62,51 @@ object Graph {
     *  - dangling mass is a 1-row aggregate cross-joined in (broadcast),
     *    not a driver action — the loop runs zero actions per round.
     *
+    * PERSONALIZED variant (`seeds` non-empty): the teleport distribution
+    * concentrates on the seed set instead of uniform — r' =
+    * (1−d)·p + d·(A·r + D·p) with p uniform over seeds — the
+    * seed-and-expand curation move (start from a whitelist of known-good
+    * hosts, rank the whole graph by proximity to it; Gleich 2015 §:
+    * "seeded PageRank"). Same loop, same integer arithmetic; the seed
+    * indicator rides the node relation as a 0/1 column, so uniform
+    * PageRank is exactly the seeds = all-nodes special case.
+    *
     * @param edges (src: long, dst: long); self-loops and duplicate edges
     *              are honored as given (dedupe upstream if undesired).
     * @param iters fixed round count (power iteration; convergence for
     *              d=0.85 is ~1e-1 per round — 5 rounds ranks hosts, 50
     *              rounds reproduces published scores to 6 figures).
+    * @param seeds optional (node: long) teleport support; None = uniform.
     */
   def pageRank(edges: DataFrame, iters: Int, dampNum: Long = 85L,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               seeds: Option[DataFrame] = None): DataFrame = {
     // static frames, fenced once for the loop's lifetime and released
     // at the end (the qDedupClusters discipline)
-    val nodes = graft.Fence(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node")))
-        .distinct())
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val nodes = graft.Fence(seeds match {
+      case None => allNodes.withColumn("s", lit(1L))
+      case Some(sd) => allNodes.join(
+          sd.select(col("node"), lit(1L).as("s")).distinct(),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+    })
     val n = nodes.count() // one bounded driver scalar, before the loop
     require(n > 0, "pageRank: empty graph")
+    // teleport support size: |seeds ∩ graph| (== n when uniform)
+    val nT = if (seeds.isEmpty) n
+             else nodes.agg(sum(col("s"))).head().getLong(0)
+    require(nT > 0, "pageRank: no seed is a graph node")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
     val e = graft.Fence(edges.join(deg, "src")) // (src, dst, odeg)
     // dangling node set: receives links but emits none
     val dangling = graft.Fence(
       nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti"))
-    val base = scale / n                      // exact: both are driver longs
-    val tp = ((100L - dampNum) * base) / 100L // teleport term, exact
-    var r = graft.Fence(nodes.withColumn("rank", lit(base)))
+    val pshare = scale / nT                     // teleport mass per seed
+    val tp = ((100L - dampNum) * pshare) / 100L // per-seed teleport term
+    var r = graft.Fence(nodes.withColumn("rank", lit(pshare) * col("s")))
     (1 to iters).foreach { _ =>
       val dm1 = r.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
@@ -96,13 +117,13 @@ object Graph {
       r = graft.Fence(
         nodes.join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .crossJoin(broadcast(dm1))
-          .select(col("node"),
-            (lit(tp) +
-              expr(s"($dampNum * (coalesce(m, 0L) + dm DIV ${n}L)) DIV 100"))
+          .select(col("node"), col("s"),
+            (lit(tp) * col("s") +
+              expr(s"($dampNum * (coalesce(m, 0L) + s * (dm DIV ${nT}L))) DIV 100"))
               .as("rank")))
       graft.Fence.release(prev) // the new fence is materialized; r-1 superseded
     }
-    val keep = graft.Fence.cut(r)
+    val keep = graft.Fence.cut(r.select("node", "rank"))
     graft.Fence.release(r); graft.Fence.release(dangling)
     graft.Fence.release(e); graft.Fence.release(nodes)
     keep
@@ -123,6 +144,25 @@ object Graph {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rank").desc, col("node"))
     pageRank(edges, iters = 5)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("node"), col("rank").as("rank_fp"), col("rk"))
+      .orderBy("node")
+  }
+
+  /** EXT: PERSONALIZED PageRank from a seed whitelist, declared +
+    * oracled — the seed-and-expand curation op: given known-good hosts
+    * (fixture: nodes ≡ 0 mod 10), rank every host by link proximity to
+    * the whitelist; documents from high-PPR hosts inherit a quality
+    * prior. Same 5 unrolled rounds as [[qGraphPagerank]] with the
+    * teleport (and dangling redistribution) restricted to seeds. */
+  def qGraphPpr(s: SparkSession, d: String): DataFrame = {
+    val edges = graphEdges(s, d)
+    val seeds = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().filter(col("node") % 10 === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc, col("node"))
+    pageRank(edges, iters = 5, seeds = Some(seeds))
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("node"), col("rank").as("rank_fp"), col("rk"))
       .orderBy("node")
@@ -293,6 +333,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank"   -> (qGraphPagerank _),
+    "q_graph_ppr"        -> (qGraphPpr _),
     "q_graph_harmonic"   -> (qGraphHarmonic _),
     "q_graph_components" -> (qGraphComponents _)
   )
@@ -329,7 +370,41 @@ object Graph {
        |nodes AS (SELECT DISTINCT node FROM
        |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin
 
+  // one unrolled PERSONALIZED round: teleport and dangling redistribution
+  // gated by the seed indicator `s` carried on the nodes relation
+  private def duckRoundPpr(i: Int, p: String): String =
+    s"""d$i AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dm FROM $p
+       |        LEFT JOIN deg ON $p.node = deg.src WHERE deg.src IS NULL),
+       |m$i AS (SELECT e.dst AS node, CAST(SUM($p.rank // e.odeg) AS BIGINT) AS m
+       |        FROM e JOIN $p ON e.src = $p.node GROUP BY e.dst),
+       |r$i AS (SELECT nodes.node, nodes.s,
+       |          CAST((SELECT tp FROM consts) * nodes.s +
+       |          (85 * (COALESCE(m$i.m, 0) +
+       |                 nodes.s * ((SELECT dm FROM d$i) // (SELECT nt FROM nn))))
+       |            // 100 AS BIGINT) AS rank
+       |        FROM nodes LEFT JOIN m$i ON nodes.node = m$i.node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_graph_ppr" ->
+      s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+        |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,
+        |                       ((doc_id * 31 + k * 7) % 997) AS dst
+        |       FROM documents CROSS JOIN ks
+        |       WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)),
+        |deg AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst, deg.odeg FROM e0 JOIN deg ON e0.src = deg.src),
+        |nodes AS (SELECT node, CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END AS s
+        |          FROM (SELECT DISTINCT node FROM
+        |                (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0))),
+        |nn AS (SELECT CAST(SUM(s) AS BIGINT) AS nt FROM nodes),
+        |consts AS (SELECT 1000000000000 // nt AS pshare,
+        |                  (15 * (1000000000000 // nt)) // 100 AS tp FROM nn),
+        |r0 AS (SELECT node, s,
+        |         CAST((SELECT pshare FROM consts) * s AS BIGINT) AS rank FROM nodes),
+        |${(1 to 5).map(i => duckRoundPpr(i, s"r${i - 1}")).mkString(",\n")}
+        |SELECT node, rank AS rank_fp,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
+        |FROM r5 ORDER BY node""".stripMargin,
     "q_graph_components" ->
       s"""WITH RECURSIVE ks AS (SELECT UNNEST([1, 2, 3]) AS k),
         |e0 AS (SELECT DISTINCT ((doc_id % 8) * 1000 + (doc_id // 8) % 125) AS src,

@@ -712,9 +712,16 @@ object Similarity {
     kmeansIvfFrame(vecs(s, d), iters, k, onRound)
 
   /** [[kmeansIvf]] over an arbitrary prepared (vec_id, v, nrm) frame —
-    * the entry the replicated-corpus scale probe drives. */
+    * the entry the replicated-corpus scale probe drives. `seeds`
+    * ((cid, cv), e.g. [[kmeansParSeed]]'s weighted candidates) replaces
+    * the default lowest-k-ids seeding — Lloyd iteration only ever
+    * refines within the basins its seeds land in, so on skewed inputs
+    * the seeding IS the quality decision (KmeansSeedSpec measures the
+    * gap) and seeding + Lloyd here is the full trained-quantizer
+    * recipe. */
   private[graft] def kmeansIvfFrame(e: DataFrame, iters: Int, k: Int,
-                                    onRound: (Int, Double) => Unit = (_, _) => ())
+                                    onRound: (Int, Double) => Unit = (_, _) => (),
+                                    seeds: Option[DataFrame] = None)
       : (DataFrame, Seq[Double]) = {
     val s = e.sparkSession
     import s.implicits._
@@ -728,8 +735,9 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("cid"), col("cos"))
     }
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var centroids = seeds.getOrElse(
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
     val meanCos = Seq.newBuilder[Double]
     var assigned = assign(centroids)
     var round = 0
@@ -813,32 +821,85 @@ object Similarity {
       cents = graft.Fence(prev.union(pick(selIds)))
       graft.Fence.release(prev)
     }
-    val asg = sub.join(broadcast(cents), "j")
-      .select(col("id"), col("j"), col("cand"),
-              d2q(col("sv"), col("cw")).as("dd"))
+    // Weight pass. The argmin must survive a corpus×candidates product
+    // stream: min_by's object-hash aggregate falls back to SORT past 128
+    // groups per partition, which materializes (and spills) the whole
+    // product — at the 1M probe shape that is a multi-hundred-GB spill
+    // (measured: filled the box's scratch disk). Encoding (dd, candidate
+    // index) into ONE long keeps the argmin a plain fixed-width `min`,
+    // which stays in codegen'd hash aggregation: the product never
+    // exists anywhere but the update loop. ci is the per-subspace dense
+    // candidate index (row_number over a broadcast-sized frame), <= 2^14;
+    // dd <= dscale·maxD² <= ~4e8 at unit scale, so dd·2^14 is far from
+    // overflow. Tie-break (dd, ci) == (dd, cand): ci is monotone in cand.
+    val wCi = Window.partitionBy("j").orderBy("cand")
+    val centsI = cents.withColumn("ci", row_number().over(wCi).cast("long"))
+      .transform(graft.Fence.cut)
+    val asg = sub.join(broadcast(centsI), "j")
+      .select(col("id"), col("j"),
+              (d2q(col("sv"), col("cw")) * lit(16384L) + col("ci")).as("dci"))
       .groupBy("id", "j")
-      .agg(min_by(col("cand"), struct(col("dd"), col("cand"))).as("cand"))
-    val w = asg.groupBy("j", "cand").agg(count(lit(1)).as("weight"))
-    val out = cents.join(w, Seq("j", "cand"), "left")
+      .agg(min(col("dci")).as("mdci"))
+      .select(col("j"), pmod(col("mdci"), lit(16384L)).as("ci"))
+    val w = asg.groupBy("j", "ci").agg(count(lit(1)).as("weight"))
+    val out = centsI.join(w, Seq("j", "ci"), "left")
       .select(col("j"), col("cand"), col("cw"),
               coalesce(col("weight"), lit(0L)).as("weight"))
     val keep = graft.Fence.cut(out)
-    graft.Fence.release(cents)
+    graft.Fence.release(centsI); graft.Fence.release(cents)
     keep
   }
 
-  /** [[kmeansParSeed]] reduced to a PQ-style codebook: top-k candidates
-    * per subspace by (weight desc, cand) — Bahmani's weighted recluster
-    * simplified to weighted selection, which suffices when the
-    * oversampled candidate set already covers every cluster (the spec
-    * asserts exactly that coverage). Returns (cid, cj, cw). */
+  /** [[kmeansParSeed]] reduced to a PQ-style codebook — Bahmani's final
+    * recluster, run IN MEMORY on the oversampled candidates (the FAISS
+    * convention: codebooks train on a bounded sample; the candidate set
+    * is ≤ (1 + l·rounds) rows per subspace BY CONSTRUCTION, so the
+    * driver step is bounded and deterministic). Selection is greedy
+    * weight·D² maximization: start from the heaviest candidate, then
+    * repeatedly take the candidate with the largest
+    * (weight × squared distance to the nearest already-chosen codeword),
+    * ties broken (weight desc, cand asc).
+    *
+    * Why not top-k by weight: that is frequency ranking, the measured
+    * dead end from the 1M IVF-PQ probe — on skewed inputs the heavy
+    * no-perturbation patterns fill every slot and rare far patterns (the
+    * ones retrieval needs resolved) get none; measured 0.270 vs the
+    * untrained baseline's 0.405 at cb=16 before this reduction replaced
+    * it. weight·D² spends each slot where it reduces the most quantization
+    * mass-distance — covered-at-zero-distance candidates score 0 no
+    * matter their weight, so coverage and mass trade off explicitly.
+    * Returns (cid, cj, cw). */
   private[graft] def kmeansParCodebook(sub: DataFrame, k: Int, l: Int,
       rounds: Int, dscale: Double = 1.0e8): DataFrame = {
-    val wSel = Window.partitionBy("j").orderBy(col("weight").desc, col("cand"))
-    kmeansParSeed(sub, l, rounds, dscale = dscale)
-      .withColumn("cid", row_number().over(wSel))
-      .filter(col("cid") <= k)
-      .select(col("cid"), col("j").as("cj"), col("cw"))
+    val s = sub.sparkSession
+    import s.implicits._
+    val cands = kmeansParSeed(sub, l, rounds, dscale = dscale)
+      .select(col("j"), col("cand"), col("cw"), col("weight"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+                 r.getSeq[Double](2).toArray, r.getLong(3)))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rows = cands.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (j, cs) =>
+        val pool = cs.sortBy { case (_, cand, _, wt) => (-wt, cand) }
+        val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+        val minD2 = scala.collection.mutable.Map(
+          pool.map(c => c._2 -> d2(c._3, pool.head._3)): _*)
+        while (chosen.size < math.min(k, pool.length)) {
+          val next = pool.filterNot(c => chosen.exists(_._2 == c._2))
+            .maxBy { case (_, cand, _, wt) =>
+              (wt.toDouble * minD2(cand), wt, -cand) }
+          chosen += next
+          pool.foreach(c =>
+            minD2(c._2) = math.min(minD2(c._2), d2(c._3, next._3)))
+        }
+        chosen.zipWithIndex.map { case ((_, _, cw, _), i) => (i + 1, j, cw) }
+    }
+    rows.toDF("cid", "cj", "cw")
   }
 
   /** EXT: k-means|| seeding, declared + oracled — [[kmeansParSeed]] over

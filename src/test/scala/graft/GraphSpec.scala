@@ -64,6 +64,47 @@ class GraphSpec extends SparkSpec {
     assert(Set(r(1L), r(2L), r(3L), r(4L)).size === 1)
   }
 
+  /** Driver-side personalized-PageRank reference: same integer math. */
+  private def refPpr(edges: Seq[(Long, Long)], seedSet: Set[Long],
+                     iters: Int, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def s(v: Long): Long = if (seedSet(v)) 1L else 0L
+    val nT = nodes.count(seedSet)
+    val pshare = scale / nT
+    val tp = (15L * pshare) / 100L
+    var r: Map[Long, Long] = nodes.map(v => v -> pshare * s(v)).toMap
+    (1 to iters).foreach { _ =>
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / out(u) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (tp * s(v) +
+          (85L * (in.getOrElse(v, 0L) + s(v) * (dm / nT))) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized PageRank matches the driver reference; mass flows out from seeds") {
+    import spark.implicits._
+    // seed 0 links into a non-seed chain; 9 is a dangling non-seed
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (0, 9), (5, 0))
+    val seeds = Set(0L, 5L)
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Graph.pageRank(edges.toDF("src", "dst"), iters,
+          seeds = Some(seeds.toSeq.toDF("node")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === refPpr(edges, seeds, iters), s"iters=$iters")
+    }
+    val r5 = refPpr(edges, seeds, 5)
+    // non-seeds hold rank only through link proximity; the seed-adjacent
+    // non-seed outranks the chain-distant one
+    assert(r5(1L) > r5(2L))
+    // dangling non-seed 9 keeps only damped in-flow (no teleport, no
+    // dangling redistribution to it)
+    assert(r5(9L) > 0L && r5(9L) < r5(0L))
+  }
+
   private def runHarmonic(edges: Seq[(Long, Long)], depth: Int): Map[Long, (Long, Long)] = {
     import spark.implicits._
     Graph.harmonic(edges.toDF("src", "dst"), depth)

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorMath.vecDot
+import graft.operators.Similarity
+
+/** Seeding quality gap: Lloyd iteration only refines within the basins
+  * its seeds land in, so on a skewed corpus the seeding decides the
+  * final quantizer quality. Fixture: 120 vectors along e1, 10 along e2,
+  * 10 along e3 (orthogonal directions — three true cosine clusters,
+  * one dominant). Naive lowest-id seeding puts every seed in the
+  * dominant direction and Lloyd can never split out e2/e3 (their best
+  * cosine stays 0); k-means|| D²-weighted seeding covers all three
+  * directions and reaches mean cosine 1.0. */
+class KmeansSeedSpec extends SparkSpec {
+
+  test("k-means|| seeds beat naive seeds through the same Lloyd refinement") {
+    import spark.implicits._
+    val dim = 8
+    def axis(a: Int): Array[Double] =
+      Array.tabulate(dim)(i => if (i == a) 2.0 else 0.0)
+    val rows =
+      (0L until 120L).map(id => (id, axis(0))) ++
+      (200L until 210L).map(id => (id, axis(1))) ++
+      (300L until 310L).map(id => (id, axis(2)))
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .localCheckpoint()
+
+    val (_, naiveCurve) = Similarity.kmeansIvfFrame(e, iters = 3, k = 3)
+    val seeds = Similarity.kmeansParCodebook(
+        e.select(col("vec_id").as("id"), lit(0).as("j"), col("v").as("sv")),
+        k = 3, l = 6, rounds = 3)
+      .select(col("cid").cast("long").as("cid"), col("cw").as("cv"))
+    val (_, seededCurve) = Similarity.kmeansIvfFrame(
+      e, iters = 3, k = 3, seeds = Some(seeds))
+
+    val naive = naiveCurve.last
+    val seeded = seededCurve.last
+    info(f"final mean cosine: naive=$naive%.3f seeded=$seeded%.3f")
+    // naive: all seeds in the e1 basin -> e2/e3 never split out, the 20
+    // off-axis points stay near cosine 0 against the merged centroid
+    // (analytic mean ~0.86) -> a wide 0.9 ceiling separates the regimes
+    assert(naive <= 0.9, f"naive unexpectedly good: $naive%.3f")
+    assert(seeded >= 0.999, f"seeded should reach ~1.0: $seeded%.3f")
+    // both curves stay monotone non-decreasing (the Lloyd invariant)
+    for (c <- Seq(naiveCurve, seededCurve))
+      assert(c.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 })
+  }
+}

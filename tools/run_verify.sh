@@ -15,7 +15,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 export SPARK_GRAFT_SF_DIR="$SF"
-exec java $OPENS -Xmx12g \
+exec java $OPENS -Xmx${GRAFT_XMX:-12g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$SF" "$OUT"
