@@ -51,6 +51,7 @@ object ScaleProbe {
     else if (args(0) == "stream") streamProbe(spark, args(1))
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
     else if (args(0) == "dstream") dstreamProbe(spark, args(1).toInt)
+    else if (args(0) == "graph") graphProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -578,6 +579,35 @@ object ScaleProbe {
     * (xxhash64(vec_id) mod step), not replica 0 — above 2000 cells a
     * base-replica-only rule runs out of distinct donors.
     * Usage: tools/run_verify.sh recall <mult>[,<kCells>] graft.ScaleProbe */
+  /** PageRank probe at webgraph magnitude: N million nodes, ~2.5N million
+    * edges, synthetic multiplicative-hash topology (out-degree 1 + id%4,
+    * dst = (id·2654435761 + k·40503) mod N — deterministic, no RNG
+    * state). The claim under test for SCALE.md: per-round wall is FLAT —
+    * each round is the same one edges⋈ranks join + dst-sum shuffle +
+    * 1-row dangling broadcast regardless of round number (fences keep
+    * plan depth O(1)), so total cost is rounds × one-scan, the property
+    * that lets 50-round production runs be priced linearly.
+    * Usage: tools/run_verify.sh graph <millions> graft.ScaleProbe */
+  private def graphProbe(spark: SparkSession, millions: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = millions * 1000000L
+    val edges = spark.range(0, n).toDF("src")
+      .select(col("src"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("src"), lit(4L)))).as("k"))
+      .select(col("src"),
+        pmod(col("src") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val nEdges = edges.count()
+    val t0 = System.nanoTime()
+    val out = operators.Graph.pageRank(edges, iters = 5,
+      onRound = (i, secs) => println(f"graph round=$i wall=$secs%.2f s"))
+    val rows = out.count()
+    val total = (System.nanoTime() - t0) / 1e9
+    val mass = out.agg(sum("rank")).head().getLong(0)
+    println(f"graph pagerank: $n%,d nodes, $nEdges%,d edges, 5 rounds -> " +
+      f"$rows%,d ranks in $total%.1f s, mass=${mass / 1e12}%.6f")
+  }
+
   private def recallProbe(spark: SparkSession, mult: Int, kCells: Int,
                           trainedOnly: Boolean = false,
                           onlyCb: Option[Int] = None): Unit = {
@@ -828,7 +858,7 @@ object ScaleProbe {
     def ivfPqRecallTrained(cb: Int, nprobe: Int): Double = {
       val cbT = operators.Similarity.kmeansParCodebook(
         rSub.select(col("vec_id").as("id"), col("j"), col("sv")),
-        k = cb, l = cb, rounds = 3)
+        k = cb, l = cb, rounds = 3, lloydRounds = 3)
         .transform(graft.Fence.cut)
       ivfPqRecallWith(cbT, nprobe)
     }

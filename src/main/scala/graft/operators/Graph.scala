@@ -77,10 +77,14 @@ object Graph {
     *              d=0.85 is ~1e-1 per round — 5 rounds ranks hosts, 50
     *              rounds reproduces published scores to 6 figures).
     * @param seeds optional (node: long) teleport support; None = uniform.
+    * @param onRound fires after each round's fence materializes — the
+    *                ScaleProbe `graph` mode uses it for per-round wall
+    *                evidence (the [[Similarity.kmeansIvf]] convention).
     */
   def pageRank(edges: DataFrame, iters: Int, dampNum: Long = 85L,
                scale: Long = 1000000000000L,
-               seeds: Option[DataFrame] = None): DataFrame = {
+               seeds: Option[DataFrame] = None,
+               onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     // static frames, fenced once for the loop's lifetime and released
     // at the end (the qDedupClusters discipline)
     val allNodes = edges.select(col("src").as("node"))
@@ -107,7 +111,8 @@ object Graph {
     val pshare = scale / nT                     // teleport mass per seed
     val tp = ((100L - dampNum) * pshare) / 100L // per-seed teleport term
     var r = graft.Fence(nodes.withColumn("rank", lit(pshare) * col("s")))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
+      val t0 = System.nanoTime()
       val dm1 = r.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val in = e.join(r.withColumnRenamed("node", "src"), "src")
@@ -122,6 +127,7 @@ object Graph {
               expr(s"($dampNum * (coalesce(m, 0L) + s * (dm DIV ${nT}L))) DIV 100"))
               .as("rank")))
       graft.Fence.release(prev) // the new fence is materialized; r-1 superseded
+      onRound(i, (System.nanoTime() - t0) / 1e9)
     }
     val keep = graft.Fence.cut(r.select("node", "rank"))
     graft.Fence.release(r); graft.Fence.release(dangling)

@@ -868,9 +868,22 @@ object Similarity {
     * it. weight·D² spends each slot where it reduces the most quantization
     * mass-distance — covered-at-zero-distance candidates score 0 no
     * matter their weight, so coverage and mass trade off explicitly.
-    * Returns (cid, cj, cw). */
+    *
+    * `lloydRounds` > 0 then refines the selected codewords with
+    * distributed Lloyd iterations over the FULL input (the FAISS
+    * recipe: seed, then k-means to convergence) — selection alone is
+    * coverage-biased where quantization wants codewords tracking the
+    * residual MASS (measured at the 1M IVF-PQ shape: greedy selection
+    * 0.535 vs 0.630 untrained at cb=256; Lloyd pulls codewords to the
+    * weighted centroids of what they actually encode). Each round is
+    * one product-stream assignment (the same encoded-`min` hash
+    * aggregate as the weight pass — nothing sorts, nothing spills the
+    * product), one (id,j)-equi-join to re-attach sub-vectors, and one
+    * [[graft.functions.VectorCentroid]] update whose shuffle carries
+    * one buffer per codeword. Empty codewords keep their previous
+    * vector. Returns (cid, cj, cw). */
   private[graft] def kmeansParCodebook(sub: DataFrame, k: Int, l: Int,
-      rounds: Int, dscale: Double = 1.0e8): DataFrame = {
+      rounds: Int, dscale: Double = 1.0e8, lloydRounds: Int = 0): DataFrame = {
     val s = sub.sparkSession
     import s.implicits._
     val cands = kmeansParSeed(sub, l, rounds, dscale = dscale)
@@ -899,7 +912,32 @@ object Similarity {
         }
         chosen.zipWithIndex.map { case ((_, _, cw, _), i) => (i + 1, j, cw) }
     }
-    rows.toDF("cid", "cj", "cw")
+    var cb = rows.toDF("cid", "cj", "cw")
+    def d2qc(x: Column, c: Column): Column =
+      floor((vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c))
+        * lit(dscale) + lit(0.5)).cast("long")
+    (1 to lloydRounds).foreach { _ =>
+      val bcb = broadcast(cb)
+      val asg = sub.join(bcb, col("j") === col("cj"))
+        .select(col("id"), col("j"),
+                (d2qc(col("sv"), col("cw")) * lit(16384L) + col("cid")).as("dci"))
+        .groupBy("id", "j").agg(min(col("dci")).as("mdci"))
+        .select(col("id"), col("j"),
+                pmod(col("mdci"), lit(16384L)).cast("int").as("acid"))
+      val upd = sub.join(asg, Seq("id", "j"))
+        .select(col("j"), col("acid"), col("sv"))
+        .as[(Int, Int, Array[Double])]
+        .groupByKey { case (j, cid, _) => (j, cid) }
+        .mapValues(_._3)
+        .agg(graft.functions.VectorCentroid.toColumn.name("cw1"))
+        .map { case ((j, cid), cw1) => (cid, j, cw1) }
+        .toDF("cid", "cj", "cw1")
+      cb = graft.Fence.cut(
+        cb.join(upd, Seq("cid", "cj"), "left")
+          .select(col("cid"), col("cj"),
+                  coalesce(col("cw1"), col("cw")).as("cw")))
+    }
+    cb
   }
 
   /** EXT: k-means|| seeding, declared + oracled — [[kmeansParSeed]] over
