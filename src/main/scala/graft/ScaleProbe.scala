@@ -52,6 +52,7 @@ object ScaleProbe {
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
     else if (args(0) == "dstream") dstreamProbe(spark, args(1).toInt)
     else if (args(0) == "graph") graphProbe(spark, args(1).toInt)
+    else if (args(0) == "hyperball") hyperballProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -606,6 +607,34 @@ object ScaleProbe {
     val mass = out.agg(sum("rank")).head().getLong(0)
     println(f"graph pagerank: $n%,d nodes, $nEdges%,d edges, 5 rounds -> " +
       f"$rows%,d ranks in $total%.1f s, mass=${mass / 1e12}%.6f")
+  }
+
+  /** HyperBall harmonic centrality at webgraph magnitude — the same
+    * synthetic topology as [[graphProbe]] (mean out-degree 2.5, so
+    * depth-6 in-balls run ~Σ2.5^d ≈ 500 vertices; the EXACT pair form
+    * would already materialize ~5×10⁹ pairs here and goes fully
+    * quadratic as depth approaches the ~17-hop diameter). The claims
+    * under test: per-round wall is governed by the constant 256-byte
+    * per-vertex state — flat across rounds regardless of how the balls
+    * grow — and the depth-6 reach estimates land in the branching-
+    * process envelope (sanity of the estimator at scale).
+    * Usage: tools/run_verify.sh hyperball <millions> graft.ScaleProbe */
+  private def hyperballProbe(spark: SparkSession, millions: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = millions * 1000000L
+    val edges = spark.range(0, n).toDF("src")
+      .select(col("src"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("src"), lit(4L)))).as("k"))
+      .select(col("src"),
+        pmod(col("src") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val t0 = System.nanoTime()
+    val out = operators.Graph.harmonicHyperBall(edges, depth = 6,
+      onRound = (d, secs) => println(f"hyperball round=$d wall=$secs%.1f s"))
+    val agg = out.agg(count(lit(1)), avg("reached_est"), max("reached_est")).head()
+    val total = (System.nanoTime() - t0) / 1e9
+    println(f"hyperball: $n%,d nodes, depth 6 -> ${agg.getLong(0)}%,d scored in " +
+      f"$total%.1f s; reached_est avg=${agg.getDouble(1)}%,.0f max=${agg.getDouble(2)}%,.0f")
   }
 
   private def recallProbe(spark: SparkSession, mult: Int, kCells: Int,

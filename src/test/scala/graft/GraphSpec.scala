@@ -155,6 +155,34 @@ class GraphSpec extends SparkSpec {
     assert(comps.length >= strata.length)
   }
 
+  test("HyperBall tracks the exact harmonic within sketch error on the fixture graph") {
+    val exact = Graph.qGraphHarmonic(spark, sf).collect()
+    val est = Graph.harmonicHyperBall(Graph.graphEdges(spark, sf), depth = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(est.size === exact.length)
+    // reach estimates: mean relative error within the 256-register
+    // sketch's error envelope (1.04/sqrt(256) = 6.5% std err; linear
+    // counting tightens small balls)
+    val errs = exact.map { r =>
+      val reachEst = est(r.getLong(0))._2
+      val nReach = r.getLong(2).toDouble
+      if (nReach > 0) math.abs(reachEst - nReach) / nReach
+      else math.abs(reachEst)
+    }
+    val meanErr = errs.sum / errs.length
+    info(f"mean reach rel. err = $meanErr%.4f over ${errs.length} nodes")
+    assert(meanErr <= 0.08, f"mean reach error $meanErr%.4f > 0.08")
+    // ranking agreement on the harmonic score itself: the estimated
+    // top-20 must largely reproduce the exact top-20
+    val topExact = exact.sortBy(r => (-r.getLong(1), r.getLong(0)))
+      .take(20).map(_.getLong(0)).toSet
+    val topEst = est.toSeq.sortBy { case (n, (h, _)) => (-h, n) }
+      .take(20).map(_._1).toSet
+    val overlap = (topExact & topEst).size
+    info(s"top-20 overlap: $overlap/20")
+    assert(overlap >= 14, s"top-20 harmonic overlap $overlap/20 < 14")
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
