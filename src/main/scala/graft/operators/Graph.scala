@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -173,6 +174,116 @@ object Graph {
       .select(col("node"), col("rank").as("rank_fp"), col("rk"))
       .orderBy("node")
   }
+
+  /** Per-node triangle counts over an undirected graph — the clustering
+    * signal (a host whose neighbors interlink is a community, not a link
+    * farm spraying unrelated targets; triangle density per node feeds
+    * spam/quality heuristics). PUBLIC entry; input treated as
+    * undirected (symmetrized, self-loops dropped).
+    *
+    * Algorithm — degree ORIENTATION, the standard scalable form (Suri &
+    * Vassilvitskii 2011 "Counting triangles and the curse of the last
+    * reducer"): orient every undirected edge from its lower-(degree,id)
+    * endpoint to the higher one; the oriented out-degree is bounded by
+    * O(√m) REGARDLESS of the original degree distribution, so the wedge
+    * join (E'⋈E' on the middle vertex) fans out O(m^1.5) total instead
+    * of Σdeg² — the difference between a web-scale hub exploding one
+    * reducer and a balanced shuffle. Wedges (a→b→c) then semi-join the
+    * closing edge (a→c); each triangle is discovered exactly once (its
+    * orientation-ordered corner triple), and a final explode credits
+    * each of the 3 corners. Everything is equi-joins and integer
+    * counts — engine-exact. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = graft.Fence(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+      .select(col("a").as("node"), col("d"))
+    // orient lower (degree, id) -> higher
+    val ori = graft.Fence(
+      und.join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+        .filter(col("da") < col("db") ||
+                (col("da") === col("db") && col("a") < col("b")))
+        .select(col("a"), col("b")))
+    val wedges = ori.select(col("a"), col("b"))
+      .join(ori.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges
+      .join(ori.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val keep = graft.Fence.cut(
+      deg.select(col("node"))
+        .join(perNode, Seq("node"), "left")
+        .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri")))
+    graft.Fence.release(ori); graft.Fence.release(und)
+    keep
+  }
+
+  /** EXT: per-node triangle counts on the fixture webgraph, declared +
+    * oracled (the oriented-wedge derivation replayed as plain joins). */
+  def qGraphTriangles(s: SparkSession, d: String): DataFrame =
+    triangles(graphEdges(s, d)).orderBy("node")
+
+  /** Deterministic random-walk corpus over a directed graph — the
+    * DeepWalk/node2vec DATA-PREP stage (Perozzi et al. 2014): graph →
+    * walk sequences, which then train skip-gram embeddings exactly like
+    * text. PUBLIC entry; one walker starts at every node and takes
+    * `steps` hash-chosen hops:
+    *
+    *   next(walker, t) = out-edge #(pmod(xxhash64(t, walker), odeg))
+    *
+    * with a node's out-edges indexed 0..odeg−1 by dst order — the
+    * engine's deterministic-coin convention ([[Similarity.kmeansParSeed]]),
+    * so the whole corpus is a pure function of the edge list and both
+    * engines derive identical walks (the oracle replays every hop,
+    * xxhash64 included). Walkers at a dangling node stop (their walk is
+    * simply shorter — the DeepWalk convention).
+    *
+    * At 100 TB: the indexed edge relation is built ONCE (one rank
+    * window partitioned by src) and fenced; each step is one equi-join
+    * of the (walker, node) frontier against it with a map-side modulus
+    * filter — walkers never interact, so the step cost is one shuffle
+    * of the frontier, flat per step, and the walk length is the loop
+    * bound (10-80 in the papers). Output: (walker, step, node) long
+    * format, ready to feed a window-based skip-gram pair generator. */
+  def randomWalks(edges: DataFrame, steps: Int): DataFrame = {
+    val wIdx = Window.partitionBy("src").orderBy("dst")
+    val indexed = graft.Fence(
+      edges.select(col("src"), col("dst")).distinct()
+        .withColumn("idx", row_number().over(wIdx).cast("long") - 1)
+        .withColumn("odeg", count(lit(1)).over(Window.partitionBy("src"))))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var frontier = graft.Fence(
+      nodes.select(col("node").as("walker"), col("node"), lit(0).as("step")))
+    // every step's frontier is both a loop input AND a branch of the
+    // final union — release them all only after the cut materializes
+    val fenced = Seq.newBuilder[DataFrame]
+    fenced += frontier
+    (1 to steps).foreach { t =>
+      val next = frontier.join(indexed, col("node") === col("src"))
+        .filter(col("idx") === pmod(xxhash64(lit(t), col("walker")), col("odeg")))
+        .select(col("walker"), col("dst").as("node"), lit(t).as("step"))
+      frontier = graft.Fence(next)
+      fenced += frontier
+    }
+    val all = fenced.result()
+    val keep = graft.Fence.cut(
+      all.reduce(_ unionByName _)
+        .select(col("walker"), col("step"), col("node")))
+    all.foreach(graft.Fence.release)
+    graft.Fence.release(indexed)
+    keep
+  }
+
+  /** EXT: 4-step deterministic walks on the fixture webgraph, declared +
+    * oracled — every hop's xxhash64 coin replayed through the
+    * [[Xxh64DuckSql]] chain with the per-node out-degree as modulus. */
+  def qGraphWalks(s: SparkSession, d: String): DataFrame =
+    randomWalks(graphEdges(s, d), steps = 4).orderBy("walker", "step")
 
   /** The derived fixture webgraph (see [[qGraphPagerank]]). */
   private[graft] def graphEdges(s: SparkSession, d: String): DataFrame =
@@ -412,7 +523,9 @@ object Graph {
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
     "q_graph_harmonic"   -> (qGraphHarmonic _),
-    "q_graph_components" -> (qGraphComponents _)
+    "q_graph_components" -> (qGraphComponents _),
+    "q_graph_triangles"  -> (qGraphTriangles _),
+    "q_graph_walks"      -> (qGraphWalks _)
   )
 
   // one unrolled PageRank round in DuckDB SQL (integer // = Spark DIV);
@@ -461,7 +574,75 @@ object Graph {
        |            // 100 AS BIGINT) AS rank
        |        FROM nodes LEFT JOIN m$i ON nodes.node = m$i.node)""".stripMargin
 
+  /** DuckDB replay of [[qGraphWalks]]: all 4 hops unrolled, each hop's
+    * xxhash64 coin staged through the [[Xxh64DuckSql]] HUGEINT chain and
+    * reduced modulo the CURRENT node's out-degree. */
+  private def walksOracle: String = {
+    def chainW(stages: Seq[(String, String)], base: String, prefix: String)
+        : (String, String) = {
+      var rel = base; var carried = "walker, node"
+      val parts = stages.zipWithIndex.map { case ((nm, ex), i) =>
+        val nrel = s"$prefix$i"
+        val cte = s"$nrel AS (SELECT $carried, $ex AS $nm FROM $rel)"
+        carried = s"$carried, $nm"; rel = nrel
+        cte
+      }
+      (parts.mkString(",\n"), rel)
+    }
+    val stepCtes = (1 to 4).map { t =>
+      val (st, signed) = Xxh64DuckSql.hashIntLongStages(s"w$t", "walker", t)
+      val (ctes, last) = chainW(st, s"f${t - 1}", s"x${t}_")
+      s"""$ctes,
+         |f$t AS (SELECT g.walker, i.dst AS node
+         |        FROM $last g
+         |        JOIN deg dg ON g.node = dg.src
+         |        JOIN idx i ON i.src = g.node
+         |          AND i.idx = ((($signed) % dg.odeg) + dg.odeg) % dg.odeg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+       |e AS (SELECT DISTINCT (doc_id % 997) AS src,
+       |                      ((doc_id * 31 + k * 7) % 997) AS dst
+       |      FROM documents CROSS JOIN ks
+       |      WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)),
+       |idx AS (SELECT src, dst,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+       |        FROM e),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |f0 AS (SELECT node AS walker, node FROM nodes),
+       |$stepCtes
+       |SELECT walker, step, node FROM (
+       |  SELECT walker, 0 AS step, node FROM f0
+       |  UNION ALL SELECT walker, 1 AS step, node FROM f1
+       |  UNION ALL SELECT walker, 2 AS step, node FROM f2
+       |  UNION ALL SELECT walker, 3 AS step, node FROM f3
+       |  UNION ALL SELECT walker, 4 AS step, node FROM f4)
+       |ORDER BY walker, step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_walks" -> walksOracle,
+    "q_graph_triangles" ->
+      s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+        |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,
+        |                       ((doc_id * 31 + k * 7) % 997) AS dst
+        |       FROM documents CROSS JOIN ks
+        |       WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)),
+        |und AS (SELECT DISTINCT a, b FROM
+        |        (SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)
+        |        WHERE a <> b),
+        |deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY a),
+        |ori AS (SELECT u.a, u.b FROM und u
+        |        JOIN deg x ON u.a = x.node JOIN deg y ON u.b = y.node
+        |        WHERE x.d < y.d OR (x.d = y.d AND u.a < u.b)),
+        |tri AS (SELECT w.a, w.b, w.c FROM
+        |        (SELECT o1.a, o1.b, o2.b AS c FROM ori o1 JOIN ori o2 ON o1.b = o2.a) w
+        |        WHERE EXISTS (SELECT 1 FROM ori o3 WHERE o3.a = w.a AND o3.b = w.c)),
+        |per AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+        |        (SELECT UNNEST([a, b, c]) AS node FROM tri) GROUP BY node)
+        |SELECT deg.node AS node, COALESCE(per.n_tri, 0) AS n_tri
+        |FROM deg LEFT JOIN per ON deg.node = per.node ORDER BY deg.node""".stripMargin,
     "q_graph_ppr" ->
       s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
         |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,

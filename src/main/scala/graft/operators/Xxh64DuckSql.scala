@@ -182,9 +182,17 @@ private[operators] object Xxh64DuckSql {
     * non-negative BIGINT pmod expression over the last stage. */
   private[operators] def pmodHashIntLongStages(src: String, col: String,
       r: Int, m: Long): (Seq[(String, String)], String) = {
-    val seed = { val v = BigInt(XXH64.hashInt(r, 42L)); if (v < 0) v + M else v }
-    val (stages, signed) = hashLongStages(src, unsign(col), s"$seed::HUGEINT")
+    val (stages, signed) = hashIntLongStages(src, col, r)
     (stages, s"((($signed) % $m) + $m) % $m")
+  }
+
+  /** Like [[pmodHashIntLongStages]] but returns the SIGNED xxhash64
+    * value expression, for callers whose modulus is a COLUMN (e.g. a
+    * per-node out-degree) rather than a constant. */
+  private[operators] def hashIntLongStages(src: String, col: String, r: Int)
+      : (Seq[(String, String)], String) = {
+    val seed = { val v = BigInt(XXH64.hashInt(r, 42L)); if (v < 0) v + M else v }
+    hashLongStages(src, unsign(col), s"$seed::HUGEINT")
   }
 
   /** The complete q_dedup_minhash_xx oracle: identical shingling to the

@@ -183,6 +183,55 @@ class GraphSpec extends SparkSpec {
     assert(overlap >= 14, s"top-20 harmonic overlap $overlap/20 < 14")
   }
 
+  test("triangle counts: hand graph, orientation finds each triangle once") {
+    import spark.implicits._
+    // triangle 1-2-3 (given directed, mixed orientations), a second
+    // triangle 3-4-5 sharing node 3, and a pendant 5-6
+    val edges = Seq[(Long, Long)](
+      (1, 2), (3, 2), (1, 3), (3, 4), (5, 4), (3, 5), (5, 6))
+    val out = Graph.triangles(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L,
+                       4L -> 1L, 5L -> 1L, 6L -> 0L))
+  }
+
+  test("random walks replay the xxhash64 coin exactly and stop at dangling nodes") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // 0 -> {1, 2}; 1 -> {3}; everything else dangling
+    val edges = Seq[(Long, Long)]((0, 1), (0, 2), (1, 3))
+    val out = Graph.randomWalks(edges.toDF("src", "dst"), steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // driver-side replay of the coin: hop t from v picks out-edge
+    // #pmod(xxhash64(t, walker), odeg) in dst order
+    def coin(t: Int, walker: Long, odeg: Int): Int = {
+      val h = XXH64.hashLong(walker, XXH64.hashInt(t, 42L))
+      (((h % odeg) + odeg) % odeg).toInt
+    }
+    val first = coin(1, 0L, 2) // walker 0's first hop: edge #? of (1, 2)
+    assert(out((0L, 1)) === (if (first == 0) 1L else 2L))
+    // walker 0's full trajectory follows the chain until a dangling node
+    var cur = 0L; var alive = true
+    for (t <- 1 to 3) {
+      val nextOpt = cur match {
+        case 0L => Some(if (coin(t, 0L, 2) == 0) 1L else 2L)
+        case 1L => Some(3L)
+        case _  => None
+      }
+      nextOpt match {
+        case Some(n) if alive =>
+          assert(out((0L, t)) === n, s"step $t"); cur = n
+        case _ =>
+          assert(!out.contains((0L, t)), s"step $t should not exist"); alive = false
+      }
+    }
+    // dangling starters emit only their step-0 row
+    assert(out((3L, 0)) === 3L)
+    assert(!out.contains((3L, 1)))
+    // every walker has a step-0 row at itself
+    for (v <- Seq(0L, 1L, 2L, 3L)) assert(out((v, 0)) === v)
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
