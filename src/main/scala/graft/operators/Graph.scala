@@ -285,6 +285,33 @@ object Graph {
   def qGraphWalks(s: SparkSession, d: String): DataFrame =
     randomWalks(graphEdges(s, d), steps = 4).orderBy("walker", "step")
 
+  /** Skip-gram training pairs from a walk corpus — the step that turns
+    * [[randomWalks]]' sequences into DeepWalk/node2vec TRAINING DATA
+    * (identical to text skip-gram: each node co-occurring within
+    * `window` hops of a center, on the same walk, is a (center,
+    * context) example; pair frequency is the example weight). One
+    * walker-keyed self-join with a hop-distance predicate — the join
+    * shuffles on walker, pairs aggregate with map-side combine, and at
+    * 100 TB the walk table is already walker-partitioned by
+    * construction so the self-join reuses its layout. Exact integer
+    * counts — engine-portable. */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    val a = walks.select(col("walker"), col("step").as("sa"), col("node").as("center"))
+    val b = walks.select(col("walker"), col("step").as("sb"), col("node").as("context"))
+    a.join(b, Seq("walker"))
+      .filter(col("sa") =!= col("sb") &&
+              abs(col("sa") - col("sb")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** EXT: window-2 skip-gram pairs over the fixture walk corpus,
+    * declared + oracled (the walks oracle extended by the same
+    * self-join in SQL). */
+  def qGraphSkipgram(s: SparkSession, d: String): DataFrame =
+    skipGramPairs(qGraphWalks(s, d), window = 2)
+      .orderBy("center", "context")
+
   /** The derived fixture webgraph (see [[qGraphPagerank]]). */
   private[graft] def graphEdges(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -525,7 +552,8 @@ object Graph {
     "q_graph_harmonic"   -> (qGraphHarmonic _),
     "q_graph_components" -> (qGraphComponents _),
     "q_graph_triangles"  -> (qGraphTriangles _),
-    "q_graph_walks"      -> (qGraphWalks _)
+    "q_graph_walks"      -> (qGraphWalks _),
+    "q_graph_skipgram"   -> (qGraphSkipgram _)
   )
 
   // one unrolled PageRank round in DuckDB SQL (integer // = Spark DIV);
@@ -577,7 +605,7 @@ object Graph {
   /** DuckDB replay of [[qGraphWalks]]: all 4 hops unrolled, each hop's
     * xxhash64 coin staged through the [[Xxh64DuckSql]] HUGEINT chain and
     * reduced modulo the CURRENT node's out-degree. */
-  private def walksOracle: String = {
+  private def walksWithBody: String = {
     def chainW(stages: Seq[(String, String)], base: String, prefix: String)
         : (String, String) = {
       var rel = base; var carried = "walker, node"
@@ -599,7 +627,7 @@ object Graph {
          |        JOIN idx i ON i.src = g.node
          |          AND i.idx = ((($signed) % dg.odeg) + dg.odeg) % dg.odeg)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+    s"""ks AS (SELECT UNNEST([1, 2, 3]) AS k),
        |e AS (SELECT DISTINCT (doc_id % 997) AS src,
        |                      ((doc_id * 31 + k * 7) % 997) AS dst
        |      FROM documents CROSS JOIN ks
@@ -611,18 +639,28 @@ object Graph {
        |nodes AS (SELECT DISTINCT node FROM
        |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |f0 AS (SELECT node AS walker, node FROM nodes),
-       |$stepCtes
-       |SELECT walker, step, node FROM (
-       |  SELECT walker, 0 AS step, node FROM f0
+       |$stepCtes,
+       |wk AS (SELECT walker, 0 AS step, node FROM f0
        |  UNION ALL SELECT walker, 1 AS step, node FROM f1
        |  UNION ALL SELECT walker, 2 AS step, node FROM f2
        |  UNION ALL SELECT walker, 3 AS step, node FROM f3
-       |  UNION ALL SELECT walker, 4 AS step, node FROM f4)
-       |ORDER BY walker, step""".stripMargin
+       |  UNION ALL SELECT walker, 4 AS step, node FROM f4)""".stripMargin
   }
+
+  private def walksOracle: String =
+    s"""WITH $walksWithBody
+       |SELECT walker, step, node FROM wk ORDER BY walker, step""".stripMargin
+
+  private def skipgramOracle: String =
+    s"""WITH $walksWithBody
+       |SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM wk a JOIN wk b
+       |  ON a.walker = b.walker AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |GROUP BY a.node, b.node ORDER BY center, context""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_graph_walks" -> walksOracle,
+    "q_graph_skipgram" -> skipgramOracle,
     "q_graph_triangles" ->
       s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
         |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,

@@ -232,6 +232,23 @@ class GraphSpec extends SparkSpec {
     for (v <- Seq(0L, 1L, 2L, 3L)) assert(out((v, 0)) === v)
   }
 
+  test("skip-gram pairs: window and symmetry over a fixed walk") {
+    import spark.implicits._
+    // one hand-built walk 10: [7, 8, 9], window 2 -> every ordered pair
+    val walks = Seq((10L, 0, 7L), (10L, 1, 8L), (10L, 2, 9L))
+      .toDF("walker", "step", "node")
+    val out = Graph.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = Map(
+      (7L, 8L) -> 1L, (7L, 9L) -> 1L, (8L, 7L) -> 1L,
+      (8L, 9L) -> 1L, (9L, 7L) -> 1L, (9L, 8L) -> 1L)
+    assert(out === expect)
+    // window 1 drops the distance-2 pairs
+    val out1 = Graph.skipGramPairs(walks, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out1 === Set((7L, 8L), (8L, 7L), (8L, 9L), (9L, 8L)))
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
