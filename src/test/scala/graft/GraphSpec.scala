@@ -249,6 +249,62 @@ class GraphSpec extends SparkSpec {
     assert(out1 === Set((7L, 8L), (8L, 7L), (8L, 9L), (9L, 8L)))
   }
 
+  test("property (scalacheck): random digraphs — pageRank, triangles, harmonic all match brute force") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // brute-force references, independent of the operator code paths
+    def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = (edges.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+        .filter { case (a, b) => a != b }.toSet
+      val nodes = und.map(_._1).toSeq.distinct
+      val tri = for {
+        a <- nodes; b <- nodes if a < b && und((a, b))
+        c <- nodes if b < c && und((b, c)) && und((a, c))
+      } yield (a, b, c)
+      val credit = tri.flatMap { case (a, b, c) => Seq(a, b, c) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      nodes.map(v => v -> credit.getOrElse(v, 0L)).toMap
+    }
+    def refHarm(edges: Seq[(Long, Long)], depth: Int): Map[Long, (Long, Long)] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // d(src -> v) by BFS from every src
+      val dist = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      for (s <- nodes) {
+        var frontier = Set(s); dist((s, s)) = 0
+        for (d <- 1 to depth) {
+          frontier = frontier.flatMap(u => out.getOrElse(u, Set.empty))
+            .filterNot(v => dist.contains((s, v)))
+          frontier.foreach(v => dist((s, v)) = d)
+        }
+      }
+      nodes.map { v =>
+        val in = dist.collect { case ((s, t), d) if t == v && d > 0 => d }
+        v -> ((in.map(d => 1000000L / d).sum, in.size.toLong))
+      }.toMap
+    }
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(4, 10)
+      m <- Gen.choose(3, 18)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(genEdges.suchThat(_.nonEmpty), Gen.choose(1, 4)) {
+      (edges, iters) =>
+        val df = edges.toDF("src", "dst")
+        val pr = Graph.pageRank(df, iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val tr = Graph.triangles(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val hm = runHarmonic(edges, 3)
+        pr == refPageRank(edges, iters) &&
+          tr == refTriangles(edges) && hm == refHarm(edges, 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
