@@ -57,6 +57,39 @@ class FenceGateSpec extends SparkSpec {
       "post-release re-read must reproduce the pinned rows")
   }
 
+  test("deep-loop rule: cut keeps RDD lineage depth CONSTANT per round, the pin does not") {
+    // The r12 HyperBall finding, pinned as a falsifiable invariant: a
+    // depth-proportional loop fenced with the memory PIN accumulates RDD
+    // lineage (the pin does not truncate it — each round's tasks
+    // serialize an ever-deeper parent chain; measured as 16 s -> 64 s
+    // round walls at 10M nodes), while Fence.cut's localCheckpoint hard-
+    // truncates, so lineage depth is round-count-INDEPENDENT.
+    def lineageDepth(df: org.apache.spark.sql.DataFrame): Int = {
+      def walk(r: org.apache.spark.rdd.RDD[_]): Int =
+        1 + (if (r.dependencies.isEmpty) 0
+             else r.dependencies.map(d => walk(d.rdd)).max)
+      walk(df.queryExecution.toRdd)
+    }
+    def loop(rounds: Int, cut: Boolean): Int = {
+      var r = spark.range(0, 100).select(col("id"), lit(0L).as("x"))
+      (1 to rounds).foreach { i =>
+        val nxt = r.groupBy(col("id") % 10).agg(sum("x").as("x"))
+          .select((col("(id % 10)") + i).as("id"), col("x"))
+        val prev = r
+        r = if (cut) Fence.cut(nxt) else Fence(nxt)
+        Fence.release(prev)
+      }
+      lineageDepth(r)
+    }
+    val cut3 = loop(3, cut = true); val cut6 = loop(6, cut = true)
+    assert(cut3 === cut6,
+      s"cut lineage depth must not grow with rounds: $cut3 vs $cut6")
+    val pin3 = loop(3, cut = false); val pin6 = loop(6, cut = false)
+    assert(pin6 > pin3,
+      s"pin lineage depth is expected to grow ($pin3 -> $pin6); if this " +
+        "ever stops holding, the deep-loop guidance on Fence should be revisited")
+  }
+
   test("release is a no-op on a local-mode (checkpoint-backed) fence") {
     spark.conf.set("spark.graft.fence", "local")
     try {
