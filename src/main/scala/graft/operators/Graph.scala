@@ -312,6 +312,31 @@ object Graph {
     skipGramPairs(qGraphWalks(s, d), window = 2)
       .orderBy("center", "context")
 
+  /** EXT: host-rank document curation — the INTEGRATION the graph
+    * family exists for: every document inherits its host's PageRank,
+    * and the corpus keeps documents whose host sits in the top half of
+    * the rank order (`rk·2 ≤ max(rk)` — a self-calibrating cut, the
+    * [[TextOps.qCuratePercentile]] philosophy applied to hosts). At
+    * 100 TB the rank table is ~1e8 hosts — broadcastable — so the
+    * curation pass is one map-side join over the corpus scan plus the
+    * per-source rollup; output carries kept/total counts and an id_sum
+    * membership gate per source (the corpusDiff convention: the
+    * DECISION is hash-gated, not just the counts). */
+  def qCurateHostrank(s: SparkSession, d: String): DataFrame = {
+    val ranks = qGraphPagerank(s, d)
+    val mx = ranks.agg(max(col("rk")).as("mx"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), (col("doc_id") % 997L).as("node"))
+    docs.join(broadcast(ranks), "node")
+      .crossJoin(broadcast(mx))
+      .withColumn("kept", (col("rk") * 2 <= col("mx")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("kept")).as("n_kept"),
+           sum(when(col("kept") === 1, col("doc_id"))).as("id_sum_kept"))
+      .orderBy("source")
+  }
+
   /** The derived fixture webgraph (see [[qGraphPagerank]]). */
   private[graft] def graphEdges(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -553,7 +578,8 @@ object Graph {
     "q_graph_components" -> (qGraphComponents _),
     "q_graph_triangles"  -> (qGraphTriangles _),
     "q_graph_walks"      -> (qGraphWalks _),
-    "q_graph_skipgram"   -> (qGraphSkipgram _)
+    "q_graph_skipgram"   -> (qGraphSkipgram _),
+    "q_curate_hostrank"  -> (qCurateHostrank _)
   )
 
   // one unrolled PageRank round in DuckDB SQL (integer // = Spark DIV);
@@ -726,22 +752,39 @@ object Graph {
         |       COALESCE(agg.n_reached, 0) AS n_reached
         |FROM nodes LEFT JOIN agg ON nodes.node = agg.node ORDER BY nodes.node""".stripMargin,
     "q_graph_pagerank" ->
-      s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
-        |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,
-        |                       ((doc_id * 31 + k * 7) % 997) AS dst
-        |       FROM documents CROSS JOIN ks
-        |       WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)),
-        |deg AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src),
-        |e AS (SELECT e0.src, e0.dst, deg.odeg FROM e0 JOIN deg ON e0.src = deg.src),
-        |nodes AS (SELECT DISTINCT node FROM
-        |          (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
-        |nn AS (SELECT COUNT(*) AS n FROM nodes),
-        |consts AS (SELECT 1000000000000 // n AS base,
-        |                  (15 * (1000000000000 // n)) // 100 AS tp FROM nn),
-        |r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
-        |${(1 to 5).map(i => duckRound(i, s"r${i - 1}")).mkString(",\n")}
+      s"""WITH $pagerankWithBody
         |SELECT node, rank AS rank_fp,
         |       CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
-        |FROM r5 ORDER BY node""".stripMargin
+        |FROM r5 ORDER BY node""".stripMargin,
+    "q_curate_hostrank" ->
+      s"""WITH $pagerankWithBody,
+        |rnk AS (SELECT node,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
+        |        FROM r5),
+        |mx AS (SELECT MAX(rk) AS mx FROM rnk),
+        |j AS (SELECT d.source, d.doc_id,
+        |        CASE WHEN r.rk * 2 <= (SELECT mx FROM mx) THEN 1 ELSE 0 END AS kept
+        |      FROM (SELECT doc_id, source, (doc_id % 997) AS node FROM documents) d
+        |      JOIN rnk r ON d.node = r.node)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT) AS id_sum_kept
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
   )
+
+  private def pagerankWithBody: String =
+    s"""ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+       |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,
+       |                       ((doc_id * 31 + k * 7) % 997) AS dst
+       |       FROM documents CROSS JOIN ks
+       |       WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)),
+       |deg AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, deg.odeg FROM e0 JOIN deg ON e0.src = deg.src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |consts AS (SELECT 1000000000000 // n AS base,
+       |                  (15 * (1000000000000 // n)) // 100 AS tp FROM nn),
+       |r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
+       |${(1 to 5).map(i => duckRound(i, s"r${i - 1}")).mkString(",\n")}""".stripMargin
 }

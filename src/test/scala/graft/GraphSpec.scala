@@ -305,6 +305,20 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("host-rank curation keeps roughly the top half by construction") {
+    val out = Graph.qCurateHostrank(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nDocs = out.map(_.getLong(1)).sum
+    val nKept = out.map(_.getLong(2)).sum
+    info(s"kept $nKept / $nDocs docs across ${out.length} sources")
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    // the cut is rk*2 <= max(rk) over hosts; with ~uniform docs/host the
+    // kept DOCUMENT share sits near one half — wide envelope, the exact
+    // decision set is hash-gated by the oracle
+    val share = nKept.toDouble / nDocs
+    assert(share > 0.3 && share < 0.7, f"kept share $share%.2f out of envelope")
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
