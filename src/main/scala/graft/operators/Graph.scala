@@ -337,6 +337,185 @@ object Graph {
       .orderBy("source")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
+    * a hyperlinked environment") — the complementary link signal to
+    * PageRank: an AUTHORITY is a page good sources point at, a HUB is a
+    * page that points at good authorities. For curation the two axes
+    * separate content hosts (high authority) from directory/aggregator
+    * hosts (high hub) — a distinction one PageRank score conflates.
+    * PUBLIC entry; duplicate edges are honored as given (multigraph
+    * semantics, the [[pageRank]] convention).
+    *
+    * Engine-exactness: the classical algorithm L2-normalizes each
+    * round — irrational, so not oracle-able. This uses the equally
+    * standard SUM normalization (the scores are a probability-style
+    * distribution; same fixpoint direction, Kleinberg's theorem only
+    * needs SOME normalization): each half-round is
+    *   a = A^T h;  a := a·scale DIV Σa,   h = A a;  h := h·scale DIV Σh
+    * in BIGINT fixed-point, the multiply staged through DECIMAL(38,0)
+    * so `raw · scale` cannot overflow at web scale (raw ≤ m·scale; at
+    * 1e10 edges × 1e6 scale the product needs 35 digits — the
+    * [[TextOps.hamiltonAlloc]] convention). Σraw > 0 every round on a
+    * nonempty edge list: round 1 sums over all-positive init, and
+    * afterwards mass is nonzero exactly on src/dst endpoints, which by
+    * definition each edge has.
+    *
+    * Plan shape: identical to one [[pageRank]] round — the static edge
+    * relation joined against a narrow (node, score) frame, one
+    * groupBy-sum shuffle per half-round, a 1-row broadcast for the
+    * normalizer; each round's frames fenced and released when
+    * superseded, so plan depth and cache are O(1) in the round count. */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val e = graft.Fence(edges.select(col("src"), col("dst")))
+    val nodes = graft.Fence(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      graft.Fence(raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * ${scale}L) DIV tot AS BIGINT)")
+            .as(out)))
+    }
+    def gather(scores: DataFrame, in: String, from: String, to: String): DataFrame =
+      nodes.join(
+          e.join(scores.withColumnRenamed("node", from), from)
+            .groupBy(col(to).as("node")).agg(sum(col(in)).as("raw")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+    var hub = graft.Fence(nodes.withColumn("hub", lit(scale)))
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val newAuth = normalized(gather(hub, "hub", "src", "dst"), "auth")
+      if (auth != null) graft.Fence.release(auth)
+      auth = newAuth
+      val prevHub = hub
+      hub = normalized(gather(auth, "auth", "dst", "src"), "hub")
+      graft.Fence.release(prevHub)
+    }
+    val keep = graft.Fence.cut(
+      hub.join(auth, "node")
+        .select(col("node"), col("hub").as("hub_fp"), col("auth").as("auth_fp")))
+    graft.Fence.release(hub); graft.Fence.release(auth)
+    graft.Fence.release(nodes); graft.Fence.release(e)
+    keep
+  }
+
+  /** EXT: 3-round HITS on the fixture webgraph, declared + oracled
+    * (every half-round replayed as an unrolled CTE with the identical
+    * HUGEINT multiply-floor-divide). */
+  def qGraphHits(s: SparkSession, d: String): DataFrame =
+    hits(graphEdges(s, d), iters = 3).orderBy("node")
+
+  /** k-core of an undirected simple graph — iterated peeling: drop every
+    * vertex with degree < k, recompute degrees, repeat to fixpoint
+    * (Seidman 1983; Batagelj & Zaveršnik 2003's sequential algorithm is
+    * the driver-side reference, the peel loop is its standard
+    * distributed form). The k-core isolates the densely-interlinked
+    * kernel of a webgraph — link farms and genuine communities both live
+    * there, and coreness is a spam/quality feature Common Crawl-scale
+    * curation pipelines compute alongside rank.
+    *
+    * Semantics: input symmetrized + self-loops dropped + deduped (simple
+    * undirected graph). Output: EVERY vertex with an `in_core` 0/1 flag
+    * and its within-core degree (0 outside) — total-graph output keeps
+    * the op composable with per-host joins.
+    *
+    * Plan shape: each round is two semi-joins of the static edge list
+    * against the shrinking alive set plus one count shuffle; ONE scalar
+    * action per round drives convergence (the [[connectedComponents]]
+    * discipline — strictly decreasing alive count, bounded by the peel
+    * depth, which on power-law webgraphs is tens of rounds). Alive
+    * frames are fenced and released as superseded: O(1) cache and plan
+    * depth. At 100 TB the edge relation dominates and is only ever
+    * semi-joined — never mutated — so bucketing it by both endpoints
+    * pre-co-locates every round. */
+  def kcore(edges: DataFrame, k: Int): DataFrame = {
+    val und = graft.Fence(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+    val nodes = graft.Fence(und.select(col("a").as("node")).distinct())
+    def coreDeg(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg_core"))
+    var alive = nodes
+    var prevN = -1L
+    var curN = alive.count()
+    while (curN != prevN && curN > 0) {
+      val prev = alive
+      alive = graft.Fence(
+        coreDeg(prev).filter(col("deg_core") >= k).select("node"))
+      if (!(prev eq nodes)) graft.Fence.release(prev)
+      prevN = curN
+      curN = alive.count()
+    }
+    val keep = graft.Fence.cut(
+      nodes.join(coreDeg(alive), Seq("node"), "left")
+        .select(col("node"),
+          when(col("deg_core").isNotNull, 1L).otherwise(0L).as("in_core"),
+          coalesce(col("deg_core"), lit(0L)).as("deg_core")))
+    if (!(alive eq nodes)) graft.Fence.release(alive)
+    graft.Fence.release(nodes); graft.Fence.release(und)
+    keep
+  }
+
+  /** EXT: 3-core membership + within-core degree on the fixture
+    * webgraph, declared + oracled. The Spark loop peels to FIXPOINT; the
+    * DuckDB replay unrolls 12 peel rounds — sufficient because the peel
+    * is idempotent at fixpoint, so any unroll ≥ the true round count
+    * yields the identical relation (GraphSpec pins the fixture's
+    * convergence depth ≤ 12 against a driver-side brute-force peel). */
+  def qGraphKcore(s: SparkSession, d: String): DataFrame =
+    kcore(graphEdges(s, d), k = 3).orderBy("node")
+
+  /** Label-propagation community detection (Raghavan et al. 2007) over
+    * an undirected simple graph — communities WITHOUT a global
+    * objective: each vertex repeatedly adopts the most frequent label
+    * among its neighbors. Complements [[connectedComponents]] (which
+    * only finds disconnected islands) — LPA splits a connected webgraph
+    * into link-dense neighborhoods, the granularity domain-level
+    * curation mixes on.
+    *
+    * Engine-exactness: synchronous rounds with the DETERMINISTIC
+    * tie-break (max count, then min label) and a FIXED round budget —
+    * the standard mitigation for synchronous LPA's known bipartite
+    * oscillation (Raghavan §4), and what makes the op a pure function
+    * of the edge list, replayable by the oracle. Each round is one
+    * equi-join of the static symmetrized edges against the narrow
+    * (node, lbl) frame, one (node, lbl) count shuffle, one per-node
+    * window pick (partitioned — no global sort); fenced + released per
+    * round, O(1) plan depth. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val und = graft.Fence(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+    val nodes = graft.Fence(und.select(col("a").as("node")).distinct())
+    var lbl = graft.Fence(nodes.withColumn("lbl", col("node")))
+    val w = Window.partitionBy("a").orderBy(col("c").desc, col("lbl").asc)
+    (1 to iters).foreach { _ =>
+      val cnt = und.join(lbl.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+      val prev = lbl
+      lbl = graft.Fence(
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("a").as("node"), col("lbl")))
+      graft.Fence.release(prev)
+    }
+    val keep = graft.Fence.cut(lbl.select(col("node"), col("lbl").as("community")))
+    graft.Fence.release(lbl); graft.Fence.release(nodes); graft.Fence.release(und)
+    keep
+  }
+
+  /** EXT: 4-round label-propagation communities on the fixture webgraph,
+    * declared + oracled (each round's count + window pick replayed as an
+    * unrolled CTE pair). */
+  def qGraphLpa(s: SparkSession, d: String): DataFrame =
+    labelPropagation(graphEdges(s, d), iters = 4).orderBy("node")
+
   /** The derived fixture webgraph (see [[qGraphPagerank]]). */
   private[graft] def graphEdges(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -579,8 +758,58 @@ object Graph {
     "q_graph_triangles"  -> (qGraphTriangles _),
     "q_graph_walks"      -> (qGraphWalks _),
     "q_graph_skipgram"   -> (qGraphSkipgram _),
-    "q_curate_hostrank"  -> (qCurateHostrank _)
+    "q_curate_hostrank"  -> (qCurateHostrank _),
+    "q_graph_hits"       -> (qGraphHits _),
+    "q_graph_kcore"      -> (qGraphKcore _),
+    "q_graph_lpa"        -> (qGraphLpa _)
   )
+
+  // one unrolled HITS round: authority half then hub half, each a
+  // gather-sum + HUGEINT-staged multiply-floor-divide normalization.
+  // MATERIALIZED: ar/hr are each referenced twice (score + normalizer
+  // scalar subquery) — without it DuckDB inlines the whole prior-round
+  // tree per reference and the expansion is 2^rounds base scans.
+  private def duckHitsRound(i: Int): String =
+    s"""ar$i AS MATERIALIZED (SELECT nodes.node, COALESCE(x.raw, 0) AS raw FROM nodes
+       |         LEFT JOIN (SELECT e.dst AS node, SUM(h.hub) AS raw
+       |                    FROM e JOIN h${i - 1} h ON e.src = h.node
+       |                    GROUP BY e.dst) x ON nodes.node = x.node),
+       |a$i AS (SELECT node,
+       |          CAST(CAST(raw AS HUGEINT) * 1000000
+       |               // (SELECT SUM(raw) FROM ar$i) AS BIGINT) AS auth
+       |        FROM ar$i),
+       |hr$i AS (SELECT nodes.node, COALESCE(x.raw, 0) AS raw FROM nodes
+       |         LEFT JOIN (SELECT e.src AS node, SUM(a.auth) AS raw
+       |                    FROM e JOIN a$i a ON e.dst = a.node
+       |                    GROUP BY e.src) x ON nodes.node = x.node),
+       |h$i AS (SELECT node,
+       |          CAST(CAST(raw AS HUGEINT) * 1000000
+       |               // (SELECT SUM(raw) FROM hr$i) AS BIGINT) AS hub
+       |        FROM hr$i)""".stripMargin
+
+  // one unrolled peel round over the symmetrized fixture graph.
+  // MATERIALIZED: each round reads the previous alive set TWICE (one
+  // semi-join per endpoint) — inlined, the 12-round unroll would expand
+  // to 2^12 base scans (measured: DuckDB exhausts its file-handle
+  // budget re-opening the parquet).
+  private def duckPeelRound(i: Int): String =
+    s"""a$i AS MATERIALIZED (SELECT u.a AS node, COUNT(*) AS dg FROM und u
+       |        JOIN a${i - 1} x ON u.a = x.node
+       |        JOIN a${i - 1} y ON u.b = y.node
+       |        GROUP BY u.a HAVING COUNT(*) >= 3)""".stripMargin
+
+  // one unrolled LPA round: neighbor-label counts + deterministic pick
+  private def duckLpaRound(i: Int): String =
+    s"""c$i AS (SELECT u.a, l.lbl, COUNT(*) AS c FROM und u
+       |        JOIN l${i - 1} l ON u.b = l.node GROUP BY u.a, l.lbl),
+       |l$i AS (SELECT a AS node, lbl FROM
+       |        (SELECT a, lbl,
+       |           ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lbl) AS rn
+       |         FROM c$i) WHERE rn = 1)""".stripMargin
+
+  private val duckUndirected =
+    s"""und AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |        (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e))""".stripMargin
 
   // one unrolled PageRank round in DuckDB SQL (integer // = Spark DIV);
   // `p` names the previous round's rank CTE, the result CTE is `r$i`
@@ -769,7 +998,30 @@ object Graph {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(kept) AS BIGINT) AS n_kept,
         |       CAST(SUM(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT) AS id_sum_kept
-        |FROM j GROUP BY source ORDER BY source""".stripMargin
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q_graph_hits" ->
+      s"""WITH $duckFixtureEdges,
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+        |${(1 to 3).map(duckHitsRound).mkString(",\n")}
+        |SELECT h3.node, h3.hub AS hub_fp, a3.auth AS auth_fp
+        |FROM h3 JOIN a3 ON h3.node = a3.node ORDER BY h3.node""".stripMargin,
+    "q_graph_kcore" ->
+      s"""WITH $duckFixtureEdges,
+        |$duckUndirected,
+        |a0 AS (SELECT DISTINCT a AS node FROM und),
+        |${(1 to 12).map(duckPeelRound).mkString(",\n")},
+        |df AS (SELECT u.a AS node, CAST(COUNT(*) AS BIGINT) AS deg_core FROM und u
+        |       JOIN a12 x ON u.a = x.node JOIN a12 y ON u.b = y.node GROUP BY u.a)
+        |SELECT n.node, CAST(CASE WHEN df.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core,
+        |       COALESCE(df.deg_core, 0) AS deg_core
+        |FROM (SELECT DISTINCT a AS node FROM und) n
+        |LEFT JOIN df ON n.node = df.node ORDER BY n.node""".stripMargin,
+    "q_graph_lpa" ->
+      s"""WITH $duckFixtureEdges,
+        |$duckUndirected,
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+        |${(1 to 4).map(duckLpaRound).mkString(",\n")}
+        |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
   )
 
   private def pagerankWithBody: String =

@@ -305,6 +305,152 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** Driver-side HITS reference: same sum-normalized integer math,
+    * multiply staged through BigInt (the operator's DECIMAL(38,0)). */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int,
+                      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def mulDiv(raw: Long, tot: Long): Long =
+      (BigInt(raw) * scale / tot).toLong
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    (1 to iters).foreach { _ =>
+      val araw = nodes.map(v =>
+        v -> edges.collect { case (u, w) if w == v => hub(u) }.sum).toMap
+      val at = araw.values.sum
+      auth = nodes.map(v => v -> mulDiv(araw(v), at)).toMap
+      val hraw = nodes.map(v =>
+        v -> edges.collect { case (u, w) if u == v => auth(w) }.sum).toMap
+      val ht = hraw.values.sum
+      hub = nodes.map(v => v -> mulDiv(hraw(v), ht)).toMap
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  /** Driver-side peel-to-fixpoint reference; also returns the round
+    * count so the fixture spec can pin the oracle's unroll bound. */
+  private def refKcore(edges: Seq[(Long, Long)], k: Int)
+      : (Map[Long, (Long, Long)], Int) = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val nodes = und.map(_._1).distinct
+    def degrees(alive: Set[Long]): Map[Long, Long] =
+      und.filter { case (a, b) => alive(a) && alive(b) }
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var alive = nodes.toSet
+    var rounds = 0
+    var changed = true
+    while (changed && alive.nonEmpty) {
+      val next = degrees(alive).filter(_._2 >= k).keySet
+      changed = next != alive
+      if (changed) rounds += 1
+      alive = next
+    }
+    val dg = degrees(alive)
+    (nodes.map(v => v -> ((if (alive(v)) 1L else 0L, dg.getOrElse(v, 0L)))).toMap,
+     rounds)
+  }
+
+  /** Driver-side synchronous LPA reference: max count then min label. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val nodes = und.map(_._1).distinct
+    var lbl = nodes.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      lbl = nodes.map { v =>
+        val counts = und.collect { case (a, b) if a == v => lbl(b) }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        v -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }.toMap
+    }
+    lbl
+  }
+
+  test("HITS: star graph — hub/authority separate; matches driver reference") {
+    import spark.implicits._
+    // directory 0 links to 1,2,3; 4 also links to 1: 0 is the hub,
+    // 1 the strongest authority; authorities have zero hub score
+    val edges = Seq[(Long, Long)]((0, 1), (0, 2), (0, 3), (4, 1))
+    for (iters <- Seq(1, 2, 3)) {
+      val got = Graph.hits(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === refHits(edges, iters), s"iters=$iters")
+    }
+    val r = refHits(edges, 3)
+    assert(r(0L)._1 > r(4L)._1, "3-link hub outranks 1-link hub")
+    assert(r(1L)._2 > r(2L)._2, "2-in authority outranks 1-in")
+    assert(r(1L)._1 === 0L && r(0L)._2 === 0L, "pure sink/source split")
+  }
+
+  test("k-core: clique survives, tail peels in cascade") {
+    import spark.implicits._
+    // K4 on 0-3 plus 4 hanging off 3 with two leaves 5,6: deg(4)=3
+    // survives round 1, the leaves peel first, THEN 4 — a genuine
+    // 2-round cascade, the fixpoint loop's reason to exist
+    val edges = Seq[(Long, Long)](
+      (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6))
+    val got = Graph.kcore(edges.toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (ref, rounds) = refKcore(edges, 3)
+    assert(got === ref)
+    assert(rounds === 2, s"expected a 2-round cascade, got $rounds")
+    assert(got(0L) === ((1L, 3L)) && got(4L) === ((0L, 0L)) && got(5L) === ((0L, 0L))
+      && got(6L) === ((0L, 0L)))
+    // k=2: the K4 plus the cycle-free tail — tail still peels
+    val got2 = Graph.kcore(edges.toDF("src", "dst"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === refKcore(edges, 2)._1.map { case (v, (f, _)) => v -> f })
+  }
+
+  test("k-core fixture: converges within the oracle's 12-round unroll") {
+    val edges = Graph.graphEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (_, rounds) = refKcore(edges, 3)
+    info(s"fixture 3-core peels in $rounds rounds (oracle unrolls 12)")
+    assert(rounds <= 12, s"oracle unroll bound violated: $rounds rounds")
+  }
+
+  test("LPA: two cliques with a bridge resolve to two communities") {
+    import spark.implicits._
+    // triangles {0,1,2} and {10,11,12} bridged by 2-10: min-label
+    // propagation settles each clique on its own minimum
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10))
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refLpa(edges, 4))
+    assert(Set(got(0L), got(1L), got(2L)).size === 1, "left clique united")
+    assert(Set(got(10L), got(11L), got(12L)).size === 1, "right clique united")
+    assert(got(0L) !== got(11L), "bridge must not merge the cliques")
+  }
+
+  test("property (scalacheck): random digraphs — hits, kcore, lpa all match brute force") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(4, 10)
+      m <- Gen.choose(3, 18)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(genEdges.suchThat(_.nonEmpty), Gen.choose(1, 3)) {
+      (edges, iters) =>
+        val df = edges.toDF("src", "dst")
+        val h = Graph.hits(df, iters)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val kc = Graph.kcore(df, k = 2)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val lp = Graph.labelPropagation(df, iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        h == refHits(edges, iters) && kc == refKcore(edges, 2)._1 &&
+          lp == refLpa(edges, iters)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("host-rank curation keeps roughly the top half by construction") {
     val out = Graph.qCurateHostrank(spark, sf).collect()
     assert(out.nonEmpty)
