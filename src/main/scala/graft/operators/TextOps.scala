@@ -521,6 +521,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** EXT: PMI collocation mining — the word2vec-phrases pass (Mikolov
+    * et al. 2013 §4, "Distributed representations of words and
+    * phrases"): score every adjacent word pair by how much more often
+    * it occurs than its parts predict, keep the top scorers as phrase
+    * candidates ("new york" fuses, "of the" does not). Production
+    * pipelines run this between tokenizer training and corpus encoding
+    * so multiword units become single tokens.
+    *
+    * Engine-exactness: PMI = ln(p(ab)/(p(a)p(b))) is monotone in the
+    * LIFT c(ab)·N / (c(a)·c(b)), so the op ranks by the lift itself in
+    * fixed-point — `c2·N·1e6 DIV (c(a)·c(b))` staged through
+    * DECIMAL(38,0) (at corpus scale c2·N·1e6 ~ 1e32 overflows BIGINT;
+    * the [[hamiltonAlloc]] convention, HUGEINT on the DuckDB side). No
+    * logarithm ever evaluated — ranking and thresholds are exact.
+    *
+    * Plan shape at 100 TB: two corpus passes (unigram counts, bigram
+    * counts), both map-side-combined count shuffles on the token key;
+    * the min-count filter (Mikolov's subsampling guard) cuts the bigram
+    * relation BEFORE the two vocab joins, which broadcast under
+    * [[MaxBroadcastVocab]] and shuffle-merge beyond; the final top-k is
+    * a single-partition sort of only the filtered candidates. */
+  def qTextPmi(s: SparkSession, d: String): DataFrame =
+    collocations(Tables.documents(s, d), minCount = 5L, topK = 100)
+
+  /** Core over any (doc_id, text) frame. */
+  private[graft] def collocations(docs: DataFrame, minCount: Long,
+                                  topK: Int): DataFrame = {
+    val tk = fanout(docs).select(col("doc_id"), toks(col("text")).as("tk"))
+    val uni = graft.Fence.cut(
+      tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw")))
+    val nTok = uni.agg(sum(col("cw")).as("n"))
+    val big = tk.where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val m = if (uni.count() <= MaxBroadcastVocab) (df: DataFrame) => broadcast(df)
+            else (df: DataFrame) => df.hint("shuffle_merge")
+    big
+      .join(m(uni.select(col("w").as("w1"), col("cw").as("n_left"))), "w1")
+      .join(m(uni.select(col("w").as("w2"), col("cw").as("n_right"))), "w2")
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("c2").as("n_pair"),
+        col("n_left"), col("n_right"),
+        expr("""CAST((CAST(c2 AS DECIMAL(38,0)) * n * 1000000)
+               |     DIV (CAST(n_left AS DECIMAL(38,0)) * n_right) AS BIGINT)"""
+          .stripMargin).as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** EXT: per-language percentile split on the LM score — the CCNet
     * head/middle/tail recipe: rank each language's documents by unigram
     * surprisal and cut into terciles (head = most fluent third). Relative
@@ -1201,6 +1255,7 @@ object TextOps {
     "q_text_quality"     -> (qTextQuality _),
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_pmi"         -> (qTextPmi _),
   )
 
   private val duckShingles =
@@ -1420,6 +1475,22 @@ object TextOps {
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     // bigram conditional MLE: denominator = the bigram-stream marginal of
     // the LEFT word (a window over the model), so p sums to 1 per context
+    "q_text_pmi" ->
+      """WITH t AS MATERIALIZED (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS MATERIALIZED (SELECT w, COUNT(*) AS cw FROM
+        |       (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+        |n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+        |big AS (SELECT w1, w2, COUNT(*) AS c2 FROM
+        |        (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+        |                        for i in generate_series(1, len(tk) - 1)], recursive := true)
+        |         FROM t WHERE len(tk) >= 2)
+        |        GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+        |SELECT b.w1, b.w2, CAST(b.c2 AS BIGINT) AS n_pair,
+        |       CAST(l.cw AS BIGINT) AS n_left, CAST(r.cw AS BIGINT) AS n_right,
+        |       CAST(CAST(b.c2 AS HUGEINT) * (SELECT n FROM n) * 1000000
+        |            // (CAST(l.cw AS HUGEINT) * r.cw) AS BIGINT) AS lift_fp
+        |FROM big b JOIN uni l ON b.w1 = l.w JOIN uni r ON b.w2 = r.w
+        |ORDER BY lift_fp DESC, b.w1, b.w2 LIMIT 100""".stripMargin,
     "q_text_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |b AS (SELECT doc_id,

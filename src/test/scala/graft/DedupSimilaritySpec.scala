@@ -567,6 +567,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(loops.isEmpty, s"pair join must be a cid equi-join, found ${loops.size}:\n$plan")
   }
 
+  test("PMI collocations: planted phrase dominates; lift matches first-principles") {
+    // "new york" always adjacent (a phrase); "of the" frequent but made
+    // of frequent parts (not a phrase). minCount=2 keeps both candidates.
+    val docs = Seq(
+      (1L, "trip to new york of the year"),
+      (2L, "new york is of the coast"),
+      (3L, "the best of the city new york"),
+      (4L, "of new york the harbor view"),
+      (5L, "new york of the night")
+    ).toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // first-principles recompute of the lift for (new, york)
+    val toks = docs.collect().flatMap(_.getString(1).split(" "))
+    val n = toks.length.toLong
+    val cNew = toks.count(_ == "new").toLong
+    val cYork = toks.count(_ == "york").toLong
+    val pairs = docs.collect().flatMap(_.getString(1).split(" ").sliding(2))
+      .map(a => (a(0), a(1))).toSeq
+    val cNY = pairs.count(_ == ("new", "york")).toLong
+    val expLift = (BigInt(cNY) * n * 1000000L / (BigInt(cNew) * cYork)).toLong
+    assert(out(("new", "york")) === ((cNY, cNew, cYork, expLift)))
+    // the phrase outranks the frequent-parts pair
+    assert(out(("new", "york"))._4 > out(("of", "the"))._4,
+      "planted phrase must out-lift the common-word bigram")
+    // fixture query: well-formed, sorted by lift, exactly topK rows
+    val fx = TextOps.qTextPmi(spark, sf).collect()
+    assert(fx.length === 100)
+    assert(fx.sliding(2).forall { case Array(a, b) =>
+      a.getLong(5) > b.getLong(5) || (a.getLong(5) == b.getLong(5) &&
+        (a.getString(0) < b.getString(0) ||
+         (a.getString(0) == b.getString(0) && a.getString(1) <= b.getString(1))))
+    }, "output must be totally ordered by (lift desc, w1, w2)")
+    assert(fx.forall(_.getLong(2) >= 5L), "minCount filter must hold")
+  }
+
   test("quality classifier: valid probabilities, uni+bigram feature count, deterministic") {
     val out = TextOps.qQualityClassifier(spark, sf).collect()
     assert(out.nonEmpty)
