@@ -1078,7 +1078,56 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** EXT: cluster-balanced curation — the D4/DoReMi-style semantic
+    * REBALANCING pass (Tirumala et al. 2023, "D4: Improving LLM
+    * pretraining via document de-duplication and diversification"):
+    * cluster the corpus in embedding space, then CAP each cluster so no
+    * semantic neighborhood dominates the training mixture — the learned
+    * counterpart of [[TextOps.qCurateSourceCap]]'s per-source cap
+    * (metadata strata miss topical skew inside a source; embedding
+    * clusters catch it).
+    *
+    * Assignment = nearest of 8 deterministic seed centroids by cosine,
+    * the [[qDedupSemantic]] shape (broadcast centroids, one 8-row
+    * window per vector — engine-portable via the shared
+    * pairwise-sequential dot fold). Cap = ⌊total/16⌋, i.e. half the
+    * mean cluster mass — self-calibrating, no tuned constant. Selection
+    * inside a cluster is hash-ordered (md5 of the id — the
+    * [[TextOps.qSampleHash]] convention), so the kept SET is a pure
+    * function of the corpus; `id_sum_kept` gates membership in the
+    * oracle hash, not just the counts.
+    *
+    * At 100 TB: assignment is a map-side broadcast pass; the per-cluster
+    * rank window is the one shuffle, and a giant cluster's window sort
+    * swaps for the two-scan hash-prefix select-k
+    * ([[TextOps.selectKByHash]]) with the identical kept set. */
+  def qCurateClusterBalance(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAsn = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(c))
+      .withColumn("cos", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wAsn))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+      .transform(graft.Fence.cut)
+    val cap = assigned.agg(expr("count(1) DIV 16").as("cap"))
+    val wSel = Window.partitionBy("cid")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(wSel))
+      .crossJoin(broadcast(cap))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+           sum((col("rn") <= col("cap")).cast("long")).as("n_kept"),
+           coalesce(sum(when(col("rn") <= col("cap"), col("vec_id"))), lit(0L))
+             .as("id_sum_kept"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate_cluster_balance" -> (qCurateClusterBalance _),
     "q_dedup_semantic"  -> (qDedupSemantic _),
     "q_array_explode"   -> (qArrayExplode _),
     "q_sim_cosine"      -> (qSimCosine _),
@@ -1217,6 +1266,24 @@ object Similarity {
         |  FROM scored WHERE cos < 0.95)
         |SELECT qid, cand, rk, cos FROM ranked WHERE rk <= 8
         |ORDER BY qid, rk""".stripMargin,
+    // same assignment CTE as q_dedup_semantic; the cap is a 1-row scalar
+    // and the kept set is the md5-hash-order prefix per cluster
+    "q_curate_cluster_balance" ->
+      s"""WITH e AS MATERIALIZED ($duckVecs),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+        |a AS MATERIALIZED (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
+        |  FROM e CROSS JOIN c) WHERE rk = 1),
+        |cap AS (SELECT COUNT(*) // 16 AS cap FROM a),
+        |r AS (SELECT vec_id, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY cid
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |      FROM a)
+        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN rn <= (SELECT cap FROM cap) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(CAST(SUM(CASE WHEN rn <= (SELECT cap FROM cap) THEN vec_id END) AS BIGINT), 0) AS id_sum_kept
+        |FROM r GROUP BY cid ORDER BY cid""".stripMargin,
     // same assignment tie-break as q_ann_ivf_kmeans's CTE chain; the
     // within-cluster pair join mirrors the Spark equi-join on cid exactly
     "q_dedup_semantic" ->

@@ -567,6 +567,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(loops.isEmpty, s"pair join must be a cid equi-join, found ${loops.size}:\n$plan")
   }
 
+  test("cluster balance: caps bind, kept set is the hash-order prefix per cluster") {
+    import graft.operators.Similarity
+    val out = Similarity.qCurateClusterBalance(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    val total = out.map(_.getLong(1)).sum
+    val cap = total / 16
+    out.foreach { r =>
+      assert(r.getLong(2) === math.min(r.getLong(1), cap),
+        s"cluster ${r.getLong(0)}: kept ${r.getLong(2)} != min(n=${r.getLong(1)}, cap=$cap)")
+    }
+    // a dominating cluster must actually be capped (the op's reason to
+    // exist); with 8 seed centroids over this corpus at least one is
+    assert(out.exists(r => r.getLong(1) > cap), "fixture has no capped cluster")
+    // first-principles: recompute one cluster's kept id-sum from the
+    // assignment + md5 prefix order
+    val asn = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = asn.filter(_._1 < 8)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    val byCluster = asn.toSeq.map { case (id, v) =>
+      val cid = cents.toSeq.map { case (c, cv) => (-cos(v, cv), c) }.min._2
+      (cid, id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val someCid = out.head.getLong(0)
+    val expKept = byCluster(someCid).sortBy(id => (md5hex(id.toString), id))
+      .take(cap.toInt)
+    assert(out.head.getLong(3) === expKept.sum,
+      s"cluster $someCid kept id-sum mismatch")
+  }
+
   test("PMI collocations: planted phrase dominates; lift matches first-principles") {
     // "new york" always adjacent (a phrase); "of the" frequent but made
     // of frequent parts (not a phrase). minCount=2 keeps both candidates.
