@@ -52,6 +52,7 @@ object ScaleProbe {
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
     else if (args(0) == "dstream") dstreamProbe(spark, args(1).toInt)
     else if (args(0) == "graph") graphProbe(spark, args(1).toInt)
+    else if (args(0) == "graphops") graphopsProbe(spark, args(1).toInt)
     else if (args(0) == "hyperball") hyperballProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
@@ -607,6 +608,46 @@ object ScaleProbe {
     val mass = out.agg(sum("rank")).head().getLong(0)
     println(f"graph pagerank: $n%,d nodes, $nEdges%,d edges, 5 rounds -> " +
       f"$rows%,d ranks in $total%.1f s, mass=${mass / 1e12}%.6f")
+  }
+
+  /** The round-12 graph family (HITS / k-core / LPA) at webgraph
+    * magnitude — same synthetic topology as [[graphProbe]]. Claims under
+    * test for SCALE.md: (a) HITS and LPA round walls are FLAT (each
+    * round = one static-edges join + one agg shuffle, the pageRank
+    * property); (b) k-core round walls SHRINK as the alive set peels
+    * (each round semi-joins against a strictly smaller relation) and
+    * the cascade DEPTH on this topology stays bounded; (c) the
+    * deep-loop Fence.cut in kcore holds walls flat in round number
+    * (the FenceGateSpec lineage rule, measured not assumed).
+    * Usage: tools/run_verify.sh graphops <millions> graft.ScaleProbe */
+  private def graphopsProbe(spark: SparkSession, millions: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = millions * 1000000L
+    val edges = spark.range(0, n).toDF("src")
+      .select(col("src"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("src"), lit(4L)))).as("k"))
+      .select(col("src"),
+        pmod(col("src") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val t0 = System.nanoTime()
+    val h = operators.Graph.hits(edges, iters = 3,
+      onRound = (i, secs) => println(f"graphops hits round=$i wall=$secs%.1f s"))
+    val hn = h.count()
+    println(f"graphops hits: $n%,d nodes -> $hn%,d scored in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // k=6 sits above this topology's ~5 mean undirected degree, so the
+    // peel actually CASCADES (k=4 converges in one round with nothing
+    // removed — measured; a cascade is the case the probe exists for)
+    val t1 = System.nanoTime()
+    val kc = operators.Graph.kcore(edges, k = 6,
+      onRound = (r, alive, secs) =>
+        println(f"graphops kcore round=$r alive=$alive%,d wall=$secs%.1f s"))
+    val inCore = kc.agg(sum("in_core")).head().getLong(0)
+    println(f"graphops kcore: $n%,d nodes -> $inCore%,d in 6-core in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    val t2 = System.nanoTime()
+    val lp = operators.Graph.labelPropagation(edges, iters = 4,
+      onRound = (i, secs) => println(f"graphops lpa round=$i wall=$secs%.1f s"))
+    val nComm = lp.select(countDistinct("community")).head().getLong(0)
+    println(f"graphops lpa: $n%,d nodes -> $nComm%,d communities in ${(System.nanoTime() - t2) / 1e9}%.1f s")
   }
 
   /** HyperBall harmonic centrality at webgraph magnitude — the same

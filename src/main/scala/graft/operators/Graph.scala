@@ -354,44 +354,56 @@ object Graph {
     *   a = A^T h;  a := a·scale DIV Σa,   h = A a;  h := h·scale DIV Σh
     * in BIGINT fixed-point, the multiply staged through DECIMAL(38,0)
     * so `raw · scale` cannot overflow at web scale (raw ≤ m·scale; at
-    * 1e10 edges × 1e6 scale the product needs 35 digits — the
+    * 1e10 edges × 1e12 scale the product needs 35 digits — the
     * [[TextOps.hamiltonAlloc]] convention). Σraw > 0 every round on a
     * nonempty edge list: round 1 sums over all-positive init, and
     * afterwards mass is nonzero exactly on src/dst endpoints, which by
-    * definition each edge has.
+    * definition each edge has — PROVIDED `scale` dominates the node
+    * count: normalized scores are ~scale/n, so at scale ≤ n they floor
+    * to zero, the next normalizer divides by zero, and the op fails
+    * loudly (measured at 10M nodes with the old 1e6 scale; default is
+    * now the [[pageRank]] 1e12 mass unit, good to ~1e10 nodes).
     *
     * Plan shape: identical to one [[pageRank]] round — the static edge
     * relation joined against a narrow (node, score) frame, one
     * groupBy-sum shuffle per half-round, a 1-row broadcast for the
     * normalizer; each round's frames fenced and released when
     * superseded, so plan depth and cache are O(1) in the round count. */
-  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+           onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     val e = graft.Fence(edges.select(col("src"), col("dst")))
     val nodes = graft.Fence(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
+    // the gather sum and its Σ normalizer BOTH run in DECIMAL(38,0):
+    // as BIGINTs they overflow at m·scale > 2^63 — measured at 10M
+    // nodes / 25M edges × the 1e12 init (Σ = 2.5e19); any real webgraph
+    // is far past that
     def normalized(raw: DataFrame, out: String): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("tot"))
       graft.Fence(raw.crossJoin(broadcast(tot))
         .select(col("node"),
-          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * ${scale}L) DIV tot AS BIGINT)")
-            .as(out)))
+          expr(s"CAST((raw * ${scale}L) DIV tot AS BIGINT)").as(out)))
     }
     def gather(scores: DataFrame, in: String, from: String, to: String): DataFrame =
       nodes.join(
           e.join(scores.withColumnRenamed("node", from), from)
-            .groupBy(col(to).as("node")).agg(sum(col(in)).as("raw")),
+            .groupBy(col(to).as("node"))
+            .agg(sum(col(in).cast("decimal(38,0)")).as("raw")),
           Seq("node"), "left")
-        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .select(col("node"),
+          coalesce(col("raw"), lit(0).cast("decimal(38,0)")).as("raw"))
     var hub = graft.Fence(nodes.withColumn("hub", lit(scale)))
     var auth: DataFrame = null
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
+      val t0 = System.nanoTime()
       val newAuth = normalized(gather(hub, "hub", "src", "dst"), "auth")
       if (auth != null) graft.Fence.release(auth)
       auth = newAuth
       val prevHub = hub
       hub = normalized(gather(auth, "auth", "dst", "src"), "hub")
       graft.Fence.release(prevHub)
+      onRound(i, (System.nanoTime() - t0) / 1e9)
     }
     val keep = graft.Fence.cut(
       hub.join(auth, "node")
@@ -430,7 +442,8 @@ object Graph {
     * depth. At 100 TB the edge relation dominates and is only ever
     * semi-joined — never mutated — so bucketing it by both endpoints
     * pre-co-locates every round. */
-  def kcore(edges: DataFrame, k: Int): DataFrame = {
+  def kcore(edges: DataFrame, k: Int,
+            onRound: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     val und = graft.Fence(
       edges.select(col("src").as("a"), col("dst").as("b"))
         .union(edges.select(col("dst").as("a"), col("src").as("b")))
@@ -443,13 +456,22 @@ object Graph {
     var alive = nodes
     var prevN = -1L
     var curN = alive.count()
+    var round = 0
     while (curN != prevN && curN > 0) {
+      val t0 = System.nanoTime()
       val prev = alive
-      alive = graft.Fence(
+      // Fence.cut, not the pin: peel depth on a webgraph is its
+      // degeneracy cascade — tens-to-hundreds of rounds — and the
+      // FenceGateSpec deep-loop rule applies (pin lineage depth grows
+      // per round; cut stays constant). The alive frame is one bare
+      // column, so the checkpoint write is trivially cheap.
+      alive = graft.Fence.cut(
         coreDeg(prev).filter(col("deg_core") >= k).select("node"))
       if (!(prev eq nodes)) graft.Fence.release(prev)
       prevN = curN
       curN = alive.count()
+      round += 1
+      onRound(round, curN, (System.nanoTime() - t0) / 1e9)
     }
     val keep = graft.Fence.cut(
       nodes.join(coreDeg(alive), Seq("node"), "left")
@@ -487,7 +509,8 @@ object Graph {
     * (node, lbl) frame, one (node, lbl) count shuffle, one per-node
     * window pick (partitioned — no global sort); fenced + released per
     * round, O(1) plan depth. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     val und = graft.Fence(
       edges.select(col("src").as("a"), col("dst").as("b"))
         .union(edges.select(col("dst").as("a"), col("src").as("b")))
@@ -495,7 +518,8 @@ object Graph {
     val nodes = graft.Fence(und.select(col("a").as("node")).distinct())
     var lbl = graft.Fence(nodes.withColumn("lbl", col("node")))
     val w = Window.partitionBy("a").orderBy(col("c").desc, col("lbl").asc)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
+      val t0 = System.nanoTime()
       val cnt = und.join(lbl.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
       val prev = lbl
@@ -504,6 +528,7 @@ object Graph {
           .filter(col("rn") === 1)
           .select(col("a").as("node"), col("lbl")))
       graft.Fence.release(prev)
+      onRound(i, (System.nanoTime() - t0) / 1e9)
     }
     val keep = graft.Fence.cut(lbl.select(col("node"), col("lbl").as("community")))
     graft.Fence.release(lbl); graft.Fence.release(nodes); graft.Fence.release(und)
@@ -775,7 +800,7 @@ object Graph {
        |                    FROM e JOIN h${i - 1} h ON e.src = h.node
        |                    GROUP BY e.dst) x ON nodes.node = x.node),
        |a$i AS (SELECT node,
-       |          CAST(CAST(raw AS HUGEINT) * 1000000
+       |          CAST(CAST(raw AS HUGEINT) * 1000000000000
        |               // (SELECT SUM(raw) FROM ar$i) AS BIGINT) AS auth
        |        FROM ar$i),
        |hr$i AS (SELECT nodes.node, COALESCE(x.raw, 0) AS raw FROM nodes
@@ -783,7 +808,7 @@ object Graph {
        |                    FROM e JOIN a$i a ON e.dst = a.node
        |                    GROUP BY e.src) x ON nodes.node = x.node),
        |h$i AS (SELECT node,
-       |          CAST(CAST(raw AS HUGEINT) * 1000000
+       |          CAST(CAST(raw AS HUGEINT) * 1000000000000
        |               // (SELECT SUM(raw) FROM hr$i) AS BIGINT) AS hub
        |        FROM hr$i)""".stripMargin
 
@@ -1001,7 +1026,7 @@ object Graph {
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_graph_hits" ->
       s"""WITH $duckFixtureEdges,
-        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+        |h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS hub FROM nodes),
         |${(1 to 3).map(duckHitsRound).mkString(",\n")}
         |SELECT h3.node, h3.hub AS hub_fp, a3.auth AS auth_fp
         |FROM h3 JOIN a3 ON h3.node = a3.node ORDER BY h3.node""".stripMargin,

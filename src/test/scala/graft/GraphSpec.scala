@@ -308,7 +308,7 @@ class GraphSpec extends SparkSpec {
   /** Driver-side HITS reference: same sum-normalized integer math,
     * multiply staged through BigInt (the operator's DECIMAL(38,0)). */
   private def refHits(edges: Seq[(Long, Long)], iters: Int,
-                      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+                      scale: Long = 1000000000000L): Map[Long, (Long, Long)] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     def mulDiv(raw: Long, tot: Long): Long =
       (BigInt(raw) * scale / tot).toLong
