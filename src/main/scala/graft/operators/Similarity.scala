@@ -1078,6 +1078,106 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** EXT: approximate kNN-GRAPH construction — every vector's top-3
+    * neighbors, not a query set's: the BUILD primitive the probe-side
+    * ANN family (lsh_probe/ivf/pq) doesn't cover. The kNN graph is the
+    * substrate of graph-based ANN indexes (NSW/HNSW layers are refined
+    * kNN graphs) and of SemDeDup-style clustering at corpus scale; this
+    * op is the one-pass LSH-seeded construction that NN-descent (Dong
+    * et al. 2011, "Efficient k-nearest neighbor graph construction...")
+    * then iterates on — each NN-descent round is the same join shape
+    * (candidates = neighbors-of-neighbors instead of bucket-mates), so
+    * the one-pass cost here IS the per-round cost at scale.
+    *
+    * Scale shape: NO all-pairs join — candidates are 8-bit-bucket
+    * mates, so the self-join shuffles on `bucket` and the per-bucket
+    * quadratic is bounded by the bucket occupancy (~n/256; skewed
+    * buckets split under AQE exactly like the near-dup banding). The
+    * per-vector top-3 is a window partitioned by the vector — never a
+    * global sort. Isolated vectors (no bucket-mate) drop out, the
+    * standard LSH-graph property NN-descent rounds then repair.
+    *
+    * The declared op ships seed + FOUR NN-descent rounds at build
+    * width 8: each round's candidate set is the current edges ∪ their
+    * REVERSALS ∪ the 2-hop closure (a neighbor of my neighbor is my
+    * candidate — Dong's local-join insight), exact-scored and re-ranked;
+    * the final emit trims to top-3. Each round is one self-join + one
+    * three-way rescore join + one per-vector window at ~k² candidates
+    * per vector — never all-pairs — and round graphs ride the hard
+    * lineage cut (production iterates toward convergence; the deep-loop
+    * rule). Measured recall@3 vs exact on the near-random fixture (the
+    * hardest corpus for locality seeds): 0.686, vs 0.162 for bucket
+    * seeds alone — see [[knnGraph]] for why the random-expander half of
+    * the seed is what makes descent work at all. */
+  def qAnnKnnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraph(vecs(s, d), k = 3, kRand = 4, kBuild = 8, rounds = 4)
+
+  /** Core over any (vec_id, v, nrm) frame: seeded top-kBuild graph plus
+    * `rounds` NN-descent iterations (each round: candidates = current
+    * edges + their reversals + the 2-hop closure, exact-rescored,
+    * re-ranked top-kBuild), final emit trimmed to top-k. Round graphs
+    * ride the hard lineage cut (the deep-loop rule) and each superseded
+    * round is released. */
+  /** The seed graph UNIONS two candidate sources, and both are load-
+    * bearing (each alone was measured inert on the fixture):
+    *  - LSH bucket-mates (distinct-frequency [[plane2]] planes): the
+    *    LOCAL candidates — genuinely near vectors when the corpus has
+    *    cluster structure;
+    *  - kRand RANDOM neighbors per vector by a deterministic hash coin
+    *    (nb_j = pmod(xxhash64(j, vid), n-1), self skipped by shift —
+    *    the [[Graph.randomWalks]] coin convention, oracle-replayable):
+    *    the EXPANDER. NN-descent's 2-hop closure can never LEAVE a
+    *    connected component of the seed graph, and bucket seeds alone
+    *    make components = buckets — so descent rounds were a provable
+    *    no-op (measured: recall bit-identical to seed-only, both with
+    *    huge correlated-plane buckets and sparse plane2 buckets). The
+    *    random edges are exactly Dong et al.'s random initialization:
+    *    one giant mixing component the local joins then refine.
+    * Contract: vec_ids dense 0..n-1 (the corpus convention; one
+    * zipWithIndex upstream otherwise). */
+  private[graft] def knnGraph(e: DataFrame, k: Int, kRand: Int, kBuild: Int,
+                              rounds: Int): DataFrame = {
+    val bits = (0 until 8).map { p =>
+      when(vecDot(col("v"), plane2(p)) >= 0, "1").otherwise("0")
+    }
+    val sig = e.withColumn("bucket", concat(bits: _*))
+    val w = Window.partitionBy("vid").orderBy(col("cos").desc, col("nb"))
+    def rescoreTopK(cand: DataFrame, kk: Int): DataFrame = cand
+      .join(e.select(col("vec_id").as("vid"), col("v").as("va"), col("nrm").as("na")), "vid")
+      .join(e.select(col("vec_id").as("nb"), col("v").as("vb"), col("nrm").as("nbn")), "nb")
+      .select(col("vid"), col("nb"),
+              round(vecDot(col("va"), col("vb")) / (col("na") * col("nbn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kk)
+    val nM1 = e.count() - 1 // one scalar, before the loop
+    val bucketPairs = sig.as("a")
+      .join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nb"))
+    val randPairs = e.select(col("vec_id").as("vid"))
+      .select(col("vid"), explode(sequence(lit(0), lit(kRand - 1))).as("j"))
+      .select(col("vid"), pmod(xxhash64(col("j"), col("vid")), lit(nM1)).as("t"))
+      .select(col("vid"),
+        when(col("t") >= col("vid"), col("t") + 1).otherwise(col("t")).as("nb"))
+    var g = graft.Fence.cut(
+      rescoreTopK(bucketPairs.unionByName(randPairs).distinct(), kBuild)
+        .select(col("vid"), col("nb")))
+    (1 to rounds).foreach { _ =>
+      val twoHop = g.as("x")
+        .join(g.as("y"), col("x.nb") === col("y.vid"))
+        .select(col("x.vid").as("vid"), col("y.nb").as("nb"))
+        .filter(col("vid") =!= col("nb"))
+      val cand = g
+        .unionByName(g.select(col("nb").as("vid"), col("vid").as("nb")))
+        .unionByName(twoHop)
+        .distinct()
+      val prev = g
+      g = graft.Fence.cut(rescoreTopK(cand, kBuild).select(col("vid"), col("nb")))
+      graft.Fence.release(prev)
+    }
+    rescoreTopK(g, k).orderBy("vid", "rk")
+  }
+
   /** EXT: cluster-balanced curation — the D4/DoReMi-style semantic
     * REBALANCING pass (Tirumala et al. 2023, "D4: Improving LLM
     * pretraining via document de-duplication and diversification"):
@@ -1128,6 +1228,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate_cluster_balance" -> (qCurateClusterBalance _),
+    "q_ann_knn_graph"   -> (qAnnKnnGraph _),
     "q_dedup_semantic"  -> (qDedupSemantic _),
     "q_array_explode"   -> (qArrayExplode _),
     "q_sim_cosine"      -> (qSimCosine _),
@@ -1630,5 +1731,81 @@ object Similarity {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk FROM scored)
         |SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_ann_kmeanspp" -> kmeansppOracle,
+    // bucket-mates (plane2 sig) ∪ 4 xxhash64 random-coin edges per
+    // vector (the expander init — each coin replayed through the
+    // Xxh64DuckSql HUGEINT chain), then FOUR unrolled NN-descent
+    // rounds at build width 8, final top-3 re-rank (MATERIALIZED per
+    // round: each round references the previous graph three times)
+    "q_ann_knn_graph" -> {
+      def chainV(stages: Seq[(String, String)], base: String, prefix: String)
+          : (String, String) = {
+        var rel = base; var carried = "vec_id"
+        val parts = stages.zipWithIndex.map { case ((nm, ex), i) =>
+          val nrel = s"$prefix$i"
+          val cte = s"$nrel AS (SELECT $carried, $ex AS $nm FROM $rel)"
+          carried = s"$carried, $nm"; rel = nrel
+          cte
+        }
+        (parts.mkString(",\n"), rel)
+      }
+      val coins = (0 until 4).map { j =>
+        val (st, signed) = Xxh64DuckSql.hashIntLongStages(s"c$j", "vec_id", j)
+        val (ctes, last) = chainV(st, "ids", s"r${j}_")
+        s"""$ctes,
+           |rnd$j AS (SELECT vec_id AS vid,
+           |    CAST(CASE WHEN t >= vec_id THEN t + 1 ELSE t END AS BIGINT) AS nb FROM
+           |  (SELECT vec_id,
+           |     ((($signed) % (SELECT nm FROM nn)) + (SELECT nm FROM nn))
+           |       % (SELECT nm FROM nn) AS t
+           |   FROM $last))""".stripMargin
+      }.mkString(",\n")
+      def round(i: Int): String = {
+        val p = s"g${i - 1}"
+        s"""cand$i AS (SELECT DISTINCT vid, nb FROM (
+           |  SELECT vid, nb FROM $p
+           |  UNION ALL SELECT nb AS vid, vid AS nb FROM $p
+           |  UNION ALL SELECT x.vid, y.nb FROM $p x JOIN $p y ON x.nb = y.vid
+           |            WHERE x.vid <> y.nb)),
+           |resc$i AS MATERIALIZED (SELECT c.vid, c.nb,
+           |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+           |  FROM cand$i c JOIN e a ON c.vid = a.vec_id JOIN e b ON c.nb = b.vec_id),
+           |g$i AS MATERIALIZED (SELECT vid, nb FROM
+           |  (SELECT vid, nb,
+           |     ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS rk
+           |   FROM resc$i) WHERE rk <= 8)""".stripMargin
+      }
+      s"""WITH e AS MATERIALIZED ($duckVecs),
+        |ids AS MATERIALIZED (SELECT vec_id FROM e),
+        |nn AS (SELECT COUNT(*) - 1 AS nm FROM e),
+        |sig AS MATERIALIZED (SELECT e.*,
+        |  list_aggregate([CASE WHEN list_reduce(
+        |      [v[i+1] * sin((CAST(i AS DOUBLE) + 1.0) * (CAST(p AS DOUBLE) * 0.917 + 1.234))
+        |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
+        |    THEN '1' ELSE '0' END for p in generate_series(0, 7)], 'string_agg', '') AS bucket
+        |  FROM e),
+        |$coins,
+        |cand0 AS (SELECT DISTINCT vid, nb FROM (
+        |  SELECT a.vec_id AS vid, b.vec_id AS nb FROM sig a JOIN sig b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |  UNION ALL SELECT vid, nb FROM rnd0
+        |  UNION ALL SELECT vid, nb FROM rnd1
+        |  UNION ALL SELECT vid, nb FROM rnd2
+        |  UNION ALL SELECT vid, nb FROM rnd3)),
+        |resc0 AS MATERIALIZED (SELECT c.vid, c.nb,
+        |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+        |  FROM cand0 c JOIN e a ON c.vid = a.vec_id JOIN e b ON c.nb = b.vec_id),
+        |g0 AS MATERIALIZED (SELECT vid, nb FROM
+        |  (SELECT vid, nb,
+        |     ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS rk
+        |   FROM resc0) WHERE rk <= 8),
+        |${(1 to 4).map(round).mkString(",\n")},
+        |fin AS (SELECT c.vid, c.nb,
+        |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+        |  FROM g4 c JOIN e a ON c.vid = a.vec_id JOIN e b ON c.nb = b.vec_id),
+        |ranked AS (SELECT vid, nb, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS BIGINT) AS rk
+        |  FROM fin)
+        |SELECT vid, nb, cos, rk FROM ranked WHERE rk <= 3 ORDER BY vid, rk""".stripMargin
+    },
   )
 }
