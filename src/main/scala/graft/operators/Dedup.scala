@@ -749,7 +749,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXT: dedup EVALUATION — the measurement layer of the dedup family
+    * (the [[Similarity.qEvalRetrieval]] counterpart): score the MinHash-
+    * LSH candidate generator against EXACT n-gram-Jaccard truth and
+    * report corpus-level precision/recall. A 100 TB pipeline runs
+    * exactly this as its dedup canary on a sampled slice — banding
+    * parameters drift out of tune as the corpus mix changes, and this
+    * is the number that catches it before over/under-dedup reaches
+    * training data.
+    *
+    * Truth = pairs with exact Jaccard > 0.5 decided by the INTEGER
+    * cross-multiply 2·inter > union (no FP, no rounding — unlike the
+    * declared jaccard query's display rounding, the decision here is
+    * exact); run = the [[qDedupMinhash]] band-collision pairs, same
+    * doc_id < 300 slice. Metrics are integer fixed-point (·1e6 DIV),
+    * zero-guarded so an empty run or truth set reports 0 rather than
+    * erroring. Scale shape: both sides are the existing bounded
+    * operators; the scoring itself is one semi-join plus three 1-row
+    * aggregates broadcast together. */
+  def qEvalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+    val sh = fanout(docs, "doc_id")
+      .select(col("doc_id"), explode(shingles3).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = graft.Fence(inter
+      .join(sizes.as("na"), col("d1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("d2") === col("nb.doc_id"))
+      .filter(lit(2L) * col("inter") > col("na.nsh") + col("nb.nsh") - col("inter"))
+      .select("d1", "d2"))
+    val bands = minhashBands(fanout(docs, "doc_id"))
+    val run = graft.Fence(bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct())
+    val hit = run.join(truth, Seq("d1", "d2"), "left_semi")
+    val out = hit.agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(run.agg(count(lit(1)).as("n_run"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("n_truth"), col("n_run"), col("n_hit"),
+        when(col("n_run") === 0, lit(0L))
+          .otherwise(expr("n_hit * 1000000 DIV n_run")).as("precision_fp"),
+        when(col("n_truth") === 0, lit(0L))
+          .otherwise(expr("n_hit * 1000000 DIV n_truth")).as("recall_fp"))
+    val keep = graft.Fence.cut(out)
+    graft.Fence.release(run); graft.Fence.release(truth)
+    keep
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_dedup"       -> (qEvalDedup _),
     "q_dedup_substring"  -> (qDedupSubstring _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_segments"      -> (qDedupSegments _),
@@ -974,6 +1027,39 @@ object Dedup {
         |FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
         |WHERE len([i for i in generate_series(1, 32) if substring(a.sh, i, 1) != substring(b.sh, i, 1)]) <= 3
         |ORDER BY d1, d2""".stripMargin,
+    // truth = exact-Jaccard pairs by integer cross-multiply; run = the
+    // md5 minhash band chain on the same doc_id < 300 slice; metrics in
+    // 1e6 fixed point with zero guards mirroring the engine's CASEs.
+    "q_eval_dedup" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($duckShingles) AS shingle
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |truth AS (SELECT d1, d2 FROM inter
+        |          JOIN sizes na ON d1 = na.doc_id JOIN sizes nb ON d2 = nb.doc_id
+        |          WHERE 2 * inter > na.nsh + nb.nsh - inter),
+        |shm AS (SELECT doc_id, $duckShingles AS s
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300)),
+        |sig AS (SELECT doc_id,
+        |  [list_min(list_transform(s, x -> substring(md5(CAST(k // 4 AS VARCHAR) || '|' || x), (k % 4) * 8 + 1, 8)))
+        |   for k in generate_series(0, 7)] AS mh FROM shm),
+        |bands AS (SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS bh
+        |          FROM sig, generate_series(0, 3) g(b)),
+        |run AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |        FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |hit AS (SELECT r.d1, r.d2 FROM run r
+        |        WHERE EXISTS (SELECT 1 FROM truth t WHERE t.d1 = r.d1 AND t.d2 = r.d2)),
+        |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM run) AS n_run,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit)
+        |SELECT n_truth, n_run, n_hit,
+        |  CASE WHEN n_run = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE n_hit * 1000000 // n_run END AS precision_fp,
+        |  CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE n_hit * 1000000 // n_truth END AS recall_fp
+        |FROM c""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, unnest($duckShingles) AS shingle
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300)),

@@ -775,6 +775,256 @@ object Graph {
     keep
   }
 
+  /** Strongly connected components over a directed edge list — the
+    * webgraph MACRO-STRUCTURE op (Broder et al. 2000 mapped the web's
+    * bowtie with exactly this; curation uses SCC membership to separate
+    * the mutually-linked core from link farms and crawl traps, which
+    * surface as anomalous components). PUBLIC entry. Output: (node, scc,
+    * scc_size) with `scc` = the component's MAXIMUM vertex id — a label
+    * defined by the graph alone, so the oracle derives the same labels
+    * from the mutual-reachability closure without replaying the engine's
+    * algorithm.
+    *
+    * Algorithm — trim + forward-max coloring (Orzan 2004; Slota,
+    * Rajamanickam & Madduri IPDPS 2014 build distributed SCC from the
+    * same pieces, trim + reachability):
+    *  1. TRIM to fixpoint: a node with no in-edges or no out-edges in
+    *     the active subgraph is a singleton SCC. On a webgraph this
+    *     alone resolves the DAG part — typically most of the nodes —
+    *     and every peel round is two semi-joins + one count (the
+    *     [[kcore]] shape).
+    *  2. COLOR to fixpoint: clr(v) = max(v, clr of in-neighbors) — at
+    *     convergence clr(v) is the maximum active node that reaches v.
+    *     Σclr is monotone increasing, so convergence is one scalar
+    *     action per round (the [[connectedComponents]] discipline).
+    *  3. EXTRACT: a root (clr(v)=v) is provably its SCC's max member;
+    *     its SCC is the backward-BFS closure from it restricted to its
+    *     own color (the color says the root reaches v, the backward walk
+    *     says v reaches the root — mutual). All roots extract in ONE
+    *     multi-source BFS: a candidate u joins root r's set iff
+    *     (u, clr=r) exists in the color relation, a plain two-key
+    *     semi-join, because colors partition the active nodes.
+    *  4. Remove extracted nodes, repeat — each iteration extracts at
+    *     least the max active node's SCC, so the loop terminates.
+    *
+    * At 100 TB: state is 8-16 bytes/node (node sets and (node, clr)
+    * pairs — never reachability PAIRS, which is what makes the closure
+    * oracle-only); every round is equi-joins + a max-agg on the node
+    * key, map-side combined; all loop frames ride [[graft.Fence.cut]]
+    * (trim/color/BFS depths are graph properties — the deep-loop
+    * lineage rule from the HyperBall probe). Iteration count on real
+    * webgraphs is small: one giant SCC, then trim eats the periphery
+    * (Broder: ~28% core, most of the rest DAG). */
+  def scc(edges: DataFrame,
+          onRound: (String, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
+    val e0 = graft.Fence(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val allNodes = graft.Fence(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct())
+    var active = allNodes
+    var eA = e0
+    var nActive = active.count()
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (nActive > 0) {
+      // ---- 1. trim singleton SCCs (missing in- or out-edges) ----
+      var trimming = true
+      while (trimming && nActive > 0) {
+        val t0 = System.nanoTime()
+        val both = graft.Fence.cut(active
+          .join(eA.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+          .join(eA.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi"))
+        val n2 = both.count()
+        if (n2 == nActive) trimming = false
+        else {
+          active = both
+          eA = graft.Fence.cut(eA
+            .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+          nActive = n2
+        }
+        onRound("trim", nActive, (System.nanoTime() - t0) / 1e9)
+      }
+      if (nActive > 0) {
+        // ---- 2. forward max-color propagation to fixpoint ----
+        var colors = graft.Fence.cut(active.withColumn("clr", col("node")))
+        var prevSum = -1L
+        var curSum = colors.agg(sum("clr")).head().getLong(0)
+        while (curSum != prevSum) {
+          val t0 = System.nanoTime()
+          val prop = eA.join(colors.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(max(col("clr")).as("nclr"))
+          colors = graft.Fence.cut(colors.join(prop, Seq("node"), "left")
+            .select(col("node"),
+              greatest(col("clr"), coalesce(col("nclr"), col("clr"))).as("clr")))
+          prevSum = curSum
+          curSum = colors.agg(sum("clr")).head().getLong(0)
+          onRound("color", curSum, (System.nanoTime() - t0) / 1e9)
+        }
+        // ---- 3. multi-source backward BFS within each root's color ----
+        var reached = graft.Fence.cut(
+          colors.filter(col("clr") === col("node")).select("node", "clr"))
+        var frontier = reached
+        var nf = reached.count() // >= 1: the max active node is a root
+        while (nf > 0) {
+          val t0 = System.nanoTime()
+          val cand = eA
+            .join(frontier.withColumnRenamed("node", "dst"), "dst")
+            .select(col("src").as("node"), col("clr")).distinct()
+          val next = graft.Fence.cut(cand
+            .join(colors, Seq("node", "clr"), "left_semi")
+            .join(reached.select("node"), Seq("node"), "left_anti"))
+          nf = next.count()
+          if (nf > 0) {
+            reached = graft.Fence.cut(reached.union(next))
+            frontier = next
+          }
+          onRound("extract", nf, (System.nanoTime() - t0) / 1e9)
+        }
+        parts += reached.select(col("node"), col("clr").as("scc"))
+        // ---- 4. peel the extracted components off ----
+        active = graft.Fence.cut(
+          active.join(reached.select("node"), Seq("node"), "left_anti"))
+        eA = graft.Fence.cut(eA
+          .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+        nActive = active.count()
+      }
+    }
+    // trimmed nodes never enter `parts`: they are singletons labeled by
+    // their own id (coalesce below). Label relation is multi-consumer
+    // (size agg + final join) — fence it once.
+    val lbl = graft.Fence(parts.reduceOption(_ union _) match {
+      case Some(p) => allNodes.join(p, Seq("node"), "left")
+        .select(col("node"), coalesce(col("scc"), col("node")).as("scc"))
+      case None => allNodes.select(col("node"), col("node").as("scc"))
+    })
+    val sizes = lbl.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+    val keep = graft.Fence.cut(
+      lbl.join(sizes, "scc").select(col("node"), col("scc"), col("scc_size")))
+    graft.Fence.release(lbl)
+    graft.Fence.release(allNodes); graft.Fence.release(e0)
+    keep
+  }
+
+  /** EXT: strongly connected components of the fixture webgraph,
+    * declared + oracled — the oracle computes the full reachability
+    * closure with one recursive CTE and labels each node with the MAX of
+    * its mutual-reachability set (provably the same label [[scc]]
+    * assigns), so the hash gates the semantics, not the algorithm. */
+  def qGraphScc(s: SparkSession, d: String): DataFrame =
+    scc(graphEdges(s, d)).orderBy("node")
+
+  /** EXT: BOWTIE decomposition (Broder et al. WWW 2000 — "Graph
+    * structure in the web"): take the largest SCC as CORE (tie → lowest
+    * label), classify every node as CORE / IN (reaches the core) / OUT
+    * (reached from the core) / OTHER (tendrils + disconnected). The
+    * published macro-map of any crawl corpus, and a curation signal: IN
+    * and CORE pages are what link-following crawlers cover well, OUT and
+    * OTHER is where coverage bias lives. Forward/backward closures are
+    * frontier BFS over NODE SETS (8 bytes/node state — linear, unlike
+    * the oracle's pair closure), fence-cut per round. PUBLIC entry;
+    * output (node, scc, cls). */
+  def bowtie(edges: DataFrame): DataFrame = {
+    val labels = graft.Fence(scc(edges))
+    val coreRow = labels.select("scc", "scc_size").distinct()
+      .orderBy(col("scc_size").desc, col("scc")).limit(1).head()
+    val core = coreRow.getLong(0)
+    val e = graft.Fence(edges)
+    val coreSet = graft.Fence.cut(
+      labels.filter(col("scc") === core).select("node"))
+    // frontier BFS over node sets; direction = which edge end we follow
+    def closure(follow: String, from: String): DataFrame = {
+      var seen = coreSet
+      var frontier = coreSet
+      var nf = frontier.count()
+      while (nf > 0) {
+        val next = graft.Fence.cut(
+          e.join(frontier.withColumnRenamed("node", from), from)
+            .select(col(follow).as("node")).distinct()
+            .join(seen, Seq("node"), "left_anti"))
+        nf = next.count()
+        if (nf > 0) {
+          seen = graft.Fence.cut(seen.union(next))
+          frontier = next
+        }
+      }
+      seen
+    }
+    val fwd = closure(follow = "dst", from = "src") // reached FROM core
+    val bwd = closure(follow = "src", from = "dst") // reaches the core
+    val keep = graft.Fence.cut(labels
+      .join(bwd.withColumn("in_b", lit(1)), Seq("node"), "left")
+      .join(fwd.withColumn("in_f", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("scc"),
+        when(col("scc") === core, "CORE")
+          .when(col("in_b").isNotNull, "IN")
+          .when(col("in_f").isNotNull, "OUT")
+          .otherwise("OTHER").as("cls")))
+    graft.Fence.release(labels); graft.Fence.release(e)
+    keep
+  }
+
+  /** EXT: bowtie map of the fixture webgraph, declared + oracled (the
+    * oracle reuses the scc closure: core = arg-max component, IN/OUT =
+    * backward/forward members of the pair closure). */
+  def qGraphBowtie(s: SparkSession, d: String): DataFrame =
+    bowtie(graphEdges(s, d)).orderBy("node")
+
+  /** Bounded-hop cheapest paths from a seed set over a weighted digraph
+    * — the TrustRank-style distance signal (Gyöngyi et al. VLDB 2004
+    * seed-propagate trust; hop-bounded link distance from a whitelist is
+    * the simplest form): every node gets the cheapest ≤`rounds`-hop cost
+    * to ANY seed plus the arg-min seed itself. PUBLIC entry.
+    *
+    * Engine-exactness: state is ONE BIGINT per node — enc = dist·2⁴⁰ +
+    * seed — so `min(enc)` IS the lexicographic (dist, seed) arg-min:
+    * order-independent, tie-broken by lowest seed id, bit-equal in both
+    * engines (caller contract: seed ids < 2⁴⁰, weights positive
+    * integers). Each round relaxes every out-edge of the reached set
+    * (one equi-join) and folds with `groupBy(node).min(enc)` — map-side
+    * combined, the Bellman-Ford round as one shuffle. Fixed `rounds`
+    * keeps the op oracle-able (the oracle unrolls the same rounds); at
+    * webgraph scale the reached relation is 16 bytes/node and the round
+    * cost is bounded by the frontier's out-edges, exactly the
+    * [[harmonic]] BFS shape but with LINEAR state (no pair relation). */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    rounds: Int): DataFrame = {
+    val S = 1099511627776L // 2^40: dist·S + seed, lexicographic under min
+    val e = graft.Fence(edges.select(col("src"), col("dst"), col("w")))
+    var dist = graft.Fence(seeds.select(col("node")).distinct()
+      .withColumn("enc", col("node"))) // dist 0 ⇒ enc = seed id
+    (1 to rounds).foreach { _ =>
+      val relax = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          ((expr(s"enc DIV $S") + col("w")) * lit(S) + expr(s"enc % $S")).as("enc"))
+      val prev = dist
+      dist = graft.Fence(prev.union(relax).groupBy("node").agg(min("enc").as("enc")))
+      graft.Fence.release(prev)
+    }
+    val keep = graft.Fence.cut(dist)
+    graft.Fence.release(dist); graft.Fence.release(e)
+    keep
+  }
+
+  /** EXT: trust distance over the fixture webgraph — seeds = the PPR
+    * whitelist (node ≡ 0 mod 10), integer weights w = 1 + (src+dst) % 7,
+    * 6 relaxation rounds; unreached nodes surface with NULL dist/seed.
+    * The oracle unrolls all 6 rounds with the identical enc arithmetic. */
+  def qGraphSssp(s: SparkSession, d: String): DataFrame = {
+    val S = 1099511627776L
+    val edges = graphEdges(s, d)
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7L)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val seeds = nodes.filter(col("node") % 10 === 0)
+    nodes.join(shortestPaths(edges, seeds, rounds = 6), Seq("node"), "left")
+      .select(col("node"),
+        expr(s"enc DIV $S").as("dist"),
+        expr(s"enc % $S").as("seed"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
@@ -786,8 +1036,35 @@ object Graph {
     "q_curate_hostrank"  -> (qCurateHostrank _),
     "q_graph_hits"       -> (qGraphHits _),
     "q_graph_kcore"      -> (qGraphKcore _),
-    "q_graph_lpa"        -> (qGraphLpa _)
+    "q_graph_lpa"        -> (qGraphLpa _),
+    "q_graph_scc"        -> (qGraphScc _),
+    "q_graph_bowtie"     -> (qGraphBowtie _),
+    "q_graph_sssp"       -> (qGraphSssp _)
   )
+
+  // fixture reachability closure + mutual-reachability SCC labels — the
+  // shared body of the scc and bowtie oracles. MATERIALIZED: reach is
+  // self-joined (mutual pairs) and re-read by fwd/bwd.
+  private val duckSccBody: String =
+    s"""reach(s, t) AS (SELECT src, dst FROM e
+       |  UNION SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t),
+       |rr AS MATERIALIZED (SELECT s, t FROM reach),
+       |m AS (SELECT a.s AS v, a.t AS u FROM rr a JOIN rr b ON a.s = b.t AND a.t = b.s),
+       |lbl AS MATERIALIZED (
+       |  SELECT n.node, GREATEST(n.node, COALESCE(MAX(m.u), n.node)) AS scc
+       |  FROM nodes n LEFT JOIN m ON m.v = n.node GROUP BY n.node),
+       |sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
+       |       FROM lbl GROUP BY scc)""".stripMargin
+
+  // one unrolled Bellman-Ford round over the enc = dist*2^40 + seed state
+  private def duckSsspRound(i: Int): String =
+    s"""d$i AS (SELECT node, MIN(enc) AS enc FROM (
+       |  SELECT node, enc FROM d${i - 1}
+       |  UNION ALL
+       |  SELECT ew.dst AS node,
+       |         ((d.enc // 1099511627776) + ew.w) * 1099511627776
+       |           + (d.enc % 1099511627776) AS enc
+       |  FROM ew JOIN d${i - 1} d ON ew.src = d.node) GROUP BY node)""".stripMargin
 
   // one unrolled HITS round: authority half then hub half, each a
   // gather-sum + HUGEINT-staged multiply-floor-divide normalization.
@@ -1046,7 +1323,37 @@ object Graph {
         |$duckUndirected,
         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
         |${(1 to 4).map(duckLpaRound).mkString(",\n")}
-        |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
+        |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin,
+    "q_graph_scc" ->
+      s"""WITH RECURSIVE $duckFixtureEdges,
+        |$duckSccBody
+        |SELECT l.node, l.scc, s.scc_size
+        |FROM lbl l JOIN sz s ON l.scc = s.scc ORDER BY l.node""".stripMargin,
+    "q_graph_bowtie" ->
+      s"""WITH RECURSIVE $duckFixtureEdges,
+        |$duckSccBody,
+        |core AS (SELECT scc FROM sz ORDER BY scc_size DESC, scc LIMIT 1),
+        |cm AS (SELECT node FROM lbl WHERE scc = (SELECT scc FROM core)),
+        |fw AS (SELECT DISTINCT t AS node FROM rr
+        |       WHERE s IN (SELECT node FROM cm)),
+        |bw AS (SELECT DISTINCT s AS node FROM rr
+        |       WHERE t IN (SELECT node FROM cm))
+        |SELECT l.node, l.scc,
+        |  CASE WHEN l.scc = (SELECT scc FROM core) THEN 'CORE'
+        |       WHEN l.node IN (SELECT node FROM bw) THEN 'IN'
+        |       WHEN l.node IN (SELECT node FROM fw) THEN 'OUT'
+        |       ELSE 'OTHER' END AS cls
+        |FROM lbl l ORDER BY l.node""".stripMargin,
+    "q_graph_sssp" ->
+      s"""WITH $duckFixtureEdges,
+        |ew AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM e),
+        |d0 AS (SELECT node, CAST(node AS BIGINT) AS enc FROM nodes
+        |       WHERE node % 10 = 0),
+        |${(1 to 6).map(duckSsspRound).mkString(",\n")}
+        |SELECT n.node,
+        |       CAST(d.enc // 1099511627776 AS BIGINT) AS dist,
+        |       CAST(d.enc % 1099511627776 AS BIGINT) AS seed
+        |FROM nodes n LEFT JOIN d6 d ON n.node = d.node ORDER BY n.node""".stripMargin
   )
 
   private def pagerankWithBody: String =

@@ -465,6 +465,103 @@ class GraphSpec extends SparkSpec {
     assert(share > 0.3 && share < 0.7, f"kept share $share%.2f out of envelope")
   }
 
+  /** Driver-side SCC reference: label = max of the mutual-reachability
+    * set — Floyd-Warshall closure on the tiny fixture. */
+  private def refScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val reach = scala.collection.mutable.Set[(Long, Long)](edges: _*)
+    var grew = true
+    while (grew) {
+      grew = false
+      for ((a, b) <- reach.toSeq; (c, d) <- reach.toSeq if b == c)
+        if (reach.add((a, d))) grew = true
+    }
+    nodes.map { v =>
+      val mutual = nodes.filter(u => reach((v, u)) && reach((u, v)))
+      v -> (mutual :+ v).max
+    }.toMap
+  }
+
+  test("scc: two cycles, a one-way bridge, a DAG tail — labels = max member") {
+    import spark.implicits._
+    // cycle A {1,2,3}, cycle B {10,11}, bridge 3->10 (one-way: A and B
+    // stay separate SCCs), DAG tail 11->20->21, lone source 30->1
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (10, 11), (11, 10),
+      (3, 10), (11, 20), (20, 21), (30, 1))
+    val got = Graph.scc(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ref = refScc(edges)
+    assert(got.view.mapValues(_._1).toMap === ref)
+    // sizes: cycle A = 3 nodes labeled 3, cycle B = 2 labeled 11,
+    // singletons for 20, 21, 30
+    assert(got(1L) === ((3L, 3L)) && got(2L) === ((3L, 3L)) && got(3L) === ((3L, 3L)))
+    assert(got(10L) === ((11L, 2L)) && got(11L) === ((11L, 2L)))
+    assert(got(20L) === ((20L, 1L)) && got(21L) === ((21L, 1L)) && got(30L) === ((30L, 1L)))
+  }
+
+  test("scc property (scalacheck): random digraphs match the closure reference") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(4, 9)
+      m <- Gen.choose(3, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(genEdges.suchThat(_.nonEmpty)) { edges =>
+      val got = Graph.scc(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == refScc(edges)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bowtie: hand graph classifies CORE / IN / OUT / OTHER") {
+    import spark.implicits._
+    // core cycle {5,6,7}; IN: 1->5, 0->1; OUT: 7->9, 9->12; OTHER:
+    // tendril off IN (1->40, reaches nothing in core) and a disconnected
+    // pair 100<->101 (an SCC, but smaller than the core)
+    val edges = Seq[(Long, Long)](
+      (5, 6), (6, 7), (7, 5), (1, 5), (0, 1), (7, 9), (9, 12),
+      (1, 40), (100, 101), (101, 100))
+    val got = Graph.bowtie(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(5L) === "CORE" && got(6L) === "CORE" && got(7L) === "CORE")
+    assert(got(1L) === "IN" && got(0L) === "IN")
+    assert(got(9L) === "OUT" && got(12L) === "OUT")
+    assert(got(40L) === "OTHER" && got(100L) === "OTHER" && got(101L) === "OTHER")
+  }
+
+  test("shortestPaths: hop-bounded cheapest cost with lexicographic seed tie-break") {
+    import spark.implicits._
+    // weights chosen so the cheap path is NOT the hop-shortest one:
+    // 0 -> 3 direct costs 9; 0 -> 1 -> 2 -> 3 costs 3. Seeds 0 and 50;
+    // node 60 reachable only from seed 50; node 3 equidistant from
+    // nobody — and node 70 unreachable entirely.
+    val edges = Seq[(Long, Long, Long)](
+      (0, 3, 9), (0, 1, 1), (1, 2, 1), (2, 3, 1), (50, 60, 2), (70, 71, 1))
+    val seeds = Seq(0L, 50L)
+    val rows = Graph.shortestPaths(
+        edges.toDF("src", "dst", "w"), seeds.toDF("node"), rounds = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1) >> 40, r.getLong(1) & ((1L << 40) - 1)))).toMap
+    assert(rows(3L) === ((3L, 0L)), "multi-hop cheaper path must win")
+    assert(rows(1L) === ((1L, 0L)) && rows(2L) === ((2L, 0L)))
+    assert(rows(60L) === ((2L, 50L)))
+    assert(rows(0L) === ((0L, 0L)) && rows(50L) === ((0L, 50L)))
+    assert(!rows.contains(70L) && !rows.contains(71L),
+      "nodes unreachable from every seed stay out of the reached relation")
+    // tie-break: node reachable at equal cost from both seeds takes the
+    // LOWER seed id — add 50->1 with weight 1 (cost 1 = cost from seed 0)
+    val rows2 = Graph.shortestPaths(
+        (edges :+ ((50L, 1L, 1L))).toDF("src", "dst", "w"),
+        seeds.toDF("node"), rounds = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1) >> 40, r.getLong(1) & ((1L << 40) - 1)))).toMap
+    assert(rows2(1L) === ((1L, 0L)), "equal cost resolves to the lower seed")
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
