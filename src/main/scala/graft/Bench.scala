@@ -63,7 +63,8 @@ object Bench {
     //    broadcast/shuffle state from earlier queries).
     val iterative = Set("q_dedup_clusters", "q_ann_ivf_kmeans", "q_bpe_merges",
                         "q_graph_pagerank", "q_graph_components", "q_graph_walks",
-                        "q_graph_skipgram", "q_ann_kmeanspp")
+                        "q_graph_skipgram", "q_ann_kmeanspp",
+                        "q_graph_scc", "q_graph_bowtie", "q_graph_sssp")
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // process CPU time alongside wall: under external box load the wall
     // stretches while cpu tracks actual work, so cpu<<wall in the artifact

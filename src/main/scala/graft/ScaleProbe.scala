@@ -53,6 +53,12 @@ object ScaleProbe {
     else if (args(0) == "dstream") dstreamProbe(spark, args(1).toInt)
     else if (args(0) == "graph") graphProbe(spark, args(1).toInt)
     else if (args(0) == "graphops") graphopsProbe(spark, args(1).toInt)
+    else if (args(0) == "graphmacro") {
+      // arg form: <millions>[:leg] — leg ∈ scc|sssp (default both)
+      val parts = args(1).split(":")
+      graphmacroProbe(spark, parts(0).toInt,
+        if (parts.length > 1) parts(1) else "all")
+    }
     else if (args(0) == "hyperball") hyperballProbe(spark, args(1).toInt)
     else {
       val k = args(0).toInt
@@ -648,6 +654,56 @@ object ScaleProbe {
       onRound = (i, secs) => println(f"graphops lpa round=$i wall=$secs%.1f s"))
     val nComm = lp.select(countDistinct("community")).head().getLong(0)
     println(f"graphops lpa: $n%,d nodes -> $nComm%,d communities in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+  }
+
+  /** Macro-structure ops at webgraph magnitude — SCC and seed-distance
+    * SSSP on the [[graphProbe]] topology (mean out-degree 2.5,
+    * supercritical: theory predicts one giant SCC plus a thin DAG
+    * periphery — the Broder bowtie shape). Claims under test: trim
+    * resolves the periphery in few rounds; the coloring fixpoint is
+    * bounded by the giant SCC's diameter with flat per-round walls; the
+    * SSSP rounds are flat and frontier-bounded. Usage:
+    * tools/run_verify.sh graphmacro <millions> graft.ScaleProbe */
+  private def graphmacroProbe(spark: SparkSession, millions: Int,
+                              leg: String = "all"): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = millions * 1000000L
+    // the graphProbe topology MINUS one quarter of the emitters: nodes
+    // ≡ 0 mod 4 emit nothing, so the graph has a REAL periphery — pure
+    // sinks, plus the cascade of nodes whose only out-edges pointed at
+    // them — which is what the trim phase exists for (the all-emitter
+    // topology is one giant SCC with nothing to trim: measured at 2M,
+    // trim removed zero nodes in one 39 s round)
+    val edges = spark.range(0, n).toDF("src")
+      .filter(pmod(col("src"), lit(4L)) =!= 0L)
+      .select(col("src"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("src"), lit(4L)))).as("k"))
+      .select(col("src"),
+        pmod(col("src") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    if (leg != "sssp") {
+      val t0 = System.nanoTime()
+      val labels = operators.Graph.scc(edges,
+        onRound = (phase, metric, secs) =>
+          println(f"graphmacro scc $phase metric=$metric%,d wall=$secs%.1f s"))
+      val top = labels.groupBy("scc_size").agg(count(lit(1)).as("nodes"))
+        .orderBy(col("scc_size").desc).limit(5).collect()
+      println(f"graphmacro scc: $n%,d nodes in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        top.map(r => s"size=${r.getLong(0)}x${r.getLong(1) / math.max(1L, r.getLong(0))}").mkString(" "))
+    }
+    if (leg == "scc") return
+    val t1 = System.nanoTime()
+    // seeds offset to 1 mod 1000: multiples of 1000 are ≡ 0 mod 4 — this
+    // topology's NON-emitters — and a seed set of pure sinks relaxes
+    // nothing (measured: 2,000 reached of 2M, all at distance 0)
+    val seeds = spark.range(1, n, 1000).toDF("node")
+    val dist = operators.Graph.shortestPaths(
+      edges.withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
+      seeds, rounds = 8)
+    val stats = dist.agg(count(lit(1)).as("reached"),
+      avg(expr("enc DIV 1099511627776")).as("mean_dist")).head()
+    println(f"graphmacro sssp: ${stats.getLong(0)}%,d reached (of $n%,d), " +
+      f"mean dist ${stats.getDouble(1)}%.2f in ${(System.nanoTime() - t1) / 1e9}%.1f s")
   }
 
   /** HyperBall harmonic centrality at webgraph magnitude — the same

@@ -1025,6 +1025,61 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Link prediction by the resource-allocation index (Zhou, Lü &
+    * Zhang EPJ B 2009 — the strongest of the classic local indices):
+    * for each non-adjacent pair (a, b), RA = Σ_{z ∈ N(a)∩N(b)} 1/deg(z)
+    * — common neighbors weighted inversely by how promiscuous they are.
+    * The crawl-pipeline use is host-graph curation: predicted-but-absent
+    * links rank candidate seeds, and a document whose host suddenly
+    * acquires links its RA score never predicted is an anomaly signal.
+    * PUBLIC entry; input symmetrized, output the global top-k by
+    * (ra_fp desc, a, b).
+    *
+    * Engine-exactness: contributions are `scale DIV deg(z)` BIGINT
+    * floor divisions — order-independent sums, bit-equal oracle.
+    *
+    * Scale: the wedge join through a middle vertex z fans out deg(z)²
+    * pairs — on a power-law webgraph the top hub alone would dominate
+    * the shuffle (the last-reducer curse, same pathology [[triangles]]
+    * orients away). RA's OWN weighting justifies the standard fix:
+    * wedges through z with deg(z) > `cap` are dropped ENTIRELY — each
+    * would contribute < scale/cap per pair (bounded, documented loss;
+    * with cap=64 that is <1.6% of one unit-degree contribution) and the
+    * fan-out bound becomes cap² per middle vertex. The cap is part of
+    * the operator's semantics, replayed by the oracle, so the result
+    * stays exact-by-definition. The final top-k compiles to
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def linkPrediction(edges: DataFrame, cap: Long = 64L, k: Int = 100,
+                     scale: Long = 1000000L): DataFrame = {
+    val und = graft.Fence(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val mid = deg.filter(col("d") <= cap) // hub cap: see scaladoc
+    // wedge x–z–y with x < y, z mid-capped, carrying deg(z)
+    val wedges = und.select(col("a").as("z"), col("b").as("x"))
+      .join(und.select(col("a").as("z"), col("b").as("y")), "z")
+      .filter(col("x") < col("y"))
+      .join(mid.select(col("node").as("z"), col("d")), "z")
+    val scored = wedges.groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(expr(s"$scale DIV d")).as("ra_fp"))
+      // predict NEW links only: drop already-adjacent pairs (und holds
+      // both directions, so one orientation check suffices)
+      .join(und, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_fp").desc, col("a"), col("b"))
+      .limit(k)
+    val keep = graft.Fence.cut(scored)
+    graft.Fence.release(und)
+    keep
+  }
+
+  /** EXT: top-100 predicted links of the fixture webgraph, declared +
+    * oracled (identical wedge derivation, hub cap, and integer RA in
+    * plain SQL). */
+  def qGraphLinkpred(s: SparkSession, d: String): DataFrame =
+    linkPrediction(graphEdges(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
@@ -1039,7 +1094,8 @@ object Graph {
     "q_graph_lpa"        -> (qGraphLpa _),
     "q_graph_scc"        -> (qGraphScc _),
     "q_graph_bowtie"     -> (qGraphBowtie _),
-    "q_graph_sssp"       -> (qGraphSssp _)
+    "q_graph_sssp"       -> (qGraphSssp _),
+    "q_graph_linkpred"   -> (qGraphLinkpred _)
   )
 
   // fixture reachability closure + mutual-reachability SCC labels — the
@@ -1344,6 +1400,21 @@ object Graph {
         |       WHEN l.node IN (SELECT node FROM fw) THEN 'OUT'
         |       ELSE 'OTHER' END AS cls
         |FROM lbl l ORDER BY l.node""".stripMargin,
+    "q_graph_linkpred" ->
+      s"""WITH $duckFixtureEdges,
+        |$duckUndirected,
+        |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a),
+        |mid AS (SELECT node, d FROM deg WHERE d <= 64),
+        |w AS (SELECT u1.b AS x, u2.b AS y, m.d
+        |      FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+        |      JOIN mid m ON u1.a = m.node),
+        |sc AS (SELECT x AS a, y AS b, CAST(COUNT(*) AS BIGINT) AS cn,
+        |              CAST(SUM(1000000 // d) AS BIGINT) AS ra_fp
+        |       FROM w GROUP BY x, y),
+        |nw AS (SELECT sc.* FROM sc
+        |       WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = sc.a AND und.b = sc.b))
+        |SELECT a, b, cn, ra_fp FROM nw
+        |ORDER BY ra_fp DESC, a, b LIMIT 100""".stripMargin,
     "q_graph_sssp" ->
       s"""WITH $duckFixtureEdges,
         |ew AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM e),

@@ -1218,7 +1218,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact PHRASE search over a positional inverted index — the search
+    * primitive BM25 cannot express (bag-of-words scoring loses
+    * adjacency): find every document containing the query terms at
+    * CONSECUTIVE positions. The pipeline use is targeted retrieval over
+    * a curated corpus — boilerplate hunting ("all rights reserved"),
+    * contamination lookups for a benchmark sentence, quotation mining.
+    * PUBLIC entry.
+    *
+    * Algorithm: postings = (doc_id, pos, token) — the positional
+    * inverted index; the query intersects ONLY the phrase terms'
+    * posting lists (term i's positions shifted back by i, then a
+    * (doc_id, pos) semi-join against the anchor term's list — the
+    * classic positional-intersection, associative and exact). Overlap
+    * counts every anchor position.
+    *
+    * At 100 TB the postings relation is persisted bucketed by token
+    * ([[graft.plans.Layout.writeBucketed]]): each query term's list is
+    * one pruned bucket read, the per-term filter reaches the scan as a
+    * pushed predicate (no full-postings materialization — the filter
+    * here composes into each scan branch), and the intersection joins
+    * shuffle only the rarest-term-sized lists. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val post = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val anchor = post.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(
+        post.filter(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"), "left_semi")
+    }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** EXT: the declared 3-term phrase query ("table scan merge" occurs at
+    * every scale of the synthetic corpus), oracled by replaying the
+    * positional intersection in SQL over a struct-unnest positional
+    * tokenization. */
+  def qTextPhrase(s: SparkSession, d: String): DataFrame =
+    phraseSearch(Tables.documents(s, d), Seq("table", "scan", "merge"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_phrase"       -> (qTextPhrase _),
     "q_text_novelty"      -> (qTextNovelty _),
     "q_text_bm25"         -> (qTextBm25 _),
     "q_corpus_shuffle"    -> (qCorpusShuffle _),
@@ -1303,6 +1350,16 @@ object TextOps {
       |""".stripMargin + (1 to 4).map(bpeStepCte).mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_text_phrase" ->
+      """WITH pr AS (SELECT doc_id, unnest(list_transform(t, (x, i) -> {pos: i, tok: x})) AS u
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |p AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok FROM pr),
+        |m AS (SELECT p0.doc_id, p0.pos FROM p p0
+        |      JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        |      JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+        |      WHERE p0.tok = 'table' AND p1.tok = 'scan' AND p2.tok = 'merge')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MIN(pos) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_novelty" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),

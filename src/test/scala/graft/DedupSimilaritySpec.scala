@@ -1397,6 +1397,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("phraseSearch: positional intersection, overlap counting, absent terms") {
+    val docs = Seq(
+      (1L, "the table scan merge wins"),        // one hit at pos 2
+      (2L, "table scan merge table scan merge"), // two hits (1 and 4)
+      (3L, "table merge scan"),                  // terms present, order wrong
+      (4L, "a a a a"),                           // overlap fixture
+      (5L, "table scan")                         // phrase truncated at EOF
+    ).toDF("doc_id", "text")
+    val got = operators.TextOps.phraseSearch(docs, Seq("table", "scan", "merge"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((1L, 2L)), 2L -> ((2L, 1L))))
+    // overlapping matches all count: "a a" occurs at positions 1, 2, 3
+    val ov = operators.TextOps.phraseSearch(docs, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ov === Map(4L -> ((3L, 1L))))
+    // single-term phrase degenerates to the posting list rollup
+    val one = operators.TextOps.phraseSearch(docs, Seq("merge"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(operators.TextOps.phraseSearch(docs, Seq("absent", "term")).count() === 0)
+  }
+
   test("ANN brute top-k returns exactly k ranked neighbors per query") {
     val out = Similarity.qAnnBruteTopk(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))

@@ -562,6 +562,27 @@ class GraphSpec extends SparkSpec {
     assert(rows2(1L) === ((1L, 0L)), "equal cost resolves to the lower seed")
   }
 
+  test("linkPrediction: RA index on a hand graph, hub cap drops promiscuous wedges") {
+    import spark.implicits._
+    // square 1-2-3-4 (no diagonals): each diagonal pair has two common
+    // neighbors of degree 2 -> RA = 2 * (1e6 DIV 2) = 1000000.
+    // 5 is a hub linked to 1,2,3,4 — with cap >= 4 it adds wedges; with
+    // cap = 3 every wedge through it vanishes.
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 4), (4, 1), (5, 1), (5, 2), (5, 3), (5, 4))
+    val noCap = Graph.linkPrediction(edges.toDF("src", "dst"), cap = 64, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // deg: 1..4 -> 3 (two ring neighbors + hub), 5 -> 4
+    // pair (1,3): common = {2, 4, 5} -> cn 3, ra = 2*(1e6 DIV 3) + 1e6 DIV 4
+    assert(noCap((1L, 3L)) === ((3L, 2L * 333333L + 250000L)))
+    assert(noCap((2L, 4L)) === ((3L, 2L * 333333L + 250000L)))
+    assert(!noCap.contains((1L, 2L)), "adjacent pairs are not predictions")
+    assert(!noCap.contains((1L, 5L)), "adjacent pairs are not predictions")
+    val capped = Graph.linkPrediction(edges.toDF("src", "dst"), cap = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(capped((1L, 3L)) === ((2L, 2L * 333333L)), "hub wedges dropped under the cap")
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
