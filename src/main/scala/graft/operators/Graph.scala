@@ -1080,6 +1080,41 @@ object Graph {
   def qGraphLinkpred(s: SparkSession, d: String): DataFrame =
     linkPrediction(graphEdges(s, d))
 
+  /** EXT: the GRAPH PROFILE — the one-row summary every webgraph
+    * release publishes (Common Crawl's host-graph stats page carries
+    * exactly these: node/edge counts, dangling share, reciprocity,
+    * degree extremes) and the first thing a pipeline computes on a new
+    * crawl's link graph: reciprocity and max-degree shifts are the
+    * cheap canaries for crawler loops and link-farm injection.
+    * Reciprocity = edges whose reverse also exists, as ppm (the
+    * Newman definition restricted to the deduped digraph); dangling =
+    * nodes with out-degree 0. Everything is counts + one self-join on
+    * the edge key — map-side combined, one row out. */
+  def qGraphStats(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Fence(graphEdges(s, d))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val odeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val ideg = e.groupBy("dst").agg(count(lit(1)).as("d"))
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val out = nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+      .crossJoin(broadcast(odeg.agg(max(col("d")).as("max_odeg"))))
+      .crossJoin(broadcast(ideg.agg(max(col("d")).as("max_ideg"))))
+      .crossJoin(broadcast(
+        nodes.join(odeg.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(count(lit(1)).as("n_dangling"))))
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_recip"), expr("n_recip * 1000000 DIV n_edges").as("recip_ppm"),
+        col("n_dangling"), col("max_odeg"), col("max_ideg"))
+    val keep = graft.Fence.cut(out)
+    graft.Fence.release(e)
+    keep
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
@@ -1095,7 +1130,8 @@ object Graph {
     "q_graph_scc"        -> (qGraphScc _),
     "q_graph_bowtie"     -> (qGraphBowtie _),
     "q_graph_sssp"       -> (qGraphSssp _),
-    "q_graph_linkpred"   -> (qGraphLinkpred _)
+    "q_graph_linkpred"   -> (qGraphLinkpred _),
+    "q_graph_stats"      -> (qGraphStats _)
   )
 
   // fixture reachability closure + mutual-reachability SCC labels — the
@@ -1400,6 +1436,23 @@ object Graph {
         |       WHEN l.node IN (SELECT node FROM fw) THEN 'OUT'
         |       ELSE 'OTHER' END AS cls
         |FROM lbl l ORDER BY l.node""".stripMargin,
+    "q_graph_stats" ->
+      s"""WITH $duckFixtureEdges,
+        |odeg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |ideg AS (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst),
+        |c AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+        |   WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)) AS n_recip,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes
+        |   WHERE node NOT IN (SELECT src FROM e)) AS n_dangling,
+        |  (SELECT CAST(MAX(d) AS BIGINT) FROM odeg) AS max_odeg,
+        |  (SELECT CAST(MAX(d) AS BIGINT) FROM ideg) AS max_ideg)
+        |SELECT n_nodes, n_edges, n_recip,
+        |       n_recip * 1000000 // n_edges AS recip_ppm,
+        |       n_dangling, max_odeg, max_ideg
+        |FROM c""".stripMargin,
     "q_graph_linkpred" ->
       s"""WITH $duckFixtureEdges,
         |$duckUndirected,

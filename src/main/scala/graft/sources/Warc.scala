@@ -145,7 +145,22 @@ object Warc {
     * Expects (doc_id, text); everything else in the record is a pure
     * function of those two. */
   def writeWarc(docs: DataFrame, dir: String, partitions: Int = 8,
-                mixGzip: Boolean = true): Unit = {
+                mixGzip: Boolean = true): Unit =
+    writeContainer(docs, dir, "warc", partitions, mixGzip, responseRecord)
+
+  /** Corpus → WET export (ISO 28500 `conversion` records, text/plain
+    * payload — the Common Crawl *.warc.wet.gz convention: the extracted-
+    * text companion of the response container, and the format most
+    * public text pipelines actually ingest). Same container plumbing as
+    * [[writeWarc]]; the record carries `WARC-Refers-To` back to the
+    * response record id, exactly as Common Crawl's WET files do. */
+  def writeWet(docs: DataFrame, dir: String, partitions: Int = 8,
+               mixGzip: Boolean = true): Unit =
+    writeContainer(docs, dir, "warc.wet", partitions, mixGzip, conversionRecord)
+
+  private def writeContainer(docs: DataFrame, dir: String, ext: String,
+                             partitions: Int, mixGzip: Boolean,
+                             record: (Long, String) => Array[Byte]): Unit = {
     val s = docs.sparkSession
     val confMap: Map[String, String] =
       s.sparkContext.hadoopConfiguration.iterator().asScala
@@ -163,10 +178,10 @@ object Warc {
           val c = new org.apache.hadoop.conf.Configuration(false)
           confMap.foreach { case (k, v) => c.set(k, v) }
           val path = new org.apache.hadoop.fs.Path(root,
-            f"part-$pid%05d.warc" + (if (gz) ".gz" else ""))
+            f"part-$pid%05d.$ext" + (if (gz) ".gz" else ""))
           val out = path.getFileSystem(c).create(path, true)
           try it.foreach { r =>
-            val rec = responseRecord(r.getLong(0), r.getString(1))
+            val rec = record(r.getLong(0), r.getString(1))
             if (gz) {
               val g = new java.util.zip.GZIPOutputStream(out, 1 << 16)
               g.write(rec); g.finish()          // member trailer, stream stays open
@@ -201,6 +216,39 @@ object Warc {
     outB.toByteArray
   }
 
+  /** One WET `conversion` record for (doc_id, text): plain-text payload
+    * (no HTTP envelope — the defining difference from a response
+    * record), `WARC-Refers-To` naming the response it was extracted
+    * from. Deterministic for the same reason [[responseRecord]] is. */
+  private[graft] def conversionRecord(id: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes("UTF-8")
+    val head = new StringBuilder()
+      .append("WARC/1.1\r\n")
+      .append("WARC-Type: conversion\r\n")
+      .append(s"WARC-Record-ID: <urn:graft:wet:$id>\r\n")
+      .append(s"WARC-Refers-To: <urn:graft:doc:$id>\r\n")
+      .append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      .append(s"WARC-Target-URI: http://example.com/doc/$id\r\n")
+      .append("Content-Type: text/plain\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n\r\n")
+      .toString.getBytes("US-ASCII")
+    val outB = new java.io.ByteArrayOutputStream(head.length + payload.length + 4)
+    outB.write(head); outB.write(payload); outB.write("\r\n\r\n".getBytes("US-ASCII"))
+    outB.toByteArray
+  }
+
+  /** WET conversion records → the `documents` shape. No HTTP split, no
+    * HTML stripping — the payload IS the text (which is why pipelines
+    * prefer WET when they trust the extractor). */
+  def wetToDocuments(warc: DataFrame): DataFrame =
+    warc.filter(col("warc_type") === "conversion" &&
+        col("content_type").startsWith("text/plain") && col("body").isNotNull)
+      .select(
+        col("record_id").as("doc_id"),
+        col("target_uri").as("url"),
+        col("warc_date").as("fetch_ts"),
+        decode(col("body"), "UTF-8").as("text"))
+
   // --------------------------------------------------------- declared query
 
   /** Full container round-trip, oracle-hashed: the documents table is
@@ -226,8 +274,28 @@ object Warc {
       .orderBy("doc_id")
   }
 
+  /** WET round-trip, oracle-hashed: export → splittable re-ingest (every
+    * raw file cut mid-record) → convert back. A conversion record's
+    * payload is the text VERBATIM — no markup wrap, no whitespace
+    * massaging — so the oracle is the identity on (doc_id, text) plus
+    * the pure-function url, and the hash gates the WET record framing,
+    * the split-ownership scan over `conversion` records, and the gzip
+    * member chaining on the second container type. */
+  def qWetDocuments(s: SparkSession, d: String): DataFrame = {
+    val staging = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_wet_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    writeWet(graft.Tables.documents(s, d).select(col("doc_id"), col("text")), staging)
+    wetToDocuments(read(s, staging, splitBytes = 32L << 10))
+      .select(
+        regexp_extract(col("doc_id"), ":([0-9]+)>$", 1).cast("bigint").as("doc_id"),
+        col("url"), col("text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_warc_documents" -> (qWarcDocuments _))
+    "q_warc_documents" -> (qWarcDocuments _),
+    "q_wet_documents"  -> (qWetDocuments _))
 
   /** The oracle replays the only two text transforms that survive the
     * round-trip: whitespace collapse + trim (the escape/decode pair and
@@ -237,6 +305,13 @@ object Warc {
       """SELECT doc_id,
         |       concat('http://example.com/doc/', doc_id) AS url,
         |       trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // WET payloads carry the text verbatim — the round-trip is the
+    // identity, so any framing/split/gzip defect shows as a hash miss
+    "q_wet_documents" ->
+      """SELECT doc_id,
+        |       concat('http://example.com/doc/', doc_id) AS url,
+        |       text
         |FROM documents ORDER BY doc_id""".stripMargin)
 
   // ---------------------------------------------------------------- listing

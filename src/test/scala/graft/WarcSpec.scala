@@ -186,4 +186,29 @@ class WarcSpec extends SparkSpec {
     val got = back.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq === (0L until 40L).map(i => (i, s"text with <markup> & entities $i")))
   }
+
+  test("WET: conversion records round-trip text VERBATIM through splits and gzip") {
+    import spark.implicits._
+    // markup chars and runs of whitespace must survive untouched — the
+    // defining difference from the response-record round-trip, which
+    // HTML-escapes and whitespace-collapses
+    val docs = (0L until 30L).map(i => (i, s"raw <tag> &amp;  double  space $i"))
+      .toDF("doc_id", "text")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_wetspec_rt").toString
+    Warc.writeWet(docs, dir, partitions = 5)
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.exists(_.endsWith(".warc.wet")) && names.exists(_.endsWith(".warc.wet.gz")),
+      s"expected both WET legs, got $names")
+    val raw = Warc.read(spark, dir, splitBytes = 256L)
+    // every record is a conversion record with a refers-to link back to
+    // its response id, and NO http fields (the payload is not enveloped)
+    val recs = raw.collect()
+    assert(recs.forall(_.getAs[String]("warc_type") == "conversion"))
+    assert(recs.forall(r => r.isNullAt(r.fieldIndex("http_status"))))
+    val back = Warc.wetToDocuments(raw)
+      .select(regexp_extract(col("doc_id"), ":([0-9]+)>$", 1).cast("long").as("doc_id"),
+        col("text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === (0L until 30L).map(i => (i, s"raw <tag> &amp;  double  space $i")))
+  }
 }
