@@ -1115,6 +1115,100 @@ object Graph {
     keep
   }
 
+  /** Hop-bounded, source-sampled BETWEENNESS centrality — the bridge
+    * detector (a node with high betweenness carries traffic between
+    * communities; in crawl curation it flags aggregator/portal hosts
+    * whose removal fragments the graph). Exact betweenness is
+    * O(n·m) (Brandes 2001); production uses source SAMPLING (Brandes &
+    * Pich 2007) and a hop bound (k-betweenness, Pfeffer & Carley 2012)
+    * — both are part of this operator's declared semantics, so the
+    * oracle replays them and the result is exact-by-definition.
+    *
+    * Per sampled source s, the Brandes two-phase sweep:
+    *  1. forward multi-source BFS carrying σ(s,v) = #shortest s→v
+    *     paths: layer d's σ is one frontier⋈edges join + a (s,v)
+    *     sum-agg (σ is a plain integer sum over layer-(d−1)
+    *     predecessors), first-discovery gated by an anti-join against
+    *     the accumulated pair relation — the [[harmonic]] shape plus a
+    *     σ column.
+    *  2. backward dependency accumulation, deepest layer first:
+    *     δ(s,v) = Σ_{v→w, d(w)=d(v)+1} σ(s,v)·(scale + δ(s,w)) DIV σ(s,w)
+    *     in BIGINT fixed point — each edge term is one integer
+    *     multiply-floor-divide, so the distributed sum is
+    *     order-independent and both engines agree bit-for-bit.
+    *  B(v) = Σ_{s≠v} δ(s,v).
+    *
+    * At 100 TB: state is the (s, v, d, σ) pair relation — |sample| ×
+    * ball size, the harmonic trade — and each phase step is one
+    * equi-join + one hash-agg; phase 2 runs exactly `depth` rounds over
+    * per-layer slices of the fenced pair relation. Sample size and
+    * depth are the accuracy/cost dials (Brandes-Pich: ~hundreds of
+    * sources suffice for rank stability at web scale). */
+  def betweenness(edges: DataFrame, seeds: DataFrame, depth: Int,
+                  scale: Long = 1000000L): DataFrame = {
+    val e = graft.Fence(edges.select(col("src"), col("dst")).distinct())
+    // forward: R = (s, v, d, sig), first-discovery BFS with path counts
+    var r = graft.Fence(seeds.select(col("node").as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(0).as("d"), lit(1L).as("sig")))
+    var frontier = r
+    (1 to depth).foreach { dd =>
+      val next = frontier
+        .join(e.withColumnRenamed("src", "v"), "v")
+        .groupBy(col("s"), col("dst").as("v"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(r.select("s", "v"), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(dd).as("d"), col("sig"))
+      val prevR = r; val prevF = frontier
+      frontier = graft.Fence.cut(next)
+      r = graft.Fence.cut(prevR.union(frontier))
+      graft.Fence.release(prevR)
+      if (!(prevF eq prevR)) graft.Fence.release(prevF)
+    }
+    // backward: δ per layer, deepest first; layer `depth` seeds δ = 0
+    var deltaUp = graft.Fence.cut(r.filter(col("d") === depth)
+      .select(col("s"), col("v"), col("sig"), lit(0L).as("dfp")))
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    ((depth - 1) to 0 by -1).foreach { dd =>
+      val contrib = e
+        .join(deltaUp.select(col("s"), col("v").as("dst"),
+          col("sig").as("sigw"), col("dfp").as("dfpw")), "dst")
+        .select(col("s"), col("src").as("v"),
+          col("sigw"), col("dfpw"))
+      val layer = graft.Fence.cut(
+        r.filter(col("d") === dd).select(col("s"), col("v"), col("sig"))
+          .join(contrib, Seq("s", "v"), "left")
+          .groupBy(col("s"), col("v"), col("sig"))
+          .agg(coalesce(sum(
+            expr(s"(sig * ($scale + dfpw)) DIV sigw")), lit(0L)).as("dfp")))
+      layers += layer
+      graft.Fence.release(deltaUp)
+      deltaUp = layer
+    }
+    val allNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val acc = layers.reduce(_ union _)
+      .filter(col("v") =!= col("s"))
+      .groupBy(col("v").as("node")).agg(sum(col("dfp")).as("bc_fp"))
+    val keep = graft.Fence.cut(
+      allNodes.join(acc, Seq("node"), "left")
+        .select(col("node"), coalesce(col("bc_fp"), lit(0L)).as("bc_fp")))
+    graft.Fence.release(r); graft.Fence.release(e)
+    if (!(frontier eq r)) graft.Fence.release(frontier)
+    keep
+  }
+
+  /** EXT: 3-hop betweenness from the mod-25 source sample over the
+    * fixture webgraph, declared + oracled (forward layers and backward
+    * dependency rounds both unrolled; every δ term is the identical
+    * BIGINT multiply-floor-divide). */
+  def qGraphBetweenness(s: SparkSession, d: String): DataFrame = {
+    val edges = graphEdges(s, d)
+    val seeds = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().filter(col("node") % 25 === 0)
+    betweenness(edges, seeds, depth = 3).orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
@@ -1131,7 +1225,8 @@ object Graph {
     "q_graph_bowtie"     -> (qGraphBowtie _),
     "q_graph_sssp"       -> (qGraphSssp _),
     "q_graph_linkpred"   -> (qGraphLinkpred _),
-    "q_graph_stats"      -> (qGraphStats _)
+    "q_graph_stats"      -> (qGraphStats _),
+    "q_graph_betweenness" -> (qGraphBetweenness _)
   )
 
   // fixture reachability closure + mutual-reachability SCC labels — the
@@ -1147,6 +1242,27 @@ object Graph {
        |  FROM nodes n LEFT JOIN m ON m.v = n.node GROUP BY n.node),
        |sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
        |       FROM lbl GROUP BY scc)""".stripMargin
+
+  // one unrolled forward Brandes layer: σ summed over layer-(i−1)
+  // predecessors, first-discovery gated on the accumulated pair set
+  private def duckBrandesFwd(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+       |  SELECT f.s, e.dst AS v, CAST(SUM(f.sig) AS BIGINT) AS sig
+       |  FROM l${i - 1} f JOIN e ON e.src = f.v
+       |  WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} x WHERE x.s = f.s AND x.v = e.dst)
+       |  GROUP BY f.s, e.dst),
+       |r$i AS MATERIALIZED (SELECT * FROM r${i - 1}
+       |  UNION ALL SELECT s, v, $i AS d, sig FROM l$i)""".stripMargin
+
+  // one unrolled backward dependency round: δ(v) over layer-(i+1)
+  // successors, each term the shared BIGINT multiply-floor-divide
+  private def duckBrandesBwd(i: Int, scale: Long): String =
+    s"""b$i AS MATERIALIZED (
+       |  SELECT l.s, l.v, l.sig,
+       |    COALESCE(CAST(SUM((l.sig * ($scale + w.dfp)) // w.sig) AS BIGINT), 0) AS dfp
+       |  FROM l$i l LEFT JOIN e ON e.src = l.v
+       |       LEFT JOIN b${i + 1} w ON w.s = l.s AND w.v = e.dst
+       |  GROUP BY l.s, l.v, l.sig)""".stripMargin
 
   // one unrolled Bellman-Ford round over the enc = dist*2^40 + seed state
   private def duckSsspRound(i: Int): String =
@@ -1436,6 +1552,21 @@ object Graph {
         |       WHEN l.node IN (SELECT node FROM fw) THEN 'OUT'
         |       ELSE 'OTHER' END AS cls
         |FROM lbl l ORDER BY l.node""".stripMargin,
+    "q_graph_betweenness" ->
+      s"""WITH $duckFixtureEdges,
+        |l0 AS (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sig
+        |       FROM nodes WHERE node % 25 = 0),
+        |r0 AS (SELECT s, v, 0 AS d, sig FROM l0),
+        |${(1 to 3).map(duckBrandesFwd).mkString(",\n")},
+        |b3 AS (SELECT s, v, sig, CAST(0 AS BIGINT) AS dfp FROM l3),
+        |${(2 to 0 by -1).map(duckBrandesBwd(_, 1000000L)).mkString(",\n")},
+        |acc AS (SELECT s, v, dfp FROM b0
+        |  UNION ALL SELECT s, v, dfp FROM b1
+        |  UNION ALL SELECT s, v, dfp FROM b2),
+        |bc AS (SELECT v AS node, CAST(SUM(dfp) AS BIGINT) AS bc_fp
+        |       FROM acc WHERE v <> s GROUP BY v)
+        |SELECT n.node, COALESCE(bc.bc_fp, 0) AS bc_fp
+        |FROM nodes n LEFT JOIN bc ON n.node = bc.node ORDER BY n.node""".stripMargin,
     "q_graph_stats" ->
       s"""WITH $duckFixtureEdges,
         |odeg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),

@@ -583,6 +583,82 @@ class GraphSpec extends SparkSpec {
     assert(capped((1L, 3L)) === ((2L, 2L * 333333L)), "hub wedges dropped under the cap")
   }
 
+  /** Driver-side hop-bounded Brandes reference: same integer fixed-point
+    * dependency arithmetic, BFS + layer-reverse accumulation. */
+  private def refBetweenness(edges: Seq[(Long, Long)], sources: Seq[Long],
+                             depth: Int, scale: Long = 1000000L): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val bc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    sources.foreach { s =>
+      val dist = scala.collection.mutable.Map[Long, Int](s -> 0)
+      val sig = scala.collection.mutable.Map[Long, Long](s -> 1L)
+      var layer = Seq(s)
+      val layersByD = scala.collection.mutable.Map[Int, Seq[Long]](0 -> layer)
+      for (d <- 1 to depth) {
+        val nextSig = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        layer.foreach(u => adj.getOrElse(u, Nil).foreach { w =>
+          if (!dist.contains(w)) nextSig(w) += sig(u)
+        })
+        layer = nextSig.keys.toSeq
+        layer.foreach { w => dist(w) = d; sig(w) = nextSig(w) }
+        layersByD(d) = layer
+      }
+      val dfp = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (d <- (depth - 1) to 0 by -1) {
+        layersByD(d).foreach { v =>
+          var acc = 0L
+          adj.getOrElse(v, Nil).foreach { w =>
+            if (dist.get(w).contains(d + 1))
+              acc += (sig(v) * (scale + dfp(w))) / sig(w)
+          }
+          dfp(v) = acc
+          if (v != s) bc(v) += acc
+        }
+      }
+    }
+    nodes.map(v => v -> bc(v)).toMap
+  }
+
+  test("betweenness: bridge node dominates; matches the driver reference bit-exactly") {
+    import spark.implicits._
+    // two stars joined through bridge 5: sources {0, 10} route
+    // everything through it
+    val edges = Seq[(Long, Long)](
+      (0, 5), (1, 5), (2, 5), (5, 6), (5, 7), (6, 8), (10, 5))
+    val sources = Seq(0L, 10L)
+    val got = Graph.betweenness(edges.toDF("src", "dst"),
+        sources.toDF("node"), depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = refBetweenness(edges, sources, 3)
+    assert(got === ref)
+    assert(got(5L) > got(6L) && got(6L) > got(7L),
+      s"bridge must dominate: $got")
+    assert(got(0L) === 0L && got(10L) === 0L, "sources exclude themselves")
+  }
+
+  test("betweenness property (scalacheck): random digraphs match the driver reference") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(4, 9)
+      m <- Gen.choose(3, 18)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }.distinct
+    val prop = Prop.forAll(genEdges.suchThat(_.nonEmpty), Gen.choose(1, 3)) {
+      (edges, depth) =>
+        val srcs = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted.take(3)
+        val got = Graph.betweenness(edges.toDF("src", "dst"),
+            srcs.toDF("node"), depth)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == refBetweenness(edges, srcs, depth)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
