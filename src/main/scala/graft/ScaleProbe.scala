@@ -681,7 +681,7 @@ object ScaleProbe {
       .select(col("src"),
         pmod(col("src") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("dst"))
       .filter(col("src") =!= col("dst"))
-    if (leg != "sssp") {
+    if (leg == "all" || leg == "scc") {
       val t0 = System.nanoTime()
       val labels = operators.Graph.scc(edges,
         onRound = (phase, metric, secs) =>
@@ -691,7 +691,24 @@ object ScaleProbe {
       println(f"graphmacro scc: $n%,d nodes in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
         top.map(r => s"size=${r.getLong(0)}x${r.getLong(1) / math.max(1L, r.getLong(0))}").mkString(" "))
     }
-    if (leg == "scc") return
+    if (leg != "all" && leg != "bc") () else {
+      val t2 = System.nanoTime()
+      // 100 sampled sources (Brandes-Pich), depth 4: pair state is
+      // |sample| x ball(4) — the sampling dial at work
+      val srcs = spark.range(1, n, n / 100).toDF("node")
+      val bc = operators.Graph.betweenness(edges, srcs, depth = 4)
+      val nz = bc.filter(col("bc_fp") > 0).count()
+      println(f"graphmacro bc: $n%,d nodes, 100 sources, depth 4 -> " +
+        f"$nz%,d nonzero scores in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    }
+    if (leg != "all" && leg != "linkpred") () else {
+      val t3 = System.nanoTime()
+      val lp = operators.Graph.linkPrediction(edges, cap = 64, k = 100)
+      val top = lp.head()
+      println(f"graphmacro linkpred: top ra_fp=${top.getLong(3)}%,d cn=${top.getLong(2)}%,d " +
+        f"in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    }
+    if (leg == "scc" || leg == "bc" || leg == "linkpred") return
     val t1 = System.nanoTime()
     // seeds offset to 1 mod 1000: multiples of 1000 are ≡ 0 mod 4 — this
     // topology's NON-emitters — and a seed set of pure sinks relaxes
