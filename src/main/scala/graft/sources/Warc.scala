@@ -237,6 +237,49 @@ object Warc {
     outB.toByteArray
   }
 
+  /** Corpus → WAT export (the Common Crawl *.warc.wat.gz convention:
+    * `metadata` records whose JSON payload describes each response —
+    * here url + outlinks, the fields the webgraph build consumes).
+    * Expects (doc_id, wat) where `wat` is the JSON string (callers
+    * build it with `to_json(struct(...))` so it stays codegen'd);
+    * shares the container writer via the record-builder parameter. */
+  def writeWat(docs: DataFrame, dir: String, partitions: Int = 8,
+               mixGzip: Boolean = true): Unit =
+    writeContainer(docs, dir, "warc.wat", partitions, mixGzip, metadataRecord)
+
+  /** One WAT `metadata` record for (doc_id, json payload). */
+  private[graft] def metadataRecord(id: Long, json: String): Array[Byte] = {
+    val payload = json.getBytes("UTF-8")
+    val head = new StringBuilder()
+      .append("WARC/1.1\r\n")
+      .append("WARC-Type: metadata\r\n")
+      .append(s"WARC-Record-ID: <urn:graft:wat:$id>\r\n")
+      .append(s"WARC-Refers-To: <urn:graft:doc:$id>\r\n")
+      .append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      .append(s"WARC-Target-URI: http://example.com/doc/$id\r\n")
+      .append("Content-Type: application/json\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n\r\n")
+      .toString.getBytes("US-ASCII")
+    val outB = new java.io.ByteArrayOutputStream(head.length + payload.length + 4)
+    outB.write(head); outB.write(payload); outB.write("\r\n\r\n".getBytes("US-ASCII"))
+    outB.toByteArray
+  }
+
+  /** WAT metadata records → the LINK GRAPH: parse each record's JSON
+    * payload ({host, links: [host]}) with a typed `from_json` schema
+    * and explode the outlinks to an edge list — the webgraph-build
+    * front door (Common Crawl's published host graph is produced from
+    * exactly this record type). Zero UDFs: JSON parse and explode are
+    * codegen'd expressions. */
+  def watToEdges(warc: DataFrame): DataFrame = {
+    warc.filter(col("warc_type") === "metadata" &&
+        col("content_type").startsWith("application/json") && col("body").isNotNull)
+      .select(from_json(decode(col("body"), "UTF-8"),
+        "host BIGINT, links ARRAY<BIGINT>", Map.empty[String, String]).as("w"))
+      .select(col("w.host").as("src"), explode(col("w.links")).as("dst"))
+      .distinct()
+  }
+
   /** WET conversion records → the `documents` shape. No HTTP split, no
     * HTML stripping — the payload IS the text (which is why pipelines
     * prefer WET when they trust the extractor). */
@@ -293,9 +336,38 @@ object Warc {
       .orderBy("doc_id")
   }
 
+  /** WAT round-trip into the LINK GRAPH, oracle-hashed: each document's
+    * outlinks (the [[graft.operators.Graph.graphEdges]] fixture
+    * derivation — a pure function of doc_id) are serialized as the WAT
+    * JSON payload with `to_json(struct(...))`, exported as `metadata`
+    * records (half gzip), re-ingested through the splittable reader
+    * (every raw file cut mid-record), and parsed back to the edge list
+    * with a typed `from_json`. The DuckDB oracle is the same edge
+    * derivation in SQL — so the hash gates the JSON encode/decode pair,
+    * WAT record framing, split ownership over `metadata` records, AND
+    * that the container round-trip feeds the graph family losslessly
+    * (this edge list is bit-identical to what q_graph_* consume). */
+  def qWatLinks(s: SparkSession, d: String): DataFrame = {
+    val staging = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_wat_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    val wat = graft.Tables.documents(s, d).select(
+      col("doc_id"),
+      to_json(struct(
+        (col("doc_id") % 997L).as("host"),
+        array_distinct(filter(
+          transform(sequence(lit(1L), lit(1L) + col("doc_id") % 3L),
+            k => (col("doc_id") * 31L + k * 7L) % 997L),
+          dst => dst =!= col("doc_id") % 997L)).as("links"))).as("wat"))
+    writeWat(wat.select(col("doc_id"), col("wat").as("text")), staging)
+    watToEdges(read(s, staging, splitBytes = 16L << 10))
+      .orderBy("src", "dst")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_documents" -> (qWarcDocuments _),
-    "q_wet_documents"  -> (qWetDocuments _))
+    "q_wet_documents"  -> (qWetDocuments _),
+    "q_wat_links"      -> (qWatLinks _))
 
   /** The oracle replays the only two text transforms that survive the
     * round-trip: whitespace collapse + trim (the escape/decode pair and
@@ -312,7 +384,15 @@ object Warc {
       """SELECT doc_id,
         |       concat('http://example.com/doc/', doc_id) AS url,
         |       text
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the fixture link derivation in SQL (the q_graph_* edge relation):
+    // JSON encode→decode and the container legs are exact inverses
+    "q_wat_links" ->
+      """WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k)
+        |SELECT DISTINCT (doc_id % 997) AS src, ((doc_id * 31 + k * 7) % 997) AS dst
+        |FROM documents CROSS JOIN ks
+        |WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)
+        |ORDER BY src, dst""".stripMargin)
 
   // ---------------------------------------------------------------- listing
 

@@ -211,4 +211,21 @@ class WarcSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(back.toSeq === (0L until 30L).map(i => (i, s"raw <tag> &amp;  double  space $i")))
   }
+
+  test("WAT: metadata records parse back to the exact edge list through splits") {
+    import spark.implicits._
+    // host i links to (2i+1, 2i+2) mod 40; empty-link hosts drop out
+    val docs = (0L until 20L).map { i =>
+      val links = if (i % 7 == 6) "[]" else s"[${(2 * i + 1) % 40}, ${(2 * i + 2) % 40}]"
+      (i, s"""{"host": $i, "links": $links}""")
+    }.toDF("doc_id", "text")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_watspec_rt").toString
+    Warc.writeWat(docs, dir, partitions = 4)
+    val got = Warc.watToEdges(Warc.read(spark, dir, splitBytes = 200L))
+      .orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (0L until 20L).filter(_ % 7 != 6)
+      .flatMap(i => Seq((i, (2 * i + 1) % 40), (i, (2 * i + 2) % 40)))
+      .sorted
+    assert(got.toSeq === want)
+  }
 }
