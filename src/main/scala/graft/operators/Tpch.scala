@@ -95,6 +95,39 @@ object Tpch {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** SQL-frontend RECURSIVE CTE (Spark 4.1's `WITH RECURSIVE` →
+    * UnionLoopExec): bounded-hop reachability from the seed hosts over
+    * the fixture link graph, written as the SAME ANSI recursive SQL a
+    * DuckDB/Postgres user would write — the declarative form of the
+    * engine's iterative frontier loops ([[graft.operators.Graph
+    * .harmonic]] et al.). UNION ALL + explicit hop bound keeps the
+    * recursion finite on a cyclic graph in BOTH engines (path
+    * enumeration, reduced by the outer MIN(d) GROUP BY to first-
+    * discovery hops); the oracle runs the identical statement. The
+    * value of the row: the SQL surface users bring from warehouse
+    * engines runs on this engine unchanged, planned as an iterative
+    * union loop rather than a hand-built driver loop. */
+  def qSqlRecursive(s: SparkSession, d: String): DataFrame = {
+    graft.Views.register(s, d)
+    s.sql(
+      """WITH RECURSIVE r(node, d) AS (
+        |  SELECT DISTINCT CAST(doc_id % 997 AS BIGINT), 0
+        |  FROM documents WHERE (doc_id % 997) % 100 = 0
+        |  UNION ALL
+        |  SELECT e.dst, r.d + 1
+        |  FROM r JOIN (
+        |    SELECT DISTINCT (doc_id % 997) AS src,
+        |                    ((doc_id * 31 + k * 7) % 997) AS dst
+        |    FROM documents
+        |    LATERAL VIEW explode(sequence(1, 1 + CAST(doc_id % 3 AS INT))) AS k
+        |    WHERE (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)
+        |  ) e ON e.src = r.node
+        |  WHERE r.d < 4
+        |)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+        |FROM r GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   /** Q5: local supplier volume — the canonical JOIN-ORDER benchmark: six
     * tables (three broadcastable dims, two fact-fact equi-joins) plus the
     * c_nationkey = s_nationkey theta edge. Catalyst's cost-based reorder
@@ -555,6 +588,7 @@ object Tpch {
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_tpch_q22" -> (qTpchQ22 _),
     "q_sql_not_exists" -> (qSqlNotExists _),
+    "q_sql_recursive"  -> (qSqlRecursive _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -613,6 +647,25 @@ object Tpch {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
+    // the identical recursive statement, DuckDB dialect (UNNEST for the
+    // link fan-out instead of LATERAL VIEW explode)
+    "q_sql_recursive" ->
+      """WITH RECURSIVE r(node, d) AS (
+        |  SELECT DISTINCT CAST(doc_id % 997 AS BIGINT), 0
+        |  FROM documents WHERE (doc_id % 997) % 100 = 0
+        |  UNION ALL
+        |  SELECT e.dst, r.d + 1
+        |  FROM r JOIN (
+        |    SELECT DISTINCT (doc_id % 997) AS src,
+        |                    ((doc_id * 31 + k * 7) % 997) AS dst
+        |    FROM documents CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k)
+        |    WHERE k <= 1 + doc_id % 3
+        |      AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)
+        |  ) e ON e.src = r.node
+        |  WHERE r.d < 4
+        |)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
     "q_tpch_q12" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
