@@ -405,6 +405,56 @@ object Streams {
       .start()
   }
 
+  /** Streaming WEBGRAPH maintenance — the rank-pipeline front door
+    * composed from the WAT source and the graph family (the
+    * [[crawlStream]] convention, pointed at the other Common Crawl
+    * deliverable): `.warc.wat{,.gz}` files land in a watched directory
+    * as a crawler ships them; a content-pruned `binaryFile` listing
+    * stream discovers them exactly-once through the checkpoint log;
+    * each micro-batch decodes exactly its files through the splittable
+    * WAT reader, appends the edge increment to `edgesDir/batch_<id>`,
+    * and recomputes host PageRank over the ACCUMULATED edge relation
+    * into `ranksDir/crawl_<id>` — per-crawl rank recomputation, which
+    * is exactly how the published host ranks are produced (a crawl is
+    * a batch; ranks are a pure function of the edges so far). Edge
+    * dedup across crawls happens at rank time via one distinct() on
+    * the accumulated relation; the per-crawl increments stay raw so
+    * the edge history remains replayable. */
+  def watStream(s: SparkSession, watDir: String, edgesDir: String,
+                ranksDir: String, checkpoint: String,
+                maxFilesPerBatch: Option[Int] = None,
+                splitBytes: Long = 64L << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val src = maxFilesPerBatch.foldLeft(
+      s.readStream.format("binaryFile").schema(binaryFileSchema)
+        .option("pathGlobFilter", "*.{wat,wat.gz}"))(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    src.load(watDir)
+      .select(col("path"), col("length"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val files = batch.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+        if (files.nonEmpty) {
+          graft.sources.Warc.watToEdges(
+              graft.sources.Warc.readFiles(s, files, splitBytes))
+            .repartition(32, col("src"))
+            .write.mode("overwrite").parquet(s"$edgesDir/batch_$batchId")
+          val all = s.read.option("recursiveFileLookup", "true")
+            .parquet(edgesDir).distinct()
+          graft.operators.Graph.pageRank(all, iters = 5)
+            .write.mode("overwrite").parquet(s"$ranksDir/crawl_$batchId")
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 

@@ -312,6 +312,60 @@ class StreamingSpec extends SparkSpec {
     assert(idxDocs === docs.count(), "index must accumulate all crawled docs' bands")
   }
 
+  test("streaming webgraph: WAT drops append edges; per-crawl ranks equal the batch recompute") {
+    import graft.sources.Warc
+    val watDir = Files.createTempDirectory("graft_wat_landing").toString
+    val edgesOut = Files.createTempDirectory("graft_wat_edges").resolve("e").toString
+    val ranks = Files.createTempDirectory("graft_wat_ranks").toString
+    val ckpt = Files.createTempDirectory("graft_wat_ckpt").toString
+    // two crawls over disjoint host slices: crawl 1 = even hosts, crawl 2
+    // = odd hosts; each host links to (3h+1, 3h+2) mod 200
+    def watJson(hosts: Seq[Long]) = {
+      import spark.implicits._
+      hosts.map { h =>
+        val links = Seq((3 * h + 1) % 200, (3 * h + 2) % 200).filter(_ != h)
+        (h, s"""{"host": $h, "links": [${links.mkString(", ")}]}""")
+      }.toDF("doc_id", "text")
+    }
+    def ship(crawl: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_wat_stage_$tag").toString
+      Warc.writeWat(crawl, staging, partitions = 2)
+      new java.io.File(staging).listFiles()
+        .filter(f => !f.getName.startsWith("."))
+        .foreach(f => Files.move(f.toPath, Paths.get(watDir, s"$tag-${f.getName}")))
+    }
+    val c1 = (0L until 200L by 2)
+    val c2 = (1L until 200L by 2)
+    ship(watJson(c1), "c1")
+    Streams.watStream(spark, watDir, edgesOut, ranks, ckpt,
+      splitBytes = 4L << 10).awaitTermination(180000)
+    ship(watJson(c2), "c2")
+    Streams.watStream(spark, watDir, edgesOut, ranks, ckpt,
+      splitBytes = 4L << 10).awaitTermination(180000)
+
+    // edge increments decode exactly and accumulate both crawls
+    val expected = (c1 ++ c2)
+      .flatMap(h => Seq((h, (3 * h + 1) % 200), (h, (3 * h + 2) % 200)))
+      .filter { case (a, b) => a != b }.distinct.sorted
+    val streamedEdges = spark.read.option("recursiveFileLookup", "true")
+      .parquet(edgesOut).distinct()
+      .orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamedEdges.toSeq === expected,
+      "accumulated edge relation must equal the shipped link set")
+
+    // crawl-2 ranks = the public batch operator over the full edge set,
+    // bit-exactly (ranks are a pure integer function of the edges)
+    import spark.implicits._
+    val batchRanks = graft.operators.Graph.pageRank(
+        expected.toDF("src", "dst"), iters = 5)
+      .orderBy("node").collect().map(_.toString)
+    val crawl2 = new java.io.File(ranks).listFiles().map(_.getName).sorted.last
+    val streamedRanks = spark.read.parquet(s"$ranks/$crawl2")
+      .orderBy("node").collect().map(_.toString)
+    assert(streamedRanks.sameElements(batchRanks),
+      "per-crawl rank recompute must equal the batch twin bit-exactly")
+  }
+
   test("streaming anomaly scoring: broadcast batch model flags the stream identically to the batch screen") {
     val src = stageEventsDir()
     // plant one event whose TYPE the model has never seen (r9 advice):
