@@ -335,6 +335,24 @@ class SqlFrontendSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM events").collect().head.getLong(0) > 0)
   }
 
+  test("WITH RECURSIVE plans as a UnionLoop, and hops are true BFS depths") {
+    val df = operators.Tpch.qSqlRecursive(spark, sf)
+    // the recursion must be the ITERATIVE loop operator, not an unroll
+    assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "recursive CTE must plan as UnionLoopExec")
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hop-0 rows are exactly seeds (sources ≡ 0 mod 100 drawn from
+    // doc_id residues — a %100 node reached only as a link TARGET is
+    // not a seed and correctly carries a positive hop)
+    val hop0 = rows.filter(_._2 == 0L).keys
+    assert(hop0.nonEmpty && hop0.forall(_ % 100 == 0))
+    assert(rows.values.forall(h => h >= 0L && h <= 5L))
+    // monotone reachability: hop-k nodes only exist if hop-(k-1) nodes do
+    val byHop = rows.values.groupBy(identity).view.mapValues(_.size).toMap
+    (1L to rows.values.max).foreach(k =>
+      assert(byHop.contains(k - 1), s"hop $k present without hop ${k - 1}"))
+  }
+
   test("IVF assignment partitions the non-codebook vectors") {
     val rows = operators.Similarity.qAnnIvf(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_assigned")).sum
