@@ -1209,7 +1209,61 @@ object Graph {
     betweenness(edges, seeds, depth = 3).orderBy("node")
   }
 
+  /** EXT: MODULARITY of the LPA communities — the standard quality
+    * readout for any community assignment (Newman 2004): per community
+    * c, Q_c = intra_c/2m − (deg_c/2m)², with intra_c counting both
+    * directions of each within-community edge and 2m = |symmetrized
+    * edge rows|. A curation pipeline uses this as the canary on its
+    * community structure: modularity collapsing between crawls means
+    * the label pass is fragmenting (or a link farm has glued
+    * communities together).
+    *
+    * Fixed-point exactness: Q contributions in 1e9 units ("nano-Q");
+    * term 1 is a plain BIGINT multiply-floor-divide, term 2 squares
+    * deg_c — up to (2m)², past BIGINT·scale at webgraph sizes — so the
+    * square is staged through DECIMAL(38,0) exactly like the [[hits]]
+    * normalizer (HUGEINT oracle-side). One labels join + two grouped
+    * aggregates over the symmetrized edge relation; everything else is
+    * community-sized. */
+  def qGraphModularity(s: SparkSession, d: String): DataFrame = {
+    val edges = graphEdges(s, d)
+    modularity(edges, labelPropagation(edges, iters = 4)).orderBy("community")
+  }
+
+  /** PUBLIC modularity entry over an arbitrary (node, community)
+    * assignment — see [[qGraphModularity]] for semantics and the
+    * fixed-point/overflow contract. */
+  def modularity(edges: DataFrame, labelsIn: DataFrame,
+                 scale: Long = 1000000000L): DataFrame = {
+    val und = graft.Fence(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+    val twoM = und.count() // one bounded driver scalar
+    val labels = graft.Fence(labelsIn.select("node", "community"))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+    val degC = labels.join(deg, "node")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("deg_c"))
+    val intra = und
+      .join(labels.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(labels.select(col("node").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra"))
+    val out = degC.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra"), lit(0L)).as("intra"), col("deg_c"),
+        (expr(s"(coalesce(intra, 0L) * ${scale}L) DIV ${twoM}L") -
+         expr(s"CAST((CAST(deg_c AS DECIMAL(38,0)) * CAST(deg_c AS DECIMAL(38,0)) * ${scale}L)" +
+              s" DIV ${twoM * twoM}L AS BIGINT)")).as("q_contrib_fp"))
+      .orderBy("community")
+    val keep = graft.Fence.cut(out)
+    graft.Fence.release(labels); graft.Fence.release(und)
+    keep
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_modularity" -> (qGraphModularity _),
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
     "q_graph_harmonic"   -> (qGraphHarmonic _),
@@ -1552,6 +1606,25 @@ object Graph {
         |       WHEN l.node IN (SELECT node FROM fw) THEN 'OUT'
         |       ELSE 'OTHER' END AS cls
         |FROM lbl l ORDER BY l.node""".stripMargin,
+    "q_graph_modularity" ->
+      s"""WITH $duckFixtureEdges,
+        |$duckUndirected,
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+        |${(1 to 4).map(duckLpaRound).mkString(",\n")},
+        |tm AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m FROM und),
+        |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY a),
+        |dc AS (SELECT l.lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |              CAST(SUM(deg.dg) AS BIGINT) AS deg_c
+        |       FROM l4 l JOIN deg ON l.node = deg.node GROUP BY l.lbl),
+        |ic AS (SELECT la.lbl AS community, CAST(COUNT(*) AS BIGINT) AS intra
+        |       FROM und u JOIN l4 la ON u.a = la.node JOIN l4 lb ON u.b = lb.node
+        |       WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+        |SELECT dc.community, dc.n_nodes, COALESCE(ic.intra, 0) AS intra, dc.deg_c,
+        |  CAST((COALESCE(ic.intra, 0) * 1000000000) // (SELECT two_m FROM tm)
+        |   - (CAST(dc.deg_c AS HUGEINT) * dc.deg_c * 1000000000)
+        |     // ((SELECT two_m FROM tm) * (SELECT two_m FROM tm)) AS BIGINT) AS q_contrib_fp
+        |FROM dc LEFT JOIN ic ON dc.community = ic.community
+        |ORDER BY dc.community""".stripMargin,
     "q_graph_betweenness" ->
       s"""WITH $duckFixtureEdges,
         |l0 AS (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sig

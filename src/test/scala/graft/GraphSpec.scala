@@ -659,6 +659,25 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("modularity: two cliques with a bridge — exact hand-computed contributions") {
+    import spark.implicits._
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      ((3L, 10L))).toDF("src", "dst")
+    val labels = Seq(0L, 1L, 2L, 3L).map(_ -> 0L)
+      .++(Seq(10L, 11L, 12L, 13L).map(_ -> 10L)).toDF("node", "community")
+    val got = Graph.modularity(edges, labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 2m = 26 symmetrized rows; per clique: intra 12 (both directions),
+    // deg_c 13 (three deg-3 nodes + the deg-4 bridge endpoint);
+    // Q_c = 12e9 DIV 26 - 169e9 DIV 676 = 461538461 - 250000000
+    assert(got === Map(
+      0L  -> ((4L, 12L, 13L, 211538461L)),
+      10L -> ((4L, 12L, 13L, 211538461L))))
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
