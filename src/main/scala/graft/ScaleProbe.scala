@@ -708,7 +708,26 @@ object ScaleProbe {
       println(f"graphmacro linkpred: top ra_fp=${top.getLong(3)}%,d cn=${top.getLong(2)}%,d " +
         f"in ${(System.nanoTime() - t3) / 1e9}%.1f s")
     }
-    if (leg == "scc" || leg == "bc" || leg == "linkpred") return
+    if (leg != "all" && leg != "recsql") () else {
+      val t4 = System.nanoTime()
+      edges.createOrReplaceTempView("probe_edges")
+      // the q_sql_recursive shape at webgraph scale: UnionLoopExec over
+      // 10k seeds, 4 hops; UNION ALL path enumeration stays bounded by
+      // seeds × branching^depth, reduced by the outer MIN
+      val rec = spark.sql(
+        s"""WITH RECURSIVE r(node, d) AS (
+           |  SELECT src, 0 FROM (SELECT DISTINCT src FROM probe_edges
+           |                      WHERE src % 1000 = 1)
+           |  UNION ALL
+           |  SELECT e.dst, r.d + 1 FROM r
+           |  JOIN probe_edges e ON e.src = r.node WHERE r.d < 4
+           |)
+           |SELECT node, MIN(d) AS hops FROM r GROUP BY node""".stripMargin)
+      val reached = rec.count()
+      println(f"graphmacro recsql: $reached%,d nodes reached by UnionLoop " +
+        f"(10k seeds, 4 hops) in ${(System.nanoTime() - t4) / 1e9}%.1f s")
+    }
+    if (leg == "scc" || leg == "bc" || leg == "linkpred" || leg == "recsql") return
     val t1 = System.nanoTime()
     // seeds offset to 1 mod 1000: multiples of 1000 are ≡ 0 mod 4 — this
     // topology's NON-emitters — and a seed set of pure sinks relaxes
