@@ -1262,7 +1262,58 @@ object Graph {
     keep
   }
 
+  /** EXT: distance distribution + EFFECTIVE DIAMETER (the 90th-
+    * percentile pairwise distance — the statistic graph releases
+    * publish next to node/edge counts; Leskovec et al.'s
+    * densification/shrinking-diameter work made it the standard
+    * macro-shape readout, and a crawl whose effective diameter jumps
+    * between snapshots has changed its link topology). Bounded-radius
+    * exact form over the fixture graph: the [[harmonic]] multi-source
+    * BFS pair relation reduced to one row per distance — n_pairs,
+    * cumulative, and the d90 flag (first d where cum·10 ≥ total·9).
+    * The unbounded scale path is [[harmonicHyperBall]]'s neighborhood
+    * function (|ball(d)| per vertex at constant state — Boldi & Vigna
+    * run exactly that to publish web effective diameters); the exact
+    * form here is the semantics that leg is spec-gated against. */
+  def qGraphDiameter(s: SparkSession, d: String): DataFrame = {
+    val depth = 6
+    val e = graft.Fence(graphEdges(s, d).select(col("src"), col("dst")).distinct())
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var r = graft.Fence(nodes.select(col("node").as("src"),
+                                     col("node").as("v"), lit(0).as("d")))
+    var frontier = r
+    (1 to depth).foreach { dd =>
+      val next = frontier.join(e.withColumnRenamed("src", "v"), "v")
+        .select(col("src"), col("dst").as("v"))
+        .distinct()
+        .join(r.select("src", "v"), Seq("src", "v"), "left_anti")
+        .withColumn("d", lit(dd))
+      val prevR = r; val prevF = frontier
+      frontier = graft.Fence(next)
+      r = graft.Fence(prevR.union(frontier))
+      graft.Fence.release(prevR)
+      if (!(prevF eq prevR)) graft.Fence.release(prevF)
+    }
+    val dist = r.filter(col("d") > 0)
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    val out = dist
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .crossJoin(broadcast(dist.agg(sum(col("n_pairs")).as("tot"))))
+      .select(col("d"), col("n_pairs"), col("cum_pairs"),
+        when(col("cum_pairs") * 10 >= col("tot") * 9, 1L).otherwise(0L)
+          .as("reached_90"))
+      .orderBy("d")
+    val keep = graft.Fence.cut(out)
+    if (!(frontier eq r)) graft.Fence.release(frontier)
+    graft.Fence.release(r); graft.Fence.release(e)
+    keep
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_diameter"   -> (qGraphDiameter _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
@@ -1606,6 +1657,20 @@ object Graph {
         |       WHEN l.node IN (SELECT node FROM fw) THEN 'OUT'
         |       ELSE 'OTHER' END AS cls
         |FROM lbl l ORDER BY l.node""".stripMargin,
+    "q_graph_diameter" ->
+      s"""WITH $duckFixtureEdges,
+        |r0 AS (SELECT node AS src, node AS v, 0 AS d FROM nodes),
+        |${(1 to 6).map(duckBfsRound).mkString(",\n")},
+        |dist AS (SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |         FROM r6 WHERE d > 0 GROUP BY d),
+        |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM dist)
+        |SELECT d, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY d
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs,
+        |  CAST(CASE WHEN SUM(n_pairs) OVER (ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10
+        |         >= (SELECT tot FROM tot) * 9 THEN 1 ELSE 0 END AS BIGINT) AS reached_90
+        |FROM dist ORDER BY d""".stripMargin,
     "q_graph_modularity" ->
       s"""WITH $duckFixtureEdges,
         |$duckUndirected,
