@@ -727,7 +727,17 @@ object ScaleProbe {
       println(f"graphmacro recsql: $reached%,d nodes reached by UnionLoop " +
         f"(10k seeds, 4 hops) in ${(System.nanoTime() - t4) / 1e9}%.1f s")
     }
-    if (leg == "scc" || leg == "bc" || leg == "linkpred" || leg == "recsql") return
+    if (leg != "all" && leg != "mod") () else {
+      val t5 = System.nanoTime()
+      val labels = operators.Graph.labelPropagation(edges, iters = 4)
+      val q = operators.Graph.modularity(edges, labels)
+      val row = q.agg(count(lit(1)).as("n_comm"),
+        sum(col("q_contrib_fp")).as("q_total")).head()
+      println(f"graphmacro mod: ${row.getLong(0)}%,d communities, " +
+        f"Q = ${row.getLong(1) / 1e9}%.4f in ${(System.nanoTime() - t5) / 1e9}%.1f s")
+    }
+    if (leg == "scc" || leg == "bc" || leg == "linkpred" || leg == "recsql" ||
+        leg == "mod") return
     val t1 = System.nanoTime()
     // seeds offset to 1 mod 1000: multiples of 1000 are ≡ 0 mod 4 — this
     // topology's NON-emitters — and a seed set of pure sinks relaxes
