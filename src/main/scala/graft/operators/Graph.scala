@@ -1312,7 +1312,69 @@ object Graph {
     keep
   }
 
+  /** Full CORE DECOMPOSITION — coreness(v) = the largest k such that v
+    * survives the k-core peel (Seidman 1983; the degeneracy ordering
+    * that coreness induces drives clique-finding, graph drawing, and —
+    * in crawl curation — separates deeply-embedded hub communities
+    * from peripherally-attached spam rings better than raw degree).
+    * Strictly stronger than the [[kcore]] membership flag: one pass
+    * yields every k's core simultaneously.
+    *
+    * Algorithm: incremental peel over increasing k — because the
+    * (k+1)-core is contained in the k-core, the k-level cascade runs
+    * on the SURVIVORS of level k−1, so the total work is one shrinking
+    * sequence of cascades, not kMax independent peels. Nodes dropped
+    * at level k have coreness k−1; `kMax` caps the decomposition (the
+    * declared query's oracle unrolls per-level peels, so the cap is
+    * part of the declared semantics — survivors of level kMax report
+    * coreness kMax). One scalar count per cascade round, alive frames
+    * on [[graft.Fence.cut]] (degeneracy cascades are the deep-loop
+    * case, the [[kcore]] rule). */
+  def coreness(edges: DataFrame, kMax: Int): DataFrame = {
+    val und = graft.Fence(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+    val nodes = graft.Fence(und.select(col("a").as("node")).distinct())
+    def coreDeg(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("dc"))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var alive = nodes
+    var nAlive = alive.count()
+    var k = 1
+    while (k <= kMax && nAlive > 0) {
+      val atEntry = alive
+      var prevN = -1L
+      while (nAlive != prevN && nAlive > 0) {
+        val next = graft.Fence.cut(
+          coreDeg(alive).filter(col("dc") >= k).select("node"))
+        prevN = nAlive
+        alive = next
+        nAlive = alive.count()
+      }
+      parts += atEntry.join(alive, Seq("node"), "left_anti")
+        .select(col("node"), lit(k - 1L).as("coreness"))
+      k += 1
+    }
+    if (nAlive > 0)
+      parts += alive.select(col("node"), lit(kMax.toLong).as("coreness"))
+    val keep = graft.Fence.cut(parts.reduce(_ union _))
+    graft.Fence.release(nodes); graft.Fence.release(und)
+    keep
+  }
+
+  /** EXT: coreness of the fixture webgraph, kMax = 6, declared +
+    * oracled — the oracle peels each level independently with 12
+    * unrolled MATERIALIZED rounds (idempotent at fixpoint, the
+    * [[qGraphKcore]] precedent) and reads coreness as the deepest
+    * surviving level. */
+  def qGraphCoreness(s: SparkSession, d: String): DataFrame =
+    coreness(graphEdges(s, d), kMax = 6).orderBy("node")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_coreness"   -> (qGraphCoreness _),
     "q_graph_diameter"   -> (qGraphDiameter _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_graph_pagerank"   -> (qGraphPagerank _),
@@ -1347,6 +1409,19 @@ object Graph {
        |  FROM nodes n LEFT JOIN m ON m.v = n.node GROUP BY n.node),
        |sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
        |       FROM lbl GROUP BY scc)""".stripMargin
+
+  // one unrolled peel round at threshold k (level-namespaced): the
+  // qGraphKcore 12-round idempotent-at-fixpoint convention, once per
+  // coreness level
+  private def duckPeelRoundAt(k: Int, i: Int): String =
+    s"""c${k}_$i AS MATERIALIZED (SELECT u.a AS node FROM und u
+       |        JOIN c${k}_${i - 1} x ON u.a = x.node
+       |        JOIN c${k}_${i - 1} y ON u.b = y.node
+       |        GROUP BY u.a HAVING COUNT(*) >= $k)""".stripMargin
+
+  private def duckCorenessLevel(k: Int): String =
+    (s"c${k}_0 AS (SELECT DISTINCT a AS node FROM und)" +:
+      (1 to 12).map(duckPeelRoundAt(k, _))).mkString(",\n")
 
   // one unrolled forward Brandes layer: σ summed over layer-(i−1)
   // predecessors, first-discovery gated on the accumulated pair set
@@ -1657,6 +1732,26 @@ object Graph {
         |       WHEN l.node IN (SELECT node FROM fw) THEN 'OUT'
         |       ELSE 'OTHER' END AS cls
         |FROM lbl l ORDER BY l.node""".stripMargin,
+    "q_graph_coreness" ->
+      s"""WITH $duckFixtureEdges,
+        |$duckUndirected,
+        |${(1 to 6).map(duckCorenessLevel).mkString(",\n")}
+        |SELECT n.node, CAST(CASE
+        |  WHEN l6.node IS NOT NULL THEN 6
+        |  WHEN l5.node IS NOT NULL THEN 5
+        |  WHEN l4.node IS NOT NULL THEN 4
+        |  WHEN l3.node IS NOT NULL THEN 3
+        |  WHEN l2.node IS NOT NULL THEN 2
+        |  WHEN l1.node IS NOT NULL THEN 1
+        |  ELSE 0 END AS BIGINT) AS coreness
+        |FROM (SELECT DISTINCT a AS node FROM und) n
+        |LEFT JOIN c6_12 l6 ON n.node = l6.node
+        |LEFT JOIN c5_12 l5 ON n.node = l5.node
+        |LEFT JOIN c4_12 l4 ON n.node = l4.node
+        |LEFT JOIN c3_12 l3 ON n.node = l3.node
+        |LEFT JOIN c2_12 l2 ON n.node = l2.node
+        |LEFT JOIN c1_12 l1 ON n.node = l1.node
+        |ORDER BY n.node""".stripMargin,
     "q_graph_diameter" ->
       s"""WITH $duckFixtureEdges,
         |r0 AS (SELECT node AS src, node AS v, 0 AS d FROM nodes),

@@ -678,6 +678,54 @@ class GraphSpec extends SparkSpec {
       10L -> ((4L, 12L, 13L, 211538461L))))
   }
 
+  /** Driver-side coreness reference: peel at k = 1, 2, ... to fixpoint;
+    * dropped at level k get coreness k-1, kMax survivors get kMax. */
+  private def refCoreness(edges: Seq[(Long, Long)], kMax: Int): Map[Long, Long] = {
+    val und = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    var alive = (und.map(_._1) ++ und.map(_._2)).distinct.toSet
+    val out = scala.collection.mutable.Map[Long, Long]()
+    for (k <- 1 to kMax if alive.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val deg = und.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = alive.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = keep.size != alive.size
+        alive = keep
+      }
+      ((und.map(_._1) ++ und.map(_._2)).distinct.toSet -- alive -- out.keySet)
+        .foreach(v => out(v) = k - 1L)
+    }
+    alive.foreach(v => out(v) = kMax.toLong)
+    out.toMap
+  }
+
+  test("coreness: clique core 3, tail peels at 1, matches brute force; property holds") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // 4-clique {0..3} (coreness 3) + path tail 3-20-21 (coreness 1)
+    val edges = Seq[(Long, Long)](
+      (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 20), (20, 21))
+    val got = Graph.coreness(edges.toDF("src", "dst"), kMax = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refCoreness(edges, 6))
+    assert(got(0L) === 3L && got(3L) === 3L && got(20L) === 1L && got(21L) === 1L)
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(4, 9)
+      m <- Gen.choose(3, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(genEdges.suchThat(_.nonEmpty)) { edges =>
+      val got = Graph.coreness(edges.toDF("src", "dst"), kMax = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == refCoreness(edges, 4)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
