@@ -736,8 +736,17 @@ object ScaleProbe {
       println(f"graphmacro mod: ${row.getLong(0)}%,d communities, " +
         f"Q = ${row.getLong(1) / 1e9}%.4f in ${(System.nanoTime() - t5) / 1e9}%.1f s")
     }
+    if (leg != "all" && leg != "coreness") () else {
+      val t6 = System.nanoTime()
+      val cn = operators.Graph.coreness(edges, kMax = 8)
+      val hist = cn.groupBy("coreness").agg(count(lit(1)).as("n"))
+        .orderBy(col("coreness")).collect()
+      println(f"graphmacro coreness: " +
+        hist.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ") +
+        f" in ${(System.nanoTime() - t6) / 1e9}%.1f s")
+    }
     if (leg == "scc" || leg == "bc" || leg == "linkpred" || leg == "recsql" ||
-        leg == "mod") return
+        leg == "mod" || leg == "coreness") return
     val t1 = System.nanoTime()
     // seeds offset to 1 mod 1000: multiples of 1000 are ≡ 0 mod 4 — this
     // topology's NON-emitters — and a seed set of pure sinks relaxes

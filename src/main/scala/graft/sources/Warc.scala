@@ -274,8 +274,13 @@ object Warc {
   def watToEdges(warc: DataFrame): DataFrame = {
     warc.filter(col("warc_type") === "metadata" &&
         col("content_type").startsWith("application/json") && col("body").isNotNull)
+      // FAILFAST: the S2 strict-ingest convention — a metadata record
+      // whose payload does not parse must throw, not silently vanish
+      // from the edge list (from_json's default PERMISSIVE mode would
+      // null the struct and the explode would drop the row unseen)
       .select(from_json(decode(col("body"), "UTF-8"),
-        "host BIGINT, links ARRAY<BIGINT>", Map.empty[String, String]).as("w"))
+        "host BIGINT, links ARRAY<BIGINT>",
+        Map("mode" -> "FAILFAST")).as("w"))
       .select(col("w.host").as("src"), explode(col("w.links")).as("dst"))
       .distinct()
   }

@@ -228,4 +228,19 @@ class WarcSpec extends SparkSpec {
       .sorted
     assert(got.toSeq === want)
   }
+
+  test("WAT: a malformed JSON payload throws (strict ingest), never drops silently") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """{"host": 1, "links": [2]}"""),
+      (2L, """{"host": 2, "links": [3""")  // truncated JSON
+    ).toDF("doc_id", "text")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_watspec_bad").toString
+    Warc.writeWat(docs, dir, partitions = 1, mixGzip = false)
+    val err = intercept[org.apache.spark.SparkException] {
+      Warc.watToEdges(Warc.read(spark, dir)).collect()
+    }
+    assert(err.getMessage.contains("MALFORMED_RECORD") ||
+           err.getMessage.toLowerCase.contains("malformed"), err.getMessage)
+  }
 }
