@@ -72,8 +72,12 @@ object Graph {
     * indicator rides the node relation as a 0/1 column, so uniform
     * PageRank is exactly the seeds = all-nodes special case.
     *
-    * @param edges (src: long, dst: long); self-loops and duplicate edges
-    *              are honored as given (dedupe upstream if undesired).
+    * @param edges (src: long, dst: long[, w: long]); self-loops and
+    *              duplicate edges are honored as given (dedupe upstream
+    *              if undesired). An optional positive integer `w`
+    *              column weights the rank distribution (contribution =
+    *              rank·w DIV Σw; caller contract: rank·max(w) < 2⁶³,
+    *              i.e. w up to ~9·10⁶ at the default scale).
     * @param iters fixed round count (power iteration; convergence for
     *              d=0.85 is ~1e-1 per round — 5 rounds ranks hosts, 50
     *              rounds reproduces published scores to 6 figures).
@@ -104,8 +108,17 @@ object Graph {
     val nT = if (seeds.isEmpty) n
              else nodes.agg(sum(col("s"))).head().getLong(0)
     require(nT > 0, "pageRank: no seed is a graph node")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
-    val e = graft.Fence(edges.join(deg, "src")) // (src, dst, odeg)
+    // WEIGHTED form (r12 cont.): an edge relation carrying a `w` column
+    // distributes each node's rank proportionally to integer edge
+    // weights — contribution = (rank·w) DIV Σw — the host-graph reality
+    // (links between hosts have multiplicity). Unweighted input is
+    // EXACTLY the w=1 special case: (rank·1) DIV count ≡ rank DIV odeg,
+    // bit-identical (GraphSpec pins the equivalence), so every existing
+    // caller is untouched.
+    val ew = if (edges.columns.contains("w")) edges
+             else edges.withColumn("w", lit(1L))
+    val deg = ew.groupBy("src").agg(sum(col("w")).as("odeg"))
+    val e = graft.Fence(ew.join(deg, "src")) // (src, dst, w, odeg)
     // dangling node set: receives links but emits none
     val dangling = graft.Fence(
       nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti"))
@@ -117,7 +130,7 @@ object Graph {
       val dm1 = r.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val in = e.join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("rank DIV odeg").as("c"))
+        .select(col("dst"), expr("(rank * w) DIV odeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
       val prev = r
       r = graft.Fence(
@@ -170,6 +183,22 @@ object Graph {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rank").desc, col("node"))
     pageRank(edges, iters = 5, seeds = Some(seeds))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("node"), col("rank").as("rank_fp"), col("rk"))
+      .orderBy("node")
+  }
+
+  /** EXT: WEIGHTED PageRank over the fixture graph with integer link
+    * multiplicities w = 1 + (src+dst) % 7 — the actual host-graph form
+    * (hosts link each other many times; Common Crawl's rank inputs
+    * carry multiplicity). Same 5 unrolled rounds as [[qGraphPagerank]]
+    * with the weighted contribution replayed term for term. */
+  def qGraphPagerankW(s: SparkSession, d: String): DataFrame = {
+    val edges = graphEdges(s, d)
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc, col("node"))
+    pageRank(edges, iters = 5)
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("node"), col("rank").as("rank_fp"), col("rk"))
       .orderBy("node")
@@ -1376,6 +1405,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_coreness"   -> (qGraphCoreness _),
     "q_graph_diameter"   -> (qGraphDiameter _),
+    "q_graph_pagerank_w" -> (qGraphPagerankW _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
@@ -1507,6 +1537,18 @@ object Graph {
     s"""d$i AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dm FROM $p
        |        LEFT JOIN deg ON $p.node = deg.src WHERE deg.src IS NULL),
        |m$i AS (SELECT e.dst AS node, CAST(SUM($p.rank // e.odeg) AS BIGINT) AS m
+       |        FROM e JOIN $p ON e.src = $p.node GROUP BY e.dst),
+       |r$i AS (SELECT nodes.node,
+       |          CAST((SELECT tp FROM consts) +
+       |          (85 * (COALESCE(m$i.m, 0) + (SELECT dm FROM d$i) // (SELECT n FROM nn)))
+       |            // 100 AS BIGINT) AS rank
+       |        FROM nodes LEFT JOIN m$i ON nodes.node = m$i.node)""".stripMargin
+
+  // one unrolled WEIGHTED PageRank round: contribution = (rank·w) // Σw
+  private def duckRoundW(i: Int, p: String): String =
+    s"""d$i AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dm FROM $p
+       |        LEFT JOIN deg ON $p.node = deg.src WHERE deg.src IS NULL),
+       |m$i AS (SELECT e.dst AS node, CAST(SUM(($p.rank * e.w) // e.odeg) AS BIGINT) AS m
        |        FROM e JOIN $p ON e.src = $p.node GROUP BY e.dst),
        |r$i AS (SELECT nodes.node,
        |          CAST((SELECT tp FROM consts) +
@@ -1732,6 +1774,25 @@ object Graph {
         |       WHEN l.node IN (SELECT node FROM fw) THEN 'OUT'
         |       ELSE 'OTHER' END AS cls
         |FROM lbl l ORDER BY l.node""".stripMargin,
+    "q_graph_pagerank_w" ->
+      s"""WITH ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+        |e0 AS (SELECT DISTINCT (doc_id % 997) AS src,
+        |                       ((doc_id * 31 + k * 7) % 997) AS dst
+        |       FROM documents CROSS JOIN ks
+        |       WHERE k <= 1 + doc_id % 3 AND (doc_id % 997) <> ((doc_id * 31 + k * 7) % 997)),
+        |ew AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM e0),
+        |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS odeg FROM ew GROUP BY src),
+        |e AS (SELECT ew.src, ew.dst, ew.w, deg.odeg FROM ew JOIN deg ON ew.src = deg.src),
+        |nodes AS (SELECT DISTINCT node FROM
+        |          (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |consts AS (SELECT 1000000000000 // n AS base,
+        |                  (15 * (1000000000000 // n)) // 100 AS tp FROM nn),
+        |r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
+        |${(1 to 5).map(i => duckRoundW(i, s"r${i - 1}")).mkString(",\n")}
+        |SELECT node, rank AS rank_fp,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
+        |FROM r5 ORDER BY node""".stripMargin,
     "q_graph_coreness" ->
       s"""WITH $duckFixtureEdges,
         |$duckUndirected,

@@ -726,6 +726,40 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("weighted pageRank: w=1 is bit-identical to unweighted; weights shift mass") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((0, 1), (0, 2), (1, 2), (2, 0), (2, 3))
+    val unweighted = runSpark(edges, 5)
+    val w1 = Graph.pageRank(edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 === unweighted, "w=1 must be the exact unweighted special case")
+    // skew node 0's mass toward 1: w(0->1)=9 vs w(0->2)=1
+    val wSkew = Graph.pageRank(
+        Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 0L, 1L), (2L, 3L, 1L))
+          .toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wSkew(1L) > unweighted(1L), "the 9x edge must raise node 1's rank")
+    // driver reference with the same weighted integer arithmetic
+    def refW(ws: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = (ws.map(_._1) ++ ws.map(_._2)).distinct.sorted
+      val n = nodes.size.toLong
+      val wdeg = ws.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val base = 1000000000000L / n
+      val tp = (15L * base) / 100L
+      var r: Map[Long, Long] = nodes.map(_ -> base).toMap
+      (1 to iters).foreach { _ =>
+        val dm = nodes.filterNot(wdeg.contains).map(r).sum
+        val in = ws.groupBy(_._2).view.mapValues(
+          _.map { case (s, _, w) => (r(s) * w) / wdeg(s) }.sum).toMap
+        r = nodes.map(v =>
+          v -> (tp + (85L * (in.getOrElse(v, 0L) + dm / n)) / 100L)).toMap
+      }
+      r
+    }
+    assert(wSkew === refW(
+      Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 0L, 1L), (2L, 3L, 1L)), 5))
+  }
+
   test("declared fixture graph: ranks sum to ~1.0 and rk orders by rank") {
     val out = Graph.qGraphPagerank(spark, sf).collect()
     assert(out.length > 0)
