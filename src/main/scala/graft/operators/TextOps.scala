@@ -1264,7 +1264,60 @@ object TextOps {
   def qTextPhrase(s: SparkSession, d: String): DataFrame =
     phraseSearch(Tables.documents(s, d), Seq("table", "scan", "merge"))
 
+  /** EXT: the COMPOSED curation recipe — the FineWeb/C4-style pipeline
+    * as ONE declared query, proving the operator family composes into
+    * one Catalyst DAG rather than existing as isolated demos:
+    *
+    *   documents → language-ID tag ([[qTextLangId]]'s n-gram argmax)
+    *             → quality score ([[qTextQuality]]'s 3-signal gate, ≥ 2)
+    *             → exact dedup, first copy wins ([[qDedupExact]]'s
+    *               md5 keep-min convention)
+    *             → per-source cap, 40 docs by md5 order
+    *               ([[qCurateSourceCap]]'s deterministic lottery)
+    *             → per (source, predicted lang): doc count, token sum,
+    *               id-sum membership gate.
+    *
+    * One corpus scan feeds everything; the two windows (dedup pick,
+    * cap lottery) are the only exchanges and both partition on narrow
+    * keys. Every stage reuses the EXACT expression its standalone
+    * query declares, so the recipe's oracle is the same fragments
+    * composed — a drift in any stage breaks two hashes, the unit one
+    * and this one. */
+  def qCurateRecipe(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nTok = size(toks(t))
+    val avgLen = (length(t) - (nTok - lit(1)).cast("double")) / nTok
+    val stopHits = occ(t, "the ") + occ(t, " a ") + occ(t, "data ")
+    val score = (nTok.between(20, 80)).cast("int") +
+      ((stopHits / nTok) > 0.01).cast("int") +
+      (avgLen.between(3.0, 8.0)).cast("int")
+    val sEn = occ(t, "th") + occ(t, "he") + occ(t, "er")
+    val sDe = occ(t, "ch") + occ(t, "ei") + occ(t, "en")
+    val sFr = occ(t, "le") + occ(t, "ou") + occ(t, "re")
+    val sEs = occ(t, "os") + occ(t, "la") + occ(t, "ar")
+    val pred = when(sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+      .when(sDe >= sFr && sDe >= sEs, "de")
+      .when(sFr >= sEs, "fr")
+      .otherwise("es")
+    val wDedup = Window.partitionBy("h").orderBy("doc_id")
+    val wCap = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), pred.as("pred_lang"),
+              md5(t).as("h"), nTok.cast("long").as("n_tok"),
+              score.cast("long").as("q"))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1 && col("q") >= 2)
+      .withColumn("rs", row_number().over(wCap))
+      .filter(col("rs") <= 40)
+      .groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+           sum(col("doc_id")).as("id_sum"))
+      .orderBy("source", "pred_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate_recipe"     -> (qCurateRecipe _),
     "q_text_phrase"       -> (qTextPhrase _),
     "q_text_novelty"      -> (qTextNovelty _),
     "q_text_bm25"         -> (qTextBm25 _),
@@ -1350,6 +1403,36 @@ object TextOps {
       |""".stripMargin + (1 to 4).map(bpeStepCte).mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    // the standalone stage oracles' fragments composed in one statement
+    "q_curate_recipe" ->
+      """WITH sc AS (SELECT doc_id, source, md5(text) AS h,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST((len(string_split(text,' ')) BETWEEN 20 AND 80)::INT
+        |     + ((((length(text)-length(replace(text,'the ','')))/4.0
+        |        + (length(text)-length(replace(text,' a ','')))/3.0
+        |        + (length(text)-length(replace(text,'data ','')))/5.0) / len(string_split(text,' '))) > 0.01)::INT
+        |     + (((length(text) - CAST(len(string_split(text,' ')) - 1 AS DOUBLE)) / len(string_split(text,' '))) BETWEEN 3.0 AND 8.0)::INT AS BIGINT) AS q,
+        |  (length(text)-length(replace(text,'th','')))/2 + (length(text)-length(replace(text,'he','')))/2 + (length(text)-length(replace(text,'er','')))/2 AS s_en,
+        |  (length(text)-length(replace(text,'ch','')))/2 + (length(text)-length(replace(text,'ei','')))/2 + (length(text)-length(replace(text,'en','')))/2 AS s_de,
+        |  (length(text)-length(replace(text,'le','')))/2 + (length(text)-length(replace(text,'ou','')))/2 + (length(text)-length(replace(text,'re','')))/2 AS s_fr,
+        |  (length(text)-length(replace(text,'os','')))/2 + (length(text)-length(replace(text,'la','')))/2 + (length(text)-length(replace(text,'ar','')))/2 AS s_es
+        |  FROM documents),
+        |tagged AS (SELECT doc_id, source, h, n_tok, q,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+        |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM sc),
+        |kept AS (SELECT * FROM (
+        |    SELECT doc_id, source, pred_lang, n_tok,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rs
+        |    FROM tagged WHERE rn = 1 AND q >= 2)
+        |  WHERE rs <= 40)
+        |SELECT source, pred_lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin,
     "q_text_phrase" ->
       """WITH pr AS (SELECT doc_id, unnest(list_transform(t, (x, i) -> {pos: i, tok: x})) AS u
         |            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
