@@ -54,10 +54,16 @@ object ScaleProbe {
     else if (args(0) == "graph") graphProbe(spark, args(1).toInt)
     else if (args(0) == "graphops") graphopsProbe(spark, args(1).toInt)
     else if (args(0) == "graphmacro") {
-      // arg form: <millions>[:leg] — leg ∈ scc|sssp (default both)
+      // arg form: <millions>[:leg] — leg ∈ scc|bc|linkpred|recsql|mod|
+      // coreness|sssp|trim (default "all" = every leg except trim, which
+      // builds its own tendril topology); unknown legs are rejected, not
+      // silently mapped to the sssp tail (r12 advice)
       val parts = args(1).split(":")
-      graphmacroProbe(spark, parts(0).toInt,
-        if (parts.length > 1) parts(1) else "all")
+      val leg = if (parts.length > 1) parts(1) else "all"
+      val legal = Set("all", "scc", "bc", "linkpred", "recsql", "mod",
+                      "coreness", "sssp", "trim")
+      require(legal(leg), s"graphmacro: unknown leg '$leg' (expected one of ${legal.mkString("|")})")
+      graphmacroProbe(spark, parts(0).toInt, leg)
     }
     else if (args(0) == "hyperball") hyperballProbe(spark, args(1).toInt)
     else {
@@ -745,8 +751,7 @@ object ScaleProbe {
         hist.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ") +
         f" in ${(System.nanoTime() - t6) / 1e9}%.1f s")
     }
-    if (leg == "scc" || leg == "bc" || leg == "linkpred" || leg == "recsql" ||
-        leg == "mod" || leg == "coreness") return
+    if (leg != "all" && leg != "sssp") return
     val t1 = System.nanoTime()
     // seeds offset to 1 mod 1000: multiples of 1000 are ≡ 0 mod 4 — this
     // topology's NON-emitters — and a seed set of pure sinks relaxes

@@ -74,10 +74,14 @@ object Graph {
     *
     * @param edges (src: long, dst: long[, w: long]); self-loops and
     *              duplicate edges are honored as given (dedupe upstream
-    *              if undesired). An optional positive integer `w`
-    *              column weights the rank distribution (contribution =
-    *              rank·w DIV Σw; caller contract: rank·max(w) < 2⁶³,
-    *              i.e. w up to ~9·10⁶ at the default scale).
+    *              if undesired). The presence of a `w` column IS the
+    *              weighting contract: it weights the rank distribution
+    *              (contribution = rank·w DIV Σw, the product staged
+    *              through DECIMAL(38,0) so arbitrary positive weights
+    *              are exact — no magnitude contract); a frame carrying
+    *              an unrelated `w` must drop it before the call, and a
+    *              null or non-positive weight fails by name before the
+    *              loop rather than silently dropping rank mass.
     * @param iters fixed round count (power iteration; convergence for
     *              d=0.85 is ~1e-1 per round — 5 rounds ranks hosts, 50
     *              rounds reproduces published scores to 6 figures).
@@ -114,9 +118,24 @@ object Graph {
     // (links between hosts have multiplicity). Unweighted input is
     // EXACTLY the w=1 special case: (rank·1) DIV count ≡ rank DIV odeg,
     // bit-identical (GraphSpec pins the equivalence), so every existing
-    // caller is untouched.
-    val ew = if (edges.columns.contains("w")) edges
-             else edges.withColumn("w", lit(1L))
+    // caller is untouched. The `w` column IS the select contract (r12
+    // advice): a caller whose edge frame carries an unrelated `w` must
+    // drop it; the VALIDATION below makes the two silent-corruption
+    // modes loud — a null or non-positive weight no longer drops rank
+    // mass through a NULL/negative contribution, it fails by name
+    // before the loop (one bounded scan).
+    val weighted = edges.columns.contains("w")
+    val ew = if (weighted) edges else edges.withColumn("w", lit(1L))
+    if (weighted) {
+      val wrow = ew.agg(min(col("w")).as("mn"),
+                        coalesce(sum(when(col("w").isNull, 1L).otherwise(0L)),
+                                 lit(0L)).as("nulls"))
+        .head()
+      require(wrow.getLong(1) == 0L,
+        "pageRank: weight column `w` contains NULLs — fill or drop the column")
+      require(!wrow.isNullAt(0) && wrow.getLong(0) > 0L,
+        s"pageRank: weight column `w` must be strictly positive (min = ${wrow.get(0)})")
+    }
     val deg = ew.groupBy("src").agg(sum(col("w")).as("odeg"))
     val e = graft.Fence(ew.join(deg, "src")) // (src, dst, w, odeg)
     // dangling node set: receives links but emits none
@@ -129,8 +148,14 @@ object Graph {
       val t0 = System.nanoTime()
       val dm1 = r.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      // rank·w staged through DECIMAL(38,0) (r12 verdict #2 / the HITS
+      // treatment): as BIGINTs the product wraps past rank·w ≈ 9.2e18 —
+      // a star topology concentrates rank ≈ n·10¹², so large weights hit
+      // it; decimal keeps the per-edge product exact (quotient is back
+      // under `rank` ≤ scale, so the BIGINT result never overflows).
       val in = e.join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("(rank * w) DIV odeg").as("c"))
+        .select(col("dst"),
+          expr("CAST((CAST(rank AS DECIMAL(38,0)) * w) DIV odeg AS BIGINT)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
       val prev = r
       r = graft.Fence(
@@ -957,8 +982,14 @@ object Graph {
   def bowtie(edges: DataFrame): DataFrame = {
     val labels = graft.Fence(scc(edges))
     val coreRow = labels.select("scc", "scc_size").distinct()
-      .orderBy(col("scc_size").desc, col("scc")).limit(1).head()
-    val core = coreRow.getLong(0)
+      .orderBy(col("scc_size").desc, col("scc")).limit(1).collect()
+    if (coreRow.isEmpty) { // empty graph: no SCC to anchor the map on
+      val keep = graft.Fence.cut(
+        labels.select(col("node"), col("scc"), lit("OTHER").as("cls")))
+      graft.Fence.release(labels)
+      return keep
+    }
+    val core = coreRow(0).getLong(0)
     val e = graft.Fence(edges)
     val coreSet = graft.Fence.cut(
       labels.filter(col("scc") === core).select("node"))
@@ -1162,9 +1193,13 @@ object Graph {
     *     σ column.
     *  2. backward dependency accumulation, deepest layer first:
     *     δ(s,v) = Σ_{v→w, d(w)=d(v)+1} σ(s,v)·(scale + δ(s,w)) DIV σ(s,w)
-    *     in BIGINT fixed point — each edge term is one integer
-    *     multiply-floor-divide, so the distributed sum is
-    *     order-independent and both engines agree bit-for-bit.
+    *     in fixed point — each edge term is one integer
+    *     multiply-floor-divide with the product staged through
+    *     DECIMAL(38,0) (σ grows with hub-degree^depth, so the BIGINT
+    *     product wraps on skewed topologies — r12 verdict #2; GraphSpec
+    *     plants a bipartite-funnel overflow case against BigInt), so
+    *     the distributed sum is order-independent and both engines
+    *     agree bit-for-bit.
     *  B(v) = Σ_{s≠v} δ(s,v).
     *
     * At 100 TB: state is the (s, v, d, σ) pair relation — |sample| ×
@@ -1207,8 +1242,15 @@ object Graph {
         r.filter(col("d") === dd).select(col("s"), col("v"), col("sig"))
           .join(contrib, Seq("s", "v"), "left")
           .groupBy(col("s"), col("v"), col("sig"))
+          // σ·(scale+δ) staged through DECIMAL(38,0) (r12 verdict #2):
+          // σ grows with hub-degree^depth and δ with downstream pair
+          // count, so the BIGINT product wraps on skewed topologies at
+          // exactly the web scale the sampler targets; decimal keeps the
+          // product exact, and a δ that itself exceeds BIGINT fails
+          // loudly in the SUM under ANSI rather than wrapping.
           .agg(coalesce(sum(
-            expr(s"(sig * ($scale + dfpw)) DIV sigw")), lit(0L)).as("dfp")))
+            expr(s"CAST((CAST(sig AS DECIMAL(38,0)) * ($scale + dfpw)) DIV sigw AS BIGINT)")),
+            lit(0L)).as("dfp")))
       layers += layer
       graft.Fence.release(deltaUp)
       deltaUp = layer
@@ -1248,12 +1290,17 @@ object Graph {
     * communities together).
     *
     * Fixed-point exactness: Q contributions in 1e9 units ("nano-Q");
-    * term 1 is a plain BIGINT multiply-floor-divide, term 2 squares
-    * deg_c — up to (2m)², past BIGINT·scale at webgraph sizes — so the
-    * square is staged through DECIMAL(38,0) exactly like the [[hits]]
-    * normalizer (HUGEINT oracle-side). One labels join + two grouped
-    * aggregates over the symmetrized edge relation; everything else is
-    * community-sized. */
+    * EVERY term runs in DECIMAL(38,0) (HUGEINT oracle-side) — term 2
+    * squares deg_c (up to (2m)²), its DIVISOR squares 2m itself, and
+    * term 1 multiplies intra·scale (past BIGINT at intra > 9.2e9, one
+    * giant community); all three exceed BIGINT exactly at the webgraph
+    * sizes this op exists for (r12 verdict #1: the divisor was a
+    * driver-side Scala Long product that WRAPPED SILENTLY past
+    * 2m ≈ 3.04e9 — a Common Crawl host graph is ~5e9 symmetrized rows).
+    * GraphSpec plants counts past both thresholds against a BigInt
+    * ground truth (the [[TextOps.hamiltonAlloc]] precedent). One labels
+    * join + two grouped aggregates over the symmetrized edge relation;
+    * everything else is community-sized. */
   def qGraphModularity(s: SparkSession, d: String): DataFrame = {
     val edges = graphEdges(s, d)
     modularity(edges, labelPropagation(edges, iters = 4)).orderBy("community")
@@ -1279,17 +1326,33 @@ object Graph {
       .join(labels.select(col("node").as("b"), col("community").as("cb")), "b")
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra"))
-    val out = degC.join(intra, Seq("community"), "left")
-      .select(col("community"), col("n_nodes"),
-        coalesce(col("intra"), lit(0L)).as("intra"), col("deg_c"),
-        (expr(s"(coalesce(intra, 0L) * ${scale}L) DIV ${twoM}L") -
-         expr(s"CAST((CAST(deg_c AS DECIMAL(38,0)) * CAST(deg_c AS DECIMAL(38,0)) * ${scale}L)" +
-              s" DIV ${twoM * twoM}L AS BIGINT)")).as("q_contrib_fp"))
-      .orderBy("community")
+    val out = modularityFromStats(
+      degC.join(intra, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("intra"), lit(0L)).as("intra"), col("deg_c")),
+      twoM, scale).orderBy("community")
     val keep = graft.Fence.cut(out)
     graft.Fence.release(labels); graft.Fence.release(und)
     keep
   }
+
+  /** The Q-contribution arithmetic over an aggregated
+    * (community, n_nodes, intra, deg_c) relation — factored from
+    * [[modularity]] so the spec can plant synthetic counts AT the
+    * overflow scales (no fixture that size; the
+    * [[TextOps.hamiltonAlloc]] precedent). Both terms AND the term-2
+    * divisor are staged through DECIMAL(38,0): intra·scale wraps BIGINT
+    * at intra > 9.2e9, deg_c² at deg_c > 3.04e9, and twoM² — formerly a
+    * silently-wrapping driver-side Scala Long product (r12 verdict #1)
+    * — at 2m > 3.04e9. */
+  private[graft] def modularityFromStats(stats: DataFrame, twoM: Long,
+                                         scale: Long): DataFrame =
+    stats.select(col("community"), col("n_nodes"), col("intra"), col("deg_c"),
+      (expr(s"CAST((CAST(intra AS DECIMAL(38,0)) * ${scale}L)" +
+            s" DIV CAST(${twoM}L AS DECIMAL(38,0)) AS BIGINT)") -
+       expr(s"CAST((CAST(deg_c AS DECIMAL(38,0)) * CAST(deg_c AS DECIMAL(38,0)) * ${scale}L)" +
+            s" DIV (CAST(${twoM}L AS DECIMAL(38,0)) * ${twoM}L) AS BIGINT)"))
+        .as("q_contrib_fp"))
 
   /** EXT: distance distribution + EFFECTIVE DIAMETER (the 90th-
     * percentile pairwise distance — the statistic graph releases
@@ -1389,7 +1452,11 @@ object Graph {
     }
     if (nAlive > 0)
       parts += alive.select(col("node"), lit(kMax.toLong).as("coreness"))
-    val keep = graft.Fence.cut(parts.reduce(_ union _))
+    // empty/self-loop-only edge relation → no levels ran and parts is
+    // empty; fall back to the (empty) node set rather than throwing
+    // (the scc reduceOption precedent — r12 advice)
+    val keep = graft.Fence.cut(parts.reduceOption(_ union _)
+      .getOrElse(nodes.select(col("node"), lit(0L).as("coreness"))))
     graft.Fence.release(nodes); graft.Fence.release(und)
     keep
   }
@@ -1465,11 +1532,12 @@ object Graph {
        |  UNION ALL SELECT s, v, $i AS d, sig FROM l$i)""".stripMargin
 
   // one unrolled backward dependency round: δ(v) over layer-(i+1)
-  // successors, each term the shared BIGINT multiply-floor-divide
+  // successors, each term the shared multiply-floor-divide with σ·(scale
+  // +δ) staged through HUGEINT (mirrors the engine's DECIMAL(38,0))
   private def duckBrandesBwd(i: Int, scale: Long): String =
     s"""b$i AS MATERIALIZED (
        |  SELECT l.s, l.v, l.sig,
-       |    COALESCE(CAST(SUM((l.sig * ($scale + w.dfp)) // w.sig) AS BIGINT), 0) AS dfp
+       |    COALESCE(CAST(SUM((CAST(l.sig AS HUGEINT) * ($scale + w.dfp)) // w.sig) AS BIGINT), 0) AS dfp
        |  FROM l$i l LEFT JOIN e ON e.src = l.v
        |       LEFT JOIN b${i + 1} w ON w.s = l.s AND w.v = e.dst
        |  GROUP BY l.s, l.v, l.sig)""".stripMargin
@@ -1545,10 +1613,11 @@ object Graph {
        |        FROM nodes LEFT JOIN m$i ON nodes.node = m$i.node)""".stripMargin
 
   // one unrolled WEIGHTED PageRank round: contribution = (rank·w) // Σw
+  // (rank·w staged through HUGEINT, mirroring the engine's DECIMAL(38,0))
   private def duckRoundW(i: Int, p: String): String =
     s"""d$i AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dm FROM $p
        |        LEFT JOIN deg ON $p.node = deg.src WHERE deg.src IS NULL),
-       |m$i AS (SELECT e.dst AS node, CAST(SUM(($p.rank * e.w) // e.odeg) AS BIGINT) AS m
+       |m$i AS (SELECT e.dst AS node, CAST(SUM((CAST($p.rank AS HUGEINT) * e.w) // e.odeg) AS BIGINT) AS m
        |        FROM e JOIN $p ON e.src = $p.node GROUP BY e.dst),
        |r$i AS (SELECT nodes.node,
        |          CAST((SELECT tp FROM consts) +
@@ -1841,9 +1910,9 @@ object Graph {
         |       FROM und u JOIN l4 la ON u.a = la.node JOIN l4 lb ON u.b = lb.node
         |       WHERE la.lbl = lb.lbl GROUP BY la.lbl)
         |SELECT dc.community, dc.n_nodes, COALESCE(ic.intra, 0) AS intra, dc.deg_c,
-        |  CAST((COALESCE(ic.intra, 0) * 1000000000) // (SELECT two_m FROM tm)
+        |  CAST((CAST(COALESCE(ic.intra, 0) AS HUGEINT) * 1000000000) // (SELECT two_m FROM tm)
         |   - (CAST(dc.deg_c AS HUGEINT) * dc.deg_c * 1000000000)
-        |     // ((SELECT two_m FROM tm) * (SELECT two_m FROM tm)) AS BIGINT) AS q_contrib_fp
+        |     // (CAST((SELECT two_m FROM tm) AS HUGEINT) * (SELECT two_m FROM tm)) AS BIGINT) AS q_contrib_fp
         |FROM dc LEFT JOIN ic ON dc.community = ic.community
         |ORDER BY dc.community""".stripMargin,
     "q_graph_betweenness" ->

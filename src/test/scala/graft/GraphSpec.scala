@@ -771,4 +771,160 @@ class GraphSpec extends SparkSpec {
         (a.getLong(1) == b.getLong(1) && a.getLong(0) < b.getLong(0))
     })
   }
+
+  // ---- r13: planted-overflow cases (the hamiltonAlloc precedent — no
+  // ---- fixture reaches these magnitudes, so the spec plants them) ----
+
+  test("modularity: planted counts past every BIGINT threshold match BigInt ground truth") {
+    import spark.implicits._
+    val scale = 1000000000L
+    // 2m = 4e9 > 3.037e9: as a Scala Long product, twoM*twoM wraps
+    // NEGATIVE — the r12 silent-corruption divisor
+    val twoM = 4000000000L
+    assert(twoM * twoM < 0L, "planted 2m must be past the Scala-Long wrap point")
+    // community 0: intra = 1e10 — intra*scale past BIGINT (one giant
+    // community); deg_c near 2m — deg_c^2 past BIGINT
+    val stats = Seq(
+      (0L, 1000L, 10000000000L, 3900000000L),
+      (1L, 500L, 123456789L, 100000000L)
+    ).toDF("community", "n_nodes", "intra", "deg_c")
+    val got = Graph.modularityFromStats(stats, twoM, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    def ref(intra: Long, degC: Long): Long =
+      ((BigInt(intra) * scale) / twoM -
+        (BigInt(degC) * degC * scale) / (BigInt(twoM) * twoM)).toLong
+    assert(got === Map(0L -> ref(10000000000L, 3900000000L),
+                       1L -> ref(123456789L, 100000000L)))
+    assert(got(0L) > 0L && got(1L) != 0L) // non-degenerate plant
+  }
+
+  test("weighted pageRank: star weights past the BIGINT rank*w product match BigInt ground truth") {
+    import spark.implicits._
+    // hub 0 holds rank ~9.1e10; w = 5e9 puts rank*w ~ 4.5e20 >> 2^63 —
+    // the r12 caller contract this round replaced with DECIMAL staging
+    val ws = (1L to 10L).flatMap(k => Seq((0L, k, 5000000000L), (k, 0L, 1L)))
+    def refWBig(iters: Int): Map[Long, Long] = {
+      val nodes = (ws.map(_._1) ++ ws.map(_._2)).distinct.sorted
+      val n = nodes.size.toLong
+      val wdeg = ws.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val base = 1000000000000L / n
+      val tp = (15L * base) / 100L
+      var r: Map[Long, Long] = nodes.map(_ -> base).toMap
+      (1 to iters).foreach { _ =>
+        val in = ws.groupBy(_._2).view.mapValues(
+          _.map { case (s, _, w) => ((BigInt(r(s)) * w) / wdeg(s)).toLong }.sum).toMap
+        r = nodes.map(v =>
+          v -> (tp + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      r
+    }
+    assert(BigInt(1000000000000L / 11) * 5000000000L > BigInt(Long.MaxValue),
+      "plant must exceed the BIGINT product")
+    val got = Graph.pageRank(ws.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refWBig(5))
+  }
+
+  test("weighted pageRank: null / non-positive weights fail by name, not by dropping mass") {
+    import spark.implicits._
+    val zero = Seq((0L, 1L, 0L), (1L, 0L, 1L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException](Graph.pageRank(zero, 1))
+    assert(ex.getMessage.contains("strictly positive"))
+    val neg = Seq((0L, 1L, -3L), (1L, 0L, 1L)).toDF("src", "dst", "w")
+    val ex2 = intercept[IllegalArgumentException](Graph.pageRank(neg, 1))
+    assert(ex2.getMessage.contains("strictly positive"))
+    val withNull = Seq((0L, 1L, Option(5L)), (1L, 0L, Option.empty[Long]))
+      .toDF("src", "dst", "w")
+    val ex3 = intercept[IllegalArgumentException](Graph.pageRank(withNull, 1))
+    assert(ex3.getMessage.contains("NULL"))
+  }
+
+  test("betweenness: planted funnel past the BIGINT sigma*(scale+delta) product matches BigInt ground truth") {
+    import spark.implicits._
+    // 0 -> {x1..x4} -> v -> w -> 5000 leaves, depth 4, scale 1e15:
+    // delta(w) = 5000*1e15 = 5e18 (fits BIGINT), but the layer-2 term
+    // sigma(v)*(scale+delta(w)) = 4*(1e15+5e18) ~ 2.0e19 wraps a BIGINT
+    // product — exactly the r12 sibling-overflow contract, now staged
+    val xs = (1L to 4L).toSeq
+    val leaves = (100L until 5100L).toSeq
+    val edges = xs.map(x => (0L, x)) ++ xs.map(x => (x, 10L)) ++
+      Seq((10L, 11L)) ++ leaves.map(l => (11L, l))
+    val scale = 1000000000000000L
+    assert(BigInt(4) * (scale + 5000L * scale) > BigInt(Long.MaxValue),
+      "plant must exceed the BIGINT product")
+    def refBig(sources: Seq[Long], depth: Int): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val bc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      sources.foreach { s =>
+        val dist = scala.collection.mutable.Map[Long, Int](s -> 0)
+        val sig = scala.collection.mutable.Map[Long, Long](s -> 1L)
+        var layer = Seq(s)
+        val layersByD = scala.collection.mutable.Map[Int, Seq[Long]](0 -> layer)
+        for (d <- 1 to depth) {
+          val nextSig = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+          layer.foreach(u => adj.getOrElse(u, Nil).foreach { w =>
+            if (!dist.contains(w)) nextSig(w) += sig(u)
+          })
+          layer = nextSig.keys.toSeq
+          layer.foreach { w => dist(w) = d; sig(w) = nextSig(w) }
+          layersByD(d) = layer
+        }
+        val dfp = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for (d <- (depth - 1) to 0 by -1) {
+          layersByD(d).foreach { v =>
+            var acc = BigInt(0)
+            adj.getOrElse(v, Nil).foreach { w =>
+              if (dist.get(w).contains(d + 1))
+                acc += BigInt(sig(v)) * (scale + dfp(w)) / sig(w)
+            }
+            dfp(v) = acc.toLong
+            if (v != s) bc(v) += acc.toLong
+          }
+        }
+      }
+      nodes.map(v => v -> bc(v)).toMap
+    }
+    val got = Graph.betweenness(edges.toDF("src", "dst"),
+        Seq(0L).toDF("node"), depth = 4, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refBig(Seq(0L), 4))
+    assert(got(10L) > got(1L), "the funnel neck must dominate")
+  }
+
+  test("coreness fixture: every level's full-node-set peel converges within the oracle's 12-round unroll") {
+    // the q_graph_coreness oracle peels each level k independently from
+    // the FULL node set with 12 unrolled rounds; this pins the fixture's
+    // max cascade depth under that bound at both driver-gated scales
+    // (r12 advice — the qGraphKcore precedent, per level)
+    Seq(sf, sf01).foreach { dir =>
+      val edges = Graph.graphEdges(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val und = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+      val allNodes = (und.map(_._1) ++ und.map(_._2)).distinct.toSet
+      for (k <- 1 to 6) {
+        var alive = allNodes; var rounds = 0; var changed = true
+        while (changed) {
+          val deg = und.filter(e => alive(e._1) && alive(e._2))
+            .groupBy(_._1).view.mapValues(_.size).toMap
+          val keep = alive.filter(v => deg.getOrElse(v, 0) >= k)
+          changed = keep.size != alive.size
+          if (changed) rounds += 1
+          alive = keep
+        }
+        info(s"$dir k=$k: peel fixpoint in $rounds rounds (oracle unrolls 12)")
+        assert(rounds <= 12, s"oracle unroll bound violated at $dir k=$k: $rounds rounds")
+      }
+    }
+  }
+
+  test("coreness / bowtie: empty and self-loop-only edge relations return empty, not throw") {
+    import spark.implicits._
+    val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graph.coreness(selfOnly, kMax = 4).count() === 0L)
+    assert(Graph.bowtie(selfOnly).count() === 0L)
+    val emptyE = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.coreness(emptyE, kMax = 4).count() === 0L)
+    assert(Graph.bowtie(emptyE).count() === 0L)
+  }
 }
