@@ -39,13 +39,15 @@ object ScaleProbe {
     else if (args(0) == "ppjoinx") ppjoinGrowthProbe(spark, args(1).toInt)
     else if (args(0) == "dsir") dsirProbe(spark, args(1).toInt)
     else if (args(0) == "recall") {
-      // recall <mult>[,<kCells>[,t[,<cb>]]]  (e.g. "recall 500,2048" =
-      // 1M vectors; trailing "t" = only the trained-codebook legs,
-      // optional fourth field = a single codebook size)
+      // recall <mult>[,<kCells>[,t|s[,<cb>]]]  (e.g. "recall 500,2048" =
+      // 1M vectors; trailing "t" = only the trained-codebook legs, "s" =
+      // only the r13 ivfpq pool/cb/rotation sweep, optional fourth
+      // field = a single codebook size)
       val parts = args(1).split(",")
       recallProbe(spark, parts(0).toInt,
         if (parts.length > 1) parts(1).toInt else 64,
         trainedOnly = parts.length > 2 && parts(2) == "t",
+        sweepOnly = parts.length > 2 && parts(2) == "s",
         onlyCb = if (parts.length > 3) Some(parts(3).toInt) else None)
     }
     else if (args(0) == "stream") streamProbe(spark, args(1))
@@ -61,8 +63,9 @@ object ScaleProbe {
       val parts = args(1).split(":")
       val leg = if (parts.length > 1) parts(1) else "all"
       val legal = Set("all", "scc", "bc", "linkpred", "recsql", "mod",
-                      "coreness", "sssp", "trim")
-      require(legal(leg), s"graphmacro: unknown leg '$leg' (expected one of ${legal.mkString("|")})")
+                      "coreness", "sssp")
+      require(legal(leg) || leg.matches("trim\\d*"),
+        s"graphmacro: unknown leg '$leg' (expected one of ${legal.mkString("|")}|trim[N])")
       graphmacroProbe(spark, parts(0).toInt, leg)
     }
     else if (args(0) == "hyperball") hyperballProbe(spark, args(1).toInt)
@@ -687,6 +690,56 @@ object ScaleProbe {
       .select(col("src"),
         pmod(col("src") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("dst"))
       .filter(col("src") =!= col("dst"))
+    if (leg.startsWith("trim")) {
+      // tendril-heavy topology (r12 verdict #3): a 100k-node expander
+      // core (strongly connected, small diameter) plus chains of length
+      // N (default 30, `trim100` = 100) feeding INTO it — the Broder
+      // IN-tendril shape. Trim must cascade chain-length rounds before
+      // the core is all that remains; the A/B measures the r12
+      // full-re-scan trim against the r13 degree cascade on the same
+      // graph. Deeper chains are where the re-scan's quadratic cost
+      // lives — each scan round re-distincts and re-semi-joins the
+      // WHOLE surviving edge relation, while a cascade round's joins
+      // are keyed on the (chain-count-sized) dead set.
+      val coreN = 100000L
+      val chainLen = if (leg == "trim") 30L else leg.stripPrefix("trim").toLong
+      val nChains = (n - coreN) / chainLen
+      val core = spark.range(0, coreN).toDF("i")
+        .select(col("i").as("src"),
+          explode(array(
+            pmod(col("i") + 1L, lit(coreN)),
+            pmod(col("i") * lit(2654435761L) + lit(40503L), lit(coreN)),
+            pmod(col("i") * lit(2654435761L) + lit(81006L), lit(coreN)))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val chains = spark.range(coreN, coreN + nChains * chainLen).toDF("i")
+        .select(col("i").as("src"),
+          when(pmod(col("i") - coreN, lit(chainLen)) === chainLen - 1L,
+               pmod(col("i"), lit(coreN)))
+            .otherwise(col("i") + 1L).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val tEdges = core.union(chains)
+      // alternate modes, first pair = JVM/codegen warm-up (measured: a
+      // cold first leg swings ±50% — the bench_diff box-variance band),
+      // second pair = the reported A/B
+      Seq("scan", "cascade", "scan", "cascade").zipWithIndex.foreach {
+        case (mode, i) =>
+          spark.conf.set("spark.graft.scc.trim", mode)
+          val t0 = System.nanoTime()
+          var trimWall = 0.0; var trimRounds = 0
+          val labels = operators.Graph.scc(tEdges,
+            onRound = (phase, metric, secs) => {
+              if (phase == "trim") { trimWall += secs; trimRounds += 1 }
+              println(f"graphmacro trim[$mode/$i] $phase metric=$metric%,d wall=$secs%.1f s")
+            })
+          val nLab = labels.count()
+          val kind = if (i < 2) "warmup" else "timed"
+          println(f"graphmacro trim[$mode/$i $kind]: $n%,d nodes, $trimRounds " +
+            f"trim rounds sum=$trimWall%.1f s, " +
+            f"total=${(System.nanoTime() - t0) / 1e9}%.1f s, labels=$nLab%,d")
+      }
+      spark.conf.unset("spark.graft.scc.trim")
+      return
+    }
     if (leg == "all" || leg == "scc") {
       val t0 = System.nanoTime()
       val labels = operators.Graph.scc(edges,
@@ -796,6 +849,7 @@ object ScaleProbe {
 
   private def recallProbe(spark: SparkSession, mult: Int, kCells: Int,
                           trainedOnly: Boolean = false,
+                          sweepOnly: Boolean = false,
                           onlyCb: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
@@ -1008,13 +1062,38 @@ object ScaleProbe {
       .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
       .select(col("cand").as("vec_id"), col("cell"),
               zip_with(col("cv2"), col("cv"), (x, c) => x - c).as("rv"))
-    val rSub = candResid
+    def subsOf(resid: org.apache.spark.sql.DataFrame) = resid
       .select(col("vec_id"), col("cell"),
               explode(array((0 until 8).map(lit): _*)).as("j"), col("rv"))
       .select(col("vec_id"), col("cell"), col("j"),
               expr("slice(rv, j*8+1, 8)").as("sv"))
       .transform(graft.Fence.cut)
-    def ivfPqRecall(cb: Int, nprobe: Int): Double = {
+    lazy val rSub = subsOf(candResid)
+    // OPQ-style deterministic rotation (r12 verdict #5, the
+    // q_embed_project md5 convention): R = H·D/8 with H the 64-point
+    // Walsh-Hadamard matrix (H[i][j] = (-1)^popcount(i&j)) and D an
+    // md5-derived ±1 diagonal — a randomized Hadamard transform, exactly
+    // orthonormal, so L2 distances are PRESERVED and only the subspace
+    // split changes: an axis-aligned perturbation atom smears its energy
+    // across all 8 sub-codes instead of hiding in the one subspace that
+    // owns its dimension.
+    lazy val rotRows: IndexedSeq[IndexedSeq[Double]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = IndexedSeq.tabulate(64) { j =>
+        val h = md.digest(s"rot:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+      IndexedSeq.tabulate(64, 64) { (i, j) =>
+        (if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0) * d(j) / 8.0
+      }
+    }
+    def rotCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until 64).map(i =>
+        vecDot(c, array(rotRows(i).map(lit): _*))): _*)
+    lazy val rSubRot = subsOf(candResid.select(
+      col("vec_id"), col("cell"), rotCol(col("rv")).as("rv")))
+    def ivfPqRecall(cb: Int, nprobe: Int, poolN: Int = 100,
+                    rot: Boolean = false): Double = {
       // codebook = hash-spread DONATED residuals (the operator's
       // untrained-stand-in convention). Two dead ends measured and
       // rejected on this corpus before settling here: (a) global
@@ -1031,13 +1110,14 @@ object ScaleProbe {
       // k-means|| D²-weighted seeding (Similarity.kmeansParCodebook),
       // which is immune to (b): covered mass has D²=0 and stops
       // attracting seeds, so far hit-patterns get them.
+      val src = if (rot) rSubRot else rSub
       val cbStep = math.max(1L, nVecs / (2L * cb))
-      val cbT = rSub.filter(pmod(xxhash64(col("vec_id")), lit(cbStep)) === 0)
+      val cbT = src.filter(pmod(xxhash64(col("vec_id")), lit(cbStep)) === 0)
         .withColumn("cid", dense_rank().over(Window.partitionBy("j").orderBy("vec_id")))
         .filter(col("cid") <= cb)
         .select(col("cid"), col("j").as("cj"), col("sv").as("cw"))
         .transform(graft.Fence.cut)
-      ivfPqRecallWith(cbT, nprobe)
+      ivfPqRecallWith(cbT, nprobe, poolN, rot)
     }
     // trained variant: per-subspace k-means|| seeded codebooks over the
     // SAME residual sub-vectors, weighted-top-cb reduction
@@ -1048,10 +1128,12 @@ object ScaleProbe {
         .transform(graft.Fence.cut)
       ivfPqRecallWith(cbT, nprobe)
     }
-    def ivfPqRecallWith(cbT: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
+    def ivfPqRecallWith(cbT: org.apache.spark.sql.DataFrame, nprobe: Int,
+                        poolN: Int = 100, rot: Boolean = false): Double = {
       def dist2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
         vecDot(x, x) - lit(2.0) * vecDot(x, c) + vecDot(c, c)
-      val enc = rSub.join(broadcast(cbT), col("j") === col("cj"))
+      val src = if (rot) rSubRot else rSub
+      val enc = src.join(broadcast(cbT), col("j") === col("cj"))
         .select(col("vec_id"), col("cell"), col("j"), col("cid"),
                 dist2(col("sv"), col("cw")).as("dd"))
         .groupBy("vec_id", "cell", "j")
@@ -1060,7 +1142,9 @@ object ScaleProbe {
         q.select(col("qid").as("vec_id"), col("qv").as("v"), col("qn").as("nrm")),
         cents, "v", "nrm", "cv", "cnrm", nprobe)
         .select(col("vec_id").as("qid"), col("cid").as("cell"),
-                zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv"))
+                zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv0"))
+        .select(col("qid"), col("cell"),
+                (if (rot) rotCol(col("qrv0")) else col("qrv0")).as("qrv"))
       val qSub = qCells
         .select(col("qid"), col("cell"),
                 explode(array((0 until 8).map(lit): _*)).as("j"), col("qrv"))
@@ -1081,7 +1165,7 @@ object ScaleProbe {
             col("code") === col("lcode"))
         .groupBy(col("qid"), col("vec_id").as("cand"))
         .agg(sum(col("ld")).as("s"))
-      val pool = topN(adc, asc = true, 100)
+      val pool = topN(adc, asc = true, poolN)
       val t = e.join(broadcast(pool), col("vec_id") === col("cand"))
         .join(broadcast(q), "qid")
         .select(col("qid"), col("cand"),
@@ -1090,6 +1174,21 @@ object ScaleProbe {
       recall(t, gtCos)
     }
     println(f"recall shape: $nVecs%,d vectors, $nQ queries, k=10, $kCells IVF cells")
+    if (sweepOnly) {
+      // r13 sweep (verdict #5): the three cheap levers on the composed
+      // leg — re-rank pool size, codebook size, and the OPQ-style
+      // rotation — each against the recorded 0.630 (cb=256, pool=100)
+      Seq((256, 100), (256, 200), (256, 400), (512, 100), (512, 200))
+        .foreach { case (cb, pl) =>
+          println(f"recall ivfpq     cb=$cb%-3d nprobe=1  pool=$pl%-3d " +
+            f"rerank-recall@10=${ivfPqRecall(cb, 1, pl)}%.3f")
+        }
+      Seq((256, 100), (256, 200)).foreach { case (cb, pl) =>
+        println(f"recall ivfpq-rot cb=$cb%-3d nprobe=1  pool=$pl%-3d " +
+          f"rerank-recall@10=${ivfPqRecall(cb, 1, pl, rot = true)}%.3f")
+      }
+      return
+    }
     val cbs = onlyCb.map(Seq(_)).getOrElse(
       if (nVecs > 500000) Seq(16, 256) else Seq(4, 16))
     if (!trainedOnly) {

@@ -789,21 +789,12 @@ object Graph {
     var r = graft.Fence(
       nodes.as[Long].map(v => (v, graft.functions.Hll.init(v)))
         .toDF("node", "reg"))
-    def estimates(df: DataFrame): DataFrame =
-      df.as[(Long, Array[Byte])]
-        .map { case (v, reg) => (v, graft.functions.Hll.estimate(reg)) }
-        .toDF("node", "est")
+    def estimates(df: DataFrame): DataFrame = hllEstimates(df)
     var acc = graft.Fence(estimates(r)
       .select(col("node"), lit(0.0).as("h"), col("est").as("prev")))
     (1 to depth).foreach { d =>
       val t0 = System.nanoTime()
-      val gathered = e.join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("reg"))
-        .unionByName(r)
-        .as[(Long, Array[Byte])]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(graft.functions.HllMax.toColumn.name("reg"))
-        .toDF("node", "reg")
+      val gathered = hllPropagate(e, r)
       // Fence.cut, not the pin: the pin's RDD lineage is NOT truncated,
       // and in a DEEP loop each round's tasks serialize the whole parent
       // chain — measured on the 10M probe as round walls growing 16 s →
@@ -829,6 +820,117 @@ object Graph {
     keep
   }
 
+  /** One HyperBall register-propagation round: every vertex's in-ball
+    * registers max-merged with its in-neighbors' (set union as
+    * elementwise max — [[graft.functions.HllMax]]), one m-byte buffer
+    * per vertex across the shuffle. Shared by [[harmonicHyperBall]] and
+    * [[diameterHyperBall]]. */
+  private def hllPropagate(e: DataFrame, r: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.join(r.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), col("reg"))
+      .unionByName(r)
+      .as[(Long, Array[Byte])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.HllMax.toColumn.name("reg"))
+      .toDF("node", "reg")
+  }
+
+  private def hllEstimates(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.as[(Long, Array[Byte])]
+      .map { case (v, reg) => (v, graft.functions.Hll.estimate(reg)) }
+      .toDF("node", "est")
+  }
+
+  /** Distance distribution + EFFECTIVE DIAMETER from the HyperBall
+    * NEIGHBORHOOD FUNCTION — the scale path [[qGraphDiameter]]'s exact
+    * form declares (r12 verdict #4, Boldi & Vigna 2013 §4: N(d) =
+    * Σ_v |ball_in(v,d)| is exactly the count of ordered pairs within
+    * distance d, read off the same counters [[harmonicHyperBall]]
+    * already merges — this is how published web effective diameters are
+    * produced). Per depth d it emits the estimated pair count at
+    * exactly d (clamped ≥ 0 against estimator noise, the harmonic
+    * convention), the cumulative count, and the d90 flag (cum·10 ≥
+    * tot·9 at the probed depth — the exact form's semantics).
+    *
+    * At 100 TB: identical cost profile to [[harmonicHyperBall]] —
+    * constant m-byte state per vertex, one edges⋈registers join per
+    * round, plus ONE bounded driver scalar per round (the global
+    * Σest) — where the exact form's pair relation is O(n·ball) and
+    * infeasible past fixture scale. Output rows are depth-bounded.
+    * Spec-gated against [[qGraphDiameter]]'s exact distribution on the
+    * fixture graph (rel-err + d90 floors, the harmonic precedent). */
+  def diameterHyperBall(edges: DataFrame, depth: Int,
+                        onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = graft.Fence(edges.select(col("src"), col("dst")).distinct())
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var r = graft.Fence(
+      nodes.as[Long].map(v => (v, graft.functions.Hll.init(v)))
+        .toDF("node", "reg"))
+    def total(df: DataFrame): Double =
+      hllEstimates(df).agg(sum(col("est"))).head().getDouble(0)
+    val totals = scala.collection.mutable.ArrayBuffer(total(r)) // N(0) ~ n
+    (1 to depth).foreach { d =>
+      val t0 = System.nanoTime()
+      val prevR = r
+      r = graft.Fence.cut(hllPropagate(e, prevR)) // the deep-loop cut rule
+      graft.Fence.release(prevR)
+      totals += total(r)
+      onRound(d, (System.nanoTime() - t0) / 1e9)
+    }
+    graft.Fence.release(r); graft.Fence.release(e)
+    // depth-bounded readout: one row per probed distance
+    val perD = (1 to depth).map(d => math.max(totals(d) - totals(d - 1), 0.0))
+    val cum = perD.scanLeft(0.0)(_ + _).tail
+    val tot = cum.last
+    (1 to depth).map { d =>
+      (d.toLong, perD(d - 1), cum(d - 1),
+       if (cum(d - 1) * 10.0 >= tot * 9.0) 1L else 0L)
+    }.toDF("d", "n_pairs_est", "cum_pairs_est", "reached_90")
+  }
+
+  /** EXT: HyperBall harmonic centrality, declared + oracled with the A7
+    * sketch convention (r12 verdict #7: exact values hashed, sketch
+    * error bound pinned TRUE — [[Aggregates.qApproxDistinct]]): the
+    * exact [[harmonic]] scores ARE the hashed payload, and the shipped
+    * scale path [[harmonicHyperBall]] rides along as two CHECKED
+    * aggregate bounds — mean reach relative error ≤ 8% (the
+    * 256-register envelope: 1.04/√256 ≈ 6.5% rsd, linear counting
+    * tightening small balls) and mean harmonic-score relative error
+    * ≤ 10%. Both are deterministic (xxhash64 registers, commutative
+    * max-merge), so the booleans are stable across partitionings; the
+    * oracle replays the exact form and pins within_bound TRUE. This
+    * puts the sketch path under the DRIVER gate, not only the spec. */
+  def qGraphHyperball(s: SparkSession, d: String): DataFrame = {
+    val edges = graphEdges(s, d)
+    val exact = harmonic(edges, depth = 3)
+    val est = harmonicHyperBall(edges, depth = 3)
+    val joined = graft.Fence(exact.join(est, "node"))
+    val bounds = joined.select(
+        when(col("n_reached") > 0,
+             abs(col("reached_est") - col("n_reached")) / col("n_reached"))
+          .otherwise(abs(col("reached_est"))).as("r_err"),
+        when(col("harmonic_fp") > 0,
+             abs(col("harmonic_est") - col("harmonic_fp") / lit(1000000.0)) /
+               (col("harmonic_fp") / lit(1000000.0)))
+          .otherwise(abs(col("harmonic_est"))).as("h_err"))
+      .agg(avg(col("r_err")).as("mean_r_err"), avg(col("h_err")).as("mean_h_err"))
+    val out = exact.crossJoin(broadcast(bounds))
+      .select(col("node"), col("harmonic_fp"), col("n_reached"),
+        (col("mean_r_err") <= lit(0.08) && col("mean_h_err") <= lit(0.10))
+          .as("within_bound"))
+      .orderBy("node")
+    val keep = graft.Fence.cut(out)
+    graft.Fence.release(joined)
+    keep
+  }
+
   /** Strongly connected components over a directed edge list — the
     * webgraph MACRO-STRUCTURE op (Broder et al. 2000 mapped the web's
     * bowtie with exactly this; curation uses SCC membership to separate
@@ -844,9 +946,16 @@ object Graph {
     * same pieces, trim + reachability):
     *  1. TRIM to fixpoint: a node with no in-edges or no out-edges in
     *     the active subgraph is a singleton SCC. On a webgraph this
-    *     alone resolves the DAG part — typically most of the nodes —
-    *     and every peel round is two semi-joins + one count (the
-    *     [[kcore]] shape).
+    *     alone resolves the DAG part — typically most of the nodes.
+    *     Runs as a DEGREE CASCADE (r13, the [[kcore]] degree-maintenance
+    *     shape): per-node in/out degrees build once per outer round,
+    *     then each cascade round keys every join on the (small) dead
+    *     set — decrement survivors' degrees, drop the dead — so a deep
+    *     tendril chain (real webgraphs: Broder's IN/OUT tendrils) costs
+    *     O(chain length) broadcast joins, not chain-length full
+    *     endpoint re-scans; eA/active shrink once at the fixpoint.
+    *     The r12 re-scan form stays selectable
+    *     (spark.graft.scc.trim=scan) for the graphmacro `trim` A/B.
     *  2. COLOR to fixpoint: clr(v) = max(v, clr of in-neighbors) — at
     *     convergence clr(v) is the maximum active node that reaches v.
     *     Σclr is monotone increasing, so convergence is one scalar
@@ -880,24 +989,107 @@ object Graph {
     var eA = e0
     var nActive = active.count()
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // trim mode: "cascade" (default, r13) maintains per-node in/out
+    // degrees incrementally — each round's work is keyed on the DEAD set
+    // (broadcast-size joins against eA, no endpoint re-scan) — vs "scan"
+    // (the r12 form: two distinct endpoint sets + two semi-joins + a
+    // full eA shrink PER ROUND, quadratic on deep tendril chains; kept
+    // selectable for the graphmacro `trim` A/B, the clusters.fence
+    // precedent). Same fixpoint — a node dies iff its active in- or
+    // out-degree is 0 — so labels are identical (GraphSpec's scalacheck
+    // closure property pins it in both modes).
+    val scanTrim = edges.sparkSession.conf
+      .getOption("spark.graft.scc.trim").contains("scan")
     while (nActive > 0) {
       // ---- 1. trim singleton SCCs (missing in- or out-edges) ----
-      var trimming = true
-      while (trimming && nActive > 0) {
-        val t0 = System.nanoTime()
-        val both = graft.Fence.cut(active
-          .join(eA.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
-          .join(eA.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi"))
-        val n2 = both.count()
-        if (n2 == nActive) trimming = false
-        else {
-          active = both
+      if (scanTrim) {
+        var trimming = true
+        while (trimming && nActive > 0) {
+          val t0 = System.nanoTime()
+          val both = graft.Fence.cut(active
+            .join(eA.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+            .join(eA.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi"))
+          val n2 = both.count()
+          if (n2 == nActive) trimming = false
+          else {
+            active = both
+            eA = graft.Fence.cut(eA
+              .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+              .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+            nActive = n2
+          }
+          onRound("trim", nActive, (System.nanoTime() - t0) / 1e9)
+        }
+      } else {
+        // degree cascade: one degree build per outer round, then each
+        // cascade round touches eA only through joins against the dead
+        // set (AQE broadcasts it); eA and active shrink ONCE, after the
+        // fixpoint, not per round
+        var degs = graft.Fence.cut(active
+          .join(eA.groupBy(col("src").as("node")).agg(count(lit(1)).as("od")),
+                Seq("node"), "left")
+          .join(eA.groupBy(col("dst").as("node")).agg(count(lit(1)).as("id")),
+                Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("od"), lit(0L)).as("od"),
+            coalesce(col("id"), lit(0L)).as("id")))
+        var trimming = true
+        var anyDead = false
+        var estAlive = nActive
+        // every cascade round probes eA in full (no index to exploit —
+        // a broadcast join still scans the probe side), so re-shrink eA
+        // to the survivors each time the alive set loses another 25%:
+        // O(log) amortized shrinks instead of the scan mode's per-round
+        // shrink or no shrink at all (measured on the 5M tendril probe:
+        // never-shrink 72 s, per-round scan 112 s)
+        var lastShrink = nActive
+        while (trimming) {
+          val t0 = System.nanoTime()
+          val dead = graft.Fence.cut(
+            degs.filter(col("od") === 0L || col("id") === 0L).select("node"))
+          val nDead = dead.count()
+          if (nDead == 0) {
+            graft.Fence.release(dead)
+            trimming = false
+          } else {
+            anyDead = true
+            estAlive -= nDead
+            // an edge decrements the OPPOSITE endpoint's degree exactly
+            // once: the round its endpoint dies (dead sets are disjoint
+            // across rounds, eA is never rescanned in full)
+            val decOut = eA.join(dead.withColumnRenamed("node", "dst"), "dst")
+              .groupBy(col("src").as("node")).agg(count(lit(1)).as("dec_o"))
+            val decIn = eA.join(dead.withColumnRenamed("node", "src"), "src")
+              .groupBy(col("dst").as("node")).agg(count(lit(1)).as("dec_i"))
+            val prevDegs = degs
+            degs = graft.Fence.cut(prevDegs
+              .join(dead, Seq("node"), "left_anti")
+              .join(decOut, Seq("node"), "left")
+              .join(decIn, Seq("node"), "left")
+              .select(col("node"),
+                (col("od") - coalesce(col("dec_o"), lit(0L))).as("od"),
+                (col("id") - coalesce(col("dec_i"), lit(0L))).as("id")))
+            graft.Fence.release(prevDegs); graft.Fence.release(dead)
+            if (estAlive * 4L <= lastShrink * 3L) {
+              val alive = degs.select("node")
+              val prevEA = eA
+              eA = graft.Fence.cut(prevEA
+                .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+                .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"))
+              graft.Fence.release(prevEA)
+              lastShrink = estAlive
+            }
+          }
+          onRound("trim", estAlive, (System.nanoTime() - t0) / 1e9)
+        }
+        if (anyDead) {
+          active = graft.Fence.cut(degs.select("node"))
           eA = graft.Fence.cut(eA
             .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
             .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi"))
-          nActive = n2
+          nActive = active.count()
         }
-        onRound("trim", nActive, (System.nanoTime() - t0) / 1e9)
+        graft.Fence.release(degs)
       }
       if (nActive > 0) {
         // ---- 2. forward max-color propagation to fixpoint ----
@@ -1363,10 +1555,11 @@ object Graph {
     * exact form over the fixture graph: the [[harmonic]] multi-source
     * BFS pair relation reduced to one row per distance — n_pairs,
     * cumulative, and the d90 flag (first d where cum·10 ≥ total·9).
-    * The unbounded scale path is [[harmonicHyperBall]]'s neighborhood
-    * function (|ball(d)| per vertex at constant state — Boldi & Vigna
-    * run exactly that to publish web effective diameters); the exact
-    * form here is the semantics that leg is spec-gated against. */
+    * The unbounded scale path is [[diameterHyperBall]] (r13): the same
+    * readout off the HyperBall neighborhood function at constant
+    * per-vertex state — Boldi & Vigna run exactly that to publish web
+    * effective diameters; the exact form here is the semantics that
+    * leg is spec-gated against. */
   def qGraphDiameter(s: SparkSession, d: String): DataFrame = {
     val depth = 6
     val e = graft.Fence(graphEdges(s, d).select(col("src"), col("dst")).distinct())
@@ -1477,6 +1670,7 @@ object Graph {
     "q_graph_pagerank"   -> (qGraphPagerank _),
     "q_graph_ppr"        -> (qGraphPpr _),
     "q_graph_harmonic"   -> (qGraphHarmonic _),
+    "q_graph_hyperball"  -> (qGraphHyperball _),
     "q_graph_components" -> (qGraphComponents _),
     "q_graph_triangles"  -> (qGraphTriangles _),
     "q_graph_walks"      -> (qGraphWalks _),
@@ -1780,6 +1974,17 @@ object Graph {
         |        FROM r3 WHERE d > 0 GROUP BY v)
         |SELECT nodes.node AS node, COALESCE(agg.harmonic_fp, 0) AS harmonic_fp,
         |       COALESCE(agg.n_reached, 0) AS n_reached
+        |FROM nodes LEFT JOIN agg ON nodes.node = agg.node ORDER BY nodes.node""".stripMargin,
+    "q_graph_hyperball" ->
+      s"""WITH $duckFixtureEdges,
+        |r0 AS (SELECT node AS src, node AS v, 0 AS d FROM nodes),
+        |${(1 to 3).map(duckBfsRound).mkString(",\n")},
+        |agg AS (SELECT v AS node, CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_fp,
+        |               CAST(COUNT(*) AS BIGINT) AS n_reached
+        |        FROM r3 WHERE d > 0 GROUP BY v)
+        |SELECT nodes.node AS node, COALESCE(agg.harmonic_fp, 0) AS harmonic_fp,
+        |       COALESCE(agg.n_reached, 0) AS n_reached,
+        |       TRUE AS within_bound
         |FROM nodes LEFT JOIN agg ON nodes.node = agg.node ORDER BY nodes.node""".stripMargin,
     "q_graph_pagerank" ->
       s"""WITH $pagerankWithBody

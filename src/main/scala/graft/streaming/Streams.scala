@@ -455,6 +455,133 @@ object Streams {
       .start()
   }
 
+  private def latestSubdir(s: SparkSession, dir: String,
+                           prefix: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName.stripPrefix(prefix).toLong)
+      .lastOption.map(_.toString)
+  }
+
+  /** The UNIFIED crawl front door (r12 verdict #6): ONE watched
+    * directory receives BOTH Common Crawl deliverables — `.warc{,.gz}`
+    * content containers and `.wat{,.gz}` metadata — and one
+    * content-pruned listing stream drives the whole maintenance cycle,
+    * so a single micro-batch (= one crawl drop under `AvailableNow` +
+    * staging) yields all four corpus artifacts at once:
+    *   - `docsDir/batch_<id>`   — the decoded documents increment
+    *     (the [[crawlStream]] decode-once protocol),
+    *   - `hitsDir/batch_<id>`   — cross-crawl near-dup hits against the
+    *     accumulated band index (which also gains this crawl's bands
+    *     under `indexDir/batch_<id>`),
+    *   - `ranksDir/crawl_<id>`  — host PageRank refreshed over the
+    *     accumulated edge relation (the [[watStream]] protocol;
+    *     increments under `edgesDir/batch_<id>`),
+    *   - `curateDir/crawl_<id>` — the host-rank curation DECISION table
+    *     ([[graft.operators.Graph.qCurateHostrank]]'s self-calibrating
+    *     top-half cut): per ranked host, (node, rank_fp, rk, n_docs,
+    *     kept) over every document decoded so far.
+    * Each leg runs only when its inputs exist: a WARC-only drop reuses
+    * the latest ranks, a WAT-only drop re-curates the existing corpus
+    * under the refreshed ranks. `hostOf` maps a decoded document row to
+    * its host id in the WAT host space (production: parse + hash the
+    * URL authority; the default extracts the numeric doc id — the
+    * synthetic WARC convention — so fixtures can align the two spaces
+    * deterministically) — misaligned hosts simply don't join, they
+    * never corrupt.
+    *
+    * All state lives in storage (index, edges, docs — restart-safe via
+    * the checkpoint log's exactly-once file accounting); every output
+    * is a pure function of the files shipped so far, so each artifact
+    * has a closed-form batch twin (StreamingSpec pins bit-equality for
+    * all of them across two crawls). */
+  def watchedCrawlStream(s: SparkSession, dropDir: String, docsDir: String,
+                         indexDir: String, hitsDir: String, edgesDir: String,
+                         ranksDir: String, curateDir: String, checkpoint: String,
+                         hostOf: org.apache.spark.sql.Column =
+                           expr("CAST(regexp_extract(doc_id, ':([0-9]+)>$', 1) AS BIGINT)"),
+                         maxFilesPerBatch: Option[Int] = None,
+                         splitBytes: Long = 64L << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val src = maxFilesPerBatch.foldLeft(
+      s.readStream.format("binaryFile").schema(binaryFileSchema)
+        .option("pathGlobFilter", "*.{warc,warc.gz,wat,wat.gz}"))(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    src.load(dropDir)
+      .select(col("path"), col("length")) // listing-only discovery
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val files = batch.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+        val (wats, warcs) = files.partition(f =>
+          f._1.endsWith(".wat") || f._1.endsWith(".wat.gz"))
+        // ---- content leg: decode once, dedup against the index ----
+        if (warcs.nonEmpty) {
+          graft.sources.Warc.toDocuments(
+              graft.sources.Warc.readFiles(s, warcs, splitBytes))
+            .repartition(32, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$docsDir/batch_$batchId")
+          val bands = graft.operators.Dedup.minhashBands(
+            s.read.parquet(s"$docsDir/batch_$batchId").select("doc_id", "text"))
+          val idx =
+            try Some(s.read.option("recursiveFileLookup", "true").parquet(indexDir))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          idx.foreach { corpus =>
+            corpus.select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
+              .join(bands.select(col("doc_id").as("new_id"), col("b"), col("bh")),
+                    Seq("b", "bh"))
+              .groupBy(col("new_id").as("doc_id"))
+              .agg(min(col("corpus_id")).as("dup_of"),
+                   countDistinct(col("b")).as("n_bands"))
+              .write.mode("overwrite").parquet(s"$hitsDir/batch_$batchId")
+          }
+          bands.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+        }
+        // ---- graph leg: append edges, refresh ranks ----
+        if (wats.nonEmpty) {
+          graft.sources.Warc.watToEdges(
+              graft.sources.Warc.readFiles(s, wats, splitBytes))
+            .repartition(32, col("src"))
+            .write.mode("overwrite").parquet(s"$edgesDir/batch_$batchId")
+          val all = s.read.option("recursiveFileLookup", "true")
+            .parquet(edgesDir).distinct()
+          graft.operators.Graph.pageRank(all, iters = 5)
+            .write.mode("overwrite").parquet(s"$ranksDir/crawl_$batchId")
+        }
+        // ---- curation leg: decision table over corpus-so-far × ranks ----
+        val ranksNow =
+          if (wats.nonEmpty) Some(s.read.parquet(s"$ranksDir/crawl_$batchId"))
+          else latestSubdir(s, ranksDir, "crawl_").map(s.read.parquet(_))
+        val docsNow =
+          try Some(s.read.option("recursiveFileLookup", "true").parquet(docsDir))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        for (ranks <- ranksNow; docs <- docsNow) {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("node"))
+          val rk = ranks.withColumn("rk", row_number().over(w).cast("long"))
+          val mx = rk.agg(max(col("rk")).as("mx"))
+          docs.select(hostOf.as("node"), col("doc_id"))
+            .groupBy("node").agg(count(lit(1)).as("n_docs"))
+            .join(rk, "node")
+            .crossJoin(broadcast(mx))
+            .select(col("node"), col("rank").as("rank_fp"), col("rk"),
+                    col("n_docs"),
+                    (col("rk") * 2 <= col("mx")).cast("long").as("kept"))
+            .write.mode("overwrite").parquet(s"$curateDir/crawl_$batchId")
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 

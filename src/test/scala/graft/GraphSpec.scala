@@ -918,6 +918,49 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("diameterHyperBall tracks the exact distance distribution within sketch error on the fixture graph") {
+    val exact = Graph.qGraphDiameter(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val est = Graph.diameterHyperBall(Graph.graphEdges(spark, sf), depth = 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(est.keySet === exact.keySet)
+    (1L to 6L).foreach { d =>
+      val relErr = math.abs(est(d)._2 - exact(d)._2) / exact(d)._2.toDouble
+      info(f"d=$d exact cum=${exact(d)._2} est cum=${est(d)._2}%.0f rel err=$relErr%.3f")
+      assert(relErr <= 0.10,
+        s"d=$d cumulative pair estimate off by $relErr (>10%)")
+    }
+    // the published statistic: first depth whose cumulative count crosses
+    // 90% must agree between sketch and exact form
+    val d90Exact = exact.filter(_._2._3 == 1L).keys.min
+    val d90Est = est.filter(_._2._3 == 1L).keys.min
+    assert(d90Est === d90Exact, s"effective diameter: est $d90Est vs exact $d90Exact")
+  }
+
+  test("scc trim modes: degree cascade (default) and full re-scan produce identical labels") {
+    import spark.implicits._
+    // expander-ish core {0,1,2} + two IN-tendril chains + an OUT tail —
+    // the shape the r13 cascade exists for; both modes must reach the
+    // same trim fixpoint and the same labels
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 0),
+      (10, 11), (11, 12), (12, 0),
+      (20, 21), (21, 22), (22, 1),
+      (0, 30), (30, 31))
+    def run(): Map[Long, (Long, Long)] =
+      Graph.scc(edges.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cascade = run()
+    spark.conf.set("spark.graft.scc.trim", "scan")
+    val scan = try run() finally spark.conf.unset("spark.graft.scc.trim")
+    assert(cascade === scan)
+    assert(cascade(0L) === ((2L, 3L)) && cascade(1L) === ((2L, 3L)),
+      "core = {0,1,2} labeled by max member")
+    assert(cascade(11L) === ((11L, 1L)) && cascade(31L) === ((31L, 1L)),
+      "tendril nodes are singletons labeled by own id")
+  }
+
   test("coreness / bowtie: empty and self-loop-only edge relations return empty, not throw") {
     import spark.implicits._
     val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")

@@ -475,4 +475,106 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === batch.length && streamed.sameElements(batch),
       s"streamed union (${streamed.length}) != batch raster (${batch.length})")
   }
+
+  test("unified watched crawl: one drop dir yields docs + dedup hits + ranks + curation, each equal to its batch twin across two crawls") {
+    import graft.operators.{Dedup, Graph}
+    import graft.sources.Warc
+    import org.apache.spark.sql.expressions.Window
+    val drop = Files.createTempDirectory("graft_uc_drop").toString
+    val docsOut = Files.createTempDirectory("graft_uc_docs").resolve("d").toString
+    val index = Files.createTempDirectory("graft_uc_index").resolve("idx").toString
+    val hits = Files.createTempDirectory("graft_uc_hits").toString
+    val edgesOut = Files.createTempDirectory("graft_uc_edges").resolve("e").toString
+    val ranks = Files.createTempDirectory("graft_uc_ranks").toString
+    val curate = Files.createTempDirectory("graft_uc_curate").toString
+    val ckpt = Files.createTempDirectory("graft_uc_ckpt").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def watJson(hosts: Seq[Long]) = {
+      import spark.implicits._
+      hosts.map { h =>
+        val links = Seq((3 * h + 1) % 200, (3 * h + 2) % 200).filter(_ != h)
+        (h, s"""{"host": $h, "links": [${links.mkString(", ")}]}""")
+      }.toDF("doc_id", "text")
+    }
+    def shipInto(stage: String => Unit, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_uc_stage_$tag").toString
+      stage(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => !f.getName.startsWith("."))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag-${f.getName}")))
+    }
+    // the doc-id → WAT-host-space alignment for this fixture
+    val host = expr("CAST(regexp_extract(doc_id, ':([0-9]+)>$', 1) AS BIGINT) % 200")
+    val c1h = (0L until 200L by 2); val c2h = (1L until 200L by 2)
+    def run(): Unit =
+      Streams.watchedCrawlStream(spark, drop, docsOut, index, hits, edgesOut,
+          ranks, curate, ckpt, hostOf = host, splitBytes = 32L << 10)
+        .awaitTermination(240000)
+    shipInto(d => Warc.writeWarc(docs.filter(col("doc_id") % 5 =!= 0), d, partitions = 4), "c1w")
+    shipInto(d => Warc.writeWat(watJson(c1h), d, partitions = 2), "c1m")
+    run()
+    shipInto(d => Warc.writeWarc(docs.filter(col("doc_id") % 5 === 0), d, partitions = 4), "c2w")
+    shipInto(d => Warc.writeWat(watJson(c2h), d, partitions = 2), "c2m")
+    run()
+
+    def rows(df: org.apache.spark.sql.DataFrame, keys: String*): Seq[String] =
+      df.orderBy(keys.map(col): _*).collect().map(_.toString).toSeq
+
+    // twin inputs: the WARC round-trip document shape and the edge sets
+    val asShipped = docs.select(
+      concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("doc_id"),
+      trim(regexp_replace(col("text"), "\\s+", " ")).as("text"))
+    def edgesOf(hosts: Seq[Long]) = hosts
+      .flatMap(h => Seq((h, (3 * h + 1) % 200), (h, (3 * h + 2) % 200)))
+      .filter { case (a, b) => a != b }.distinct.sorted
+    import spark.implicits._
+
+    // 1. documents: both increments together decode to the full corpus
+    assert(rows(spark.read.option("recursiveFileLookup", "true").parquet(docsOut)
+             .select("doc_id", "text"), "doc_id") ===
+           rows(asShipped, "doc_id"),
+      "accumulated document increments must equal the shipped corpus")
+
+    // 2. dedup hits: crawl 1 probes an empty index (no delta); crawl 2's
+    // delta equals the band twin over crawl-1 corpus vs crawl-2 batch
+    assert(!new java.io.File(s"$hits/batch_0").exists(),
+      "first crawl has no prior index — must write no hits")
+    val isC2 = "cast(regexp_extract(doc_id, ':([0-9]+)>$', 1) as bigint) % 5 == 0"
+    val twinHits = Dedup.minhashBands(asShipped.filter(not(expr(isC2))))
+      .select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
+      .join(Dedup.minhashBands(asShipped.filter(expr(isC2)))
+              .select(col("doc_id").as("new_id"), col("b"), col("bh")),
+            Seq("b", "bh"))
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"), countDistinct(col("b")).as("n_bands"))
+    assert(rows(spark.read.parquet(s"$hits/batch_1"), "doc_id") ===
+           rows(twinHits, "doc_id"), "crawl-2 hits must equal the band twin")
+
+    // 3. ranks: each crawl's refresh equals the batch operator over the
+    // edges shipped SO FAR, bit-exactly
+    def twinCurate(hosts: Seq[Long], corpus: org.apache.spark.sql.DataFrame) = {
+      val r = Graph.pageRank(edgesOf(hosts).toDF("src", "dst"), iters = 5)
+      val rk = r.withColumn("rk",
+        row_number().over(Window.orderBy(col("rank").desc, col("node"))).cast("long"))
+      val mx = rk.agg(max(col("rk")).as("mx"))
+      (r, corpus.select(host.as("node"), col("doc_id"))
+        .groupBy("node").agg(count(lit(1)).as("n_docs"))
+        .join(rk, "node").crossJoin(broadcast(mx))
+        .select(col("node"), col("rank").as("rank_fp"), col("rk"), col("n_docs"),
+                (col("rk") * 2 <= col("mx")).cast("long").as("kept")))
+    }
+    val (ranks1, curate1) = twinCurate(c1h, asShipped.filter(not(expr(isC2))))
+    val (ranks2, curate2) = twinCurate(c1h ++ c2h, asShipped)
+    assert(rows(spark.read.parquet(s"$ranks/crawl_0"), "node") === rows(ranks1, "node"),
+      "crawl-1 ranks must equal the batch twin over crawl-1 edges")
+    assert(rows(spark.read.parquet(s"$ranks/crawl_1"), "node") === rows(ranks2, "node"),
+      "crawl-2 ranks must equal the batch twin over both crawls' edges")
+
+    // 4. curation decision table: per crawl, bit-equal to the twin built
+    // from the corpus-so-far and the refreshed ranks
+    assert(rows(spark.read.parquet(s"$curate/crawl_0"), "node") === rows(curate1, "node"),
+      "crawl-1 curation must equal its batch twin")
+    assert(rows(spark.read.parquet(s"$curate/crawl_1"), "node") === rows(curate2, "node"),
+      "crawl-2 curation must equal its batch twin")
+  }
 }
