@@ -1597,6 +1597,34 @@ object Graph {
     keep
   }
 
+  /** EXT: HyperBall effective diameter, declared + oracled with the A7
+    * checked-bound convention (the [[qGraphHyperball]] shape): the
+    * exact [[qGraphDiameter]] distribution IS the hashed payload; the
+    * [[diameterHyperBall]] scale path rides along as two CHECKED
+    * bounds — cumulative pair estimate within 10% of exact at EVERY
+    * probed depth (observed 0.3-0.5% on the fixture) and the d90
+    * statistic agreeing exactly. Deterministic registers → stable
+    * booleans; oracle replays the exact form and pins TRUE. */
+  def qGraphDiameterHb(s: SparkSession, d: String): DataFrame = {
+    val exact = qGraphDiameter(s, d)
+    val est = diameterHyperBall(graphEdges(s, d), depth = 6)
+      .select(col("d"), col("cum_pairs_est"), col("reached_90").as("r90_est"))
+    val joined = graft.Fence(exact.join(est, "d"))
+    val bounds = joined.agg(
+      max(abs(col("cum_pairs_est") - col("cum_pairs")) /
+          col("cum_pairs").cast("double")).as("max_err"),
+      min(when(col("reached_90") === 1L, col("d"))).as("d90_exact"),
+      min(when(col("r90_est") === 1L, col("d"))).as("d90_est"))
+    val out = exact.crossJoin(broadcast(bounds))
+      .select(col("d"), col("n_pairs"), col("cum_pairs"), col("reached_90"),
+        (col("max_err") <= lit(0.10) && col("d90_exact") === col("d90_est"))
+          .as("within_bound"))
+      .orderBy("d")
+    val keep = graft.Fence.cut(out)
+    graft.Fence.release(joined)
+    keep
+  }
+
   /** Full CORE DECOMPOSITION — coreness(v) = the largest k such that v
     * survives the k-core peel (Seidman 1983; the degeneracy ordering
     * that coreness induces drives clique-finding, graph drawing, and —
@@ -1665,6 +1693,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_coreness"   -> (qGraphCoreness _),
     "q_graph_diameter"   -> (qGraphDiameter _),
+    "q_graph_diameter_hb" -> (qGraphDiameterHb _),
     "q_graph_pagerank_w" -> (qGraphPagerankW _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_graph_pagerank"   -> (qGraphPagerank _),
@@ -2087,6 +2116,21 @@ object Graph {
         |LEFT JOIN c2_12 l2 ON n.node = l2.node
         |LEFT JOIN c1_12 l1 ON n.node = l1.node
         |ORDER BY n.node""".stripMargin,
+    "q_graph_diameter_hb" ->
+      s"""WITH $duckFixtureEdges,
+        |r0 AS (SELECT node AS src, node AS v, 0 AS d FROM nodes),
+        |${(1 to 6).map(duckBfsRound).mkString(",\n")},
+        |dist AS (SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |         FROM r6 WHERE d > 0 GROUP BY d),
+        |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM dist)
+        |SELECT d, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY d
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs,
+        |  CAST(CASE WHEN SUM(n_pairs) OVER (ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10
+        |         >= (SELECT tot FROM tot) * 9 THEN 1 ELSE 0 END AS BIGINT) AS reached_90,
+        |  TRUE AS within_bound
+        |FROM dist ORDER BY d""".stripMargin,
     "q_graph_diameter" ->
       s"""WITH $duckFixtureEdges,
         |r0 AS (SELECT node AS src, node AS v, 0 AS d FROM nodes),

@@ -511,11 +511,47 @@ object Similarity {
   def qAnnIvfPq(s: SparkSession, d: String): DataFrame =
     ivfPqTopk(vecs(s, d))
 
+  /** OPQ-style deterministic rotation for the PQ family (r13, measured
+    * at the 1M probe shape — SCALE.md): R = H·D/8 with H the 64-point
+    * Walsh-Hadamard matrix (H[i][j] = (−1)^popcount(i&j)) and D an
+    * md5-derived ±1 diagonal (the [[projW]] convention) — a randomized
+    * Hadamard transform. R is exactly orthonormal, so L2 distances and
+    * the ADC scoring identity are PRESERVED; only the SUBSPACE SPLIT
+    * changes: an axis-aligned residual atom (one perturbed dimension)
+    * smears its energy across all 8 sub-codes instead of hiding in the
+    * one subspace that owns its dimension, so every sub-code carries
+    * signal. Measured on the 1M atomic-residual corpus: composed
+    * IVF-PQ rerank-recall@10 0.630 → 0.825 at the SAME code budget and
+    * pool (cb=256, pool=100). */
+  private[graft] lazy val rotW: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = IndexedSeq.tabulate(64) { j =>
+      val h = md.digest(s"rot:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+    IndexedSeq.tabulate(64, 64)((i, j) =>
+      (if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0) * d(j) / 8.0)
+  }
+  private[graft] def rotCol(c: Column): Column =
+    array((0 until 64).map(i => vecDot(c, array(rotW(i).map(lit): _*))): _*)
+
   /** [[qAnnIvfPq]] over an arbitrary (vec_id, v[, nrm]) frame — exposed
     * for AnnRecallSpec's planted-neighbor floor (same id-keyed fixture
     * splits: centroids < 8, queries < 5, candidates ≥ 8, residual
-    * codebook donors 8..11). */
-  private[graft] def ivfPqTopk(vv: DataFrame): DataFrame = {
+    * codebook donors 8..11).
+    *
+    * The two RECALL DIALS the 1M probe sweep measured (SCALE.md r13):
+    * `pool` — the ADC-nominated re-rank depth; recall tracks
+    * pool ÷ (nprobe × cell occupancy) (1M, cb=256: pool 100 → 0.630,
+    * 200 → 0.860, 400 → 0.995 ≈ the IVF ceiling), so a production
+    * caller sizes it as a fraction of expected probed candidates, and
+    * the cost is pool exact dot products per query. `rotate` — the
+    * [[rotW]] OPQ rotation applied to residuals before the subspace
+    * split (0.630 → 0.825 at unchanged budget); orthonormal, so no
+    * other semantics change. Defaults preserve the declared fixture
+    * query bit-for-bit. */
+  private[graft] def ivfPqTopk(vv: DataFrame, poolN: Int = 50,
+                               rotate: Boolean = false): DataFrame = {
     val e = (if (vv.columns.contains("nrm")) vv
              else vv.withColumn("nrm", sqrt(vecDot(col("v"), col("v")))))
       .select(col("vec_id"), col("v"), col("nrm"))
@@ -528,10 +564,11 @@ object Similarity {
       .select(col("vec_id"), col("cid"), roundCos.as("acos"))
       .groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("acos"), -col("cid"))).as("cell"))
-    val resid = best.join(cand, "vec_id")
+    val resid0 = best.join(cand, "vec_id")
       .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
       .select(col("vec_id"), col("cell"),
               zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    val resid = if (rotate) resid0.withColumn("rv", rotCol(col("rv"))) else resid0
     val sub = resid
       .select(col("vec_id"), col("cell"),
               explode(array((0 until 8).map(lit): _*)).as("j"), col("rv"))
@@ -556,7 +593,9 @@ object Similarity {
       .withColumn("ark", row_number().over(wProbe))
       .filter(col("ark") <= 2)
       .select(col("vec_id").as("qid"), col("cid").as("cell"),
-              zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv"))
+              zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv0"))
+      .select(col("qid"), col("cell"),
+              (if (rotate) rotCol(col("qrv0")) else col("qrv0")).as("qrv"))
     val qSub = qCells
       .select(col("qid"), col("cell"),
               explode(array((0 until 8).map(lit): _*)).as("j"), col("qrv"))
@@ -574,7 +613,7 @@ object Similarity {
       .groupBy(col("qid"), col("vec_id").as("cand"))
       .agg(sum(col("ld")).as("di4"))
       .withColumn("rk", row_number().over(wPool))
-      .filter(col("rk") <= 50)
+      .filter(col("rk") <= poolN)
       .select("qid", "cand")
     val q = qs.select(col("vec_id").as("qid"), col("v").as("qv"),
                       col("nrm").as("qn"))

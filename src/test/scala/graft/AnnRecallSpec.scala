@@ -133,6 +133,26 @@ class AnnRecallSpec extends SparkSpec {
       s"planted-neighbor recall: $hit/15 planted copies in IVF-PQ top-10 (floor 12)")
   }
 
+  test("IVF-PQ recall dials: the OPQ rotation and a deeper pool hold the planted floor") {
+    // the r13 1M-probe levers (SCALE.md: rotation 0.630 -> 0.825 at
+    // unchanged budget; pool 100/200/400 -> 0.630/0.860/0.995) wired
+    // through the public dials: the rotation is orthonormal so the
+    // planted-neighbor contract must hold under it, and a deeper pool
+    // can only widen the nomination stage
+    val vv = withPlants(baseVecs)
+    val expected = (for (q <- 0 until 5; j <- 1 to 3)
+      yield (q.toLong, 100000L + q * 10 + j)).toSeq
+    Seq(("rotate", Similarity.ivfPqTopk(vv, rotate = true)),
+        ("pool=200", Similarity.ivfPqTopk(vv, poolN = 200))).foreach {
+      case (tag, out) =>
+        val found = out.collect()
+          .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand"))).toSet
+        val hit = expected.count(found)
+        info(s"planted copies in composed IVF-PQ [$tag] top-10: $hit/15")
+        assert(hit >= 12, s"[$tag] planted-neighbor recall: $hit/15 (floor 12)")
+    }
+  }
+
   test("kNN graph: edges are true bucket-top-3; measured recall vs exact top-3 floor") {
     val got = Similarity.qAnnKnnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
