@@ -523,6 +523,27 @@ object Similarity {
     * signal. Measured on the 1M atomic-residual corpus: composed
     * IVF-PQ rerank-recall@10 0.630 → 0.825 at the SAME code budget and
     * pool (cb=256, pool=100). */
+  /** EXT: the ROTATED composed IVF-PQ retrieval, declared + oracled —
+    * [[qAnnIvfPq]] with the [[rotW]] rotation applied to residuals
+    * before the subspace split. The rotation itself is hash-gated: the
+    * DuckDB twin replays all 64 rotation dot products as
+    * `list_dot_product` against the same ±0.125 literals (exact binary
+    * doubles, sequential-sum order identical to [[graft.functions
+    * .VectorMath.vecDot]]'s DotProduct expression), so the measured 1M
+    * lever (SCALE.md r13: 0.630 → 0.825 at identical budget) ships
+    * with bit-exact arithmetic evidence, not only probe curves. */
+  def qAnnIvfPqRot(s: SparkSession, d: String): DataFrame =
+    ivfPqTopk(vecs(s, d), rotate = true)
+
+  // the rotation replayed oracle-side: one 64-entry list of
+  // list_dot_product terms against the ±0.125e0 literal rows of rotW
+  private def duckRotExpr(src: String): String =
+    "[" + (0 until 64).map { i =>
+      s"list_dot_product($src, [" +
+        rotW(i).map(w => if (w > 0) "0.125e0" else "-0.125e0").mkString(",") +
+        "])"
+    }.mkString(",\n  ") + "]"
+
   private[graft] lazy val rotW: IndexedSeq[IndexedSeq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = IndexedSeq.tabulate(64) { j =>
@@ -1341,6 +1362,7 @@ object Similarity {
     "q_ann_pq"          -> (qAnnPq _),
     "q_ann_pq_rerank"   -> (qAnnPqRerank _),
     "q_ann_ivfpq"       -> (qAnnIvfPq _),
+    "q_ann_ivfpq_rot"   -> (qAnnIvfPqRot _),
     "q_ann_rrf"         -> (qAnnRrf _),
     "q_mine_hard_negatives" -> (qMineHardNegatives _),
     "q_ann_mmr"             -> (qAnnMmr _),
@@ -1441,6 +1463,71 @@ object Similarity {
   private val duckVecs =
     "SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
   private val duckCos = "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)"
+
+  // the composed IVF-PQ oracle, shared by the plain and ROTATED forms:
+  // rot = true inserts the rotW replay (rrot/qrot CTEs) between the
+  // residual computation and the subspace slice on BOTH sides — the
+  // only difference, mirroring ivfPqTopk's rotate flag exactly
+  private def duckIvfPqSql(rot: Boolean): String = {
+      val rSrc = if (rot) "rrot" else "resid"
+      val qSrc = if (rot) "qrot" else "qcell"
+      val rotCtes = if (!rot) "" else
+        s"""rrot AS (SELECT vec_id, cell, ${duckRotExpr("rv")} AS rv FROM resid),
+           |""".stripMargin
+      val qRotCtes = if (!rot) "" else
+        s"""qrot AS (SELECT qid, cell, ${duckRotExpr("qrv")} AS qrv FROM qcell),
+           |""".stripMargin
+      s"""WITH en AS ($duckVecs),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM en WHERE vec_id < 8),
+        |best AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cid AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |      ROUND(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC, c.cid) AS rk
+        |  FROM en b CROSS JOIN cents c WHERE b.vec_id >= 8) WHERE rk = 1),
+        |resid AS (SELECT b.vec_id, b.cell,
+        |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS rv
+        |  FROM best b JOIN en e USING (vec_id) JOIN cents c ON c.cid = b.cell),
+        |${rotCtes}sub AS (SELECT vec_id, cell, j, list_slice(rv, j*8+1, j*8+8) AS sv
+        |        FROM $rSrc, generate_series(0, 7) g(j)),
+        |cb AS (SELECT vec_id AS ccid, j AS cj, sv AS cw FROM sub WHERE vec_id < 12),
+        |enc AS (SELECT vec_id, cell, j, ccid AS code FROM (
+        |  SELECT d.vec_id, d.cell, d.j, cb.ccid,
+        |    ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j ORDER BY
+        |      (list_dot_product(d.sv, d.sv)
+        |         - CAST(2.0 AS DOUBLE) * list_dot_product(d.sv, cb.cw)
+        |         + list_dot_product(cb.cw, cb.cw)) ASC, cb.ccid) AS rk
+        |  FROM sub d JOIN cb ON d.j = cb.cj) WHERE rk = 1),
+        |qcell AS (SELECT qid, cell, qrv FROM (
+        |  SELECT b.vec_id AS qid, c.cid AS cell,
+        |    list_transform(generate_series(1, len(b.v)), i -> b.v[i] - c.cv[i]) AS qrv,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |      ROUND(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC, c.cid) AS rk
+        |  FROM en b CROSS JOIN cents c WHERE b.vec_id < 5) WHERE rk <= 2),
+        |${qRotCtes}qsub AS (SELECT qid, cell, j, list_slice(qrv, j*8+1, j*8+8) AS sv
+        |         FROM $qSrc, generate_series(0, 7) g(j)),
+        |lut AS (SELECT q.qid, q.cell AS lcell, cb.cj AS lj, cb.ccid AS lcode,
+        |  CAST(floor((list_dot_product(q.sv, q.sv)
+        |         - CAST(2.0 AS DOUBLE) * list_dot_product(q.sv, cb.cw)
+        |         + list_dot_product(cb.cw, cb.cw))
+        |        * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ld
+        |  FROM qsub q JOIN cb ON q.j = cb.cj),
+        |adc AS (SELECT l.qid, c.vec_id AS cand, CAST(SUM(l.ld) AS BIGINT) AS di4
+        |        FROM enc c JOIN lut l
+        |          ON c.cell = l.lcell AND c.j = l.lj AND c.code = l.lcode
+        |        GROUP BY 1, 2),
+        |pool AS (SELECT qid, cand FROM (
+        |  SELECT qid, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY di4 ASC, cand) AS rk
+        |  FROM adc) WHERE rk <= 50),
+        |rer AS (SELECT p.qid, p.cand,
+        |    ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 4) AS cos
+        |  FROM pool p JOIN en c ON c.vec_id = p.cand JOIN en q ON q.vec_id = p.qid)
+        |SELECT qid, cand, rk, cos FROM (
+        |  SELECT qid, cand, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS BIGINT) AS rk
+        |  FROM rer) WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // greedy replay in chained CTEs; identical 4-dp score space and
@@ -1702,57 +1789,8 @@ object Similarity {
     // subtract (bit-equal IEEE against Spark's zip_with), residual PQ
     // encode/LUT as the q_ann_pq CTEs with the cell carried through,
     // integer ADC, exact-cosine re-rank of the 50-pool
-    "q_ann_ivfpq" ->
-      s"""WITH en AS ($duckVecs),
-        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM en WHERE vec_id < 8),
-        |best AS (SELECT vec_id, cell FROM (
-        |  SELECT b.vec_id, c.cid AS cell,
-        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-        |      ROUND(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC, c.cid) AS rk
-        |  FROM en b CROSS JOIN cents c WHERE b.vec_id >= 8) WHERE rk = 1),
-        |resid AS (SELECT b.vec_id, b.cell,
-        |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS rv
-        |  FROM best b JOIN en e USING (vec_id) JOIN cents c ON c.cid = b.cell),
-        |sub AS (SELECT vec_id, cell, j, list_slice(rv, j*8+1, j*8+8) AS sv
-        |        FROM resid, generate_series(0, 7) g(j)),
-        |cb AS (SELECT vec_id AS ccid, j AS cj, sv AS cw FROM sub WHERE vec_id < 12),
-        |enc AS (SELECT vec_id, cell, j, ccid AS code FROM (
-        |  SELECT d.vec_id, d.cell, d.j, cb.ccid,
-        |    ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j ORDER BY
-        |      (list_dot_product(d.sv, d.sv)
-        |         - CAST(2.0 AS DOUBLE) * list_dot_product(d.sv, cb.cw)
-        |         + list_dot_product(cb.cw, cb.cw)) ASC, cb.ccid) AS rk
-        |  FROM sub d JOIN cb ON d.j = cb.cj) WHERE rk = 1),
-        |qcell AS (SELECT qid, cell, qrv FROM (
-        |  SELECT b.vec_id AS qid, c.cid AS cell,
-        |    list_transform(generate_series(1, len(b.v)), i -> b.v[i] - c.cv[i]) AS qrv,
-        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-        |      ROUND(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC, c.cid) AS rk
-        |  FROM en b CROSS JOIN cents c WHERE b.vec_id < 5) WHERE rk <= 2),
-        |qsub AS (SELECT qid, cell, j, list_slice(qrv, j*8+1, j*8+8) AS sv
-        |         FROM qcell, generate_series(0, 7) g(j)),
-        |lut AS (SELECT q.qid, q.cell AS lcell, cb.cj AS lj, cb.ccid AS lcode,
-        |  CAST(floor((list_dot_product(q.sv, q.sv)
-        |         - CAST(2.0 AS DOUBLE) * list_dot_product(q.sv, cb.cw)
-        |         + list_dot_product(cb.cw, cb.cw))
-        |        * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ld
-        |  FROM qsub q JOIN cb ON q.j = cb.cj),
-        |adc AS (SELECT l.qid, c.vec_id AS cand, CAST(SUM(l.ld) AS BIGINT) AS di4
-        |        FROM enc c JOIN lut l
-        |          ON c.cell = l.lcell AND c.j = l.lj AND c.code = l.lcode
-        |        GROUP BY 1, 2),
-        |pool AS (SELECT qid, cand FROM (
-        |  SELECT qid, cand,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY di4 ASC, cand) AS rk
-        |  FROM adc) WHERE rk <= 50),
-        |rer AS (SELECT p.qid, p.cand,
-        |    ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 4) AS cos
-        |  FROM pool p JOIN en c ON c.vec_id = p.cand JOIN en q ON q.vec_id = p.qid)
-        |SELECT qid, cand, rk, cos FROM (
-        |  SELECT qid, cand, cos,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS BIGINT) AS rk
-        |  FROM rer) WHERE rk <= 10
-        |ORDER BY qid, rk""".stripMargin,
+    "q_ann_ivfpq" -> duckIvfPqSql(rot = false),
+    "q_ann_ivfpq_rot" -> duckIvfPqSql(rot = true),
     "q_ann_ivf" ->
       s"""WITH e AS ($duckVecs),
         |scored AS (SELECT b.vec_id AS vid, a.vec_id AS cid, ROUND($duckCos, 4) AS cos
