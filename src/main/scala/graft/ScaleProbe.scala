@@ -68,7 +68,13 @@ object ScaleProbe {
         s"graphmacro: unknown leg '$leg' (expected one of ${legal.mkString("|")}|trim[N])")
       graphmacroProbe(spark, parts(0).toInt, leg)
     }
-    else if (args(0) == "hyperball") hyperballProbe(spark, args(1).toInt)
+    else if (args(0) == "hyperball") {
+      // hyperball <millions>[:diam] — ":diam" skips the harmonic leg and
+      // runs only the r13 distance-distribution readout
+      val parts = args(1).split(":")
+      hyperballProbe(spark, parts(0).toInt,
+        diamOnly = parts.length > 1 && parts(1) == "diam")
+    }
     else {
       val k = args(0).toInt
       val Array(g, t) = args(1).split(",").map(_.toInt)
@@ -829,7 +835,8 @@ object ScaleProbe {
     * grow — and the depth-6 reach estimates land in the branching-
     * process envelope (sanity of the estimator at scale).
     * Usage: tools/run_verify.sh hyperball <millions> graft.ScaleProbe */
-  private def hyperballProbe(spark: SparkSession, millions: Int): Unit = {
+  private def hyperballProbe(spark: SparkSession, millions: Int,
+                             diamOnly: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val n = millions * 1000000L
     val edges = spark.range(0, n).toDF("src")
@@ -838,13 +845,15 @@ object ScaleProbe {
       .select(col("src"),
         pmod(col("src") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val t0 = System.nanoTime()
-    val out = operators.Graph.harmonicHyperBall(edges, depth = 6,
-      onRound = (d, secs) => println(f"hyperball round=$d wall=$secs%.1f s"))
-    val agg = out.agg(count(lit(1)), avg("reached_est"), max("reached_est")).head()
-    val total = (System.nanoTime() - t0) / 1e9
-    println(f"hyperball: $n%,d nodes, depth 6 -> ${agg.getLong(0)}%,d scored in " +
-      f"$total%.1f s; reached_est avg=${agg.getDouble(1)}%,.0f max=${agg.getDouble(2)}%,.0f")
+    if (!diamOnly) {
+      val t0 = System.nanoTime()
+      val out = operators.Graph.harmonicHyperBall(edges, depth = 6,
+        onRound = (d, secs) => println(f"hyperball round=$d wall=$secs%.1f s"))
+      val agg = out.agg(count(lit(1)), avg("reached_est"), max("reached_est")).head()
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"hyperball: $n%,d nodes, depth 6 -> ${agg.getLong(0)}%,d scored in " +
+        f"$total%.1f s; reached_est avg=${agg.getDouble(1)}%,.0f max=${agg.getDouble(2)}%,.0f")
+    }
     // distance distribution / effective diameter off the same counters
     // (r12 verdict #4): the readout published web releases carry, at a
     // scale where the exact pair form is infeasible
@@ -853,8 +862,8 @@ object ScaleProbe {
       onRound = (d, secs) => println(f"hyperball-diam round=$d wall=$secs%.1f s"))
       .collect()
     println(f"hyperball-diam: ${(System.nanoTime() - t1) / 1e9}%.1f s; " +
-      dd.map(r => f"d=${r.getLong(0)} pairs=${r.getDouble(1)}%,.3e " +
-        f"cum=${r.getDouble(2)}%,.3e r90=${r.getLong(3)}").mkString(" | "))
+      dd.map(r => f"d=${r.getLong(0)} pairs=${r.getDouble(1)}%.3e " +
+        f"cum=${r.getDouble(2)}%.3e r90=${r.getLong(3)}").mkString(" | "))
   }
 
   private def recallProbe(spark: SparkSession, mult: Int, kCells: Int,
@@ -1182,6 +1191,20 @@ object ScaleProbe {
       Seq((256, 100), (256, 200)).foreach { case (cb, pl) =>
         println(f"recall ivfpq-rot cb=$cb%-3d nprobe=1  pool=$pl%-3d " +
           f"rerank-recall@10=${ivfPqRecall(cb, 1, pl, rot = true)}%.3f")
+      }
+      // trained codebooks on ROTATED residuals — the r12 trained-vs-
+      // donated NEGATIVE was explained by the residuals' atomic shape
+      // (k-means centroids merge atoms and rank none); the rotation
+      // smears atoms across subspaces, so if that explanation is right,
+      // training should RECOVER on the rotated source — an intervention
+      // test of the r12 analysis, not just another data point
+      val cbRot = operators.Similarity.kmeansParCodebook(
+        rSubRot.select(col("vec_id").as("id"), col("j"), col("sv")),
+        k = 256, l = 256, rounds = 3, lloydRounds = 3)
+        .transform(graft.Fence.cut)
+      Seq(100, 200).foreach { pl =>
+        println(f"recall ivfpq-rot-t cb=256 nprobe=1  pool=$pl%-3d " +
+          f"rerank-recall@10=${ivfPqRecallWith(cbRot, 1, pl, rot = true)}%.3f")
       }
       return
     }
