@@ -467,8 +467,11 @@ object Streams {
   }
 
   /** The UNIFIED crawl front door (r12 verdict #6): ONE watched
-    * directory receives BOTH Common Crawl deliverables — `.warc{,.gz}`
-    * content containers and `.wat{,.gz}` metadata — and one
+    * directory receives ALL THREE Common Crawl deliverables —
+    * `.warc{,.gz}` content containers, `.wat{,.gz}` metadata, and
+    * `.wet{,.gz}` extracted text (the alternative content form; a drop
+    * carrying both warc and wet uses the warc — own extraction wins,
+    * and the same crawl must not double-ingest) — and one
     * content-pruned listing stream drives the whole maintenance cycle,
     * so a single micro-batch (= one crawl drop under `AvailableNow` +
     * staging) yields all four corpus artifacts at once:
@@ -511,7 +514,7 @@ object Streams {
       StructField("length", LongType), StructField("content", BinaryType)))
     val src = maxFilesPerBatch.foldLeft(
       s.readStream.format("binaryFile").schema(binaryFileSchema)
-        .option("pathGlobFilter", "*.{warc,warc.gz,wat,wat.gz}"))(
+        .option("pathGlobFilter", "*.{warc,warc.gz,wat,wat.gz,wet,wet.gz}"))(
       (r, n) => r.option("maxFilesPerTrigger", n))
     src.load(dropDir)
       .select(col("path"), col("length")) // listing-only discovery
@@ -521,12 +524,25 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val files = batch.collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
-        val (wats, warcs) = files.partition(f =>
+        val (wats, rest) = files.partition(f =>
           f._1.endsWith(".wat") || f._1.endsWith(".wat.gz"))
-        // ---- content leg: decode once, dedup against the index ----
-        if (warcs.nonEmpty) {
-          graft.sources.Warc.toDocuments(
-              graft.sources.Warc.readFiles(s, warcs, splitBytes))
+        val (wets, warcs) = rest.partition(f =>
+          f._1.endsWith(".wet") || f._1.endsWith(".wet.gz"))
+        // ---- content leg: decode once, dedup against the index. The
+        // text deliverable is WHICHEVER the drop carries: raw WARC (our
+        // own htmlToText extraction) or WET (the upstream extractor's
+        // conversion records — pipelines that trust it skip the raw
+        // containers entirely). A drop shipping BOTH uses the WARC
+        // (own extraction wins; the WET duplicate of the same crawl
+        // must not double-ingest the corpus). Downstream is identical
+        // either way — both decode to the documents shape. ----
+        if (warcs.nonEmpty || wets.nonEmpty) {
+          (if (warcs.nonEmpty)
+             graft.sources.Warc.toDocuments(
+               graft.sources.Warc.readFiles(s, warcs, splitBytes))
+           else
+             graft.sources.Warc.wetToDocuments(
+               graft.sources.Warc.readFiles(s, wets, splitBytes)))
             .repartition(32, col("doc_id"))
             .write.mode("overwrite").parquet(s"$docsDir/batch_$batchId")
           val bands = graft.operators.Dedup.minhashBands(

@@ -476,7 +476,7 @@ class StreamingSpec extends SparkSpec {
       s"streamed union (${streamed.length}) != batch raster (${batch.length})")
   }
 
-  test("unified watched crawl: one drop dir yields docs + dedup hits + ranks + curation, each equal to its batch twin across two crawls") {
+  test("unified watched crawl: warc+wat then wet+wat drops yield docs + dedup hits + ranks + curation, each equal to its batch twin") {
     import graft.operators.{Dedup, Graph}
     import graft.sources.Warc
     import org.apache.spark.sql.expressions.Window
@@ -510,20 +510,30 @@ class StreamingSpec extends SparkSpec {
       Streams.watchedCrawlStream(spark, drop, docsOut, index, hits, edgesOut,
           ranks, curate, ckpt, hostOf = host, splitBytes = 32L << 10)
         .awaitTermination(240000)
+    // crawl 1 ships raw WARC (own htmlToText extraction); crawl 2 ships
+    // WET (the upstream extractor's conversion records) — the unified
+    // door must ingest either text deliverable into the SAME corpus
     shipInto(d => Warc.writeWarc(docs.filter(col("doc_id") % 5 =!= 0), d, partitions = 4), "c1w")
     shipInto(d => Warc.writeWat(watJson(c1h), d, partitions = 2), "c1m")
     run()
-    shipInto(d => Warc.writeWarc(docs.filter(col("doc_id") % 5 === 0), d, partitions = 4), "c2w")
+    shipInto(d => Warc.writeWet(docs.filter(col("doc_id") % 5 === 0), d, partitions = 4), "c2w")
     shipInto(d => Warc.writeWat(watJson(c2h), d, partitions = 2), "c2m")
     run()
 
     def rows(df: org.apache.spark.sql.DataFrame, keys: String*): Seq[String] =
       df.orderBy(keys.map(col): _*).collect().map(_.toString).toSeq
 
-    // twin inputs: the WARC round-trip document shape and the edge sets
-    val asShipped = docs.select(
-      concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("doc_id"),
-      trim(regexp_replace(col("text"), "\\s+", " ")).as("text"))
+    // twin inputs: crawl 1 round-trips through WARC (htmlToText collapses
+    // whitespace), crawl 2 through WET (conversion payload is the text
+    // VERBATIM) — the twin corpus mirrors each deliverable's contract
+    // WARC response records carry <urn:graft:doc:N> ids; WET conversion
+    // records carry <urn:graft:wet:N> (WARC-Refers-To links them)
+    val asShipped = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("doc_id"),
+              trim(regexp_replace(col("text"), "\\s+", " ")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select(concat(lit("<urn:graft:wet:"), col("doc_id"), lit(">")).as("doc_id"),
+                col("text")))
     def edgesOf(hosts: Seq[Long]) = hosts
       .flatMap(h => Seq((h, (3 * h + 1) % 200), (h, (3 * h + 2) % 200)))
       .filter { case (a, b) => a != b }.distinct.sorted
