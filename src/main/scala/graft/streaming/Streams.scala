@@ -423,7 +423,8 @@ object Streams {
   def watStream(s: SparkSession, watDir: String, edgesDir: String,
                 ranksDir: String, checkpoint: String,
                 maxFilesPerBatch: Option[Int] = None,
-                splitBytes: Long = 64L << 20)
+                splitBytes: Long = 64L << 20,
+                compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val binaryFileSchema = StructType(Seq(
       StructField("path", StringType), StructField("modificationTime", TimestampType),
@@ -449,10 +450,63 @@ object Streams {
             .parquet(edgesDir).distinct()
           graft.operators.Graph.pageRank(all, iters = 5)
             .write.mode("overwrite").parquet(s"$ranksDir/crawl_$batchId")
+          maybeCompactEdges(s, edgesDir, compactEvery)
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** Object-store-safe compaction of the accumulated EDGE relation —
+    * the [[graft.operators.Dedup.compactBandIndex]] protocol applied to
+    * the webgraph stream's state: without it every rank refresh
+    * re-reads and re-distincts O(crawl-history) batch subdirs; after it
+    * the history is one deduplicated, src-partitioned relation. The
+    * commit is crash-safe on object stores: write to a HIDDEN
+    * `_compact_<epoch>.tmp` inside edgesDir (readers' recursive listing
+    * skips `_`/`.` names), rename to `compacted_<epoch>` (same-dir
+    * rename — no cross-directory move), then delete the superseded
+    * subdirs; a reader at any instant sees old-or-both-or-new, never
+    * neither, and a crash strands only a hidden tmp that the next
+    * compaction sweeps. Returns (rows before, rows after). */
+  def compactEdges(s: SparkSession, edgesDir: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(edgesDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return (0L, 0L)
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    // step 0: sweep hidden tmps stranded by a crashed prior compaction
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("_compact_") && p.getName.endsWith(".tmp"))
+      .foreach(p => fs.delete(p, true))
+    val superseded = fs.listStatus(dir).map(_.getPath).filter(p => visible(p.getName))
+    if (superseded.isEmpty) return (0L, 0L)
+    val all = s.read.option("recursiveFileLookup", "true").parquet(edgesDir)
+    val before = all.count()
+    val epoch = System.currentTimeMillis()
+    val tmp = new Path(dir, s"_compact_$epoch.tmp")
+    all.distinct().repartition(32, col("src"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val after = s.read.parquet(tmp.toString).count()
+    val fin = new Path(dir, s"compacted_$epoch")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"edge compaction commit rename failed: $tmp -> $fin")
+    superseded.foreach(p => fs.delete(p, true))
+    (before, after)
+  }
+
+  // auto-compaction trigger for the webgraph streams: compact once the
+  // visible subdir count reaches the threshold — amortized O(1/threshold)
+  // compactions per crawl, bounding every refresh's listing + distinct
+  private def maybeCompactEdges(s: SparkSession, edgesDir: String,
+                                threshold: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(edgesDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir) && fs.listStatus(dir)
+          .count(st => { val n = st.getPath.getName
+                         !n.startsWith("_") && !n.startsWith(".") }) >= threshold)
+      compactEdges(s, edgesDir)
   }
 
   private def latestSubdir(s: SparkSession, dir: String,
@@ -507,7 +561,8 @@ object Streams {
                          hostOf: org.apache.spark.sql.Column =
                            expr("CAST(regexp_extract(doc_id, ':([0-9]+)>$', 1) AS BIGINT)"),
                          maxFilesPerBatch: Option[Int] = None,
-                         splitBytes: Long = 64L << 20)
+                         splitBytes: Long = 64L << 20,
+                         compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val binaryFileSchema = StructType(Seq(
       StructField("path", StringType), StructField("modificationTime", TimestampType),
@@ -571,6 +626,7 @@ object Streams {
             .parquet(edgesDir).distinct()
           graft.operators.Graph.pageRank(all, iters = 5)
             .write.mode("overwrite").parquet(s"$ranksDir/crawl_$batchId")
+          maybeCompactEdges(s, edgesDir, compactEvery)
         }
         // ---- curation leg: decision table over corpus-so-far × ranks ----
         val ranksNow =

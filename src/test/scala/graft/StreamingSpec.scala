@@ -476,6 +476,63 @@ class StreamingSpec extends SparkSpec {
       s"streamed union (${streamed.length}) != batch raster (${batch.length})")
   }
 
+  test("edge compaction: batch subdirs collapse to one committed dir, relation and ranks unchanged, stranded tmp swept") {
+    import graft.sources.Warc
+    val watDir = Files.createTempDirectory("graft_cmp_landing").toString
+    val edgesOut = Files.createTempDirectory("graft_cmp_edges").resolve("e").toString
+    val ranks = Files.createTempDirectory("graft_cmp_ranks").toString
+    val ckpt = Files.createTempDirectory("graft_cmp_ckpt").toString
+    def watJson(hosts: Seq[Long]) = {
+      import spark.implicits._
+      hosts.map { h =>
+        val links = Seq((3 * h + 1) % 200, (3 * h + 2) % 200).filter(_ != h)
+        (h, s"""{"host": $h, "links": [${links.mkString(", ")}]}""")
+      }.toDF("doc_id", "text")
+    }
+    def ship(hosts: Seq[Long], tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_cmp_stage_$tag").toString
+      Warc.writeWat(watJson(hosts), staging, partitions = 2)
+      new java.io.File(staging).listFiles()
+        .filter(f => !f.getName.startsWith("."))
+        .foreach(f => Files.move(f.toPath, Paths.get(watDir, s"$tag-${f.getName}")))
+    }
+    def run(): Unit =
+      Streams.watStream(spark, watDir, edgesOut, ranks, ckpt,
+          splitBytes = 4L << 10, compactEvery = 2)
+        .awaitTermination(180000)
+    val c1 = (0L until 200L by 2); val c2 = (1L until 200L by 2)
+    val c3 = (0L until 200L by 3) // overlaps both: distinct must hold
+    ship(c1, "c1"); run()
+    // plant a stranded tmp from a "crashed" prior compaction
+    val tmp = Paths.get(edgesOut, "_compact_999.tmp")
+    Files.createDirectories(tmp)
+    Files.writeString(tmp.resolve("junk"), "stranded")
+    ship(c2, "c2"); run() // 2 batch subdirs >= compactEvery -> auto-compact
+    val children = new java.io.File(edgesOut).listFiles().map(_.getName).sorted
+    assert(children.length === 1 && children.head.startsWith("compacted_"),
+      s"expected exactly one committed compaction dir, got ${children.mkString(",")}")
+    def edgesOf(hosts: Seq[Long]) = hosts
+      .flatMap(h => Seq((h, (3 * h + 1) % 200), (h, (3 * h + 2) % 200)))
+      .filter { case (a, b) => a != b }.distinct
+    val afterCompact = spark.read.option("recursiveFileLookup", "true")
+      .parquet(edgesOut).distinct()
+      .orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(afterCompact.toSeq === edgesOf(c1 ++ c2).sorted,
+      "compaction must preserve the edge relation exactly")
+    // the stream keeps working against the compacted layout: crawl 3's
+    // refresh equals the batch operator over ALL shipped edges
+    ship(c3, "c3"); run()
+    import spark.implicits._
+    val batchRanks = graft.operators.Graph.pageRank(
+        edgesOf(c1 ++ c2 ++ c3).sorted.toDF("src", "dst"), iters = 5)
+      .orderBy("node").collect().map(_.toString)
+    val crawl3 = new java.io.File(ranks).listFiles().map(_.getName).sorted.last
+    val streamedRanks = spark.read.parquet(s"$ranks/$crawl3")
+      .orderBy("node").collect().map(_.toString)
+    assert(streamedRanks.sameElements(batchRanks),
+      "post-compaction rank refresh must equal the batch twin bit-exactly")
+  }
+
   test("unified watched crawl: warc+wat then wet+wat drops yield docs + dedup hits + ranks + curation, each equal to its batch twin") {
     import graft.operators.{Dedup, Graph}
     import graft.sources.Warc
