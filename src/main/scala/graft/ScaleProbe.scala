@@ -68,6 +68,7 @@ object ScaleProbe {
         s"graphmacro: unknown leg '$leg' (expected one of ${legal.mkString("|")}|trim[N])")
       graphmacroProbe(spark, parts(0).toInt, leg)
     }
+    else if (args(0) == "prrefresh") prRefreshProbe(spark, args(1).toInt)
     else if (args(0) == "hyperball") {
       // hyperball <millions>[:diam] — ":diam" skips the harmonic leg and
       // runs only the r13 distance-distribution readout
@@ -823,6 +824,51 @@ object ScaleProbe {
       avg(expr("enc DIV 1099511627776")).as("mean_dist")).head()
     println(f"graphmacro sssp: ${stats.getLong(0)}%,d reached (of $n%,d), " +
       f"mean dist ${stats.getDouble(1)}%.2f in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+  }
+
+  /** Warm-start PageRank refresh at webgraph magnitude (r13): the
+    * per-crawl production question — after an incremental edge delta,
+    * how many rounds does [[operators.Graph.pageRankRefresh]] need from
+    * the previous crawl's ranks vs from uniform? Topology = the
+    * graphProbe graph; the delta rewires every 100th emitter's link
+    * targets (1% of emitters — a nightly-crawl-sized change).
+    * Usage: tools/run_verify.sh prrefresh <millions> graft.ScaleProbe */
+  private def prRefreshProbe(spark: SparkSession, millions: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = millions * 1000000L
+    def topo(shift: Long) = spark.range(0, n).toDF("src")
+      .select(col("src"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("src"), lit(4L)))).as("k"))
+      .select(col("src"),
+        pmod(col("src") * lit(2654435761L) +
+             col("k") * when(pmod(col("src"), lit(100L)) === 0L,
+                             lit(40503L + shift)).otherwise(lit(40503L)),
+             lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // HUB-SKEWED variant: a quarter of all links point into a 1000-node
+    // hub set — the power-law-ish rank concentration real webgraphs
+    // have. The null (hash-random) topology is the NEGATIVE CONTROL:
+    // its fixpoint is near-uniform, so the uniform cold start is
+    // already close and warm-starting buys nothing there.
+    def topoHub(shift: Long) = topo(shift)
+      .select(col("src"),
+        when(pmod(col("dst"), lit(4L)) === 0L, pmod(col("dst"), lit(1000L)))
+          .otherwise(col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val uniform = Seq.empty[(Long, Long)].toDF("node", "rank")
+    val tol = 2000L
+    Seq(("null", topo _), ("hub", topoHub _)).foreach { case (tag, t) =>
+      val t0 = System.nanoTime()
+      val (cold, rc) = operators.Graph.pageRankRefresh(t(0), uniform, tolPpm = tol)
+      println(f"prrefresh[$tag] cold:  $rc%2d rounds in ${(System.nanoTime() - t0) / 1e9}%.1f s ($n%,d nodes, tol ${tol}ppm)")
+      val t1 = System.nanoTime()
+      val (_, rw) = operators.Graph.pageRankRefresh(t(7), cold, tolPpm = tol)
+      println(f"prrefresh[$tag] warm:  $rw%2d rounds in ${(System.nanoTime() - t1) / 1e9}%.1f s (1%% emitter rewire, init = previous ranks)")
+      val t2 = System.nanoTime()
+      val (_, rc2) = operators.Graph.pageRankRefresh(t(7), uniform, tolPpm = tol)
+      println(f"prrefresh[$tag] cold2: $rc2%2d rounds in ${(System.nanoTime() - t2) / 1e9}%.1f s (same delta, uniform init)")
+    }
   }
 
   /** HyperBall harmonic centrality at webgraph magnitude — the same

@@ -174,6 +174,108 @@ object Graph {
     keep
   }
 
+  /** WARM-START PageRank refresh — the per-crawl production mode the
+    * streaming webgraph wants: instead of iterating a fixed round count
+    * from the uniform vector, start from the PREVIOUS crawl's ranks and
+    * iterate until the per-round rank movement falls below a tolerance.
+    * The damped iteration is a (d = 0.85)-contraction in L1, so the
+    * delta shrinks geometrically from wherever it starts — and after an
+    * incremental edge delta the previous fixpoint is already close, so
+    * the refresh converges in a few rounds where the cold start pays
+    * the full log(tol)/log(d) schedule (GraphSpec measures the round
+    * gap on the fixture; ScaleProbe `prrefresh` at webgraph scale).
+    *
+    * Same per-round plan as [[pageRank]] (edges⋈ranks join + dst-sum
+    * shuffle + broadcast dangling scalar) plus ONE extra bounded driver
+    * scalar per round (the Σ|Δrank| convergence metric — the
+    * [[connectedComponents]] discipline). Nodes new since `prev` enter
+    * at the uniform share; departed nodes drop via the join against the
+    * CURRENT node set. Stopping: Σ|Δ| ≤ tolPpm·scale DIV 1e6 (integer
+    * fixed point converges to a tight limit cycle, not an exact
+    * fixpoint, so the tolerance is the contract — callers comparing
+    * warm vs cold results must compare within it), capped at
+    * `maxRounds`. Returns (ranks, rounds actually run).
+    *
+    * @param prev (node: long, rank: long) from a previous refresh (any
+    *             rank mass summing to ~scale works; uniform init IS the
+    *             cold start). */
+  def pageRankRefresh(edges: DataFrame, prev: DataFrame,
+                      tolPpm: Long = 100L, maxRounds: Int = 50,
+                      dampNum: Long = 85L,
+                      scale: Long = 1000000000000L): (DataFrame, Int) = {
+    val nodes = graft.Fence(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "pageRankRefresh: empty graph")
+    val ew = if (edges.columns.contains("w")) edges
+             else edges.withColumn("w", lit(1L))
+    val deg = ew.groupBy("src").agg(sum(col("w")).as("odeg"))
+    val e = graft.Fence(ew.join(deg, "src"))
+    val dangling = graft.Fence(
+      nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti"))
+    val pshare = scale / n
+    val tp = ((100L - dampNum) * pshare) / 100L
+    val tolMass = (tolPpm * scale) / 1000000L
+    var r = graft.Fence(
+      nodes.join(prev.select(col("node"), col("rank").as("pr")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("pr"), lit(pshare)).as("rank")))
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxRounds && delta > tolMass) {
+      val dm1 = r.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val in = e.join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr("CAST((CAST(rank AS DECIMAL(38,0)) * w) DIV odeg AS BIGINT)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      val prevR = r
+      r = graft.Fence(
+        nodes.join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .crossJoin(broadcast(dm1))
+          .select(col("node"),
+            (lit(tp) +
+              expr(s"($dampNum * (coalesce(m, 0L) + dm DIV ${n}L)) DIV 100"))
+              .as("rank")))
+      // ONE bounded scalar: the L1 movement between consecutive rounds
+      delta = r.join(prevR.select(col("node"), col("rank").as("rank0")), "node")
+        .agg(coalesce(sum(abs(col("rank") - col("rank0"))), lit(0L)))
+        .head().getLong(0)
+      graft.Fence.release(prevR)
+      rounds += 1
+    }
+    val keep = graft.Fence.cut(r.select("node", "rank"))
+    graft.Fence.release(r); graft.Fence.release(dangling)
+    graft.Fence.release(e); graft.Fence.release(nodes)
+    (keep, rounds)
+  }
+
+  /** EXT: warm-start refresh, declared + oracled with the checked-bound
+    * convention (the [[qGraphHyperball]] shape): the hashed payload is
+    * the DECLARED exact 5-round ranks ([[qGraphPagerank]]'s semantics),
+    * and the [[pageRankRefresh]] production path rides along as two
+    * CHECKED bounds pinned TRUE — after an incremental edge delta the
+    * warm start converges in ≤ the cold start's rounds, and the two
+    * stopped states agree within the documented tolerance contract
+    * (L1 gap ≤ 16·tolMass ≈ 2·tol·d/(1−d) with margin). Deterministic:
+    * the fixture graph and the integer iteration have no RNG. */
+  def qGraphPrRefresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = graphEdges(s, d)
+    val uniform = Seq.empty[(Long, Long)].toDF("node", "rank")
+    val tol = 2000L
+    val (cold, _) = pageRankRefresh(edges, uniform, tolPpm = tol)
+    val edges2 = edges.filter(col("src") =!= 7L) // one host stops emitting
+    val (warm, rWarm) = pageRankRefresh(edges2, cold, tolPpm = tol)
+    val (cold2, rCold2) = pageRankRefresh(edges2, uniform, tolPpm = tol)
+    val tolMass = tol * 1000000000000L / 1000000L
+    val gap = warm.join(cold2.withColumnRenamed("rank", "rank2"), "node")
+      .agg(coalesce(sum(abs(col("rank") - col("rank2"))), lit(0L)))
+      .head().getLong(0) // bounded driver scalar (one row)
+    val ok = rWarm <= rCold2 && gap <= 16L * tolMass
+    qGraphPagerank(s, d).withColumn("within_bound", lit(ok))
+  }
+
   /** EXT: host-graph PageRank, declared + oracled — 5 damped rounds over
     * a deterministic link graph derived from the documents table (the
     * [[TextOps.qCurateUrls]] convention: synthetic tables carry no real
@@ -1697,6 +1799,7 @@ object Graph {
     "q_graph_pagerank_w" -> (qGraphPagerankW _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_graph_pagerank"   -> (qGraphPagerank _),
+    "q_graph_pr_refresh" -> (qGraphPrRefresh _),
     "q_graph_ppr"        -> (qGraphPpr _),
     "q_graph_harmonic"   -> (qGraphHarmonic _),
     "q_graph_hyperball"  -> (qGraphHyperball _),
@@ -2019,6 +2122,12 @@ object Graph {
       s"""WITH $pagerankWithBody
         |SELECT node, rank AS rank_fp,
         |       CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
+        |FROM r5 ORDER BY node""".stripMargin,
+    "q_graph_pr_refresh" ->
+      s"""WITH $pagerankWithBody
+        |SELECT node, rank AS rank_fp,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk,
+        |       TRUE AS within_bound
         |FROM r5 ORDER BY node""".stripMargin,
     "q_curate_hostrank" ->
       s"""WITH $pagerankWithBody,

@@ -961,6 +961,30 @@ class GraphSpec extends SparkSpec {
       "tendril nodes are singletons labeled by own id")
   }
 
+  test("pageRankRefresh: warm start from the previous fixpoint converges in fewer rounds to the same ranks") {
+    import spark.implicits._
+    val edges = Graph.graphEdges(spark, sf)
+    val uniform = Seq.empty[(Long, Long)].toDF("node", "rank") // cold start
+    val tol = 2000L // ppm of total mass
+    val (cold, rCold) = Graph.pageRankRefresh(edges, uniform, tolPpm = tol)
+    // an incremental crawl delta: one host stops emitting links
+    val edges2 = edges.filter(col("src") =!= 7L)
+    val (warm, rWarm) = Graph.pageRankRefresh(edges2, cold, tolPpm = tol)
+    val (cold2, rCold2) = Graph.pageRankRefresh(edges2, uniform, tolPpm = tol)
+    info(s"cold $rCold rounds; after delta: warm $rWarm vs cold $rCold2 rounds")
+    assert(rWarm < rCold2,
+      s"warm start must beat the cold schedule: $rWarm vs $rCold2")
+    // both stopped within tol of the (limit-cycle) fixpoint; the L1 gap
+    // between them is bounded by ~2·tol·d/(1−d) ≈ 11.3·tolMass — assert
+    // with margin (the documented comparison contract)
+    val tolMass = tol * 1000000000000L / 1000000L
+    val gap = warm.join(cold2.withColumnRenamed("rank", "rank2"), "node")
+      .agg(coalesce(sum(abs(col("rank") - col("rank2"))), lit(0L)))
+      .head().getLong(0)
+    info(s"warm-vs-cold L1 gap: $gap (tolMass $tolMass)")
+    assert(gap <= 16L * tolMass, s"gap $gap exceeds the tolerance contract")
+  }
+
   test("coreness / bowtie: empty and self-loop-only edge relations return empty, not throw") {
     import spark.implicits._
     val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
