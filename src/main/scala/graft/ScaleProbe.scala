@@ -463,7 +463,7 @@ object ScaleProbe {
                   concat(col("text"), lit(s" rep$r")).as("text"))
     }.reduce(_ union _)
     val t0 = System.nanoTime()
-    operators.Dedup.minhashBands(corpus.repartition(32, col("doc_id")))
+    operators.Dedup.minhashBands(graft.Fanout.byKey(corpus, col("doc_id")))
       .write.mode("overwrite").parquet("/tmp/graft_incdedup_index")
     val buildSecs = (System.nanoTime() - t0) / 1e9
     val idx = spark.read.parquet("/tmp/graft_incdedup_index")
@@ -471,7 +471,7 @@ object ScaleProbe {
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
     val t1 = System.nanoTime()
     val batchBands = operators.Dedup
-      .minhashBands(base.repartition(32, col("doc_id")))
+      .minhashBands(graft.Fanout.byKey(base, col("doc_id")))
       .select(col("doc_id").as("new_id"), col("b"), col("bh"))
     val hits = idx.select(col("doc_id").as("corpus_id"), col("b"), col("bh"))
       .join(broadcast(batchBands), Seq("b", "bh"))
@@ -499,10 +499,10 @@ object ScaleProbe {
     val indexDir = "/tmp/graft_compact_probe/idx"
     val rm = new java.io.File("/tmp/graft_compact_probe")
     if (rm.exists()) { def d(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(d)); f.delete() }; d(rm) }
-    operators.Dedup.minhashBands(corpus.repartition(32, col("doc_id")))
+    operators.Dedup.minhashBands(graft.Fanout.byKey(corpus, col("doc_id")))
       .write.parquet(s"$indexDir/batch_0")
     val batchBands = operators.Dedup
-      .minhashBands(base.repartition(32, col("doc_id")))
+      .minhashBands(graft.Fanout.byKey(base, col("doc_id")))
     def dirBytes(p: String): Long = {
       def w(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles).map(_.map(w).sum).getOrElse(0L) else f.length()
@@ -552,7 +552,7 @@ object ScaleProbe {
     }.reduce(_ union _)
     big.write.mode("overwrite").parquet("/tmp/graft_kmeans_probe")
     val e = spark.read.parquet("/tmp/graft_kmeans_probe")
-      .repartition(32, col("vec_id"))
+      .transform(graft.Fanout.byKey(_, col("vec_id")))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
     val nVecs = e.count()
     val dim = e.select(size(col("v"))).head().getInt(0)
@@ -934,7 +934,7 @@ object ScaleProbe {
           .as("v"))
     big.write.mode("overwrite").parquet("/tmp/graft_recall_probe")
     val e = spark.read.parquet("/tmp/graft_recall_probe")
-      .repartition(32, col("vec_id"))
+      .transform(graft.Fanout.byKey(_, col("vec_id")))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       .transform(graft.Fence.cut)
     val nVecs = e.count()
@@ -1304,7 +1304,7 @@ object ScaleProbe {
     }.reduce(_ union _)
     big.write.mode("overwrite").parquet("/tmp/graft_dsir_probe")
     val docs = spark.read.parquet("/tmp/graft_dsir_probe")
-      .repartition(32, col("doc_id"))
+      .transform(graft.Fanout.byKey(_, col("doc_id")))
     val nDocs = docs.count()
     val t0 = System.nanoTime()
     val w = operators.TextOps.dsirWeights(docs)
@@ -1379,7 +1379,7 @@ object ScaleProbe {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val inv = Tables.documents(spark, sfDir)
-      .repartition(32, col("doc_id"))
+      .transform(graft.Fanout.byKey(_, col("doc_id")))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
           |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)).as("sh"))
@@ -1421,7 +1421,7 @@ object ScaleProbe {
     val nDocs = docs.count()
     val t0 = System.nanoTime()
     // inline qDedupMinhashXx over the replicated table
-    val sig = docs.repartition(32, col("doc_id"))
+    val sig = graft.Fanout.byKey(docs, col("doc_id"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
           |                         i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)).as("sh1"))

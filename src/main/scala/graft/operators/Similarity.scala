@@ -37,10 +37,11 @@ object Similarity {
 
   /** (vec_id, v, nrm) — norm computed once per vector, pre-join. */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    graft.Fanout.byKey(
       // single-split parquet at corpus sizes: fan out before the pair join
-      // so scoring parallelizes (deterministic: hash-partitioned on the key)
-      .repartition(32, col("vec_id"))
+      // so scoring parallelizes (deterministic: hash-partitioned on the
+      // key; width conf-derived — see graft.Fanout)
+      Tables.embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), vD.as("v"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
 

@@ -23,10 +23,11 @@ object TextOps {
   /** Fan the single-split corpus parquet across tasks BEFORE a per-doc
     * token/shingle explode: without it one task owns the whole expansion
     * (cpu ≈ wall in the bench telemetry). Deterministic (hash on the
-    * key); at 100 TB the input arrives in thousands of splits and this
-    * exchange is noise next to the explode it balances. */
+    * key); the width is conf-derived (graft.Fanout — session shuffle
+    * partitions by default) so a 1000-executor cluster fans as wide as
+    * its shuffle, never a literal cap. */
   private def fanout(docs: DataFrame): DataFrame =
-    docs.repartition(32, col("doc_id"))
+    graft.Fanout.byKey(docs, col("doc_id"))
 
   /** Occurrences of literal substring `pat` in `c` — the classic
     * (len - len(replace)) / len(pat) trick; identical in DuckDB. */

@@ -63,8 +63,39 @@ object Dap2 {
     extends RuntimeException(
       s"GET $url -> $code${location.map(l => s" (Location: $l)").getOrElse("")}")
 
-  /** A DAP `Error { … }` document (served with HTTP 200). */
-  final class DapErrorException(msg: String) extends IllegalArgumentException(msg)
+  /** A DAP `Error { … }` document (served with HTTP 200). Classification
+    * MUST read the structured fields, never `getMessage`: the message
+    * embeds the URL, and a port like `:24041` or a date-stamped path like
+    * `/20240404/fort.63.nc` would otherwise make a backend-failure Error
+    * doc read as "not found" (dropping `_FillValue`, so −99999 sentinels
+    * ingest as real values — the exact hazard the DAS branch guards).
+    *
+    * @param url  the endpoint that answered (diagnostics only)
+    * @param body the Error document text, URL-free (first 500 bytes)
+    * @param code the document's own `code = NNN;` field when present —
+    *             THREDDS/Hyrax emit HTTP-style codes here
+    */
+  final class DapErrorException(val url: String, val body: String, val code: Option[Int])
+    extends IllegalArgumentException(s"$url returned a DAP error:\n$body") {
+    /** Definitive "this document does not exist" per the Error doc ITSELF:
+      * a parsed `code = 404`, or — only when the server omitted the code
+      * field — not-found phrasing in the body (never the URL-bearing
+      * message). A present non-404 code is a definitive non-answer
+      * (backend failure, auth, …) regardless of body phrasing. */
+    def notFound: Boolean = code match {
+      case Some(c) => c == 404
+      case None =>
+        val b = body.toLowerCase
+        b.contains("no such") || b.contains("not found") || b.contains("does not exist")
+    }
+  }
+
+  private val ErrorCodeRe = """(?is).*?\bcode\s*=\s*(\d+)\s*;.*""".r
+
+  private[sources] def parseDapErrorCode(body: String): Option[Int] = body match {
+    case ErrorCodeRe(n) => scala.util.Try(n.toInt).toOption
+    case _ => None
+  }
 
   private[sources] def fetchBytes(url: String, maxRedirects: Int = 5): Array[Byte] = {
     val c = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
@@ -97,8 +128,10 @@ object Dap2 {
     * 200 — surface those as [[DapErrorException]], not parse noise. */
   private[sources] def fetchText(url: String): String = {
     val t = new String(fetchBytes(url), "US-ASCII")
-    if (t.startsWith("Error"))
-      throw new DapErrorException(s"$url returned a DAP error:\n${t.take(500)}")
+    if (t.startsWith("Error")) {
+      val body = t.take(500)
+      throw new DapErrorException(url, body, parseDapErrorCode(body))
+    }
     t
   }
 
@@ -519,19 +552,17 @@ final class Dap2NcFile(rawUrl: String) extends NcFile {
     try parseDas(Dap2.fetchTextRetrying(s"$base.das"))
     catch {
       // ONLY a definitive "this endpoint has no DAS" reads as empty
-      // attributes: HTTP 404, or a DAP Error document that SAYS
-      // not-found (servers answer missing ancillary docs with an Error
-      // body under HTTP 200). Anything else — transient IO/timeouts
-      // (after retries) or a backend-failure Error doc — PROPAGATES:
-      // swallowing it would silently drop `_FillValue`, and fill
-      // sentinels (-99999) would ingest as real values downstream of
-      // the mask step.
+      // attributes: HTTP 404, or a DAP Error document whose STRUCTURED
+      // code/body says not-found (servers answer missing ancillary docs
+      // with an Error body under HTTP 200). Anything else — transient
+      // IO/timeouts (after retries) or a backend-failure Error doc —
+      // PROPAGATES: swallowing it would silently drop `_FillValue`, and
+      // fill sentinels (-99999) would ingest as real values downstream
+      // of the mask step. Classification deliberately never touches
+      // `getMessage` — the message carries the URL, and a port/path
+      // containing "404" must not change ingest semantics.
       case HttpStatusException(404, _, _) => Map.empty
-      case e: DapErrorException if {
-        val m = e.getMessage.toLowerCase
-        m.contains("404") || m.contains("no such") || m.contains("not found") ||
-          m.contains("does not exist")
-      } => Map.empty
+      case e: DapErrorException if e.notFound => Map.empty
     }
 
   private def v(name: String): DapVar = dds.vars.find(_.name == name)

@@ -309,7 +309,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bands = graft.operators.Dedup
-          .minhashBands(batch.repartition(32, col("doc_id")))
+          .minhashBands(graft.Fanout.byKey(batch, col("doc_id")))
         val idx =
           try Some(s.read.option("recursiveFileLookup", "true").parquet(indexDir))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -382,7 +382,7 @@ object Streams {
         if (files.nonEmpty) {
           graft.sources.Warc.toDocuments(
               graft.sources.Warc.readFiles(s, files, splitBytes))
-            .repartition(32, col("doc_id"))
+            .transform(graft.Fanout.byKey(_, col("doc_id")))
             .write.mode("overwrite").parquet(s"$docsDir/batch_$batchId")
           val bands = graft.operators.Dedup.minhashBands(
             s.read.parquet(s"$docsDir/batch_$batchId").select("doc_id", "text"))
@@ -444,7 +444,7 @@ object Streams {
         if (files.nonEmpty) {
           graft.sources.Warc.watToEdges(
               graft.sources.Warc.readFiles(s, files, splitBytes))
-            .repartition(32, col("src"))
+            .transform(graft.Fanout.byKey(_, col("src")))
             .write.mode("overwrite").parquet(s"$edgesDir/batch_$batchId")
           val all = s.read.option("recursiveFileLookup", "true")
             .parquet(edgesDir).distinct()
@@ -485,7 +485,7 @@ object Streams {
     val before = all.count()
     val epoch = System.currentTimeMillis()
     val tmp = new Path(dir, s"_compact_$epoch.tmp")
-    all.distinct().repartition(32, col("src"))
+    graft.Fanout.byKey(all.distinct(), col("src"))
       .write.mode("overwrite").parquet(tmp.toString)
     val after = s.read.parquet(tmp.toString).count()
     val fin = new Path(dir, s"compacted_$epoch")
@@ -598,7 +598,7 @@ object Streams {
            else
              graft.sources.Warc.wetToDocuments(
                graft.sources.Warc.readFiles(s, wets, splitBytes)))
-            .repartition(32, col("doc_id"))
+            .transform(graft.Fanout.byKey(_, col("doc_id")))
             .write.mode("overwrite").parquet(s"$docsDir/batch_$batchId")
           val bands = graft.operators.Dedup.minhashBands(
             s.read.parquet(s"$docsDir/batch_$batchId").select("doc_id", "text"))
@@ -620,7 +620,7 @@ object Streams {
         if (wats.nonEmpty) {
           graft.sources.Warc.watToEdges(
               graft.sources.Warc.readFiles(s, wats, splitBytes))
-            .repartition(32, col("src"))
+            .transform(graft.Fanout.byKey(_, col("src")))
             .write.mode("overwrite").parquet(s"$edgesDir/batch_$batchId")
           val all = s.read.option("recursiveFileLookup", "true")
             .parquet(edgesDir).distinct()

@@ -388,4 +388,34 @@ class LayoutSpec extends SparkSpec {
       v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
     }
   }
+
+  test("fanout width is conf-derived (spark.graft.fanout.partitions), not a literal 32 cap") {
+    // round-13 verdict: `repartition(32, key)` on the text/ANN/streaming hot
+    // paths caps every downstream stage at 32 tasks on ANY cluster. The
+    // width now follows the session: default = shuffle partitions, explicit
+    // override via spark.graft.fanout.partitions — and the executed plan's
+    // exchange obeys it (set 7, observe 7). Results must not move: the
+    // partition count is a pure parallelism dial under the integer/fixed-
+    // point discipline.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dflt = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(Fanout.partitions(docs) === dflt)
+    assert(Fanout.byKey(docs, col("doc_id")).rdd.getNumPartitions === dflt)
+    val base = operators.TextOps.qTextTfidf(spark, sf).collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.fanout.partitions", "7")
+    try {
+      assert(Fanout.byKey(docs, col("doc_id")).rdd.getNumPartitions === 7)
+      val q = operators.TextOps.qTextTfidf(spark, sf) // hot path: fanout feeds the token explode
+      assert(q.collect().map(_.toString).toSeq === base)
+      // AQE materializes exchanges inside QueryStageExec LEAVES — a plain
+      // collect stops at the stage boundary, so walk into each stage's plan
+      def widthsOf(p: SparkPlan): Seq[Int] = p.collect {
+        case e: ShuffleExchangeExec => Seq(e.outputPartitioning.numPartitions)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec => widthsOf(st.plan)
+        case a: AdaptiveSparkPlanExec => widthsOf(a.executedPlan)
+      }.flatten
+      val widths = widthsOf(q.queryExecution.executedPlan)
+      assert(widths.contains(7), s"expected a 7-wide fanout exchange, saw widths: $widths")
+    } finally spark.conf.unset("spark.graft.fanout.partitions")
+  }
 }
