@@ -212,13 +212,17 @@ object Dedup {
     val idx = s.read.option("recursiveFileLookup", "true").parquet(indexDir)
     val before = idx.count()
     val kept = idx.join(active.select("doc_id"), Seq("doc_id"), "left_semi")
-    val epoch = System.currentTimeMillis()
+    // listing-derived monotonic counter + nonce: two compactions can never
+    // collide on the commit name (the currentTimeMillis epoch could)
+    val epoch = graft.plans.CommitEpoch.next(fs, dir)
     val tmp = new Path(dir, s"_compact_$epoch.tmp")
     kept.write.mode("overwrite").parquet(tmp.toString)
     val after = s.read.parquet(tmp.toString).count()
+    graft.plans.CommitEpoch.midCommitHook("pre-rename")
     val fin = new Path(dir, s"compacted_$epoch")
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"compaction commit rename failed: $tmp -> $fin")
+    graft.plans.CommitEpoch.midCommitHook("post-rename")
     superseded.foreach(p => fs.delete(p, true))
     (before, after)
   }

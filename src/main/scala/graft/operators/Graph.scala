@@ -126,16 +126,7 @@ object Graph {
     // before the loop (one bounded scan).
     val weighted = edges.columns.contains("w")
     val ew = if (weighted) edges else edges.withColumn("w", lit(1L))
-    if (weighted) {
-      val wrow = ew.agg(min(col("w")).as("mn"),
-                        coalesce(sum(when(col("w").isNull, 1L).otherwise(0L)),
-                                 lit(0L)).as("nulls"))
-        .head()
-      require(wrow.getLong(1) == 0L,
-        "pageRank: weight column `w` contains NULLs — fill or drop the column")
-      require(!wrow.isNullAt(0) && wrow.getLong(0) > 0L,
-        s"pageRank: weight column `w` must be strictly positive (min = ${wrow.get(0)})")
-    }
+    if (weighted) requireValidWeights(ew, "pageRank")
     val deg = ew.groupBy("src").agg(sum(col("w")).as("odeg"))
     val e = graft.Fence(ew.join(deg, "src")) // (src, dst, w, odeg)
     // dangling node set: receives links but emits none
@@ -174,6 +165,21 @@ object Graph {
     keep
   }
 
+  /** Shared weighted-edge validation (pageRank + pageRankRefresh): a
+    * NULL or non-positive `w` would silently drop rank mass through a
+    * NULL/negative contribution — fail loudly by name before the loop
+    * instead (one bounded min/null-count scan). */
+  private def requireValidWeights(ew: DataFrame, op: String): Unit = {
+    val wrow = ew.agg(min(col("w")).as("mn"),
+                      coalesce(sum(when(col("w").isNull, 1L).otherwise(0L)),
+                               lit(0L)).as("nulls"))
+      .head()
+    require(wrow.getLong(1) == 0L,
+      s"$op: weight column `w` contains NULLs — fill or drop the column")
+    require(!wrow.isNullAt(0) && wrow.getLong(0) > 0L,
+      s"$op: weight column `w` must be strictly positive (min = ${wrow.get(0)})")
+  }
+
   /** WARM-START PageRank refresh — the per-crawl production mode the
     * streaming webgraph wants: instead of iterating a fixed round count
     * from the uniform vector, start from the PREVIOUS crawl's ranks and
@@ -208,8 +214,11 @@ object Graph {
         .union(edges.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     require(n > 0, "pageRankRefresh: empty graph")
-    val ew = if (edges.columns.contains("w")) edges
-             else edges.withColumn("w", lit(1L))
+    val weighted = edges.columns.contains("w")
+    val ew = if (weighted) edges else edges.withColumn("w", lit(1L))
+    // same loud-failure contract as pageRank (r13 ADVICE: the warm-start
+    // path must not re-open the silent NULL/negative rank-mass drop)
+    if (weighted) requireValidWeights(ew, "pageRankRefresh")
     val deg = ew.groupBy("src").agg(sum(col("w")).as("odeg"))
     val e = graft.Fence(ew.join(deg, "src"))
     val dangling = graft.Fence(
@@ -975,8 +984,17 @@ object Graph {
     var r = graft.Fence(
       nodes.as[Long].map(v => (v, graft.functions.Hll.init(v)))
         .toDF("node", "reg"))
+    // empty-input hardening (the coreness/bowtie convention): no edges →
+    // no node set → sum(est) is NULL; coalesce instead of NPE, and an
+    // empty node set short-circuits to the empty result frame
     def total(df: DataFrame): Double =
-      hllEstimates(df).agg(sum(col("est"))).head().getDouble(0)
+      hllEstimates(df).agg(coalesce(sum(col("est")), lit(0.0)))
+        .head().getDouble(0)
+    if (nodes.isEmpty) {
+      graft.Fence.release(r); graft.Fence.release(e)
+      return Seq.empty[(Long, Double, Double, Long)]
+        .toDF("d", "n_pairs_est", "cum_pairs_est", "reached_90")
+    }
     val totals = scala.collection.mutable.ArrayBuffer(total(r)) // N(0) ~ n
     (1 to depth).foreach { d =>
       val t0 = System.nanoTime()

@@ -58,6 +58,7 @@ object Warc {
   private[sources] case class Rec(
       file: String, offset: Long, record_id: String, warc_type: String,
       target_uri: Option[String], warc_date: Option[String],
+      refers_to: Option[String],
       content_type: Option[String], content_length: Long,
       http_status: Option[Int], http_content_type: Option[String],
       body: Array[Byte])
@@ -66,8 +67,8 @@ object Warc {
 
   /** Read `pattern` (file, glob, directory, or http(s) URL) into
     * (file, offset, record_id, warc_type, target_uri, warc_date,
-    * content_type, content_length, http_status, http_content_type,
-    * body). */
+    * refers_to, content_type, content_length, http_status,
+    * http_content_type, body). */
   def read(s: SparkSession, pattern: String, splitBytes: Long = 64L << 20,
            maxRecordBytes: Int = 64 << 20): DataFrame =
     readFiles(s, listFiles(s, pattern), splitBytes, maxRecordBytes)
@@ -295,7 +296,11 @@ object Warc {
         col("record_id").as("doc_id"),
         col("target_uri").as("url"),
         col("warc_date").as("fetch_ts"),
-        decode(col("body"), "UTF-8").as("text"))
+        decode(col("body"), "UTF-8").as("text"),
+        // WARC-Refers-To names the response record this conversion was
+        // extracted from — the link the unified crawl door uses to drop
+        // a WET duplicate of a WARC ingested in the same micro-batch
+        col("refers_to"))
 
   // --------------------------------------------------------- declared query
 
@@ -513,6 +518,7 @@ object Warc {
     Some(Rec(file, off,
       hdrs.getOrElse("warc-record-id", s"$file#$off"), wt,
       hdrs.get("warc-target-uri"), hdrs.get("warc-date"),
+      hdrs.get("warc-refers-to"),
       hdrs.get("content-type"), cl, status, httpCt, body))
   }
 

@@ -462,13 +462,24 @@ object Streams {
     * the webgraph stream's state: without it every rank refresh
     * re-reads and re-distincts O(crawl-history) batch subdirs; after it
     * the history is one deduplicated, src-partitioned relation. The
-    * commit is crash-safe on object stores: write to a HIDDEN
-    * `_compact_<epoch>.tmp` inside edgesDir (readers' recursive listing
-    * skips `_`/`.` names), rename to `compacted_<epoch>` (same-dir
-    * rename — no cross-directory move), then delete the superseded
-    * subdirs; a reader at any instant sees old-or-both-or-new, never
-    * neither, and a crash strands only a hidden tmp that the next
-    * compaction sweeps. Returns (rows before, rows after). */
+    * commit protocol: write to a HIDDEN `_compact_<epoch>.tmp` inside
+    * edgesDir (readers' recursive listing skips `_`/`.` names), rename
+    * to `compacted_<epoch>` (same-dir rename — atomic on posix/HDFS; on
+    * S3A a bounded copy+delete of this generation's files, so a reader
+    * can transiently see a PARTIAL new generation there), then delete
+    * the superseded subdirs. A reader at any instant sees
+    * old-or-both-or-new — possibly duplicated rows in the "both" window
+    * — which is safe ONLY because every consumer re-`distinct()`s the
+    * edge relation (rank refresh does; any new reader must, or schedule
+    * reads off the compaction window — the band-index caveat,
+    * [[graft.operators.Dedup.compactBandIndex]]). The epoch is a
+    * listing-derived monotonic counter + random nonce
+    * ([[graft.plans.CommitEpoch.next]]), so two compactions can never
+    * collide on the commit name; the write width is size-derived
+    * ([[graft.plans.CommitEpoch.widthFor]]) so the compacted file
+    * layout scales with the relation, not the session. A crash strands
+    * only a hidden tmp that the next compaction sweeps. Returns
+    * (rows before, rows after). */
   def compactEdges(s: SparkSession, edgesDir: String): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(edgesDir)
@@ -483,14 +494,17 @@ object Streams {
     if (superseded.isEmpty) return (0L, 0L)
     val all = s.read.option("recursiveFileLookup", "true").parquet(edgesDir)
     val before = all.count()
-    val epoch = System.currentTimeMillis()
+    val epoch = graft.plans.CommitEpoch.next(fs, dir)
+    val width = graft.plans.CommitEpoch.widthFor(fs, superseded.toSeq, s)
     val tmp = new Path(dir, s"_compact_$epoch.tmp")
-    graft.Fanout.byKey(all.distinct(), col("src"))
+    all.distinct().repartition(width, col("src"))
       .write.mode("overwrite").parquet(tmp.toString)
     val after = s.read.parquet(tmp.toString).count()
+    graft.plans.CommitEpoch.midCommitHook("pre-rename")
     val fin = new Path(dir, s"compacted_$epoch")
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"edge compaction commit rename failed: $tmp -> $fin")
+    graft.plans.CommitEpoch.midCommitHook("post-rename")
     superseded.foreach(p => fs.delete(p, true))
     (before, after)
   }
@@ -523,9 +537,12 @@ object Streams {
   /** The UNIFIED crawl front door (r12 verdict #6): ONE watched
     * directory receives ALL THREE Common Crawl deliverables —
     * `.warc{,.gz}` content containers, `.wat{,.gz}` metadata, and
-    * `.wet{,.gz}` extracted text (the alternative content form; a drop
-    * carrying both warc and wet uses the warc — own extraction wins,
-    * and the same crawl must not double-ingest) — and one
+    * `.wet{,.gz}` extracted text (the alternative content form; a
+    * batch carrying both ingests both, dropping only the WET records
+    * whose own `WARC-Refers-To` names a response decoded from the same
+    * batch's WARCs — own extraction wins per CRAWL, never per batch,
+    * so a WARC from one crawl sharing a catch-up batch with a WET from
+    * another can't silently lose the second crawl's documents) — and one
     * content-pruned listing stream drives the whole maintenance cycle,
     * so a single micro-batch (= one crawl drop under `AvailableNow` +
     * staging) yields all four corpus artifacts at once:
@@ -587,17 +604,32 @@ object Streams {
         // text deliverable is WHICHEVER the drop carries: raw WARC (our
         // own htmlToText extraction) or WET (the upstream extractor's
         // conversion records — pipelines that trust it skip the raw
-        // containers entirely). A drop shipping BOTH uses the WARC
-        // (own extraction wins; the WET duplicate of the same crawl
-        // must not double-ingest the corpus). Downstream is identical
-        // either way — both decode to the documents shape. ----
+        // containers entirely). A batch shipping BOTH ingests both and
+        // drops only the WET records whose OWN `WARC-Refers-To` names a
+        // response decoded from this batch's WARCs (own extraction wins
+        // for the same crawl; a WET from a DIFFERENT crawl sharing the
+        // batch — AvailableNow catch-up, restart replay — is kept, so
+        // no crawl's documents are ever silently lost to the
+        // checkpoint's exactly-once accounting). Downstream is
+        // identical either way — both decode to the documents shape. ----
         if (warcs.nonEmpty || wets.nonEmpty) {
-          (if (warcs.nonEmpty)
-             graft.sources.Warc.toDocuments(
-               graft.sources.Warc.readFiles(s, warcs, splitBytes))
-           else
-             graft.sources.Warc.wetToDocuments(
-               graft.sources.Warc.readFiles(s, wets, splitBytes)))
+          val warcDocs =
+            if (warcs.isEmpty) None
+            else Some(graft.sources.Warc.toDocuments(
+              graft.sources.Warc.readFiles(s, warcs, splitBytes)))
+          val wetDocs =
+            if (wets.isEmpty) None
+            else {
+              val d = graft.sources.Warc.wetToDocuments(
+                graft.sources.Warc.readFiles(s, wets, splitBytes))
+              Some(warcDocs match {
+                case Some(w) => d.join(
+                    w.select(col("doc_id").as("refers_to")),
+                    Seq("refers_to"), "left_anti")
+                case None => d
+              }).map(_.drop("refers_to"))
+            }
+          (warcDocs.toSeq ++ wetDocs.toSeq).reduce(_ unionByName _)
             .transform(graft.Fanout.byKey(_, col("doc_id")))
             .write.mode("overwrite").parquet(s"$docsDir/batch_$batchId")
           val bands = graft.operators.Dedup.minhashBands(

@@ -837,6 +837,15 @@ class GraphSpec extends SparkSpec {
       .toDF("src", "dst", "w")
     val ex3 = intercept[IllegalArgumentException](Graph.pageRank(withNull, 1))
     assert(ex3.getMessage.contains("NULL"))
+    // the warm-start production path shares the contract (r13 ADVICE: the
+    // silent rank-mass drop must not stay reachable through the refresh)
+    import org.apache.spark.sql.functions.lit
+    val prev = Seq((0L, 100L), (1L, 100L)).toDF("node", "rank")
+    val ex4 = intercept[IllegalArgumentException](Graph.pageRankRefresh(zero, prev))
+    assert(ex4.getMessage.contains("pageRankRefresh") &&
+           ex4.getMessage.contains("strictly positive"))
+    val ex5 = intercept[IllegalArgumentException](Graph.pageRankRefresh(withNull, prev))
+    assert(ex5.getMessage.contains("NULL"))
   }
 
   test("betweenness: planted funnel past the BIGINT sigma*(scale+delta) product matches BigInt ground truth") {
@@ -993,5 +1002,8 @@ class GraphSpec extends SparkSpec {
     val emptyE = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.coreness(emptyE, kMax = 4).count() === 0L)
     assert(Graph.bowtie(emptyE).count() === 0L)
+    // diameterHyperBall joins the convention (r13 ADVICE: sum(est) over an
+    // empty node set was NULL -> head().getDouble NPE'd)
+    assert(Graph.diameterHyperBall(emptyE, depth = 3).count() === 0L)
   }
 }

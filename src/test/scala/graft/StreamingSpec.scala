@@ -644,4 +644,92 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$curate/crawl_1"), "node") === rows(curate2, "node"),
       "crawl-2 curation must equal its batch twin")
   }
+
+  test("unified crawl: a catch-up batch mixing crawl-A WARC with crawl-B WET loses neither; same-crawl warc+wet does not double-ingest") {
+    import graft.sources.Warc
+    // the r13 ADVICE hazard: AvailableNow catch-up (or restart replay)
+    // puts a WARC from one crawl and a WET from ANOTHER in the same
+    // micro-batch; the old batch-level "warc wins" rule dropped the WET
+    // crawl's documents forever (the checkpoint marks the files consumed)
+    val drop = Files.createTempDirectory("graft_mx_drop").toString
+    val docsOut = Files.createTempDirectory("graft_mx_docs").resolve("d").toString
+    val index = Files.createTempDirectory("graft_mx_index").resolve("idx").toString
+    val hits = Files.createTempDirectory("graft_mx_hits").toString
+    val edgesOut = Files.createTempDirectory("graft_mx_edges").resolve("e").toString
+    val ranks = Files.createTempDirectory("graft_mx_ranks").toString
+    val curate = Files.createTempDirectory("graft_mx_curate").toString
+    val ckpt = Files.createTempDirectory("graft_mx_ckpt").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def shipInto(stage: String => Unit, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_mx_stage_$tag").toString
+      stage(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => !f.getName.startsWith("."))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag-${f.getName}")))
+    }
+    def run(): Unit =
+      Streams.watchedCrawlStream(spark, drop, docsOut, index, hits, edgesOut,
+          ranks, curate, ckpt, splitBytes = 32L << 10)
+        .awaitTermination(240000)
+    def idsIn(dir: String): Seq[String] =
+      spark.read.parquet(dir).select("doc_id").orderBy("doc_id")
+        .collect().map(_.getString(0)).toSeq
+    def expect(df: org.apache.spark.sql.DataFrame, ns: String): Seq[String] =
+      df.select(concat(lit(s"<urn:graft:$ns:"), col("doc_id"), lit(">")).as("id"))
+        .orderBy("id").collect().map(_.getString(0)).toSeq
+
+    // ONE batch: crawl A ships raw WARC, crawl B ships WET
+    val a = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 200)
+    val b = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 200)
+    shipInto(d => Warc.writeWarc(a, d, partitions = 2), "ca")
+    shipInto(d => Warc.writeWet(b, d, partitions = 2), "cb")
+    run()
+    assert(idsIn(s"$docsOut/batch_0") === (expect(a, "doc") ++ expect(b, "wet")).sorted,
+      "a mixed batch must ingest the WARC crawl AND the WET crawl")
+
+    // next batch: ONE crawl shipping BOTH deliverables — the WET records'
+    // own WARC-Refers-To names responses decoded from this batch's WARCs,
+    // so only the WARC-extracted text ingests (no double-ingest)
+    val c = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 200 && col("doc_id") < 300)
+    shipInto(d => Warc.writeWarc(c, d, partitions = 2), "ccw")
+    shipInto(d => Warc.writeWet(c, d, partitions = 2), "cce")
+    run()
+    assert(idsIn(s"$docsOut/batch_1") === expect(c, "doc"),
+      "same-crawl warc+wet must ingest the WARC extraction only")
+  }
+
+  test("edge compaction: a reader at ANY commit instant sees the complete relation; epochs never collide") {
+    import spark.implicits._
+    val edgesDir = Files.createTempDirectory("graft_cc_edges").resolve("e").toString
+    val e1 = (0L until 50L).map(i => (i, (i + 1) % 50))
+    val e2 = (0L until 50L).map(i => (i, (i + 7) % 50))
+    e1.toDF("src", "dst").write.parquet(s"$edgesDir/batch_0")
+    e2.toDF("src", "dst").write.parquet(s"$edgesDir/batch_1")
+    val expect = (e1 ++ e2).distinct.sorted.map { case (s0, d0) => s"[$s0,$d0]" }
+    def visibleNow(): Seq[String] =
+      spark.read.option("recursiveFileLookup", "true").parquet(edgesDir)
+        .distinct().orderBy("src", "dst").collect().map(_.toString).toSeq
+    val phases = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.plans.CommitEpoch.midCommitHook = { phase =>
+      phases += phase
+      // pre-rename: the new generation is a hidden _compact_*.tmp the
+      // reader's listing skips (old generation only); post-rename: old
+      // AND new both visible — the distinct() the consumers already do
+      // collapses the duplication. Either way: complete, never partial.
+      assert(visibleNow() === expect,
+        s"reader at $phase must see the complete edge relation")
+    }
+    try Streams.compactEdges(spark, edgesDir)
+    finally graft.plans.CommitEpoch.midCommitHook = _ => ()
+    assert(phases.toSeq === Seq("pre-rename", "post-rename"))
+    val gen1 = new java.io.File(edgesDir).list().filter(_.startsWith("compacted_")).toSeq
+    assert(gen1.length === 1 && visibleNow() === expect)
+    // immediate re-compaction (same millisecond territory): the listing-
+    // derived counter + nonce must produce a FRESH name, not a collision
+    Streams.compactEdges(spark, edgesDir)
+    val gen2 = new java.io.File(edgesDir).list().filter(_.startsWith("compacted_")).toSeq
+    assert(gen2.length === 1 && gen2 != gen1,
+      s"second compaction must commit under a fresh epoch: $gen1 -> $gen2")
+    assert(visibleNow() === expect)
+  }
 }
