@@ -50,6 +50,13 @@ object ScaleProbe {
         sweepOnly = parts.length > 2 && parts(2) == "s",
         onlyCb = if (parts.length > 3) Some(parts(3).toInt) else None)
     }
+    else if (args(0) == "graphsearch") {
+      // graphsearch <mult>[:sigBits]  (50k = 25:8; 1M = 500:17)
+      val parts = args(1).split(":")
+      graphSearchProbe(spark, parts(0).toInt,
+        if (parts.length > 1) parts(1).toInt else 8)
+    }
+    else if (args(0) == "annrefresh") annRefreshProbe(spark, args(1).toInt)
     else if (args(0) == "stream") streamProbe(spark, args(1))
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
     else if (args(0) == "dstream") dstreamProbe(spark, args(1).toInt)
@@ -910,6 +917,116 @@ object ScaleProbe {
     println(f"hyperball-diam: ${(System.nanoTime() - t1) / 1e9}%.1f s; " +
       dd.map(r => f"d=${r.getLong(0)} pairs=${r.getDouble(1)}%.3e " +
         f"cum=${r.getDouble(2)}%.3e r90=${r.getLong(3)}").mkString(" | "))
+  }
+
+  /** Graph-search recall at the replica shape (r13 verdict #3): build
+    * the NN-descent graph over mult·2k vectors, walk it per query
+    * (LSH-bucket + hub entry, undirected beam expansion), and measure
+    * recall@10 vs exact cosine truth across (beam, rounds) dials —
+    * the equal-budget comparison against the `recall <mult>,64,s`
+    * IVF-PQ pool sweep at the same corpus (SCALE.md). Budget readout:
+    * exact-scored candidates per query (pool size), printed per dial. */
+  private def graphSearchProbe(spark: SparkSession, mult: Int,
+                               sigBits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorMath.vecDot
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val big = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(mult - 1))).as("r"))
+      .select((col("vec_id") + col("r").cast("long") * 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i === pmod(col("r"), lit(64)),
+                 lit(0.01) * (pmod(col("r"), lit(17)) + 1).cast("double"))
+              .otherwise(lit(0.0)))
+          .as("v"))
+    big.write.mode("overwrite").parquet("/tmp/graft_gs_probe")
+    val e = spark.read.parquet("/tmp/graft_gs_probe")
+      .transform(graft.Fanout.byKey(_, col("vec_id")))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .transform(graft.Fence.cut)
+    val nVecs = e.count()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .transform(graft.Fence.cut)
+    val nQ = q.count()
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val gt = e.filter(col("vec_id") >= 20).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 10)
+      .select("qid", "cand")
+      .transform(graft.Fence.cut)
+    val tB = System.nanoTime()
+    val g = operators.Similarity.knnGraphEdges(e, kRand = 4, kBuild = 8,
+        rounds = 2, sigBits = sigBits)
+      .transform(graft.Fence.cut)
+    val gN = g.count()
+    println(f"graphsearch build: $nVecs%,d vectors, $gN%,d edges, " +
+      f"${(System.nanoTime() - tB) / 1e9}%.1f s (kBuild=8, 2 descent rounds, sigBits=$sigBits)")
+    Seq((8, 0), (8, 4), (16, 4), (8, 8)).foreach { case (beam, rounds) =>
+      val t0 = System.nanoTime()
+      val res = operators.Similarity.graphSearch(
+          e, g, q, k = 10, beam = beam, rounds = rounds,
+          nEntries = 4, corpusMin = 20L, sigBits = sigBits)
+        .select("qid", "cid").transform(graft.Fence.cut)
+      val hit = gt.join(res.withColumnRenamed("cid", "cand"),
+        Seq("qid", "cand"), "left_semi").count()
+      val rec = hit.toDouble / (nQ * 10L)
+      println(f"graphsearch beam=$beam%-2d rounds=$rounds%-2d " +
+        f"recall@10=$rec%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(exact budget ~ n/2^$sigBits bucket + rounds*beam*16 walk)")
+      graft.Fence.release(res)
+    }
+    graft.Fence.release(g)
+  }
+
+  /** Warm-start quantizer refresh at the replica shape (r13 verdict #5):
+    * crawl 1 = mult·2k vectors trained COLD to the reassignment
+    * tolerance; crawl 2 adds a 4%-ish incremental delta (two more
+    * replica generations); measure warm-from-crawl-1-centroids vs
+    * cold-schedule rounds and walls at k=64 cells (SCALE.md line). */
+  private def annRefreshProbe(spark: SparkSession, mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorMath.vecDot
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    def replicas(from: Int, until: Int) = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(from), lit(until - 1))).as("r"))
+      .select((col("vec_id") + col("r").cast("long") * 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i === pmod(col("r"), lit(64)),
+                 lit(0.01) * (pmod(col("r"), lit(17)) + 1).cast("double"))
+              .otherwise(lit(0.0)))
+          .as("v"))
+    def prep(df: org.apache.spark.sql.DataFrame, path: String) = {
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .transform(graft.Fanout.byKey(_, col("vec_id")))
+        .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+        .transform(graft.Fence.cut)
+    }
+    val c1 = prep(replicas(0, mult), "/tmp/graft_annref_c1")
+    val c2 = prep(replicas(0, mult + math.max(1, mult / 25)), "/tmp/graft_annref_c2")
+    val (n1, n2) = (c1.count(), c2.count())
+    val k = 64; val tol = 1000L
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((_, cents1, r1), w1) =
+      timed(operators.Similarity.kmeansIvfRefresh(c1, None, k, tol))
+    println(f"annrefresh crawl1 cold: $n1%,d vecs k=$k rounds=$r1 wall=$w1%.1f s")
+    val ((aw, _, rW), wW) =
+      timed(operators.Similarity.kmeansIvfRefresh(c2, Some(cents1), k, tol))
+    val ((ac, _, rC), wC) =
+      timed(operators.Similarity.kmeansIvfRefresh(c2, None, k, tol))
+    val qW = aw.agg(avg(col("cos"))).head().getDouble(0)
+    val qC = ac.agg(avg(col("cos"))).head().getDouble(0)
+    println(f"annrefresh crawl2 (+${n2 - n1}%,d vecs): warm rounds=$rW wall=$wW%.1f s " +
+      f"meanCos=$qW%.4f | cold rounds=$rC wall=$wC%.1f s meanCos=$qC%.4f")
   }
 
   private def recallProbe(spark: SparkSession, mult: Int, kCells: Int,

@@ -77,4 +77,22 @@ object MediaHeaders {
     }
     None
   }
+
+  /** Locate the `data` chunk: (payload offset, byte length), clamped to
+    * the container (a truncated final chunk yields the bytes present —
+    * the sample decoder then consumes whole 16-bit frames only). Same
+    * RIFF walk as [[wavFormat]]. */
+  def wavData(b: Array[Byte]): Option[(Int, Int)] = {
+    def tag(at: Int, s: String) = s.indices.forall(i => b(at + i) == s.charAt(i).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var at = 12
+    while (at + 8 <= b.length) {
+      val size = le32(b, at + 4)
+      if (size < 0) return None
+      if (tag(at, "data"))
+        return Some((at + 8, math.min(size, b.length - at - 8)))
+      at += 8 + size + (size & 1)
+    }
+    None
+  }
 }

@@ -510,7 +510,7 @@ object Similarity {
     * LONGs before the SUM (integer, order-independent), final scores
     * 4-dp rounds. */
   def qAnnIvfPq(s: SparkSession, d: String): DataFrame =
-    ivfPqTopk(vecs(s, d))
+    ivfPqTopk(vecs(s, d), rotate = Some(false))
 
   /** OPQ-style deterministic rotation for the PQ family (r13, measured
     * at the 1M probe shape — SCALE.md): R = H·D/8 with H the 64-point
@@ -534,7 +534,7 @@ object Similarity {
     * lever (SCALE.md r13: 0.630 → 0.825 at identical budget) ships
     * with bit-exact arithmetic evidence, not only probe curves. */
   def qAnnIvfPqRot(s: SparkSession, d: String): DataFrame =
-    ivfPqTopk(vecs(s, d), rotate = true)
+    ivfPqTopk(vecs(s, d), rotate = Some(true))
 
   // the rotation replayed oracle-side: one 64-entry list of
   // list_dot_product terms against the ±0.125e0 literal rows of rotW
@@ -570,10 +570,17 @@ object Similarity {
     * the cost is pool exact dot products per query. `rotate` — the
     * [[rotW]] OPQ rotation applied to residuals before the subspace
     * split (0.630 → 0.825 at unchanged budget); orthonormal, so no
-    * other semantics change. Defaults preserve the declared fixture
-    * query bit-for-bit. */
+    * other semantics change.
+    *
+    * DEFAULT = ROTATED (r13 verdict #4): a production caller passing
+    * no flag gets the measured-better retrieval; `spark.graft.ann
+    * .rotate=false` restores the plain split session-wide. The two
+    * declared queries pin their flags explicitly (`q_ann_ivfpq` plain,
+    * `q_ann_ivfpq_rot` rotated), so the conf never moves a hash. */
   private[graft] def ivfPqTopk(vv: DataFrame, poolN: Int = 50,
-                               rotate: Boolean = false): DataFrame = {
+                               rotate: Option[Boolean] = None): DataFrame = {
+    val doRotate = rotate.getOrElse(
+      !vv.sparkSession.conf.getOption("spark.graft.ann.rotate").contains("false"))
     val e = (if (vv.columns.contains("nrm")) vv
              else vv.withColumn("nrm", sqrt(vecDot(col("v"), col("v")))))
       .select(col("vec_id"), col("v"), col("nrm"))
@@ -590,7 +597,7 @@ object Similarity {
       .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
       .select(col("vec_id"), col("cell"),
               zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
-    val resid = if (rotate) resid0.withColumn("rv", rotCol(col("rv"))) else resid0
+    val resid = if (doRotate) resid0.withColumn("rv", rotCol(col("rv"))) else resid0
     val sub = resid
       .select(col("vec_id"), col("cell"),
               explode(array((0 until 8).map(lit): _*)).as("j"), col("rv"))
@@ -617,7 +624,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("cid").as("cell"),
               zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv0"))
       .select(col("qid"), col("cell"),
-              (if (rotate) rotCol(col("qrv0")) else col("qrv0")).as("qrv"))
+              (if (doRotate) rotCol(col("qrv0")) else col("qrv0")).as("qrv"))
     val qSub = qCells
       .select(col("qid"), col("cell"),
               explode(array((0 until 8).map(lit): _*)).as("j"), col("qrv"))
@@ -835,22 +842,26 @@ object Similarity {
     * the seeding IS the quality decision (KmeansSeedSpec measures the
     * gap) and seeding + Lloyd here is the full trained-quantizer
     * recipe. */
+  /** One nearest-centroid assignment pass: broadcast centroids, argmax
+    * cosine with (cos desc, cid) tie-break — shared by the Lloyd loop
+    * and the warm-start refresh. */
+  private def assignToCents(e: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    e.crossJoin(broadcast(c))
+      .withColumn("cos", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"), col("cos"))
+  }
+
   private[graft] def kmeansIvfFrame(e: DataFrame, iters: Int, k: Int,
                                     onRound: (Int, Double) => Unit = (_, _) => (),
                                     seeds: Option[DataFrame] = None)
       : (DataFrame, Seq[Double]) = {
     val s = e.sparkSession
     import s.implicits._
-    def assign(cents: DataFrame): DataFrame = {
-      val c = cents
-        .withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
-      e.crossJoin(broadcast(c))
-        .withColumn("cos", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("cid"), col("cos"))
-    }
+    def assign(cents: DataFrame): DataFrame = assignToCents(e, cents)
     var centroids = seeds.getOrElse(
       e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("cv")))
@@ -872,6 +883,63 @@ object Similarity {
     }
     meanCos += assigned.agg(avg(col("cos"))).head().getDouble(0)
     (assigned, meanCos.result())
+  }
+
+  /** WARM-START quantizer refresh — the per-crawl production mode for
+    * the IVF coarse centroids (and, fed sub-vectors, the PQ codebooks):
+    * the [[graft.operators.Graph.pageRankRefresh]] contract applied to
+    * the ANN index lifecycle (r13 verdict #5 — dedup has compaction,
+    * ranks have refresh; this is the index family's missing leg).
+    * Instead of re-running a fixed Lloyd schedule from cold seeds after
+    * every crawl, seed from the PREVIOUS crawl's centroids and iterate
+    * until the REASSIGNMENT fraction falls below a tolerance: after an
+    * incremental corpus delta the old centroids are already near the
+    * new fixpoint, so the warm start converges in a few rounds where
+    * the cold schedule pays the full path from the id-seeded start.
+    *
+    * Stopping is an INTEGER contract (the fixed-point discipline): a
+    * round's `moved` = vectors whose argmax cell changed; stop at
+    * moved ≤ n·tolPpm/1e6 (k-means' classic reassignment rule —
+    * deterministic, partition-count-free), capped at `maxRounds`. Per
+    * round: one broadcast-assign scan, one centroid Aggregator pass,
+    * and ONE bounded driver scalar (the moved count) — no data-bearing
+    * driver action. Returns (assignment, centroids, rounds run).
+    *
+    * @param prev (cid, cv) from the previous refresh; pass None for the
+    *             cold start (lowest-k-ids seeding — the cold schedule
+    *             IS refresh from the default seeds, so warm-vs-cold is
+    *             one code path, the pageRankRefresh shape). */
+  private[graft] def kmeansIvfRefresh(e: DataFrame, prev: Option[DataFrame],
+                                      k: Int, tolPpm: Long = 1000L,
+                                      maxRounds: Int = 25)
+      : (DataFrame, DataFrame, Int) = {
+    val s = e.sparkSession
+    import s.implicits._
+    val n = e.count()
+    require(n > 0, "kmeansIvfRefresh: empty corpus")
+    val tolMoves = (n * tolPpm) / 1000000L
+    var cents = graft.Fence.cut(prev.getOrElse(
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))))
+    var assigned = graft.Fence.cut(assignToCents(e, cents))
+    var rounds = 0
+    var moved = Long.MaxValue
+    while (rounds < maxRounds && moved > tolMoves) {
+      val nextCents = graft.Fence.cut(
+        assigned.select(col("cid"), col("v")).as[(Long, Array[Double])]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(graft.functions.VectorCentroid.toColumn.name("cv"))
+          .toDF("cid", "cv"))
+      val next = graft.Fence.cut(assignToCents(e, nextCents))
+      // ONE bounded scalar: how many vectors changed cell this round
+      moved = next.select(col("vec_id"), col("cid"))
+        .join(assigned.select(col("vec_id"), col("cid").as("cid0")), "vec_id")
+        .filter(col("cid") =!= col("cid0")).count()
+      graft.Fence.release(assigned); graft.Fence.release(cents)
+      assigned = next; cents = nextCents
+      rounds += 1
+    }
+    (assigned, cents, rounds)
   }
 
   /** k-means|| seeding (Bahmani et al. 2012, "Scalable k-means++") —
@@ -1252,19 +1320,36 @@ object Similarity {
     * Contract: vec_ids dense 0..n-1 (the corpus convention; one
     * zipWithIndex upstream otherwise). */
   private[graft] def knnGraph(e: DataFrame, k: Int, kRand: Int, kBuild: Int,
-                              rounds: Int): DataFrame = {
-    val bits = (0 until 8).map { p =>
-      when(vecDot(col("v"), plane2(p)) >= 0, "1").otherwise("0")
-    }
-    val sig = e.withColumn("bucket", concat(bits: _*))
+                              rounds: Int): DataFrame =
+    rescoreTopK(e, knnGraphEdges(e, kRand, kBuild, rounds), k)
+      .orderBy("vid", "rk")
+
+  /** Exact-rescore `cand` (vid, nb) against the corpus and keep each
+    * vid's top-kk by (cos desc, nb) — the shared re-rank of the graph
+    * build and the graph SEARCH. */
+  private def rescoreTopK(e: DataFrame, cand: DataFrame, kk: Int): DataFrame = {
     val w = Window.partitionBy("vid").orderBy(col("cos").desc, col("nb"))
-    def rescoreTopK(cand: DataFrame, kk: Int): DataFrame = cand
+    cand
       .join(e.select(col("vec_id").as("vid"), col("v").as("va"), col("nrm").as("na")), "vid")
       .join(e.select(col("vec_id").as("nb"), col("v").as("vb"), col("nrm").as("nbn")), "nb")
       .select(col("vid"), col("nb"),
               round(vecDot(col("va"), col("vb")) / (col("na") * col("nbn")), 4).as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= kk)
+  }
+
+  /** The BUILD-WIDTH edge relation (vid, nb) of [[knnGraph]] — seed ∪
+    * `rounds` NN-descent iterations at width kBuild, no final trim:
+    * what a graph-traversal search ([[graphSearch]]) walks. */
+  private[graft] def knnGraphEdges(e: DataFrame, kRand: Int, kBuild: Int,
+                                   rounds: Int, sigBits: Int = 8): DataFrame = {
+    // sigBits dials the seed-bucket occupancy (~n / 2^sigBits): the
+    // declared fixture query pins 8; a 1M+ build widens the signature so
+    // the per-bucket quadratic stays bounded (the IVF nlist analog)
+    val bits = (0 until sigBits).map { p =>
+      when(vecDot(col("v"), plane2(p)) >= 0, "1").otherwise("0")
+    }
+    val sig = e.withColumn("bucket", concat(bits: _*))
     val nM1 = e.count() - 1 // one scalar, before the loop
     val bucketPairs = sig.as("a")
       .join(sig.as("b"),
@@ -1276,7 +1361,7 @@ object Similarity {
       .select(col("vid"),
         when(col("t") >= col("vid"), col("t") + 1).otherwise(col("t")).as("nb"))
     var g = graft.Fence.cut(
-      rescoreTopK(bucketPairs.unionByName(randPairs).distinct(), kBuild)
+      rescoreTopK(e, bucketPairs.unionByName(randPairs).distinct(), kBuild)
         .select(col("vid"), col("nb")))
     (1 to rounds).foreach { _ =>
       val twoHop = g.as("x")
@@ -1288,10 +1373,125 @@ object Similarity {
         .unionByName(twoHop)
         .distinct()
       val prev = g
-      g = graft.Fence.cut(rescoreTopK(cand, kBuild).select(col("vid"), col("nb")))
+      g = graft.Fence.cut(rescoreTopK(e, cand, kBuild).select(col("vid"), col("nb")))
       graft.Fence.release(prev)
     }
-    rescoreTopK(g, k).orderBy("vid", "rk")
+    g
+  }
+
+  /** EXT: graph-traversal ANN retrieval — NSW-style BEAM SEARCH over the
+    * kNN graph, the query-time counterpart of [[knnGraphEdges]] (r13
+    * verdict #3; Malkov & Yashunin 2016, "Efficient and robust
+    * approximate nearest neighbor search using Hierarchical Navigable
+    * Small World graphs" — the single-layer NSW walk): start every query
+    * at a deterministic ENTRY set (the graph's top in-degree hubs — the
+    * standard high-connectivity entry heuristic, and a pure function of
+    * the edge relation), then `rounds` best-first expansions: score the
+    * frontier's out-neighbors exactly, merge into the per-query
+    * candidate POOL, keep the top-`beam` as the next frontier. The
+    * final answer is the exact top-k of the pool — search IS its own
+    * re-rank (every pooled candidate was exact-scored on arrival).
+    *
+    * Deterministic by construction (the coin-replay/unrolled-round
+    * precedent): hub entries tie-break on id, every frontier/pool
+    * ranking is (cos desc, cid) in the family's 4-dp score space, and
+    * each round is one join against the edge relation — so the DuckDB
+    * oracle replays the whole walk as unrolled CTE rounds.
+    *
+    * Scale shape: per-query, per-round cost is beam × out-degree
+    * candidate rows — NEVER the corpus. The frontier (|Q|·beam rows)
+    * broadcasts into the join against the graph relation, which stays
+    * partitioned by vid; the pool grows ≤ |Q|·beam·kBuild rows/round.
+    * At 1 B vectors the walk touches O(rounds·beam·kBuild) vectors per
+    * query where IVF probes nprobe·(n/cells) — the graph's edge
+    * locality replaces the coarse quantizer's geometry.
+    *
+    * @param e corpus (vec_id, v, nrm); @param g edge relation (vid, nb)
+    *          from [[knnGraphEdges]]; @param q queries (qid, qv, qn)
+    * @param corpusMin results/entries restricted to cid >= corpusMin
+    *                  (the family's query-cohort convention). */
+  private[graft] def graphSearch(e: DataFrame, g: DataFrame, q: DataFrame,
+                                 k: Int, beam: Int, rounds: Int,
+                                 nEntries: Int, corpusMin: Long,
+                                 sigBits: Int = 8): DataFrame = {
+    val wBeam = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
+      .join(q, "qid")
+      .select(col("qid"), col("cid"),
+              round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
+    // walk the UNDIRECTED graph: a kNN edge relation is directed (top-k
+    // per source) and greedy routing against the arrows dead-ends —
+    // NSW's navigability comes from bidirectional links, so expansion
+    // unions each edge with its reversal (the NN-descent candidate
+    // idiom, oracle-replayable)
+    val gu = g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb")))
+      .distinct()
+    // ENTRY = the query's own LSH bucket-mates (the same plane2
+    // signature the graph build bucketed on — scored exactly, the
+    // nprobe=1 IVF-probe budget: ~n/256 candidates) ∪ the graph's top
+    // in-degree hubs (a global fallback for queries whose bucket is
+    // empty). The WALK then repairs what the bucket missed — true
+    // neighbors whose perturbed signature landed in another cell are
+    // one intra-cluster hop from a bucket-mate. A pure hub entry
+    // cannot navigate a clustered corpus at all: every cluster is a
+    // kNN clique with no inter-cluster gradient (measured recall 0.000
+    // at the 50k replica shape), which is exactly why NSW keeps
+    // long-range links and IVF keeps a coarse quantizer.
+    val bitsC = (0 until sigBits).map { p =>
+      when(vecDot(col("v"), plane2(p)) >= 0, "1").otherwise("0")
+    }
+    val bitsQ = (0 until sigBits).map { p =>
+      when(vecDot(col("qv"), plane2(p)) >= 0, "1").otherwise("0")
+    }
+    val mates = q.select(col("qid"), concat(bitsQ: _*).as("bucket"))
+      .join(e.select(col("vec_id").as("cid"), concat(bitsC: _*).as("bucket")), "bucket")
+      .filter(col("cid") >= corpusMin)
+      .select("qid", "cid")
+    val hubs = gu.filter(col("nb") >= corpusMin)
+      .groupBy(col("nb").as("cid")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("cid")).limit(nEntries)
+      .select("cid")
+    var pool = graft.Fence.cut(
+      score(mates.unionByName(q.select("qid").crossJoin(broadcast(hubs)))
+        .distinct()))
+    var frontier = graft.Fence.cut(
+      pool.withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam).select("qid", "cid"))
+    (1 to rounds).foreach { _ =>
+      val cand = frontier
+        .join(gu.withColumnRenamed("vid", "cid"), "cid")
+        .select(col("qid"), col("nb").as("cid"))
+        .filter(col("cid") >= corpusMin && col("cid") =!= col("qid"))
+        .distinct()
+      val (prevP, prevF) = (pool, frontier)
+      pool = graft.Fence.cut(pool.unionByName(score(cand)).distinct())
+      frontier = graft.Fence.cut(
+        pool.withColumn("rk", row_number().over(wBeam))
+          .filter(col("rk") <= beam).select("qid", "cid"))
+      graft.Fence.release(prevP); graft.Fence.release(prevF)
+    }
+    val out = pool.withColumn("rk", row_number().over(wBeam).cast("long"))
+      .filter(col("rk") <= k)
+    graft.Fence.release(pool); graft.Fence.release(frontier)
+    out
+  }
+
+  /** EXT: the declared graph-search retrieval — the full production
+    * composition (build the NN-descent graph, walk it per query, exact
+    * top-5): queries are the vec_id < 5 cohort probing the vec_id >= 5
+    * corpus over the SAME 4-round build-width-8 graph substrate as
+    * [[qAnnKnnGraph]]. Hash-gated end to end: the DuckDB oracle replays
+    * the graph construction (shared CTE block) AND the 4 unrolled beam
+    * rounds. Measured recall vs the IVF-PQ path at equal candidate
+    * budget: AnnRecallSpec floor + SCALE.md `graphsearch` probe. */
+  def qAnnGraphSearch(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val g = knnGraphEdges(e, kRand = 4, kBuild = 8, rounds = 4)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    graphSearch(e, g, q, k = 5, beam = 8, rounds = 4, nEntries = 4, corpusMin = 5L)
+      .orderBy("qid", "rk")
   }
 
   /** EXT: cluster-balanced curation — the D4/DoReMi-style semantic
@@ -1345,6 +1545,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate_cluster_balance" -> (qCurateClusterBalance _),
     "q_ann_knn_graph"   -> (qAnnKnnGraph _),
+    "q_ann_graph_search" -> (qAnnGraphSearch _),
     "q_eval_retrieval"  -> (qEvalRetrieval _),
     "q_dedup_semantic"  -> (qDedupSemantic _),
     "q_array_explode"   -> (qArrayExplode _),
@@ -1904,76 +2105,125 @@ object Similarity {
     // Xxh64DuckSql HUGEINT chain), then FOUR unrolled NN-descent
     // rounds at build width 8, final top-3 re-rank (MATERIALIZED per
     // round: each round references the previous graph three times)
-    "q_ann_knn_graph" -> {
-      def chainV(stages: Seq[(String, String)], base: String, prefix: String)
-          : (String, String) = {
-        var rel = base; var carried = "vec_id"
-        val parts = stages.zipWithIndex.map { case ((nm, ex), i) =>
-          val nrel = s"$prefix$i"
-          val cte = s"$nrel AS (SELECT $carried, $ex AS $nm FROM $rel)"
-          carried = s"$carried, $nm"; rel = nrel
-          cte
-        }
-        (parts.mkString(",\n"), rel)
-      }
-      val coins = (0 until 4).map { j =>
-        val (st, signed) = Xxh64DuckSql.hashIntLongStages(s"c$j", "vec_id", j)
-        val (ctes, last) = chainV(st, "ids", s"r${j}_")
-        s"""$ctes,
-           |rnd$j AS (SELECT vec_id AS vid,
-           |    CAST(CASE WHEN t >= vec_id THEN t + 1 ELSE t END AS BIGINT) AS nb FROM
-           |  (SELECT vec_id,
-           |     ((($signed) % (SELECT nm FROM nn)) + (SELECT nm FROM nn))
-           |       % (SELECT nm FROM nn) AS t
-           |   FROM $last))""".stripMargin
-      }.mkString(",\n")
-      def round(i: Int): String = {
-        val p = s"g${i - 1}"
-        s"""cand$i AS (SELECT DISTINCT vid, nb FROM (
-           |  SELECT vid, nb FROM $p
-           |  UNION ALL SELECT nb AS vid, vid AS nb FROM $p
-           |  UNION ALL SELECT x.vid, y.nb FROM $p x JOIN $p y ON x.nb = y.vid
-           |            WHERE x.vid <> y.nb)),
-           |resc$i AS MATERIALIZED (SELECT c.vid, c.nb,
-           |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-           |  FROM cand$i c JOIN e a ON c.vid = a.vec_id JOIN e b ON c.nb = b.vec_id),
-           |g$i AS MATERIALIZED (SELECT vid, nb FROM
-           |  (SELECT vid, nb,
-           |     ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS rk
-           |   FROM resc$i) WHERE rk <= 8)""".stripMargin
-      }
-      s"""WITH e AS MATERIALIZED ($duckVecs),
-        |ids AS MATERIALIZED (SELECT vec_id FROM e),
-        |nn AS (SELECT COUNT(*) - 1 AS nm FROM e),
-        |sig AS MATERIALIZED (SELECT e.*,
-        |  list_aggregate([CASE WHEN list_reduce(
-        |      [v[i+1] * sin((CAST(i AS DOUBLE) + 1.0) * (CAST(p AS DOUBLE) * 0.917 + 1.234))
-        |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
-        |    THEN '1' ELSE '0' END for p in generate_series(0, 7)], 'string_agg', '') AS bucket
-        |  FROM e),
-        |$coins,
-        |cand0 AS (SELECT DISTINCT vid, nb FROM (
-        |  SELECT a.vec_id AS vid, b.vec_id AS nb FROM sig a JOIN sig b
-        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-        |  UNION ALL SELECT vid, nb FROM rnd0
-        |  UNION ALL SELECT vid, nb FROM rnd1
-        |  UNION ALL SELECT vid, nb FROM rnd2
-        |  UNION ALL SELECT vid, nb FROM rnd3)),
-        |resc0 AS MATERIALIZED (SELECT c.vid, c.nb,
-        |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-        |  FROM cand0 c JOIN e a ON c.vid = a.vec_id JOIN e b ON c.nb = b.vec_id),
-        |g0 AS MATERIALIZED (SELECT vid, nb FROM
-        |  (SELECT vid, nb,
-        |     ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS rk
-        |   FROM resc0) WHERE rk <= 8),
-        |${(1 to 4).map(round).mkString(",\n")},
+    "q_ann_knn_graph" ->
+      s"""WITH ${knnGraphCtes(4)},
         |fin AS (SELECT c.vid, c.nb,
         |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
         |  FROM g4 c JOIN e a ON c.vid = a.vec_id JOIN e b ON c.nb = b.vec_id),
         |ranked AS (SELECT vid, nb, cos,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS BIGINT) AS rk
         |  FROM fin)
-        |SELECT vid, nb, cos, rk FROM ranked WHERE rk <= 3 ORDER BY vid, rk""".stripMargin
+        |SELECT vid, nb, cos, rk FROM ranked WHERE rk <= 3 ORDER BY vid, rk""".stripMargin,
+    // the graph SEARCH: same g4 substrate, then hub entries (top
+    // in-degree, ties by id) and FOUR unrolled beam rounds — each round
+    // expands the frontier through g4, exact-scores, merges into the
+    // per-query pool, and re-beams (cos DESC, cid) at width 8
+    "q_ann_graph_search" -> {
+      def beamRound(i: Int): String =
+        s"""nbq$i AS (SELECT DISTINCT f.qid, g.nb AS cid
+           |  FROM f${i - 1} f JOIN gu g ON f.cid = g.vid
+           |  WHERE g.nb >= 5 AND g.nb <> f.qid),
+           |sc$i AS (SELECT n.qid, n.cid,
+           |    ROUND(list_dot_product(q.qv, b.v) / (q.qn * b.nrm), 4) AS cos
+           |  FROM nbq$i n JOIN e b ON n.cid = b.vec_id JOIN qq q ON q.qid = n.qid),
+           |p$i AS MATERIALIZED (SELECT DISTINCT qid, cid, cos FROM (
+           |  SELECT qid, cid, cos FROM p${i - 1}
+           |  UNION ALL SELECT qid, cid, cos FROM sc$i)),
+           |f$i AS (SELECT qid, cid FROM
+           |  (SELECT qid, cid,
+           |     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+           |   FROM p$i) WHERE rk <= 8)""".stripMargin
+      s"""WITH ${knnGraphCtes(4)},
+        |gu AS MATERIALIZED (SELECT DISTINCT vid, nb FROM (
+        |  SELECT vid, nb FROM g4 UNION ALL SELECT nb AS vid, vid AS nb FROM g4)),
+        |ind AS (SELECT nb AS cid, COUNT(*) AS deg FROM gu WHERE nb >= 5 GROUP BY nb),
+        |ent AS (SELECT cid FROM ind ORDER BY deg DESC, cid LIMIT 4),
+        |qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+        |ent0 AS (SELECT qid, cid FROM qq CROSS JOIN ent
+        |  UNION
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid FROM sig q JOIN sig c
+        |    ON q.bucket = c.bucket WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |p0 AS MATERIALIZED (SELECT e0.qid, e0.cid,
+        |    ROUND(list_dot_product(qq.qv, b.v) / (qq.qn * b.nrm), 4) AS cos
+        |  FROM ent0 e0 JOIN e b ON e0.cid = b.vec_id JOIN qq ON qq.qid = e0.qid),
+        |f0 AS (SELECT qid, cid FROM
+        |  (SELECT qid, cid,
+        |     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |   FROM p0) WHERE rk <= 8),
+        |${(1 to 4).map(beamRound).mkString(",\n")},
+        |ranked AS (SELECT qid, cid, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        |  FROM p4)
+        |SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
   )
+
+  /** Shared DuckDB WITH-body replaying [[knnGraphEdges]]: e, ids, nn,
+    * sig, the 4 coin chains, seed cand/resc/g0, then `rounds` unrolled
+    * NN-descent rounds — the final relation is `g<rounds>` (vid, nb).
+    * Used by both the q_ann_knn_graph and q_ann_graph_search oracles. */
+  private def knnGraphCtes(rounds: Int): String = {
+    def chainV(stages: Seq[(String, String)], base: String, prefix: String)
+        : (String, String) = {
+      var rel = base; var carried = "vec_id"
+      val parts = stages.zipWithIndex.map { case ((nm, ex), i) =>
+        val nrel = s"$prefix$i"
+        val cte = s"$nrel AS (SELECT $carried, $ex AS $nm FROM $rel)"
+        carried = s"$carried, $nm"; rel = nrel
+        cte
+      }
+      (parts.mkString(",\n"), rel)
+    }
+    val coins = (0 until 4).map { j =>
+      val (st, signed) = Xxh64DuckSql.hashIntLongStages(s"c$j", "vec_id", j)
+      val (ctes, last) = chainV(st, "ids", s"r${j}_")
+      s"""$ctes,
+         |rnd$j AS (SELECT vec_id AS vid,
+         |    CAST(CASE WHEN t >= vec_id THEN t + 1 ELSE t END AS BIGINT) AS nb FROM
+         |  (SELECT vec_id,
+         |     ((($signed) % (SELECT nm FROM nn)) + (SELECT nm FROM nn))
+         |       % (SELECT nm FROM nn) AS t
+         |   FROM $last))""".stripMargin
+    }.mkString(",\n")
+    def round(i: Int): String = {
+      val p = s"g${i - 1}"
+      s"""cand$i AS (SELECT DISTINCT vid, nb FROM (
+         |  SELECT vid, nb FROM $p
+         |  UNION ALL SELECT nb AS vid, vid AS nb FROM $p
+         |  UNION ALL SELECT x.vid, y.nb FROM $p x JOIN $p y ON x.nb = y.vid
+         |            WHERE x.vid <> y.nb)),
+         |resc$i AS MATERIALIZED (SELECT c.vid, c.nb,
+         |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |  FROM cand$i c JOIN e a ON c.vid = a.vec_id JOIN e b ON c.nb = b.vec_id),
+         |g$i AS MATERIALIZED (SELECT vid, nb FROM
+         |  (SELECT vid, nb,
+         |     ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS rk
+         |   FROM resc$i) WHERE rk <= 8)""".stripMargin
+    }
+    s"""e AS MATERIALIZED ($duckVecs),
+      |ids AS MATERIALIZED (SELECT vec_id FROM e),
+      |nn AS (SELECT COUNT(*) - 1 AS nm FROM e),
+      |sig AS MATERIALIZED (SELECT e.*,
+      |  list_aggregate([CASE WHEN list_reduce(
+      |      [v[i+1] * sin((CAST(i AS DOUBLE) + 1.0) * (CAST(p AS DOUBLE) * 0.917 + 1.234))
+      |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
+      |    THEN '1' ELSE '0' END for p in generate_series(0, 7)], 'string_agg', '') AS bucket
+      |  FROM e),
+      |$coins,
+      |cand0 AS (SELECT DISTINCT vid, nb FROM (
+      |  SELECT a.vec_id AS vid, b.vec_id AS nb FROM sig a JOIN sig b
+      |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |  UNION ALL SELECT vid, nb FROM rnd0
+      |  UNION ALL SELECT vid, nb FROM rnd1
+      |  UNION ALL SELECT vid, nb FROM rnd2
+      |  UNION ALL SELECT vid, nb FROM rnd3)),
+      |resc0 AS MATERIALIZED (SELECT c.vid, c.nb,
+      |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+      |  FROM cand0 c JOIN e a ON c.vid = a.vec_id JOIN e b ON c.nb = b.vec_id),
+      |g0 AS MATERIALIZED (SELECT vid, nb FROM
+      |  (SELECT vid, nb,
+      |     ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS rk
+      |   FROM resc0) WHERE rk <= 8),
+      |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
 }

@@ -142,7 +142,7 @@ class AnnRecallSpec extends SparkSpec {
     val vv = withPlants(baseVecs)
     val expected = (for (q <- 0 until 5; j <- 1 to 3)
       yield (q.toLong, 100000L + q * 10 + j)).toSeq
-    Seq(("rotate", Similarity.ivfPqTopk(vv, rotate = true)),
+    Seq(("rotate", Similarity.ivfPqTopk(vv, rotate = Some(true))),
         ("pool=200", Similarity.ivfPqTopk(vv, poolN = 200))).foreach {
       case (tag, out) =>
         val found = out.collect()
@@ -189,6 +189,45 @@ class AnnRecallSpec extends SparkSpec {
     // under the measurement with honest margin and catches a broken
     // candidate union or a dead descent loop, not an ambition
     assert(mean >= 0.5, f"recall collapsed: $mean%.3f")
+  }
+
+  test("graph search: beam walk over the kNN graph holds a recall floor at the 50k shape") {
+    // same near-dup-heavy 50k corpus as the PQ re-rank case (25 perturbed
+    // replicas of the 2k sf0.1 embeddings), same exact-cosine ground truth
+    // in the family's 4-dp score space. The walk's exact-scored budget is
+    // entries + rounds·beam·kBuild ≈ 260 candidates/query — the IVF-PQ
+    // pool dial's territory (pool 100-400) — so this is the
+    // equal-exact-budget floor the SCALE.md probe quantifies
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val big = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(24))).as("r"))
+      .select((col("vec_id") + col("r").cast("long") * 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i === pmod(col("r"), lit(64)),
+                 lit(0.01) * (pmod(col("r"), lit(17)) + 1).cast("double"))
+              .otherwise(lit(0.0)))
+          .as("v"))
+    val e = normed(big).repartition(8, col("vec_id")).localCheckpoint()
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val g = Similarity.knnGraphEdges(e, kRand = 4, kBuild = 8, rounds = 2)
+    val got = Similarity.graphSearch(e, g, q, k = 10, beam = 8, rounds = 4,
+        nEntries = 4, corpusMin = 5L)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val gt = e.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select("qid", "cand").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand")))
+    val recall = gt.count { case (qid, cand) => got.contains((qid, cand)) } / 50.0
+    info(f"graph-search recall@10 at 50k vectors: $recall%.3f")
+    assert(recall >= 0.8, f"graph-search recall floor: $recall%.3f >= 0.8")
   }
 
   test("fixture regression floors: PQ recall vs exact-L2 truth at sf0.01") {

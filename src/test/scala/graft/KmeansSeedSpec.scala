@@ -47,4 +47,38 @@ class KmeansSeedSpec extends SparkSpec {
     for (c <- Seq(naiveCurve, seededCurve))
       assert(c.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 })
   }
+
+  test("warm-start refresh: previous centroids converge in <= the cold rounds with quality parity") {
+    import spark.implicits._
+    // the pageRankRefresh contract on the quantizer lifecycle: crawl 1
+    // trains cold; crawl 2 = crawl 1 + an incremental delta (new points
+    // around the same basins + one drifted batch); the warm start from
+    // crawl 1's centroids must stop within <= the cold-schedule rounds
+    // at the same tolerance, with assignment quality parity
+    val dim = 8
+    def around(a: Int, id: Long): Array[Double] =
+      Array.tabulate(dim)(i =>
+        (if (i == a) 2.0 else 0.0) + 0.01 * (((id * 31 + i * 7) % 11) - 5))
+    val crawl1 = ((0L until 400L).map(id => (id, around((id % 3).toInt, id)))).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v")))).localCheckpoint()
+    // an incremental crawl: new points land in the EXISTING basins
+    // (slightly drifted) — the nightly-delta shape the warm start is
+    // for; a brand-new semantic cluster is a re-train event, not a
+    // refresh (same contract note as pageRankRefresh's edge delta)
+    val delta = (1000L until 1150L).map(id => (id, around((id % 3).toInt, id * 17)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val crawl2 = crawl1.unionByName(delta).localCheckpoint()
+
+    val (_, c1, r1) = Similarity.kmeansIvfRefresh(crawl1, None, k = 4, tolPpm = 1000L)
+    val (aWarm, _, rWarm) = Similarity.kmeansIvfRefresh(crawl2, Some(c1), k = 4, tolPpm = 1000L)
+    val (aCold, _, rCold) = Similarity.kmeansIvfRefresh(crawl2, None, k = 4, tolPpm = 1000L)
+    info(s"crawl-1 cold $r1 rounds; after delta: warm $rWarm vs cold $rCold rounds")
+    assert(rWarm <= rCold, s"warm start must not exceed the cold schedule: $rWarm vs $rCold")
+    // quality parity: both stopped states explain the corpus equally well
+    val qWarm = aWarm.agg(avg(col("cos"))).head().getDouble(0)
+    val qCold = aCold.agg(avg(col("cos"))).head().getDouble(0)
+    info(f"mean assignment cosine: warm=$qWarm%.4f cold=$qCold%.4f")
+    assert(qWarm >= qCold - 0.005, f"warm quality parity: $qWarm%.4f vs $qCold%.4f")
+  }
 }

@@ -92,6 +92,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rel.subsetOf(typedSet)) // rel is LIMITed; typed covers all videos
   }
 
+  test("decodeWavStats: true s16le PCM decode — sign extension, odd tail, RIFF walk") {
+    import spark.implicits._
+    // planted samples cover both sign branches and the extremes; an odd
+    // trailing byte must be dropped (whole 16-bit frames only) — the
+    // cases the ASCII fixture corpus can never trigger (high byte < 0x80)
+    val samples = Seq[Short](1000, -2, 32767, -32768)
+    val data = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray :+ 0x7f.toByte
+    val wav = Multimodal.wavBytes(2, 44100, data)
+    assert(MediaHeaders.wavData(wav).exists { case (off, len) => len == data.length })
+    val out = Multimodal.decodeWavStats(
+      Seq(Multimodal.Media(7L, "audio/wav", wav)).toDS()).collect()
+    assert(out.length === 1)
+    val st = out.head
+    assert(st.channels === 2L && st.sample_rate === 44100L)
+    assert(st.n_samples === 4L, "odd trailing byte must not count as a sample")
+    assert(st.peak === 32768L)
+    assert(st.sum_s === 1000L - 2L + 32767L - 32768L)
+    assert(st.energy === 1000L * 1000 + 4 + 32767L * 32767 + 32768L * 32768)
+    // non-wav mimes and truncated containers yield no row, never garbage
+    assert(Multimodal.decodeWavStats(
+      Seq(Multimodal.Media(8L, "image/png", wav),
+          Multimodal.Media(9L, "audio/wav", wav.take(10))).toDS()).count() === 0L)
+  }
+
   test("resizeStub shrinks payloads by the factor, deterministically") {
     import graft.multimodal.Multimodal
     val m = Multimodal.media(spark, sf).limit(20)
