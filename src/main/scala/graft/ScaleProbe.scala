@@ -69,8 +69,8 @@ object ScaleProbe {
       // silently mapped to the sssp tail (r12 advice)
       val parts = args(1).split(":")
       val leg = if (parts.length > 1) parts(1) else "all"
-      val legal = Set("all", "scc", "bc", "linkpred", "recsql", "mod",
-                      "coreness", "sssp")
+      val legal = Set("all", "scc", "bc", "bcfunnel", "linkpred", "recsql",
+                      "mod", "coreness", "sssp")
       require(legal(leg) || leg.matches("trim\\d*"),
         s"graphmacro: unknown leg '$leg' (expected one of ${legal.mkString("|")}|trim[N])")
       graphmacroProbe(spark, parts(0).toInt, leg)
@@ -773,6 +773,45 @@ object ScaleProbe {
       val nz = bc.filter(col("bc_fp") > 0).count()
       println(f"graphmacro bc: $n%,d nodes, 100 sources, depth 4 -> " +
         f"$nz%,d nonzero scores in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    }
+    if (leg == "bcfunnel") {
+      // r13 verdict #9: the betweenness FUNNEL shape at probe scale —
+      // the GraphSpec planted-overflow topology (8 sources -> 64 mids
+      // -> neck a -> neck b -> ~n leaves, depth 4) blown up so the
+      // layer-2 term sigma(a)*(scale+delta(b)) = 64*(1e11 + nLeaves*1e11)
+      // ~ 6.4e19 provably wraps a BIGINT product while every stored
+      // delta and the 8-source B(v) sums stay inside BIGINT (the dfp
+      // column contract). The neck scores have a closed form, so the
+      // probe asserts EXACTNESS at 10M against BigInt arithmetic, not
+      // just a wall: B(b) = 8*nLeaves*scale, B(a) = 8*scale*(1+nLeaves).
+      val scaleFp = 100000000000L // 1e11
+      val nLeaves = n - 1000L
+      require(BigInt(64) * (BigInt(scaleFp) * (1 + nLeaves)) > BigInt(Long.MaxValue),
+        "bcfunnel plant must exceed the BIGINT product")
+      val expB = BigInt(8) * BigInt(nLeaves) * BigInt(scaleFp)
+      val expA = BigInt(8) * BigInt(scaleFp) * BigInt(1 + nLeaves)
+      require(expA < BigInt(Long.MaxValue) && expB < BigInt(Long.MaxValue),
+        "bcfunnel sums must still fit the dfp/bc BIGINT columns")
+      val srcMid = spark.range(0, 512).select(
+        (col("id") / 64).cast("long").as("src"),
+        (pmod(col("id"), lit(64L)) + 10L).as("dst"))
+      val midA = spark.range(10, 74).select(col("id").as("src"), lit(100L).as("dst"))
+      val aB = spark.range(0, 1).select(lit(100L).as("src"), lit(101L).as("dst"))
+      val bLeaves = spark.range(1000L, 1000L + nLeaves)
+        .select(lit(101L).as("src"), col("id").as("dst"))
+      val fEdges = srcMid.union(midA).union(aB).union(bLeaves)
+      val seeds = spark.range(0, 8).toDF("node")
+      val t2 = System.nanoTime()
+      val bc = operators.Graph.betweenness(fEdges, seeds, depth = 4, scale = scaleFp)
+      val necks = bc.filter(col("node").isin(100L, 101L))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wall = (System.nanoTime() - t2) / 1e9
+      val okA = BigInt(necks(100L)) == expA
+      val okB = BigInt(necks(101L)) == expB
+      println(f"graphmacro bcfunnel: $n%,d nodes (${nLeaves}%,d leaves), 8 sources, " +
+        f"depth 4, scale=$scaleFp -> B(a)=${necks(100L)}%,d (BigInt-exact=$okA), " +
+        f"B(b)=${necks(101L)}%,d (BigInt-exact=$okB) in $wall%.1f s")
+      require(okA && okB, "bcfunnel neck scores must match BigInt ground truth")
     }
     if (leg != "all" && leg != "linkpred") () else {
       val t3 = System.nanoTime()
