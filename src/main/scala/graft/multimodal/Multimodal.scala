@@ -286,14 +286,148 @@ object Multimodal {
   def qMultimodalDecode(s: SparkSession, d: String): DataFrame =
     decodeWavStats(assetTable(s, d)).toDF().orderBy("doc_id")
 
+  // ---- second true codec: uncompressed 24bpp BMP (r13 verdict #8 named
+  // BMP-or-PCM; PCM landed first, this closes the image side) ----------
+
+  /** Minimal VALID Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * 24bpp, BI_RGB): `pix` is 3·w·h bytes in IMAGE order (row 0 = top,
+    * B,G,R per pixel); the builder handles the two things that make BMP
+    * decode nontrivial — 4-byte row stride padding (planted 0xAA so a
+    * decoder that sums raw rows is caught) and bottom-up vs top-down
+    * row order (`topDown` ⇒ negative biHeight, the spec's convention). */
+  private[graft] def bmpBytes(w: Int, h: Int, topDown: Boolean,
+                              pix: Array[Byte]): Array[Byte] = {
+    require(pix.length == 3 * w * h, "pix must be 3*w*h image-order bytes")
+    val stride = ((3 * w + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+    b.putShort(0).putShort(0).putInt(54)                  // reserved, pixel offset
+    b.putInt(40).putInt(w).putInt(if (topDown) -h else h) // BITMAPINFOHEADER
+    b.putShort(1).putShort(24).putInt(0).putInt(stride * h) // planes, bpp, BI_RGB
+    b.putInt(2835).putInt(2835).putInt(0).putInt(0)       // 72 dpi, palette
+    var fr = 0
+    while (fr < h) {
+      val ir = if (topDown) fr else h - 1 - fr // image row stored at file row fr
+      var c = 0
+      while (c < 3 * w) { b.put(pix(ir * 3 * w + c)); c += 1 }
+      while (c < stride) { b.put(0xAA.toByte); c += 1 }
+      fr += 1
+    }
+    b.array()
+  }
+
+  /** BMP asset table: every document becomes a real 24bpp BMP — planted
+    * dims (w = 1 + id%8, h = 1 + (id/8)%4), ORIENTATION by id parity
+    * (odd = top-down/negative height), pixel byte p (image order) =
+    * text byte p mod |text| (the ASCII corpus property the WAV oracle
+    * established makes this SQL-replayable). Empty-text docs carry no
+    * pixels and are skipped on both sides. */
+  def bmpAssetTable(s: SparkSession, d: String): Dataset[Media] = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .map { case (id, text) =>
+        val w = 1 + (id % 8).toInt
+        val h = 1 + ((id / 8) % 4).toInt
+        val t = text.getBytes("US-ASCII")
+        val pix = Array.tabulate(3 * w * h)(p => t(p % t.length))
+        Media(id, "image/bmp", bmpBytes(w, h, topDown = id % 2 == 1, pix))
+      }
+  }
+
+  case class BmpStats(doc_id: Long, width: Long, height: Long, n_pixels: Long,
+                      sum_b: Long, sum_g: Long, sum_r: Long, top_row_sum: Long)
+
+  /** TRUE pixel decode in the mapPartitions seam: header-validated
+    * (magic, 24bpp, BI_RGB, payload covers offset + stride·|h| — a
+    * truncated or foreign container yields NO row, never garbage),
+    * stride-aware row walk that EXCLUDES the pad bytes, and orientation
+    * normalization (bottom-up files are read last-row-first) so stats
+    * are in image space. Channel sums are order-independent — the
+    * orientation gate is `top_row_sum` (image row 0 lives at the END of
+    * a bottom-up file). Exact integer arithmetic throughout, so the
+    * result hashes. */
+  def decodeBmpStats(media: Dataset[Media]): Dataset[BmpStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      // real-codec seam: per-partition init would go here
+      iter.flatMap { m =>
+        val p = m.payload
+        def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+        def s32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+          ((p(o + 2) & 0xff) << 16) | (p(o + 3) << 24)
+        if (m.mime != "image/bmp" || p.length < 54 || p(0) != 'B' || p(1) != 'M') None
+        else {
+          val off = s32(10); val w = s32(18); val hRaw = s32(22)
+          val h = math.abs(hRaw); val topDown = hRaw < 0
+          val stride = ((3L * w + 3) / 4) * 4
+          if (u16(28) != 24 || s32(30) != 0 || w <= 0 || h == 0 ||
+              off < 54 || off + stride * h > p.length) None
+          else {
+            var sb = 0L; var sg = 0L; var sr = 0L; var top = 0L
+            var ir = 0
+            while (ir < h) {
+              val fr = if (topDown) ir else h - 1 - ir
+              val base = off + fr * stride.toInt
+              var c = 0
+              while (c < w) {
+                val vb = p(base + 3 * c) & 0xff
+                val vg = p(base + 3 * c + 1) & 0xff
+                val vr = p(base + 3 * c + 2) & 0xff
+                sb += vb; sg += vg; sr += vr
+                if (ir == 0) top += vb + vg + vr
+                c += 1
+              }
+              ir += 1
+            }
+            Some(BmpStats(m.doc_id, w.toLong, h.toLong, w.toLong * h,
+              sb, sg, sr, top))
+          }
+        }
+      }
+    }
+  }
+
+  /** EXT (oracle-checked): decoded BMP pixel statistics. The oracle
+    * replays the PLANTING formula (pixel p = text byte p mod |text|),
+    * while the engine decodes the CONTAINER — so one hash gates the
+    * header validation, the stride walk (pads planted 0xAA would
+    * poison any raw-row sum), and the orientation normalization
+    * (odd doc_ids are top-down, even bottom-up; top_row_sum differs
+    * between a correct and a file-order read). */
+  def qMultimodalBmp(s: SparkSession, d: String): DataFrame =
+    decodeBmpStats(bmpAssetTable(s, d)).toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_headers" -> (qMultimodalHeaders _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_bmp" -> (qMultimodalBmp _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_bmp" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 4 AS h,
+        |    length(text) AS L
+        |  FROM documents WHERE length(text) >= 1),
+        |px AS (SELECT doc_id, w, p,
+        |    p % 3 AS k,
+        |    ascii(substring(text, CAST(p % L AS INT) + 1, 1)) AS v
+        |  FROM (SELECT doc_id, text, w, L,
+        |          unnest(range(0, 3 * w * h)) AS p FROM d)),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |    CAST(SUM(CASE WHEN k = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |    CAST(SUM(CASE WHEN k = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |    CAST(SUM(CASE WHEN p < 3 * w THEN v ELSE 0 END) AS BIGINT) AS top_row_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels, sum_b, sum_g, sum_r, top_row_sum
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_multimodal_decode" ->
       """WITH w AS (SELECT doc_id, text,
         |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,

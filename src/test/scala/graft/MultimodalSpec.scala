@@ -117,6 +117,44 @@ class MultimodalSpec extends SparkSpec {
           Multimodal.Media(9L, "audio/wav", wav.take(10))).toDS()).count() === 0L)
   }
 
+  test("decodeBmpStats: true 24bpp decode — orientation, stride pads, truncation") {
+    import spark.implicits._
+    // 2x2 image, image-order B,G,R bytes; row 0 sums differ from row 1
+    // so a file-order reader (no orientation normalization) is caught
+    val pix = Array[Byte](10, 20, 30, 40, 50, 60, /* row 0 */
+                          1, 2, 3, 4, 5, 6)       /* row 1 */
+    val up = Multimodal.bmpBytes(2, 2, topDown = false, pix)
+    val down = Multimodal.bmpBytes(2, 2, topDown = true, pix)
+    val out = Multimodal.decodeBmpStats(
+      Seq(Multimodal.Media(1L, "image/bmp", up),
+          Multimodal.Media(2L, "image/bmp", down)).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(out.length === 2)
+    // both orientations must decode to the SAME image-space statistics
+    out.foreach { st =>
+      assert(st.width === 2L && st.height === 2L && st.n_pixels === 4L)
+      assert(st.sum_b === 10L + 40 + 1 + 4)
+      assert(st.sum_g === 20L + 50 + 2 + 5)
+      assert(st.sum_r === 30L + 60 + 3 + 6)
+      assert(st.top_row_sum === 10L + 20 + 30 + 40 + 50 + 60,
+        "top row is IMAGE row 0 — stored last in a bottom-up file")
+    }
+    // width 1, all-zero pixels: stride 4 plants a 0xAA pad byte per row —
+    // any decoder that sums raw file rows reads 170 per row, not 0
+    val zero = Multimodal.bmpBytes(1, 3, topDown = false, Array.fill(9)(0.toByte))
+    val zst = Multimodal.decodeBmpStats(
+      Seq(Multimodal.Media(3L, "image/bmp", zero)).toDS()).collect().head
+    assert(zst.sum_b === 0L && zst.sum_g === 0L && zst.sum_r === 0L &&
+      zst.top_row_sum === 0L, "stride pad bytes must be excluded")
+    // truncated container, foreign mime, and non-24bpp yield no row
+    val bpp32 = up.clone(); bpp32(28) = 32.toByte
+    assert(Multimodal.decodeBmpStats(
+      Seq(Multimodal.Media(4L, "image/bmp", up.take(53)),
+          Multimodal.Media(5L, "image/bmp", up.dropRight(1)),
+          Multimodal.Media(6L, "audio/wav", up),
+          Multimodal.Media(7L, "image/bmp", bpp32)).toDS()).count() === 0L)
+  }
+
   test("resizeStub shrinks payloads by the factor, deterministically") {
     import graft.multimodal.Multimodal
     val m = Multimodal.media(spark, sf).limit(20)

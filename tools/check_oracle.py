@@ -51,7 +51,11 @@ def main():
     show_types = "--types" in sys.argv
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # driver tables are single files; GenScale (sf1) writes Spark-style
+        # directories of part files — glob those
+        path = f"{sf}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     declared = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
     n_pass = n_fail = 0
