@@ -514,7 +514,10 @@ object Aggregates {
       .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
                Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
                "measure", "amount")
-      .orderBy("l_orderkey", "l_linenumber", "measure")
+      // (l_orderkey, l_linenumber) is NOT unique in the corpus (see
+      // qJoinBroadcastDim) — amount completes a total order over the
+      // projected row so multi-file inputs can't reorder ties (r14)
+      .orderBy("l_orderkey", "l_linenumber", "measure", "amount")
 
   /** §2.9 sliding window, batch form — window(1h, 30min): each event lands
     * in 2 overlapping windows (Spark's window() is a generator here). */
@@ -991,7 +994,7 @@ object Aggregates {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |  FROM lineitem WHERE l_orderkey <= 100)
-        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, measure, amount""".stripMargin,
     "q_win_range_frame" ->
       """SELECT o_orderkey, o_custkey, pc,
         |  COUNT(*) OVER w AS n_near,

@@ -36,12 +36,18 @@ object Joins {
       .orderBy("o_orderkey")
 
   /** J5: explicit broadcast of the dimension side — part is the small dim
-    * (200 rows/sf-unit); at 100 TB still O(10^6) rows, broadcastable. */
+    * (200 rows/sf-unit); at 100 TB still O(10^6) rows, broadcastable.
+    * ORDER BY must be TOTAL over the projected row: (l_orderkey,
+    * l_linenumber) is not unique in the corpus (118k pairs carry
+    * distinct partkeys at sf0.1), and tie order only looked stable
+    * because both engines kept file order on a single-file input — the
+    * multi-file sf1 corpus exposed it (r14). p_brand completes the key:
+    * any remaining ties are identical rows, so order is immaterial. */
   def qJoinBroadcastDim(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .select("l_orderkey", "l_linenumber", "p_brand")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "p_brand")
 
   /** J5: multiway star join region->nation->customer->orders; Catalyst
     * broadcast-chains the three dims, one shuffle for the fact agg. */
@@ -194,7 +200,8 @@ object Joins {
         |JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
     "q_join_broadcast_dim" ->
       """SELECT l_orderkey, l_linenumber, p_brand FROM lineitem
-        |JOIN part ON l_partkey = p_partkey ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, p_brand""".stripMargin,
     "q_join_multiway_star" ->
       """SELECT r_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -49,6 +49,13 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     show_types = "--types" in sys.argv
+    # --only=q_a,q_b: compare just these queries (per-query isolation for
+    # the sf1 gate, where a few fixture-dial oracles are quadratic in
+    # DuckDB and need an external timeout)
+    only = None
+    for a in sys.argv[3:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
     con = duckdb.connect()
     for t in TABLES:
         # driver tables are single files; GenScale (sf1) writes Spark-style
@@ -58,6 +65,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     declared = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+    if only is not None:
+        declared = [d for d in declared if d in only]
     n_pass = n_fail = 0
     for name in declared:
         files = glob.glob(f"{out}/{name}/*.parquet")
@@ -106,6 +115,8 @@ def main():
             print(f"PASS {name}: {len(spark_rows)} rows")
             n_pass += 1
     missing = set(oracle) - set(declared)
+    if only is not None:
+        missing &= only
     for m in sorted(missing):
         print(f"FAIL {m}: oracle declared but no spark output dir"); n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(declared)} declared")
