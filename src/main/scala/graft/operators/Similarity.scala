@@ -845,7 +845,7 @@ object Similarity {
   /** One nearest-centroid assignment pass: broadcast centroids, argmax
     * cosine with (cos desc, cid) tie-break — shared by the Lloyd loop
     * and the warm-start refresh. */
-  private def assignToCents(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignToCents(e: DataFrame, cents: DataFrame): DataFrame = {
     val c = cents.withColumn("cnrm", sqrt(vecDot(col("cv"), col("cv"))))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
     e.crossJoin(broadcast(c))

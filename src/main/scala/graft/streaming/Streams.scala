@@ -686,6 +686,130 @@ object Streams {
       .start()
   }
 
+  /** Streaming ANN-index maintenance — the index family's STREAMING door
+    * (r14; the lifecycle ledger: dedup has band-index compaction, ranks
+    * have warm refresh, the quantizer has [[graft.operators.Similarity
+    * .kmeansIvfRefresh]] — this leg wires them into the same watched-dir
+    * protocol the crawl streams use, so an embedding service can drop
+    * parquet and the IVF index stays queryable and fresh).
+    *
+    * Watches `dropDir` for (vec_id, embedding) parquet drops; per
+    * micro-batch (exactly-once via the checkpoint's file accounting):
+    *  - **cold start** (no generation yet): warm/cold-unified
+    *    `kmeansIvfRefresh(batch, None, k)` trains the first coarse
+    *    quantizer; centroids + fully-assigned postings commit as ONE
+    *    generation `indexDir/compacted_<epoch>/{centroids,postings}`
+    *    through the [[graft.plans.CommitEpoch]] hidden-tmp + same-dir-
+    *    rename protocol (crash strands only a swept tmp).
+    *  - **steady state**: the batch's vectors are assigned to the
+    *    CURRENT generation's cells (one broadcast-assign scan — the
+    *    ivfPqTopk coarse step) and appended as a DELTA
+    *    (`indexDir/batch_<id>`, idempotent name, so restart replay
+    *    overwrites rather than duplicates).
+    *  - **refresh** (every `refreshEvery`-th batch — the `compactEvery`
+    *    amortization): warm-start `kmeansIvfRefresh` from the current
+    *    centroids over generation ∪ deltas ∪ batch, commit the new
+    *    generation, then delete the consumed deltas and superseded
+    *    generations. The tolerance-stopped warm start is the measured
+    *    2.8×-fewer-rounds path (SCALE.md r14 `annrefresh`).
+    *
+    * Reader contract (stated, like the edge-compaction caveat): pick the
+    * MAX-seq generation plus the `batch_*` deltas — never union two
+    * generations (the "both" commit window shows the same vector in two
+    * cells across generations). A reader racing the refresh's delta
+    * delete should schedule reads off the refresh window or retry the
+    * listing. Every artifact is a pure function of the files shipped so
+    * far, so each has a closed-form batch twin (StreamingSpec pins
+    * bit-equality for cold build, delta assignment, and warm refresh).
+    *
+    * Cold seeding uses the kmeansIvfFrame convention (lowest-k vec_ids)
+    * — the first drop must carry at least k vectors. */
+  def annIngestStream(s: SparkSession, dropDir: String, indexDir: String,
+                      checkpoint: String, k: Int, refreshEvery: Int = 16,
+                      tolPpm: Long = 1000L, maxRounds: Int = 25)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val dropSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    def fromPostings(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def commitGeneration(assigned: DataFrame, cents: DataFrame,
+                         fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                         consumed: Seq[Path]): Unit = {
+      val epoch = graft.plans.CommitEpoch.next(fs, dir)
+      val width = if (consumed.isEmpty) 1
+                  else graft.plans.CommitEpoch.widthFor(fs, consumed, s)
+      val tmp = new Path(dir, s"_compact_$epoch.tmp")
+      assigned.select(col("cid"), col("vec_id"), col("v"))
+        .repartition(width, col("cid"))
+        .write.mode("overwrite").parquet(new Path(tmp, "postings").toString)
+      cents.coalesce(1)
+        .write.mode("overwrite").parquet(new Path(tmp, "centroids").toString)
+      graft.plans.CommitEpoch.midCommitHook("pre-rename")
+      val fin = new Path(dir, s"compacted_$epoch")
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"ann index commit rename failed: $tmp -> $fin")
+      graft.plans.CommitEpoch.midCommitHook("post-rename")
+      consumed.foreach(p => fs.delete(p, true))
+    }
+    s.readStream.format("parquet").schema(dropSchema).load(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+        val dir = new Path(indexDir)
+        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(dir)
+        // sweep tmps stranded by a crashed prior commit
+        fs.listStatus(dir).map(_.getPath)
+          .filter(p => p.getName.startsWith("_compact_") && p.getName.endsWith(".tmp"))
+          .foreach(p => fs.delete(p, true))
+        def gens = fs.listStatus(dir).map(_.getPath)
+          .filter(p => p.getName.startsWith("compacted_"))
+          .sortBy(p => p.getName.stripPrefix("compacted_").takeWhile(_.isDigit) match {
+            case "" => -1L; case d => BigInt(d).min(Long.MaxValue - 1).toLong })
+        def deltas = fs.listStatus(dir).map(_.getPath)
+          .filter(p => visible(p.getName) && p.getName.startsWith("batch_"))
+        val e = graft.Fanout.byKey(prep(batch), col("vec_id"))
+        if (gens.isEmpty) {
+          // cold start: train + commit generation 0 from this drop alone
+          val (assigned, cents, _) =
+            graft.operators.Similarity.kmeansIvfRefresh(e, None, k, tolPpm, maxRounds)
+          commitGeneration(assigned, cents, fs, dir, deltas.toSeq)
+        } else {
+          val latest = gens.last
+          val cents = s.read.parquet(new Path(latest, "centroids").toString)
+          graft.operators.Similarity.assignToCents(e, cents)
+            .select(col("cid"), col("vec_id"), col("v"))
+            .write.mode("overwrite").parquet(new Path(dir, s"batch_$batchId").toString)
+          if (refreshEvery > 0 && batchId % refreshEvery == 0) {
+            val corpusPaths = (new Path(latest, "postings") +: deltas.toSeq)
+            val corpus = fromPostings(
+              corpusPaths.map(p => s.read.parquet(p.toString)
+                  .select(col("vec_id"), col("v")))
+                .reduce(_ unionByName _))
+            val (assigned, newCents, _) = graft.operators.Similarity
+              .kmeansIvfRefresh(corpus, Some(cents), k, tolPpm, maxRounds)
+            commitGeneration(assigned, newCents, fs, dir,
+              deltas.toSeq ++ gens.toSeq)
+          }
+        }
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 

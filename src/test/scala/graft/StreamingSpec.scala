@@ -698,6 +698,96 @@ class StreamingSpec extends SparkSpec {
       "same-crawl warc+wet must ingest the WARC extraction only")
   }
 
+  test("ANN ingest stream: cold build, delta assignment, and warm refresh each equal their batch twin; consumed state is swept") {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val drop = Files.createTempDirectory("graft_ann_drop").toString
+    val index = Files.createTempDirectory("graft_ann_idx").resolve("idx").toString
+    val ckpt = Files.createTempDirectory("graft_ann_ckpt").toString
+    // planted geometry: 4 well-separated axis clusters, tiny deterministic
+    // jitter — assignments are unambiguous, so the integer (vec_id, cid)
+    // relation is the bit-exact comparison surface (centroids are double
+    // means: order-dependent across partitions, compared within 1e-9)
+    def mkVecs(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.map { id =>
+        val c = (id % 4).toInt
+        val v = Array.tabulate(4)(i =>
+          (if (i == c) 10f else 0f) + ((id % 7).toFloat * 0.01f))
+        (id, v)
+      }.toDF("vec_id", "embedding")
+    }
+    def ship(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_ann_stage_$tag").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag.parquet")))
+    }
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    def run(): Unit =
+      Streams.annIngestStream(spark, drop, index, ckpt, k = 4, refreshEvery = 2)
+        .awaitTermination(240000)
+    def gens = {
+      val p = new Path(index)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("compacted_")).sorted.toSeq
+    }
+    def deltas = {
+      val p = new Path(index)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("batch_")).toSeq
+    }
+    def asgOf(dir: String) = spark.read.parquet(dir)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val d1 = mkVecs(0L until 40L)
+    ship(d1, "drop1"); run() // batch 0: cold build
+    assert(gens.size === 1 && deltas.isEmpty, "cold drop commits one generation")
+    val gen0 = s"$index/${gens.head}"
+    // eager pin: the warm-refresh twin uses cents0 AFTER the stream's
+    // refresh has deleted the gen-0 files a lazy frame would re-read
+    val cents0 = spark.read.parquet(s"$gen0/centroids").localCheckpoint(true)
+    assert(cents0.count() === 4L)
+    val (coldTwin, coldCents, _) =
+      Similarity.kmeansIvfRefresh(prep(d1), None, k = 4)
+    assert(asgOf(s"$gen0/postings") ===
+      coldTwin.select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "cold postings equal the kmeansIvfRefresh batch twin")
+    val cDiff = cents0.select("cid", "cv").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1)).toMap
+    coldCents.select("cid", "cv").collect().foreach { r =>
+      val got = cDiff(r.getLong(0)); val exp = r.getSeq[Double](1)
+      got.zip(exp).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+
+    val d2 = mkVecs(100L until 110L)
+    ship(d2, "drop2"); run() // batch 1: delta against gen 0
+    assert(gens.size === 1 && deltas === Seq("batch_1"))
+    val deltaTwin = Similarity.assignToCents(prep(d2), cents0)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asgOf(s"$index/batch_1") === deltaTwin,
+      "delta assignment equals the broadcast-assign batch twin")
+
+    val d3 = mkVecs(200L until 210L)
+    ship(d3, "drop3"); run() // batch 2: delta + warm refresh (2 % 2 == 0)
+    assert(gens.size === 1 && gens.head > s"compacted_1",
+      "refresh commits a NEW generation and deletes the superseded one")
+    assert(deltas.isEmpty, "refresh consumes the deltas")
+    val gen1 = s"$index/${gens.head}"
+    val corpus = prep(d1.unionByName(d2).unionByName(d3))
+    val (warmTwin, _, _) =
+      Similarity.kmeansIvfRefresh(corpus, Some(cents0), k = 4)
+    assert(asgOf(s"$gen1/postings") ===
+      warmTwin.select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "refreshed postings equal the warm-start batch twin over generation ∪ deltas")
+    assert(spark.read.parquet(s"$gen1/postings").count() === 60L)
+  }
+
   test("edge compaction: a reader at ANY commit instant sees the complete relation; epochs never collide") {
     import spark.implicits._
     val edgesDir = Files.createTempDirectory("graft_cc_edges").resolve("e").toString
