@@ -105,6 +105,7 @@ object GenScale {
     * sf1 → sf10 step reuses the same literals. */
   private def factorBase(base: String): Long =
     if (base.endsWith("sf0.1") || base.endsWith("sf0.1/")) 1L
+    else if (base.endsWith("sf1") || base.endsWith("sf1/")) 10L // one GenScale step up
     else throw new IllegalArgumentException(
       s"GenScale: unknown base key spaces for $base — extend factorBase")
 }

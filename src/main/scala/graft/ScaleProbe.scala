@@ -56,6 +56,13 @@ object ScaleProbe {
       graphSearchProbe(spark, parts(0).toInt,
         if (parts.length > 1) parts(1).toInt else 8)
     }
+    else if (args(0) == "graphsearchhier") {
+      // graphsearchhier <mult>[:sigBits[:maxLevels]]
+      val parts = args(1).split(":")
+      graphSearchHierProbe(spark, parts(0).toInt,
+        if (parts.length > 1) parts(1).toInt else 8,
+        if (parts.length > 2) parts(2).toInt else 4)
+    }
     else if (args(0) == "annrefresh") annRefreshProbe(spark, args(1).toInt)
     else if (args(0) == "stream") streamProbe(spark, args(1))
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
@@ -1020,6 +1027,85 @@ object ScaleProbe {
       graft.Fence.release(res)
     }
     graft.Fence.release(g)
+  }
+
+  /** HNSW-style hierarchical graph search at the replica shape (r14):
+    * the flat walk's measured negative — hub-only entry recall 0.000 on
+    * the clustered corpus — is the exact failure HNSW layers exist to
+    * fix. This probe measures whether the deterministic multi-layer
+    * descent from ONE global entry (no LSH bucket at query time)
+    * recovers the bucket-entry recall, side by side with the flat
+    * bucket-entry leg on the SAME base graph. */
+  private def graphSearchHierProbe(spark: SparkSession, mult: Int,
+                                   sigBits: Int = 8, maxLevels: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorMath.vecDot
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val big = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(mult - 1))).as("r"))
+      .select((col("vec_id") + col("r").cast("long") * 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i === pmod(col("r"), lit(64)),
+                 lit(0.01) * (pmod(col("r"), lit(17)) + 1).cast("double"))
+              .otherwise(lit(0.0)))
+          .as("v"))
+    big.write.mode("overwrite").parquet("/tmp/graft_gsh_probe")
+    val e = spark.read.parquet("/tmp/graft_gsh_probe")
+      .transform(graft.Fanout.byKey(_, col("vec_id")))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .transform(graft.Fence.cut)
+    val nVecs = e.count()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .transform(graft.Fence.cut)
+    val nQ = q.count()
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val gt = e.filter(col("vec_id") >= 20).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 10)
+      .select("qid", "cand")
+      .transform(graft.Fence.cut)
+    // level populations (the geometric assignment the search will use)
+    val h = xxhash64(lit("hnsw"), col("vec_id"))
+    (1 until maxLevels).foreach { l =>
+      val n = e.filter(pmod(h, lit(1L << l)) === 0).count()
+      println(f"graphsearchhier level $l: $n%,d members")
+    }
+    val tB = System.nanoTime()
+    val g = operators.Similarity.knnGraphEdges(e, kRand = 4, kBuild = 8,
+        rounds = 2, sigBits = sigBits)
+      .transform(graft.Fence.cut)
+    println(f"graphsearchhier base build: $nVecs%,d vectors, ${g.count()}%,d edges, " +
+      f"${(System.nanoTime() - tB) / 1e9}%.1f s")
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val hit = gt.join(res.select(col("qid"), col("cid").as("cand")),
+        Seq("qid", "cand"), "left_semi").count()
+      hit.toDouble / (nQ * 10L)
+    }
+    Seq((2, 16), (8, 16), (16, 32)).foreach { case (db, dr) =>
+      val t0 = System.nanoTime()
+      val res = operators.Similarity.graphSearchHier(e, q, k = 10, beam = 8,
+          rounds = 4, corpusMin = 20L, maxLevels = maxLevels,
+          sigBits = sigBits, descentBeam = db, descentRounds = dr,
+          baseEdges = Some(g))
+        .select("qid", "cid").transform(graft.Fence.cut)
+      println(f"graphsearchhier maxLevels=$maxLevels db=$db%-2d dr=$dr%-3d " +
+        f"recall@10=${recallOf(res)}%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(GLOBAL entry, no query-time LSH)")
+      graft.Fence.release(res)
+    }
+    // flat bucket-entry control on the same base graph
+    val t1 = System.nanoTime()
+    val flat = operators.Similarity.graphSearch(e, g, q, k = 10, beam = 8,
+        rounds = 4, nEntries = 4, corpusMin = 20L, sigBits = sigBits)
+      .select("qid", "cid").transform(graft.Fence.cut)
+    println(f"graphsearchhier flat-control (bucket entry): " +
+      f"recall@10=${recallOf(flat)}%.3f wall=${(System.nanoTime() - t1) / 1e9}%.1f s")
+    graft.Fence.release(flat); graft.Fence.release(g)
   }
 
   /** Warm-start quantizer refresh at the replica shape (r13 verdict #5):

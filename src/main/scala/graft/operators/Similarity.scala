@@ -1355,11 +1355,27 @@ object Similarity {
       .join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nb"))
-    val randPairs = e.select(col("vec_id").as("vid"))
-      .select(col("vid"), explode(sequence(lit(0), lit(kRand - 1))).as("j"))
-      .select(col("vid"), pmod(xxhash64(col("j"), col("vid")), lit(nM1)).as("t"))
+    // random expander links land on RANKS, not raw ids (r14 fix): the old
+    // form fabricated target ids in [0, n) and silently dropped them at
+    // the rescore join whenever the input's ids were not dense 0..n−1 —
+    // a level-subset build ([[graphSearchHier]]) lost its ENTIRE random
+    // expander and degenerated into disconnected LSH-bucket segments
+    // (the navigability debug's hard wall at a bucket boundary). The
+    // rank map is bit-identical on a dense corpus (rank == vec_id), so
+    // the declared fixture hashes are unmoved; the one-task global rank
+    // sort is n longs — noise next to the build's bucket quadratic.
+    val ranked = e.select(col("vec_id"))
+      .withColumn("pos",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+    val randPairs = ranked
+      .select(col("vec_id").as("vid"), col("pos"),
+        explode(sequence(lit(0), lit(kRand - 1))).as("j"))
+      .select(col("vid"), col("pos"),
+        pmod(xxhash64(col("j"), col("vid")), lit(nM1)).as("t"))
       .select(col("vid"),
-        when(col("t") >= col("vid"), col("t") + 1).otherwise(col("t")).as("nb"))
+        when(col("t") >= col("pos"), col("t") + 1).otherwise(col("t")).as("tpos"))
+      .join(ranked.select(col("vec_id").as("nb"), col("pos").as("tpos")), "tpos")
+      .select("vid", "nb")
     var g = graft.Fence.cut(
       rescoreTopK(e, bucketPairs.unionByName(randPairs).distinct(), kBuild)
         .select(col("vid"), col("nb")))
@@ -1413,7 +1429,8 @@ object Similarity {
   private[graft] def graphSearch(e: DataFrame, g: DataFrame, q: DataFrame,
                                  k: Int, beam: Int, rounds: Int,
                                  nEntries: Int, corpusMin: Long,
-                                 sigBits: Int = 8): DataFrame = {
+                                 sigBits: Int = 8,
+                                 entries: Option[DataFrame] = None): DataFrame = {
     val wBeam = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     def score(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
@@ -1444,17 +1461,21 @@ object Similarity {
     val bitsQ = (0 until sigBits).map { p =>
       when(vecDot(col("qv"), plane2(p)) >= 0, "1").otherwise("0")
     }
-    val mates = q.select(col("qid"), concat(bitsQ: _*).as("bucket"))
-      .join(e.select(col("vec_id").as("cid"), concat(bitsC: _*).as("bucket")), "bucket")
-      .filter(col("cid") >= corpusMin)
-      .select("qid", "cid")
-    val hubs = gu.filter(col("nb") >= corpusMin)
-      .groupBy(col("nb").as("cid")).agg(count(lit(1)).as("deg"))
-      .orderBy(col("deg").desc, col("cid")).limit(nEntries)
-      .select("cid")
-    var pool = graft.Fence.cut(
-      score(mates.unionByName(q.select("qid").crossJoin(broadcast(hubs)))
-        .distinct()))
+    // `entries` overrides the default entry set: the hierarchical descent
+    // ([[graphSearchHier]]) carries its own per-query (qid, cid) entries
+    // down from the upper levels, replacing the LSH-bucket + hub entry.
+    val entrySet = entries.getOrElse {
+      val mates = q.select(col("qid"), concat(bitsQ: _*).as("bucket"))
+        .join(e.select(col("vec_id").as("cid"), concat(bitsC: _*).as("bucket")), "bucket")
+        .filter(col("cid") >= corpusMin)
+        .select("qid", "cid")
+      val hubs = gu.filter(col("nb") >= corpusMin)
+        .groupBy(col("nb").as("cid")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("cid")).limit(nEntries)
+        .select("cid")
+      mates.unionByName(q.select("qid").crossJoin(broadcast(hubs)))
+    }
+    var pool = graft.Fence.cut(score(entrySet.distinct()))
     var frontier = graft.Fence.cut(
       pool.withColumn("rk", row_number().over(wBeam))
         .filter(col("rk") <= beam).select("qid", "cid"))
@@ -1474,6 +1495,122 @@ object Similarity {
     val out = pool.withColumn("rk", row_number().over(wBeam).cast("long"))
       .filter(col("rk") <= k)
     graft.Fence.release(pool); graft.Fence.release(frontier)
+    out
+  }
+
+  /** HNSW-style HIERARCHICAL graph search (Malkov & Yashunin 2016, the
+    * multi-layer form), kept as a MEASURED-NEGATIVE path on batch-built
+    * indexes (the r13 trained-on-rotated precedent): level ℓ keeps a
+    * ~2^-ℓ node subsample with its own kNN graph, and greedy descent
+    * from one global entry is supposed to reach the query's
+    * neighborhood before the base layer refines it — removing the
+    * query-time LSH-bucket dependence. MEASURED at the 50k replica
+    * shape (`graphsearchhier` probe, SCALE.md r14): recall@10 = 0.030
+    * at EVERY descent dial (beam 2-16, caps 16-32 — the fixpoint hits
+    * long before the cap) vs 0.850 for the flat bucket-entry walk on
+    * the SAME base graph. The failure is NAVIGABILITY, not mechanics:
+    * a post-hoc kNN graph over a subsample still has no monotone
+    * similarity gradient between clusters, so greedy converges to the
+    * entry's local maximum — HNSW's navigability comes from its
+    * INCREMENTAL insert-by-search construction (early inserts create
+    * long links that greedy can descend), not from layering per se.
+    * AnnRecallSpec proves the converse: on a gradient corpus (vectors
+    * on an angular arc, where cosine falls monotonically with id
+    * distance) the same descent navigates from the global entry at
+    * recall ≥ 0.8. Production guidance: batch-built indexes should use
+    * the flat walk's bucket entry; this path fits corpora with global
+    * similarity gradients (time series, ordered embeddings).
+    *
+    * Deterministic throughout: level(v) = trailing-zeros-style geometric
+    * assignment off xxhash64("hnsw", vec_id) (capped at maxLevels−1);
+    * entry = the top populated level's minimum corpus id; every
+    * frontier/pool ranking is (cos desc, cid) at 4 dp — the family's
+    * coin-replay convention, so every stage has a closed-form twin.
+    *
+    * Per level: one [[knnGraphEdges]] build over the level's members
+    * (level populations halve, so the whole hierarchy costs ~2× the
+    * base build) and a frontier-FIXPOINT greedy walk at width
+    * `descentBeam` (exact-scored; one bounded integer scalar per round,
+    * capped at `descentRounds` — the per-level budget is
+    * rounds·descentBeam·kBuild candidates). The base layer runs the
+    * full [[graphSearch]] beam walk with the carried entries.
+    *
+    * At 100 TB: the upper levels are small relations (n/2, n/4, …) that
+    * build and persist once per refresh cycle; query-time cost is the
+    * flat walk's plus L·descentRounds·descentBeam·kBuild exact scores —
+    * constant per query, never corpus. */
+  private[graft] def graphSearchHier(e: DataFrame, q: DataFrame, k: Int,
+      beam: Int, rounds: Int, corpusMin: Long, maxLevels: Int = 4,
+      kRand: Int = 4, kBuild: Int = 8, buildRounds: Int = 2,
+      sigBits: Int = 8, descentBeam: Int = 2, descentRounds: Int = 16,
+      baseEdges: Option[DataFrame] = None): DataFrame = {
+    val wBeam = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
+      .join(q, "qid")
+      .select(col("qid"), col("cid"),
+              round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
+    val h = xxhash64(lit("hnsw"), col("vec_id"))
+    val lvlCol = (1 until maxLevels).map(l =>
+        when(pmod(h, lit(1L << l)) === 0, 1).otherwise(0))
+      .foldLeft(lit(0))((a, b) => a + b)
+    val eL = e.withColumn("lvl", lvlCol)
+    var carried: Option[DataFrame] = None
+    ((maxLevels - 1) to 1 by -1).foreach { l =>
+      val members = graft.Fence.cut(eL.filter(col("lvl") >= l).drop("lvl"))
+      // bounded scalar per level: a level needs >= 2 members to carry edges
+      if (members.count() >= 2 &&
+          members.filter(col("vec_id") >= corpusMin).count() >= 1) {
+        val gl = graft.Fence.cut(
+          knnGraphEdges(members, kRand, kBuild, buildRounds, sigBits))
+        val glu = gl.unionByName(gl.select(col("nb").as("vid"), col("vid").as("nb")))
+          .distinct()
+        val entry0 = carried.getOrElse {
+          val top = members.filter(col("vec_id") >= corpusMin)
+            .agg(min(col("vec_id")).as("cid"))
+          q.select("qid").crossJoin(broadcast(top))
+        }
+        var pool = graft.Fence.cut(score(entry0.distinct()))
+        var frontier = graft.Fence.cut(
+          pool.withColumn("rk", row_number().over(wBeam))
+            .filter(col("rk") <= descentBeam).select("qid", "cid"))
+        // HNSW walks each level until the greedy step stops improving;
+        // the deterministic form is a frontier-fixpoint loop (ONE bounded
+        // integer scalar per round — the pageRankRefresh stopping shape),
+        // capped at descentRounds. A fixed small round count cannot
+        // navigate far from the single global entry.
+        var moved = Long.MaxValue
+        var r = 0
+        while (r < descentRounds && moved > 0) {
+          val cand = frontier
+            .join(glu.withColumnRenamed("vid", "cid"), "cid")
+            .select(col("qid"), col("nb").as("cid"))
+            .filter(col("cid") >= corpusMin && col("cid") =!= col("qid"))
+            .distinct()
+          val (prevP, prevF) = (pool, frontier)
+          pool = graft.Fence.cut(pool.unionByName(score(cand)).distinct())
+          frontier = graft.Fence.cut(
+            pool.withColumn("rk", row_number().over(wBeam))
+              .filter(col("rk") <= descentBeam).select("qid", "cid"))
+          moved = frontier.exceptAll(prevF).count()
+          graft.Fence.release(prevP); graft.Fence.release(prevF)
+          r += 1
+        }
+        carried.foreach(graft.Fence.release)
+        carried = Some(frontier)
+        graft.Fence.release(pool); graft.Fence.release(gl)
+      }
+      graft.Fence.release(members)
+    }
+    val g0 = baseEdges.getOrElse(knnGraphEdges(e, kRand, kBuild, buildRounds, sigBits))
+    val out = graphSearch(e, g0, q, k, beam, rounds, nEntries = 0,
+      corpusMin = corpusMin, sigBits = sigBits,
+      entries = carried.orElse(
+        // degenerate hierarchy (tiny corpus): fall back to the flat
+        // global entry — the minimum corpus id
+        Some(q.select("qid").crossJoin(broadcast(
+          e.filter(col("vec_id") >= corpusMin).agg(min(col("vec_id")).as("cid")))))))
+    carried.foreach(graft.Fence.release)
     out
   }
 
