@@ -1350,32 +1350,47 @@ object Similarity {
       when(vecDot(col("v"), plane2(p)) >= 0, "1").otherwise("0")
     }
     val sig = e.withColumn("bucket", concat(bits: _*))
-    val nM1 = e.count() - 1 // one scalar, before the loop
+    // one stats pass before the loop: n, and whether ids are dense 0..n−1
+    val stats = e.agg(count(lit(1)).as("n"), min(col("vec_id")).as("mn"),
+      max(col("vec_id")).as("mx")).head()
+    val n = stats.getLong(0)
+    val dense = stats.getLong(1) == 0L && stats.getLong(2) == n - 1
+    val nM1 = n - 1
     val bucketPairs = sig.as("a")
       .join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nb"))
-    // random expander links land on RANKS, not raw ids (r14 fix): the old
+    // random expander links must land on EXISTING ids (r14 fix): the old
     // form fabricated target ids in [0, n) and silently dropped them at
     // the rescore join whenever the input's ids were not dense 0..n−1 —
     // a level-subset build ([[graphSearchHier]]) lost its ENTIRE random
     // expander and degenerated into disconnected LSH-bucket segments
-    // (the navigability debug's hard wall at a bucket boundary). The
-    // rank map is bit-identical on a dense corpus (rank == vec_id), so
-    // the declared fixture hashes are unmoved; the one-task global rank
-    // sort is n longs — noise next to the build's bucket quadratic.
-    val ranked = e.select(col("vec_id"))
-      .withColumn("pos",
-        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
-    val randPairs = ranked
-      .select(col("vec_id").as("vid"), col("pos"),
-        explode(sequence(lit(0), lit(kRand - 1))).as("j"))
-      .select(col("vid"), col("pos"),
-        pmod(xxhash64(col("j"), col("vid")), lit(nM1)).as("t"))
-      .select(col("vid"),
-        when(col("t") >= col("pos"), col("t") + 1).otherwise(col("t")).as("tpos"))
-      .join(ranked.select(col("vec_id").as("nb"), col("pos").as("tpos")), "tpos")
-      .select("vid", "nb")
+    // (the navigability debug's hard wall at a bucket boundary). Dense
+    // inputs (the corpus contract) keep the direct id form — zero new
+    // plan nodes, declared hashes untouched by construction; non-dense
+    // inputs route the same positions through a rank→id map, which is
+    // VALUE-identical to the direct form when ids are dense (pos == id).
+    val randPairs =
+      if (dense)
+        e.select(col("vec_id").as("vid"))
+          .select(col("vid"), explode(sequence(lit(0), lit(kRand - 1))).as("j"))
+          .select(col("vid"), pmod(xxhash64(col("j"), col("vid")), lit(nM1)).as("t"))
+          .select(col("vid"),
+            when(col("t") >= col("vid"), col("t") + 1).otherwise(col("t")).as("nb"))
+      else {
+        val ranked = e.select(col("vec_id"))
+          .withColumn("pos",
+            row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+        ranked
+          .select(col("vec_id").as("vid"), col("pos"),
+            explode(sequence(lit(0), lit(kRand - 1))).as("j"))
+          .select(col("vid"), col("pos"),
+            pmod(xxhash64(col("j"), col("vid")), lit(nM1)).as("t"))
+          .select(col("vid"),
+            when(col("t") >= col("pos"), col("t") + 1).otherwise(col("t")).as("tpos"))
+          .join(ranked.select(col("vec_id").as("nb"), col("pos").as("tpos")), "tpos")
+          .select("vid", "nb")
+      }
     var g = graft.Fence.cut(
       rescoreTopK(e, bucketPairs.unionByName(randPairs).distinct(), kBuild)
         .select(col("vid"), col("nb")))
