@@ -25,10 +25,35 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Fanout {
 
+  /** Defensive conf parse (r14 advice): `spark.sql.shuffle.partitions`
+    * is not always an integer ("auto" on some Spark platforms), and a
+    * junk or non-positive `spark.graft.fanout.partitions` override must
+    * fail HERE with the key's name, not as a NumberFormatException /
+    * repartition error deep inside planning on every hot path. The
+    * explicit override is validated strictly (a user asked for it);
+    * a non-numeric shuffle-partitions value falls back to
+    * `defaultParallelism` — the same knob Spark itself falls back on. */
+  private def positiveInt(key: String, raw: String): Int = {
+    val n =
+      try raw.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a positive integer for graft fan-out sites, got '$raw'")
+      }
+    require(n > 0, s"$key must be > 0 for graft fan-out sites, got $n")
+    n
+  }
+
   def partitions(df: DataFrame): Int = {
-    val conf = df.sparkSession.conf
-    conf.getOption("spark.graft.fanout.partitions").map(_.trim.toInt)
-      .getOrElse(conf.get("spark.sql.shuffle.partitions").toInt)
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.fanout.partitions")
+      .map(positiveInt("spark.graft.fanout.partitions", _))
+      .getOrElse {
+        val raw = s.conf.get("spark.sql.shuffle.partitions")
+        if (raw != null && raw.trim.matches("[0-9]+") && raw.trim.toLong > 0
+            && raw.trim.toLong <= Int.MaxValue) raw.trim.toInt
+        else s.sparkContext.defaultParallelism
+      }
   }
 
   /** Hash-partition `df` on `key` at the conf-derived width. */

@@ -55,7 +55,29 @@ object Fence {
     * MEMORY_AND_DISK) frame, and matching on the LEVEL rather than the
     * session conf stays correct when the conf is flipped between fence
     * time and release time (ScaleProbe's fencevar A/B does exactly
-    * that). */
+    * that). NOTE (r14 advice): on a [[cut]]-produced (localCheckpoint-
+    * backed, MEMORY_AND_DISK) frame this is a deliberate NO-OP — those
+    * blocks are the data, and dropping them by accident would be
+    * unrecoverable. A deep loop whose round frames ride [[cut]] must
+    * release superseded rounds with [[releaseCut]] or its checkpoint
+    * blocks accumulate for the whole walk. */
   def release(df: DataFrame): Unit =
     org.apache.spark.sql.GraftSqlShim.releasePin(df)
+
+  /** Release a SUPERSEDED [[cut]] frame's checkpoint blocks — the
+    * destructive counterpart of [[release]] for deep loops whose round
+    * frames ride localCheckpoint (r14 advice: the no-op release calls in
+    * graphSearch/graphSearchHier let up to 96 descent rounds of
+    * superseded pools/frontiers pile up). STRICTER contract than
+    * [[release]]: a cut frame's lineage is truncated, so after this call
+    * the frame AND any frame lazily derived from it are unreadable —
+    * call it only when (a) the superseding cut has materialized (cut is
+    * eager) and (b) nothing derived from the released frame escapes the
+    * loop (a survivor that must outlive the loop gets its own [[cut]]
+    * first). Releases pin-mode blocks too, so loops stay correct when a
+    * frame was fenced with [[apply]] instead of [[cut]]. */
+  def releaseCut(df: DataFrame): Unit = {
+    org.apache.spark.sql.GraftSqlShim.releasePin(df)
+    org.apache.spark.sql.GraftSqlShim.releaseCheckpoint(df)
+  }
 }

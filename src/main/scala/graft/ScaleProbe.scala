@@ -1024,9 +1024,9 @@ object ScaleProbe {
       println(f"graphsearch beam=$beam%-2d rounds=$rounds%-2d " +
         f"recall@10=$rec%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"(exact budget ~ n/2^$sigBits bucket + rounds*beam*16 walk)")
-      graft.Fence.release(res)
+      graft.Fence.releaseCut(res)
     }
-    graft.Fence.release(g)
+    graft.Fence.releaseCut(g)
   }
 
   /** HNSW-style hierarchical graph search at the replica shape (r14):
@@ -1096,7 +1096,7 @@ object ScaleProbe {
       println(f"graphsearchhier maxLevels=$maxLevels db=$db%-2d dr=$dr%-3d " +
         f"recall@10=${recallOf(res)}%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"(GLOBAL entry, no query-time LSH)")
-      graft.Fence.release(res)
+      graft.Fence.releaseCut(res)
     }
     // flat bucket-entry control on the same base graph
     val t1 = System.nanoTime()
@@ -1105,7 +1105,7 @@ object ScaleProbe {
       .select("qid", "cid").transform(graft.Fence.cut)
     println(f"graphsearchhier flat-control (bucket entry): " +
       f"recall@10=${recallOf(flat)}%.3f wall=${(System.nanoTime() - t1) / 1e9}%.1f s")
-    graft.Fence.release(flat); graft.Fence.release(g)
+    graft.Fence.releaseCut(flat); graft.Fence.releaseCut(g)
   }
 
   /** Warm-start quantizer refresh at the replica shape (r13 verdict #5):

@@ -914,20 +914,20 @@ object Graph {
       // 2-3 rounds — where lineage depth never accumulates.)
       val prevR = r
       r = graft.Fence.cut(gathered)
-      graft.Fence.release(prevR)
+      graft.Fence.releaseCut(prevR) // cut-backed round frame: the plain release is a no-op (r14 advice)
       val prevAcc = acc
       acc = graft.Fence.cut(prevAcc
         .join(estimates(r), "node")
         .select(col("node"),
           (col("h") + greatest(col("est") - col("prev"), lit(0.0)) / lit(d.toDouble)).as("h"),
           col("est").as("prev")))
-      graft.Fence.release(prevAcc)
+      graft.Fence.releaseCut(prevAcc)
       onRound(d, (System.nanoTime() - t0) / 1e9)
     }
     val keep = graft.Fence.cut(
       acc.select(col("node"), col("h").as("harmonic_est"),
                  (col("prev") - lit(1.0)).as("reached_est")))
-    graft.Fence.release(acc); graft.Fence.release(r); graft.Fence.release(e)
+    graft.Fence.releaseCut(acc); graft.Fence.releaseCut(r); graft.Fence.release(e)
     keep
   }
 
@@ -1000,11 +1000,11 @@ object Graph {
       val t0 = System.nanoTime()
       val prevR = r
       r = graft.Fence.cut(hllPropagate(e, prevR)) // the deep-loop cut rule
-      graft.Fence.release(prevR)
+      graft.Fence.releaseCut(prevR) // cut-backed: plain release would leave the blocks (r14 advice)
       totals += total(r)
       onRound(d, (System.nanoTime() - t0) / 1e9)
     }
-    graft.Fence.release(r); graft.Fence.release(e)
+    graft.Fence.releaseCut(r); graft.Fence.release(e)
     // depth-bounded readout: one row per probed distance
     val perD = (1 to depth).map(d => math.max(totals(d) - totals(d - 1), 0.0))
     val cum = perD.scanLeft(0.0)(_ + _).tail

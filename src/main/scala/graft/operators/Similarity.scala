@@ -822,8 +822,10 @@ object Similarity {
     * final assignment plus the per-round mean cosine (inertia proxy) —
     * which must be non-decreasing, the property the spec asserts.
     *
-    * `k` parameterizes the codebook size with DETERMINISTIC seeding (the
-    * k lowest vec_ids — stable across runs/partitionings, no RNG state).
+    * `k` parameterizes the codebook size with DETERMINISTIC seeding
+    * ([[d2ColdSeeds]] — D²-weighted k-means|| with hash coins: stable
+    * across runs/partitionings, no RNG state, and immune to the
+    * id-order skew the old lowest-k-ids convention carried).
     * The codebook broadcast stays k × dim × 8 B + struct overhead
     * (k=4096 × 64-d ≈ 2 MB) — broadcastable at any real k; the per-round
     * scan cost is O(n·k·dim) dots, which is why production coarse-assigns
@@ -855,6 +857,35 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cid"), col("cos"))
   }
 
+  /** D²-weighted COLD seeds for the IVF coarse quantizer — the default
+    * seeding of [[kmeansIvfFrame]]/[[kmeansIvfRefresh]] (r14 verdict #2:
+    * the old `vec_id < k` convention depends on id order; on a skewed or
+    * clustered first drop k consecutive ids land in one basin and Lloyd
+    * strands the other cells — the exact failure SCALE.md documented for
+    * PQ codebooks, whose published fix, [[kmeansParSeed]], already lives
+    * in this file). One k-means|| run over the full vectors as a single
+    * subspace (j=0, l=k, 3 rounds — ≤ 3k+1 bounded driver candidates),
+    * reduced by [[kmeansParCodebook]]'s weight·D² greedy. Deterministic
+    * (hash coins), engine-portable, and only reachable through
+    * UNDECLARED paths — qAnnIvfKmeans seeds inline, so no declared hash
+    * moves. A duplicate-heavy corpus can exhaust the D² pool below k
+    * (every copy of a covered point scores 0); the top-up appends the
+    * lowest-id vectors — at that point distinct centroids may not exist
+    * at all, matching the old convention's behavior. */
+  private[graft] def d2ColdSeeds(e: DataFrame, k: Int): DataFrame = {
+    val seeds = kmeansParCodebook(
+        e.select(col("vec_id").as("id"), lit(0).as("j"), col("v").as("sv")),
+        k = k, l = k, rounds = 3)
+      .select(col("cid").cast("long").as("cid"), col("cw").as("cv"))
+    val have = seeds.count()
+    if (have >= k) seeds
+    else seeds.unionByName(
+      e.orderBy("vec_id").limit(k - have.toInt)
+        .select((row_number().over(Window.orderBy("vec_id")) + lit(have))
+                  .cast("long").as("cid"),
+                col("v").as("cv")))
+  }
+
   private[graft] def kmeansIvfFrame(e: DataFrame, iters: Int, k: Int,
                                     onRound: (Int, Double) => Unit = (_, _) => (),
                                     seeds: Option[DataFrame] = None)
@@ -862,21 +893,28 @@ object Similarity {
     val s = e.sparkSession
     import s.implicits._
     def assign(cents: DataFrame): DataFrame = assignToCents(e, cents)
-    var centroids = seeds.getOrElse(
-      e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("v").as("cv")))
+    // own the initial centroids with a cut: the loop's releaseCut is
+    // destructive and walks the released frame's WHOLE plan, so round 1
+    // must supersede a single-leaf frame we created — not the caller's
+    // seeds expression, whose plan can contain the caller's own
+    // checkpoint leaves (releasing those drops the INPUT's blocks)
+    var centroids = graft.Fence.cut(seeds.getOrElse(d2ColdSeeds(e, k)))
     val meanCos = Seq.newBuilder[Double]
     var assigned = assign(centroids)
     var round = 0
     (1 to iters).foreach { _ =>
       val t0 = System.nanoTime()
       meanCos += assigned.agg(avg(col("cos"))).head().getDouble(0)
+      val prevCents = centroids
       centroids = assigned
         .select(col("cid"), col("v")).as[(Long, Array[Double])]
         .groupByKey(_._1).mapValues(_._2)
         .agg(graft.functions.VectorCentroid.toColumn.name("cv"))
         .toDF("cid", "cv")
         .transform(graft.Fence.cut)
+      // the new cut materialized THROUGH the superseded centroids; the
+      // old lazy `assigned` is reassigned below and never read again
+      graft.Fence.releaseCut(prevCents)
       assigned = assign(centroids)
       round += 1
       onRound(round, (System.nanoTime() - t0) / 1e9)
@@ -906,9 +944,10 @@ object Similarity {
     * driver action. Returns (assignment, centroids, rounds run).
     *
     * @param prev (cid, cv) from the previous refresh; pass None for the
-    *             cold start (lowest-k-ids seeding — the cold schedule
-    *             IS refresh from the default seeds, so warm-vs-cold is
-    *             one code path, the pageRankRefresh shape). */
+    *             cold start ([[d2ColdSeeds]] D²-weighted seeding, r14
+    *             verdict #2 — the cold schedule IS refresh from the
+    *             default seeds, so warm-vs-cold is one code path, the
+    *             pageRankRefresh shape). */
   private[graft] def kmeansIvfRefresh(e: DataFrame, prev: Option[DataFrame],
                                       k: Int, tolPpm: Long = 1000L,
                                       maxRounds: Int = 25)
@@ -918,9 +957,7 @@ object Similarity {
     val n = e.count()
     require(n > 0, "kmeansIvfRefresh: empty corpus")
     val tolMoves = (n * tolPpm) / 1000000L
-    var cents = graft.Fence.cut(prev.getOrElse(
-      e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))))
+    var cents = graft.Fence.cut(prev.getOrElse(d2ColdSeeds(e, k)))
     var assigned = graft.Fence.cut(assignToCents(e, cents))
     var rounds = 0
     var moved = Long.MaxValue
@@ -935,7 +972,11 @@ object Similarity {
       moved = next.select(col("vec_id"), col("cid"))
         .join(assigned.select(col("vec_id"), col("cid").as("cid0")), "vec_id")
         .filter(col("cid") =!= col("cid0")).count()
-      graft.Fence.release(assigned); graft.Fence.release(cents)
+      // releaseCut: round frames ride Fence.cut, whose blocks the plain
+      // release deliberately leaves alone (r14 advice) — next/nextCents
+      // have materialized and nothing derived from the superseded pair
+      // escapes, so the checkpoint blocks drop here
+      graft.Fence.releaseCut(assigned); graft.Fence.releaseCut(cents)
       assigned = next; cents = nextCents
       rounds += 1
     }
@@ -1030,7 +1071,7 @@ object Similarity {
       .select(col("j"), col("cand"), col("cw"),
               coalesce(col("weight"), lit(0L)).as("weight"))
     val keep = graft.Fence.cut(out)
-    graft.Fence.release(centsI); graft.Fence.release(cents)
+    graft.Fence.releaseCut(centsI); graft.Fence.release(cents)
     keep
   }
 
@@ -1370,6 +1411,7 @@ object Similarity {
     // plan nodes, declared hashes untouched by construction; non-dense
     // inputs route the same positions through a rank→id map, which is
     // VALUE-identical to the direct form when ids are dense (pos == id).
+    var rankedHandle: Option[DataFrame] = None
     val randPairs =
       if (dense)
         e.select(col("vec_id").as("vid"))
@@ -1378,9 +1420,22 @@ object Similarity {
           .select(col("vid"),
             when(col("t") >= col("vid"), col("t") + 1).otherwise(col("t")).as("nb"))
       else {
-        val ranked = e.select(col("vec_id"))
-          .withColumn("pos",
-            row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+        // DISTRIBUTED dense ranking (r14 advice): row_number over a
+        // global no-partition window collapses the whole input into one
+        // task — and this path runs on every graphSearchHier upper-level
+        // build (level 1 holds ~n/2 members), so at probe scale the
+        // build serialized: the same literal-parallelism-cap class the
+        // Fanout change removed. sortBy is a range-partitioned total
+        // sort and zipWithIndex assigns contiguous global positions from
+        // per-partition counts — both distributed, and deterministic
+        // because vec_ids are unique. Fenced once: two joins consume it.
+        val sess = e.sparkSession
+        import sess.implicits._
+        val ranked = graft.Fence.cut(
+          e.select(col("vec_id")).as[Long].rdd
+            .sortBy(identity).zipWithIndex()
+            .toDF("vec_id", "pos"))
+        rankedHandle = Some(ranked)
         ranked
           .select(col("vec_id").as("vid"), col("pos"),
             explode(sequence(lit(0), lit(kRand - 1))).as("j"))
@@ -1394,6 +1449,7 @@ object Similarity {
     var g = graft.Fence.cut(
       rescoreTopK(e, bucketPairs.unionByName(randPairs).distinct(), kBuild)
         .select(col("vid"), col("nb")))
+    rankedHandle.foreach(graft.Fence.releaseCut) // seed graph sealed; rank map superseded
     (1 to rounds).foreach { _ =>
       val twoHop = g.as("x")
         .join(g.as("y"), col("x.nb") === col("y.vid"))
@@ -1405,7 +1461,7 @@ object Similarity {
         .distinct()
       val prev = g
       g = graft.Fence.cut(rescoreTopK(e, cand, kBuild).select(col("vid"), col("nb")))
-      graft.Fence.release(prev)
+      graft.Fence.releaseCut(prev)
     }
     g
   }
@@ -1505,11 +1561,16 @@ object Similarity {
       frontier = graft.Fence.cut(
         pool.withColumn("rk", row_number().over(wBeam))
           .filter(col("rk") <= beam).select("qid", "cid"))
-      graft.Fence.release(prevP); graft.Fence.release(prevF)
+      graft.Fence.releaseCut(prevP); graft.Fence.releaseCut(prevF)
     }
-    val out = pool.withColumn("rk", row_number().over(wBeam).cast("long"))
-      .filter(col("rk") <= k)
-    graft.Fence.release(pool); graft.Fence.release(frontier)
+    // seal the survivor (its own cut) BEFORE dropping the final pool's
+    // checkpoint blocks — releaseCut is destructive, and `out` derives
+    // from the pool (the r14-advice accumulation fix made this ordering
+    // load-bearing where the old no-op release forgave it)
+    val out = graft.Fence.cut(
+      pool.withColumn("rk", row_number().over(wBeam).cast("long"))
+        .filter(col("rk") <= k))
+    graft.Fence.releaseCut(pool); graft.Fence.releaseCut(frontier)
     out
   }
 
@@ -1608,14 +1669,14 @@ object Similarity {
             pool.withColumn("rk", row_number().over(wBeam))
               .filter(col("rk") <= descentBeam).select("qid", "cid"))
           moved = frontier.exceptAll(prevF).count()
-          graft.Fence.release(prevP); graft.Fence.release(prevF)
+          graft.Fence.releaseCut(prevP); graft.Fence.releaseCut(prevF)
           r += 1
         }
-        carried.foreach(graft.Fence.release)
+        carried.foreach(graft.Fence.releaseCut)
         carried = Some(frontier)
-        graft.Fence.release(pool); graft.Fence.release(gl)
+        graft.Fence.releaseCut(pool); graft.Fence.releaseCut(gl)
       }
-      graft.Fence.release(members)
+      graft.Fence.releaseCut(members)
     }
     val g0 = baseEdges.getOrElse(knnGraphEdges(e, kRand, kBuild, buildRounds, sigBits))
     val out = graphSearch(e, g0, q, k, beam, rounds, nEntries = 0,
@@ -1625,7 +1686,8 @@ object Similarity {
         // global entry — the minimum corpus id
         Some(q.select("qid").crossJoin(broadcast(
           e.filter(col("vec_id") >= corpusMin).agg(min(col("vec_id")).as("cid")))))))
-    carried.foreach(graft.Fence.release)
+    // safe to drop: graphSearch's result is sealed by its own cut
+    carried.foreach(graft.Fence.releaseCut)
     out
   }
 

@@ -722,8 +722,10 @@ object Streams {
     * far, so each has a closed-form batch twin (StreamingSpec pins
     * bit-equality for cold build, delta assignment, and warm refresh).
     *
-    * Cold seeding uses the kmeansIvfFrame convention (lowest-k vec_ids)
-    * — the first drop must carry at least k vectors. */
+    * Cold seeding is D²-weighted k-means|| ([[graft.operators.Similarity
+    * .d2ColdSeeds]], r14 verdict #2 — a skewed first drop must not
+    * strand centroids on id order); the first drop must carry at least
+    * k vectors, enforced loudly below. */
   def annIngestStream(s: SparkSession, dropDir: String, indexDir: String,
                       checkpoint: String, k: Int, refreshEvery: Int = 16,
                       tolPpm: Long = 1000L, maxRounds: Int = 25)
@@ -782,22 +784,59 @@ object Streams {
           .filter(p => visible(p.getName) && p.getName.startsWith("batch_"))
         val e = graft.Fanout.byKey(prep(batch), col("vec_id"))
         if (gens.isEmpty) {
-          // cold start: train + commit generation 0 from this drop alone
+          // cold start: train + commit generation 0 from this drop alone.
+          // Enforce the scaladoc contract LOUDLY (r14 advice): a first
+          // drop under k vectors would silently commit an under-sized
+          // codebook (kmeansIvfRefresh only requires n > 0) and every
+          // later generation would inherit the missing cells.
+          val n = e.count()
+          require(n >= k,
+            s"annIngestStream($dropDir): cold-start drop carries $n vector(s) < k=$k — " +
+            "the first drop must train a full codebook")
           val (assigned, cents, _) =
             graft.operators.Similarity.kmeansIvfRefresh(e, None, k, tolPpm, maxRounds)
           commitGeneration(assigned, cents, fs, dir, deltas.toSeq)
         } else {
           val latest = gens.last
           val cents = s.read.parquet(new Path(latest, "centroids").toString)
-          graft.operators.Similarity.assignToCents(e, cents)
+          // REPLAY IDEMPOTENCE across the branch switch (r14 advice): a
+          // crash after commitGeneration but before the checkpoint commit
+          // replays this batch down a DIFFERENT branch (cold→steady, or
+          // refresh→steady against the new generation), and the replayed
+          // delta's vectors are already in the committed postings — which
+          // no reader re-distincts (unlike compactEdges). Anti-join the
+          // batch against the current generation's membership (one
+          // column-pruned vec_id scan) so a replayed batch writes an
+          // EMPTY delta instead of folding duplicates into every future
+          // generation. Contract: vec_ids are append-only/immutable — a
+          // re-shipped vec_id is a replay, never an upsert.
+          val postedIds = s.read.parquet(new Path(latest, "postings").toString)
+            .select(col("vec_id"))
+          graft.operators.Similarity
+            .assignToCents(e.join(postedIds, Seq("vec_id"), "left_anti"), cents)
             .select(col("cid"), col("vec_id"), col("v"))
             .write.mode("overwrite").parquet(new Path(dir, s"batch_$batchId").toString)
           if (refreshEvery > 0 && batchId % refreshEvery == 0) {
-            val corpusPaths = (new Path(latest, "postings") +: deltas.toSeq)
+            // belt-and-braces for the rename→delete crash window (a
+            // consumed delta lingering next to the generation that
+            // absorbed it): keep ONE copy per vec_id, newest first
+            // (deltas outrank the generation; among deltas, higher batch
+            // id wins) — under the append-only contract every copy
+            // carries the same vector, so this only removes duplicates.
+            val parts = (new Path(latest, "postings"), -1L) +: deltas.toSeq.map { p =>
+              val d = p.getName.stripPrefix("batch_").takeWhile(_.isDigit)
+              (p, if (d.isEmpty) 0L else BigInt(d).min(Long.MaxValue - 1).toLong)
+            }
+            val wLatest = org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy(col("pri").desc)
             val corpus = fromPostings(
-              corpusPaths.map(p => s.read.parquet(p.toString)
-                  .select(col("vec_id"), col("v")))
-                .reduce(_ unionByName _))
+              parts.map { case (p, pri) =>
+                s.read.parquet(p.toString)
+                  .select(col("vec_id"), col("v")).withColumn("pri", lit(pri))
+              }.reduce(_ unionByName _)
+                .withColumn("rk", row_number().over(wLatest))
+                .filter(col("rk") === 1)
+                .select("vec_id", "v"))
             val (assigned, newCents, _) = graft.operators.Similarity
               .kmeansIvfRefresh(corpus, Some(cents), k, tolPpm, maxRounds)
             commitGeneration(assigned, newCents, fs, dir,

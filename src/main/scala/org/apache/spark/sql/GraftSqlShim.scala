@@ -94,6 +94,26 @@ object GraftSqlShim {
       case _ => ()
     }
 
+  /** Drop the blocks behind a `localCheckpoint`-backed ([[graft.Fence
+    * .cut]]) frame — the DESTRUCTIVE half [[releasePin]] deliberately
+    * refuses (r14 advice: the per-round release calls in deep cut-loops
+    * were documented no-ops, so superseded pools/frontiers accumulated
+    * checkpoint blocks for the whole walk). A checkpoint leaf's lineage
+    * is truncated, so once these blocks drop the frame — and anything
+    * lazily DERIVED from it — is unreadable, not slow: the caller must
+    * guarantee the superseding frame has materialized and nothing
+    * derived from this one escapes. Matches the level localCheckpoint
+    * forces (MEMORY_AND_DISK) on LogicalRDD leaves only; a pin-mode
+    * (MEMORY_ONLY) frame is untouched — pair with [[releasePin]] via
+    * [[graft.Fence.releaseCut]] for mode-agnostic loop hygiene. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD
+          if lr.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a function builder on a live session's registry (the registry
     * is `private[sql]`; SparkSessionExtensions covers only session build
     * time). */

@@ -27,25 +27,60 @@ class KmeansSeedSpec extends SparkSpec {
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       .localCheckpoint()
 
-    val (_, naiveCurve) = Similarity.kmeansIvfFrame(e, iters = 3, k = 3)
+    // the stranding seeding, now only reachable EXPLICITLY (r14 verdict
+    // #2 made D² the default): first-k ids all land in the e1 basin
+    val firstK = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val (_, naiveCurve) = Similarity.kmeansIvfFrame(
+      e, iters = 3, k = 3, seeds = Some(firstK))
     val seeds = Similarity.kmeansParCodebook(
         e.select(col("vec_id").as("id"), lit(0).as("j"), col("v").as("sv")),
         k = 3, l = 6, rounds = 3)
       .select(col("cid").cast("long").as("cid"), col("cw").as("cv"))
     val (_, seededCurve) = Similarity.kmeansIvfFrame(
       e, iters = 3, k = 3, seeds = Some(seeds))
+    // the DEFAULT cold path (d2ColdSeeds) must behave like the explicit
+    // D² seeding, not like first-k: this is the skewed-first-drop case
+    // where id-order seeding strands two centroids
+    val (_, defaultCurve) = Similarity.kmeansIvfFrame(e, iters = 3, k = 3)
 
     val naive = naiveCurve.last
     val seeded = seededCurve.last
-    info(f"final mean cosine: naive=$naive%.3f seeded=$seeded%.3f")
+    val dflt = defaultCurve.last
+    info(f"final mean cosine: naive=$naive%.3f seeded=$seeded%.3f default=$dflt%.3f")
     // naive: all seeds in the e1 basin -> e2/e3 never split out, the 20
     // off-axis points stay near cosine 0 against the merged centroid
     // (analytic mean ~0.86) -> a wide 0.9 ceiling separates the regimes
     assert(naive <= 0.9, f"naive unexpectedly good: $naive%.3f")
     assert(seeded >= 0.999, f"seeded should reach ~1.0: $seeded%.3f")
+    assert(dflt >= 0.999, f"default cold seeding must not strand centroids: $dflt%.3f")
     // both curves stay monotone non-decreasing (the Lloyd invariant)
-    for (c <- Seq(naiveCurve, seededCurve))
+    for (c <- Seq(naiveCurve, seededCurve, defaultCurve))
       assert(c.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 })
+  }
+
+  test("cold kmeansIvfRefresh D²-seeds: a skewed first drop strands no centroid") {
+    import spark.implicits._
+    // the annIngestStream cold-start shape (r14 verdict #2): the first
+    // drop arrives id-ordered with one dominant cluster up front, so
+    // the old vec_id < k seeding put every centroid in that basin
+    val dim = 8
+    def axis(a: Int): Array[Double] =
+      Array.tabulate(dim)(i => if (i == a) 2.0 else 0.0)
+    val rows =
+      (0L until 90L).map(id => (id, axis(0))) ++
+      (90L until 100L).map(id => (id, axis(1))) ++
+      (100L until 110L).map(id => (id, axis(2)))
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .localCheckpoint()
+    val (aCold, cents, _) = Similarity.kmeansIvfRefresh(e, None, k = 3)
+    // every direction must own a cell: per-cluster best cosine = 1.0
+    // means no axis was stranded against an off-axis centroid
+    val q = aCold.agg(avg(col("cos"))).head().getDouble(0)
+    info(f"cold D²-seeded mean cosine: $q%.4f (first-k seeding measures ~0.87 here)")
+    assert(q >= 0.999, f"cold refresh stranded a centroid: $q%.4f")
+    assert(cents.count() === 3L)
   }
 
   test("warm-start refresh: previous centroids converge in <= the cold rounds with quality parity") {
