@@ -1546,16 +1546,33 @@ object Similarity {
         .select("cid")
       mates.unionByName(q.select("qid").crossJoin(broadcast(hubs)))
     }
+    graphSearchWalk(e, gu, q, k, beam, rounds, corpusMin, entrySet)
+  }
+
+  /** The beam WALK alone — entry set and undirected edge relation come
+    * from the caller: [[graphSearch]] derives both inline (the declared
+    * one-shot composition), [[graphSearchIndexed]] reads both from a
+    * PERSISTED index generation (r14 verdict #1: the derivations are
+    * pure functions of the edge relation and belong to build time).
+    * The frontier (|Q|·beam rows, never corpus) carries an explicit
+    * broadcast hint into the edge join, so the 2|E| relation is only
+    * ever SCANNED — no exchange touches it at query time, whatever its
+    * on-disk layout (LayoutSpec pins the executed plan). */
+  private[graft] def graphSearchWalk(e: DataFrame, gu: DataFrame, q: DataFrame,
+                                     k: Int, beam: Int, rounds: Int,
+                                     corpusMin: Long, entrySet: DataFrame): DataFrame = {
+    val wBeam = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
+      .join(q, "qid")
+      .select(col("qid"), col("cid"),
+              round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
     var pool = graft.Fence.cut(score(entrySet.distinct()))
     var frontier = graft.Fence.cut(
       pool.withColumn("rk", row_number().over(wBeam))
         .filter(col("rk") <= beam).select("qid", "cid"))
     (1 to rounds).foreach { _ =>
-      val cand = frontier
-        .join(gu.withColumnRenamed("vid", "cid"), "cid")
-        .select(col("qid"), col("nb").as("cid"))
-        .filter(col("cid") >= corpusMin && col("cid") =!= col("qid"))
-        .distinct()
+      val cand = walkCandidates(gu, frontier, corpusMin)
       val (prevP, prevF) = (pool, frontier)
       pool = graft.Fence.cut(pool.unionByName(score(cand)).distinct())
       frontier = graft.Fence.cut(
@@ -1572,6 +1589,137 @@ object Similarity {
         .filter(col("rk") <= k))
     graft.Fence.releaseCut(pool); graft.Fence.releaseCut(frontier)
     out
+  }
+
+  /** One walk round's candidate expansion — the edge-side join shape
+    * LayoutSpec gates: the frontier (|Q|·beam rows) broadcasts, the edge
+    * relation streams into the build-side hash join with NO exchange
+    * between its scan and the join; only the query-sized join OUTPUT is
+    * shuffled (the distinct). Shared with the spec so the gated plan IS
+    * the production plan. */
+  private[graft] def walkCandidates(gu: DataFrame, frontier: DataFrame,
+                                    corpusMin: Long): DataFrame =
+    broadcast(frontier)
+      .join(gu.withColumnRenamed("vid", "cid"), "cid")
+      .select(col("qid"), col("nb").as("cid"))
+      .filter(col("cid") >= corpusMin && col("cid") =!= col("qid"))
+      .distinct()
+
+  /** Build + COMMIT the persistent kNN-graph search index (r14 verdict
+    * #1: [[graphSearch]] rebuilt the undirected edge relation — a
+    * 2|E|-row distinct — and the hub entry set — a full-graph degree
+    * aggregation — on EVERY call; both are pure functions of the edge
+    * relation, so at 1 B vectors each search invocation paid a 16 B-row
+    * shuffle+dedup before its first beam round). One generation holds:
+    *
+    *  - `edges`   — the UNDIRECTED relation (vid, nb), hash-partitioned
+    *                by vid at a size-derived width (the CommitEpoch
+    *                file-layout rule: the written layout scales with the
+    *                relation, never the session's shuffle conf);
+    *  - `hubs`    — top-`nEntries` in-degree vertices (ties by id), the
+    *                global entry fallback;
+    *  - `buckets` — (cid, bucket): each corpus vector's [[plane2]] LSH
+    *                signature, so query-time bucket-mate entry probes a
+    *                slim 2-column relation instead of re-deriving
+    *                signatures over the full vector table.
+    *
+    * Commits through the [[graft.plans.CommitEpoch]] hidden-tmp +
+    * same-dir-rename protocol (the annIngestStream centroids+postings
+    * precedent): a crash strands only a swept tmp, readers pick the
+    * max-seq generation, superseded generations are deleted after the
+    * rename. `nEntries`/`corpusMin` bake into the hub list — they are
+    * index-build parameters, like nlist in an IVF build. Returns the
+    * committed generation path. */
+  def buildGraphIndex(e: DataFrame, indexDir: String, kRand: Int, kBuild: Int,
+                      rounds: Int, sigBits: Int = 8, nEntries: Int = 4,
+                      corpusMin: Long = 0L): String = {
+    import org.apache.hadoop.fs.Path
+    val s = e.sparkSession
+    val g = knnGraphEdges(e, kRand, kBuild, rounds, sigBits)
+    val gu = graft.Fence.cut(
+      g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb"))).distinct())
+    graft.Fence.releaseCut(g)
+    val hubs = gu.filter(col("nb") >= corpusMin)
+      .groupBy(col("nb").as("cid")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("cid")).limit(nEntries)
+      .select("cid")
+    val bits = (0 until sigBits).map { p =>
+      when(vecDot(col("v"), plane2(p)) >= 0, "1").otherwise("0")
+    }
+    val buckets = e.select(col("vec_id").as("cid"), concat(bits: _*).as("bucket"))
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("_compact_") && p.getName.endsWith(".tmp"))
+      .foreach(p => fs.delete(p, true))
+    val prior = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("compacted_"))
+    val epoch = graft.plans.CommitEpoch.next(fs, dir)
+    val tmp = new Path(dir, s"_compact_$epoch.tmp")
+    // size-derived write width: ~4M undirected edges (~64 MB of (long,
+    // long) parquet) per file — the layout follows the relation
+    val nEdges = gu.count()
+    val width = math.max(1L, math.min(1L << 20, nEdges / 4000000L + 1L)).toInt
+    gu.repartition(width, col("vid"))
+      .write.mode("overwrite").parquet(new Path(tmp, "edges").toString)
+    hubs.coalesce(1)
+      .write.mode("overwrite").parquet(new Path(tmp, "hubs").toString)
+    buckets.repartition(width, col("cid"))
+      .write.mode("overwrite").parquet(new Path(tmp, "buckets").toString)
+    graft.plans.CommitEpoch.midCommitHook("pre-rename")
+    val fin = new Path(dir, s"compacted_$epoch")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"graph index commit rename failed: $tmp -> $fin")
+    graft.plans.CommitEpoch.midCommitHook("post-rename")
+    prior.foreach(p => fs.delete(p, true))
+    graft.Fence.releaseCut(gu)
+    fin.toString
+  }
+
+  /** Read the max-seq committed generation of a [[buildGraphIndex]] dir:
+    * (edges, hubs, buckets). */
+  private[graft] def loadGraphIndex(s: SparkSession, indexDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("compacted_"))
+      .sortBy(p => p.getName.stripPrefix("compacted_").takeWhile(_.isDigit) match {
+        case "" => -1L; case d => BigInt(d).min(Long.MaxValue - 1).toLong })
+    require(gens.nonEmpty, s"loadGraphIndex($indexDir): no committed generation")
+    val latest = gens.last
+    (s.read.parquet(new Path(latest, "edges").toString),
+     s.read.parquet(new Path(latest, "hubs").toString),
+     s.read.parquet(new Path(latest, "buckets").toString))
+  }
+
+  /** [[graphSearch]] against a PERSISTED [[buildGraphIndex]] generation —
+    * the production query path (r14 verdict #1): entry = the query's LSH
+    * bucket-mates probed against the slim persisted (cid, bucket)
+    * relation ∪ the persisted hub list; the walk consumes the persisted
+    * undirected edges. Query-time cost is entry-probe + rounds·beam·
+    * out-degree exact scores — NO distinct over 2|E|, NO full-graph
+    * degree aggregation, no exchange on the edge side (LayoutSpec pins
+    * the executed plan). */
+  def graphSearchIndexed(e: DataFrame, indexDir: String, q: DataFrame,
+                         k: Int, beam: Int, rounds: Int, corpusMin: Long,
+                         sigBits: Int = 8): DataFrame = {
+    val s = e.sparkSession
+    val (gu, hubs, buckets) = loadGraphIndex(s, indexDir)
+    val bitsQ = (0 until sigBits).map { p =>
+      when(vecDot(col("qv"), plane2(p)) >= 0, "1").otherwise("0")
+    }
+    // queries broadcast into the bucket probe: the 2-column bucket
+    // relation is scanned, never shuffled
+    val mates = broadcast(q.select(col("qid"), concat(bitsQ: _*).as("bucket")))
+      .join(buckets, "bucket")
+      .filter(col("cid") >= corpusMin)
+      .select("qid", "cid")
+    val entrySet = mates.unionByName(
+      q.select("qid").crossJoin(broadcast(hubs.filter(col("cid") >= corpusMin))))
+    graphSearchWalk(e, gu, q, k, beam, rounds, corpusMin, entrySet)
   }
 
   /** HNSW-style HIERARCHICAL graph search (Malkov & Yashunin 2016, the
@@ -1708,6 +1856,36 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  // one committed graph index per (JVM, data dir): Verify/Bench build on
+  // first touch and every later call is search-only — Bench's unmeasured
+  // warm-up run absorbs the build, so the measured runs price the QUERY
+  // path (the r14 verdict's "price it honestly" ask)
+  private val gidxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** EXT: graph search against the PERSISTED index (r14 verdict #1) —
+    * the production split of [[qAnnGraphSearch]]: [[buildGraphIndex]]
+    * commits the undirected edge relation + hub list + bucket signatures
+    * ONCE per corpus (a CommitEpoch generation, cached per JVM), and the
+    * declared query runs [[graphSearchIndexed]] — entry probe + beam
+    * walk only, no 2|E| distinct, no full-graph degree aggregation, no
+    * exchange on the edge side (LayoutSpec pins the executed plan).
+    * Same parameters as [[qAnnGraphSearch]], so the result — and the
+    * DuckDB oracle — are IDENTICAL: one hash gates that the persisted
+    * artifacts and the query-time derivations agree exactly. */
+  def qAnnGraphSearchIdx(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val dir = gidxCache.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_gidx_").toString
+      buildGraphIndex(e, out, kRand = 4, kBuild = 8, rounds = 4,
+        sigBits = 8, nEntries = 4, corpusMin = 5L)
+      out
+    })
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    graphSearchIndexed(e, dir, q, k = 5, beam = 8, rounds = 4, corpusMin = 5L)
+      .orderBy("qid", "rk")
+  }
+
   /** EXT: cluster-balanced curation — the D4/DoReMi-style semantic
     * REBALANCING pass (Tirumala et al. 2023, "D4: Improving LLM
     * pretraining via document de-duplication and diversification"):
@@ -1760,6 +1938,7 @@ object Similarity {
     "q_curate_cluster_balance" -> (qCurateClusterBalance _),
     "q_ann_knn_graph"   -> (qAnnKnnGraph _),
     "q_ann_graph_search" -> (qAnnGraphSearch _),
+    "q_ann_graph_search_idx" -> (qAnnGraphSearchIdx _),
     "q_eval_retrieval"  -> (qEvalRetrieval _),
     "q_dedup_semantic"  -> (qDedupSemantic _),
     "q_array_explode"   -> (qArrayExplode _),
@@ -2332,7 +2511,17 @@ object Similarity {
     // in-degree, ties by id) and FOUR unrolled beam rounds — each round
     // expands the frontier through g4, exact-scores, merges into the
     // per-query pool, and re-beams (cos DESC, cid) at width 8
-    "q_ann_graph_search" -> {
+    "q_ann_graph_search" -> graphSearchOracleSql,
+    // IDENTICAL by construction: the indexed path persists exactly the
+    // derivations the inline path computes (r14 verdict #1) — one hash
+    // gates that the committed artifacts and the fresh derivations agree
+    "q_ann_graph_search_idx" -> graphSearchOracleSql,
+  )
+
+  /** Shared oracle of q_ann_graph_search / q_ann_graph_search_idx: the
+    * graph CTE substrate, hub + bucket entry, four unrolled beam
+    * rounds. */
+  private lazy val graphSearchOracleSql: String = {
       def beamRound(i: Int): String =
         s"""nbq$i AS (SELECT DISTINCT f.qid, g.nb AS cid
            |  FROM f${i - 1} f JOIN gu g ON f.cid = g.vid
@@ -2369,8 +2558,7 @@ object Similarity {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
         |  FROM p4)
         |SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-    },
-  )
+  }
 
   /** Shared DuckDB WITH-body replaying [[knnGraphEdges]]: e, ids, nn,
     * sig, the 4 coin chains, seed cand/resc/g0, then `rounds` unrolled

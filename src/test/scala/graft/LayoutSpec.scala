@@ -418,4 +418,76 @@ class LayoutSpec extends SparkSpec {
       assert(widths.contains(7), s"expected a 7-wide fanout exchange, saw widths: $widths")
     } finally spark.conf.unset("spark.graft.fanout.partitions")
   }
+
+  test("persisted graph index: query-time walk never exchanges the edge relation") {
+    // r14 verdict #1: graphSearch used to rebuild the undirected relation
+    // (2|E|-row distinct) and the hub set (full-graph degree agg) per
+    // call. With the index persisted, the walk's edge join must stream
+    // the edges scan into a broadcast hash join (frontier = build side)
+    // with NO ShuffleExchange between the scan and the join — only the
+    // query-sized join OUTPUT may shuffle (the candidate distinct).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import graft.functions.VectorMath.vecDot
+    import java.nio.file.Files
+
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val idx = Files.createTempDirectory("graft_gidx_spec").toString
+    operators.Similarity.buildGraphIndex(e, idx, kRand = 4, kBuild = 8,
+      rounds = 1, sigBits = 8, nEntries = 4, corpusMin = 5L)
+    val (gu, hubs, buckets) = operators.Similarity.loadGraphIndex(spark, idx)
+    assert(hubs.count() === 4L && buckets.count() === e.count())
+
+    // the production round expression over the PERSISTED edges
+    val frontier = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec_id").as("cid"))
+      .localCheckpoint()
+    val cand = operators.Similarity.walkCandidates(gu, frontier, corpusMin = 5L)
+    cand.collect()
+
+    // every root->edges-scan path must cross a BroadcastHashJoin, with
+    // neither a ShuffleExchange nor a BroadcastExchange between the join
+    // and the scan (the latter would mean the EDGES were the broadcast
+    // side — a 2|E| driver ship)
+    def paths(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+      case a: AdaptiveSparkPlanExec => paths(a.executedPlan, acc)
+      case st: QueryStageExec => paths(st.plan, st :: acc)
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("edges")) =>
+        Seq((f :: acc).reverse)
+      case other => other.children.flatMap(c => paths(c, other :: acc))
+    }
+    val scanPaths = paths(cand.queryExecution.executedPlan, Nil)
+    assert(scanPaths.nonEmpty, "expected the walk plan to scan the persisted edges")
+    scanPaths.foreach { path =>
+      val joinAt = path.lastIndexWhere(_.isInstanceOf[BroadcastHashJoinExec])
+      assert(joinAt >= 0,
+        s"edge scan must feed a broadcast hash join:\n${path.map(_.nodeName).mkString(" -> ")}")
+      val below = path.drop(joinAt + 1)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"no exchange may sit between the edges scan and its join:\n${path.map(_.nodeName).mkString(" -> ")}")
+      assert(!below.exists(_.isInstanceOf[BroadcastExchangeExec]),
+        s"the edges must be the STREAMED side, not the broadcast side:\n${path.map(_.nodeName).mkString(" -> ")}")
+    }
+
+    // and the indexed search equals the inline composition row-for-row
+    // (same parameters; the oracle gates this at every SF — this is the
+    // fast structural cross-check)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val viaIdx = operators.Similarity
+      .graphSearchIndexed(e, idx, q, k = 5, beam = 8, rounds = 4, corpusMin = 5L)
+      .orderBy("qid", "rk").collect().map(_.toString).toSeq
+    val g = operators.Similarity.knnGraphEdges(e, kRand = 4, kBuild = 8, rounds = 1)
+    val inline = operators.Similarity
+      .graphSearch(e, g, q, k = 5, beam = 8, rounds = 4, nEntries = 4, corpusMin = 5L)
+      .orderBy("qid", "rk").collect().map(_.toString).toSeq
+    assert(viaIdx === inline,
+      "indexed search must equal the inline composition on the same substrate")
+  }
 }
