@@ -63,6 +63,12 @@ object ScaleProbe {
         if (parts.length > 1) parts(1).toInt else 8,
         if (parts.length > 2) parts(2).toInt else 4)
     }
+    else if (args(0) == "knningest") {
+      // knningest <mult>[:batches]  (50k = 25; drops inserted in id order)
+      val parts = args(1).split(":")
+      knnIngestProbe(spark, parts(0).toInt,
+        if (parts.length > 1) parts(1).toInt else 20)
+    }
     else if (args(0) == "annrefresh") annRefreshProbe(spark, args(1).toInt)
     else if (args(0) == "stream") streamProbe(spark, args(1))
     else if (args(0) == "selectk") selectkProbe(spark, args(1).toInt)
@@ -1027,6 +1033,130 @@ object ScaleProbe {
       graft.Fence.releaseCut(res)
     }
     graft.Fence.releaseCut(g)
+  }
+
+  /** INSERT-BY-SEARCH navigability at the replica shape (r15, the r14
+    * verdict's designed experiment): build the kNN graph INCREMENTALLY —
+    * first drop batch-built, every later drop linked through
+    * [[operators.Similarity.insertBySearch]] (the knnIngestStream step) —
+    * then measure recall@10 from the GLOBAL hub entry alone, no
+    * query-time LSH. The r14 negatives this tests against: a post-hoc
+    * layered hierarchy measured 0.135 and the flat batch-built graph
+    * measured 0.000 from hub-only entry (kNN cliques have no
+    * inter-cluster gradient). HNSW's claim is that insert-by-search
+    * CONSTRUCTION creates the long links greedy descent needs: the first
+    * drop's graph spans the whole space (every semantic cluster is
+    * present at low density), and later inserts attach locally without
+    * severing those spans. Controls on the same final corpus: the
+    * bucket-entry walk over the incremental graph (production path) and
+    * the batch-built graph from hub entry (the 0.000 baseline). */
+  private def knnIngestProbe(spark: SparkSession, mult: Int, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorMath.vecDot
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val big = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(mult - 1))).as("r"))
+      .select((col("vec_id") + col("r").cast("long") * 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x.cast("double") +
+            when(i === pmod(col("r"), lit(64)),
+                 lit(0.01) * (pmod(col("r"), lit(17)) + 1).cast("double"))
+              .otherwise(lit(0.0)))
+          .as("v"))
+    big.write.mode("overwrite").parquet("/tmp/graft_ki_probe")
+    val eFull = spark.read.parquet("/tmp/graft_ki_probe")
+      .transform(graft.Fanout.byKey(_, col("vec_id")))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .transform(graft.Fence.cut)
+    val nVecs = eFull.count()
+    val bucketsFull = graft.Fence.cut(eFull.select(col("vec_id").as("cid"),
+      operators.Similarity.lshBucket(col("v"), 8).as("bucket")))
+    val q = eFull.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .transform(graft.Fence.cut)
+    val nQ = q.count()
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val gt = eFull.filter(col("vec_id") >= 20).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 10)
+      .select("qid", "cand")
+      .transform(graft.Fence.cut)
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      gt.join(res.select(col("qid"), col("cid").as("cand")),
+        Seq("qid", "cand"), "left_semi").count().toDouble / (nQ * 10L)
+    // drops in id order: batch 0 carries the r=0 originals (every
+    // semantic cluster at low density — the whole-space skeleton)
+    val ids = eFull.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0)) // bounded: ids only, probe scale
+    val cuts = (1 to batches).map(i => ids(math.min(ids.length - 1,
+      i * ids.length / batches - 1))).distinct
+    val t0 = System.nanoTime()
+    val e0 = graft.Fence.cut(eFull.filter(col("vec_id") <= cuts.head))
+    val g0 = operators.Similarity.knnGraphEdges(e0, kRand = 4, kBuild = 8, rounds = 2)
+    var gu = graft.Fence.cut(g0.unionByName(
+      g0.select(col("nb").as("vid"), col("vid").as("nb"))).distinct())
+    graft.Fence.releaseCut(g0); graft.Fence.releaseCut(e0)
+    val hubs = graft.Fence.cut(operators.Similarity.topHubs(gu, 4, Long.MinValue))
+    println(f"knningest drop 0: ${cuts.head + 1} ids, ${gu.count()}%,d undirected edges, " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (batch NN-descent build)")
+    var lo = cuts.head
+    cuts.tail.foreach { hi =>
+      val tB = System.nanoTime()
+      val b = graft.Fence.cut(
+        eFull.filter(col("vec_id") > lo && col("vec_id") <= hi))
+      val eSoFar = eFull.filter(col("vec_id") <= hi)
+      val bucketsSoFar = bucketsFull.filter(col("cid") <= hi)
+      val newEdges = operators.Similarity.insertBySearch(
+        eSoFar, gu, bucketsSoFar, hubs, b, kLink = 8, beam = 8, rounds = 2)
+      val prevGu = gu
+      gu = graft.Fence.cut(prevGu.unionByName(newEdges))
+      graft.Fence.releaseCut(prevGu); graft.Fence.releaseCut(newEdges)
+      graft.Fence.releaseCut(b)
+      println(f"knningest insert (${lo + 1}, $hi]: ${gu.count()}%,d edges, " +
+        f"${(System.nanoTime() - tB) / 1e9}%.1f s")
+      lo = hi
+    }
+    println(f"knningest incremental build total: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"($nVecs%,d vectors, $batches drops)")
+    // measurement 1: GLOBAL hub entry, no query-time LSH — navigability
+    val hubEntry = q.select("qid").crossJoin(broadcast(hubs))
+    Seq(8, 16).foreach { rounds =>
+      val t1 = System.nanoTime()
+      val res = operators.Similarity.graphSearchWalk(
+        eFull, gu, q, k = 10, beam = 8, rounds = rounds,
+        corpusMin = 20L, entrySet = hubEntry)
+      println(f"knningest GLOBAL-entry walk rounds=$rounds%-2d " +
+        f"recall@10=${recallOf(res)}%.3f wall=${(System.nanoTime() - t1) / 1e9}%.1f s " +
+        "(r14 negatives: post-hoc hier 0.135, batch-built hub-only 0.000)")
+      graft.Fence.releaseCut(res)
+    }
+    // control A: production bucket-entry walk on the SAME incremental graph
+    val t2 = System.nanoTime()
+    val mates = q.select(col("qid"),
+        operators.Similarity.lshBucket(col("qv"), 8).as("bucket"))
+      .join(bucketsFull, "bucket").filter(col("cid") >= 20).select("qid", "cid")
+    val resB = operators.Similarity.graphSearchWalk(
+      eFull, gu, q, k = 10, beam = 8, rounds = 4,
+      corpusMin = 20L, entrySet = mates.unionByName(hubEntry))
+    println(f"knningest bucket-entry control: recall@10=${recallOf(resB)}%.3f " +
+      f"wall=${(System.nanoTime() - t2) / 1e9}%.1f s (batch-built r14 point: 0.850-0.865)")
+    graft.Fence.releaseCut(resB)
+    // control B: batch-built graph on the final corpus, hub-only entry
+    val t3 = System.nanoTime()
+    val gB = operators.Similarity.knnGraphEdges(eFull, kRand = 4, kBuild = 8, rounds = 2)
+    val guB = graft.Fence.cut(gB.unionByName(
+      gB.select(col("nb").as("vid"), col("vid").as("nb"))).distinct())
+    graft.Fence.releaseCut(gB)
+    val hubsB = operators.Similarity.topHubs(guB, 4, Long.MinValue)
+    val resC = operators.Similarity.graphSearchWalk(
+      eFull, guB, q, k = 10, beam = 8, rounds = 16,
+      corpusMin = 20L, entrySet = q.select("qid").crossJoin(broadcast(hubsB)))
+    println(f"knningest batch-built hub-only control: recall@10=${recallOf(resC)}%.3f " +
+      f"wall=${(System.nanoTime() - t3) / 1e9}%.1f s (incl. batch rebuild)")
+    graft.Fence.releaseCut(resC); graft.Fence.releaseCut(guB)
   }
 
   /** HNSW-style hierarchical graph search at the replica shape (r14):

@@ -400,15 +400,273 @@ object Multimodal {
   def qMultimodalBmp(s: SparkSession, d: String): DataFrame =
     decodeBmpStats(bmpAssetTable(s, d)).toDF().orderBy("doc_id")
 
+  // ---- third true codec: COMPRESSED PNG (r14 verdict #5 — the first
+  // decoder with an entropy-coded body: zlib inflate + per-scanline
+  // filter reversal, pure JVM like the Szip precedent) -----------------
+
+  /** CRC32 of chunk type + payload — PNG requires real CRCs. */
+  private def pngChunk(b: java.io.ByteArrayOutputStream, typ: String,
+                       payload: Array[Byte]): Unit = {
+    val len = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
+    b.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(payload)
+    b.write(tb); b.write(payload)
+    b.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** A COMPLETE valid PNG (signature, IHDR, one IDAT, IEND): 8-bit RGB
+    * (color type 2), `pix` = 3·w·h bytes in image order, per-row filter
+    * types from `filterOf(row)` — the builder APPLIES each filter
+    * (Sub/Up/Average/Paeth deltas per the PNG 1.2 spec, bpp=3) before
+    * deflating, so a decoder that skips the reversal reads garbage. */
+  private[graft] def pngFullBytes(w: Int, h: Int, pix: Array[Byte],
+                                  filterOf: Int => Int): Array[Byte] = {
+    require(pix.length == 3 * w * h, "pix must be 3*w*h image-order bytes")
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    var r = 0
+    while (r < h) {
+      val f = filterOf(r)
+      raw(r * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val orig = pix(r * stride + x) & 0xff
+        val a = if (x >= 3) pix(r * stride + x - 3) & 0xff else 0
+        val b = if (r >= 1) pix((r - 1) * stride + x) & 0xff else 0
+        val c = if (x >= 3 && r >= 1) pix((r - 1) * stride + x - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => // Paeth
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(r * (1 + stride) + 1 + x) = ((orig - pred) & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zout.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** PNG asset table: every document becomes a real COMPRESSED 8-bit RGB
+    * PNG — planted dims (w = 1 + id%8, h = 1 + (id/8)%4, the BMP
+    * convention), pixel byte p (image order, R,G,B) = text byte
+    * p mod |text|, and per-row filter type (id + row) % 5 so the corpus
+    * exercises ALL five PNG filters. Empty-text docs are skipped. */
+  def pngAssetTable(s: SparkSession, d: String): Dataset[Media] = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .map { case (id, text) =>
+        val w = 1 + (id % 8).toInt
+        val h = 1 + ((id / 8) % 4).toInt
+        val t = text.getBytes("US-ASCII")
+        val pix = Array.tabulate(3 * w * h)(p => t(p % t.length))
+        Media(id, "image/png", pngFullBytes(w, h, pix, r => ((id + r) % 5).toInt))
+      }
+  }
+
+  case class PngStats(doc_id: Long, width: Long, height: Long, n_pixels: Long,
+                      sum_r: Long, sum_g: Long, sum_b: Long, top_row_sum: Long)
+
+  /** TRUE compressed-image decode in the mapPartitions seam: chunk walk
+    * (length/type/CRC framing), IHDR validation (8-bit, color type 2
+    * RGB, deflate compression, filter method 0, NON-interlaced — an
+    * interlaced, paletted, or truncated container yields NO row, never
+    * garbage), zlib INFLATE of the concatenated IDAT payloads
+    * (`java.util.zip.Inflater` — pure JVM, the Szip precedent), then
+    * per-scanline filter REVERSAL (None/Sub/Up/Average/Paeth, bpp=3,
+    * PNG 1.2 §6) to recover the planted pixels. Exact integer channel
+    * sums, so the result hashes; `top_row_sum` gates row orientation
+    * and the Up/Paeth reversal chain (any mis-reversal cascades down
+    * every later row). */
+  def decodePngStats(media: Dataset[Media]): Dataset[PngStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      // real-codec seam: one Inflater per record (cheap); a native codec
+      // context would be allocated here, once per partition
+      iter.flatMap { m =>
+        val p = m.payload
+        val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+        def u32(o: Int): Long = ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+          ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+        if (m.mime != "image/png" || p.length < 45 ||
+            !p.take(8).sameElements(sig)) None
+        else {
+          // chunk walk: collect IDAT spans, stop at IEND; bail on any
+          // malformed framing
+          var off = 8
+          var w = 0L; var h = 0L; var ok = true; var seenIhdr = false
+          var interlace = -1; var depth = -1; var color = -1
+          val idat = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (ok && !done && off + 12 <= p.length) {
+            val len = u32(off)
+            val typ = new String(p, off + 4, 4, "US-ASCII")
+            if (len > Int.MaxValue - 12 || off + 12 + len > p.length) ok = false
+            else {
+              typ match {
+                case "IHDR" =>
+                  if (len != 13) ok = false
+                  else {
+                    seenIhdr = true
+                    w = u32(off + 8); h = u32(off + 12)
+                    depth = p(off + 16) & 0xff; color = p(off + 17) & 0xff
+                    val comp = p(off + 18) & 0xff; val fm = p(off + 19) & 0xff
+                    interlace = p(off + 20) & 0xff
+                    if (comp != 0 || fm != 0) ok = false
+                  }
+                case "IDAT" => idat.write(p, off + 8, len.toInt)
+                case "IEND" => done = true
+                case _ => () // ancillary chunks skip
+              }
+              off += 12 + len.toInt
+            }
+          }
+          // refusals: non-RGB8, interlaced, no IHDR/IDAT, oversized
+          if (!ok || !seenIhdr || depth != 8 || color != 2 || interlace != 0 ||
+              w <= 0 || h <= 0 || w * h > (1L << 26) || idat.size() == 0) None
+          else {
+            val stride = (3 * w).toInt
+            val expect = (h * (1 + stride)).toInt
+            val raw = new Array[Byte](expect)
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(idat.toByteArray)
+            val got = try {
+              var n = 0
+              var stuck = false
+              while (n < expect && !inf.finished() && !stuck) {
+                val k = inf.inflate(raw, n, expect - n)
+                if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+                else n += k
+              }
+              // an over-long stream must refuse too: try one extra byte
+              if (!stuck && n == expect && !inf.finished()) {
+                val extra = new Array[Byte](1)
+                if (inf.inflate(extra, 0, 1) > 0) n += 1
+              }
+              if (stuck) -1 else n
+            } catch { case _: java.util.zip.DataFormatException => -1 }
+            finally inf.end()
+            if (got != expect) None // truncated / over-long stream: refuse
+            else {
+              // filter reversal IN PLACE over a recon buffer
+              val recon = new Array[Byte](h.toInt * stride)
+              var ir = 0
+              var bad = false
+              while (!bad && ir < h) {
+                val f = raw(ir * (1 + stride)) & 0xff
+                if (f > 4) bad = true
+                else {
+                  var x = 0
+                  while (x < stride) {
+                    val ft = raw(ir * (1 + stride) + 1 + x) & 0xff
+                    val a = if (x >= 3) recon(ir * stride + x - 3) & 0xff else 0
+                    val b = if (ir >= 1) recon((ir - 1) * stride + x) & 0xff else 0
+                    val c = if (x >= 3 && ir >= 1) recon((ir - 1) * stride + x - 3) & 0xff else 0
+                    val pred = f match {
+                      case 0 => 0
+                      case 1 => a
+                      case 2 => b
+                      case 3 => (a + b) / 2
+                      case 4 =>
+                        val pp = a + b - c
+                        val (pa, pb, pc) =
+                          (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+                        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+                    }
+                    recon(ir * stride + x) = ((ft + pred) & 0xff).toByte
+                    x += 1
+                  }
+                }
+                ir += 1
+              }
+              if (bad) None
+              else {
+                var sr = 0L; var sg = 0L; var sb = 0L; var top = 0L
+                var i = 0
+                while (i < recon.length) {
+                  val v = recon(i) & 0xff
+                  (i % 3) match {
+                    case 0 => sr += v
+                    case 1 => sg += v
+                    case _ => sb += v
+                  }
+                  if (i < stride) top += v
+                  i += 1
+                }
+                Some(PngStats(m.doc_id, w, h, w * h, sr, sg, sb, top))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** EXT (oracle-checked): decoded COMPRESSED-PNG pixel statistics. The
+    * oracle replays the PLANTING formula (pixel p = text byte p mod
+    * |text| — the BMP convention) while the engine inflates the IDAT
+    * stream and reverses all five scanline filters ((id+row) % 5 plants
+    * every type): one hash gates the chunk walk, the inflate, and the
+    * filter arithmetic — a single mis-predicted byte cascades through
+    * Up/Paeth into every later row's sums. */
+  def qMultimodalPng(s: SparkSession, d: String): DataFrame =
+    decodePngStats(pngAssetTable(s, d)).toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_headers" -> (qMultimodalHeaders _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
+    "q_multimodal_png" -> (qMultimodalPng _),
   )
 
   val oracle: Map[String, String] = Map(
+    // same planting formula as the BMP oracle; the channel index runs
+    // R,G,B in image order (PNG) where BMP files run B,G,R — the engine
+    // decodes the CONTAINER (inflate + filter reversal) to recover it
+    "q_multimodal_png" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 4 AS h,
+        |    length(text) AS L
+        |  FROM documents WHERE length(text) >= 1),
+        |px AS (SELECT doc_id, w, p,
+        |    p % 3 AS k,
+        |    ascii(substring(text, CAST(p % L AS INT) + 1, 1)) AS v
+        |  FROM (SELECT doc_id, text, w, L,
+        |          unnest(range(0, 3 * w * h)) AS p FROM d)),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |    CAST(SUM(CASE WHEN k = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |    CAST(SUM(CASE WHEN k = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |    CAST(SUM(CASE WHEN p < 3 * w THEN v ELSE 0 END) AS BIGINT) AS top_row_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels, sum_r, sum_g, sum_b, top_row_sum
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_multimodal_bmp" ->
       """WITH d AS (SELECT doc_id, text,
         |    1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 4 AS h,

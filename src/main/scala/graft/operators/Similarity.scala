@@ -1630,23 +1630,77 @@ object Similarity {
     * rename. `nEntries`/`corpusMin` bake into the hub list — they are
     * index-build parameters, like nlist in an IVF build. Returns the
     * committed generation path. */
+  /** The [[plane2]] LSH signature as one string column — shared by the
+    * graph build, the index buckets, and the streaming maintenance. */
+  private[graft] def lshBucket(v: Column, sigBits: Int): Column =
+    concat((0 until sigBits).map { p =>
+      when(vecDot(v, plane2(p)) >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** Top in-degree entry hubs of an undirected edge relation (ties by
+    * id) — an index-build derivation ([[buildGraphIndex]] and the
+    * streaming refresh recompute it; never computed at query time). */
+  private[graft] def topHubs(gu: DataFrame, nEntries: Int, corpusMin: Long): DataFrame =
+    gu.filter(col("nb") >= corpusMin)
+      .groupBy(col("nb").as("cid")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("cid")).limit(nEntries)
+      .select("cid")
+
+  /** INSERT-BY-SEARCH: link a batch of NEW vectors into an existing
+    * graph index — HNSW's construction move (Malkov & Yashunin 2016)
+    * applied per micro-batch, and the honest test of the r14 lesson
+    * that navigability comes from incremental insert-by-search
+    * construction, not from post-hoc layering (SCALE.md r14: post-hoc
+    * hierarchies measured recall 0.135). Each new vector SEARCHES the
+    * current graph (bucket-mates ∪ hub entry, the production walk) for
+    * its `kLink` nearest and links both directions. The walk corpus
+    * includes the batch itself: intra-batch neighbors meet through the
+    * entry probe (same LSH bucket), so a batch is inserted as if
+    * sequentially without a driver loop. Early inserts (small corpus)
+    * link across what later becomes long range — exactly the long-link
+    * construction HNSW relies on.
+    *
+    * @param eAll corpus INCLUDING the batch (vec_id, v, nrm)
+    * @param gu current undirected edge relation; @param buckets current
+    *        (cid, bucket) incl. the batch; @param hubs entry fallback
+    * @param b the new batch (vec_id, v, nrm)
+    * @return new UNDIRECTED pairs (vid, nb) — both directions. */
+  private[graft] def insertBySearch(eAll: DataFrame, gu: DataFrame,
+      buckets: DataFrame, hubs: DataFrame, b: DataFrame,
+      kLink: Int, beam: Int, rounds: Int, sigBits: Int = 8): DataFrame = {
+    val q = b.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val bitsQ = (0 until sigBits).map { p =>
+      when(vecDot(col("qv"), plane2(p)) >= 0, "1").otherwise("0")
+    }
+    // no broadcast hint on the batch side: a drop can be arbitrarily
+    // large; AQE picks the build side from runtime sizes
+    val mates = q.select(col("qid"), concat(bitsQ: _*).as("bucket"))
+      .join(buckets, "bucket")
+      .filter(col("cid") =!= col("qid")) // a batch vector's bucket holds itself
+      .select("qid", "cid")
+    val entry = mates.unionByName(
+      q.select("qid").crossJoin(broadcast(hubs)).filter(col("cid") =!= col("qid")))
+    val found = graphSearchWalk(eAll, gu, q, kLink, beam, rounds,
+      corpusMin = Long.MinValue, entrySet = entry)
+    val out = found.select(col("qid").as("vid"), col("cid").as("nb"))
+      .unionByName(found.select(col("cid").as("vid"), col("qid").as("nb")))
+      .transform(graft.Fence.cut)
+    graft.Fence.releaseCut(found)
+    out
+  }
+
   def buildGraphIndex(e: DataFrame, indexDir: String, kRand: Int, kBuild: Int,
                       rounds: Int, sigBits: Int = 8, nEntries: Int = 4,
-                      corpusMin: Long = 0L): String = {
+                      corpusMin: Long = 0L, persistVectors: Boolean = false): String = {
     import org.apache.hadoop.fs.Path
     val s = e.sparkSession
     val g = knnGraphEdges(e, kRand, kBuild, rounds, sigBits)
     val gu = graft.Fence.cut(
       g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb"))).distinct())
     graft.Fence.releaseCut(g)
-    val hubs = gu.filter(col("nb") >= corpusMin)
-      .groupBy(col("nb").as("cid")).agg(count(lit(1)).as("deg"))
-      .orderBy(col("deg").desc, col("cid")).limit(nEntries)
-      .select("cid")
-    val bits = (0 until sigBits).map { p =>
-      when(vecDot(col("v"), plane2(p)) >= 0, "1").otherwise("0")
-    }
-    val buckets = e.select(col("vec_id").as("cid"), concat(bits: _*).as("bucket"))
+    val hubs = topHubs(gu, nEntries, corpusMin)
+    val buckets = e.select(col("vec_id").as("cid"),
+                           lshBucket(col("v"), sigBits).as("bucket"))
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -1667,6 +1721,13 @@ object Similarity {
       .write.mode("overwrite").parquet(new Path(tmp, "hubs").toString)
     buckets.repartition(width, col("cid"))
       .write.mode("overwrite").parquet(new Path(tmp, "buckets").toString)
+    // streaming maintenance ([[graft.streaming.Streams.knnIngestStream]])
+    // keeps the corpus vectors IN the generation so insert-by-search can
+    // exact-score against a self-contained index; batch/one-shot callers
+    // skip the copy (their corpus lives in its own table)
+    if (persistVectors)
+      e.select(col("vec_id"), col("v")).repartition(width, col("vec_id"))
+        .write.mode("overwrite").parquet(new Path(tmp, "vectors").toString)
     graft.plans.CommitEpoch.midCommitHook("pre-rename")
     val fin = new Path(dir, s"compacted_$epoch")
     if (!fs.rename(tmp, fin))

@@ -849,6 +849,163 @@ object Streams {
       .start()
   }
 
+  /** Streaming kNN-GRAPH maintenance — the graph index's streaming door
+    * (r14 verdict #2; completes the lifecycle ledger: dedup has band
+    * compaction, IVF has [[annIngestStream]], ranks have warm refresh).
+    * Watches `dropDir` for (vec_id, embedding) parquet drops; per
+    * micro-batch (exactly-once via the checkpoint's file accounting):
+    *
+    *  - **cold start** (no generation): [[graft.operators.Similarity
+    *    .buildGraphIndex]] over the first drop — NN-descent build, then
+    *    edges + hubs + buckets + VECTORS commit as one generation
+    *    (`persistVectors`: the streaming index is self-contained, so
+    *    insert-by-search can exact-score without an external table).
+    *  - **steady state — INSERT-BY-SEARCH** ([[graft.operators
+    *    .Similarity.insertBySearch]]): each new vector searches the
+    *    current graph (generation ∪ delta edges) for its `kLink`
+    *    nearest and links both directions; the delta
+    *    (`batch_<id>/{edges,vectors,buckets}`, idempotent name) appends
+    *    without touching committed state. The walk corpus includes the
+    *    batch, so intra-batch neighbors link through the bucket entry.
+    *    This is ALSO the honest test of the r14 navigability lesson:
+    *    early inserts link across what later becomes long range, the
+    *    construction HNSW's greedy descent needs (the post-hoc layered
+    *    hierarchy measured recall 0.135; ScaleProbe `knningest` measures
+    *    this path — SCALE.md).
+    *  - **refresh** (every `refreshEvery`-th batch): COMPACTION, not a
+    *    rebuild — preserving the incrementally-grown links is the point.
+    *    Generation ∪ deltas union-distinct into a new generation, hubs
+    *    recomputed from the compacted relation, consumed deltas and
+    *    superseded generations deleted after the CommitEpoch rename.
+    *
+    * Replay idempotence (the annIngestStream discipline): the batch is
+    * anti-joined against the index's vec_ids before linking, so a
+    * replayed batch writes an EMPTY delta; delta names are batch-id
+    * idempotent. Reader contract: max-seq generation + `batch_*` deltas;
+    * edges may carry duplicates mid-window — every consumer here
+    * re-distincts or tolerates multiplicity (the walk's candidate set is
+    * DISTINCT by construction). Vec_ids are append-only/immutable. */
+  def knnIngestStream(s: SparkSession, dropDir: String, indexDir: String,
+                      checkpoint: String, kRand: Int = 4, kBuild: Int = 8,
+                      buildRounds: Int = 2, kLink: Int = 8, beam: Int = 8,
+                      walkRounds: Int = 4, sigBits: Int = 8, nEntries: Int = 4,
+                      refreshEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val dropSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    def withNrm(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    s.readStream.format("parquet").schema(dropSchema).load(dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+        val dir = new Path(indexDir)
+        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(dir)
+        fs.listStatus(dir).map(_.getPath)
+          .filter(p => p.getName.startsWith("_compact_") && p.getName.endsWith(".tmp"))
+          .foreach(p => fs.delete(p, true))
+        def gens = fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("compacted_"))
+          .sortBy(p => p.getName.stripPrefix("compacted_").takeWhile(_.isDigit) match {
+            case "" => -1L; case d => BigInt(d).min(Long.MaxValue - 1).toLong })
+        def deltas = fs.listStatus(dir).map(_.getPath)
+          .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+                       p.getName.startsWith("batch_"))
+        val e = graft.Fanout.byKey(prep(batch), col("vec_id"))
+        if (gens.isEmpty) {
+          val n = e.count()
+          require(n >= 2,
+            s"knnIngestStream($dropDir): cold-start drop carries $n vector(s) — " +
+            "a graph needs at least 2")
+          graft.operators.Similarity.buildGraphIndex(e, indexDir,
+            kRand, kBuild, buildRounds, sigBits, nEntries,
+            corpusMin = Long.MinValue, persistVectors = true)
+          deltas.foreach(p => fs.delete(p, true))
+        } else {
+          val latest = gens.last
+          def genPart(name: String) = s.read.parquet(new Path(latest, name).toString)
+          def deltaPart(name: String): Option[DataFrame] = {
+            val ps = deltas.map(p => new Path(p, name))
+              .filter(fs.exists(_)).map(p => s.read.parquet(p.toString))
+            ps.reduceOption(_ unionByName _)
+          }
+          val vectors = deltaPart("vectors")
+            .foldLeft(genPart("vectors"))(_ unionByName _)
+          // replay idempotence: drop vec_ids the index already holds
+          val b = graft.Fence.cut(
+            e.join(vectors.select("vec_id"), Seq("vec_id"), "left_anti"))
+          val gu = deltaPart("edges").foldLeft(genPart("edges"))(_ unionByName _)
+          val buckets = deltaPart("buckets").foldLeft(genPart("buckets"))(_ unionByName _)
+            .unionByName(b.select(col("vec_id").as("cid"),
+              graft.operators.Similarity.lshBucket(col("v"), sigBits).as("bucket")))
+          val eAll = withNrm(vectors).unionByName(b)
+          val newEdges = graft.operators.Similarity.insertBySearch(
+            eAll, gu, buckets, genPart("hubs"), b,
+            kLink, beam, walkRounds, sigBits)
+          val out = new Path(dir, s"batch_$batchId")
+          newEdges.write.mode("overwrite").parquet(new Path(out, "edges").toString)
+          b.select(col("vec_id"), col("v"))
+            .write.mode("overwrite").parquet(new Path(out, "vectors").toString)
+          b.select(col("vec_id").as("cid"),
+              graft.operators.Similarity.lshBucket(col("v"), sigBits).as("bucket"))
+            .write.mode("overwrite").parquet(new Path(out, "buckets").toString)
+          graft.Fence.releaseCut(newEdges); graft.Fence.releaseCut(b)
+          if (refreshEvery > 0 && batchId % refreshEvery == 0) {
+            // compaction refresh: union-distinct edges, recompute hubs —
+            // the incremental links SURVIVE (a rebuild would discard the
+            // insert-by-search construction this stream exists to grow)
+            val allEdges = deltaPart("edges").foldLeft(genPart("edges"))(_ unionByName _)
+              .distinct()
+            val allVecs = deltaPart("vectors")
+              .foldLeft(genPart("vectors"))(_ unionByName _)
+            val allBuckets = deltaPart("buckets")
+              .foldLeft(genPart("buckets"))(_ unionByName _)
+            val hubs = graft.operators.Similarity.topHubs(
+              allEdges, nEntries, corpusMin = Long.MinValue)
+            // snapshot the consumed state BEFORE the rename: gens/deltas
+            // are re-listing defs, and a post-rename listing returns the
+            // fresh generation under a fully-QUALIFIED path that a Path
+            // != comparison against the unqualified `fin` cannot exclude
+            val consumed = deltas.toSeq ++ gens.toSeq
+            val epoch = graft.plans.CommitEpoch.next(fs, dir)
+            val tmp = new Path(dir, s"_compact_$epoch.tmp")
+            val nEdges = allEdges.count()
+            val width = math.max(1L, math.min(1L << 20, nEdges / 4000000L + 1L)).toInt
+            allEdges.repartition(width, col("vid"))
+              .write.mode("overwrite").parquet(new Path(tmp, "edges").toString)
+            hubs.coalesce(1)
+              .write.mode("overwrite").parquet(new Path(tmp, "hubs").toString)
+            allBuckets.repartition(width, col("cid"))
+              .write.mode("overwrite").parquet(new Path(tmp, "buckets").toString)
+            allVecs.repartition(width, col("vec_id"))
+              .write.mode("overwrite").parquet(new Path(tmp, "vectors").toString)
+            graft.plans.CommitEpoch.midCommitHook("pre-rename")
+            val fin = new Path(dir, s"compacted_$epoch")
+            if (!fs.rename(tmp, fin))
+              throw new java.io.IOException(
+                s"knn index commit rename failed: $tmp -> $fin")
+            graft.plans.CommitEpoch.midCommitHook("post-rename")
+            consumed.foreach(p => fs.delete(p, true))
+          }
+        }
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   case class Evt(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, first_id: Long, last_id: Long, total: Double)
 

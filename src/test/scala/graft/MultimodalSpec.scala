@@ -155,6 +155,60 @@ class MultimodalSpec extends SparkSpec {
           Multimodal.Media(7L, "image/bmp", bpp32)).toDS()).count() === 0L)
   }
 
+  test("decodePngStats: inflate + every scanline filter reverses to the planted pixels") {
+    import spark.implicits._
+    // 4x5 RGB ramp — every channel value distinct, so a single
+    // mis-reversed byte moves a sum
+    val w = 4; val h = 5
+    val pix = Array.tabulate(3 * w * h)(i => ((i * 7 + 3) % 251).toByte)
+    def statsOf(filterOf: Int => Int) = {
+      val png = Multimodal.pngFullBytes(w, h, pix, filterOf)
+      Multimodal.decodePngStats(
+        Seq(Multimodal.Media(1L, "image/png", png)).toDS()).collect().head
+    }
+    val expR = (0 until 3 * w * h by 3).map(i => (pix(i) & 0xff).toLong).sum
+    val expG = (1 until 3 * w * h by 3).map(i => (pix(i) & 0xff).toLong).sum
+    val expB = (2 until 3 * w * h by 3).map(i => (pix(i) & 0xff).toLong).sum
+    val expTop = (0 until 3 * w).map(i => (pix(i) & 0xff).toLong).sum
+    // each filter type alone, then the production mix (id+row)%5
+    for (f <- 0 to 4; st = statsOf(_ => f)) {
+      assert((st.width, st.height, st.n_pixels) === ((w.toLong, h.toLong, (w * h).toLong)))
+      assert((st.sum_r, st.sum_g, st.sum_b, st.top_row_sum) ===
+        ((expR, expG, expB, expTop)), s"filter $f mis-reversed")
+    }
+    val mixed = statsOf(r => (1 + r) % 5)
+    assert((mixed.sum_r, mixed.sum_g, mixed.sum_b) === ((expR, expG, expB)))
+
+    // refusals: truncated IDAT, interlaced, wrong color type, foreign
+    // mime, corrupt zlib — NO row, never garbage
+    val good = Multimodal.pngFullBytes(w, h, pix, _ => 4)
+    val interlaced = good.clone(); interlaced(8 + 4 + 4 + 12) = 1.toByte // IHDR interlace byte
+    val gray = good.clone(); gray(8 + 4 + 4 + 9) = 0.toByte              // color type 0
+    val corrupt = good.clone(); corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5a).toByte
+    assert(Multimodal.decodePngStats(Seq(
+      Multimodal.Media(2L, "image/png", good.take(good.length / 2)),
+      Multimodal.Media(3L, "image/png", interlaced),
+      Multimodal.Media(4L, "image/png", gray),
+      Multimodal.Media(5L, "audio/wav", good),
+      Multimodal.Media(6L, "image/png", corrupt)).toDS()).count() === 0L)
+
+    // the asset table round-trips: decode recovers the planting formula
+    val assets = Multimodal.pngAssetTable(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .collect().toMap
+    val decoded = Multimodal.decodePngStats(assets).collect()
+    assert(decoded.length === docs.size, "every planted PNG must decode")
+    decoded.take(50).foreach { st =>
+      val t = docs(st.doc_id).getBytes("US-ASCII")
+      val n = (3 * st.width * st.height).toInt
+      val exp = (0 until n).map(p => (t(p % t.length) & 0xff).toLong)
+      assert(st.sum_r === exp.indices.collect { case i if i % 3 == 0 => exp(i) }.sum)
+      assert(st.sum_b === exp.indices.collect { case i if i % 3 == 2 => exp(i) }.sum)
+    }
+  }
+
   test("resizeStub shrinks payloads by the factor, deterministically") {
     import graft.multimodal.Multimodal
     val m = Multimodal.media(spark, sf).limit(20)

@@ -788,6 +788,112 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$gen1/postings").count() === 60L)
   }
 
+  test("kNN-graph ingest stream: cold build, insert-by-search delta, and compaction refresh each equal their batch twin") {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val drop = Files.createTempDirectory("graft_knn_drop").toString
+    val index = Files.createTempDirectory("graft_knn_idx").resolve("idx").toString
+    val ckpt = Files.createTempDirectory("graft_knn_ckpt").toString
+    // 64-dim (the plane2 signature width), 4 axis clusters + jitter —
+    // near neighbors are intra-cluster, so insert-by-search has real
+    // structure to link into
+    def mkVecs(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.map { id =>
+        val c = (id % 4).toInt
+        val v = Array.tabulate(64)(i =>
+          (if (i == c) 10f else 0f) + (((id + i) % 7).toFloat * 0.01f))
+        (id, v)
+      }.toDF("vec_id", "embedding")
+    }
+    def ship(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_knn_stage_$tag").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag.parquet")))
+    }
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    def run(): Unit =
+      Streams.knnIngestStream(spark, drop, index, ckpt,
+          kRand = 4, kBuild = 8, buildRounds = 2, kLink = 4, beam = 4,
+          walkRounds = 2, refreshEvery = 2)
+        .awaitTermination(240000)
+    def names(prefix: String) = {
+      val p = new Path(index)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith(prefix)).sorted.toSeq
+    }
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vid", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val d1 = mkVecs(0L until 40L)
+    ship(d1, "drop1"); run() // batch 0: cold graph build
+    assert(names("compacted_").size === 1 && names("batch_").isEmpty)
+    val gen0 = s"$index/${names("compacted_").head}"
+    // pin eagerly: the refresh deletes gen-0 files under a lazy frame
+    val gen0Edges = spark.read.parquet(s"$gen0/edges").localCheckpoint(true)
+    val gen0Buckets = spark.read.parquet(s"$gen0/buckets").localCheckpoint(true)
+    val gen0Hubs = spark.read.parquet(s"$gen0/hubs").localCheckpoint(true)
+    assert(spark.read.parquet(s"$gen0/vectors").count() === 40L)
+    val e1 = prep(d1)
+    val gTwin = Similarity.knnGraphEdges(e1, kRand = 4, kBuild = 8, rounds = 2)
+    val guTwin = gTwin.unionByName(
+      gTwin.select(col("nb").as("vid"), col("vid").as("nb"))).distinct()
+    assert(edgeSet(gen0Edges) === edgeSet(guTwin),
+      "cold generation edges equal the batch build twin (undirected, distinct)")
+    assert(gen0Hubs.collect().map(_.getLong(0)).toSet ===
+      Similarity.topHubs(guTwin, 4, Long.MinValue).collect().map(_.getLong(0)).toSet)
+
+    val d2 = mkVecs(100L until 110L)
+    ship(d2, "drop2"); run() // batch 1: insert-by-search delta
+    assert(names("compacted_").size === 1 && names("batch_") === Seq("batch_1"))
+    val b1Edges = spark.read.parquet(s"$index/batch_1/edges").localCheckpoint(true)
+    val b2 = prep(d2)
+    val eAll2 = e1.unionByName(b2)
+    val buckets2 = gen0Buckets.unionByName(
+      b2.select(col("vec_id").as("cid"),
+        Similarity.lshBucket(col("v"), 8).as("bucket")))
+    val insTwin = Similarity.insertBySearch(
+      eAll2, gen0Edges, buckets2, gen0Hubs, b2,
+      kLink = 4, beam = 4, rounds = 2)
+    assert(edgeSet(b1Edges) === edgeSet(insTwin),
+      "delta edges equal the insert-by-search batch twin (both directions)")
+    // every new vector got linked, both directions present
+    val newIds = (100L until 110L).toSet
+    assert(newIds.forall(id => edgeSet(b1Edges).exists(_._1 == id)))
+    assert(edgeSet(b1Edges).forall { case (a, b) => edgeSet(b1Edges).contains((b, a)) })
+
+    val d3 = mkVecs(200L until 210L)
+    ship(d3, "drop3"); run() // batch 2: delta + compaction refresh (2 % 2 == 0)
+    assert(names("batch_").isEmpty, "refresh consumes the deltas")
+    assert(names("compacted_").size === 1)
+    val gen1 = s"$index/${names("compacted_").head}"
+    assert(spark.read.parquet(s"$gen1/vectors").count() === 60L)
+    // twin of the refresh: gen0 ∪ delta1 ∪ delta2(recomputed) distinct —
+    // the compaction must PRESERVE the incremental links, not rebuild
+    val b3 = prep(d3)
+    val eAll3 = eAll2.unionByName(b3)
+    val gu2 = gen0Edges.unionByName(b1Edges)
+    val buckets3 = buckets2.unionByName(
+      b3.select(col("vec_id").as("cid"),
+        Similarity.lshBucket(col("v"), 8).as("bucket")))
+    val b2TwinEdges = Similarity.insertBySearch(
+      eAll3, gu2, buckets3, gen0Hubs, b3,
+      kLink = 4, beam = 4, rounds = 2)
+    val refreshTwin = edgeSet(gen0Edges) ++ edgeSet(b1Edges) ++ edgeSet(b2TwinEdges)
+    assert(edgeSet(spark.read.parquet(s"$gen1/edges")) === refreshTwin,
+      "refreshed generation = union-distinct of generation + deltas (links preserved)")
+    // hubs recomputed over the compacted relation
+    import spark.implicits._
+    val refreshGu = refreshTwin.toSeq.toDF("vid", "nb")
+    assert(spark.read.parquet(s"$gen1/hubs").collect().map(_.getLong(0)).toSet ===
+      Similarity.topHubs(refreshGu, 4, Long.MinValue).collect().map(_.getLong(0)).toSet)
+  }
+
   test("edge compaction: a reader at ANY commit instant sees the complete relation; epochs never collide") {
     import spark.implicits._
     val edgesDir = Files.createTempDirectory("graft_cc_edges").resolve("e").toString
