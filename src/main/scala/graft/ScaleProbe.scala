@@ -63,6 +63,36 @@ object ScaleProbe {
         if (parts.length > 1) parts(1).toInt else 8,
         if (parts.length > 2) parts(2).toInt else 4)
     }
+    else if (args(0) == "abq") {
+      // abq <q1,q2,...>[:reps[:sfDir]] — alternate declared queries in
+      // ONE JVM after a warm-up pair: the SCALE.md box-variance
+      // discipline (wall swings ±50% across sittings; only same-JVM
+      // alternation separates position noise from real cost drift)
+      val parts = args(1).split(":")
+      val names = parts(0).split(",").toSeq
+      val reps = if (parts.length > 1) parts(1).toInt else 5
+      val dir = if (parts.length > 2) parts(2) else "/root/testdata/sf0.1"
+      names.foreach(n => require(SparkEntry.queries.contains(n), s"unknown query $n"))
+      names.foreach(n => SparkEntry.queries(n)(spark, dir).count()) // warm-up
+      val walls = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      (1 to reps).foreach { i =>
+        names.foreach { n =>
+          System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, dir).count()
+          val w = (System.nanoTime() - t0) / 1e9
+          walls(n) = walls.getOrElse(n, Vector()) :+ w
+          println(f"abq rep $i $n%-24s $w%.2f s")
+        }
+      }
+      walls.toSeq.sortBy(_._1).foreach { case (nm, ws) =>
+        val s = ws.sorted
+        println(f"abq SUMMARY $nm%-24s min=${s.head}%.2f med=${s(s.size / 2)}%.2f " +
+          f"max=${s.last}%.2f spread=${s.last / s.head}%.2fx")
+      }
+    }
+    else if (args(0) == "dedup10") dedup10Probe(spark, args(1))
+    else if (args(0) == "ann10") ann10Probe(spark, args(1))
     else if (args(0) == "knningest") {
       // knningest <mult>[:batches]  (50k = 25; drops inserted in id order)
       val parts = args(1).split(":")
@@ -1033,6 +1063,137 @@ object ScaleProbe {
       graft.Fence.releaseCut(res)
     }
     graft.Fence.releaseCut(g)
+  }
+
+  /** sf10 ENGINE-SIDE dedup gate (r14 verdict #4): the dedup oracles are
+    * deliberately quadratic in DuckDB, so past sf1 the gate moves to
+    * invariants the ENGINE can check against closed forms of the
+    * GenScale construction (the GraphSpec planted-overflow pattern):
+    *  1. exact-dup GROUP-SIZE multiset: every scale step multiplies each
+    *     group count by the factor (copy r keeps a base dup-group intact
+    *     under one shared suffix), so groups(k) at sf10 = 100 ×
+    *     groups(k) at sf0.1 — gates the hash-groupBy dedup at 500k docs
+    *     with zero reference to DuckDB;
+    *  2. band CARDINALITY identity: minhashBands emits exactly 4 rows
+    *     per document with ≥ 1 3-shingle (n_chars ≥ 3) — a closed form
+    *     over n_chars;
+    *  3. planted near-dup RECALL: family = ids congruent mod |base|
+    *     (suffix-only perturbations of one base text); for long-text
+    *     families (≥ 200 chars: shingle Jaccard ≥ ~0.95) the banded
+    *     candidate join must recover ≥ 90% of (base, member) pairs.
+    * Every join here is banded or family-restricted — zero all-pairs. */
+  private def dedup10Probe(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Fence.cut(
+      Tables.documents(spark, dir).select("doc_id", "text", "n_chars"))
+    val n = docs.count()
+    val base = graft.Fence.cut(
+      Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text", "n_chars"))
+    val nBase = base.count()
+    val factor = n / nBase
+    println(f"dedup10: $n%,d docs = $factor x $nBase%,d base")
+    def groupSizes(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1).groupBy("k").agg(count(lit(1)).as("groups"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val t0 = System.nanoTime()
+    val gBig = groupSizes(docs)
+    val wExact = (System.nanoTime() - t0) / 1e9
+    val gBase = groupSizes(base)
+    val scaled = gBase.map { case (k, c) => k -> c * factor }
+    println(f"dedup10 exact groups: sf10=${gBig.values.sum}%,d groups in $wExact%.1f s; " +
+      f"closed form = factor x base = ${scaled.values.sum}%,d")
+    assert(gBig == scaled,
+      s"exact-dup group multiset must scale by the factor: got $gBig expected $scaled")
+    val t1 = System.nanoTime()
+    val bands = graft.Fence.cut(
+      operators.Dedup.minhashBands(docs.select("doc_id", "text")))
+    val nBands = bands.count()
+    val wBands = (System.nanoTime() - t1) / 1e9
+    val expBands = 4L * docs.filter(col("n_chars") >= 3).count()
+    println(f"dedup10 bands: $nBands%,d rows in $wBands%.1f s; closed form $expBands%,d")
+    assert(nBands == expBands, s"band cardinality: $nBands != $expBands")
+    // planted recall over 200 long-text families (base + 99 variants)
+    val famIds = base.filter(col("n_chars") >= 200).select("doc_id")
+      .orderBy("doc_id").limit(200)
+      .collect().map(_.getLong(0)).toSet
+    val famCol = pmod(col("doc_id"), lit(nBase))
+    val sample = docs.withColumn("fam", famCol)
+      .filter(col("fam").isin(famIds.toSeq.map(java.lang.Long.valueOf): _*))
+    val planted = sample.filter(col("doc_id") >= nBase) // every non-base member
+      .select(col("fam"), col("doc_id").as("m"))
+    val nPlanted = planted.count()
+    val t2 = System.nanoTime()
+    val sBands = bands.join(sample.select("doc_id", "fam"), "doc_id")
+    val hits = sBands.as("a").join(sBands.as("b"),
+        col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+        col("a.fam") === col("b.fam") &&
+        col("a.doc_id") === col("a.fam") && col("b.doc_id") =!= col("b.fam"))
+      .select(col("a.fam").as("fam"), col("b.doc_id").as("m")).distinct()
+      .join(planted, Seq("fam", "m"), "left_semi").count()
+    val wRec = (System.nanoTime() - t2) / 1e9
+    val recall = hits.toDouble / nPlanted
+    println(f"dedup10 planted (base, member) recall via bands: " +
+      f"$hits%,d / $nPlanted%,d = $recall%.3f in $wRec%.1f s (floor 0.90)")
+    assert(recall >= 0.90, f"planted near-dup recall $recall%.3f under floor")
+    graft.Fence.releaseCut(bands); graft.Fence.releaseCut(docs); graft.Fence.releaseCut(base)
+  }
+
+  /** sf10 ENGINE-SIDE ANN gate (r14 verdict #4): 64-d embeddings scale
+    * to ~200k vectors in 100-member planted families (one coordinate
+    * bumped per copy — cosine within a family ≈ 1). The exact
+    * query-cohort brute force (20 × n, the bounded oracle leg) is the
+    * ground truth; the graph family must hold a recall floor at a scale
+    * decade past the sf1 oracle gate, with build/search walls recorded
+    * and zero all-pairs plans (NN-descent is 2-hop-bounded; the walk is
+    * beam-bounded; the index commit is one distinct + degree agg at
+    * BUILD time only). */
+  private def ann10Probe(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorMath.vecDot
+    val e = graft.Fence.cut(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .transform(graft.Fanout.byKey(_, col("vec_id")))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(vecDot(col("v"), col("v")))))
+    val nVecs = e.count()
+    println(f"ann10: $nVecs%,d vectors")
+    val q = graft.Fence.cut(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
+    val nQ = q.count()
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val t0 = System.nanoTime()
+    val gt = graft.Fence.cut(
+      e.filter(col("vec_id") >= 20).crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id").as("cand"),
+          round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 10)
+        .select("qid", "cand"))
+    println(f"ann10 exact brute-force gt (bounded 20 x n): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      gt.join(res.select(col("qid"), col("cid").as("cand")),
+        Seq("qid", "cand"), "left_semi").count().toDouble / (nQ * 10L)
+    // index build: sigBits 15 keeps the seed buckets ~n/32k (the IVF
+    // nlist analog at this scale)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann10_idx").toString
+    val t1 = System.nanoTime()
+    operators.Similarity.buildGraphIndex(e, idxDir, kRand = 4, kBuild = 8,
+      rounds = 2, sigBits = 15, nEntries = 4, corpusMin = 20L)
+    println(f"ann10 graph index build+commit: ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+      "(NN-descent 2-hop bounded; distinct + degree agg at BUILD time)")
+    val t2 = System.nanoTime()
+    val res = operators.Similarity.graphSearchIndexed(e, idxDir, q,
+      k = 10, beam = 8, rounds = 4, corpusMin = 20L, sigBits = 15)
+    val rec = recallOf(res)
+    println(f"ann10 indexed graph search: recall@10=$rec%.3f " +
+      f"wall=${(System.nanoTime() - t2) / 1e9}%.1f s (floor 0.60; search-only path, " +
+      "no 2|E| distinct, no degree agg)")
+    assert(rec >= 0.60, f"ann10 graph-search recall $rec%.3f under floor")
+    graft.Fence.releaseCut(res)
+    graft.Fence.releaseCut(gt); graft.Fence.releaseCut(q); graft.Fence.releaseCut(e)
   }
 
   /** INSERT-BY-SEARCH navigability at the replica shape (r15, the r14

@@ -849,6 +849,43 @@ object Streams {
       .start()
   }
 
+  /** The [[annIngestStream]] reader contract made CODE (r14 verdict #6 —
+    * the one commit-protocol claim that had no spec): a CONSISTENT
+    * vector→cell snapshot of the index at ANY commit instant. Pick the
+    * max-seq generation plus the `batch_*` deltas, then keep ONE row per
+    * vec_id with the GENERATION copy winning: mid-refresh (post-rename,
+    * deltas not yet deleted) every delta vector is already in the new
+    * generation's postings — trained centroids supersede the delta's
+    * old-generation assignment — so the dedup collapses the "both"
+    * window to exactly the new generation; pre-rename the generation and
+    * deltas are disjoint (the steady-state anti-join) and post-delete
+    * only the generation remains. All three instants yield a complete,
+    * single-generation-consistent relation — StreamingSpec pins each via
+    * the midCommitHook seam. A delta listed but deleted before its read
+    * surfaces as a read error: retry the snapshot (stated contract). */
+  def annIndexSnapshot(s: SparkSession, indexDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("compacted_"))
+      .sortBy(p => p.getName.stripPrefix("compacted_").takeWhile(_.isDigit) match {
+        case "" => -1L; case d => BigInt(d).min(Long.MaxValue - 1).toLong })
+    require(gens.nonEmpty, s"annIndexSnapshot($indexDir): no committed generation")
+    val gen = s.read.parquet(new Path(gens.last, "postings").toString)
+      .select(col("vec_id"), col("cid"), col("v")).withColumn("pri", lit(1))
+    val all = fs.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+                   p.getName.startsWith("batch_"))
+      .map(p => s.read.parquet(p.toString)
+        .select(col("vec_id"), col("cid"), col("v")).withColumn("pri", lit(0)))
+      .foldLeft(gen)(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("pri").desc)
+    all.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("vec_id", "cid", "v")
+  }
+
   /** Streaming kNN-GRAPH maintenance — the graph index's streaming door
     * (r14 verdict #2; completes the lifecycle ledger: dedup has band
     * compaction, IVF has [[annIngestStream]], ranks have warm refresh).

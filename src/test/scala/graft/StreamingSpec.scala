@@ -788,6 +788,86 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$gen1/postings").count() === 60L)
   }
 
+  test("ANN index reader racing the refresh: a snapshot at EVERY commit instant is complete and single-generation consistent") {
+    import graft.operators.Similarity
+    val drop = Files.createTempDirectory("graft_rc_drop").toString
+    val index = Files.createTempDirectory("graft_rc_idx").resolve("idx").toString
+    val ckpt = Files.createTempDirectory("graft_rc_ckpt").toString
+    def mkVecs(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.map { id =>
+        val c = (id % 4).toInt
+        val v = Array.tabulate(4)(i =>
+          (if (i == c) 10f else 0f) + ((id % 7).toFloat * 0.01f))
+        (id, v)
+      }.toDF("vec_id", "embedding")
+    }
+    def ship(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_rc_stage_$tag").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag.parquet")))
+    }
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    def run(): Unit =
+      Streams.annIngestStream(spark, drop, index, ckpt, k = 4, refreshEvery = 2)
+        .awaitTermination(240000)
+    def snap(): Map[Long, Long] =
+      Streams.annIndexSnapshot(spark, index)
+        .select("vec_id", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (id, rows) =>
+          assert(rows.length === 1, s"vec_id $id must appear EXACTLY once in a snapshot")
+          id -> rows.head.getLong(1)
+        }
+
+    val d1 = mkVecs(0L until 40L)
+    val d2 = mkVecs(100L until 110L)
+    val d3 = mkVecs(200L until 210L)
+    ship(d1, "drop1"); run() // batch 0: cold generation
+    val cents0 = spark.read.parquet(
+      s"$index/${new java.io.File(index).list().filter(_.startsWith("compacted_")).head}/centroids")
+      .localCheckpoint(true)
+    ship(d2, "drop2"); run() // batch 1: delta
+    // the steady-state instant: generation + disjoint delta
+    val preRefresh = snap()
+    assert(preRefresh.keySet === (0L until 40L).toSet ++ (100L until 110L).toSet)
+
+    // batch 2 refreshes (2 % 2 == 0): read a full snapshot INSIDE the
+    // commit window at pre-rename (old gen + deltas visible) and
+    // post-rename (BOTH generations + deltas visible — the "both" window
+    // the r14 scaladoc only STATED was safe)
+    val corpus = prep(d1.unionByName(d2).unionByName(d3))
+    val (warmTwin, _, _) = Similarity.kmeansIvfRefresh(corpus, Some(cents0), k = 4)
+    val warmAsg = warmTwin.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val instants = scala.collection.mutable.ArrayBuffer.empty[(String, Map[Long, Long])]
+    graft.plans.CommitEpoch.midCommitHook = { phase =>
+      instants += ((phase, snap()))
+    }
+    try { ship(d3, "drop3"); run() }
+    finally graft.plans.CommitEpoch.midCommitHook = _ => ()
+    assert(instants.map(_._1).toSeq === Seq("pre-rename", "post-rename"))
+    val allIds = (0L until 40L).toSet ++ (100L until 110L).toSet ++ (200L until 210L).toSet
+    val (_, preSnap) = instants(0)
+    val (_, postSnap) = instants(1)
+    // pre-rename: complete, and consistent with the OLD generation (its
+    // d1 cells unchanged from the steady-state snapshot)
+    assert(preSnap.keySet === allIds, "pre-rename snapshot must be complete")
+    (0L until 40L).foreach(id => assert(preSnap(id) === preRefresh(id),
+      s"pre-rename must serve the OLD generation's cell for $id"))
+    // post-rename ("both" window): the generation-wins dedup collapses to
+    // exactly the NEW generation — the warm-refresh twin's assignment
+    assert(postSnap.keySet === allIds, "post-rename snapshot must be complete")
+    assert(postSnap === warmAsg,
+      "post-rename snapshot must equal the new generation exactly (no delta mixing)")
+    // post-delete: the steady state after the stream finishes
+    assert(snap() === warmAsg, "post-delete snapshot equals the new generation")
+  }
+
   test("kNN-graph ingest stream: cold build, insert-by-search delta, and compaction refresh each equal their batch twin") {
     import graft.operators.Similarity
     import org.apache.hadoop.fs.Path
