@@ -1069,11 +1069,16 @@ object ScaleProbe {
     * deliberately quadratic in DuckDB, so past sf1 the gate moves to
     * invariants the ENGINE can check against closed forms of the
     * GenScale construction (the GraphSpec planted-overflow pattern):
-    *  1. exact-dup GROUP-SIZE multiset: every scale step multiplies each
-    *     group count by the factor (copy r keeps a base dup-group intact
-    *     under one shared suffix), so groups(k) at sf10 = 100 ×
-    *     groups(k) at sf0.1 — gates the hash-groupBy dedup at 500k docs
-    *     with zero reference to DuckDB;
+    *  1. exact-dup GROUP-SIZE multiset: the sf0.1 → sf1 → sf10 chain
+    *     has an exact closed form — for each distinct base text with
+    *     multiplicity m, sf10 carries text t once-per-(r1,r2) as
+    *     t[+" g<r1>"][+" g<r2>"], and the SINGLE-suffix texts collide
+    *     across the two generation steps ((r1=X, r2=0) ≡ (r1=0, r2=X)),
+    *     so the sf10 groups are: 82 groups of size m (m ≥ 2: the plain
+    *     and double-suffix copies) and 9 groups of size 2m PER distinct
+    *     base text — including 9 NEW size-2 groups per previously-unique
+    *     text. Gates the hash-groupBy dedup at 500k docs with zero
+    *     DuckDB reference, and gates the GENERATOR's determinism too;
     *  2. band CARDINALITY identity: minhashBands emits exactly 4 rows
     *     per document with ≥ 1 3-shingle (n_chars ≥ 3) — a closed form
     *     over n_chars;
@@ -1092,19 +1097,25 @@ object ScaleProbe {
     val nBase = base.count()
     val factor = n / nBase
     println(f"dedup10: $n%,d docs = $factor x $nBase%,d base")
-    def groupSizes(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    def sizeDist(d: org.apache.spark.sql.DataFrame, minK: Long): Map[Long, Long] =
       d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("k"))
-        .filter(col("k") > 1).groupBy("k").agg(count(lit(1)).as("groups"))
+        .filter(col("k") >= minK).groupBy("k").agg(count(lit(1)).as("groups"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val t0 = System.nanoTime()
-    val gBig = groupSizes(docs)
+    val gBig = sizeDist(docs, 2L)
     val wExact = (System.nanoTime() - t0) / 1e9
-    val gBase = groupSizes(base)
-    val scaled = gBase.map { case (k, c) => k -> c * factor }
+    val dBase = sizeDist(base, 1L) // D(m): distinct base texts at multiplicity m
+    val exp = scala.collection.mutable.Map.empty[Long, Long]
+    dBase.foreach { case (m, dm) =>
+      if (m >= 2) exp(m) = exp.getOrElse(m, 0L) + 82L * dm
+      exp(2 * m) = exp.getOrElse(2 * m, 0L) + 9L * dm
+    }
+    val expected = exp.toMap.filter(_._2 > 0)
     println(f"dedup10 exact groups: sf10=${gBig.values.sum}%,d groups in $wExact%.1f s; " +
-      f"closed form = factor x base = ${scaled.values.sum}%,d")
-    assert(gBig == scaled,
-      s"exact-dup group multiset must scale by the factor: got $gBig expected $scaled")
+      f"chain closed form=${expected.values.sum}%,d " +
+      s"(sf10 dist=${gBig.toSeq.sortBy(_._1)}, expected=${expected.toSeq.sortBy(_._1)})")
+    assert(gBig == expected,
+      s"exact-dup group multiset must match the chain closed form: got $gBig expected $expected")
     val t1 = System.nanoTime()
     val bands = graft.Fence.cut(
       operators.Dedup.minhashBands(docs.select("doc_id", "text")))
