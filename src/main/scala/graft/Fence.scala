@@ -23,7 +23,7 @@ import org.apache.spark.sql.DataFrame
 object Fence {
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.fence") match {
-      case Some("local") => df.localCheckpoint()
+      case Some("local") => org.apache.spark.sql.GraftSqlShim.localCheckpointCapped(df)
       case _             => org.apache.spark.sql.GraftSqlShim.pinMemory(df)
     }
 
@@ -35,9 +35,16 @@ object Fence {
     * must survive eviction pressure for a whole stream's lifetime
     * (Streams' cell maps), and probe-input pins whose timing isolation
     * must not vary with `spark.graft.fence` (ScaleProbe). FenceGateSpec
-    * greps main source so this file stays the only raw
-    * `.localCheckpoint()` call site in the engine (r10 verdict #2). */
-  def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    * greps main source so the checkpoint machinery stays behind this
+    * file + the shim (r10 verdict #2). Since r15 the implementation is
+    * [[org.apache.spark.sql.GraftSqlShim.localCheckpointCapped]] —
+    * Dataset.localCheckpoint's exact recipe with the leaf's carried
+    * statistics CAPPED at Long.MaxValue: the raw carry let a
+    * recursively-accumulated cut pipeline square its sizeInBytes per
+    * generation until ONE Catalyst stats pass burned 33 min of driver
+    * CPU in BigInteger multiplies (the r15 knnIngest probe finding). */
+  def cut(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlShim.localCheckpointCapped(df)
 
   /** Unpersist a [[apply]]-fenced frame's pinned blocks once it is
     * SUPERSEDED — the iterative-loop discipline (r10 advice): without

@@ -48,21 +48,66 @@ object GraftSqlShim {
     * that is the one contract pin-mode callers accept. Iterative loops
     * must [[graft.Fence.release]] superseded pins so cache usage stays
     * O(1) in the round count. */
+  /** STATS-CAPPED fence leaf (r15 finding): `LogicalRDD.fromDataset` —
+    * used by Dataset.checkpoint/localCheckpoint and previously by both
+    * fence modes here — carries the origin plan's `Statistics` into the
+    * leaf verbatim. Catalyst's size-only estimator MULTIPLIES children
+    * sizes through every join, so a recursively accumulated cut-pipeline
+    * (a graph grown batch-over-batch from its own walk results — the
+    * knnIngest shape) roughly SQUARES the carried `sizeInBytes` per
+    * generation: after ~19 generations the stat is a ~10-million-digit
+    * BigInt and one InjectRuntimeFilter stats pass ground 33 MINUTES of
+    * driver CPU in `BigInteger.multiplyToomCook3` — at PLAN time, before
+    * a single task ran (jstack-verified on the 50k probe). The numbers
+    * above ~2^63 carry no planning information (every threshold they
+    * gate saturates), so every fence leaf caps its carried stats at
+    * Long.MaxValue: per-plan stats then stay bounded by the CURRENT
+    * plan's join count, never by pipeline history. Partitioning,
+    * ordering, expr-id rewrite and constraints still come from
+    * fromDataset's construction. */
+  private def cappedLeaf(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                         ds: classic.Dataset[_]): execution.LogicalRDD = {
+    val spark = ds.sparkSession
+    val lr = execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    val cap = BigInt(Long.MaxValue)
+    val st = ds.queryExecution.optimizedPlan.stats
+    val capped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = st.sizeInBytes.min(cap),
+      rowCount = st.rowCount.map(_.min(cap)))
+    new execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+      lr.outputOrdering, lr.isStreaming, lr.stream)(
+      spark, Some(capped), Some(lr.constraints))
+  }
+
   def pinMemory(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     rdd.count()
-    // LogicalRDD.fromDataset — the SAME leaf construction Dataset
+    // LogicalRDD via [[cappedLeaf]] — the SAME leaf construction Dataset
     // .checkpoint uses — carries the fenced plan's output PARTITIONING
     // and ordering through the fence (expr-ids rewritten onto the new
-    // leaf). A bare internalCreateDataFrame defaults the leaf to
-    // UnknownPartitioning, which made every downstream consumer of a
-    // hash-partitioned fenced relation re-shuffle it (measured: the
-    // 4-consumer ppjoin shingle relation at sf0.1 ran 3.0 s vs 1.7 s).
-    classic.Dataset.ofRows(spark,
-      execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
+    // leaf), with the carried statistics CAPPED (see cappedLeaf). A bare
+    // internalCreateDataFrame defaults the leaf to UnknownPartitioning,
+    // which made every downstream consumer of a hash-partitioned fenced
+    // relation re-shuffle it (measured: the 4-consumer ppjoin shingle
+    // relation at sf0.1 ran 3.0 s vs 1.7 s).
+    classic.Dataset.ofRows(spark, cappedLeaf(rdd, ds))
+  }
+
+  /** The [[graft.Fence.cut]] implementation: Dataset.localCheckpoint's
+    * exact recipe (row-copied internal RDD, local checkpoint storage,
+    * eager materialization truncating lineage, fromDataset-shaped leaf)
+    * with the carried statistics CAPPED (see [[cappedLeaf]] — the r15
+    * stats-squaring finding). */
+  def localCheckpointCapped(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    classic.Dataset.ofRows(spark, cappedLeaf(rdd, ds))
   }
 
   /** Drop the MEMORY_ONLY blocks behind a [[pinMemory]]-fenced frame (the
