@@ -6,7 +6,7 @@
 #   tools/run_sf1_gate.sh [outDir]
 # - regenerates /tmp/testdata/sf1 via graft.GenScale when absent
 # - graft.Verify at sf1 (GRAFT_XMX honored; default 24g)
-# - per-query DuckDB comparison under `timeout 600` PROCESS isolation
+# - per-query DuckDB comparison under `timeout 900` PROCESS isolation
 #   (one quadratic fixture-dial oracle must wedge only itself — the r14
 #   sweep discipline; a timeout counts as a FAIL, never a skip)
 # - bench at sf1 -> BENCH_sf1.json (BENCH_FULL.json, the sf0.1 artifact,
@@ -34,10 +34,10 @@ fi
 echo "== Verify at sf1 =="
 tools/run_verify.sh "$SF1" "$OUT" | tail -2 || exit 1
 
-echo "== Oracle compare (per-query isolation, timeout 600) =="
+echo "== Oracle compare (per-query isolation, timeout 900) =="
 fails=0
 for q in $(python3 -c "import json;print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))"); do
-  if timeout 600 python3 tools/check_oracle.py "$SF1" "$OUT" --only="$q" 2>/dev/null \
+  if timeout 900 python3 tools/check_oracle.py "$SF1" "$OUT" --only="$q" 2>/dev/null \
       | tail -1 | grep -q ", 0 fail,"; then
     :
   else
