@@ -94,10 +94,12 @@ object ScaleProbe {
     else if (args(0) == "dedup10") dedup10Probe(spark, args(1))
     else if (args(0) == "ann10") ann10Probe(spark, args(1))
     else if (args(0) == "knningest") {
-      // knningest <mult>[:batches]  (50k = 25; drops inserted in id order)
+      // knningest <mult>[:batches[:sigBits]]  (50k = 25; 1M = 500:20:17;
+      // drops inserted in id order)
       val parts = args(1).split(":")
       knnIngestProbe(spark, parts(0).toInt,
-        if (parts.length > 1) parts(1).toInt else 20)
+        if (parts.length > 1) parts(1).toInt else 20,
+        if (parts.length > 2) parts(2).toInt else 8)
     }
     else if (args(0) == "annrefresh") annRefreshProbe(spark, args(1).toInt)
     else if (args(0) == "stream") streamProbe(spark, args(1))
@@ -1222,7 +1224,8 @@ object ScaleProbe {
     * severing those spans. Controls on the same final corpus: the
     * bucket-entry walk over the incremental graph (production path) and
     * the batch-built graph from hub entry (the 0.000 baseline). */
-  private def knnIngestProbe(spark: SparkSession, mult: Int, batches: Int): Unit = {
+  private def knnIngestProbe(spark: SparkSession, mult: Int, batches: Int,
+                             sigBits: Int = 8): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorMath.vecDot
@@ -1244,7 +1247,7 @@ object ScaleProbe {
       .transform(graft.Fence.cut)
     val nVecs = eFull.count()
     val bucketsFull = graft.Fence.cut(eFull.select(col("vec_id").as("cid"),
-      operators.Similarity.lshBucket(col("v"), 8).as("bucket")))
+      operators.Similarity.lshBucket(col("v"), sigBits).as("bucket")))
     val q = eFull.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       .transform(graft.Fence.cut)
@@ -1267,7 +1270,7 @@ object ScaleProbe {
       i * ids.length / batches - 1))).distinct
     val t0 = System.nanoTime()
     val e0 = graft.Fence.cut(eFull.filter(col("vec_id") <= cuts.head))
-    val g0 = operators.Similarity.knnGraphEdges(e0, kRand = 4, kBuild = 8, rounds = 2)
+    val g0 = operators.Similarity.knnGraphEdges(e0, kRand = 4, kBuild = 8, rounds = 2, sigBits = sigBits)
     var gu = graft.Fence.cut(g0.unionByName(
       g0.select(col("nb").as("vid"), col("vid").as("nb"))).distinct())
     graft.Fence.releaseCut(g0); graft.Fence.releaseCut(e0)
@@ -1282,7 +1285,8 @@ object ScaleProbe {
       val eSoFar = eFull.filter(col("vec_id") <= hi)
       val bucketsSoFar = bucketsFull.filter(col("cid") <= hi)
       val newEdges = operators.Similarity.insertBySearch(
-        eSoFar, gu, bucketsSoFar, hubs, b, kLink = 8, beam = 8, rounds = 2)
+        eSoFar, gu, bucketsSoFar, hubs, b, kLink = 8, beam = 8, rounds = 2,
+        sigBits = sigBits)
       val prevGu = gu
       gu = graft.Fence.cut(prevGu.unionByName(newEdges))
       graft.Fence.releaseCut(prevGu); graft.Fence.releaseCut(newEdges)
@@ -1308,7 +1312,7 @@ object ScaleProbe {
     // control A: production bucket-entry walk on the SAME incremental graph
     val t2 = System.nanoTime()
     val mates = q.select(col("qid"),
-        operators.Similarity.lshBucket(col("qv"), 8).as("bucket"))
+        operators.Similarity.lshBucket(col("qv"), sigBits).as("bucket"))
       .join(bucketsFull, "bucket").filter(col("cid") >= 20).select("qid", "cid")
     val resB = operators.Similarity.graphSearchWalk(
       eFull, gu, q, k = 10, beam = 8, rounds = 4,
@@ -1318,7 +1322,7 @@ object ScaleProbe {
     graft.Fence.releaseCut(resB)
     // control B: batch-built graph on the final corpus, hub-only entry
     val t3 = System.nanoTime()
-    val gB = operators.Similarity.knnGraphEdges(eFull, kRand = 4, kBuild = 8, rounds = 2)
+    val gB = operators.Similarity.knnGraphEdges(eFull, kRand = 4, kBuild = 8, rounds = 2, sigBits = sigBits)
     val guB = graft.Fence.cut(gB.unionByName(
       gB.select(col("nb").as("vid"), col("vid").as("nb"))).distinct())
     graft.Fence.releaseCut(gB)

@@ -1947,6 +1947,35 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** EXT: the declared INSERT-BY-SEARCH step (r15, query 210) — the
+    * exact math [[graft.streaming.Streams.knnIngestStream]] runs per
+    * micro-batch, hash-gated end to end: build the NN-descent graph
+    * over the vec_id >= 5 CORPUS ONLY (a non-dense id set — this is the
+    * one declared query exercising the shifted-rank expander map the
+    * r14 fix introduced: pos = vec_id − 5, coins replayed against
+    * positions, targets mapped back to real ids), derive hubs + the
+    * full-table bucket signatures (batch INCLUDED — intra-batch
+    * neighbors meet through the entry, the stream's contract), then
+    * [[insertBySearch]] links the vec_id < 5 batch: entry = bucket
+    * mates minus self ∪ hubs, 2 beam-8 walk rounds, top-4 exact links
+    * per new vector, both directions, DISTINCT. The DuckDB twin
+    * replays the corpus-restricted build (shifted-position coin
+    * chains), the hub/bucket entry, and both unrolled beam rounds. */
+  def qAnnInsertLinks(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val b = e.filter(col("vec_id") < 5)
+    val g = knnGraphEdges(corpus, kRand = 4, kBuild = 8, rounds = 2)
+    val gu = g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb")))
+      .distinct()
+    val hubs = topHubs(gu, 4, Long.MinValue)
+    val buckets = e.select(col("vec_id").as("cid"),
+                           lshBucket(col("v"), 8).as("bucket"))
+    insertBySearch(e, gu, buckets, hubs, b, kLink = 4, beam = 8, rounds = 2)
+      .distinct()
+      .orderBy("vid", "nb")
+  }
+
   /** EXT: cluster-balanced curation — the D4/DoReMi-style semantic
     * REBALANCING pass (Tirumala et al. 2023, "D4: Improving LLM
     * pretraining via document de-duplication and diversification"):
@@ -2000,6 +2029,7 @@ object Similarity {
     "q_ann_knn_graph"   -> (qAnnKnnGraph _),
     "q_ann_graph_search" -> (qAnnGraphSearch _),
     "q_ann_graph_search_idx" -> (qAnnGraphSearchIdx _),
+    "q_ann_insert_links" -> (qAnnInsertLinks _),
     "q_eval_retrieval"  -> (qEvalRetrieval _),
     "q_dedup_semantic"  -> (qDedupSemantic _),
     "q_array_explode"   -> (qArrayExplode _),
@@ -2572,12 +2602,127 @@ object Similarity {
     // in-degree, ties by id) and FOUR unrolled beam rounds — each round
     // expands the frontier through g4, exact-scores, merges into the
     // per-query pool, and re-beams (cos DESC, cid) at width 8
+    "q_ann_insert_links" -> insertLinksOracleSql,
     "q_ann_graph_search" -> graphSearchOracleSql,
     // IDENTICAL by construction: the indexed path persists exactly the
     // derivations the inline path computes (r14 verdict #1) — one hash
     // gates that the committed artifacts and the fresh derivations agree
     "q_ann_graph_search_idx" -> graphSearchOracleSql,
   )
+
+  /** Oracle of q_ann_insert_links: the CORPUS-RESTRICTED (vec_id >= 5)
+    * NN-descent build — the one oracle replaying the SHIFTED-rank
+    * expander map (pos = vec_id − 5; coins drawn against positions,
+    * targets mapped back to ids) — then the insert walk: full-table
+    * bucket entry minus self ∪ top-degree hubs, two unrolled beam-8
+    * rounds, top-4 links per new vector, both directions, distinct. */
+  private lazy val insertLinksOracleSql: String = {
+    // corpus coin chains: xxh64(j:int, vid:long) exactly as the build,
+    // but the collision-avoid shift compares against POSITION vid-5 and
+    // the drawn position maps back to id space with +5
+    val coins = (0 until 4).map { j =>
+      val (st, signed) = Xxh64DuckSql.hashIntLongStages(s"c$j", "vec_id", j)
+      def chain(): (String, String) = {
+        var rel = "cids"; var carried = "vec_id"
+        val parts = st.zipWithIndex.map { case ((nm, ex), i) =>
+          val nrel = s"ir${j}_$i"
+          val cte = s"$nrel AS (SELECT $carried, $ex AS $nm FROM $rel)"
+          carried = s"$carried, $nm"; rel = nrel
+          cte
+        }
+        (parts.mkString(",\n"), rel)
+      }
+      val (ctes, last) = chain()
+      s"""$ctes,
+         |irnd$j AS (SELECT vec_id AS vid,
+         |    CAST(CASE WHEN t >= vec_id - 5 THEN t + 1 ELSE t END + 5 AS BIGINT) AS nb FROM
+         |  (SELECT vec_id,
+         |     ((($signed) % (SELECT nm FROM cnn)) + (SELECT nm FROM cnn))
+         |       % (SELECT nm FROM cnn) AS t
+         |   FROM $last))""".stripMargin
+    }.mkString(",\n")
+    def descentRound(i: Int): String = {
+      val p = s"ig${i - 1}"
+      s"""icand$i AS (SELECT DISTINCT vid, nb FROM (
+         |  SELECT vid, nb FROM $p
+         |  UNION ALL SELECT nb AS vid, vid AS nb FROM $p
+         |  UNION ALL SELECT x.vid, y.nb FROM $p x JOIN $p y ON x.nb = y.vid
+         |            WHERE x.vid <> y.nb)),
+         |iresc$i AS MATERIALIZED (SELECT c.vid, c.nb,
+         |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |  FROM icand$i c JOIN ec a ON c.vid = a.vec_id JOIN ec b ON c.nb = b.vec_id),
+         |ig$i AS MATERIALIZED (SELECT vid, nb FROM
+         |  (SELECT vid, nb,
+         |     ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS rk
+         |   FROM iresc$i) WHERE rk <= 8)""".stripMargin
+    }
+    def beamRound(i: Int): String =
+      s"""wnb$i AS (SELECT DISTINCT f.qid, g.nb AS cid
+         |  FROM wf${i - 1} f JOIN igu g ON f.cid = g.vid
+         |  WHERE g.nb <> f.qid),
+         |wsc$i AS (SELECT n.qid, n.cid,
+         |    ROUND(list_dot_product(q.qv, b.v) / (q.qn * b.nrm), 4) AS cos
+         |  FROM wnb$i n JOIN e b ON n.cid = b.vec_id JOIN wq q ON q.qid = n.qid),
+         |wp$i AS MATERIALIZED (SELECT DISTINCT qid, cid, cos FROM (
+         |  SELECT qid, cid, cos FROM wp${i - 1}
+         |  UNION ALL SELECT qid, cid, cos FROM wsc$i)),
+         |wf$i AS (SELECT qid, cid FROM
+         |  (SELECT qid, cid,
+         |     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |   FROM wp$i) WHERE rk <= 8)""".stripMargin
+    s"""WITH e AS MATERIALIZED ($duckVecs),
+      |ec AS MATERIALIZED (SELECT * FROM e WHERE vec_id >= 5),
+      |cids AS MATERIALIZED (SELECT vec_id FROM ec),
+      |cnn AS (SELECT COUNT(*) - 1 AS nm FROM ec),
+      |sigf AS MATERIALIZED (SELECT e.vec_id,
+      |  list_aggregate([CASE WHEN list_reduce(
+      |      [v[i+1] * sin((CAST(i AS DOUBLE) + 1.0) * (CAST(p AS DOUBLE) * 0.917 + 1.234))
+      |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
+      |    THEN '1' ELSE '0' END for p in generate_series(0, 7)], 'string_agg', '') AS bucket
+      |  FROM e),
+      |$coins,
+      |icand0 AS (SELECT DISTINCT vid, nb FROM (
+      |  SELECT a.vec_id AS vid, b.vec_id AS nb FROM sigf a JOIN sigf b
+      |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |    WHERE a.vec_id >= 5 AND b.vec_id >= 5
+      |  UNION ALL SELECT vid, nb FROM irnd0
+      |  UNION ALL SELECT vid, nb FROM irnd1
+      |  UNION ALL SELECT vid, nb FROM irnd2
+      |  UNION ALL SELECT vid, nb FROM irnd3)),
+      |iresc0 AS MATERIALIZED (SELECT c.vid, c.nb,
+      |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+      |  FROM icand0 c JOIN ec a ON c.vid = a.vec_id JOIN ec b ON c.nb = b.vec_id),
+      |ig0 AS MATERIALIZED (SELECT vid, nb FROM
+      |  (SELECT vid, nb,
+      |     ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nb) AS rk
+      |   FROM iresc0) WHERE rk <= 8),
+      |${(1 to 2).map(descentRound).mkString(",\n")},
+      |igu AS MATERIALIZED (SELECT DISTINCT vid, nb FROM (
+      |  SELECT vid, nb FROM ig2 UNION ALL SELECT nb AS vid, vid AS nb FROM ig2)),
+      |iind AS (SELECT nb AS cid, COUNT(*) AS deg FROM igu GROUP BY nb),
+      |ient AS (SELECT cid FROM iind ORDER BY deg DESC, cid LIMIT 4),
+      |wq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |went0 AS (SELECT qid, cid FROM wq CROSS JOIN ient WHERE cid <> qid
+      |  UNION
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid FROM sigf q JOIN sigf c
+      |    ON q.bucket = c.bucket WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |wp0 AS MATERIALIZED (SELECT e0.qid, e0.cid,
+      |    ROUND(list_dot_product(wq.qv, b.v) / (wq.qn * b.nrm), 4) AS cos
+      |  FROM went0 e0 JOIN e b ON e0.cid = b.vec_id JOIN wq ON wq.qid = e0.qid),
+      |wf0 AS (SELECT qid, cid FROM
+      |  (SELECT qid, cid,
+      |     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |   FROM wp0) WHERE rk <= 8),
+      |${(1 to 2).map(beamRound).mkString(",\n")},
+      |fin AS (SELECT qid, cid FROM
+      |  (SELECT qid, cid,
+      |     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |   FROM wp2) WHERE rk <= 4)
+      |SELECT DISTINCT CAST(vid AS BIGINT) AS vid, CAST(nb AS BIGINT) AS nb FROM (
+      |  SELECT qid AS vid, cid AS nb FROM fin
+      |  UNION ALL SELECT cid AS vid, qid AS nb FROM fin)
+      |ORDER BY vid, nb""".stripMargin
+  }
 
   /** Shared oracle of q_ann_graph_search / q_ann_graph_search_idx: the
     * graph CTE substrate, hub + bucket entry, four unrolled beam
