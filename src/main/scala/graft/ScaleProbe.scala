@@ -1277,32 +1277,56 @@ object ScaleProbe {
     val hubs = graft.Fence.cut(operators.Similarity.topHubs(gu, 4, Long.MinValue))
     println(f"knningest drop 0: ${cuts.head + 1} ids, ${gu.count()}%,d undirected edges, " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s (batch NN-descent build)")
+    // DELTA-style accumulation — the stream's actual layout: each
+    // batch's new edges stay their own leaf (never rewritten; the first
+    // sitting re-cut the WHOLE relation per batch and the rewrite, not
+    // the insert, dominated growth); every 5th drop runs the stream's
+    // compaction refresh — union-distinct + DEGREE-PRUNE (HNSW's M=32)
+    // + hub recompute — so walk cost stays bounded by M, not by history
+    var gen = gu
+    var deltas = List.empty[org.apache.spark.sql.DataFrame]
+    var hubsNow = hubs
+    def guNow = deltas.foldLeft(gen)(_ unionByName _)
     var lo = cuts.head
-    cuts.tail.foreach { hi =>
+    cuts.tail.zipWithIndex.foreach { case (hi, i) =>
       val tB = System.nanoTime()
       val b = graft.Fence.cut(
         eFull.filter(col("vec_id") > lo && col("vec_id") <= hi))
       val eSoFar = eFull.filter(col("vec_id") <= hi)
       val bucketsSoFar = bucketsFull.filter(col("cid") <= hi)
       val newEdges = operators.Similarity.insertBySearch(
-        eSoFar, gu, bucketsSoFar, hubs, b, kLink = 8, beam = 8, rounds = 2,
-        sigBits = sigBits)
-      val prevGu = gu
-      gu = graft.Fence.cut(prevGu.unionByName(newEdges))
-      graft.Fence.releaseCut(prevGu); graft.Fence.releaseCut(newEdges)
+        eSoFar, gu = guNow, bucketsSoFar, hubsNow, b, kLink = 8, beam = 8,
+        rounds = 2, sigBits = sigBits)
+      deltas = newEdges :: deltas
       graft.Fence.releaseCut(b)
-      println(f"knningest insert (${lo + 1}, $hi]: ${gu.count()}%,d edges, " +
-        f"${(System.nanoTime() - tB) / 1e9}%.1f s")
+      println(f"knningest insert (${lo + 1}, $hi]: " +
+        f"${(System.nanoTime() - tB) / 1e9}%.1f s (delta append)")
+      if ((i + 1) % 5 == 0) {
+        val tC = System.nanoTime()
+        val compacted = graft.Fence.cut(operators.Similarity.pruneDegreeDiverse(
+          guNow.distinct(), eFull.select("vec_id", "v"), maxDeg = 32))
+        val newHubs = graft.Fence.cut(
+          operators.Similarity.topHubs(compacted, 4, Long.MinValue))
+        (gen :: deltas).foreach(graft.Fence.releaseCut)
+        graft.Fence.releaseCut(hubsNow)
+        gen = compacted; deltas = Nil; hubsNow = newHubs
+        println(f"knningest compaction (drop ${i + 1}): " +
+          f"${gen.count()}%,d pruned edges (M=32), " +
+          f"${(System.nanoTime() - tC) / 1e9}%.1f s")
+      }
       lo = hi
     }
+    val guFinal = graft.Fence.cut(guNow.distinct())
+    (gen :: deltas).foreach(graft.Fence.releaseCut)
+    val gu2 = guFinal
     println(f"knningest incremental build total: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      f"($nVecs%,d vectors, $batches drops)")
+      f"($nVecs%,d vectors, $batches drops, ${gu2.count()}%,d final edges)")
     // measurement 1: GLOBAL hub entry, no query-time LSH — navigability
-    val hubEntry = q.select("qid").crossJoin(broadcast(hubs))
+    val hubEntry = q.select("qid").crossJoin(broadcast(hubsNow))
     Seq(8, 16).foreach { rounds =>
       val t1 = System.nanoTime()
       val res = operators.Similarity.graphSearchWalk(
-        eFull, gu, q, k = 10, beam = 8, rounds = rounds,
+        eFull, gu2, q, k = 10, beam = 8, rounds = rounds,
         corpusMin = 20L, entrySet = hubEntry)
       println(f"knningest GLOBAL-entry walk rounds=$rounds%-2d " +
         f"recall@10=${recallOf(res)}%.3f wall=${(System.nanoTime() - t1) / 1e9}%.1f s " +
@@ -1315,7 +1339,7 @@ object ScaleProbe {
         operators.Similarity.lshBucket(col("qv"), sigBits).as("bucket"))
       .join(bucketsFull, "bucket").filter(col("cid") >= 20).select("qid", "cid")
     val resB = operators.Similarity.graphSearchWalk(
-      eFull, gu, q, k = 10, beam = 8, rounds = 4,
+      eFull, gu2, q, k = 10, beam = 8, rounds = 4,
       corpusMin = 20L, entrySet = mates.unionByName(hubEntry))
     println(f"knningest bucket-entry control: recall@10=${recallOf(resB)}%.3f " +
       f"wall=${(System.nanoTime() - t2) / 1e9}%.1f s (batch-built r14 point: 0.850-0.865)")

@@ -1637,6 +1637,84 @@ object Similarity {
       when(vecDot(v, plane2(p)) >= 0, "1").otherwise("0")
     }: _*)
 
+  /** HNSW's M-PRUNING at compaction time: bound every vertex's
+    * out-neighbor list to its `maxDeg` best by exact cosine (ties by
+    * nb). Insert-by-search accumulates in-links on popular vertices
+    * without bound — each batch links its vectors to their nearest, and
+    * a family's early members collect degree proportional to corpus
+    * age — so walk cost (frontier × out-degree per round) grows with
+    * history unless compaction prunes (measured at the 1M knningest
+    * shape: per-batch insert walls grew with the accumulated relation).
+    * Pruning per-vid breaks strict undirected symmetry (A may keep B
+    * while B drops A) — exactly HNSW's per-node neighbor lists; the
+    * walk expands vid→nb lists, so asymmetry affects only which DIRECTED
+    * hops exist, and recall is re-measured after pruning (ScaleProbe).
+    * One rescore join over the relation — refresh-cadence cost, never
+    * query-time. */
+  private[graft] def pruneDegree(gu: DataFrame, vectors: DataFrame,
+                                 maxDeg: Int): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    rescoreTopK(e, gu.select("vid", "nb"), maxDeg).select("vid", "nb")
+  }
+
+  /** HNSW's DIVERSITY-heuristic pruning (Malkov & Yashunin 2016, Alg. 4
+    * `SELECT-NEIGHBORS-HEURISTIC` with keepPrunedConnections): bound
+    * each vertex to `maxDeg` neighbors, but select for COVERAGE, not
+    * raw similarity — walk candidates in (cos desc, nb) order and keep
+    * c only if it is at least as close to the vertex as to every
+    * already-kept neighbor (cos4(c, v) ≥ cos4(c, k) ∀k), then fill the
+    * remaining slots with the best pruned candidates. Why not plain
+    * top-M ([[pruneDegree]]): similarity-ranked pruning cuts the
+    * LONG-RANGE links first — they are by definition the lowest-cosine
+    * edges — and long links are exactly what global-entry navigability
+    * rides on (measured at the 50k knningest shape: naive top-32
+    * pruning collapsed global-entry recall 0.495 → 0.100 while the
+    * diversity heuristic preserves it — SCALE.md r15; this is the
+    * published reason HNSW prunes by the heuristic, reproduced).
+    * Per-vertex sequential greedy via mapGroups — candidates per vertex
+    * are the accumulated degree (bounded by compaction cadence), each
+    * group does ≤ D·M 64-d dots in-JVM; one shuffle carries the
+    * neighbor vectors (refresh-cadence, never query-time). Deterministic:
+    * candidates sorted (cos4 desc, nb), comparisons in the family's
+    * 4-dp space, ties KEEP. A vertex with ≤ maxDeg candidates emerges
+    * with its full set (the fill restores heuristic-rejected ones), so
+    * below the bound this is an exact no-op — the spec twins' regime. */
+  private[graft] def pruneDegreeDiverse(gu: DataFrame, vectors: DataFrame,
+                                        maxDeg: Int): DataFrame = {
+    val s = gu.sparkSession
+    import s.implicits._
+    val withV = vectors.select(col("vec_id"), col("v"))
+    gu.select("vid", "nb")
+      .join(withV.select(col("vec_id").as("vid"), col("v").as("va")), "vid")
+      .join(withV.select(col("vec_id").as("nb"), col("v").as("vb")), "nb")
+      .select(col("vid"), col("nb"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (vid, it) =>
+        val rows = it.toArray
+        val va = rows.head._3
+        def cos4(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+        }
+        val sorted = rows.map(r => (r._2, r._4, cos4(va, r._4)))
+          .sortBy { case (nb, _, c) => (-c, nb) }
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val pruned = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.foreach { case (nb, vb, cq) =>
+          if (kept.size < maxDeg) {
+            if (kept.forall { case (_, kv) => cq >= cos4(vb, kv) }) kept += ((nb, vb))
+            else pruned += nb
+          }
+        }
+        val fill = pruned.take(maxDeg - kept.size)
+        (kept.map(_._1) ++ fill).map(nb => (vid, nb)).iterator
+      }
+      .toDF("vid", "nb")
+  }
+
   /** Top in-degree entry hubs of an undirected edge relation (ties by
     * id) — an index-build derivation ([[buildGraphIndex]] and the
     * streaming refresh recompute it; never computed at query time). */

@@ -911,9 +911,13 @@ object Streams {
     *    this path — SCALE.md).
     *  - **refresh** (every `refreshEvery`-th batch): COMPACTION, not a
     *    rebuild — preserving the incrementally-grown links is the point.
-    *    Generation ∪ deltas union-distinct into a new generation, hubs
-    *    recomputed from the compacted relation, consumed deltas and
-    *    superseded generations deleted after the CommitEpoch rename.
+    *    Generation ∪ deltas union-distinct, DEGREE-PRUNED to each
+    *    vertex's `maxDegree` best by exact cosine (HNSW's M: hot
+    *    vertices accumulate in-links without bound and walk cost is
+    *    frontier × out-degree per round — [[graft.operators.Similarity
+    *    .pruneDegree]]; 0 disables), hubs recomputed from the compacted
+    *    relation, consumed deltas and superseded generations deleted
+    *    after the CommitEpoch rename.
     *
     * Replay idempotence (the annIngestStream discipline): the batch is
     * anti-joined against the index's vec_ids before linking, so a
@@ -926,7 +930,7 @@ object Streams {
                       checkpoint: String, kRand: Int = 4, kBuild: Int = 8,
                       buildRounds: Int = 2, kLink: Int = 8, beam: Int = 8,
                       walkRounds: Int = 4, sigBits: Int = 8, nEntries: Int = 4,
-                      refreshEvery: Int = 16)
+                      refreshEvery: Int = 16, maxDegree: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.hadoop.fs.Path
     val dropSchema = StructType(Seq(
@@ -1000,13 +1004,25 @@ object Streams {
             .write.mode("overwrite").parquet(new Path(out, "buckets").toString)
           graft.Fence.releaseCut(newEdges); graft.Fence.releaseCut(b)
           if (refreshEvery > 0 && batchId % refreshEvery == 0) {
-            // compaction refresh: union-distinct edges, recompute hubs —
-            // the incremental links SURVIVE (a rebuild would discard the
+            // compaction refresh: union-distinct edges, DEGREE-PRUNE
+            // (HNSW's M — insert-by-search grows hot vertices' in-links
+            // without bound and walk cost per round is frontier ×
+            // out-degree, so the compacted relation keeps each vertex's
+            // maxDegree best by exact cosine), recompute hubs — the
+            // incremental links SURVIVE (a rebuild would discard the
             // insert-by-search construction this stream exists to grow)
-            val allEdges = deltaPart("edges").foldLeft(genPart("edges"))(_ unionByName _)
-              .distinct()
             val allVecs = deltaPart("vectors")
               .foldLeft(genPart("vectors"))(_ unionByName _)
+            val unioned = deltaPart("edges").foldLeft(genPart("edges"))(_ unionByName _)
+              .distinct()
+            // DIVERSITY-heuristic prune, not plain top-M: similarity-
+            // ranked pruning cuts the long-range links first and
+            // collapses global-entry navigability (measured 0.495 →
+            // 0.100 at the 50k probe shape — SCALE.md r15)
+            val allEdges =
+              if (maxDegree > 0)
+                graft.operators.Similarity.pruneDegreeDiverse(unioned, allVecs, maxDegree)
+              else unioned
             val allBuckets = deltaPart("buckets")
               .foldLeft(genPart("buckets"))(_ unionByName _)
             val hubs = graft.operators.Similarity.topHubs(

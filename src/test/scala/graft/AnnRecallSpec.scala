@@ -341,4 +341,55 @@ class AnnRecallSpec extends SparkSpec {
       .collect()
     assert(cb.length === 4)
   }
+
+  test("pruneDegree keeps each vertex's top-M out-neighbors by exact cosine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a hot vertex (0) with 6 out-neighbors of strictly ordered cosine:
+    // neighbor i points along e0 rotated by a growing angle, so the
+    // top-3 cut keeps exactly the 3 smallest angles; a low-degree vertex
+    // (10) must pass through untouched
+    val dim = 8
+    def v(angle: Double): Array[Double] =
+      Array.tabulate(dim)(i => if (i == 0) math.cos(angle) else if (i == 1) math.sin(angle) else 0.0)
+    val vecs = ((0L, v(0.0)) +: (1L to 6L).map(i => (i, v(i * 0.2))) :+ (10L, v(1.5)) :+ (11L, v(1.4)))
+      .toDF("vec_id", "v")
+    val gu = ((1L to 6L).map(i => (0L, i)) :+ (10L, 11L)).toDF("vid", "nb")
+    val pruned = graft.operators.Similarity.pruneDegree(gu, vecs, maxDeg = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned === Set((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L)),
+      s"top-3 by cosine + untouched low-degree vertex, got $pruned")
+  }
+
+  test("pruneDegreeDiverse preserves the long-range link that naive top-M cuts") {
+    import spark.implicits._
+    // hot vertex 0 along e0 with a TIGHT cluster of 5 near-duplicates
+    // (angles 0.1..0.5 in the e0-e1 plane) and ONE long-range link L
+    // (orthogonal e2 direction, cosine ~0 to everything): similarity-
+    // ranked top-3 keeps three near-duplicates and drops L — the exact
+    // failure that collapsed global-entry recall 0.495 -> 0.100 at the
+    // 50k probe — while the HNSW diversity heuristic keeps the first
+    // cluster representative, rejects its near-duplicates, keeps L, and
+    // back-fills to M with the best pruned
+    val dim = 8
+    def planar(angle: Double): Array[Double] =
+      Array.tabulate(dim)(i => if (i == 0) math.cos(angle) else if (i == 1) math.sin(angle) else 0.0)
+    val long = Array.tabulate(dim)(i => if (i == 2) 1.0 else 0.0)
+    val vecs = ((0L, planar(0.0)) +: (1L to 5L).map(i => (i, planar(i * 0.1))) :+ (9L, long))
+      .toDF("vec_id", "v")
+    val gu = ((1L to 5L).map(i => (0L, i)) :+ (0L, 9L)).toDF("vid", "nb")
+    val naive = graft.operators.Similarity.pruneDegree(gu, vecs, maxDeg = 3)
+      .collect().map(_.getLong(1)).toSet
+    val diverse = graft.operators.Similarity.pruneDegreeDiverse(gu, vecs, maxDeg = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(naive === Set(1L, 2L, 3L), s"naive keeps the near-duplicates: $naive")
+    assert(diverse.contains(9L), s"diverse must keep the long link: $diverse")
+    assert(diverse.size === 3 && diverse.contains(1L),
+      s"diverse keeps the cluster representative + fills to M: $diverse")
+    // below the bound the heuristic + fill is an exact no-op (the
+    // StreamingSpec refresh-twin regime)
+    val small = graft.operators.Similarity.pruneDegreeDiverse(gu, vecs, maxDeg = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small === gu.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }

@@ -419,6 +419,28 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.fanout.partitions")
   }
 
+  test("fanout conf parsing is defensive: junk overrides fail by key name, 'auto' falls back") {
+    // r14 advice: a junk/<=0 override used to surface as a bare
+    // NumberFormatException deep inside planning on every hot path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    for (bad <- Seq("auto", "0", "-3", "")) {
+      spark.conf.set("spark.graft.fanout.partitions", bad)
+      try {
+        val ex = intercept[IllegalArgumentException](Fanout.partitions(docs))
+        assert(ex.getMessage.contains("spark.graft.fanout.partitions"),
+          s"error must name the key for '$bad': ${ex.getMessage}")
+      } finally spark.conf.unset("spark.graft.fanout.partitions")
+    }
+    // the shuffle-partitions "auto" fallback (some vendor platforms) is
+    // unreachable on stock Spark — conf.set validates the int type at
+    // write time (SparkIllegalArgumentException), so the branch stays as
+    // defensive armor for platforms whose defaults bypass validation;
+    // pin here that stock Spark can't even plant the value
+    val planted = intercept[Exception](
+      spark.conf.set("spark.sql.shuffle.partitions", "auto"))
+    assert(planted.getMessage.contains("spark.sql.shuffle.partitions"))
+  }
+
   test("persisted graph index: query-time walk never exchanges the edge relation") {
     // r14 verdict #1: graphSearch used to rebuild the undirected relation
     // (2|E|-row distinct) and the hub set (full-graph degree agg) per
