@@ -635,7 +635,229 @@ object Multimodal {
   def qMultimodalPng(s: SparkSession, d: String): DataFrame =
     decodePngStats(pngAssetTable(s, d)).toDF().orderBy("doc_id")
 
+  // ---- fourth true codec: GIF87a / LZW (r15 — the second entropy
+  // coder after PNG's deflate; variable-width codes, dictionary
+  // rebuild, the KwKwK corner) --------------------------------------
+
+  /** Minimal VALID GIF87a: 256-entry grayscale global color table
+    * (palette[i] = (i,i,i), so a decoded index IS its channel value),
+    * one image block, LZW min code size 8. The encoder emits ROOT codes
+    * with a CLEAR every 250 codes — that keeps the code width pinned at
+    * 9 bits only because the DECODER's dictionary resets before
+    * reaching 512 entries, so a decoder that mis-tracks dictionary
+    * growth or clear handling desynchronizes immediately. Codes pack
+    * LSB-first into ≤255-byte sub-blocks (the GIF bit order). */
+  private[graft] def gifBytes(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+    require(pix.length == w * h, "pix must be w*h palette indices")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(w); u16(h)
+    out.write(0xF7) // global table, 8 bits/pixel, 256 entries
+    out.write(0); out.write(0) // background, aspect
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    out.write(0x2C) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW min code size
+    // 9-bit code stream: CLEAR, then root codes with CLEAR every 250
+    val codes = scala.collection.mutable.ArrayBuffer[Int](256)
+    var sinceClear = 0
+    pix.foreach { p =>
+      if (sinceClear == 250) { codes += 256; sinceClear = 0 }
+      codes += (p & 0xff); sinceClear += 1
+    }
+    codes += 257 // EOI
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    codes.foreach { c =>
+      acc |= (c.toLong << nBits); nBits += 9
+      while (nBits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    if (nBits > 0) bits.write((acc & 0xff).toInt)
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF asset table: planted dims and pixels exactly like BMP/PNG
+    * (w = 1 + id%8, h = 1 + (id/8)%4, pixel p = text byte p mod |text|
+    * — ASCII, so the palette index IS the byte). */
+  def gifAssetTable(s: SparkSession, d: String): Dataset[Media] = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .map { case (id, text) =>
+        val w = 1 + (id % 8).toInt
+        val h = 1 + ((id / 8) % 4).toInt
+        val t = text.getBytes("US-ASCII")
+        val pix = Array.tabulate(w * h)(p => t(p % t.length))
+        Media(id, "image/gif", gifBytes(w, h, pix))
+      }
+  }
+
+  case class GifStats(doc_id: Long, width: Long, height: Long, n_pixels: Long,
+                      sum_idx: Long, top_row_sum: Long)
+
+  /** TRUE GIF/LZW decode in the mapPartitions seam — the GENERAL
+    * decoder, not the encoder's inverse: variable code width (bumps at
+    * every 2^width dictionary fill up to 12 bits), dictionary rebuild
+    * on CLEAR, the KwKwK corner (a code referencing the entry about to
+    * be defined), LSB-first bit unpacking across sub-block boundaries,
+    * and strict framing (truncated data, missing EOI pixels, oversized
+    * dims, local color tables, interlace, or a mid-stream desync yield
+    * NO row, never garbage). Exact integer outputs: palette-index sum
+    * and the top-row sum (the row-framing gate). */
+  def decodeGifStats(media: Dataset[Media]): Dataset[GifStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val p = m.payload
+        def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+        if (m.mime != "image/gif" || p.length < 14 ||
+            !(new String(p, 0, 6, "US-ASCII") == "GIF87a" ||
+              new String(p, 0, 6, "US-ASCII") == "GIF89a")) None
+        else {
+          val flags = p(10) & 0xff
+          val hasGct = (flags & 0x80) != 0
+          val gctSize = if (hasGct) 2 << (flags & 7) else 0
+          var off = 13 + 3 * gctSize
+          // skip extension blocks (0x21 <label> then sub-blocks)
+          var ok = hasGct && off < p.length
+          while (ok && off < p.length && (p(off) & 0xff) == 0x21) {
+            off += 2
+            while (ok && off < p.length && p(off) != 0) {
+              off += 1 + (p(off) & 0xff)
+              if (off >= p.length) ok = false
+            }
+            off += 1
+          }
+          if (!ok || off + 10 > p.length || (p(off) & 0xff) != 0x2C) None
+          else {
+            val w = u16(off + 5); val h = u16(off + 7)
+            val imgFlags = p(off + 9) & 0xff
+            off += 10
+            // refuse local color tables and interlace
+            if ((imgFlags & 0x80) != 0 || (imgFlags & 0x40) != 0 ||
+                w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+                off >= p.length) None
+            else {
+              val minCode = p(off) & 0xff; off += 1
+              if (minCode < 2 || minCode > 11) None
+              else {
+                // concatenate sub-blocks
+                val data = new java.io.ByteArrayOutputStream()
+                var bad = false; var done = false
+                while (!bad && !done && off < p.length) {
+                  val n = p(off) & 0xff; off += 1
+                  if (n == 0) done = true
+                  else if (off + n > p.length) bad = true
+                  else { data.write(p, off, n); off += n }
+                }
+                if (bad || !done) None
+                else {
+                  val d = data.toByteArray
+                  val clear = 1 << minCode; val eoi = clear + 1
+                  val n = w * h
+                  val pixOut = new Array[Byte](n)
+                  var nOut = 0
+                  // dictionary: entries as (prefixCode, lastByte);
+                  // roots are implicit
+                  val prefix = new Array[Int](4096)
+                  val last = new Array[Byte](4096)
+                  var dictSize = eoi + 1
+                  var width = minCode + 1
+                  var acc = 0L; var nBits = 0; var di = 0
+                  var prev = -1
+                  var fail = false; var sawEoi = false
+                  def emit(code: Int): Int = { // writes entry's bytes, returns first byte
+                    var stack = List.empty[Byte]
+                    var c = code
+                    while (c >= clear + 2) { stack = last(c) :: stack; c = prefix(c) }
+                    stack = c.toByte :: stack
+                    val first = stack.head
+                    stack.foreach { b =>
+                      if (nOut < n) { pixOut(nOut) = b; nOut += 1 } else fail = true
+                    }
+                    first & 0xff
+                  }
+                  while (!fail && !sawEoi) {
+                    while (nBits < width && di < d.length) {
+                      acc |= (d(di) & 0xffL) << nBits; nBits += 8; di += 1
+                    }
+                    if (nBits < width) fail = true
+                    else {
+                      val code = (acc & ((1L << width) - 1)).toInt
+                      acc >>= width; nBits -= width
+                      if (code == clear) { dictSize = eoi + 1; width = minCode + 1; prev = -1 }
+                      else if (code == eoi) sawEoi = true
+                      else if (code > dictSize || (code >= clear && code < clear + 2)) fail = true
+                      else {
+                        val first =
+                          if (code == dictSize) { // KwKwK: code not yet defined
+                            if (prev < 0 || dictSize >= 4096) { fail = true; 0 }
+                            else {
+                              // entry = prev + firstByte(prev): define it
+                              // BEFORE emitting by walking prev's first
+                              var c = prev
+                              while (c >= clear + 2) c = prefix(c)
+                              prefix(dictSize) = prev; last(dictSize) = c.toByte
+                              dictSize += 1
+                              emit(dictSize - 1)
+                            }
+                          } else {
+                            val f = emit(code)
+                            if (prev >= 0 && dictSize < 4096) {
+                              prefix(dictSize) = prev; last(dictSize) = f.toByte
+                              dictSize += 1
+                            }
+                            f
+                          }
+                        if (!fail) {
+                          prev = code
+                          if (dictSize >= (1 << width) && width < 12) width += 1
+                        }
+                      }
+                    }
+                  }
+                  if (fail || !sawEoi || nOut != n) None
+                  else {
+                    var sum = 0L; var top = 0L; var i = 0
+                    while (i < n) {
+                      val v = pixOut(i) & 0xff
+                      sum += v
+                      if (i < w) top += v
+                      i += 1
+                    }
+                    Some(GifStats(m.doc_id, w.toLong, h.toLong, n.toLong, sum, top))
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** EXT (oracle-checked): decoded GIF/LZW pixel statistics — the
+    * second entropy coder under the planting-formula convention: the
+    * oracle recomputes pixel p = text byte p mod |text| while the
+    * engine unpacks variable-width LZW codes, tracks the decoder
+    * dictionary, and reframes rows; one hash gates the bit unpacking,
+    * the dictionary discipline, and the framing. */
+  def qMultimodalGif(s: SparkSession, d: String): DataFrame =
+    decodeGifStats(gifAssetTable(s, d)).toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_gif" -> (qMultimodalGif _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_headers" -> (qMultimodalHeaders _),
@@ -645,6 +867,24 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // planting formula, single channel: the grayscale palette makes the
+    // decoded index the byte itself (ASCII corpus, bytes < 128)
+    "q_multimodal_gif" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 4 AS h,
+        |    length(text) AS L
+        |  FROM documents WHERE length(text) >= 1),
+        |px AS (SELECT doc_id, w, p,
+        |    ascii(substring(text, CAST(p % L AS INT) + 1, 1)) AS v
+        |  FROM (SELECT doc_id, text, w, L,
+        |          unnest(range(0, w * h)) AS p FROM d)),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(v) AS BIGINT) AS sum_idx,
+        |    CAST(SUM(CASE WHEN p < w THEN v ELSE 0 END) AS BIGINT) AS top_row_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels, sum_idx, top_row_sum
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // same planting formula as the BMP oracle; the channel index runs
     // R,G,B in image order (PNG) where BMP files run B,G,R — the engine
     // decodes the CONTAINER (inflate + filter reversal) to recover it

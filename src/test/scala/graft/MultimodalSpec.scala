@@ -209,6 +209,81 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeGifStats: general LZW — dictionary entries, KwKwK, width bump, refusals") {
+    import spark.implicits._
+    // round-trip through the root-code encoder (clear-every-250 keeps
+    // the width at 9; the decoder must track clears exactly)
+    val w = 7; val h = 4
+    val pix = Array.tabulate(w * h)(i => ((i * 11 + 5) % 251).toByte)
+    val st = Multimodal.decodeGifStats(
+      Seq(Multimodal.Media(1L, "image/gif", Multimodal.gifBytes(w, h, pix))).toDS())
+      .collect().head
+    assert((st.width, st.height, st.n_pixels) === ((w.toLong, h.toLong, (w * h).toLong)))
+    assert(st.sum_idx === pix.map(b => (b & 0xff).toLong).sum)
+    assert(st.top_row_sum === pix.take(w).map(b => (b & 0xff).toLong).sum)
+    // a long uniform image exercises CLEAR handling across sub-blocks
+    val big = Array.fill(1000)(65.toByte)
+    val bigSt = Multimodal.decodeGifStats(
+      Seq(Multimodal.Media(2L, "image/gif", Multimodal.gifBytes(250, 4, big))).toDS())
+      .collect().head
+    assert(bigSt.sum_idx === 65000L && bigSt.n_pixels === 1000L)
+
+    // handcrafted DICTIONARY stream with the KwKwK corner: codes
+    // [CLEAR, 1, 258, 259, EOI] decode to pixels [1, 1,1, 1,1,1]
+    // (258 is the not-yet-defined entry = prev + first(prev); 259 chains
+    // it again), n = 6 — a decoder that defines entries in the wrong
+    // order or mis-times the width bump desyncs here
+    def handGif(codes: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF87a".getBytes("US-ASCII"))
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      u16(w); u16(h); out.write(0xF7); out.write(0); out.write(0)
+      (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+      out.write(0x2C); u16(0); u16(0); u16(w); u16(h); out.write(0); out.write(8)
+      var acc = 0L; var nBits = 0
+      val bits = new java.io.ByteArrayOutputStream()
+      codes.foreach { c =>
+        acc |= (c.toLong << nBits); nBits += 9
+        while (nBits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+      }
+      if (nBits > 0) bits.write((acc & 0xff).toInt)
+      val data = bits.toByteArray
+      out.write(data.length); out.write(data, 0, data.length)
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+    val kw = Multimodal.decodeGifStats(
+      Seq(Multimodal.Media(3L, "image/gif", handGif(Seq(256, 1, 258, 259, 257), 6, 1))).toDS())
+      .collect().head
+    assert(kw.n_pixels === 6L && kw.sum_idx === 6L && kw.top_row_sum === 6L,
+      s"KwKwK chain must decode to six 1-pixels: $kw")
+
+    // refusals: truncated data, missing EOI, wrong pixel count,
+    // interlace, foreign mime — NO row
+    val good = Multimodal.gifBytes(w, h, pix)
+    val interlaced = good.clone()
+    val imgOff = 13 + 768 // image descriptor offset
+    interlaced(imgOff + 9) = (interlaced(imgOff + 9) | 0x40).toByte
+    assert(Multimodal.decodeGifStats(Seq(
+      Multimodal.Media(4L, "image/gif", good.take(good.length - 8)),
+      Multimodal.Media(5L, "image/gif", interlaced),
+      Multimodal.Media(6L, "image/png", good),
+      Multimodal.Media(7L, "image/gif", handGif(Seq(256, 1, 257), 6, 1))).toDS()).count() === 0L,
+      "truncated / interlaced / foreign / underfilled containers must refuse")
+
+    // asset round-trip against the planting formula
+    val assets = Multimodal.gifAssetTable(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty).collect().toMap
+    val decoded = Multimodal.decodeGifStats(assets).collect()
+    assert(decoded.length === docs.size)
+    decoded.take(40).foreach { g =>
+      val t = docs(g.doc_id).getBytes("US-ASCII")
+      val exp = (0 until (g.width * g.height).toInt).map(p => (t(p % t.length) & 0xff).toLong).sum
+      assert(g.sum_idx === exp, s"doc ${g.doc_id}")
+    }
+  }
+
   test("resizeStub shrinks payloads by the factor, deterministically") {
     import graft.multimodal.Multimodal
     val m = Multimodal.media(spark, sf).limit(20)
