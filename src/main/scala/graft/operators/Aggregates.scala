@@ -110,16 +110,38 @@ object Aggregates {
   }
 
   /** A2 variant: EQUI-DEPTH histogram (deciles by population, the
-    * profiling partner of the equi-width [[qAggHistogram]]): NTILE over a
-    * total order (price, key tiebreak — engine-deterministic), then
-    * per-bucket count/min/max. Scale note: a global NTILE is a
-    * range-partitioned sort; the sketch path ([[qApproxQuantile]]) is the
-    * unbounded-input form, this is the exact profile. */
+    * profiling partner of the equi-width [[qAggHistogram]]): NTILE(10)
+    * semantics over a total order (price, key tiebreak —
+    * engine-deterministic), then per-bucket count/min/max. Computed
+    * DISTRIBUTED (r15 verdict #1): an unpartitioned `ntile().over(w)`
+    * makes WindowExec move EVERY row to one task — measured 3.9× wall at
+    * 10× data — so global positions come from the range-partitioned
+    * `sortBy + zipWithIndex` pattern (the Similarity rank-map precedent)
+    * and the bucket is NTILE's closed form over (rank, n): the first
+    * `n mod 10` buckets hold `ceil(n/10)` rows, the rest `floor(n/10)` —
+    * bit-identical to both engines' NTILE, so the declared hash is
+    * unchanged. The sketch path ([[qApproxQuantile]]) remains the
+    * unbounded-input form; this is the exact profile. */
   def qAggHistogramEqdepth(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
+    import s.implicits._
+    val rows = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+    val n = rows.count()
+    val quot = n / 10L
+    val rem = n % 10L
+    val ranked = rows
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .as[(Double, Long)].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case ((price, _), rank) => (price, rank) }
+      .toDF("o_totalprice", "rank")
+    ranked
+      .withColumn("bucket",
+        when(lit(rem) > 0L && col("rank") < lit(rem * (quot + 1L)),
+             expr(s"rank DIV ${quot + 1L} + 1"))
+          .otherwise(expr(s"$rem + (rank - ${rem * (quot + 1L)}) DIV ${math.max(quot, 1L)} + 1"))
+          .cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
            min("o_totalprice").as("lo"),

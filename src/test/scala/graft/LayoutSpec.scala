@@ -512,4 +512,37 @@ class LayoutSpec extends SparkSpec {
     assert(viaIdx === inline,
       "indexed search must equal the inline composition on the same substrate")
   }
+
+  test("no declared query plans a single-partition window over a corpus-scaled scan") {
+    // r15 verdict #1 asked for the CLASS gate, not the instance fix: an
+    // unpartitioned Window over a fact-table scan makes WindowExec move
+    // every row to ONE task (the q_agg_histogram_eqdepth pathology —
+    // measured 3.9x wall at 10x data before the distributed rank
+    // rewrite). Sweep every declared query's physical plan: a WindowExec
+    // with an empty partitionSpec may only sit above a BOUNDED relation —
+    // one where every path from the window to a file scan crosses an
+    // aggregate or a limit (generated axes, per-group model relations,
+    // merge tables). Plan-only (no execution): the window's partitionSpec
+    // and its subtree shape are fixed before AQE runs.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case w: WindowGroupLimitExec if w.partitionSpec.nonEmpty => true
+      case f: FileSourceScanExec => false
+      case leaf if leaf.children.isEmpty => true
+      case other => other.children.forall(boundedBelow)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+      }
+      if (bad.nonEmpty) Seq(s"$name: ${bad.head.nodeName} over unbounded scan") else Nil
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window over a corpus-scaled scan in:\n${offenders.mkString("\n")}")
+  }
 }
