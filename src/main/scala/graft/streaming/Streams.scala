@@ -977,11 +977,24 @@ object Streams {
         } else {
           val latest = gens.last
           def genPart(name: String) = s.read.parquet(new Path(latest, name).toString)
-          def deltaPart(name: String): Option[DataFrame] = {
-            val ps = deltas.map(p => new Path(p, name))
+          def deltaPartOf(ps: Seq[Path], name: String): Option[DataFrame] = {
+            val qs = ps.map(p => new Path(p, name))
               .filter(fs.exists(_)).map(p => s.read.parquet(p.toString))
-            ps.reduceOption(_ unionByName _)
+            qs.reduceOption(_ unionByName _)
           }
+          // REPLAY DETERMINISM (r15 advice): exclude this batch's OWN
+          // stale delta from every pre-insert input. A crash after the
+          // delta write but before the checkpoint commit replays this
+          // batch with batch_<id> already on disk — anti-joining the
+          // batch against its own previous output would make `b` EMPTY
+          // and overwrite the delta with empty files, permanently losing
+          // the batch's vectors and edges (the source drop is already
+          // marked consumed). Excluded, the replay recomputes the same
+          // delta from the same pre-batch state and whole-replaces
+          // batch_<id> — a deterministic rewrite, the annIngestStream
+          // discipline (StreamingSpec's deleted-commit replay twin).
+          val prior = deltas.filter(_.getName != s"batch_$batchId").toSeq
+          def deltaPart(name: String) = deltaPartOf(prior, name)
           val vectors = deltaPart("vectors")
             .foldLeft(genPart("vectors"))(_ unionByName _)
           // replay idempotence: drop vec_ids the index already holds
@@ -1011,9 +1024,25 @@ object Streams {
             // maxDegree best by exact cosine), recompute hubs — the
             // incremental links SURVIVE (a rebuild would discard the
             // insert-by-search construction this stream exists to grow)
-            val allVecs = deltaPart("vectors")
+            // fresh listing: the refresh folds in the delta this batch
+            // just wrote (prior excludes it by design)
+            val allDeltaPaths = deltas.toSeq
+            // belt-and-braces for the rename→delete crash window (r15
+            // advice): after a crash between the generation rename and
+            // the consumed-delta delete, a stale delta's vectors are
+            // ALREADY in the renamed generation — folding them in again
+            // would commit permanent duplicate vector/bucket rows that
+            // compound across refreshes and eat pruneDegreeDiverse
+            // degree slots. Keep one copy per key: under the append-only
+            // vec_id contract every copy carries the same vector, and a
+            // bucket is a pure function of the vector, so the dedup only
+            // removes duplicates (the annIngestStream refresh rank-1
+            // pattern; edges already union via distinct()).
+            val allVecs = deltaPartOf(allDeltaPaths, "vectors")
               .foldLeft(genPart("vectors"))(_ unionByName _)
-            val unioned = deltaPart("edges").foldLeft(genPart("edges"))(_ unionByName _)
+              .dropDuplicates("vec_id")
+            val unioned = deltaPartOf(allDeltaPaths, "edges")
+              .foldLeft(genPart("edges"))(_ unionByName _)
               .distinct()
             // DIVERSITY-heuristic prune, not plain top-M: similarity-
             // ranked pruning cuts the long-range links first and
@@ -1023,15 +1052,16 @@ object Streams {
               if (maxDegree > 0)
                 graft.operators.Similarity.pruneDegreeDiverse(unioned, allVecs, maxDegree)
               else unioned
-            val allBuckets = deltaPart("buckets")
+            val allBuckets = deltaPartOf(allDeltaPaths, "buckets")
               .foldLeft(genPart("buckets"))(_ unionByName _)
+              .dropDuplicates("cid")
             val hubs = graft.operators.Similarity.topHubs(
               allEdges, nEntries, corpusMin = Long.MinValue)
             // snapshot the consumed state BEFORE the rename: gens/deltas
             // are re-listing defs, and a post-rename listing returns the
             // fresh generation under a fully-QUALIFIED path that a Path
             // != comparison against the unqualified `fin` cannot exclude
-            val consumed = deltas.toSeq ++ gens.toSeq
+            val consumed = allDeltaPaths ++ gens.toSeq
             val epoch = graft.plans.CommitEpoch.next(fs, dir)
             val tmp = new Path(dir, s"_compact_$epoch.tmp")
             val nEdges = allEdges.count()

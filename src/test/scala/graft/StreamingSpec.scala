@@ -974,6 +974,93 @@ class StreamingSpec extends SparkSpec {
       Similarity.topHubs(refreshGu, 4, Long.MinValue).collect().map(_.getLong(0)).toSet)
   }
 
+  test("kNN ingest crash twins: a replayed batch rewrites the SAME non-empty delta; a stale delta folds into the refresh without duplicates") {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val drop = Files.createTempDirectory("graft_knnr_drop").toString
+    val index = Files.createTempDirectory("graft_knnr_idx").resolve("idx").toString
+    val ckpt = Files.createTempDirectory("graft_knnr_ckpt").toString
+    def mkVecs(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.map { id =>
+        val c = (id % 4).toInt
+        val v = Array.tabulate(64)(i =>
+          (if (i == c) 10f else 0f) + (((id + i) % 7).toFloat * 0.01f))
+        (id, v)
+      }.toDF("vec_id", "embedding")
+    }
+    def ship(ids: Seq[Long], tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_knnr_stage_$tag").toString
+      mkVecs(ids).coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag.parquet")))
+    }
+    def run(): Unit =
+      Streams.knnIngestStream(spark, drop, index, ckpt,
+          kRand = 4, kBuild = 8, buildRounds = 2, kLink = 4, beam = 4,
+          walkRounds = 2, refreshEvery = 2)
+        .awaitTermination(240000)
+    def names(prefix: String) = {
+      val p = new Path(index)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith(prefix)).sorted.toSeq
+    }
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vid", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    ship(0L until 40L, "drop1"); run() // batch 0: cold generation
+    ship(100L until 110L, "drop2"); run() // batch 1: insert-by-search delta
+    assert(names("batch_") === Seq("batch_1"))
+    val edges1 = edgeSet(spark.read.parquet(s"$index/batch_1/edges"))
+    val vecs1 = spark.read.parquet(s"$index/batch_1/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(edges1.nonEmpty && vecs1 === (100L until 110L).toSet)
+    // keep the delta's content: it doubles as the stale-delta fixture below
+    val b1Edges = spark.read.parquet(s"$index/batch_1/edges").localCheckpoint(true)
+    val b1Vecs = spark.read.parquet(s"$index/batch_1/vectors").localCheckpoint(true)
+    val b1Buckets = spark.read.parquet(s"$index/batch_1/buckets").localCheckpoint(true)
+
+    // CRASH 1 (r15 advice, high): delta written, checkpoint commit lost.
+    // Deleting commits/1 makes the restarted stream REPLAY batch 1 from
+    // its recorded offsets — with batch_1 already on disk. The replay
+    // must anti-join against the PRE-BATCH state (own delta excluded)
+    // and rewrite the same content, not see its own vectors as already
+    // indexed and overwrite the delta with empty files.
+    assert(new java.io.File(s"$ckpt/commits/1").delete(),
+      "fixture: the batch-1 commit marker must exist before the simulated crash")
+    new java.io.File(s"$ckpt/commits/.1.crc").delete() // CRC sidecar blocks the rewrite rename
+    run() // replay batch 1
+    assert(names("batch_") === Seq("batch_1"))
+    assert(edgeSet(spark.read.parquet(s"$index/batch_1/edges")) === edges1,
+      "replayed delta must be a deterministic rewrite, not an empty overwrite")
+    assert(spark.read.parquet(s"$index/batch_1/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet === vecs1)
+
+    ship(200L until 210L, "drop3"); run() // batch 2: delta + refresh -> gen1
+    assert(names("batch_").isEmpty, "refresh consumes the deltas")
+
+    // CRASH 2 (r15 advice, medium): refresh renamed the new generation
+    // but crashed before deleting the consumed deltas — recreate the
+    // stale batch_1 next to gen1 (whose vectors already hold 100..109).
+    b1Edges.write.parquet(s"$index/batch_1/edges")
+    b1Vecs.write.parquet(s"$index/batch_1/vectors")
+    b1Buckets.write.parquet(s"$index/batch_1/buckets")
+
+    ship(300L until 310L, "drop4"); run() // batch 3: steady delta beside the stale one
+    ship(400L until 410L, "drop5"); run() // batch 4: delta + refresh -> gen2
+    assert(names("batch_").isEmpty && names("compacted_").size === 1)
+    val gen2 = s"$index/${names("compacted_").head}"
+    val vecCounts = spark.read.parquet(s"$gen2/vectors")
+      .groupBy("vec_id").count().agg(max("count"), count(lit(1))).collect()(0)
+    assert(vecCounts.getLong(0) === 1L,
+      "a stale delta's vectors must not fold into the generation twice")
+    assert(vecCounts.getLong(1) === 80L) // 40 + 4 batches of 10
+    val bktCounts = spark.read.parquet(s"$gen2/buckets")
+      .groupBy("cid").count().agg(max("count"), count(lit(1))).collect()(0)
+    assert(bktCounts.getLong(0) === 1L && bktCounts.getLong(1) === 80L)
+  }
+
   test("edge compaction: a reader at ANY commit instant sees the complete relation; epochs never collide") {
     import spark.implicits._
     val edgesDir = Files.createTempDirectory("graft_cc_edges").resolve("e").toString
