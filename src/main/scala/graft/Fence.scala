@@ -82,9 +82,14 @@ object Fence {
     * eager) and (b) nothing derived from the released frame escapes the
     * loop (a survivor that must outlive the loop gets its own [[cut]]
     * first). Releases pin-mode blocks too, so loops stay correct when a
-    * frame was fenced with [[apply]] instead of [[cut]]. */
-  def releaseCut(df: DataFrame): Unit = {
-    org.apache.spark.sql.GraftSqlShim.releasePin(df)
-    org.apache.spark.sql.GraftSqlShim.releaseCheckpoint(df)
-  }
+    * frame was fenced with [[apply]] instead of [[cut]].
+    *
+    * GUARDED (r15 advice): the frame must BE a fence leaf (its analyzed
+    * plan a single LogicalRDD) or hold no fenced leaves at all (a
+    * never-fenced loop variable — no-op). A DERIVED frame that still
+    * holds fenced leaves throws at the call site instead of destroying
+    * blocks shared with live siblings — the own-cut-first discipline,
+    * enforced rather than conventional. */
+  def releaseCut(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftSqlShim.releaseCutGuarded(df)
 }

@@ -731,9 +731,13 @@ object Streams {
                       tolPpm: Long = 1000L, maxRounds: Int = 25)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.hadoop.fs.Path
+    // `deleted` is the TOMBSTONE column (r15 verdict #1): optional —
+    // drops written without it read as null (= insert). A (vec_id,
+    // deleted=true) row retires the vector via [[retireIvfVectors]].
     val dropSchema = StructType(Seq(
       StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType))))
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("deleted", BooleanType)))
     def prep(df: DataFrame): DataFrame =
       df.select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -746,23 +750,8 @@ object Streams {
     def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
     def commitGeneration(assigned: DataFrame, cents: DataFrame,
                          fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-                         consumed: Seq[Path]): Unit = {
-      val epoch = graft.plans.CommitEpoch.next(fs, dir)
-      val width = if (consumed.isEmpty) 1
-                  else graft.plans.CommitEpoch.widthFor(fs, consumed, s)
-      val tmp = new Path(dir, s"_compact_$epoch.tmp")
-      assigned.select(col("cid"), col("vec_id"), col("v"))
-        .repartition(width, col("cid"))
-        .write.mode("overwrite").parquet(new Path(tmp, "postings").toString)
-      cents.coalesce(1)
-        .write.mode("overwrite").parquet(new Path(tmp, "centroids").toString)
-      graft.plans.CommitEpoch.midCommitHook("pre-rename")
-      val fin = new Path(dir, s"compacted_$epoch")
-      if (!fs.rename(tmp, fin))
-        throw new java.io.IOException(s"ann index commit rename failed: $tmp -> $fin")
-      graft.plans.CommitEpoch.midCommitHook("post-rename")
-      consumed.foreach(p => fs.delete(p, true))
-    }
+                         consumed: Seq[Path]): Unit =
+      commitIvfGeneration(s, assigned, cents, fs, dir, consumed)
     s.readStream.format("parquet").schema(dropSchema).load(dropDir)
       .writeStream
       .outputMode("append")
@@ -782,7 +771,18 @@ object Streams {
             case "" => -1L; case d => BigInt(d).min(Long.MaxValue - 1).toLong })
         def deltas = fs.listStatus(dir).map(_.getPath)
           .filter(p => visible(p.getName) && p.getName.startsWith("batch_"))
-        val e = graft.Fanout.byKey(prep(batch), col("vec_id"))
+        // TOMBSTONES first (r15 verdict #1): retire against the
+        // PRE-BATCH state, then insert the batch's live rows — and the
+        // tombstone wins within a batch (an id both shipped and deleted
+        // in one drop is not inserted). Replay-idempotent: retiring
+        // already-absent ids rewrites an equivalent generation.
+        val tombs = batch.filter(col("deleted") === true).select("vec_id")
+        val hasTombs = !tombs.isEmpty
+        if (hasTombs && gens.nonEmpty) retireIvfVectors(s, indexDir, tombs)
+        val live0 = batch.filter(coalesce(col("deleted"), lit(false)) === lit(false))
+        val live = if (hasTombs) live0.join(tombs, Seq("vec_id"), "left_anti") else live0
+        if (!live.isEmpty) {
+        val e = graft.Fanout.byKey(prep(live), col("vec_id"))
         if (gens.isEmpty) {
           // cold start: train + commit generation 0 from this drop alone.
           // Enforce the scaladoc contract LOUDLY (r14 advice): a first
@@ -844,6 +844,7 @@ object Streams {
           }
         }
         }
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -863,6 +864,65 @@ object Streams {
     * single-generation-consistent relation — StreamingSpec pins each via
     * the midCommitHook seam. A delta listed but deleted before its read
     * surfaces as a read error: retry the snapshot (stated contract). */
+  private def commitIvfGeneration(s: SparkSession,
+      assigned: DataFrame, cents: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      consumed: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val epoch = graft.plans.CommitEpoch.next(fs, dir)
+    val width = if (consumed.isEmpty) 1
+                else graft.plans.CommitEpoch.widthFor(fs, consumed, s)
+    val tmp = new Path(dir, s"_compact_$epoch.tmp")
+    assigned.select(col("cid"), col("vec_id"), col("v"))
+      .repartition(width, col("cid"))
+      .write.mode("overwrite").parquet(new Path(tmp, "postings").toString)
+    cents.coalesce(1)
+      .write.mode("overwrite").parquet(new Path(tmp, "centroids").toString)
+    graft.plans.CommitEpoch.midCommitHook("pre-rename")
+    val fin = new Path(dir, s"compacted_$epoch")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"ann index commit rename failed: $tmp -> $fin")
+    graft.plans.CommitEpoch.midCommitHook("post-rename")
+    consumed.foreach(p => fs.delete(p, true))
+  }
+
+  /** DELETE/TAKEDOWN door for the IVF index (r15 verdict #1): without
+    * it a retired vector stays in the [[annIngestStream]] generation's
+    * postings forever and keeps being returned by cell probes — the
+    * band-index phantom-duplicate failure mode, vector-side. Folds the
+    * current state (max-seq generation + batch_* deltas, the
+    * [[annIndexSnapshot]] reader contract), drops retired vec_ids, and
+    * commits the survivors as a new generation under the SAME trained
+    * centroids (cells shrink; the next warm refresh re-centers them).
+    * Idempotent: retiring absent ids rewrites an equivalent
+    * generation. */
+  def retireIvfVectors(s: SparkSession, indexDir: String, retired: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("_compact_") && p.getName.endsWith(".tmp"))
+      .foreach(p => fs.delete(p, true))
+    val gens = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("compacted_"))
+      .sortBy(p => p.getName.stripPrefix("compacted_").takeWhile(_.isDigit) match {
+        case "" => -1L; case d => BigInt(d).min(Long.MaxValue - 1).toLong })
+    require(gens.nonEmpty, s"retireIvfVectors($indexDir): no committed generation")
+    val latest = gens.last
+    val deltas = fs.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+                   p.getName.startsWith("batch_")).toSeq
+    val postings0 = (s.read.parquet(new Path(latest, "postings").toString) +:
+        deltas.map(p => s.read.parquet(p.toString)))
+      .reduce(_ unionByName _)
+      .dropDuplicates("vec_id") // rename→delete crash window, copies identical
+    val kept = postings0
+      .join(retired.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .select("cid", "vec_id", "v")
+    val cents = s.read.parquet(new Path(latest, "centroids").toString)
+    commitIvfGeneration(s, kept, cents, fs, dir, deltas ++ gens.toSeq)
+  }
+
   def annIndexSnapshot(s: SparkSession, indexDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(indexDir)
@@ -933,9 +993,15 @@ object Streams {
                       refreshEvery: Int = 16, maxDegree: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.hadoop.fs.Path
+    // `deleted` = optional tombstone column (r15 verdict #1): a
+    // (vec_id, deleted=true) row retires the vector — bucket rows and
+    // every touching edge drop, orphaned neighbors re-link
+    // ([[graft.operators.Similarity.retireGraphVectors]]); drops
+    // written without the column read as null (= insert).
     val dropSchema = StructType(Seq(
       StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType))))
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("deleted", BooleanType)))
     def prep(df: DataFrame): DataFrame =
       df.select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -964,7 +1030,21 @@ object Streams {
         def deltas = fs.listStatus(dir).map(_.getPath)
           .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
                        p.getName.startsWith("batch_"))
-        val e = graft.Fanout.byKey(prep(batch), col("vec_id"))
+        // TOMBSTONES first (r15 verdict #1): retire against the
+        // pre-batch state (prune + heal + recommit, consuming deltas),
+        // then insert the live rows; the tombstone wins within a batch.
+        // A replayed tombstone retires already-absent ids — prunes
+        // nothing, orphans nobody, rewrites an equivalent generation.
+        val tombs = batch.filter(col("deleted") === true).select("vec_id")
+        val hasTombs = !tombs.isEmpty
+        if (hasTombs && gens.nonEmpty)
+          graft.operators.Similarity.retireGraphVectors(s, indexDir, tombs,
+            kLink, beam, walkRounds, sigBits, nEntries,
+            corpusMin = Long.MinValue)
+        val live0 = batch.filter(coalesce(col("deleted"), lit(false)) === lit(false))
+        val live = if (hasTombs) live0.join(tombs, Seq("vec_id"), "left_anti") else live0
+        if (!live.isEmpty) {
+        val e = graft.Fanout.byKey(prep(live), col("vec_id"))
         if (gens.isEmpty) {
           val n = e.count()
           require(n >= 2,
@@ -1082,6 +1162,7 @@ object Streams {
             graft.plans.CommitEpoch.midCommitHook("post-rename")
             consumed.foreach(p => fs.delete(p, true))
           }
+        }
         }
         }
       }

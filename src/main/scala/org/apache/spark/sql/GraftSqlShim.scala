@@ -159,6 +159,40 @@ object GraftSqlShim {
       case _ => ()
     }
 
+  /** GUARDED destructive release (r15 advice): the releaseCut contract —
+    * "pass the fence leaf itself, never a derived frame" — was enforced
+    * only by call-site convention, and one future misuse is an
+    * unrecoverable runtime failure far from the cause (the walk drops
+    * EVERY fenced leaf under a derived plan, including blocks shared
+    * with live siblings, which then FAIL — not recompute — on next
+    * read, because a cut leaf's lineage is truncated). Enforce it here:
+    *  - analyzed plan IS a single LogicalRDD leaf → release its blocks
+    *    (both fence modes — pin MEMORY_ONLY and cut MEMORY_AND_DISK);
+    *  - derived plan holding NO fenced leaf → no-op (keeps the
+    *    "release unconditionally" convenience for never-fenced frames —
+    *    loop variables whose first round never cut);
+    *  - derived plan holding fenced leaves → throw LOUDLY at the
+    *    misuse site instead of corrupting sibling readers. */
+  def releaseCutGuarded(df: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel.{MEMORY_AND_DISK, MEMORY_ONLY}
+    def fenced(lr: execution.LogicalRDD): Boolean = {
+      val lv = lr.rdd.getStorageLevel
+      lv == MEMORY_ONLY || lv == MEMORY_AND_DISK
+    }
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        if (fenced(lr)) lr.rdd.unpersist(blocking = false)
+      case derived =>
+        val leaves = derived.collect { case lr: execution.LogicalRDD if fenced(lr) => lr }
+        if (leaves.nonEmpty)
+          throw new IllegalArgumentException(
+            s"releaseCut: frame is DERIVED (analyzed root ${derived.nodeName}, not a " +
+            s"single fence leaf) yet holds ${leaves.size} fenced leaf/leaves — releasing " +
+            "would destroy blocks possibly shared with live siblings. Seal the survivor " +
+            "with its own Fence.cut first, then release that (the own-cut-first discipline).")
+    }
+  }
+
   /** Register a function builder on a live session's registry (the registry
     * is `private[sql]`; SparkSessionExtensions covers only session build
     * time). */

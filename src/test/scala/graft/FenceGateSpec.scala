@@ -108,4 +108,30 @@ class FenceGateSpec extends SparkSpec {
       assert(fenced.count() == 100)
     } finally spark.conf.unset("spark.graft.fence")
   }
+
+  test("releaseCut guard: leaf releases, unfenced derived no-ops, fenced derived THROWS") {
+    // r15 advice: releaseCut walked the WHOLE analyzed plan, so calling
+    // it on a frame merely DERIVED from a cut silently dropped leaves
+    // shared with live siblings — an unrecoverable failure far from the
+    // cause. The guard turns that misuse into a loud error at the site.
+    val base = Fence.cut(spark.range(0, 100).toDF())
+    val lvl = leafLevel(base)
+    assert(lvl.isDefined && lvl.get != StorageLevel.NONE)
+
+    // (1) derived frame still holding the fenced leaf: must THROW, and
+    // must NOT have dropped the blocks (the sibling stays readable)
+    val derived = base.filter(col("id") % 2 === 0)
+    val ex = intercept[IllegalArgumentException](Fence.releaseCut(derived))
+    assert(ex.getMessage.contains("own-cut-first"))
+    assert(leafLevel(base) == lvl, "a refused release must not touch the blocks")
+    assert(base.count() == 100)
+
+    // (2) never-fenced derived frame: unconditional-release convenience
+    Fence.releaseCut(spark.range(0, 10).toDF().filter(col("id") > 3)) // no-op, no throw
+
+    // (3) the leaf itself: destructive release drops the blocks
+    Fence.releaseCut(base)
+    assert(leafLevel(base).contains(StorageLevel.NONE) || leafLevel(base).isEmpty,
+      s"releaseCut on the leaf must drop its blocks, got ${leafLevel(base)}")
+  }
 }

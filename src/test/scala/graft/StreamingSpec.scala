@@ -1061,6 +1061,150 @@ class StreamingSpec extends SparkSpec {
     assert(bktCounts.getLong(0) === 1L && bktCounts.getLong(1) === 80L)
   }
 
+  test("graph-index retire: tombstones purge vectors/buckets/edges, heal relinks orphans, search stays phantom-free with recall parity") {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val drop = Files.createTempDirectory("graft_ret_drop").toString
+    val index = Files.createTempDirectory("graft_ret_idx").resolve("idx").toString
+    val ckpt = Files.createTempDirectory("graft_ret_ckpt").toString
+    def mkRows(ids: Seq[Long]) = ids.map { id =>
+      val c = (id % 4).toInt
+      (id, Array.tabulate(64)(i =>
+        (if (i == c) 10f else 0f) + (((id + i) % 7).toFloat * 0.01f)))
+    }
+    def ship(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_ret_stage_$tag").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag.parquet")))
+    }
+    def run(): Unit =
+      Streams.knnIngestStream(spark, drop, index, ckpt,
+          kRand = 4, kBuild = 8, buildRounds = 2, kLink = 4, beam = 4,
+          walkRounds = 2, refreshEvery = 0)
+        .awaitTermination(240000)
+    def names(prefix: String) = {
+      val p = new Path(index)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith(prefix)).sorted.toSeq
+    }
+    import spark.implicits._
+    ship(mkRows(0L until 40L).toDF("vec_id", "embedding"), "drop1"); run()
+    ship(mkRows(100L until 110L).toDF("vec_id", "embedding"), "drop2"); run()
+    // snapshot pre-retire edges so we know who the orphans will be
+    val gen0 = s"$index/${names("compacted_").head}"
+    val preEdges = spark.read.parquet(s"$gen0/edges")
+      .unionByName(spark.read.parquet(s"$index/batch_1/edges"))
+      .select("vid", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val retired = Set(0L, 4L, 8L, 100L, 104L) // gen AND delta members
+    val expectOrphans = preEdges.collect {
+      case (v, n) if retired(v) && !retired(n) => n }
+
+    // tombstone-only drop: (vec_id, deleted=true), no embedding
+    ship(retired.toSeq.sorted.map(id => (id, null: Array[Float], true))
+      .toDF("vec_id", "embedding", "deleted"), "drop3")
+    run()
+    assert(names("batch_").isEmpty, "retire consumes the deltas; no live rows -> no new delta")
+    val gen1 = s"$index/${names("compacted_").head}"
+    val vecIds = spark.read.parquet(s"$gen1/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(vecIds.intersect(retired).isEmpty && vecIds.size === 45)
+    assert(spark.read.parquet(s"$gen1/buckets").select("cid")
+      .collect().map(_.getLong(0)).toSet.intersect(retired).isEmpty)
+    val postEdges = spark.read.parquet(s"$gen1/edges")
+      .select("vid", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postEdges.forall { case (v, n) => !retired(v) && !retired(n) },
+      "no edge may touch a retired id")
+    assert(spark.read.parquet(s"$gen1/hubs").select("cid")
+      .collect().map(_.getLong(0)).toSet.intersect(retired).isEmpty)
+    // heal: every orphaned survivor keeps a non-empty neighborhood
+    val outDeg = postEdges.groupBy(_._1).map { case (v, es) => (v, es.size) }
+    assert(expectOrphans.forall(o => outDeg.getOrElse(o, 0) > 0),
+      s"orphans must be re-linked, missing: ${expectOrphans.filterNot(o => outDeg.contains(o))}")
+
+    // search is phantom-free AND within recall noise of a fresh build
+    val survivors = mkRows((0L until 40L) ++ (100L until 110L))
+      .filterNot { case (id, _) => retired(id) }
+    val e = survivors.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id").isin(1L, 2L, 3L, 101L, 102L))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    def hits(idx: String): Map[Long, Seq[Long]] =
+      Similarity.graphSearchIndexed(e, idx, q, k = 5, beam = 4, rounds = 2,
+          corpusMin = Long.MinValue)
+        .select("qid", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (k2, rs) => (k2, rs.map(_.getLong(1)).toSeq) }
+    val got = hits(index)
+    assert(got.values.flatten.toSet.intersect(retired).isEmpty,
+      "search after retire must NEVER return a retired id")
+    // fresh-build twin over the survivors only
+    val freshDir = Files.createTempDirectory("graft_ret_fresh").resolve("idx").toString
+    Similarity.buildGraphIndex(e, freshDir, kRand = 4, kBuild = 8, rounds = 2,
+      sigBits = 8, nEntries = 4, corpusMin = Long.MinValue)
+    val fresh = hits(freshDir)
+    // ground truth: exact top-5 by cosine among survivors (self included,
+    // as the walk admits it)
+    val vecs = survivors.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def recall(h: Map[Long, Seq[Long]]): Double = {
+      val per = h.map { case (qid, cids) =>
+        val truth = vecs.toSeq.map { case (id, v) => (id, cos(vecs(qid), v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+        cids.count(truth).toDouble / 5.0
+      }
+      per.sum / per.size
+    }
+    val (rRet, rFresh) = (recall(got), recall(fresh))
+    assert(rRet >= rFresh - 0.2,
+      s"retired-index recall $rRet must sit within noise of fresh-build $rFresh")
+  }
+
+  test("IVF retire: tombstones drop postings across generation AND deltas; snapshot is phantom-free") {
+    import org.apache.hadoop.fs.Path
+    val drop = Files.createTempDirectory("graft_ivfret_drop").toString
+    val index = Files.createTempDirectory("graft_ivfret_idx").resolve("idx").toString
+    val ckpt = Files.createTempDirectory("graft_ivfret_ckpt").toString
+    def mkRows(ids: Seq[Long]) = ids.map { id =>
+      val c = (id % 4).toInt
+      (id, Array.tabulate(16)(i =>
+        (if (i == c) 10f else 0f) + (((id + i) % 5).toFloat * 0.01f)))
+    }
+    def ship(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_ivfret_stage_$tag").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag.parquet")))
+    }
+    def run(): Unit =
+      Streams.annIngestStream(spark, drop, index, ckpt, k = 4, refreshEvery = 0)
+        .awaitTermination(240000)
+    import spark.implicits._
+    ship(mkRows(0L until 40L).toDF("vec_id", "embedding"), "drop1"); run() // cold gen
+    ship(mkRows(100L until 110L).toDF("vec_id", "embedding"), "drop2"); run() // delta
+    val retired = Set(1L, 5L, 100L, 105L) // generation AND delta members
+    // mixed drop: tombstones + one live insert in the SAME batch, plus a
+    // same-batch insert+delete (id 200): the tombstone must win
+    ship((retired.toSeq.sorted.map(id => (id, null: Array[Float], true)) ++
+          mkRows(Seq(200L, 201L)).map { case (id, v) => (id, v, false) } :+
+          ((200L, mkRows(Seq(200L)).head._2, true)))
+      .toDF("vec_id", "embedding", "deleted"), "drop3")
+    run()
+    val snap = Streams.annIndexSnapshot(spark, index)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(snap.intersect(retired).isEmpty, "snapshot must not hold retired ids")
+    assert(!snap.contains(200L), "same-batch insert+delete: the tombstone wins")
+    assert(snap.contains(201L), "the live insert in a mixed batch must land")
+    assert(snap.size === 40 + 10 - 4 + 1)
+  }
+
   test("edge compaction: a reader at ANY commit instant sees the complete relation; epochs never collide") {
     import spark.implicits._
     val edgesDir = Files.createTempDirectory("graft_cc_edges").resolve("e").toString
