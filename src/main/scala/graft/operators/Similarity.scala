@@ -2726,9 +2726,17 @@ object Similarity {
         |  FROM scored) WHERE rk = 1)
         |SELECT cid AS centroid, COUNT(*) AS n_assigned, MIN(vid) AS min_vec
         |FROM assigned GROUP BY cid ORDER BY centroid""".stripMargin,
+    // NO MATERIALIZED here (r15 verdict #4): a materialized CTE scans
+    // with estimated cardinality 0, so DuckDB BUILT the verify hash
+    // joins on the 133M-pair candidate side (hauling 512-byte vector
+    // lists into two ~70 GB build tables — 948 s at sf1, the gate
+    // brush) and probed with the 20k-row vector table. Inlined, the
+    // estimates flow from the parquet scan and the build sides flip to
+    // `e`: 41 s at sf1, same rows. The banding itself was never the
+    // problem — both sides share it.
     "q_dedup_embedding" ->
-      s"""WITH e AS MATERIALIZED ($duckVecs),
-        |bands AS MATERIALIZED (SELECT vec_id, band,
+      s"""WITH e AS ($duckVecs),
+        |bands AS (SELECT vec_id, band,
         |  list_aggregate([CASE WHEN list_reduce(
         |      [v[i+1] * sin((CAST(i AS DOUBLE) + 1.0) * (CAST(band*4+j AS DOUBLE) * 0.917 + 1.234))
         |       for i in generate_series(0, 63)], (a, b) -> a + b) >= 0
