@@ -1672,45 +1672,150 @@ object Similarity {
     * pruning collapsed global-entry recall 0.495 → 0.100 while the
     * diversity heuristic preserves it — SCALE.md r15; this is the
     * published reason HNSW prunes by the heuristic, reproduced).
-    * Per-vertex sequential greedy via mapGroups — candidates per vertex
-    * are the accumulated degree (bounded by compaction cadence), each
-    * group does ≤ D·M 64-d dots in-JVM; one shuffle carries the
-    * neighbor vectors (refresh-cadence, never query-time). Deterministic:
-    * candidates sorted (cos4 desc, nb), comparisons in the family's
-    * 4-dp space, ties KEEP. A vertex with ≤ maxDeg candidates emerges
-    * with its full set (the fill restores heuristic-rejected ones), so
-    * below the bound this is an exact no-op — the spec twins' regime. */
+    * PQ-CODED (r15 verdict #6): the first cut of this operator joined
+    * BOTH endpoint 64-d double vectors onto every edge before the
+    * per-vertex group — ~1 KB/edge through the compaction shuffle (at
+    * 1 B vectors × M=32, a ~32 TB shuffle). Now every per-EDGE shuffle
+    * is thin: edges join only the neighbor's 8-byte PQ code + norm
+    * (~24 B/edge), the full vector attaches once per VERTEX after the
+    * group. Codebooks (8 subspaces × ≤16 centroids) train on a bounded
+    * deterministic sample (4096 rows by xxhash64 order — the bounded-
+    * pool collect convention) with 4 Lloyd rounds; candidate RANKING
+    * uses asymmetric PQ (exact vertex side × coded neighbor, an 8-add
+    * LUT sum), the kept-set diversity test uses symmetric PQ (the
+    * broadcast 8×16×16 SDC dot table). Both heuristic inputs are
+    * approximate — the selection was already a heuristic; fidelity is
+    * gated by AnnRecallSpec's long-link twin and the measured recall
+    * probes, not a hash. Deterministic: fixed sample order, argmin ties
+    * to the lowest centroid, candidates sorted (cos4 desc, nb).
+    * A vertex with ≤ maxDeg candidates emerges with its full set (the
+    * fill restores heuristic-rejected ones), so below the bound this
+    * is an exact no-op — the spec twins' regime. */
   private[graft] def pruneDegreeDiverse(gu: DataFrame, vectors: DataFrame,
                                         maxDeg: Int): DataFrame = {
     val s = gu.sparkSession
     import s.implicits._
     val withV = vectors.select(col("vec_id"), col("v"))
-    gu.select("vid", "nb")
-      .join(withV.select(col("vec_id").as("vid"), col("v").as("va")), "vid")
-      .join(withV.select(col("vec_id").as("nb"), col("v").as("vb")), "nb")
-      .select(col("vid"), col("nb"), col("va"), col("vb"))
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (vid, it) =>
-        val rows = it.toArray
-        val va = rows.head._3
-        def cos4(a: Array[Double], b: Array[Double]): Double = {
-          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-          math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    val sample = withV.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
+      .as[(Long, Array[Double])].collect()
+    if (sample.isEmpty) return gu.select("vid", "nb").limit(0)
+    val dim = sample.head._2.length
+    val nSub = math.min(8, dim)
+    val subLen = (dim + nSub - 1) / nSub
+    def slice(v: Array[Double], j: Int): Array[Double] = {
+      val from = j * subLen
+      val until = math.min(from + subLen, dim)
+      if (from >= until) new Array[Double](0)
+      else java.util.Arrays.copyOfRange(v, from, until)
+    }
+    val k = math.min(16, sample.length)
+    // per-subspace Lloyd, deterministic: seeds = first k sampled slices
+    val books: Array[Array[Array[Double]]] = Array.tabulate(nSub) { j =>
+      val pts = sample.map(t => slice(t._2, j))
+      val cents = pts.take(k).map(_.clone)
+      var it = 0
+      while (it < 4) {
+        val sums = Array.fill(k)(new Array[Double](cents(0).length))
+        val cnts = new Array[Long](k)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < k) {
+            var dd = 0.0; var i = 0
+            while (i < p.length) { val t = p(i) - cents(c)(i); dd += t * t; i += 1 }
+            if (dd < bd) { bd = dd; best = c }; c += 1
+          }
+          var i = 0
+          while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+          cnts(best) += 1
         }
-        val sorted = rows.map(r => (r._2, r._4, cos4(va, r._4)))
-          .sortBy { case (nb, _, c) => (-c, nb) }
-        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        var c = 0
+        while (c < k) {
+          if (cnts(c) > 0) {
+            var i = 0
+            while (i < sums(c).length) { cents(c)(i) = sums(c)(i) / cnts(c); i += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
+    val sdc: Array[Array[Array[Double]]] = books.map { cents =>
+      Array.tabulate(k, k) { (a, b) =>
+        var dd = 0.0; var i = 0
+        while (i < cents(a).length) { dd += cents(a)(i) * cents(b)(i); i += 1 }
+        dd
+      }
+    }
+    val bBooks = s.sparkContext.broadcast(books)
+    val bSdc = s.sparkContext.broadcast(sdc)
+    def encode(v: Array[Double]): Array[Byte] = {
+      val bk = bBooks.value
+      Array.tabulate(nSub) { j =>
+        val p = slice(v, j); val cents = bk(j)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var dd = 0.0; var i = 0
+          while (i < p.length) { val t = p(i) - cents(c)(i); dd += t * t; i += 1 }
+          if (dd < bd) { bd = dd; best = c }; c += 1
+        }
+        best.toByte
+      }
+    }
+    val codes = withV.as[(Long, Array[Double])].map { case (id, v) =>
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      (id, encode(v), math.sqrt(n2))
+    }.toDF("nb", "code", "cnrm")
+    def cos4(x: Double): Double = math.round(x * 1e4) / 1e4
+    gu.select("vid", "nb")
+      .join(codes, "nb") // thin: ids + 8-byte code + norm
+      .groupBy("vid")
+      .agg(collect_list(struct(col("nb").as("_1"), col("code").as("_2"),
+                               col("cnrm").as("_3"))).as("cands"))
+      .join(withV.select(col("vec_id").as("vid"), col("v")), "vid") // fat once per VERTEX
+      .select(col("vid"), col("v"), col("cands"))
+      .as[(Long, Array[Double], Seq[(Long, Array[Byte], Double)])]
+      .flatMap { case (vid, va, cands) =>
+        val bk = bBooks.value; val tb = bSdc.value
+        // exact-side ADC LUT for va: lut(j)(c) = dot(va_j, cent_c)
+        val lut = Array.tabulate(nSub) { j =>
+          val p = slice(va, j)
+          bk(j).map { cent =>
+            var dd = 0.0; var i = 0
+            while (i < p.length) { dd += p(i) * cent(i); i += 1 }
+            dd
+          }
+        }
+        var n2 = 0.0; var i = 0
+        while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+        val nva = math.sqrt(n2)
+        def adcCos(code: Array[Byte], nrmB: Double): Double = {
+          var dd = 0.0; var j = 0
+          while (j < nSub) { dd += lut(j)(code(j) & 0xff); j += 1 }
+          val den = nva * nrmB
+          if (den == 0.0) 0.0 else cos4(dd / den)
+        }
+        def sdcCos(a: Array[Byte], na: Double, b: Array[Byte], nb2: Double): Double = {
+          var dd = 0.0; var j = 0
+          while (j < nSub) { dd += tb(j)(a(j) & 0xff)(b(j) & 0xff); j += 1 }
+          val den = na * nb2
+          if (den == 0.0) 0.0 else cos4(dd / den)
+        }
+        val sorted = cands.map { case (nb, code, nrmB) =>
+          (nb, code, nrmB, adcCos(code, nrmB))
+        }.sortBy { case (nb, _, _, c) => (-c, nb) }
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte], Double)]
         val pruned = scala.collection.mutable.ArrayBuffer.empty[Long]
-        sorted.foreach { case (nb, vb, cq) =>
+        sorted.foreach { case (nb, code, nrmB, cq) =>
           if (kept.size < maxDeg) {
-            if (kept.forall { case (_, kv) => cq >= cos4(vb, kv) }) kept += ((nb, vb))
+            if (kept.forall { case (_, kc, kn) => cq >= sdcCos(code, nrmB, kc, kn) })
+              kept += ((nb, code, nrmB))
             else pruned += nb
           }
         }
         val fill = pruned.take(maxDeg - kept.size)
-        (kept.map(_._1) ++ fill).map(nb => (vid, nb)).iterator
+        (kept.map(_._1) ++ fill).map(nb => (vid, nb))
       }
       .toDF("vid", "nb")
   }
@@ -1767,15 +1872,209 @@ object Similarity {
     out
   }
 
+  /** HNSW's geometric level off xxhash64("hnsw", vec_id) — a PURE
+    * function of the id, so the hierarchy needs no level storage, a
+    * replay assigns identically, and every twin can recompute
+    * membership in closed form. P(level ≥ ℓ) = 2^−ℓ, capped at
+    * maxLevels−1. Shared by [[graphSearchHier]] (the batch-built
+    * measured negative), the incremental maintenance
+    * ([[insertBySearchUpper]]), and the descent ([[graphSearchIndexedHier]]). */
+  private[graft] def hnswLevel(id: Column, maxLevels: Int): Column = {
+    val h = xxhash64(lit("hnsw"), id)
+    (1 until maxLevels).map(l =>
+        when(pmod(h, lit(1L << l)) === 0, 1).otherwise(0))
+      .foldLeft(lit(0))((a, b) => a + b)
+  }
+
+  /** The UPPER-LAYER half of incremental HNSW construction (r15 verdict
+    * #3): link a batch into every layer ℓ ≥ 1 it belongs to, by search
+    * — the move the r14/r15 measurements demanded. Post-hoc layering
+    * measured recall 0.135 and a FIXED flat-walk budget covers a
+    * constant COUNT (global-entry 0.345 at 50k → 0.000 at 1M); HNSW's
+    * published answer is layers BUILT INSERT-BY-SEARCH, descended at
+    * query time so the budget grows ~log n. Layer ℓ holds the vertices
+    * with [[hnswLevel]] ≥ ℓ (population n·2^−ℓ); each batch member of
+    * the layer searches the CURRENT layer-ℓ graph (bucket-mates within
+    * the layer ∪ the layer's min corpus id as deterministic entry) for
+    * its kLink nearest layer-mates and links both directions.
+    *
+    * Scale shape: layer populations halve, so the whole upper pass
+    * costs ~1× the base insert; each layer's walk is entry probe +
+    * rounds·beam·out-degree — never the layer, never the corpus.
+    * Deterministic throughout (4-dp scores, id ties), so replays
+    * rewrite identical deltas.
+    *
+    * @return new DIRECTED-both-ways rows (lvl, vid, nb), lvl ≥ 1. */
+  private[graft] def insertBySearchUpper(eAll: DataFrame, levEdges: DataFrame,
+      buckets: DataFrame, b: DataFrame, kLink: Int, beam: Int, rounds: Int,
+      sigBits: Int, maxLevels: Int): DataFrame = {
+    val s = eAll.sparkSession
+    import s.implicits._
+    val empty = Seq.empty[(Int, Long, Long)].toDF("lvl", "vid", "nb")
+    if (maxLevels <= 1) return empty
+    // bounded scalar: the batch's top populated level (≤ maxLevels-1)
+    val bTop = b.select(hnswLevel(col("vec_id"), maxLevels).as("lvl"))
+      .agg(coalesce(max(col("lvl")), lit(0))).head().getInt(0)
+    val ups = (1 to bTop).map { l =>
+      val members = eAll.filter(hnswLevel(col("vec_id"), maxLevels) >= l)
+      val bL = b.filter(hnswLevel(col("vec_id"), maxLevels) >= l)
+      val qL = bL.select(col("vec_id").as("qid"), col("v").as("qv"),
+                         col("nrm").as("qn"))
+      val guL = levEdges.filter(col("lvl") === l).select("vid", "nb")
+      val memberIds = members.select(col("vec_id").as("cid"))
+      val mates = qL.select(col("qid"),
+          lshBucket(col("qv"), sigBits).as("bucket"))
+        .join(buckets.join(memberIds, Seq("cid"), "left_semi"), "bucket")
+        .filter(col("cid") =!= col("qid"))
+        .select("qid", "cid")
+      // deterministic global entry: the layer's min id (the
+      // graphSearchHier convention) — layers are small, one scalar agg
+      val entry = mates.unionByName(
+        qL.select("qid").crossJoin(
+            broadcast(memberIds.agg(min(col("cid")).as("cid"))))
+          .filter(col("cid") =!= col("qid")))
+      val found = graphSearchWalk(members, guL, qL, kLink, beam, rounds,
+        corpusMin = Long.MinValue, entrySet = entry)
+      val out = graft.Fence.cut(
+        found.select(col("qid").as("vid"), col("cid").as("nb"))
+          .unionByName(found.select(col("cid").as("vid"), col("qid").as("nb")))
+          .select(lit(l).as("lvl"), col("vid"), col("nb")))
+      graft.Fence.releaseCut(found)
+      out
+    }
+    if (ups.isEmpty) empty
+    else {
+      // seal the union as its OWN leaf, then release the per-level cuts
+      // — the caller gets one releasable frame (the own-cut-first rule)
+      val fused = graft.Fence.cut(ups.reduce(_ unionByName _))
+      ups.foreach(graft.Fence.releaseCut)
+      fused
+    }
+  }
+
+  /** HNSW DESCENT against a PERSISTED leveled index ([[buildGraphIndex]]
+    * with maxLevels > 1 / the knnIngestStream maintenance): from the
+    * top populated layer's deterministic entry (min member id), a
+    * frontier-fixpoint greedy walk per layer (width descentBeam, capped
+    * descentRounds) carries its frontier DOWN as the next layer's
+    * entry; the base layer runs the production beam walk from the
+    * carried entry — NO query-time LSH bucket probe. This is the true
+    * HNSW query: the walk budget grows with the number of populated
+    * layers (~log n), not a fixed constant, which is exactly what the
+    * flat global-entry walk lacked (0.345 at 50k → 0.000 at 1M,
+    * SCALE.md r15). Levels are recomputed from vec_id ([[hnswLevel]]) —
+    * nothing but edges_hi is stored for the hierarchy. */
+  def graphSearchIndexedHier(e: DataFrame, indexDir: String, q: DataFrame,
+      k: Int, beam: Int, rounds: Int, corpusMin: Long, maxLevels: Int,
+      descentBeam: Int = 2, descentRounds: Int = 8): DataFrame = {
+    val s = e.sparkSession
+    val (gu, _, _) = loadGraphIndex(s, indexDir)
+    val levEdges = loadGraphIndexHi(s, indexDir)
+    val wBeam = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
+      .join(q, "qid")
+      .select(col("qid"), col("cid"),
+              round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
+    var carried: Option[DataFrame] = None
+    ((maxLevels - 1) to 1 by -1).foreach { l =>
+      val members = e.filter(hnswLevel(col("vec_id"), maxLevels) >= l &&
+                             col("vec_id") >= corpusMin)
+      val guL = levEdges.filter(col("lvl") === l).select("vid", "nb")
+      // bounded scalar per layer — an empty upper layer is skipped
+      if (members.limit(1).count() == 1) {
+        val entry0 = carried.getOrElse {
+          q.select("qid").crossJoin(
+            broadcast(members.agg(min(col("vec_id")).as("cid"))))
+        }
+        var pool = graft.Fence.cut(score(entry0.distinct()))
+        var frontier = graft.Fence.cut(
+          pool.withColumn("rk", row_number().over(wBeam))
+            .filter(col("rk") <= descentBeam).select("qid", "cid"))
+        var moved = Long.MaxValue
+        var r = 0
+        while (r < descentRounds && moved > 0) {
+          val cand = walkCandidates(guL, frontier, corpusMin)
+          val (prevP, prevF) = (pool, frontier)
+          pool = graft.Fence.cut(pool.unionByName(score(cand)).distinct())
+          frontier = graft.Fence.cut(
+            pool.withColumn("rk", row_number().over(wBeam))
+              .filter(col("rk") <= descentBeam).select("qid", "cid"))
+          moved = frontier.exceptAll(prevF).count()
+          graft.Fence.releaseCut(prevP); graft.Fence.releaseCut(prevF)
+          r += 1
+        }
+        carried.foreach(graft.Fence.releaseCut)
+        carried = Some(frontier)
+        graft.Fence.releaseCut(pool)
+      }
+    }
+    val entry = carried.getOrElse(
+      q.select("qid").crossJoin(broadcast(
+        e.filter(col("vec_id") >= corpusMin).agg(min(col("vec_id")).as("cid")))))
+    val out = graphSearchWalk(e, gu, q, k, beam, rounds, corpusMin, entry)
+    carried.foreach(graft.Fence.releaseCut)
+    out
+  }
+
+  /** The leveled upper-edge relation (lvl, vid, nb) of a generation —
+    * empty when the index was built flat (maxLevels = 1). */
+  private[graft] def loadGraphIndexHi(s: SparkSession, indexDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("compacted_"))
+      .sortBy(p => p.getName.stripPrefix("compacted_").takeWhile(_.isDigit) match {
+        case "" => -1L; case d => BigInt(d).min(Long.MaxValue - 1).toLong })
+    require(gens.nonEmpty, s"loadGraphIndexHi($indexDir): no committed generation")
+    val hi = new Path(gens.last, "edges_hi")
+    if (fs.exists(hi)) s.read.parquet(hi.toString)
+    else {
+      import s.implicits._
+      Seq.empty[(Int, Long, Long)].toDF("lvl", "vid", "nb")
+    }
+  }
+
   def buildGraphIndex(e: DataFrame, indexDir: String, kRand: Int, kBuild: Int,
                       rounds: Int, sigBits: Int = 8, nEntries: Int = 4,
-                      corpusMin: Long = 0L, persistVectors: Boolean = false): String = {
+                      corpusMin: Long = 0L, persistVectors: Boolean = false,
+                      maxLevels: Int = 1): String = {
     import org.apache.hadoop.fs.Path
     val s = e.sparkSession
     val g = knnGraphEdges(e, kRand, kBuild, rounds, sigBits)
     val gu = graft.Fence.cut(
       g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb"))).distinct())
     graft.Fence.releaseCut(g)
+    // maxLevels > 1: seed the HNSW hierarchy ([[hnswLevel]] membership,
+    // one NN-descent build per layer — populations halve, so the whole
+    // pass costs ~1× the base). A cold build's post-hoc layers are the
+    // measured-weak construction (recall 0.135, SCALE.md r14) — but a
+    // cold corpus is one DROP; every subsequent batch maintains the
+    // layers insert-by-search ([[insertBySearchUpper]]), which is where
+    // the navigability comes from.
+    val levParts: Seq[DataFrame] =
+      if (maxLevels <= 1) Nil
+      else (1 until maxLevels).flatMap { l =>
+        val members = graft.Fence.cut(
+          e.filter(hnswLevel(col("vec_id"), maxLevels) >= l))
+        val out = if (members.limit(2).count() == 2) {
+          val gl = knnGraphEdges(members, kRand, kBuild, rounds, sigBits)
+          Some(graft.Fence.cut(
+            gl.unionByName(gl.select(col("nb").as("vid"), col("vid").as("nb")))
+              .distinct()
+              .select(lit(l).as("lvl"), col("vid"), col("nb"))))
+        } else None
+        graft.Fence.releaseCut(members)
+        out
+      }
+    val levEdges: Option[DataFrame] =
+      if (maxLevels <= 1) None
+      else {
+        import s.implicits._
+        Some(levParts.reduceOption(_ unionByName _)
+          .getOrElse(Seq.empty[(Int, Long, Long)].toDF("lvl", "vid", "nb")))
+      }
     val hubs = topHubs(gu, nEntries, corpusMin)
     val buckets = e.select(col("vec_id").as("cid"),
                            lshBucket(col("v"), sigBits).as("bucket"))
@@ -1806,6 +2105,11 @@ object Similarity {
     if (persistVectors)
       e.select(col("vec_id"), col("v")).repartition(width, col("vec_id"))
         .write.mode("overwrite").parquet(new Path(tmp, "vectors").toString)
+    levEdges.foreach { le =>
+      le.repartition(math.max(1, width / 2), col("vid"))
+        .write.mode("overwrite").parquet(new Path(tmp, "edges_hi").toString)
+    }
+    levParts.foreach(graft.Fence.releaseCut)
     graft.plans.CommitEpoch.midCommitHook("pre-rename")
     val fin = new Path(dir, s"compacted_$epoch")
     if (!fs.rename(tmp, fin))
@@ -2013,11 +2317,7 @@ object Similarity {
       .join(q, "qid")
       .select(col("qid"), col("cid"),
               round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
-    val h = xxhash64(lit("hnsw"), col("vec_id"))
-    val lvlCol = (1 until maxLevels).map(l =>
-        when(pmod(h, lit(1L << l)) === 0, 1).otherwise(0))
-      .foldLeft(lit(0))((a, b) => a + b)
-    val eL = e.withColumn("lvl", lvlCol)
+    val eL = e.withColumn("lvl", hnswLevel(col("vec_id"), maxLevels))
     var carried: Option[DataFrame] = None
     ((maxLevels - 1) to 1 by -1).foreach { l =>
       val members = graft.Fence.cut(eL.filter(col("lvl") >= l).drop("lvl"))
