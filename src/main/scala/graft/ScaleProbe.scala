@@ -96,10 +96,13 @@ object ScaleProbe {
     else if (args(0) == "knningest") {
       // knningest <mult>[:batches[:sigBits]]  (50k = 25; 1M = 500:20:17;
       // drops inserted in id order)
+      // 4th field = maxLevels for the HNSW-hierarchy maintenance legs
+      // (0 = off; 50k hier = 25:20:8:9, 1M hier = 500:20:17:13)
       val parts = args(1).split(":")
       knnIngestProbe(spark, parts(0).toInt,
         if (parts.length > 1) parts(1).toInt else 20,
-        if (parts.length > 2) parts(2).toInt else 8)
+        if (parts.length > 2) parts(2).toInt else 8,
+        if (parts.length > 3) parts(3).toInt else 0)
     }
     else if (args(0) == "annrefresh") annRefreshProbe(spark, args(1).toInt)
     else if (args(0) == "stream") streamProbe(spark, args(1))
@@ -1225,7 +1228,7 @@ object ScaleProbe {
     * bucket-entry walk over the incremental graph (production path) and
     * the batch-built graph from hub entry (the 0.000 baseline). */
   private def knnIngestProbe(spark: SparkSession, mult: Int, batches: Int,
-                             sigBits: Int = 8): Unit = {
+                             sigBits: Int = 8, maxLevels: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorMath.vecDot
@@ -1287,6 +1290,35 @@ object ScaleProbe {
     var deltas = List.empty[org.apache.spark.sql.DataFrame]
     var hubsNow = hubs
     def guNow = deltas.foldLeft(gen)(_ unionByName _)
+    // HNSW upper layers (maxLevels > 0): drop 0 seeds them post-hoc
+    // (small corpus), every later drop maintains them insert-by-search —
+    // the r15 verdict-#3 arc, measured below via the descent leg
+    import spark.implicits._
+    val emptyHi = Seq.empty[(Int, Long, Long)].toDF("lvl", "vid", "nb")
+    var levGen = emptyHi
+    var levDeltas = List.empty[org.apache.spark.sql.DataFrame]
+    def levNow = levDeltas.foldLeft(levGen)(_ unionByName _)
+    if (maxLevels > 1) {
+      val tH = System.nanoTime()
+      val parts0 = (1 until maxLevels).flatMap { l =>
+        val members = graft.Fence.cut(
+          eFull.filter(col("vec_id") <= cuts.head &&
+            operators.Similarity.hnswLevel(col("vec_id"), maxLevels) >= l))
+        val out = if (members.limit(2).count() == 2) {
+          val gl = operators.Similarity.knnGraphEdges(members, 4, 8, 2, sigBits)
+          Some(graft.Fence.cut(
+            gl.unionByName(gl.select(col("nb").as("vid"), col("vid").as("nb")))
+              .distinct().select(lit(l).as("lvl"), col("vid"), col("nb"))))
+        } else None
+        graft.Fence.releaseCut(members)
+        out
+      }
+      levGen = parts0.reduceOption(_ unionByName _).map { u =>
+        val fused = graft.Fence.cut(u); parts0.foreach(graft.Fence.releaseCut); fused
+      }.getOrElse(emptyHi)
+      println(f"knningest hier seed: ${levGen.count()}%,d upper edges across " +
+        f"${maxLevels - 1} layers, ${(System.nanoTime() - tH) / 1e9}%.1f s")
+    }
     var lo = cuts.head
     cuts.tail.zipWithIndex.foreach { case (hi, i) =>
       val tB = System.nanoTime()
@@ -1298,6 +1330,12 @@ object ScaleProbe {
         eSoFar, gu = guNow, bucketsSoFar, hubsNow, b, kLink = 8, beam = 8,
         rounds = 2, sigBits = sigBits)
       deltas = newEdges :: deltas
+      if (maxLevels > 1) {
+        val newHi = operators.Similarity.insertBySearchUpper(
+          eSoFar, levNow, bucketsSoFar, b, kLink = 8, beam = 8, rounds = 2,
+          sigBits = sigBits, maxLevels = maxLevels)
+        levDeltas = newHi :: levDeltas
+      }
       graft.Fence.releaseCut(b)
       println(f"knningest insert (${lo + 1}, $hi]: " +
         f"${(System.nanoTime() - tB) / 1e9}%.1f s (delta append)")
@@ -1310,6 +1348,18 @@ object ScaleProbe {
         (gen :: deltas).foreach(graft.Fence.releaseCut)
         graft.Fence.releaseCut(hubsNow)
         gen = compacted; deltas = Nil; hubsNow = newHubs
+        if (maxLevels > 1) {
+          val hiParts = (1 until maxLevels).map { l =>
+            operators.Similarity.pruneDegreeDiverse(
+                levNow.filter(col("lvl") === l).select("vid", "nb"),
+                eFull.select("vec_id", "v"), maxDeg = 32)
+              .select(lit(l).as("lvl"), col("vid"), col("nb"))
+          }
+          val hiCompacted = graft.Fence.cut(
+            hiParts.reduceOption(_ unionByName _).getOrElse(emptyHi))
+          (levGen :: levDeltas).foreach(graft.Fence.releaseCut)
+          levGen = hiCompacted; levDeltas = Nil
+        }
         println(f"knningest compaction (drop ${i + 1}): " +
           f"${gen.count()}%,d pruned edges (M=32), " +
           f"${(System.nanoTime() - tC) / 1e9}%.1f s")
@@ -1319,8 +1369,14 @@ object ScaleProbe {
     val guFinal = graft.Fence.cut(guNow.distinct())
     (gen :: deltas).foreach(graft.Fence.releaseCut)
     val gu2 = guFinal
+    val levFinal = if (maxLevels > 1) {
+      val f = graft.Fence.cut(levNow.distinct())
+      (levGen :: levDeltas).foreach(graft.Fence.releaseCut)
+      f
+    } else emptyHi
     println(f"knningest incremental build total: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      f"($nVecs%,d vectors, $batches drops, ${gu2.count()}%,d final edges)")
+      f"($nVecs%,d vectors, $batches drops, ${gu2.count()}%,d final edges" +
+      (if (maxLevels > 1) f", ${levFinal.count()}%,d upper edges" else "") + ")")
     // measurement 1: GLOBAL hub entry, no query-time LSH — navigability
     val hubEntry = q.select("qid").crossJoin(broadcast(hubsNow))
     Seq(8, 16).foreach { rounds =>
@@ -1332,6 +1388,23 @@ object ScaleProbe {
         f"recall@10=${recallOf(res)}%.3f wall=${(System.nanoTime() - t1) / 1e9}%.1f s " +
         "(r14 negatives: post-hoc hier 0.135, batch-built hub-only 0.000)")
       graft.Fence.releaseCut(res)
+    }
+    // measurement 1b (maxLevels > 0): HNSW DESCENT from the top layer —
+    // the r15 verdict-#3 leg: the walk budget grows with the populated
+    // layers instead of a fixed constant, against the SAME incremental
+    // base graph as the flat global-entry walk above
+    if (maxLevels > 1) {
+      for (dBeam <- Seq(2, 4); rounds <- Seq(8)) {
+        val t1 = System.nanoTime()
+        val res = operators.Similarity.graphSearchHierDescend(
+          eFull, gu2, levFinal, q, k = 10, beam = 8, rounds = rounds,
+          corpusMin = 20L, maxLevels = maxLevels,
+          descentBeam = dBeam, descentRounds = 12)
+        println(f"knningest HIER-descent dBeam=$dBeam rounds=$rounds " +
+          f"recall@10=${recallOf(res)}%.3f wall=${(System.nanoTime() - t1) / 1e9}%.1f s " +
+          "(flat global-entry baselines: 0.495 @ 50k, 0.000 @ 1M)")
+        graft.Fence.releaseCut(res)
+      }
     }
     // control A: production bucket-entry walk on the SAME incremental graph
     val t2 = System.nanoTime()

@@ -856,7 +856,524 @@ object Multimodal {
   def qMultimodalGif(s: SparkSession, d: String): DataFrame =
     decodeGifStats(gifAssetTable(s, d)).toDF().orderBy("doc_id")
 
+  // ----------------------------------------------------------------- JPEG
+  // Baseline JFIF — the third entropy family of the deliberate codec
+  // ladder (szip Rice -> PNG deflate -> GIF LZW -> JPEG Huffman+DCT),
+  // and the format a real multimodal crawl actually carries.
+  // Planting convention: per-8x8-block CONSTANT YCbCr at quant step 8
+  // makes the lossy codec exactly invertible — a constant block has one
+  // DC coefficient 8·(v−128) whose quantized value v−128 is integral, so
+  // ANY correct baseline decoder reproduces the planted constants
+  // bit-exactly and the DuckDB oracle replays the planting formula while
+  // the engine decodes the real container (Huffman scan, DC prediction,
+  // dequant, IDCT, YCbCr->RGB).
+
+  /** ITU T.81 Annex K Huffman tables (public spec constants). */
+  private val dcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val dcLumVals = (0 to 11).map(_.toByte).toArray
+  private val dcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val dcChrVals = (0 to 11).map(_.toByte).toArray
+  private val acLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val acLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+  private val acChrBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val acChrVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** T.81 zig-zag order: zigzag(k) = natural index of the k-th scanned
+    * coefficient. */
+  private[graft] val jpegZigzag: Array[Int] = {
+    val zz = new Array[Int](64)
+    var k = 0
+    var s = 0
+    while (s < 15) { // anti-diagonals
+      val range = (math.max(0, s - 7) to math.min(7, s))
+      val cells = if (s % 2 == 0) range.reverse else range // even diag runs up
+      cells.foreach { y => val x = s - y; zz(k) = y * 8 + x; k += 1 }
+      s += 1
+    }
+    zz
+  }
+
+  /** Canonical code assignment (T.81 Annex C): value -> (code, length). */
+  private[graft] def jpegCanonical(bits: Array[Int], vals: Array[Byte])
+      : Map[Int, (Int, Int)] = {
+    require(bits.sum == vals.length, "malformed Huffman spec")
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    (1 to 16).foreach { len =>
+      (0 until bits(len - 1)).foreach { _ =>
+        out += ((vals(k) & 0xff) -> (code, len))
+        code += 1; k += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private class JpegBitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1s (T.81 F.1.2.3)
+      acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; n = 0
+    }
+  }
+
+  private def jpegCat(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** A COMPLETE valid baseline JFIF: 8-bit, 3 components YCbCr 4:4:4,
+    * Annex K Huffman tables, flat quant tables (every step 8), one
+    * interleaved scan. `blocks(c)(i)` = the CONSTANT sample value of
+    * component c's i-th 8x8 block (raster order over ceil dims) —
+    * encoded as a lone DC coefficient (v−128, exact at step 8) + EOB.
+    * The general coefficient path ([[jpegEncodeBlock]]) also carries AC
+    * for the spec's hand-assembled vectors. */
+  private[graft] def jpegEncodeBlock(wr: JpegBitWriter, zz: Array[Int],
+      pred: Int, dcTab: Map[Int, (Int, Int)], acTab: Map[Int, (Int, Int)]): Int = {
+    // zz = 64 QUANTIZED coefficients in zig-zag order
+    val diff = zz(0) - pred
+    val s = jpegCat(diff)
+    val (dc, dl) = dcTab(s)
+    wr.put(dc, dl)
+    if (s > 0) wr.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    var lastNz = 63
+    while (lastNz > 0 && zz(lastNz) == 0) lastNz -= 1
+    var k = 1
+    while (k <= lastNz) {
+      var run = 0
+      while (zz(k) == 0) { run += 1; k += 1 }
+      while (run >= 16) { val (c, l) = acTab(0xf0); wr.put(c, l); run -= 16 }
+      val sz = jpegCat(zz(k))
+      val (c, l) = acTab((run << 4) | sz)
+      wr.put(c, l)
+      wr.put(if (zz(k) >= 0) zz(k) else zz(k) + (1 << sz) - 1, sz)
+      k += 1
+    }
+    if (lastNz < 63) { val (c, l) = acTab(0x00); wr.put(c, l) } // EOB
+    zz(0)
+  }
+
+  private[graft] def jfifFullBytes(w: Int, h: Int,
+                                   blocks: Array[Array[Int]]): Array[Byte] =
+    jfifCoefBytes(w, h, blocks.map(_.map { v =>
+      val zz = new Array[Int](64); zz(0) = v - 128; zz
+    }))
+
+  /** General form: `coefs(c)(b)` = the b-th block's 64 QUANTIZED
+    * coefficients in zig-zag order — the spec's AC-bearing vectors ride
+    * this path; [[jfifFullBytes]] wraps it for the constant planting. */
+  private[graft] def jfifCoefBytes(w: Int, h: Int,
+                                   coefs: Array[Array[Array[Int]]]): Array[Byte] = {
+    require(coefs.length == 3, "3 components (Y, Cb, Cr)")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      u16(payload.length + 2)
+      payload.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: Array.fill(64)(8)) // DQT id 0, all steps 8
+    seg(0xdb, 1 +: Array.fill(64)(8)) // DQT id 1
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 3,
+                    1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)) // SOF0 4:4:4
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Unit =
+      seg(0xc4, ((cls << 4) | id) +: (bits ++ vals.map(_ & 0xff)))
+    dht(0, 0, dcLumBits, dcLumVals); dht(1, 0, acLumBits, acLumVals)
+    dht(0, 1, dcChrBits, dcChrVals); dht(1, 1, acChrBits, acChrVals)
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
+    val wr = new JpegBitWriter
+    val dcT = Array(jpegCanonical(dcLumBits, dcLumVals),
+                    jpegCanonical(dcChrBits, dcChrVals))
+    val acT = Array(jpegCanonical(acLumBits, acLumVals),
+                    jpegCanonical(acChrBits, acChrVals))
+    val nB = coefs(0).length
+    val pred = Array(0, 0, 0)
+    var b = 0
+    while (b < nB) {
+      var c = 0
+      while (c < 3) {
+        val t = if (c == 0) 0 else 1
+        pred(c) = jpegEncodeBlock(wr, coefs(c)(b), pred(c), dcT(t), acT(t))
+        c += 1
+      }
+      b += 1
+    }
+    wr.flush()
+    wr.out.toByteArray.foreach(x => out.write(x & 0xff))
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** JPEG asset table: dims are whole 8x8 blocks (w = 8·(1+id%4),
+    * h = 8·(1+(id/4)%2)), block i's planted constants Y/Cb/Cr = text
+    * bytes (3i, 3i+1, 3i+2) mod |text| — every block exercises the DC
+    * predictor chain; AC is all-zero by construction (the EXACTNESS
+    * condition). Empty-text docs are skipped. */
+  def jpegAssetTable(s: SparkSession, d: String): Dataset[Media] = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .map { case (id, text) =>
+        val w = 8 * (1 + (id % 4).toInt)
+        val h = 8 * (1 + ((id / 4) % 2).toInt)
+        val t = text.getBytes("US-ASCII")
+        val nB = (w / 8) * (h / 8)
+        val blocks = Array.tabulate(3, nB)((c, b) => t((3 * b + c) % t.length) & 0xff)
+        Media(id, "image/jpeg", jfifFullBytes(w, h, blocks))
+      }
+  }
+
+  case class JpegStats(doc_id: Long, width: Long, height: Long, n_pixels: Long,
+                       sum_r: Long, sum_g: Long, sum_b: Long, top_row_sum: Long)
+
+  /** TRUE baseline-JFIF decode in the mapPartitions seam — the full
+    * general pipeline, not a replay of the planting: marker walk (APPn
+    * skipped; DQT 8-bit tables; DHT canonical Huffman build; SOF0 dims +
+    * components; DRI honored), entropy scan decode (bit reader with
+    * 0xFF00 unstuffing, RSTn predictor resets, DC category + extend
+    * with per-component prediction, AC run/size with ZRL and EOB,
+    * de-zig-zag), per-table dequantization, general 2-D IDCT
+    * (StrictMath cosine table — deterministic across JVMs), level shift
+    * + clamp, and BT.601 YCbCr->RGB with floor(x+0.5) rounding (the
+    * oracle replays the same IEEE expression). Refusal classes yield NO
+    * row, never garbage: progressive (SOF2) or any non-SOF0 frame
+    * (incl. the arithmetic-coded SOF9-SOFB family), 16-bit quant
+    * tables, non-8-bit precision, subsampled chroma (only 4:4:4 or
+    * single-component greyscale decode), missing tables, truncated or
+    * malformed scans. */
+  def decodeJpegStats(media: Dataset[Media]): Dataset[JpegStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      // per-partition cosine table — the codec-context seam
+      val cosT = Array.tabulate(8, 8) { (x, u) =>
+        (if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0) *
+          StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+      }
+      iter.flatMap { m =>
+        val p = m.payload
+        if (m.mime != "image/jpeg" || p.length < 4 ||
+            (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) None
+        else decodeOneJpeg(p, cosT).map { case (w, h, rgb) =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var top = 0L
+          var i = 0
+          while (i < w * h) {
+            sr += rgb(3 * i); sg += rgb(3 * i + 1); sb += rgb(3 * i + 2)
+            if (i < w) top += rgb(3 * i) + rgb(3 * i + 1) + rgb(3 * i + 2)
+            i += 1
+          }
+          JpegStats(m.doc_id, w, h, w.toLong * h, sr, sg, sb, top)
+        }
+      }
+    }
+  }
+
+  /** The decoder core — returns (w, h, interleaved RGB ints) or None
+    * on any refusal class. Shared by the stats seam and the spec's
+    * per-stage vectors. */
+  private[graft] def decodeOneJpeg(p: Array[Byte], cosT: Array[Array[Double]])
+      : Option[(Int, Int, Array[Int])] = {
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[Map[(Int, Int), Int]](4)
+    val acTabs = new Array[Map[(Int, Int), Int]](4)
+    var w = 0; var h = 0; var nComp = 0
+    var compId: Array[Int] = null; var compQ: Array[Int] = null
+    var restartInterval = 0
+    var off = 2
+    var sofSeen = false
+    var ok = true
+    var scanAt = -1
+    var scanComps: Array[(Int, Int, Int)] = null // (compIdx, dcTab, acTab)
+    def u16(o: Int): Int = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    while (ok && scanAt < 0 && off + 4 <= p.length) {
+      if ((p(off) & 0xff) != 0xff) { ok = false }
+      else {
+        val marker = p(off + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) off += 2
+        else if (marker == 0xd9) ok = false // EOI before scan
+        else {
+          val len = u16(off + 2)
+          if (off + 2 + len > p.length) ok = false
+          else {
+            marker match {
+              case 0xdb => // DQT: one or more tables
+                var o = off + 4
+                while (ok && o < off + 2 + len) {
+                  val pq = (p(o) & 0xff) >> 4; val tq = p(o) & 0x0f
+                  if (pq != 0 || tq > 3 || o + 65 > off + 2 + len) ok = false
+                  else {
+                    quant(tq) = Array.tabulate(64)(i => p(o + 1 + i) & 0xff)
+                    o += 65
+                  }
+                }
+              case 0xc4 => // DHT: canonical decode maps (code,len) -> val
+                var o = off + 4
+                while (ok && o < off + 2 + len) {
+                  val tc = (p(o) & 0xff) >> 4; val th = p(o) & 0x0f
+                  if (tc > 1 || th > 3 || o + 17 > off + 2 + len) ok = false
+                  else {
+                    val bits = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
+                    val n = bits.sum
+                    if (o + 17 + n > off + 2 + len) ok = false
+                    else {
+                      var code = 0; var k = 0
+                      val mb = Map.newBuilder[(Int, Int), Int]
+                      (1 to 16).foreach { l =>
+                        (0 until bits(l - 1)).foreach { _ =>
+                          mb += ((code, l) -> (p(o + 17 + k) & 0xff))
+                          code += 1; k += 1
+                        }
+                        code <<= 1
+                      }
+                      if (tc == 0) dcTabs(th) = mb.result()
+                      else acTabs(th) = mb.result()
+                      o += 17 + n
+                    }
+                  }
+                }
+              case 0xc0 => // SOF0 baseline
+                sofSeen = true
+                val prec = p(off + 4) & 0xff
+                h = u16(off + 5); w = u16(off + 7)
+                nComp = p(off + 9) & 0xff
+                if (prec != 8 || (nComp != 1 && nComp != 3) ||
+                    w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) ok = false
+                else {
+                  compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
+                  var c = 0
+                  while (ok && c < nComp) {
+                    compId(c) = p(off + 10 + 3 * c) & 0xff
+                    val samp = p(off + 11 + 3 * c) & 0xff
+                    compQ(c) = p(off + 12 + 3 * c) & 0xff
+                    if (samp != 0x11) ok = false // subsampled -> refuse
+                    c += 1
+                  }
+                }
+              case mk if (mk >= 0xc1 && mk <= 0xcf) && mk != 0xc4 && mk != 0xc8 =>
+                ok = false // progressive/extended/arithmetic frames refused
+              case 0xdd =>
+                restartInterval = u16(off + 4)
+              case 0xda => // SOS
+                if (!sofSeen) ok = false
+                else {
+                  val ns = p(off + 4) & 0xff
+                  if (ns != nComp) ok = false
+                  else {
+                    scanComps = Array.tabulate(ns) { i =>
+                      val cid = p(off + 5 + 2 * i) & 0xff
+                      val tabs = p(off + 6 + 2 * i) & 0xff
+                      val idx = compId.indexOf(cid)
+                      (idx, tabs >> 4, tabs & 0x0f)
+                    }
+                    if (scanComps.exists(_._1 < 0)) ok = false
+                    else scanAt = off + 2 + len
+                  }
+                }
+              case _ => () // APPn / COM / others: skip
+            }
+            off += 2 + len
+          }
+        }
+      }
+    }
+    if (!ok || scanAt < 0) return None
+    // components' quant/huffman must exist
+    if (scanComps.exists { case (ci, dt, at) =>
+          quant(compQ(ci)) == null || dcTabs(dt) == null || acTabs(at) == null })
+      return None
+    val wB = (w + 7) / 8; val hB = (h + 7) / 8
+    val planes = Array.ofDim[Int](nComp, wB * hB * 64)
+    // entropy decode
+    var pos = scanAt; var acc = 0; var nb = 0; var truncated = false
+    def nextBit(): Int = {
+      if (nb == 0) {
+        if (pos >= p.length) { truncated = true; return 0 }
+        var b = p(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          val b2 = if (pos < p.length) p(pos) & 0xff else -1
+          if (b2 == 0x00) pos += 1
+          else { truncated = true; return 0 } // marker mid-entropy
+        }
+        acc = b; nb = 8
+      }
+      nb -= 1
+      (acc >> nb) & 1
+    }
+    def huffDecode(tab: Map[(Int, Int), Int]): Int = {
+      var code = 0; var len = 0
+      while (len < 16) {
+        code = (code << 1) | nextBit(); len += 1
+        if (truncated) return -1
+        tab.get((code, len)) match {
+          case Some(v) => return v
+          case None => ()
+        }
+      }
+      -1
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    val pred = new Array[Int](nComp)
+    val nMcu = wB * hB
+    var mcu = 0
+    var bad = false
+    while (mcu < nMcu && !bad) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align and expect RSTn
+        nb = 0
+        if (pos + 1 < p.length && (p(pos) & 0xff) == 0xff &&
+            (p(pos + 1) & 0xff) >= 0xd0 && (p(pos + 1) & 0xff) <= 0xd7) {
+          pos += 2
+          java.util.Arrays.fill(pred, 0)
+        } else bad = true
+      }
+      var sc = 0
+      while (sc < scanComps.length && !bad) {
+        val (ci, dt, at) = scanComps(sc)
+        val zz = new Array[Int](64)
+        val s = huffDecode(dcTabs(dt))
+        if (s < 0 || s > 11) bad = true
+        else {
+          var diffBits = 0
+          var i = 0
+          while (i < s) { diffBits = (diffBits << 1) | nextBit(); i += 1 }
+          if (truncated) bad = true
+          else {
+            pred(ci) += extend(diffBits, s)
+            zz(0) = pred(ci)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob && !bad) {
+              val rs = huffDecode(acTabs(at))
+              if (rs < 0) bad = true
+              else if (rs == 0x00) eob = true
+              else if (rs == 0xf0) k += 16
+              else {
+                k += rs >> 4
+                val sz = rs & 0x0f
+                var vb = 0
+                var j = 0
+                while (j < sz) { vb = (vb << 1) | nextBit(); j += 1 }
+                if (truncated || k > 63) bad = true
+                else { zz(k) = extend(vb, sz); k += 1 }
+              }
+            }
+            if (!bad) {
+              // de-zig-zag + dequant + IDCT into the plane
+              val q = quant(compQ(ci))
+              val coef = new Array[Int](64)
+              var k2 = 0
+              while (k2 < 64) { coef(jpegZigzag(k2)) = zz(k2) * q(k2); k2 += 1 }
+              val base = mcu * 64
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    var u = 0
+                    while (u < 8) {
+                      sum += cosT(x)(u) * cosT(y)(v) * coef(v * 8 + u)
+                      u += 1
+                    }
+                    v += 1
+                  }
+                  val px = math.floor(sum * 0.25 + 128.0 + 0.5).toInt
+                  planes(ci)(base + y * 8 + x) =
+                    if (px < 0) 0 else if (px > 255) 255 else px
+                  x += 1
+                }
+                y += 1
+              }
+            }
+          }
+        }
+        sc += 1
+      }
+      mcu += 1
+    }
+    if (bad || truncated) return None
+    // assemble: planes are MCU-major; emit interleaved RGB over (w, h)
+    val rgb = new Array[Int](3 * w * h)
+    var py = 0
+    while (py < h) {
+      var px2 = 0
+      while (px2 < w) {
+        val mcuI = (py / 8) * wB + (px2 / 8)
+        val o = mcuI * 64 + (py % 8) * 8 + (px2 % 8)
+        val i3 = 3 * (py * w + px2)
+        if (nComp == 1) {
+          val yv = planes(0)(o)
+          rgb(i3) = yv; rgb(i3 + 1) = yv; rgb(i3 + 2) = yv
+        } else {
+          val yv = planes(0)(o).toDouble
+          val cb = planes(1)(o) - 128.0
+          val cr = planes(2)(o) - 128.0
+          def cl(x: Double): Int = {
+            val r = math.floor(x + 0.5).toInt
+            if (r < 0) 0 else if (r > 255) 255 else r
+          }
+          rgb(i3) = cl(yv + 1.402 * cr)
+          rgb(i3 + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
+          rgb(i3 + 2) = cl(yv + 1.772 * cb)
+        }
+        px2 += 1
+      }
+      py += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  def qMultimodalJpeg(s: SparkSession, d: String): DataFrame =
+    decodeJpegStats(jpegAssetTable(s, d)).toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_gif" -> (qMultimodalGif _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -867,6 +1384,39 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // planting formula: per-8x8-block constant YCbCr from the text
+    // bytes, EXACT through the codec at quant step 8 (a constant
+    // block's lone DC coefficient 8(v-128) quantizes integrally), then
+    // the same BT.601 floor(x+0.5) RGB expression the decoder runs —
+    // IEEE doubles, bit-equal across engines. The engine decodes the
+    // real container: Huffman scan, DC prediction, dequant, IDCT.
+    "q_multimodal_jpeg" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    1 + doc_id % 4 AS wb, 1 + (doc_id // 4) % 2 AS hb,
+        |    length(text) AS L
+        |  FROM documents WHERE length(text) >= 1),
+        |blk AS (SELECT doc_id, wb, hb, b,
+        |    ascii(substring(text, CAST((3*b) % L AS INT) + 1, 1)) AS yv,
+        |    ascii(substring(text, CAST((3*b+1) % L AS INT) + 1, 1)) AS cb,
+        |    ascii(substring(text, CAST((3*b+2) % L AS INT) + 1, 1)) AS cr
+        |  FROM (SELECT doc_id, text, wb, hb, L,
+        |          unnest(range(0, wb * hb)) AS b FROM d)),
+        |rgbb AS (SELECT doc_id, wb, b,
+        |    LEAST(255, GREATEST(0, CAST(FLOOR(yv + 1.402*(cr-128) + 0.5) AS BIGINT))) AS r,
+        |    LEAST(255, GREATEST(0, CAST(FLOOR(yv - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5) AS BIGINT))) AS g,
+        |    LEAST(255, GREATEST(0, CAST(FLOOR(yv + 1.772*(cb-128) + 0.5) AS BIGINT))) AS bl
+        |  FROM blk),
+        |agg AS (SELECT doc_id,
+        |    CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+        |    CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+        |    CAST(64 * SUM(bl) AS BIGINT) AS sum_b,
+        |    CAST(8 * SUM(CASE WHEN b < wb THEN r + g + bl ELSE 0 END) AS BIGINT) AS top_row_sum
+        |  FROM rgbb GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(8 * wb AS BIGINT) AS width,
+        |  CAST(8 * hb AS BIGINT) AS height,
+        |  CAST(64 * wb * hb AS BIGINT) AS n_pixels,
+        |  sum_r, sum_g, sum_b, top_row_sum
+        |FROM d JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // planting formula, single channel: the grayscale palette makes the
     // decoded index the byte itself (ASCII corpus, bytes < 128)
     "q_multimodal_gif" ->

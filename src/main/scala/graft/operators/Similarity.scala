@@ -1970,6 +1970,17 @@ object Similarity {
     val s = e.sparkSession
     val (gu, _, _) = loadGraphIndex(s, indexDir)
     val levEdges = loadGraphIndexHi(s, indexDir)
+    graphSearchHierDescend(e, gu, levEdges, q, k, beam, rounds, corpusMin,
+      maxLevels, descentBeam, descentRounds)
+  }
+
+  /** The descent walk itself, over in-memory relations — shared by
+    * [[graphSearchIndexedHier]] (persisted generation) and the
+    * ScaleProbe measurement legs (operator-level maintenance twins). */
+  private[graft] def graphSearchHierDescend(e: DataFrame, gu: DataFrame,
+      levEdges: DataFrame, q: DataFrame, k: Int, beam: Int, rounds: Int,
+      corpusMin: Long, maxLevels: Int,
+      descentBeam: Int = 2, descentRounds: Int = 8): DataFrame = {
     val wBeam = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     def score(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
@@ -2194,6 +2205,29 @@ object Similarity {
     val newEdges = graft.Fence.cut(pruned.unionByName(heal).distinct())
     graft.Fence.releaseCut(heal); graft.Fence.releaseCut(pruned)
     val newHubs = topHubs(newEdges, nEntries, corpusMin)
+    // UPPER HNSW LAYERS (when maintained): prune every layer edge
+    // touching a retired id, then HEAL each layer — upper orphans
+    // re-search their pruned layer and relink ([[insertBySearchUpper]],
+    // the same repair move one level up); a retire MUST carry edges_hi
+    // into the new generation or the hierarchy silently dies with the
+    // consumed one. maxLevels is recovered from the stored relation
+    // (max lvl + 1) — the level function itself is pure in vec_id.
+    val newHi: Option[DataFrame] = read(parts("edges_hi")).map { hi0 =>
+      val hi = hi0.distinct()
+      val prunedHi = graft.Fence.cut(
+        hi.join(retV, Seq("vid"), "left_anti").join(retN, Seq("nb"), "left_anti"))
+      val maxLvl = hi.agg(coalesce(max(col("lvl")), lit(0))).head().getInt(0)
+      val hiOrphans = hi.join(retV, Seq("vid"), "left_semi")
+        .select(col("nb").as("vec_id")).distinct()
+        .join(ret, Seq("vec_id"), "left_anti")
+      val hiOrphanBatch = keepVecs.join(hiOrphans, Seq("vec_id"), "left_semi")
+      val healHi = insertBySearchUpper(keepVecs, prunedHi, keepBuckets,
+        hiOrphanBatch, kLink, beam, walkRounds, sigBits, maxLvl + 1)
+      val out = graft.Fence.cut(
+        prunedHi.unionByName(healHi).select("lvl", "vid", "nb").distinct())
+      graft.Fence.releaseCut(healHi); graft.Fence.releaseCut(prunedHi)
+      out
+    }
     // commit with buildGraphIndex's epoch/tmp/rename discipline,
     // consuming the folded generation + deltas
     val epoch = graft.plans.CommitEpoch.next(fs, dir)
@@ -2209,12 +2243,15 @@ object Similarity {
     if (hasVecs)
       keepVecs.select(col("vec_id"), col("v")).repartition(width, col("vec_id"))
         .write.mode("overwrite").parquet(new Path(tmp, "vectors").toString)
+    newHi.foreach(_.repartition(math.max(1, width / 2), col("vid"))
+      .write.mode("overwrite").parquet(new Path(tmp, "edges_hi").toString))
     graft.plans.CommitEpoch.midCommitHook("pre-rename")
     val fin = new Path(dir, s"compacted_$epoch")
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"retire commit rename failed: $tmp -> $fin")
     graft.plans.CommitEpoch.midCommitHook("post-rename")
     (deltas ++ gens).foreach(p => fs.delete(p, true))
+    newHi.foreach(graft.Fence.releaseCut)
     graft.Fence.releaseCut(newEdges); graft.Fence.releaseCut(keepVecs)
     graft.Fence.releaseCut(ret)
     fin.toString

@@ -990,7 +990,8 @@ object Streams {
                       checkpoint: String, kRand: Int = 4, kBuild: Int = 8,
                       buildRounds: Int = 2, kLink: Int = 8, beam: Int = 8,
                       walkRounds: Int = 4, sigBits: Int = 8, nEntries: Int = 4,
-                      refreshEvery: Int = 16, maxDegree: Int = 32)
+                      refreshEvery: Int = 16, maxDegree: Int = 32,
+                      maxLevels: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.hadoop.fs.Path
     // `deleted` = optional tombstone column (r15 verdict #1): a
@@ -1052,7 +1053,8 @@ object Streams {
             "a graph needs at least 2")
           graft.operators.Similarity.buildGraphIndex(e, indexDir,
             kRand, kBuild, buildRounds, sigBits, nEntries,
-            corpusMin = Long.MinValue, persistVectors = true)
+            corpusMin = Long.MinValue, persistVectors = true,
+            maxLevels = maxLevels)
           deltas.foreach(p => fs.delete(p, true))
         } else {
           val latest = gens.last
@@ -1095,6 +1097,24 @@ object Streams {
           b.select(col("vec_id").as("cid"),
               graft.operators.Similarity.lshBucket(col("v"), sigBits).as("bucket"))
             .write.mode("overwrite").parquet(new Path(out, "buckets").toString)
+          // UPPER HNSW LAYERS, maintained insert-by-search (r15 verdict
+          // #3): every batch member of layer ℓ ≥ 1 searches the current
+          // layer-ℓ graph and links — the construction whose absence
+          // made global-entry recall collapse at scale (a fixed flat
+          // walk covers a constant COUNT; the descent's budget grows
+          // with the populated layers). Level = pure function of
+          // vec_id, so replays assign identically.
+          if (maxLevels > 1) {
+            import s.implicits._
+            val emptyHi = Seq.empty[(Int, Long, Long)].toDF("lvl", "vid", "nb")
+            val genHiP = new Path(latest, "edges_hi")
+            val genHi = if (fs.exists(genHiP)) s.read.parquet(genHiP.toString) else emptyHi
+            val levEdges = deltaPart("edges_hi").foldLeft(genHi)(_ unionByName _)
+            val newHi = graft.operators.Similarity.insertBySearchUpper(
+              eAll, levEdges, buckets, b, kLink, beam, walkRounds, sigBits, maxLevels)
+            newHi.write.mode("overwrite").parquet(new Path(out, "edges_hi").toString)
+            graft.Fence.releaseCut(newHi)
+          }
           graft.Fence.releaseCut(newEdges); graft.Fence.releaseCut(b)
           if (refreshEvery > 0 && batchId % refreshEvery == 0) {
             // compaction refresh: union-distinct edges, DEGREE-PRUNE
@@ -1135,6 +1155,25 @@ object Streams {
             val allBuckets = deltaPartOf(allDeltaPaths, "buckets")
               .foldLeft(genPart("buckets"))(_ unionByName _)
               .dropDuplicates("cid")
+            // upper layers: fold + per-layer diversity prune (layers
+            // halve, so the whole pass costs ~1× the base prune)
+            val allHi: Option[DataFrame] = if (maxLevels <= 1) None else {
+              import s.implicits._
+              val emptyHi = Seq.empty[(Int, Long, Long)].toDF("lvl", "vid", "nb")
+              val genHiP = new Path(latest, "edges_hi")
+              val genHi = if (fs.exists(genHiP)) s.read.parquet(genHiP.toString)
+                          else emptyHi
+              val unionedHi = deltaPartOf(allDeltaPaths, "edges_hi")
+                .foldLeft(genHi)(_ unionByName _).distinct()
+              Some(if (maxDegree > 0) {
+                (1 until maxLevels).map { l =>
+                  graft.operators.Similarity.pruneDegreeDiverse(
+                      unionedHi.filter(col("lvl") === l).select("vid", "nb"),
+                      allVecs, maxDegree)
+                    .select(lit(l).as("lvl"), col("vid"), col("nb"))
+                }.reduceOption(_ unionByName _).getOrElse(emptyHi)
+              } else unionedHi)
+            }
             val hubs = graft.operators.Similarity.topHubs(
               allEdges, nEntries, corpusMin = Long.MinValue)
             // snapshot the consumed state BEFORE the rename: gens/deltas
@@ -1154,6 +1193,8 @@ object Streams {
               .write.mode("overwrite").parquet(new Path(tmp, "buckets").toString)
             allVecs.repartition(width, col("vec_id"))
               .write.mode("overwrite").parquet(new Path(tmp, "vectors").toString)
+            allHi.foreach(_.repartition(math.max(1, width / 2), col("vid"))
+              .write.mode("overwrite").parquet(new Path(tmp, "edges_hi").toString))
             graft.plans.CommitEpoch.midCommitHook("pre-rename")
             val fin = new Path(dir, s"compacted_$epoch")
             if (!fs.rename(tmp, fin))

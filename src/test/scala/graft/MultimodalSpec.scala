@@ -284,6 +284,109 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeJpegStats: Huffman vectors, AC-bearing IDCT block, DC prediction, refusals") {
+    import spark.implicits._
+    // (1) canonical Huffman build — hand-checked vectors off the Annex K
+    // DC-luminance spec (bits = 0,1,5,1,1,1,1,1,1): category 0 is the
+    // lone 2-bit code 00, categories 1-5 take 010..110, then one code
+    // per length up to 11111110
+    val dc = Multimodal.jpegCanonical(
+      Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      (0 to 11).map(_.toByte).toArray)
+    assert(dc(0) === ((0, 2)))
+    assert(dc(1) === ((2, 3)) && dc(5) === ((6, 3)))
+    assert(dc(6) === ((0xe, 4)) && dc(7) === ((0x1e, 5)) && dc(8) === ((0x3e, 6)))
+    // (2) zig-zag sanity: the spec's first anti-diagonals
+    assert(Multimodal.jpegZigzag.take(10).toSeq ===
+      Seq(0, 1, 8, 16, 9, 2, 3, 10, 17, 24))
+    // (3) one AC-BEARING 8x8 block pinned against a first-principles
+    // IDCT: Y carries DC + three AC coefficients, Cb/Cr are flat 128
+    // (zero coefficients), so RGB = Y exactly and any Huffman/run-length
+    // /de-zig-zag/dequant/IDCT slip moves a sum
+    val zzY = new Array[Int](64)
+    zzY(0) = 5; zzY(1) = 3; zzY(3) = -2; zzY(20) = 1
+    val jfif = Multimodal.jfifCoefBytes(8, 8, Array(
+      Array(zzY), Array(new Array[Int](64)), Array(new Array[Int](64))))
+    val cosT = Array.tabulate(8, 8) { (x, u) =>
+      (if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0) *
+        StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+    }
+    val got = Multimodal.decodeOneJpeg(jfif, cosT)
+    assert(got.isDefined, "the AC-bearing vector must decode")
+    val (w8, h8, rgb) = got.get
+    assert((w8, h8) === ((8, 8)))
+    // first principles: de-zig-zag, dequant by the flat step 8, direct
+    // 2-D IDCT, level shift, clamp
+    val coefNat = new Array[Int](64)
+    (0 until 64).foreach(k => coefNat(Multimodal.jpegZigzag(k)) = zzY(k) * 8)
+    val expY = Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      var sum = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        sum += cosT(x)(u) * cosT(y)(v) * coefNat(v * 8 + u)
+      val px = math.floor(sum * 0.25 + 128.0 + 0.5).toInt
+      math.max(0, math.min(255, px))
+    }
+    (0 until 64).foreach { i =>
+      assert(rgb(3 * i) === expY(i) && rgb(3 * i + 1) === expY(i) &&
+             rgb(3 * i + 2) === expY(i), s"pixel $i")
+    }
+    assert(expY.distinct.length > 4, "the vector must produce a non-flat block")
+
+    // (4) DC prediction chain + YCbCr: the planting roundtrip on real docs
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .collect().toMap
+    val decoded = Multimodal.decodeJpegStats(
+      Multimodal.jpegAssetTable(spark, sf)).collect()
+    assert(decoded.length === docs.size, "every planted JPEG must decode")
+    decoded.take(50).foreach { st =>
+      val t = docs(st.doc_id).getBytes("US-ASCII")
+      val wb = (st.width / 8).toInt; val hb = (st.height / 8).toInt
+      def cl(x: Double): Long = math.max(0, math.min(255, math.floor(x + 0.5).toLong))
+      val blocks = (0 until wb * hb).map { b =>
+        val y = (t((3 * b) % t.length) & 0xff).toDouble
+        val cb = (t((3 * b + 1) % t.length) & 0xff) - 128.0
+        val cr = (t((3 * b + 2) % t.length) & 0xff) - 128.0
+        (cl(y + 1.402 * cr), cl(y - 0.344136 * cb - 0.714136 * cr), cl(y + 1.772 * cb))
+      }
+      assert(st.sum_r === 64 * blocks.map(_._1).sum, s"doc ${st.doc_id} sum_r")
+      assert(st.sum_g === 64 * blocks.map(_._2).sum, s"doc ${st.doc_id} sum_g")
+      assert(st.sum_b === 64 * blocks.map(_._3).sum, s"doc ${st.doc_id} sum_b")
+      assert(st.top_row_sum ===
+        8 * blocks.take(wb).map(b => b._1 + b._2 + b._3).sum)
+    }
+
+    // (5) refusal classes — NO row, never garbage
+    def patch(b: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone(); f(c); c
+    }
+    def findMarker(b: Array[Byte], mk: Int): Int = {
+      var i = 2
+      while (i + 1 < b.length &&
+             !((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == mk)) i += 1
+      i
+    }
+    val good = jfif
+    val sof = findMarker(good, 0xc0)
+    val dqt = findMarker(good, 0xdb)
+    val progressive = patch(good)(c => c(sof + 1) = 0xc2.toByte)
+    val arithmetic = patch(good)(c => c(sof + 1) = 0xc9.toByte)
+    val prec12 = patch(good)(c => c(sof + 4) = 12.toByte)
+    val subsampled = patch(good)(c => c(sof + 11) = 0x22.toByte)
+    val dqt16 = patch(good)(c => c(dqt + 4) = 0x10.toByte)
+    val truncated = good.take(good.length - 6)
+    assert(Multimodal.decodeJpegStats(Seq(
+      Multimodal.Media(2L, "image/jpeg", progressive),
+      Multimodal.Media(3L, "image/jpeg", arithmetic),
+      Multimodal.Media(4L, "image/jpeg", prec12),
+      Multimodal.Media(5L, "image/jpeg", subsampled),
+      Multimodal.Media(6L, "image/jpeg", dqt16),
+      Multimodal.Media(7L, "image/jpeg", truncated),
+      Multimodal.Media(8L, "image/png", good)).toDS()).count() === 0L)
+  }
+
   test("resizeStub shrinks payloads by the factor, deterministically") {
     import graft.multimodal.Multimodal
     val m = Multimodal.media(spark, sf).limit(20)

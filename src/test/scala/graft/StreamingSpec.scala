@@ -1205,6 +1205,108 @@ class StreamingSpec extends SparkSpec {
     assert(snap.size === 40 + 10 - 4 + 1)
   }
 
+  test("HNSW level maintenance: cold build seeds edges_hi, inserts link upper layers by search, refresh prunes per layer, retire heals them") {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val drop = Files.createTempDirectory("graft_lvl_drop").toString
+    val index = Files.createTempDirectory("graft_lvl_idx").resolve("idx").toString
+    val ckpt = Files.createTempDirectory("graft_lvl_ckpt").toString
+    val maxLevels = 3
+    def mkRows(ids: Seq[Long]) = ids.map { id =>
+      val c = (id % 4).toInt
+      (id, Array.tabulate(64)(i =>
+        (if (i == c) 10f else 0f) + (((id + i) % 7).toFloat * 0.01f)))
+    }
+    def ship(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_lvl_stage_$tag").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(drop, s"$tag.parquet")))
+    }
+    def run(): Unit =
+      Streams.knnIngestStream(spark, drop, index, ckpt,
+          kRand = 4, kBuild = 8, buildRounds = 2, kLink = 4, beam = 4,
+          walkRounds = 2, refreshEvery = 0, maxLevels = maxLevels)
+        .awaitTermination(240000)
+    def names(prefix: String) = {
+      val p = new Path(index)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith(prefix)).sorted.toSeq
+    }
+    import spark.implicits._
+    // level twin: the pure-function assignment, computed independently
+    def lvlOf(ids: Seq[Long]): Map[Long, Int] = {
+      val df = ids.toDF("vec_id")
+        .select(col("vec_id"),
+                Similarity.hnswLevel(col("vec_id"), maxLevels).as("lvl"))
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    }
+    ship(mkRows(0L until 60L).toDF("vec_id", "embedding"), "drop1"); run()
+    val gen0 = s"$index/${names("compacted_").head}"
+    val lv = lvlOf(0L until 120L)
+    val hi0 = spark.read.parquet(s"$gen0/edges_hi").select("lvl", "vid", "nb")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(hi0.nonEmpty, "cold build must seed the upper layers")
+    assert(hi0.forall { case (l, v, n) => l >= 1 && lv(v) >= l && lv(n) >= l },
+      "every layer-l edge must connect two level>=l members")
+
+    // insert drop: members of layer l link by search; the delta twin
+    ship(mkRows(60L until 100L).toDF("vec_id", "embedding"), "drop2"); run()
+    val dHi = spark.read.parquet(s"$index/batch_1/edges_hi").select("lvl", "vid", "nb")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val batchUpper = (60L until 100L).filter(lv(_) >= 1)
+    assert(batchUpper.nonEmpty, "fixture must populate an upper layer")
+    batchUpper.foreach { id =>
+      (1 to lv(id)).foreach { l =>
+        assert(dHi.exists { case (dl, v, _) => dl == l && v == id },
+          s"batch member $id (level ${lv(id)}) must link into layer $l")
+      }
+    }
+    assert(dHi.forall { case (l, v, n) => lv(v) >= l && lv(n) >= l },
+      "delta layer edges stay within their layer's membership")
+    assert(dHi.forall { case (l, v, n) => dHi.contains((l, n, v)) },
+      "insert links both directions")
+
+    // retire an upper-layer member: edges_hi must drop every touching
+    // edge AND carry through the commit (not silently die), orphans heal
+    val upperVictim = (0L until 100L).filter(id => lv(id) >= 1)
+      .maxBy(id => hi0.count { case (_, v, _) => v == id })
+    val retired = Set(upperVictim, 3L)
+    val preOrphans = (hi0 ++ dHi).collect {
+      case (l, v, n) if retired(v) && !retired(n) => (l, n) }.toSet
+    ship(retired.toSeq.sorted.map(id => (id, null: Array[Float], true))
+      .toDF("vec_id", "embedding", "deleted"), "drop3")
+    run()
+    val gen1 = s"$index/${names("compacted_").head}"
+    val hi1 = spark.read.parquet(s"$gen1/edges_hi").select("lvl", "vid", "nb")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(hi1.nonEmpty, "retire must CARRY the hierarchy into the new generation")
+    assert(hi1.forall { case (_, v, n) => !retired(v) && !retired(n) },
+      "no layer edge may touch a retired id")
+    preOrphans.foreach { case (l, o) =>
+      assert(hi1.exists { case (hl, v, _) => hl == l && v == o },
+        s"upper orphan $o must be re-linked in layer $l")
+    }
+
+    // descent search against the maintained hierarchy: phantom-free and
+    // agreeing with brute-force on this clustered toy corpus
+    val survivors = mkRows(0L until 100L).filterNot { case (id, _) => retired(id) }
+    val e = survivors.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorMath.vecDot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id").isin(1L, 2L, 5L))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val got = Similarity.graphSearchIndexedHier(e, index, q, k = 5, beam = 4,
+        rounds = 2, corpusMin = Long.MinValue, maxLevels = maxLevels)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (k2, rs) => (k2, rs.map(_.getLong(1)).toSet) }
+    assert(got.values.flatten.toSet.intersect(retired).isEmpty,
+      "descent search must never return a retired id")
+    assert(got.keySet === Set(1L, 2L, 5L) && got.values.forall(_.size === 5))
+  }
+
   test("edge compaction: a reader at ANY commit instant sees the complete relation; epochs never collide") {
     import spark.implicits._
     val edgesDir = Files.createTempDirectory("graft_cc_edges").resolve("e").toString
