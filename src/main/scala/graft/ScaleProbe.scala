@@ -93,6 +93,7 @@ object ScaleProbe {
     }
     else if (args(0) == "dedup10") dedup10Probe(spark, args(1))
     else if (args(0) == "ann10") ann10Probe(spark, args(1))
+    else if (args(0) == "graph10") graph10Probe(spark, args(1).toInt)
     else if (args(0) == "knningest") {
       // knningest <mult>[:batches[:sigBits]]  (50k = 25; 1M = 500:20:17;
       // drops inserted in id order)
@@ -1092,6 +1093,104 @@ object ScaleProbe {
     *     families (≥ 200 chars: shingle Jaccard ≥ ~0.95) the banded
     *     candidate join must recover ≥ 90% of (base, member) pairs.
     * Every join here is banded or family-restricted — zero all-pairs. */
+  /** sf10-CLASS ENGINE-SIDE webgraph gate (r15 verdict #5): the 23-query
+    * graph family one decade past the 884-host fixture, gated by CLOSED
+    * FORMS of a deliberate construction (the dedup10 pattern — no oracle
+    * at this scale, the generator's algebra is the truth).
+    *
+    * Generator: `nCommunities` disjoint communities of exactly S=50
+    * nodes; community c is a directed ring (i -> i+1 mod S) plus one
+    * stride chord per node (i -> i + stride_c mod S,
+    * stride_c = 2 + c % 47 ∈ [2, 48]). Every node therefore has
+    * out-degree EXACTLY 2 and in-degree EXACTLY 2 (stride never 0, 1,
+    * or 49), there are no dangling nodes, and the graph is
+    * vertex-transitive within a community — which pins three families
+    * of invariants:
+    *  - components: exactly nCommunities weak components, every size 50,
+    *    every min-label c·50 (the label-propagation fixed point must
+    *    recover the construction exactly);
+    *  - degree: out-multiset {2: N} and in-multiset {2: N};
+    *  - PageRank: the UNIFORM vector is the exact integer fixed point
+    *    (p = tp + 85%·p with in-mass = 2·(p DIV 2) = p for even p, and
+    *    pshare = 10¹² DIV N is even at these dials) — so after any
+    *    number of rounds every node carries EXACTLY pshare and the L1
+    *    mass is conserved to the digit: Σ rank = N · pshare. A single
+    *    DIV-truncation slip anywhere in the loop breaks equality.
+    *  - triangles: only strides 2 and 48 (≡ −2) make undirected
+    *    triangles, S per such community; every other stride makes none
+    *    (difference algebra mod 50) — Σ n_tri = 3 · S · |{c: stride_c ∈
+    *    {2, 48}}|.
+    * At mult=50 the relation is 5M nodes / 10M directed edges. All four
+    * legs run the PRODUCTION operators (connectedComponents label
+    * fixed point, pageRank decimal-staged loop, triangles oriented
+    * wedges) — zero all-pairs shapes; walls printed per leg. */
+  private def graph10Probe(spark: SparkSession, nCommunities: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val S = 50L
+    val n = nCommunities * S
+    val nodes = spark.range(n).toDF("id")
+      .withColumn("c", expr(s"id DIV $S")) // integer division, not SQL '/'
+      .withColumn("pos", pmod(col("id"), lit(S)))
+      .withColumn("stride", lit(2L) + pmod(col("c"), lit(47L)))
+    val edges = graft.Fence.cut(graft.Fanout.byKey(
+      nodes.select(col("id").as("src"),
+          (col("c") * S + pmod(col("pos") + 1, lit(S))).as("dst"))
+        .unionByName(nodes.select(col("id").as("src"),
+          (col("c") * S + pmod(col("pos") + col("stride"), lit(S))).as("dst"))),
+      col("src")))
+    val nE = edges.count()
+    println(f"graph10: $n%,d nodes, $nE%,d directed edges " +
+      f"($nCommunities%,d communities x $S)")
+    assert(nE == 2 * n, s"edge closed form: $nE != ${2 * n}")
+    // degree multisets
+    val t0 = System.nanoTime()
+    val outD = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val inD = edges.groupBy("dst").agg(count(lit(1)).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    println(f"graph10 degrees: out=$outD in=$inD in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(outD == Map(2L -> n) && inD == Map(2L -> n),
+      s"degree multisets must be {2: $n}: out=$outD in=$inD")
+    // components: label fixed point recovers the construction
+    val t1 = System.nanoTime()
+    val cc = graft.Fence.cut(operators.Graph.connectedComponents(edges))
+    val comp = cc.groupBy("lbl").agg(count(lit(1)).as("sz"))
+    val nComp = comp.count()
+    val badSize = comp.filter(col("sz") =!= S).count()
+    val badLabel = comp.filter(pmod(col("lbl"), lit(S)) =!= 0).count()
+    println(f"graph10 components: $nComp%,d comps in ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+      f"(wrong-size $badSize, wrong-label $badLabel)")
+    assert(nComp == nCommunities && badSize == 0 && badLabel == 0,
+      "component structure must equal the construction")
+    graft.Fence.releaseCut(cc)
+    // PageRank: uniform integer fixed point, L1 mass exact
+    val t2 = System.nanoTime()
+    val pshare = 1000000000000L / n
+    assert(pshare % 2 == 0, "dial check: pshare must be even for the exactness argument")
+    val pr = operators.Graph.pageRank(edges, iters = 10)
+    val distinctRanks = pr.select("rank").distinct().collect().map(_.getLong(0)).toSeq
+    val mass = pr.agg(sum(col("rank"))).head().getLong(0)
+    println(f"graph10 pagerank: ranks=$distinctRanks mass=$mass%,d " +
+      f"(expect uniform $pshare%,d x $n%,d) in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    assert(distinctRanks == Seq(pshare), s"uniform fixed point: $distinctRanks != $pshare")
+    assert(mass == n * pshare, s"L1 mass: $mass != ${n * pshare}")
+    graft.Fence.releaseCut(pr)
+    // triangles: strides 2 and 48 only, S per community
+    val t3 = System.nanoTime()
+    val triComms = (0 until nCommunities).count(c => {
+      val st = 2 + c % 47; st == 2 || st == 48 })
+    val triSum = operators.Graph.triangles(edges)
+      .agg(sum(col("n_tri"))).head().getLong(0)
+    println(f"graph10 triangles: sum n_tri=$triSum%,d " +
+      f"(closed form ${3 * S * triComms}%,d from $triComms%,d stride-2/48 comms) " +
+      f"in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    assert(triSum == 3 * S * triComms, s"triangle closed form: $triSum != ${3 * S * triComms}")
+    graft.Fence.releaseCut(edges)
+    println("graph10: ALL GREEN")
+  }
+
   private def dedup10Probe(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
     val docs = graft.Fence.cut(
