@@ -270,6 +270,46 @@ class AnnRecallSpec extends SparkSpec {
       f"descent must navigate a monotone-gradient corpus: $recall%.3f >= 0.8")
   }
 
+  test("persisted leveled index: graphSearchIndexedHier descends to the same floor on the gradient corpus") {
+    // the r15 verdict-#3 production path: buildGraphIndex(maxLevels)
+    // persists edges_hi, the query descends it level by level — must
+    // match the in-memory hierarchy's navigability on the arc corpus
+    import spark.implicits._
+    val corpus = (20 until 420).map { i =>
+      val th = (math.Pi / 2) * i / 440.0
+      (i.toLong, Array(math.cos(th), math.sin(th)))
+    }
+    val queries = (0 until 10).map { qIdx =>
+      val t = 30 + 39 * qIdx
+      val th = (math.Pi / 2) * t / 440.0
+      (qIdx.toLong, Array(math.cos(th), math.sin(th)))
+    }
+    val e = normed((corpus ++ queries).toDF("vec_id", "v"))
+      .repartition(4, col("vec_id")).localCheckpoint()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hier_idx")
+      .resolve("idx").toString
+    Similarity.buildGraphIndex(e, dir, kRand = 4, kBuild = 8, rounds = 2,
+      sigBits = 8, nEntries = 4, corpusMin = 20L, maxLevels = 3)
+    val got = Similarity.graphSearchIndexedHier(e, dir, q, k = 10, beam = 8,
+        rounds = 4, corpusMin = 20L, maxLevels = 3,
+        descentBeam = 2, descentRounds = 96)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val gt = e.filter(col("vec_id") >= 20).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 10)
+      .select("qid", "cand").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand")))
+    val recall = gt.count { case (qid, cand) => got.contains((qid, cand)) } / 100.0
+    info(f"persisted-hier descent recall@10 on the gradient corpus: $recall%.3f")
+    assert(recall >= 0.8,
+      f"persisted descent must match the in-memory hierarchy: $recall%.3f >= 0.8")
+  }
+
   test("fixture regression floors: PQ recall vs exact-L2 truth at sf0.01") {
     val e = normed(baseVecs).localCheckpoint()
     val out = Similarity.pqAdcTopk(e).collect()
