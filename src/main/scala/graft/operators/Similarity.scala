@@ -1915,7 +1915,21 @@ object Similarity {
     // bounded scalar: the batch's top populated level (≤ maxLevels-1)
     val bTop = b.select(hnswLevel(col("vec_id"), maxLevels).as("lvl"))
       .agg(coalesce(max(col("lvl")), lit(0))).head().getInt(0)
-    val ups = (1 to bTop).map { l =>
+    if (bTop < 1) return empty
+    // ONE pass over the corpus for every layer's min member id (the
+    // deterministic global entry) — per-layer aggregations would cost
+    // bTop full scans per batch
+    val perLvlMin = eAll
+      .select(hnswLevel(col("vec_id"), maxLevels).as("lvl"), col("vec_id"))
+      .groupBy("lvl").agg(min(col("vec_id")).as("mn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    def minAtOrAbove(l: Int): Option[Long] = {
+      val c = perLvlMin.filter(_._1 >= l).values
+      if (c.isEmpty) None else Some(c.min)
+    }
+    val ups = (1 to bTop).flatMap { l =>
+      val minId = minAtOrAbove(l)
+      if (minId.isEmpty) None else Some {
       val members = eAll.filter(hnswLevel(col("vec_id"), maxLevels) >= l)
       val bL = b.filter(hnswLevel(col("vec_id"), maxLevels) >= l)
       val qL = bL.select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -1927,11 +1941,8 @@ object Similarity {
         .join(buckets.join(memberIds, Seq("cid"), "left_semi"), "bucket")
         .filter(col("cid") =!= col("qid"))
         .select("qid", "cid")
-      // deterministic global entry: the layer's min id (the
-      // graphSearchHier convention) — layers are small, one scalar agg
       val entry = mates.unionByName(
-        qL.select("qid").crossJoin(
-            broadcast(memberIds.agg(min(col("cid")).as("cid"))))
+        qL.select(col("qid"), lit(minId.get).as("cid"))
           .filter(col("cid") =!= col("qid")))
       val found = graphSearchWalk(members, guL, qL, kLink, beam, rounds,
         corpusMin = Long.MinValue, entrySet = entry)
@@ -1941,7 +1952,7 @@ object Similarity {
           .select(lit(l).as("lvl"), col("vid"), col("nb")))
       graft.Fence.releaseCut(found)
       out
-    }
+    } }
     if (ups.isEmpty) empty
     else {
       // seal the union as its OWN leaf, then release the per-level cuts
