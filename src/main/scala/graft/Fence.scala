@@ -46,6 +46,25 @@ object Fence {
   def cut(df: DataFrame): DataFrame =
     org.apache.spark.sql.GraftSqlShim.localCheckpointCapped(df)
 
+  /** [[cut]] that also RETURNS the materialized frame's row count (r16
+    * optimization, guide §1.2 — don't compute things twice): the fence's
+    * eager materialization already counts the RDD; loops whose
+    * convergence scalar is that count (BFS frontier sizes, trim
+    * cascades, peel rounds) read it here instead of paying one extra
+    * plan + job per round for a `count()` over the frame they just
+    * materialized. */
+  def cutCounted(df: DataFrame): (DataFrame, Long) =
+    org.apache.spark.sql.GraftSqlShim.localCheckpointCappedCounted(df)
+
+  /** [[apply]] (mode-dispatched fence) that also returns the row count —
+    * the pin-mode counterpart of [[cutCounted]]. */
+  def applyCounted(df: DataFrame): (DataFrame, Long) =
+    df.sparkSession.conf.getOption("spark.graft.fence") match {
+      case Some("local") =>
+        org.apache.spark.sql.GraftSqlShim.localCheckpointCappedCounted(df)
+      case _ => org.apache.spark.sql.GraftSqlShim.pinMemoryCounted(df)
+    }
+
   /** Unpersist a [[apply]]-fenced frame's pinned blocks once it is
     * SUPERSEDED — the iterative-loop discipline (r10 advice): without
     * this, round r's pin keeps rounds 1..r-1's MEMORY_ONLY blocks

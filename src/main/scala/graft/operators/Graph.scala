@@ -99,14 +99,13 @@ object Graph {
     val allNodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-    val nodes = graft.Fence(seeds match {
+    val (nodes, n) = graft.Fence.applyCounted(seeds match {
       case None => allNodes.withColumn("s", lit(1L))
       case Some(sd) => allNodes.join(
           sd.select(col("node"), lit(1L).as("s")).distinct(),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
-    })
-    val n = nodes.count() // one bounded driver scalar, before the loop
+    }) // the fence materialization doubles as the bounded n scalar
     require(n > 0, "pageRank: empty graph")
     // teleport support size: |seeds ∩ graph| (== n when uniform)
     val nT = if (seeds.isEmpty) n
@@ -209,10 +208,9 @@ object Graph {
                       tolPpm: Long = 100L, maxRounds: Int = 50,
                       dampNum: Long = 85L,
                       scale: Long = 1000000000000L): (DataFrame, Int) = {
-    val nodes = graft.Fence(
+    val (nodes, n) = graft.Fence.applyCounted(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct())
-    val n = nodes.count()
     require(n > 0, "pageRankRefresh: empty graph")
     val weighted = edges.columns.contains("w")
     val ew = if (weighted) edges else edges.withColumn("w", lit(1L))
@@ -239,16 +237,26 @@ object Graph {
           expr("CAST((CAST(rank AS DECIMAL(38,0)) * w) DIV odeg AS BIGINT)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
       val prevR = r
+      // r16 optimization (guide §1.2, fewer passes per round): the
+      // update joins PREVR — whose node set is by construction exactly
+      // `nodes` (every round frame is built over it) — instead of the
+      // static node frame, so the previous rank rides the fenced round
+      // frame as `rank0` for free and the L1 convergence scalar becomes
+      // a plain aggregate over the materialized leaf. The old shape
+      // paid a second r⋈prevR join (its own plan + job) per round just
+      // to recompute a pairing the update join already had in hand.
       r = graft.Fence(
-        nodes.join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        prevR.select(col("node"), col("rank").as("rank0"))
+          .join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .crossJoin(broadcast(dm1))
           .select(col("node"),
             (lit(tp) +
               expr(s"($dampNum * (coalesce(m, 0L) + dm DIV ${n}L)) DIV 100"))
-              .as("rank")))
-      // ONE bounded scalar: the L1 movement between consecutive rounds
-      delta = r.join(prevR.select(col("node"), col("rank").as("rank0")), "node")
-        .agg(coalesce(sum(abs(col("rank") - col("rank0"))), lit(0L)))
+              .as("rank"),
+            col("rank0")))
+      // ONE bounded scalar: the L1 movement between consecutive rounds,
+      // read off the fenced leaf (no join — rank0 is a leaf column)
+      delta = r.agg(coalesce(sum(abs(col("rank") - col("rank0"))), lit(0L)))
         .head().getLong(0)
       graft.Fence.release(prevR)
       rounds += 1
@@ -613,14 +621,15 @@ object Graph {
       edges.select(col("src").as("a"), col("dst").as("b"))
         .union(edges.select(col("dst").as("a"), col("src").as("b")))
         .filter(col("a") =!= col("b")).distinct())
-    val nodes = graft.Fence(und.select(col("a").as("node")).distinct())
+    val (nodes, nNodes) = graft.Fence.applyCounted(
+      und.select(col("a").as("node")).distinct())
     def coreDeg(alive: DataFrame): DataFrame = und
       .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
       .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg_core"))
     var alive = nodes
     var prevN = -1L
-    var curN = alive.count()
+    var curN = nNodes
     var round = 0
     while (curN != prevN && curN > 0) {
       val t0 = System.nanoTime()
@@ -630,11 +639,12 @@ object Graph {
       // FenceGateSpec deep-loop rule applies (pin lineage depth grows
       // per round; cut stays constant). The alive frame is one bare
       // column, so the checkpoint write is trivially cheap.
-      alive = graft.Fence.cut(
+      val (a2, n2) = graft.Fence.cutCounted(
         coreDeg(prev).filter(col("deg_core") >= k).select("node"))
+      alive = a2
       if (!(prev eq nodes)) graft.Fence.release(prev)
       prevN = curN
-      curN = alive.count()
+      curN = n2
       round += 1
       onRound(round, curN, (System.nanoTime() - t0) / 1e9)
     }
@@ -1126,10 +1136,9 @@ object Graph {
         var trimming = true
         while (trimming && nActive > 0) {
           val t0 = System.nanoTime()
-          val both = graft.Fence.cut(active
+          val (both, n2) = graft.Fence.cutCounted(active
             .join(eA.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
             .join(eA.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi"))
-          val n2 = both.count()
           if (n2 == nActive) trimming = false
           else {
             active = both
@@ -1165,9 +1174,8 @@ object Graph {
         var lastShrink = nActive
         while (trimming) {
           val t0 = System.nanoTime()
-          val dead = graft.Fence.cut(
+          val (dead, nDead) = graft.Fence.cutCounted(
             degs.filter(col("od") === 0L || col("id") === 0L).select("node"))
-          val nDead = dead.count()
           if (nDead == 0) {
             graft.Fence.release(dead)
             trimming = false
@@ -1203,11 +1211,12 @@ object Graph {
           onRound("trim", estAlive, (System.nanoTime() - t0) / 1e9)
         }
         if (anyDead) {
-          active = graft.Fence.cut(degs.select("node"))
+          val (a2, nA2) = graft.Fence.cutCounted(degs.select("node"))
+          active = a2
           eA = graft.Fence.cut(eA
             .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
             .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi"))
-          nActive = active.count()
+          nActive = nA2
         }
         graft.Fence.release(degs)
       }
@@ -1228,33 +1237,36 @@ object Graph {
           onRound("color", curSum, (System.nanoTime() - t0) / 1e9)
         }
         // ---- 3. multi-source backward BFS within each root's color ----
-        var reached = graft.Fence.cut(
+        val (roots, nRoots) = graft.Fence.cutCounted(
           colors.filter(col("clr") === col("node")).select("node", "clr"))
-        var frontier = reached
-        var nf = reached.count() // >= 1: the max active node is a root
+        // r16: per-round DELTA fences + lazy-union anti (the harmonic
+        // note) instead of re-cutting the whole reached set every round
+        val rParts = scala.collection.mutable.ArrayBuffer(roots)
+        var frontier = roots
+        var nf = nRoots // >= 1: the max active node is a root
         while (nf > 0) {
           val t0 = System.nanoTime()
+          val reached = rParts.reduce(_ union _)
           val cand = eA
             .join(frontier.withColumnRenamed("node", "dst"), "dst")
             .select(col("src").as("node"), col("clr")).distinct()
-          val next = graft.Fence.cut(cand
+          val (next, nf2) = graft.Fence.cutCounted(cand
             .join(colors, Seq("node", "clr"), "left_semi")
             .join(reached.select("node"), Seq("node"), "left_anti"))
-          nf = next.count()
-          if (nf > 0) {
-            reached = graft.Fence.cut(reached.union(next))
-            frontier = next
-          }
+          nf = nf2
+          if (nf > 0) { rParts += next; frontier = next }
           onRound("extract", nf, (System.nanoTime() - t0) / 1e9)
         }
+        val reached = rParts.reduce(_ union _)
         parts += reached.select(col("node"), col("clr").as("scc"))
         // ---- 4. peel the extracted components off ----
-        active = graft.Fence.cut(
+        val (a3, nA3) = graft.Fence.cutCounted(
           active.join(reached.select("node"), Seq("node"), "left_anti"))
+        active = a3
         eA = graft.Fence.cut(eA
           .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi"))
-        nActive = active.count()
+        nActive = nA3
       }
     }
     // trimmed nodes never enter `parts`: they are singletons labeled by
@@ -1303,25 +1315,28 @@ object Graph {
     }
     val core = coreRow(0).getLong(0)
     val e = graft.Fence(edges)
-    val coreSet = graft.Fence.cut(
+    // counted cut (r16): the fence materialization IS the frontier-size
+    // read — no per-round recount job
+    val (coreSet, nCore) = graft.Fence.cutCounted(
       labels.filter(col("scc") === core).select("node"))
     // frontier BFS over node sets; direction = which edge end we follow
     def closure(follow: String, from: String): DataFrame = {
-      var seen = coreSet
+      // r16: accumulate per-round DELTA fences and anti-join their lazy
+      // union — the old loop re-CUT the whole seen set every round (an
+      // O(|seen|) cache rewrite per BFS depth; see the harmonic note)
+      val parts = scala.collection.mutable.ArrayBuffer(coreSet)
       var frontier = coreSet
-      var nf = frontier.count()
+      var nf = nCore
       while (nf > 0) {
-        val next = graft.Fence.cut(
+        val seen = parts.reduce(_ union _)
+        val (next, n2) = graft.Fence.cutCounted(
           e.join(frontier.withColumnRenamed("node", from), from)
             .select(col(follow).as("node")).distinct()
             .join(seen, Seq("node"), "left_anti"))
-        nf = next.count()
-        if (nf > 0) {
-          seen = graft.Fence.cut(seen.union(next))
-          frontier = next
-        }
+        nf = n2
+        if (nf > 0) { parts += next; frontier = next }
       }
-      seen
+      parts.reduce(_ union _)
     }
     val fwd = closure(follow = "dst", from = "src") // reached FROM core
     val bwd = closure(follow = "src", from = "dst") // reaches the core
@@ -1524,24 +1539,27 @@ object Graph {
                   scale: Long = 1000000L): DataFrame = {
     val e = graft.Fence(edges.select(col("src"), col("dst")).distinct())
     // forward: R = (s, v, d, sig), first-discovery BFS with path counts
-    var r = graft.Fence(seeds.select(col("node").as("s")).distinct()
-      .select(col("s"), col("s").as("v"), lit(0).as("d"), lit(1L).as("sig")))
-    var frontier = r
+    // r16 optimization: per-round DELTA fences instead of re-cutting the
+    // whole accumulated (s, v, d, sig) relation every round (see the
+    // [[harmonic]] note) — and the backward phase reads each layer's
+    // OWN fence directly instead of filtering the accumulation by depth.
+    val levels = scala.collection.mutable.ArrayBuffer(
+      graft.Fence.cut(seeds.select(col("node").as("s")).distinct()
+        .select(col("s"), col("s").as("v"), lit(0).as("d"), lit(1L).as("sig"))))
+    var frontier = levels.head
     (1 to depth).foreach { dd =>
+      val seen = levels.reduce(_ union _)
       val next = frontier
         .join(e.withColumnRenamed("src", "v"), "v")
         .groupBy(col("s"), col("dst").as("v"))
         .agg(sum(col("sig")).as("sig"))
-        .join(r.select("s", "v"), Seq("s", "v"), "left_anti")
+        .join(seen.select("s", "v"), Seq("s", "v"), "left_anti")
         .select(col("s"), col("v"), lit(dd).as("d"), col("sig"))
-      val prevR = r; val prevF = frontier
       frontier = graft.Fence.cut(next)
-      r = graft.Fence.cut(prevR.union(frontier))
-      graft.Fence.release(prevR)
-      if (!(prevF eq prevR)) graft.Fence.release(prevF)
+      levels += frontier
     }
     // backward: δ per layer, deepest first; layer `depth` seeds δ = 0
-    var deltaUp = graft.Fence.cut(r.filter(col("d") === depth)
+    var deltaUp = graft.Fence.cut(levels(depth)
       .select(col("s"), col("v"), col("sig"), lit(0L).as("dfp")))
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     ((depth - 1) to 0 by -1).foreach { dd =>
@@ -1551,7 +1569,7 @@ object Graph {
         .select(col("s"), col("src").as("v"),
           col("sigw"), col("dfpw"))
       val layer = graft.Fence.cut(
-        r.filter(col("d") === dd).select(col("s"), col("v"), col("sig"))
+        levels(dd).select(col("s"), col("v"), col("sig"))
           .join(contrib, Seq("s", "v"), "left")
           .groupBy(col("s"), col("v"), col("sig"))
           // σ·(scale+δ) staged through DECIMAL(38,0) (r12 verdict #2):
@@ -1575,8 +1593,8 @@ object Graph {
     val keep = graft.Fence.cut(
       allNodes.join(acc, Seq("node"), "left")
         .select(col("node"), coalesce(col("bc_fp"), lit(0L)).as("bc_fp")))
-    graft.Fence.release(r); graft.Fence.release(e)
-    if (!(frontier eq r)) graft.Fence.release(frontier)
+    levels.foreach(graft.Fence.releaseCut)
+    graft.Fence.release(e)
     keep
   }
 
@@ -1768,24 +1786,25 @@ object Graph {
       edges.select(col("src").as("a"), col("dst").as("b"))
         .union(edges.select(col("dst").as("a"), col("src").as("b")))
         .filter(col("a") =!= col("b")).distinct())
-    val nodes = graft.Fence(und.select(col("a").as("node")).distinct())
+    val (nodes, nNodes) = graft.Fence.applyCounted(
+      und.select(col("a").as("node")).distinct())
     def coreDeg(alive: DataFrame): DataFrame = und
       .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
       .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("dc"))
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var alive = nodes
-    var nAlive = alive.count()
+    var nAlive = nNodes
     var k = 1
     while (k <= kMax && nAlive > 0) {
       val atEntry = alive
       var prevN = -1L
       while (nAlive != prevN && nAlive > 0) {
-        val next = graft.Fence.cut(
+        val (next, nNext) = graft.Fence.cutCounted(
           coreDeg(alive).filter(col("dc") >= k).select("node"))
         prevN = nAlive
         alive = next
-        nAlive = alive.count()
+        nAlive = nNext
       }
       parts += atEntry.join(alive, Seq("node"), "left_anti")
         .select(col("node"), lit(k - 1L).as("coreness"))

@@ -1567,18 +1567,25 @@ object Similarity {
       .join(q, "qid")
       .select(col("qid"), col("cid"),
               round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
+    // The FRONTIER is never cut: it is a window+filter over the
+    // materialized pool leaf, consumed exactly once per round (the
+    // broadcast side of walkCandidates). Cutting it cost one extra
+    // eager job + plan per round for a |Q|·beam-row frame whose
+    // recompute from the pool leaf is a single cached-scan stage —
+    // r16 optimization (guide §1.2: remove unnecessary passes; the
+    // walk's job count drops from 2 to 1 cut per round). Determinism
+    // is unchanged: row_number orders by (cos desc, cid), total within
+    // a qid after the pool's distinct, so a lazy re-evaluation ranks
+    // identically.
+    def frontierOf(p: DataFrame): DataFrame =
+      p.withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam).select("qid", "cid")
     var pool = graft.Fence.cut(score(entrySet.distinct()))
-    var frontier = graft.Fence.cut(
-      pool.withColumn("rk", row_number().over(wBeam))
-        .filter(col("rk") <= beam).select("qid", "cid"))
     (1 to rounds).foreach { _ =>
-      val cand = walkCandidates(gu, frontier, corpusMin)
-      val (prevP, prevF) = (pool, frontier)
+      val cand = walkCandidates(gu, frontierOf(pool), corpusMin)
+      val prevP = pool
       pool = graft.Fence.cut(pool.unionByName(score(cand)).distinct())
-      frontier = graft.Fence.cut(
-        pool.withColumn("rk", row_number().over(wBeam))
-          .filter(col("rk") <= beam).select("qid", "cid"))
-      graft.Fence.releaseCut(prevP); graft.Fence.releaseCut(prevF)
+      graft.Fence.releaseCut(prevP)
     }
     // seal the survivor (its own cut) BEFORE dropping the final pool's
     // checkpoint blocks — releaseCut is destructive, and `out` derives
@@ -1587,7 +1594,7 @@ object Similarity {
     val out = graft.Fence.cut(
       pool.withColumn("rk", row_number().over(wBeam).cast("long"))
         .filter(col("rk") <= k))
-    graft.Fence.releaseCut(pool); graft.Fence.releaseCut(frontier)
+    graft.Fence.releaseCut(pool)
     out
   }
 

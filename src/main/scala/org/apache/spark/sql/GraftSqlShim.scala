@@ -79,12 +79,20 @@ object GraftSqlShim {
       spark, Some(capped), Some(lr.constraints))
   }
 
-  def pinMemory(df: DataFrame): DataFrame = {
+  def pinMemory(df: DataFrame): DataFrame = pinMemoryCounted(df)._1
+
+  /** [[pinMemory]] variant that RETURNS the materialization count (r16
+    * optimization): the fence's eager `rdd.count()` already computes the
+    * row count of the fenced frame and threw it away — iterative loops
+    * whose convergence scalar IS that count (BFS frontiers, trim
+    * cascades, peel rounds) were paying one extra plan + job per round
+    * to recount the frame they had just materialized. */
+  def pinMemoryCounted(df: DataFrame): (DataFrame, Long) = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    rdd.count()
+    val n = rdd.count()
     // LogicalRDD via [[cappedLeaf]] — the SAME leaf construction Dataset
     // .checkpoint uses — carries the fenced plan's output PARTITIONING
     // and ordering through the fence (expr-ids rewritten onto the new
@@ -93,7 +101,7 @@ object GraftSqlShim {
     // which made every downstream consumer of a hash-partitioned fenced
     // relation re-shuffle it (measured: the 4-consumer ppjoin shingle
     // relation at sf0.1 ran 3.0 s vs 1.7 s).
-    classic.Dataset.ofRows(spark, cappedLeaf(rdd, ds))
+    (classic.Dataset.ofRows(spark, cappedLeaf(rdd, ds)), n)
   }
 
   /** The [[graft.Fence.cut]] implementation: Dataset.localCheckpoint's
@@ -101,13 +109,18 @@ object GraftSqlShim {
     * eager materialization truncating lineage, fromDataset-shaped leaf)
     * with the carried statistics CAPPED (see [[cappedLeaf]] — the r15
     * stats-squaring finding). */
-  def localCheckpointCapped(df: DataFrame): DataFrame = {
+  def localCheckpointCapped(df: DataFrame): DataFrame =
+    localCheckpointCappedCounted(df)._1
+
+  /** [[localCheckpointCapped]] returning the materialization count —
+    * see [[pinMemoryCounted]]. */
+  def localCheckpointCappedCounted(df: DataFrame): (DataFrame, Long) = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count()
-    classic.Dataset.ofRows(spark, cappedLeaf(rdd, ds))
+    val n = rdd.count()
+    (classic.Dataset.ofRows(spark, cappedLeaf(rdd, ds)), n)
   }
 
   /** Drop the MEMORY_ONLY blocks behind a [[pinMemory]]-fenced frame (the
