@@ -756,20 +756,28 @@ object Graph {
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     // R: (src, v, d) = d(src -> v) exact BFS distance, d <= depth
+    // r16 optimization (guide §1.2, one materialization per round): the
+    // old loop fenced TWICE per round — the frontier AND the accumulated
+    // relation it is a d-slice of. The depth tag already distinguishes
+    // the newest level, so the frontier is now a lazy filter over the
+    // single accumulated pin (a cached-leaf scan), and each round pays
+    // exactly one fence. (A delta-only accumulation — fence just the
+    // frontier, anti-join the lazy union of level fences — was measured
+    // SLOWER here: every fence leaf carries the session's shuffle
+    // parallelism, so a k-leaf union re-splits the anti-join's map side
+    // into k tiny scan stages. See OPTIMIZATION_r16.md.)
     var r = graft.Fence(nodes.select(col("node").as("src"),
                                      col("node").as("v"), lit(0).as("d")))
-    var frontier = r
     (1 to depth).foreach { d =>
+      val frontier = r.filter(col("d") === d - 1)
       val next = frontier.join(e.withColumnRenamed("src", "v"), "v")
         .select(col("src"), col("dst").as("v"))
         .distinct()
         .join(r.select("src", "v"), Seq("src", "v"), "left_anti")
         .withColumn("d", lit(d))
-      val prevR = r; val prevF = frontier
-      frontier = graft.Fence(next)
-      r = graft.Fence(prevR.union(frontier))
+      val prevR = r
+      r = graft.Fence(prevR.union(next))
       graft.Fence.release(prevR)
-      if (!(prevF eq prevR)) graft.Fence.release(prevF)
     }
     val out = r.filter(col("d") > 0)
       .groupBy(col("v").as("node"))
@@ -780,8 +788,8 @@ object Graph {
         .select(col("node"),
                 coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"),
                 coalesce(col("n_reached"), lit(0L)).as("n_reached")))
-    if (!(frontier eq r)) graft.Fence.release(frontier)
-    graft.Fence.release(r); graft.Fence.release(nodes); graft.Fence.release(e)
+    graft.Fence.release(r)
+    graft.Fence.release(nodes); graft.Fence.release(e)
     keep
   }
 
@@ -1237,27 +1245,35 @@ object Graph {
           onRound("color", curSum, (System.nanoTime() - t0) / 1e9)
         }
         // ---- 3. multi-source backward BFS within each root's color ----
-        val (roots, nRoots) = graft.Fence.cutCounted(
-          colors.filter(col("clr") === col("node")).select("node", "clr"))
-        // r16: per-round DELTA fences + lazy-union anti (the harmonic
-        // note) instead of re-cutting the whole reached set every round
-        val rParts = scala.collection.mutable.ArrayBuffer(roots)
-        var frontier = roots
-        var nf = nRoots // >= 1: the max active node is a root
-        while (nf > 0) {
+        // r16: the reached set carries a round tag so the frontier is a
+        // lazy filter over the single accumulated cut — ONE fence per
+        // round (the old loop cut the frontier and re-cut the whole
+        // reached union), and the fence's own count IS the convergence
+        // scalar (total stops growing ⇔ empty frontier)
+        var rc = graft.Fence.cutCounted(
+          colors.filter(col("clr") === col("node"))
+            .select("node", "clr").withColumn("rd", lit(0)))
+        var reached = rc._1
+        var total = rc._2 // >= 1: the max active node is a root
+        var prevTotal = 0L
+        var i = 0
+        while (total > prevTotal) {
           val t0 = System.nanoTime()
-          val reached = rParts.reduce(_ union _)
+          i += 1
+          val frontier = reached.filter(col("rd") === i - 1)
           val cand = eA
             .join(frontier.withColumnRenamed("node", "dst"), "dst")
             .select(col("src").as("node"), col("clr")).distinct()
-          val (next, nf2) = graft.Fence.cutCounted(cand
+          val next = cand
             .join(colors, Seq("node", "clr"), "left_semi")
-            .join(reached.select("node"), Seq("node"), "left_anti"))
-          nf = nf2
-          if (nf > 0) { rParts += next; frontier = next }
-          onRound("extract", nf, (System.nanoTime() - t0) / 1e9)
+            .join(reached.select("node"), Seq("node"), "left_anti")
+            .withColumn("rd", lit(i))
+          val prevR = reached
+          rc = graft.Fence.cutCounted(prevR.union(next))
+          reached = rc._1; prevTotal = total; total = rc._2
+          graft.Fence.releaseCut(prevR)
+          onRound("extract", total - prevTotal, (System.nanoTime() - t0) / 1e9)
         }
-        val reached = rParts.reduce(_ union _)
         parts += reached.select(col("node"), col("clr").as("scc"))
         // ---- 4. peel the extracted components off ----
         val (a3, nA3) = graft.Fence.cutCounted(
@@ -1318,25 +1334,32 @@ object Graph {
     // counted cut (r16): the fence materialization IS the frontier-size
     // read — no per-round recount job
     val (coreSet, nCore) = graft.Fence.cutCounted(
-      labels.filter(col("scc") === core).select("node"))
+      labels.filter(col("scc") === core).select("node")
+        .withColumn("rd", lit(0)))
     // frontier BFS over node sets; direction = which edge end we follow
     def closure(follow: String, from: String): DataFrame = {
-      // r16: accumulate per-round DELTA fences and anti-join their lazy
-      // union — the old loop re-CUT the whole seen set every round (an
-      // O(|seen|) cache rewrite per BFS depth; see the harmonic note)
-      val parts = scala.collection.mutable.ArrayBuffer(coreSet)
-      var frontier = coreSet
-      var nf = nCore
-      while (nf > 0) {
-        val seen = parts.reduce(_ union _)
-        val (next, n2) = graft.Fence.cutCounted(
-          e.join(frontier.withColumnRenamed("node", from), from)
-            .select(col(follow).as("node")).distinct()
-            .join(seen, Seq("node"), "left_anti"))
-        nf = n2
-        if (nf > 0) { parts += next; frontier = next }
+      // r16: the seen set carries a round tag, so each round's frontier
+      // is a lazy filter over the single accumulated cut and each round
+      // pays exactly ONE fence whose own count is the convergence scalar
+      // (the old loop cut the frontier, re-cut the seen union, AND
+      // recounted the frontier)
+      var seen = coreSet
+      var total = nCore
+      var prevTotal = 0L
+      var i = 0
+      while (total > prevTotal) {
+        i += 1
+        val frontier = seen.filter(col("rd") === i - 1)
+        val nxt = e.join(frontier.withColumnRenamed("node", from), from)
+          .select(col(follow).as("node")).distinct()
+          .join(seen.select("node"), Seq("node"), "left_anti")
+          .withColumn("rd", lit(i))
+        val prevS = seen
+        val sc = graft.Fence.cutCounted(prevS.union(nxt))
+        seen = sc._1; prevTotal = total; total = sc._2
+        if (!(prevS eq coreSet)) graft.Fence.releaseCut(prevS)
       }
-      parts.reduce(_ union _)
+      seen.select("node")
     }
     val fwd = closure(follow = "dst", from = "src") // reached FROM core
     val bwd = closure(follow = "src", from = "dst") // reaches the core
@@ -1703,20 +1726,28 @@ object Graph {
     val e = graft.Fence(graphEdges(s, d).select(col("src"), col("dst")).distinct())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // r16 optimization (guide §1.2, one materialization per round): the
+    // old loop fenced TWICE per round — the frontier AND the accumulated
+    // relation it is a d-slice of. The depth tag already distinguishes
+    // the newest level, so the frontier is now a lazy filter over the
+    // single accumulated pin (a cached-leaf scan), and each round pays
+    // exactly one fence. (A delta-only accumulation — fence just the
+    // frontier, anti-join the lazy union of level fences — was measured
+    // SLOWER here: every fence leaf carries the session's shuffle
+    // parallelism, so a k-leaf union re-splits the anti-join's map side
+    // into k tiny scan stages. See OPTIMIZATION_r16.md.)
     var r = graft.Fence(nodes.select(col("node").as("src"),
                                      col("node").as("v"), lit(0).as("d")))
-    var frontier = r
     (1 to depth).foreach { dd =>
+      val frontier = r.filter(col("d") === dd - 1)
       val next = frontier.join(e.withColumnRenamed("src", "v"), "v")
         .select(col("src"), col("dst").as("v"))
         .distinct()
         .join(r.select("src", "v"), Seq("src", "v"), "left_anti")
         .withColumn("d", lit(dd))
-      val prevR = r; val prevF = frontier
-      frontier = graft.Fence(next)
-      r = graft.Fence(prevR.union(frontier))
+      val prevR = r
+      r = graft.Fence(prevR.union(next))
       graft.Fence.release(prevR)
-      if (!(prevF eq prevR)) graft.Fence.release(prevF)
     }
     val dist = r.filter(col("d") > 0)
       .groupBy(col("d").cast("long").as("d"))
@@ -1730,8 +1761,8 @@ object Graph {
           .as("reached_90"))
       .orderBy("d")
     val keep = graft.Fence.cut(out)
-    if (!(frontier eq r)) graft.Fence.release(frontier)
-    graft.Fence.release(r); graft.Fence.release(e)
+    graft.Fence.release(r)
+    graft.Fence.release(e)
     keep
   }
 
