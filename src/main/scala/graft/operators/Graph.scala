@@ -99,6 +99,7 @@ object Graph {
     val allNodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
+    // (nodes pin + bounded n scalar: see applyCounted below)
     val (nodes, n) = graft.Fence.applyCounted(seeds match {
       case None => allNodes.withColumn("s", lit(1L))
       case Some(sd) => allNodes.join(
@@ -128,15 +129,21 @@ object Graph {
     if (weighted) requireValidWeights(ew, "pageRank")
     val deg = ew.groupBy("src").agg(sum(col("w")).as("odeg"))
     val e = graft.Fence(ew.join(deg, "src")) // (src, dst, w, odeg)
-    // dangling node set: receives links but emits none
-    val dangling = graft.Fence(
-      nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti"))
     val pshare = scale / nT                     // teleport mass per seed
     val tp = ((100L - dampNum) * pshare) / 100L // per-seed teleport term
-    var r = graft.Fence(nodes.withColumn("rank", lit(pshare) * col("s")))
+    // r16 optimization: the dangling indicator (receives links, emits
+    // none) is STATIC, so it rides the rank frame as a 0/1 column — the
+    // per-round dangling mass becomes a filter+aggregate over the fenced
+    // leaf instead of a semi-join against a separate pinned node set
+    // (one join and one pinned relation less per query; guide §2.4).
+    var r = graft.Fence(nodes
+      .join(deg.select(col("src").as("node"), lit(1L).as("em")), Seq("node"), "left")
+      .select(col("node"), col("s"),
+              when(col("em").isNull, 1L).otherwise(0L).as("dgl"),
+              (lit(pshare) * col("s")).as("rank")))
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      val dm1 = r.join(dangling, Seq("node"), "left_semi")
+      val dm1 = r.filter(col("dgl") === 1L)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       // rank·w staged through DECIMAL(38,0) (r12 verdict #2 / the HITS
       // treatment): as BIGINTs the product wraps past rank·w ≈ 9.2e18 —
@@ -148,10 +155,13 @@ object Graph {
           expr("CAST((CAST(rank AS DECIMAL(38,0)) * w) DIV odeg AS BIGINT)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
       val prev = r
+      // update joins PREVR (node set == nodes by construction), so the
+      // static s/dgl columns ride the round frame for free
       r = graft.Fence(
-        nodes.join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        prev.select(col("node"), col("s"), col("dgl"))
+          .join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .crossJoin(broadcast(dm1))
-          .select(col("node"), col("s"),
+          .select(col("node"), col("s"), col("dgl"),
             (lit(tp) * col("s") +
               expr(s"($dampNum * (coalesce(m, 0L) + s * (dm DIV ${nT}L))) DIV 100"))
               .as("rank")))
@@ -159,7 +169,7 @@ object Graph {
       onRound(i, (System.nanoTime() - t0) / 1e9)
     }
     val keep = graft.Fence.cut(r.select("node", "rank"))
-    graft.Fence.release(r); graft.Fence.release(dangling)
+    graft.Fence.release(r)
     graft.Fence.release(e); graft.Fence.release(nodes)
     keep
   }
@@ -219,18 +229,20 @@ object Graph {
     if (weighted) requireValidWeights(ew, "pageRankRefresh")
     val deg = ew.groupBy("src").agg(sum(col("w")).as("odeg"))
     val e = graft.Fence(ew.join(deg, "src"))
-    val dangling = graft.Fence(
-      nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti"))
     val pshare = scale / n
     val tp = ((100L - dampNum) * pshare) / 100L
     val tolMass = (tolPpm * scale) / 1000000L
+    // dangling indicator rides the rank frame (see the pageRank note)
     var r = graft.Fence(
       nodes.join(prev.select(col("node"), col("rank").as("pr")), Seq("node"), "left")
-        .select(col("node"), coalesce(col("pr"), lit(pshare)).as("rank")))
+        .join(deg.select(col("src").as("node"), lit(1L).as("em")), Seq("node"), "left")
+        .select(col("node"),
+                when(col("em").isNull, 1L).otherwise(0L).as("dgl"),
+                coalesce(col("pr"), lit(pshare)).as("rank")))
     var rounds = 0
     var delta = Long.MaxValue
     while (rounds < maxRounds && delta > tolMass) {
-      val dm1 = r.join(dangling, Seq("node"), "left_semi")
+      val dm1 = r.filter(col("dgl") === 1L)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val in = e.join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
@@ -246,10 +258,10 @@ object Graph {
       // paid a second r⋈prevR join (its own plan + job) per round just
       // to recompute a pairing the update join already had in hand.
       r = graft.Fence(
-        prevR.select(col("node"), col("rank").as("rank0"))
+        prevR.select(col("node"), col("dgl"), col("rank").as("rank0"))
           .join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .crossJoin(broadcast(dm1))
-          .select(col("node"),
+          .select(col("node"), col("dgl"),
             (lit(tp) +
               expr(s"($dampNum * (coalesce(m, 0L) + dm DIV ${n}L)) DIV 100"))
               .as("rank"),
@@ -262,7 +274,7 @@ object Graph {
       rounds += 1
     }
     val keep = graft.Fence.cut(r.select("node", "rank"))
-    graft.Fence.release(r); graft.Fence.release(dangling)
+    graft.Fence.release(r)
     graft.Fence.release(e); graft.Fence.release(nodes)
     (keep, rounds)
   }

@@ -1361,9 +1361,18 @@ object Similarity {
     * Contract: vec_ids dense 0..n-1 (the corpus convention; one
     * zipWithIndex upstream otherwise). */
   private[graft] def knnGraph(e: DataFrame, k: Int, kRand: Int, kBuild: Int,
-                              rounds: Int): DataFrame =
-    rescoreTopK(e, knnGraphEdges(e, kRand, kBuild, rounds), k)
+                              rounds: Int): DataFrame = {
+    // r16: the build's final round already exact-scored every kept edge
+    // (the cut carries cos) — the k-trim is a window over that leaf, not
+    // a second corpus double-join (two exchanges + 2·dim·8 B per edge of
+    // vector payload saved at any scale; guide §2.3/§1.2)
+    val g = knnGraphEdgesScored(e, kRand, kBuild, rounds)
+    val w = Window.partitionBy("vid").orderBy(col("cos").desc, col("nb"))
+    g.select(col("vid"), col("nb"), col("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
       .orderBy("vid", "rk")
+  }
 
   /** Exact-rescore `cand` (vid, nb) against the corpus and keep each
     * vid's top-kk by (cos desc, nb) — the shared re-rank of the graph
@@ -1383,6 +1392,14 @@ object Similarity {
     * `rounds` NN-descent iterations at width kBuild, no final trim:
     * what a graph-traversal search ([[graphSearch]]) walks. */
   private[graft] def knnGraphEdges(e: DataFrame, kRand: Int, kBuild: Int,
+                                   rounds: Int, sigBits: Int = 8): DataFrame =
+    knnGraphEdgesScored(e, kRand, kBuild, rounds, sigBits).select("vid", "nb")
+
+  /** [[knnGraphEdges]] with the final round's exact 4-dp cosine kept on
+    * each edge (r16): the loop's rescore computes it anyway, so callers
+    * that need scored edges ([[knnGraph]]'s k-trim) read it off the cut
+    * leaf instead of re-joining both endpoint vectors. */
+  private[graft] def knnGraphEdgesScored(e: DataFrame, kRand: Int, kBuild: Int,
                                    rounds: Int, sigBits: Int = 8): DataFrame = {
     // sigBits dials the seed-bucket occupancy (~n / 2^sigBits): the
     // declared fixture query pins 8; a 1M+ build widens the signature so
@@ -1448,19 +1465,21 @@ object Similarity {
       }
     var g = graft.Fence.cut(
       rescoreTopK(e, bucketPairs.unionByName(randPairs).distinct(), kBuild)
-        .select(col("vid"), col("nb")))
+        .select(col("vid"), col("nb"), col("cos")))
     rankedHandle.foreach(graft.Fence.releaseCut) // seed graph sealed; rank map superseded
     (1 to rounds).foreach { _ =>
-      val twoHop = g.as("x")
-        .join(g.as("y"), col("x.nb") === col("y.vid"))
+      val ge = g.select("vid", "nb")
+      val twoHop = ge.as("x")
+        .join(ge.as("y"), col("x.nb") === col("y.vid"))
         .select(col("x.vid").as("vid"), col("y.nb").as("nb"))
         .filter(col("vid") =!= col("nb"))
-      val cand = g
-        .unionByName(g.select(col("nb").as("vid"), col("vid").as("nb")))
+      val cand = ge
+        .unionByName(ge.select(col("nb").as("vid"), col("vid").as("nb")))
         .unionByName(twoHop)
         .distinct()
       val prev = g
-      g = graft.Fence.cut(rescoreTopK(e, cand, kBuild).select(col("vid"), col("nb")))
+      g = graft.Fence.cut(
+        rescoreTopK(e, cand, kBuild).select(col("vid"), col("nb"), col("cos")))
       graft.Fence.releaseCut(prev)
     }
     g
@@ -1513,8 +1532,15 @@ object Similarity {
     // NSW's navigability comes from bidirectional links, so expansion
     // unions each edge with its reversal (the NN-descent candidate
     // idiom, oracle-replayable)
-    val gu = g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb")))
-      .distinct()
+    // FENCED (r16): the undirected relation is consumed by the hub
+    // derivation and by EVERY walk round's candidate join — unfenced,
+    // each of those plans re-ran the 2|E| union+distinct exchange
+    // (per-round at 1 B vectors that is a 16 B-row shuffle; the exact
+    // recompute class the r14 verdict killed for the PERSISTED path,
+    // still alive in this inline-by-declaration composition).
+    val gu = graft.Fence.cut(
+      g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb")))
+        .distinct())
     // ENTRY = the query's own LSH bucket-mates (the same plane2
     // signature the graph build bucketed on — scored exactly, the
     // nprobe=1 IVF-probe budget: ~n/256 candidates) ∪ the graph's top
@@ -1546,7 +1572,9 @@ object Similarity {
         .select("cid")
       mates.unionByName(q.select("qid").crossJoin(broadcast(hubs)))
     }
-    graphSearchWalk(e, gu, q, k, beam, rounds, corpusMin, entrySet)
+    val out = graphSearchWalk(e, gu, q, k, beam, rounds, corpusMin, entrySet)
+    graft.Fence.releaseCut(gu) // walk output is its own cut
+    out
   }
 
   /** The beam WALK alone — entry set and undirected edge relation come
@@ -2071,10 +2099,11 @@ object Similarity {
                       maxLevels: Int = 1): String = {
     import org.apache.hadoop.fs.Path
     val s = e.sparkSession
-    val g = knnGraphEdges(e, kRand, kBuild, rounds, sigBits)
+    val gScored = knnGraphEdgesScored(e, kRand, kBuild, rounds, sigBits)
+    val g = gScored.select("vid", "nb")
     val gu = graft.Fence.cut(
       g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb"))).distinct())
-    graft.Fence.releaseCut(g)
+    graft.Fence.releaseCut(gScored) // g is a lazy projection of this cut
     // maxLevels > 1: seed the HNSW hierarchy ([[hnswLevel]] membership,
     // one NN-descent build per layer — populations halve, so the whole
     // pass costs ~1× the base). A cold build's post-hoc layers are the
@@ -2522,14 +2551,18 @@ object Similarity {
     val corpus = e.filter(col("vec_id") >= 5)
     val b = e.filter(col("vec_id") < 5)
     val g = knnGraphEdges(corpus, kRand = 4, kBuild = 8, rounds = 2)
-    val gu = g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb")))
-      .distinct()
+    // fenced (r16): consumed by the hub derivation AND every insert walk
+    // round — see the graphSearch note
+    val gu = graft.Fence.cut(
+      g.unionByName(g.select(col("nb").as("vid"), col("vid").as("nb")))
+        .distinct())
     val hubs = topHubs(gu, 4, Long.MinValue)
     val buckets = e.select(col("vec_id").as("cid"),
                            lshBucket(col("v"), 8).as("bucket"))
-    insertBySearch(e, gu, buckets, hubs, b, kLink = 4, beam = 8, rounds = 2)
-      .distinct()
-      .orderBy("vid", "nb")
+    val out = insertBySearch(e, gu, buckets, hubs, b, kLink = 4, beam = 8,
+                             rounds = 2)
+    graft.Fence.releaseCut(gu) // insertBySearch output is its own cut
+    out.distinct().orderBy("vid", "nb")
   }
 
   // build + RETIRE once per (JVM, dataset fingerprint): the retire door
