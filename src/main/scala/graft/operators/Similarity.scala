@@ -1612,7 +1612,17 @@ object Similarity {
     (1 to rounds).foreach { _ =>
       val cand = walkCandidates(gu, frontierOf(pool), corpusMin)
       val prevP = pool
-      pool = graft.Fence.cut(pool.unionByName(score(cand)).distinct())
+      // r16: the pool and the newly scored arrivals are each distinct by
+      // construction (entry/cand are distinct (qid, cid) sets and the
+      // 4-dp score is a pure function of the pair), so merging them
+      // needs only an anti-join of the SMALL new set against the pool
+      // leaf — the old pool.union(new).distinct() re-shuffled the whole
+      // accumulated pool every round to dedup rows already known unique
+      // (guide §2.3: shuffle fewer bytes; same rows, order-insensitive
+      // consumers).
+      pool = graft.Fence.cut(pool.unionByName(
+        score(cand).join(pool.select("qid", "cid"), Seq("qid", "cid"),
+                         "left_anti")))
       graft.Fence.releaseCut(prevP)
     }
     // seal the survivor (its own cut) BEFORE dropping the final pool's
