@@ -1174,7 +1174,7 @@ object Graph {
         // cascade round touches eA only through joins against the dead
         // set (AQE broadcasts it); eA and active shrink ONCE, after the
         // fixpoint, not per round
-        var degs = graft.Fence.cut(active
+        var dc = graft.Fence.cutCounted(active
           .join(eA.groupBy(col("src").as("node")).agg(count(lit(1)).as("od")),
                 Seq("node"), "left")
           .join(eA.groupBy(col("dst").as("node")).agg(count(lit(1)).as("id")),
@@ -1182,6 +1182,8 @@ object Graph {
           .select(col("node"),
             coalesce(col("od"), lit(0L)).as("od"),
             coalesce(col("id"), lit(0L)).as("id")))
+        var degs = dc._1
+        var nDegs = dc._2
         var trimming = true
         var anyDead = false
         var estAlive = nActive
@@ -1194,30 +1196,34 @@ object Graph {
         var lastShrink = nActive
         while (trimming) {
           val t0 = System.nanoTime()
-          val (dead, nDead) = graft.Fence.cutCounted(
-            degs.filter(col("od") === 0L || col("id") === 0L).select("node"))
-          if (nDead == 0) {
-            graft.Fence.release(dead)
-            trimming = false
-          } else {
+          // r16: the dead set is a lazy filter over the counted degs
+          // leaf and the round's ONE fence (the updated degs) carries
+          // the termination scalar as its count delta — the old round
+          // cut AND counted the dead set separately (2 fences/round)
+          val dead = degs.filter(col("od") === 0L || col("id") === 0L)
+            .select("node")
+          // an edge decrements the OPPOSITE endpoint's degree exactly
+          // once: the round its endpoint dies (dead sets are disjoint
+          // across rounds, eA is never rescanned in full)
+          val decOut = eA.join(dead.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(count(lit(1)).as("dec_o"))
+          val decIn = eA.join(dead.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(count(lit(1)).as("dec_i"))
+          val prevDegs = degs
+          val nPrev = nDegs
+          dc = graft.Fence.cutCounted(prevDegs
+            .join(dead, Seq("node"), "left_anti")
+            .join(decOut, Seq("node"), "left")
+            .join(decIn, Seq("node"), "left")
+            .select(col("node"),
+              (col("od") - coalesce(col("dec_o"), lit(0L))).as("od"),
+              (col("id") - coalesce(col("dec_i"), lit(0L))).as("id")))
+          degs = dc._1; nDegs = dc._2
+          graft.Fence.release(prevDegs)
+          if (nPrev == nDegs) trimming = false
+          else {
             anyDead = true
-            estAlive -= nDead
-            // an edge decrements the OPPOSITE endpoint's degree exactly
-            // once: the round its endpoint dies (dead sets are disjoint
-            // across rounds, eA is never rescanned in full)
-            val decOut = eA.join(dead.withColumnRenamed("node", "dst"), "dst")
-              .groupBy(col("src").as("node")).agg(count(lit(1)).as("dec_o"))
-            val decIn = eA.join(dead.withColumnRenamed("node", "src"), "src")
-              .groupBy(col("dst").as("node")).agg(count(lit(1)).as("dec_i"))
-            val prevDegs = degs
-            degs = graft.Fence.cut(prevDegs
-              .join(dead, Seq("node"), "left_anti")
-              .join(decOut, Seq("node"), "left")
-              .join(decIn, Seq("node"), "left")
-              .select(col("node"),
-                (col("od") - coalesce(col("dec_o"), lit(0L))).as("od"),
-                (col("id") - coalesce(col("dec_i"), lit(0L))).as("id")))
-            graft.Fence.release(prevDegs); graft.Fence.release(dead)
+            estAlive = nDegs
             if (estAlive * 4L <= lastShrink * 3L) {
               val alive = degs.select("node")
               val prevEA = eA
