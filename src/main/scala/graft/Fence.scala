@@ -65,6 +65,47 @@ object Fence {
       case _ => org.apache.spark.sql.GraftSqlShim.pinMemoryCounted(df)
     }
 
+  /** [[applyCounted]] that ALSO folds a commutative Long term sum into
+    * the fence's materialization job (r17, verdict #2 — per-round driver
+    * cost): sum-convergence loops (connected components, the scc color
+    * sweep, pageRankRefresh's L1 delta) paid one extra Catalyst plan +
+    * 2-stage aggregate job per round for a scalar that is a plain Long
+    * sum over the rows the fence was already streaming into cache. The
+    * per-partition sums come back as runJob RESULTS (exactly-once under
+    * task retry — one successful result per partition — unlike
+    * accumulator updates inside transformations, the r16 rejection), and
+    * Long addition is associative/commutative with identical wrap-on-
+    * overflow, so Σ term(row) is bit-equal to the SQL `sum(...)` it
+    * replaces. `term` reads the materialized frame's InternalRow by
+    * ORDINAL — the caller owns the column layout of the frame it fences.
+    * Returns (fenced frame, row count, Σ term). */
+  def applyCountedSum(df: DataFrame,
+                      term: org.apache.spark.sql.catalyst.InternalRow => Long):
+      (DataFrame, Long, Long) =
+    df.sparkSession.conf.getOption("spark.graft.fence") match {
+      case Some("local") =>
+        org.apache.spark.sql.GraftSqlShim.localCheckpointCappedCountedSum(df, term)
+      case _ => org.apache.spark.sql.GraftSqlShim.pinMemoryCountedSum(df, term)
+    }
+
+  /** [[cutCounted]] with a SIZE-ADAPTIVE leaf (r17, verdict #3) — for
+    * the per-round DELTA cuts of the BFS family (harmonic, diameter,
+    * scc extract, bowtie closures, betweenness layers): a delta leaf at
+    * the session's shuffle parallelism makes a k-level lazy union scan
+    * k × parallelism near-empty partitions per round (the r16 "delta-
+    * only measured SLOWER" failure mode); a SMALL delta now coalesces to
+    * ⌈bytes / 4 MB⌉ partitions (a narrow view over the cached blocks —
+    * no shuffle, no recompute), while a genuinely large delta keeps its
+    * partitions, so the form stays correct at webgraph scale. */
+  def cutDeltaCounted(df: DataFrame): (DataFrame, Long) =
+    org.apache.spark.sql.GraftSqlShim.localCheckpointCappedCountedAdaptive(df)
+
+  /** [[cutCounted]] with the fused term sum — see [[applyCountedSum]]. */
+  def cutCountedSum(df: DataFrame,
+                    term: org.apache.spark.sql.catalyst.InternalRow => Long):
+      (DataFrame, Long, Long) =
+    org.apache.spark.sql.GraftSqlShim.localCheckpointCappedCountedSum(df, term)
+
   /** Unpersist a [[apply]]-fenced frame's pinned blocks once it is
     * SUPERSEDED — the iterative-loop discipline (r10 advice): without
     * this, round r's pin keeps rounds 1..r-1's MEMORY_ONLY blocks

@@ -64,11 +64,30 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // r17: per-fence planning breakdown via the shim's fenceProbe —
+    // each fence materialization reports its Catalyst tracker phases
+    // (analysis/optimization/planning, pre-AQE), the toRdd wall (all
+    // driver work up to physical planning) and the materialization-job
+    // wall (AQE stage orchestration + execution).
+    case class FenceStat(var n: Int = 0, var planMs: Long = 0L, var jobMs: Long = 0L,
+                         phaseMs: java.util.concurrent.ConcurrentHashMap[String, Long] =
+                           new java.util.concurrent.ConcurrentHashMap[String, Long]())
+    val fences = FenceStat()
+    org.apache.spark.sql.GraftSqlShim.fenceProbe = (phases, planMs, jobMs) =>
+      if (recording) {
+        fences.synchronized { fences.n += 1; fences.planMs += planMs; fences.jobMs += jobMs }
+        phases.split(",").filter(_.nonEmpty).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          fences.phaseMs.merge(k, v.toLong, (a: Long, b: Long) => a + b); ()
+        }
+      }
+
     which.split(",").foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, sfDir).count() // warm-up (builds index caches, codegen)
       System.gc()
       jobs.clear(); order.clear()
+      fences.n = 0; fences.planMs = 0L; fences.jobMs = 0L; fences.phaseMs.clear()
       recording = true
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
@@ -83,6 +102,11 @@ object Profile {
         println(f"  job ${j.id}%4d ${j.wallMs}%6d ms stages=${j.stages}%2d tasks=${j.tasks}%4d shR=${j.shRead}%9d shW=${j.shWrite}%9d  ${j.site}")
       }
       println(f"  job-wall sum ${sum / 1000.0}%.2f s vs query wall $wall%.2f s (gap = driver/planning)")
+      if (fences.n > 0) {
+        val ph = fences.phaseMs.entrySet().toArray.map(_.toString).sorted.mkString(" ")
+        println(f"  fences: ${fences.n} cuts, toRdd(plan) ${fences.planMs} ms, " +
+          f"materialize-job ${fences.jobMs} ms; tracker phases: $ph")
+      }
     }
     spark.stop()
   }

@@ -27,6 +27,57 @@ import graft.Tables
   */
 object Graph {
 
+  /** DELTA-LEVEL accumulator for the frontier-BFS family (r17, verdict
+    * #3 — completing the r16 negative result): each round cuts ONLY its
+    * first-discovery delta ([[graft.Fence.cutDeltaCounted]] —
+    * size-adaptive leaf, so a union of levels scans k small leaves, not
+    * k × parallelism near-empty partitions), the frontier IS the newest
+    * level leaf, and the visited check anti-joins the lazy union of
+    * level leaves (set difference distributes over union). The
+    * accumulated relation is therefore never rewritten per round — the
+    * r16 tagged form re-materialized all O(|R|) discovered rows every
+    * round, the dominant per-round cache traffic at webgraph scale.
+    *
+    * BOUNDED COMPACTION: plans referencing k leaves grow with k and
+    * Catalyst pays per leaf per round (measured: unbounded levels cost
+    * q_graph_diameter ~+1 s at sf0.1 in pure optimizer time), so at
+    * `maxLive` live leaves the accumulator folds them into ONE compacted
+    * cut — plan size stays O(maxLive) and the rewrite cost is amortized
+    * to O(|R|·rounds/maxLive) instead of O(|R|·rounds). Compaction
+    * releases the folded leaves immediately (nothing else may hold
+    * them) EXCEPT the seed level, which the caller may share across
+    * accumulators (bowtie seeds both closures with the core set);
+    * [[close]] releases the live leaves, again sparing the seed. */
+  private final class DeltaAcc(seed: DataFrame, maxLive: Int = 4,
+                               sharedSeed: Boolean = false) {
+    private val live = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+    private def releasable(df: DataFrame): Boolean = !(sharedSeed && (df eq seed))
+    /** newest delta leaf — the round's frontier */
+    def frontier: DataFrame = live.last
+    /** lazy union of the live leaves projected to `keys` — the
+      * anti-join (visited) side */
+    def seen(keys: String*): DataFrame =
+      live.map(_.select(keys.map(col): _*)).reduce(_ unionByName _)
+    /** lazy union of the full live leaves — the readout relation */
+    def all: DataFrame = live.reduce(_ unionByName _)
+    def add(delta: DataFrame): Unit = {
+      // compact BEFORE appending: the newest delta must stay its own
+      // leaf — it is the next round's frontier (folding it into the
+      // compacted cut would make the loop re-expand the whole visited
+      // set, correct but O(|R|) work per round).
+      if (live.size >= maxLive) {
+        val compacted = graft.Fence.cutDeltaCounted(all)._1
+        live.filter(releasable).foreach(graft.Fence.releaseCut)
+        live.clear()
+        live += compacted
+      }
+      live += delta
+    }
+    /** release every live leaf (sparing a caller-owned shared seed) —
+      * call after the consumer of [[all]] has materialized */
+    def close(): Unit = live.filter(releasable).foreach(graft.Fence.releaseCut)
+  }
+
   /** PageRank over an arbitrary directed edge list — the PUBLIC entry
     * ([[corpusDiff]] convention: the declared query below is a thin
     * fixture binding of this).
@@ -257,7 +308,13 @@ object Graph {
       // a plain aggregate over the materialized leaf. The old shape
       // paid a second r⋈prevR join (its own plan + job) per round just
       // to recompute a pairing the update join already had in hand.
-      r = graft.Fence(
+      // r17 (verdict #2): the L1 movement Σ|rank − rank0| rides the
+      // fence's own materialization job ([[graft.Fence.applyCountedSum]]
+      // — a commutative Long sum over the round frame's (node, dgl,
+      // rank, rank0) rows, ordinals 2/3), removing the separate agg
+      // plan + job the loop ran per round. rank and rank0 are non-null
+      // by construction (coalesce in the update; prevR ranks non-null).
+      val rs = graft.Fence.applyCountedSum(
         prevR.select(col("node"), col("dgl"), col("rank").as("rank0"))
           .join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .crossJoin(broadcast(dm1))
@@ -265,11 +322,10 @@ object Graph {
             (lit(tp) +
               expr(s"($dampNum * (coalesce(m, 0L) + dm DIV ${n}L)) DIV 100"))
               .as("rank"),
-            col("rank0")))
-      // ONE bounded scalar: the L1 movement between consecutive rounds,
-      // read off the fenced leaf (no join — rank0 is a leaf column)
-      delta = r.agg(coalesce(sum(abs(col("rank") - col("rank0"))), lit(0L)))
-        .head().getLong(0)
+            col("rank0")),
+        row => math.abs(row.getLong(2) - row.getLong(3)))
+      r = rs._1
+      delta = rs._3
       graft.Fence.release(prevR)
       rounds += 1
     }
@@ -305,6 +361,29 @@ object Graph {
     qGraphPagerank(s, d).withColumn("within_bound", lit(ok))
   }
 
+  /** Distributed global rank over a (node, rank) relation — `rk` =
+    * ROW_NUMBER() over the total order (rank desc, node asc), computed
+    * with the range-partitioned `sortBy + zipWithIndex` pattern (the
+    * [[qAggHistogramEqdepth]] / Similarity rank-map precedent) instead
+    * of an UNPARTITIONED window (r17, verdict #1): `row_number().over
+    * (Window.orderBy(...))` plans `Exchange SinglePartition` + one
+    * WindowExec task holding the ENTIRE rank frame — at 100 TB the
+    * webgraph's ~1e8-host rank relation lands on one core. sortBy range-
+    * partitions by the same total order and zipWithIndex assigns global
+    * contiguous positions from per-partition counts, so every rank is
+    * bit-identical to the window form ((rank desc, node) is a total
+    * order — node is unique) while no task ever holds more than one
+    * range slice. Output columns: (node, rank, rk). */
+  def globalRankDesc(pr: DataFrame): DataFrame = {
+    val s = pr.sparkSession
+    import s.implicits._
+    pr.select(col("rank"), col("node")).as[(Long, Long)].rdd
+      .sortBy { case (rank, node) => (-rank, node) }
+      .zipWithIndex()
+      .map { case ((rank, node), idx) => (node, rank, idx + 1L) }
+      .toDF("node", "rank", "rk")
+  }
+
   /** EXT: host-graph PageRank, declared + oracled — 5 damped rounds over
     * a deterministic link graph derived from the documents table (the
     * [[TextOps.qCurateUrls]] convention: synthetic tables carry no real
@@ -314,13 +393,11 @@ object Graph {
     * DuckDB oracle replays the derivation and all 5 rounds in unrolled
     * CTEs with the identical integer arithmetic, so the ranks
     * hash-match bit-for-bit. Output: every node with its fixed-point
-    * rank and rank order. */
+    * rank and rank order ([[globalRankDesc]] — distributed, same
+    * values). */
   def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
     val edges = graphEdges(s, d)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rank").desc, col("node"))
-    pageRank(edges, iters = 5)
-      .withColumn("rk", row_number().over(w).cast("long"))
+    globalRankDesc(pageRank(edges, iters = 5))
       .select(col("node"), col("rank").as("rank_fp"), col("rk"))
       .orderBy("node")
   }
@@ -336,10 +413,7 @@ object Graph {
     val seeds = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct().filter(col("node") % 10 === 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rank").desc, col("node"))
-    pageRank(edges, iters = 5, seeds = Some(seeds))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    globalRankDesc(pageRank(edges, iters = 5, seeds = Some(seeds)))
       .select(col("node"), col("rank").as("rank_fp"), col("rk"))
       .orderBy("node")
   }
@@ -352,10 +426,7 @@ object Graph {
   def qGraphPagerankW(s: SparkSession, d: String): DataFrame = {
     val edges = graphEdges(s, d)
       .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7L)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rank").desc, col("node"))
-    pageRank(edges, iters = 5)
-      .withColumn("rk", row_number().over(w).cast("long"))
+    globalRankDesc(pageRank(edges, iters = 5))
       .select(col("node"), col("rank").as("rank_fp"), col("rk"))
       .orderBy("node")
   }
@@ -767,31 +838,32 @@ object Graph {
     val nodes = graft.Fence(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
-    // R: (src, v, d) = d(src -> v) exact BFS distance, d <= depth
-    // r16 optimization (guide §1.2, one materialization per round): the
-    // old loop fenced TWICE per round — the frontier AND the accumulated
-    // relation it is a d-slice of. The depth tag already distinguishes
-    // the newest level, so the frontier is now a lazy filter over the
-    // single accumulated pin (a cached-leaf scan), and each round pays
-    // exactly one fence. (A delta-only accumulation — fence just the
-    // frontier, anti-join the lazy union of level fences — was measured
-    // SLOWER here: every fence leaf carries the session's shuffle
-    // parallelism, so a k-leaf union re-splits the anti-join's map side
-    // into k tiny scan stages. See OPTIMIZATION_r16.md.)
-    var r = graft.Fence(nodes.select(col("node").as("src"),
-                                     col("node").as("v"), lit(0).as("d")))
+    // R: (src, v, d) = d(src -> v) exact BFS distance, d <= depth.
+    // r17 DELTA-ONLY accumulation (verdict #3, completing the r16
+    // negative result): each round cuts ONLY its first-discovery delta
+    // ([[graft.Fence.cutDeltaCounted]] — size-adaptive leaf, so the
+    // k-level union scans k small leaves, not k × parallelism empty
+    // partitions, which is what made the r16 b2 attempt slower). The
+    // frontier IS the newest level leaf (no filter), the visited check
+    // anti-joins the lazy union of level leaves (set difference
+    // distributes over union), and the accumulated relation is NEVER
+    // rewritten — the r16 tagged form re-materialized all O(|R|)
+    // discovered pairs every round, the dominant cache traffic of the
+    // op at webgraph scale. Levels live in a [[DeltaAcc]] (bounded
+    // compaction — plan size stays O(maxLive), the unbounded-leaves
+    // form grew pure optimizer time with depth).
+    val acc = new DeltaAcc(
+      graft.Fence.cutDeltaCounted(nodes.select(col("node").as("src"),
+                                               col("node").as("v"), lit(0).as("d")))._1)
     (1 to depth).foreach { d =>
-      val frontier = r.filter(col("d") === d - 1)
-      val next = frontier.join(e.withColumnRenamed("src", "v"), "v")
+      val next = acc.frontier.join(e.withColumnRenamed("src", "v"), "v")
         .select(col("src"), col("dst").as("v"))
         .distinct()
-        .join(r.select("src", "v"), Seq("src", "v"), "left_anti")
+        .join(acc.seen("src", "v"), Seq("src", "v"), "left_anti")
         .withColumn("d", lit(d))
-      val prevR = r
-      r = graft.Fence(prevR.union(next))
-      graft.Fence.release(prevR)
+      acc.add(graft.Fence.cutDeltaCounted(next)._1)
     }
-    val out = r.filter(col("d") > 0)
+    val out = acc.all.filter(col("d") > 0)
       .groupBy(col("v").as("node"))
       .agg(sum(expr(s"$scale DIV d")).as("harmonic_fp"),
            count(lit(1)).as("n_reached"))
@@ -800,7 +872,7 @@ object Graph {
         .select(col("node"),
                 coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"),
                 coalesce(col("n_reached"), lit(0L)).as("n_reached")))
-    graft.Fence.release(r)
+    acc.close()
     graft.Fence.release(nodes); graft.Fence.release(e)
     keep
   }
@@ -849,23 +921,38 @@ object Graph {
       }
     def release(df: DataFrame): Unit =
       if (!usePersist) graft.Fence.release(df) else { df.unpersist(false); () }
+    // r17 (verdict #2, per-round driver cost): the Σlbl convergence
+    // scalar rides the fence's own materialization job (a commutative
+    // Long sum over the (v, lbl) rows the fence already streams into
+    // cache — [[graft.Fence.applyCountedSum]]), removing the separate
+    // agg plan + 2-stage job the loop used to run per round. The persist
+    // A/B branch keeps the two-action shape: it exists to time fence
+    // implementations against each other, not to win the bench.
+    def fenceSum(df: DataFrame): (DataFrame, Long) =
+      if (!usePersist) {
+        val (f, _, sm) = graft.Fence.applyCountedSum(df, _.getLong(1))
+        (f, sm)
+      } else {
+        val f = fence(df)
+        (f, f.agg(sum("lbl")).head().getLong(0))
+      }
     val p = fence(pairs.select(col("src"), col("dst")))
     val sym = fence(p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = fence(sym.select(col("src").as("v")).distinct()
+    var (labels, curSum) = fenceSum(sym.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")))
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum("lbl")).head().getLong(0)
     while (curSum < prevSum) {
       val prop = sym.join(labels.withColumnRenamed("v", "w"), col("dst") === col("w"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
       val prev = labels
-      labels = fence(labels
+      val (l2, s2) = fenceSum(labels
         .join(prop, col("v") === col("src"), "left")
         .select(col("v"),
                 least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      labels = l2
       release(prev) // the new fence is materialized; round r-1 is superseded
       prevSum = curSum
-      curSum = labels.agg(sum("lbl")).head().getLong(0)
+      curSum = s2
     }
     // Seal the SURVIVOR with a real lineage cut, then release everything
     // the loop pinned.
@@ -1139,6 +1226,10 @@ object Graph {
     var eA = e0
     var nActive = active.count()
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // every outer round's extract accumulator — `parts` holds lazy
+    // projections over their level leaves, so they are closed only after
+    // the final label fence materializes (r17 delta-only extract)
+    val extractAccs = scala.collection.mutable.ArrayBuffer.empty[DeltaAcc]
     // trim mode: "cascade" (default, r13) maintains per-node in/out
     // degrees incrementally — each round's work is keyed on the DEAD set
     // (broadcast-size joins against eA, no endpoint re-scan) — vs "scan"
@@ -1248,51 +1339,63 @@ object Graph {
       }
       if (nActive > 0) {
         // ---- 2. forward max-color propagation to fixpoint ----
-        var colors = graft.Fence.cut(active.withColumn("clr", col("node")))
+        // r17 (verdict #2): the Σclr convergence scalar rides the round
+        // cut's own materialization job ([[graft.Fence.cutCountedSum]])
+        // — one plan + one job per round instead of two; superseded
+        // color cuts are now released (the r14 deep-loop discipline —
+        // the old loop let checkpoint blocks accumulate per round).
+        var cs = graft.Fence.cutCountedSum(
+          active.withColumn("clr", col("node")), _.getLong(1))
+        var colors = cs._1
         var prevSum = -1L
-        var curSum = colors.agg(sum("clr")).head().getLong(0)
+        var curSum = cs._3
         while (curSum != prevSum) {
           val t0 = System.nanoTime()
           val prop = eA.join(colors.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node")).agg(max(col("clr")).as("nclr"))
-          colors = graft.Fence.cut(colors.join(prop, Seq("node"), "left")
-            .select(col("node"),
-              greatest(col("clr"), coalesce(col("nclr"), col("clr"))).as("clr")))
+          val prevC = colors
+          cs = graft.Fence.cutCountedSum(
+            colors.join(prop, Seq("node"), "left")
+              .select(col("node"),
+                greatest(col("clr"), coalesce(col("nclr"), col("clr"))).as("clr")),
+            _.getLong(1))
+          colors = cs._1
+          graft.Fence.releaseCut(prevC)
           prevSum = curSum
-          curSum = colors.agg(sum("clr")).head().getLong(0)
+          curSum = cs._3
           onRound("color", curSum, (System.nanoTime() - t0) / 1e9)
         }
         // ---- 3. multi-source backward BFS within each root's color ----
-        // r16: the reached set carries a round tag so the frontier is a
-        // lazy filter over the single accumulated cut — ONE fence per
-        // round (the old loop cut the frontier and re-cut the whole
-        // reached union), and the fence's own count IS the convergence
-        // scalar (total stops growing ⇔ empty frontier)
-        var rc = graft.Fence.cutCounted(
-          colors.filter(col("clr") === col("node"))
-            .select("node", "clr").withColumn("rd", lit(0)))
-        var reached = rc._1
-        var total = rc._2 // >= 1: the max active node is a root
-        var prevTotal = 0L
-        var i = 0
-        while (total > prevTotal) {
+        // r17 DELTA-ONLY accumulation — see the [[harmonic]] note
+        // (verdict #3): one size-adaptive delta cut per round, frontier
+        // = newest level leaf, visited check = anti-join per level, no
+        // O(|R|) reached-relation rewrite; the delta cut's own count is
+        // the convergence scalar (empty delta ⇔ done).
+        var rc = graft.Fence.cutDeltaCounted(
+          colors.filter(col("clr") === col("node")).select("node", "clr"))
+        val acc = new DeltaAcc(rc._1)
+        var nDelta = rc._2 // >= 1: the max active node is a root
+        while (nDelta > 0) {
           val t0 = System.nanoTime()
-          i += 1
-          val frontier = reached.filter(col("rd") === i - 1)
           val cand = eA
-            .join(frontier.withColumnRenamed("node", "dst"), "dst")
+            .join(acc.frontier.withColumnRenamed("node", "dst"), "dst")
             .select(col("src").as("node"), col("clr")).distinct()
           val next = cand
             .join(colors, Seq("node", "clr"), "left_semi")
-            .join(reached.select("node"), Seq("node"), "left_anti")
-            .withColumn("rd", lit(i))
-          val prevR = reached
-          rc = graft.Fence.cutCounted(prevR.union(next))
-          reached = rc._1; prevTotal = total; total = rc._2
-          graft.Fence.releaseCut(prevR)
-          onRound("extract", total - prevTotal, (System.nanoTime() - t0) / 1e9)
+            .join(acc.seen("node"), Seq("node"), "left_anti")
+          rc = graft.Fence.cutDeltaCounted(next)
+          acc.add(rc._1); nDelta = rc._2
+          onRound("extract", nDelta, (System.nanoTime() - t0) / 1e9)
         }
+        val reached = acc.all
         parts += reached.select(col("node"), col("clr").as("scc"))
+        // `parts` and the peel below hold lazy projections over the
+        // accumulator's level LEAVES, so the acc is closed only after
+        // the final label fence materializes (end of the op); colors is
+        // consumed only by the extract loop above and can drop now (r17
+        // — the blocks-per-outer-round hygiene).
+        extractAccs += acc
+        graft.Fence.releaseCut(colors)
         // ---- 4. peel the extracted components off ----
         val (a3, nA3) = graft.Fence.cutCounted(
           active.join(reached.select("node"), Seq("node"), "left_anti"))
@@ -1315,6 +1418,7 @@ object Graph {
     val keep = graft.Fence.cut(
       lbl.join(sizes, "scc").select(col("node"), col("scc"), col("scc_size")))
     graft.Fence.release(lbl)
+    extractAccs.foreach(_.close())
     graft.Fence.release(allNodes); graft.Fence.release(e0)
     keep
   }
@@ -1352,35 +1456,33 @@ object Graph {
     // counted cut (r16): the fence materialization IS the frontier-size
     // read — no per-round recount job
     val (coreSet, nCore) = graft.Fence.cutCounted(
-      labels.filter(col("scc") === core).select("node")
-        .withColumn("rd", lit(0)))
-    // frontier BFS over node sets; direction = which edge end we follow
-    def closure(follow: String, from: String): DataFrame = {
-      // r16: the seen set carries a round tag, so each round's frontier
-      // is a lazy filter over the single accumulated cut and each round
-      // pays exactly ONE fence whose own count is the convergence scalar
-      // (the old loop cut the frontier, re-cut the seen union, AND
-      // recounted the frontier)
-      var seen = coreSet
-      var total = nCore
-      var prevTotal = 0L
-      var i = 0
-      while (total > prevTotal) {
-        i += 1
-        val frontier = seen.filter(col("rd") === i - 1)
-        val nxt = e.join(frontier.withColumnRenamed("node", from), from)
+      labels.filter(col("scc") === core).select("node"))
+    // frontier BFS over node sets; direction = which edge end we follow.
+    // r17 DELTA-ONLY accumulation — see the [[harmonic]] note (verdict
+    // #3): one size-adaptive delta cut per round, frontier = newest
+    // level leaf, visited check = anti-join of the level-leaf union, no
+    // O(|seen|) rewrite per round; the delta count is the convergence
+    // scalar (empty delta ⇔ closure complete). Returns the accumulator
+    // (leaves still live — the caller reads the lazy union and closes it
+    // after its own fence materializes).
+    def closure(follow: String, from: String): DeltaAcc = {
+      // the seed (coreSet) is SHARED by both closures and released by
+      // the caller — the acc must never fold-release or close it
+      val acc = new DeltaAcc(coreSet, sharedSeed = true)
+      var nDelta = nCore
+      while (nDelta > 0) {
+        val nxt = e.join(acc.frontier.withColumnRenamed("node", from), from)
           .select(col(follow).as("node")).distinct()
-          .join(seen.select("node"), Seq("node"), "left_anti")
-          .withColumn("rd", lit(i))
-        val prevS = seen
-        val sc = graft.Fence.cutCounted(prevS.union(nxt))
-        seen = sc._1; prevTotal = total; total = sc._2
-        if (!(prevS eq coreSet)) graft.Fence.releaseCut(prevS)
+          .join(acc.seen("node"), Seq("node"), "left_anti")
+        val sc = graft.Fence.cutDeltaCounted(nxt)
+        acc.add(sc._1); nDelta = sc._2
       }
-      seen.select("node")
+      acc
     }
-    val fwd = closure(follow = "dst", from = "src") // reached FROM core
-    val bwd = closure(follow = "src", from = "dst") // reaches the core
+    val fwdAcc = closure(follow = "dst", from = "src") // reached FROM core
+    val bwdAcc = closure(follow = "src", from = "dst") // reaches the core
+    val fwd = fwdAcc.all.select("node")
+    val bwd = bwdAcc.all.select("node")
     val keep = graft.Fence.cut(labels
       .join(bwd.withColumn("in_b", lit(1)), Seq("node"), "left")
       .join(fwd.withColumn("in_f", lit(1)), Seq("node"), "left")
@@ -1389,6 +1491,8 @@ object Graph {
           .when(col("in_b").isNotNull, "IN")
           .when(col("in_f").isNotNull, "OUT")
           .otherwise("OTHER").as("cls")))
+    fwdAcc.close(); bwdAcc.close()
+    graft.Fence.releaseCut(coreSet)
     graft.Fence.release(labels); graft.Fence.release(e)
     keep
   }
@@ -1584,9 +1688,12 @@ object Graph {
     // whole accumulated (s, v, d, sig) relation every round (see the
     // [[harmonic]] note) — and the backward phase reads each layer's
     // OWN fence directly instead of filtering the accumulation by depth.
+    // (r17: delta cuts are size-adaptive — [[graft.Fence.cutDeltaCounted]]
+    // — so the k-level seen union scans k small leaves, not
+    // k × parallelism near-empty partitions)
     val levels = scala.collection.mutable.ArrayBuffer(
-      graft.Fence.cut(seeds.select(col("node").as("s")).distinct()
-        .select(col("s"), col("s").as("v"), lit(0).as("d"), lit(1L).as("sig"))))
+      graft.Fence.cutDeltaCounted(seeds.select(col("node").as("s")).distinct()
+        .select(col("s"), col("s").as("v"), lit(0).as("d"), lit(1L).as("sig")))._1)
     var frontier = levels.head
     (1 to depth).foreach { dd =>
       val seen = levels.reduce(_ union _)
@@ -1596,12 +1703,12 @@ object Graph {
         .agg(sum(col("sig")).as("sig"))
         .join(seen.select("s", "v"), Seq("s", "v"), "left_anti")
         .select(col("s"), col("v"), lit(dd).as("d"), col("sig"))
-      frontier = graft.Fence.cut(next)
+      frontier = graft.Fence.cutDeltaCounted(next)._1
       levels += frontier
     }
     // backward: δ per layer, deepest first; layer `depth` seeds δ = 0
-    var deltaUp = graft.Fence.cut(levels(depth)
-      .select(col("s"), col("v"), col("sig"), lit(0L).as("dfp")))
+    var deltaUp = graft.Fence.cutDeltaCounted(levels(depth)
+      .select(col("s"), col("v"), col("sig"), lit(0L).as("dfp")))._1
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     ((depth - 1) to 0 by -1).foreach { dd =>
       val contrib = e
@@ -1609,7 +1716,7 @@ object Graph {
           col("sig").as("sigw"), col("dfp").as("dfpw")), "dst")
         .select(col("s"), col("src").as("v"),
           col("sigw"), col("dfpw"))
-      val layer = graft.Fence.cut(
+      val layer = graft.Fence.cutDeltaCounted(
         levels(dd).select(col("s"), col("v"), col("sig"))
           .join(contrib, Seq("s", "v"), "left")
           .groupBy(col("s"), col("v"), col("sig"))
@@ -1621,7 +1728,7 @@ object Graph {
           // loudly in the SUM under ANSI rather than wrapping.
           .agg(coalesce(sum(
             expr(s"CAST((CAST(sig AS DECIMAL(38,0)) * ($scale + dfpw)) DIV sigw AS BIGINT)")),
-            lit(0L)).as("dfp")))
+            lit(0L)).as("dfp")))._1
       layers += layer
       graft.Fence.release(deltaUp)
       deltaUp = layer
@@ -1744,30 +1851,23 @@ object Graph {
     val e = graft.Fence(graphEdges(s, d).select(col("src"), col("dst")).distinct())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // r16 optimization (guide §1.2, one materialization per round): the
-    // old loop fenced TWICE per round — the frontier AND the accumulated
-    // relation it is a d-slice of. The depth tag already distinguishes
-    // the newest level, so the frontier is now a lazy filter over the
-    // single accumulated pin (a cached-leaf scan), and each round pays
-    // exactly one fence. (A delta-only accumulation — fence just the
-    // frontier, anti-join the lazy union of level fences — was measured
-    // SLOWER here: every fence leaf carries the session's shuffle
-    // parallelism, so a k-leaf union re-splits the anti-join's map side
-    // into k tiny scan stages. See OPTIMIZATION_r16.md.)
-    var r = graft.Fence(nodes.select(col("node").as("src"),
-                                     col("node").as("v"), lit(0).as("d")))
+    // r17 DELTA-ONLY accumulation — see the [[harmonic]] note (verdict
+    // #3): one size-adaptive delta cut per round, frontier = newest
+    // level leaf, visited check = anti-join against the [[DeltaAcc]]'s
+    // bounded union of level leaves, no O(|R|) accumulated-relation
+    // rewrite per round.
+    val acc = new DeltaAcc(
+      graft.Fence.cutDeltaCounted(nodes.select(col("node").as("src"),
+                                               col("node").as("v"), lit(0).as("d")))._1)
     (1 to depth).foreach { dd =>
-      val frontier = r.filter(col("d") === dd - 1)
-      val next = frontier.join(e.withColumnRenamed("src", "v"), "v")
+      val next = acc.frontier.join(e.withColumnRenamed("src", "v"), "v")
         .select(col("src"), col("dst").as("v"))
         .distinct()
-        .join(r.select("src", "v"), Seq("src", "v"), "left_anti")
+        .join(acc.seen("src", "v"), Seq("src", "v"), "left_anti")
         .withColumn("d", lit(dd))
-      val prevR = r
-      r = graft.Fence(prevR.union(next))
-      graft.Fence.release(prevR)
+      acc.add(graft.Fence.cutDeltaCounted(next)._1)
     }
-    val dist = r.filter(col("d") > 0)
+    val dist = acc.all.filter(col("d") > 0)
       .groupBy(col("d").cast("long").as("d"))
       .agg(count(lit(1)).as("n_pairs"))
     val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
@@ -1779,7 +1879,7 @@ object Graph {
           .as("reached_90"))
       .orderBy("d")
     val keep = graft.Fence.cut(out)
-    graft.Fence.release(r)
+    acc.close()
     graft.Fence.release(e)
     keep
   }

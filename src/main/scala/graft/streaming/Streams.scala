@@ -668,9 +668,10 @@ object Streams {
           try Some(s.read.option("recursiveFileLookup", "true").parquet(docsDir))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         for (ranks <- ranksNow; docs <- docsNow) {
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(col("rank").desc, col("node"))
-          val rk = ranks.withColumn("rk", row_number().over(w).cast("long"))
+          // distributed global rank (r17 verdict #1): the old
+          // unpartitioned row_number() window moved the whole rank frame
+          // to ONE task — same fix as the declared pagerank readouts
+          val rk = graft.operators.Graph.globalRankDesc(ranks)
           val mx = rk.agg(max(col("rk")).as("mx"))
           docs.select(hostOf.as("node"), col("doc_id"))
             .groupBy("node").agg(count(lit(1)).as("n_docs"))

@@ -65,18 +65,149 @@ object GraftSqlShim {
     * plan's join count, never by pipeline history. Partitioning,
     * ordering, expr-id rewrite and constraints still come from
     * fromDataset's construction. */
+  /** r17 refinement (verdict #2, per-round driver cost): when the
+    * materialization already COUNTED the frame, the leaf carries EXACT
+    * statistics — rowCount = the materialized count, sizeInBytes = count
+    * × the estimator's own per-row width ([[org.apache.spark.sql
+    * .catalyst.plans.logical.statsEstimation.EstimationUtils
+    * .getSizePerRow]], so the number means the same thing it means
+    * everywhere else in Catalyst). The origin plan's propagated estimate
+    * is usually enormous for a loop's round frame (size-only estimation
+    * multiplies through every join), so the planner could never pick a
+    * broadcast join STATICALLY for the small evolving side of an
+    * iterative round — AQE had to shuffle first and demote at runtime,
+    * paying extra query stages on every round of every loop. Exact leaf
+    * stats are correct at any scale: a genuinely large frame reports
+    * large and plans exactly as before. */
   private def cappedLeaf(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
-                         ds: classic.Dataset[_]): execution.LogicalRDD = {
+                         ds: classic.Dataset[_],
+                         rowCount: Option[Long] = None): execution.LogicalRDD = {
     val spark = ds.sparkSession
     val lr = execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
-    val cap = BigInt(Long.MaxValue)
-    val st = ds.queryExecution.optimizedPlan.stats
-    val capped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
-      sizeInBytes = st.sizeInBytes.min(cap),
-      rowCount = st.rowCount.map(_.min(cap)))
+    // A/B escape hatch (spark.graft.leafstats=origin): keep the r15
+    // capped-origin-estimate behavior selectable so the exact-stats
+    // planning effect stays measurable in one JVM (the clusters.fence
+    // precedent).
+    val exactOk = !spark.conf.getOption("spark.graft.leafstats").contains("origin")
+    val stats = rowCount.filter(_ => exactOk) match {
+      case Some(n) =>
+        val perRow = org.apache.spark.sql.catalyst.plans.logical.statsEstimation
+          .EstimationUtils.getSizePerRow(lr.output)
+        org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = (perRow * n).max(1),
+          rowCount = Some(BigInt(n)))
+      case None =>
+        val cap = BigInt(Long.MaxValue)
+        val st = ds.queryExecution.optimizedPlan.stats
+        org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = st.sizeInBytes.min(cap),
+          rowCount = st.rowCount.map(_.min(cap)))
+    }
     new execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
       lr.outputOrdering, lr.isStreaming, lr.stream)(
-      spark, Some(capped), Some(lr.constraints))
+      spark, Some(stats), Some(lr.constraints))
+  }
+
+  /** Dev-only fence instrumentation hook (graft.Profile sets it; query
+    * code never does): when non-null, every fence materialization
+    * reports (Catalyst tracker phases, toRdd wall ms = analysis→physical
+    * planning, materialization-job wall ms). The fence hot path pays one
+    * volatile null check. */
+  @volatile var fenceProbe: (String, Long, Long) => Unit = null
+
+  /** The one fence-materialization core both fence modes and every
+    * counted/fused-aggregate variant route through: plan the frame
+    * (`toRdd`), persist it (MEMORY_ONLY pin or local checkpoint), run
+    * ONE job that streams every partition into cache while computing the
+    * row count AND an optional caller-supplied commutative Long term sum
+    * (r17, verdict #2 — per-round driver cost: sum-convergence loops
+    * paid one extra Catalyst plan + aggregate job per round for a scalar
+    * that is a plain Long sum over rows this job already touches).
+    * Per-partition runJob RESULTS are exactly-once under task retry —
+    * the driver keeps one successful result per partition — unlike
+    * accumulator updates inside transformations (the r16 rejection), and
+    * Long addition is associative/commutative, so the fused sum is
+    * bit-equal to the SQL `sum(...)` the loops used to run (both wrap on
+    * overflow). */
+  private def materialize(df: DataFrame, checkpoint: Boolean,
+                          term: catalyst.InternalRow => Long,
+                          adaptive: Boolean = false): (DataFrame, Long, Long) = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val spark = ds.sparkSession
+    val t0 = System.nanoTime()
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    if (checkpoint) rdd.localCheckpoint()
+    else rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val t1 = System.nanoTime()
+    val (n, s) =
+      if (term == null) (rdd.count(), 0L)
+      else {
+        val partials = spark.sparkContext.runJob(rdd,
+          (it: Iterator[catalyst.InternalRow]) => {
+            var n = 0L; var s = 0L
+            while (it.hasNext) { s += term(it.next()); n += 1 }
+            (n, s)
+          })
+        (partials.map(_._1).sum, partials.map(_._2).sum)
+      }
+    val probe = fenceProbe
+    if (probe != null) {
+      val t2 = System.nanoTime()
+      val phases = ds.queryExecution.tracker.phases
+        .map { case (k, v) => s"$k=${v.durationMs}" }.mkString(",")
+      probe(phases, (t1 - t0) / 1000000L, (t2 - t1) / 1000000L)
+    }
+    // SIZE-ADAPTIVE leaf partitioning (r17, verdict #3): a delta fence in
+    // a BFS loop inherits the session's shuffle parallelism, so a k-level
+    // lazy union scans k × parallelism near-empty partitions per round —
+    // the r16 "delta-only measured SLOWER" failure mode. When the caller
+    // opted in AND the materialized frame is small, the leaf becomes a
+    // narrow coalesce VIEW over the cached partitions (local concatenation,
+    // no shuffle, no recompute — the blocks stay where the count put
+    // them), sized from the count just computed × the estimator's row
+    // width. Partitioning/ordering claims are dropped (a concatenation
+    // has neither); release helpers look THROUGH the one-level coalesce
+    // to the persisted parent.
+    // The rule collapses ONLY genuinely tiny frames (≤ one shuffle-
+    // partition's worth) to a single partition; anything larger keeps
+    // its native partition count — an 8 MB BFS pair-level coalesced to
+    // 2 partitions lost the anti-join's sort parallelism and measured
+    // ~+1 s on q_graph_diameter (r17 A/B), while the k × parallelism
+    // empty-partition waste this exists to kill only bites at KB scale.
+    val target = 4L << 20
+    val perRow = catalyst.plans.logical.statsEstimation.EstimationUtils
+      .getSizePerRow(ds.queryExecution.analyzed.output)
+    val bytes = perRow * n
+    val wantParts = if (bytes <= target) 1L else rdd.getNumPartitions.toLong
+    val leaf =
+      if (adaptive && wantParts < rdd.getNumPartitions) {
+        val small = rdd.coalesce(wantParts.toInt)
+        val lr = execution.LogicalRDD.fromDataset(small, ds, isStreaming = false)
+        new execution.LogicalRDD(lr.output, small,
+          catalyst.plans.physical.UnknownPartitioning(small.getNumPartitions),
+          Nil, lr.isStreaming, lr.stream)(
+          spark,
+          Some(catalyst.plans.logical.Statistics(
+            sizeInBytes = bytes.max(1), rowCount = Some(BigInt(n)))),
+          Some(lr.constraints))
+      } else cappedLeaf(rdd, ds, Some(n))
+    // LogicalRDD via [[cappedLeaf]] — the SAME leaf construction Dataset
+    // .checkpoint uses — carries the fenced plan's output PARTITIONING
+    // and ordering through the fence (expr-ids rewritten onto the new
+    // leaf), with EXACT statistics from the count just computed (see
+    // cappedLeaf). A bare internalCreateDataFrame defaults the leaf to
+    // UnknownPartitioning, which made every downstream consumer of a
+    // hash-partitioned fenced relation re-shuffle it (measured: the
+    // 4-consumer ppjoin shingle relation at sf0.1 ran 3.0 s vs 1.7 s).
+    (classic.Dataset.ofRows(spark, leaf), n, s)
+  }
+
+  /** [[localCheckpointCappedCounted]] with SIZE-ADAPTIVE leaf
+    * partitioning — see the adaptive note in [[materialize]]. For the
+    * per-round DELTA cuts of the BFS family (r17, verdict #3). */
+  def localCheckpointCappedCountedAdaptive(df: DataFrame): (DataFrame, Long) = {
+    val (out, n, _) = materialize(df, checkpoint = true, term = null, adaptive = true)
+    (out, n)
   }
 
   def pinMemory(df: DataFrame): DataFrame = pinMemoryCounted(df)._1
@@ -88,21 +219,16 @@ object GraftSqlShim {
     * cascades, peel rounds) were paying one extra plan + job per round
     * to recount the frame they had just materialized. */
   def pinMemoryCounted(df: DataFrame): (DataFrame, Long) = {
-    val ds = df.asInstanceOf[classic.Dataset[_]]
-    val spark = ds.sparkSession
-    val rdd = ds.queryExecution.toRdd.map(_.copy())
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val n = rdd.count()
-    // LogicalRDD via [[cappedLeaf]] — the SAME leaf construction Dataset
-    // .checkpoint uses — carries the fenced plan's output PARTITIONING
-    // and ordering through the fence (expr-ids rewritten onto the new
-    // leaf), with the carried statistics CAPPED (see cappedLeaf). A bare
-    // internalCreateDataFrame defaults the leaf to UnknownPartitioning,
-    // which made every downstream consumer of a hash-partitioned fenced
-    // relation re-shuffle it (measured: the 4-consumer ppjoin shingle
-    // relation at sf0.1 ran 3.0 s vs 1.7 s).
-    (classic.Dataset.ofRows(spark, cappedLeaf(rdd, ds)), n)
+    val (out, n, _) = materialize(df, checkpoint = false, term = null)
+    (out, n)
   }
+
+  /** [[pinMemoryCounted]] that ALSO folds a commutative Long term sum
+    * into the materialization job — see [[materialize]]. Returns
+    * (fenced frame, row count, Σ term(row)). */
+  def pinMemoryCountedSum(df: DataFrame,
+                          term: catalyst.InternalRow => Long): (DataFrame, Long, Long) =
+    materialize(df, checkpoint = false, term)
 
   /** The [[graft.Fence.cut]] implementation: Dataset.localCheckpoint's
     * exact recipe (row-copied internal RDD, local checkpoint storage,
@@ -115,13 +241,15 @@ object GraftSqlShim {
   /** [[localCheckpointCapped]] returning the materialization count —
     * see [[pinMemoryCounted]]. */
   def localCheckpointCappedCounted(df: DataFrame): (DataFrame, Long) = {
-    val ds = df.asInstanceOf[classic.Dataset[_]]
-    val spark = ds.sparkSession
-    val rdd = ds.queryExecution.toRdd.map(_.copy())
-    rdd.localCheckpoint()
-    val n = rdd.count()
-    (classic.Dataset.ofRows(spark, cappedLeaf(rdd, ds)), n)
+    val (out, n, _) = materialize(df, checkpoint = true, term = null)
+    (out, n)
   }
+
+  /** [[localCheckpointCappedCounted]] that ALSO folds a commutative Long
+    * term sum into the materialization job — see [[materialize]]. */
+  def localCheckpointCappedCountedSum(df: DataFrame,
+                                      term: catalyst.InternalRow => Long): (DataFrame, Long, Long) =
+    materialize(df, checkpoint = true, term)
 
   /** Drop the MEMORY_ONLY blocks behind a [[pinMemory]]-fenced frame (the
     * iterative-loop release half of the pin contract — see the
@@ -144,11 +272,25 @@ object GraftSqlShim {
     * pin had frozen), so the determinism assumption extends only to
     * order-insensitive consumers — every aggregation/join in this
     * engine, but not e.g. a zipWithIndex over the raw pin. */
+  /** The RDD whose blocks BACK a fence leaf: the leaf's own rdd, or —
+    * for a size-adaptive leaf (see [[materialize]]) — its one-level
+    * narrow parent (the coalesce view is never persisted; the cached
+    * partitions live on the parent). ONE level only: walking deeper
+    * would cross into upstream lineage and could match an unrelated
+    * pin shared with live siblings. */
+  private def storageRdd(rdd: org.apache.spark.rdd.RDD[_]): org.apache.spark.rdd.RDD[_] =
+    if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) rdd
+    else rdd.dependencies match {
+      case Seq(d) if d.rdd.getStorageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE => d.rdd
+      case _ => rdd
+    }
+
   def releasePin(df: DataFrame): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
       case lr: execution.LogicalRDD
-          if lr.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_ONLY =>
-        lr.rdd.unpersist(blocking = false)
+          if storageRdd(lr.rdd).getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_ONLY =>
+        storageRdd(lr.rdd).unpersist(blocking = false)
       case _ => ()
     }
 
@@ -167,8 +309,8 @@ object GraftSqlShim {
   def releaseCheckpoint(df: DataFrame): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
       case lr: execution.LogicalRDD
-          if lr.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK =>
-        lr.rdd.unpersist(blocking = false)
+          if storageRdd(lr.rdd).getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK =>
+        storageRdd(lr.rdd).unpersist(blocking = false)
       case _ => ()
     }
 
@@ -189,12 +331,12 @@ object GraftSqlShim {
   def releaseCutGuarded(df: DataFrame): Unit = {
     import org.apache.spark.storage.StorageLevel.{MEMORY_AND_DISK, MEMORY_ONLY}
     def fenced(lr: execution.LogicalRDD): Boolean = {
-      val lv = lr.rdd.getStorageLevel
+      val lv = storageRdd(lr.rdd).getStorageLevel
       lv == MEMORY_ONLY || lv == MEMORY_AND_DISK
     }
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
       case lr: execution.LogicalRDD =>
-        if (fenced(lr)) lr.rdd.unpersist(blocking = false)
+        if (fenced(lr)) storageRdd(lr.rdd).unpersist(blocking = false)
       case derived =>
         val leaves = derived.collect { case lr: execution.LogicalRDD if fenced(lr) => lr }
         if (leaves.nonEmpty)

@@ -526,12 +526,19 @@ class LayoutSpec extends SparkSpec {
     // and its subtree shape are fixed before AQE runs.
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-    import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, RDDScanExec, TakeOrderedAndProjectExec}
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
       case w: WindowGroupLimitExec if w.partitionSpec.nonEmpty => true
       case f: FileSourceScanExec => false
+      // r17 (verdict #1): a fence leaf (LogicalRDD → "Scan ExistingRDD")
+      // carries whatever the fenced relation held — for the loop-family
+      // outputs that is the full corpus-scaled node set, so it is as
+      // unbounded as a file scan. The old childless-leaf => bounded
+      // default let the pagerank family's single-partition rank window
+      // through this sweep.
+      case r: RDDScanExec => false
       case leaf if leaf.children.isEmpty => true
       case other => other.children.forall(boundedBelow)
     }
