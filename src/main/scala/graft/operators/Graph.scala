@@ -641,14 +641,18 @@ object Graph {
         .select(col("node"),
           expr(s"CAST((raw * ${scale}L) DIV tot AS BIGINT)").as(out)))
     }
+    // r17 (guide §1.2, fewer passes per round): gather NO longer
+    // left-joins the full node relation — a zero-raw node contributes 0
+    // to the next gather's sum (its rows simply don't join) and 0 to the
+    // normalizer Σraw, so dropping absent nodes round-to-round changes
+    // no computed value; the zero padding rides ONCE on the final
+    // readout instead of 2 joins × rounds. The round frames also shrink
+    // to the active endpoint set (≤ |E| rows), which is what the fence
+    // pins per round at webgraph scale.
     def gather(scores: DataFrame, in: String, from: String, to: String): DataFrame =
-      nodes.join(
-          e.join(scores.withColumnRenamed("node", from), from)
-            .groupBy(col(to).as("node"))
-            .agg(sum(col(in).cast("decimal(38,0)")).as("raw")),
-          Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("raw"), lit(0).cast("decimal(38,0)")).as("raw"))
+      e.join(scores.withColumnRenamed("node", from), from)
+        .groupBy(col(to).as("node"))
+        .agg(sum(col(in).cast("decimal(38,0)")).as("raw"))
     var hub = graft.Fence(nodes.withColumn("hub", lit(scale)))
     var auth: DataFrame = null
     (1 to iters).foreach { i =>
@@ -661,9 +665,13 @@ object Graph {
       graft.Fence.release(prevHub)
       onRound(i, (System.nanoTime() - t0) / 1e9)
     }
+    // zero padding for nodes with no out-edges (hub) / no in-edges
+    // (auth) — previously re-padded every half-round, now once (r17)
     val keep = graft.Fence.cut(
-      hub.join(auth, "node")
-        .select(col("node"), col("hub").as("hub_fp"), col("auth").as("auth_fp")))
+      nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hub"), lit(0L)).as("hub_fp"),
+          coalesce(col("auth"), lit(0L)).as("auth_fp")))
     graft.Fence.release(hub); graft.Fence.release(auth)
     graft.Fence.release(nodes); graft.Fence.release(e)
     keep
@@ -778,7 +786,16 @@ object Graph {
     val w = Window.partitionBy("a").orderBy(col("c").desc, col("lbl").asc)
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
+      // r17 (guide §2.1, remove a shuffle per round): one explicit
+      // hash(a) exchange serves BOTH the (a, lbl) count aggregate
+      // (HashPartitioning(a) satisfies ClusteredDistribution(a, lbl) —
+      // equal keys stay colocated) and the per-a window pick, where the
+      // old shape exchanged by (a, lbl) for the agg and AGAIN by (a)
+      // for the window. Map-side partial aggregation still compacts
+      // (a, lbl) pairs before the exchange; the window stage's per-a
+      // skew exposure is unchanged (it always clustered by a).
       val cnt = und.join(lbl.withColumnRenamed("node", "b"), "b")
+        .repartition(col("a"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
       val prev = lbl
       lbl = graft.Fence(

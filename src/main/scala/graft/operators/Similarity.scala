@@ -1590,8 +1590,25 @@ object Similarity {
                                      k: Int, beam: Int, rounds: Int,
                                      corpusMin: Long, entrySet: DataFrame): DataFrame = {
     val wBeam = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    // PRE-PARTITIONED + PRE-SORTED scoring relation (r17, verdict #4):
+    // Profile showed the projected vector relation shuffle-written AND
+    // read on EVERY walk round — the per-round score join sort-merged
+    // the corpus side each time (at 1 B vectors, the corpus re-exchanged
+    // + re-sorted per round). Fencing the (cid, cv, cn) projection ONCE,
+    // hash-partitioned and sorted by cid, makes every round's SMJ
+    // exchange-free and sort-free on the corpus side (the fence leaf
+    // carries the partitioning + ordering claims through); only the
+    // query-bounded candidate set shuffles per round, and the
+    // compute-dense cosine scoring keeps the full shuffle-width
+    // parallelism. (The broadcast-hint alternative — cand as build side
+    // — measured 3-4× SLOWER at sf0.1: the corpus becomes the stream
+    // side, so scoring parallelism collapses to the corpus scan's
+    // partitioning. Negative result, do not redo.)
+    val eP = graft.Fence.cut(
+      e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        .repartition(col("cid")).sortWithinPartitions("cid"))
     def score(cand: DataFrame): DataFrame = cand
-      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
+      .join(eP, "cid")
       .join(q, "qid")
       .select(col("qid"), col("cid"),
               round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
@@ -1633,6 +1650,7 @@ object Similarity {
       pool.withColumn("rk", row_number().over(wBeam).cast("long"))
         .filter(col("rk") <= k))
     graft.Fence.releaseCut(pool)
+    graft.Fence.releaseCut(eP)
     out
   }
 
@@ -2038,8 +2056,15 @@ object Similarity {
       corpusMin: Long, maxLevels: Int,
       descentBeam: Int = 2, descentRounds: Int = 8): DataFrame = {
     val wBeam = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    // pre-partitioned + pre-sorted scoring relation — see the
+    // [[graphSearchWalk]] note (r17, verdict #4): one fence serves every
+    // descent level's rounds; the final base walk builds its own inside
+    // graphSearchWalk.
+    val eP = graft.Fence.cut(
+      e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        .repartition(col("cid")).sortWithinPartitions("cid"))
     def score(cand: DataFrame): DataFrame = cand
-      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
+      .join(eP, "cid")
       .join(q, "qid")
       .select(col("qid"), col("cid"),
               round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos"))
@@ -2081,6 +2106,7 @@ object Similarity {
         e.filter(col("vec_id") >= corpusMin).agg(min(col("vec_id")).as("cid")))))
     val out = graphSearchWalk(e, gu, q, k, beam, rounds, corpusMin, entry)
     carried.foreach(graft.Fence.releaseCut)
+    graft.Fence.releaseCut(eP)
     out
   }
 
