@@ -106,6 +106,17 @@ object Fence {
       (DataFrame, Long, Long) =
     org.apache.spark.sql.GraftSqlShim.localCheckpointCappedCountedSum(df, term)
 
+  /** [[cutCounted]] with a fused DOUBLE term sum — for bound-checked
+    * estimator scalars only (the HyperBall Σest rides the round cut's
+    * materialization job instead of a separate per-round plan + agg);
+    * per-partition partials fold in partition-index order, so the value
+    * is deterministic for a deterministic plan but NOT bit-pinned to the
+    * SQL sum's merge order — never use for hashed payload values. */
+  def cutCountedSumD(df: DataFrame,
+                     termD: org.apache.spark.sql.catalyst.InternalRow => Double):
+      (DataFrame, Long, Double) =
+    org.apache.spark.sql.GraftSqlShim.localCheckpointCappedCountedSumD(df, termD)
+
   /** Unpersist a [[apply]]-fenced frame's pinned blocks once it is
     * SUPERSEDED — the iterative-loop discipline (r10 advice): without
     * this, round r's pin keeps rounds 1..r-1's MEMORY_ONLY blocks

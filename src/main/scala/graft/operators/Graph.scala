@@ -1133,9 +1133,17 @@ object Graph {
     (1 to depth).foreach { d =>
       val t0 = System.nanoTime()
       val prevR = r
-      r = graft.Fence.cut(hllPropagate(e, prevR)) // the deep-loop cut rule
+      // r17 (verdict #2/#6 profile): the global Σest scalar rides the
+      // round cut's own materialization job ([[graft.Fence.cutCountedSumD]]
+      // — estimate(reg) over the (node, reg) rows the cut already
+      // streams, reg at ordinal 1) instead of a separate per-round
+      // estimates plan + aggregate job. Bound-checked scalar only —
+      // the hashed payload is the exact form's.
+      val rc = graft.Fence.cutCountedSumD(hllPropagate(e, prevR),
+        row => graft.functions.Hll.estimate(row.getBinary(1)))
+      r = rc._1 // the deep-loop cut rule
       graft.Fence.releaseCut(prevR) // cut-backed: plain release would leave the blocks (r14 advice)
-      totals += total(r)
+      totals += rc._3
       onRound(d, (System.nanoTime() - t0) / 1e9)
     }
     graft.Fence.releaseCut(r); graft.Fence.release(e)

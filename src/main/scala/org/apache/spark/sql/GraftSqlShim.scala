@@ -131,7 +131,9 @@ object GraftSqlShim {
     * overflow). */
   private def materialize(df: DataFrame, checkpoint: Boolean,
                           term: catalyst.InternalRow => Long,
-                          adaptive: Boolean = false): (DataFrame, Long, Long) = {
+                          adaptive: Boolean = false,
+                          termD: catalyst.InternalRow => Double = null):
+      (DataFrame, Long, Long, Double) = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val spark = ds.sparkSession
     val t0 = System.nanoTime()
@@ -139,16 +141,27 @@ object GraftSqlShim {
     if (checkpoint) rdd.localCheckpoint()
     else rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val t1 = System.nanoTime()
-    val (n, s) =
-      if (term == null) (rdd.count(), 0L)
+    // Double term (r17): per-partition partials folded on the driver in
+    // PARTITION-INDEX order — deterministic for a deterministic plan.
+    // Only for bound-checked estimator scalars (the HyperBall Σest),
+    // never for hashed payload values: double addition is not
+    // associative, so the fold order is part of the semantics and this
+    // order is at least as reproducible as the SQL sum it replaces.
+    val (n, s, sd) =
+      if (term == null && termD == null) (rdd.count(), 0L, 0.0)
       else {
+        val tL: catalyst.InternalRow => Long = if (term == null) _ => 0L else term
+        val tD: catalyst.InternalRow => Double = if (termD == null) _ => 0.0 else termD
         val partials = spark.sparkContext.runJob(rdd,
           (it: Iterator[catalyst.InternalRow]) => {
-            var n = 0L; var s = 0L
-            while (it.hasNext) { s += term(it.next()); n += 1 }
-            (n, s)
+            var n = 0L; var s = 0L; var d = 0.0
+            while (it.hasNext) {
+              val row = it.next(); s += tL(row); d += tD(row); n += 1
+            }
+            (n, s, d)
           })
-        (partials.map(_._1).sum, partials.map(_._2).sum)
+        (partials.map(_._1).sum, partials.map(_._2).sum,
+         partials.foldLeft(0.0)(_ + _._3))
       }
     val probe = fenceProbe
     if (probe != null) {
@@ -199,14 +212,14 @@ object GraftSqlShim {
     // UnknownPartitioning, which made every downstream consumer of a
     // hash-partitioned fenced relation re-shuffle it (measured: the
     // 4-consumer ppjoin shingle relation at sf0.1 ran 3.0 s vs 1.7 s).
-    (classic.Dataset.ofRows(spark, leaf), n, s)
+    (classic.Dataset.ofRows(spark, leaf), n, s, sd)
   }
 
   /** [[localCheckpointCappedCounted]] with SIZE-ADAPTIVE leaf
     * partitioning — see the adaptive note in [[materialize]]. For the
     * per-round DELTA cuts of the BFS family (r17, verdict #3). */
   def localCheckpointCappedCountedAdaptive(df: DataFrame): (DataFrame, Long) = {
-    val (out, n, _) = materialize(df, checkpoint = true, term = null, adaptive = true)
+    val (out, n, _, _) = materialize(df, checkpoint = true, term = null, adaptive = true)
     (out, n)
   }
 
@@ -219,7 +232,7 @@ object GraftSqlShim {
     * cascades, peel rounds) were paying one extra plan + job per round
     * to recount the frame they had just materialized. */
   def pinMemoryCounted(df: DataFrame): (DataFrame, Long) = {
-    val (out, n, _) = materialize(df, checkpoint = false, term = null)
+    val (out, n, _, _) = materialize(df, checkpoint = false, term = null)
     (out, n)
   }
 
@@ -227,8 +240,10 @@ object GraftSqlShim {
     * into the materialization job — see [[materialize]]. Returns
     * (fenced frame, row count, Σ term(row)). */
   def pinMemoryCountedSum(df: DataFrame,
-                          term: catalyst.InternalRow => Long): (DataFrame, Long, Long) =
-    materialize(df, checkpoint = false, term)
+                          term: catalyst.InternalRow => Long): (DataFrame, Long, Long) = {
+    val (out, n, s, _) = materialize(df, checkpoint = false, term)
+    (out, n, s)
+  }
 
   /** The [[graft.Fence.cut]] implementation: Dataset.localCheckpoint's
     * exact recipe (row-copied internal RDD, local checkpoint storage,
@@ -241,15 +256,27 @@ object GraftSqlShim {
   /** [[localCheckpointCapped]] returning the materialization count —
     * see [[pinMemoryCounted]]. */
   def localCheckpointCappedCounted(df: DataFrame): (DataFrame, Long) = {
-    val (out, n, _) = materialize(df, checkpoint = true, term = null)
+    val (out, n, _, _) = materialize(df, checkpoint = true, term = null)
     (out, n)
   }
 
   /** [[localCheckpointCappedCounted]] that ALSO folds a commutative Long
     * term sum into the materialization job — see [[materialize]]. */
   def localCheckpointCappedCountedSum(df: DataFrame,
-                                      term: catalyst.InternalRow => Long): (DataFrame, Long, Long) =
-    materialize(df, checkpoint = true, term)
+                                      term: catalyst.InternalRow => Long): (DataFrame, Long, Long) = {
+    val (out, n, s, _) = materialize(df, checkpoint = true, term)
+    (out, n, s)
+  }
+
+  /** [[localCheckpointCappedCounted]] with a fused DOUBLE term sum —
+    * see the double-term determinism note in [[materialize]]; for
+    * bound-checked estimator scalars only (the HyperBall Σest), never
+    * for hashed payload values. */
+  def localCheckpointCappedCountedSumD(df: DataFrame,
+                                       termD: catalyst.InternalRow => Double): (DataFrame, Long, Double) = {
+    val (out, n, _, d) = materialize(df, checkpoint = true, term = null, termD = termD)
+    (out, n, d)
+  }
 
   /** Drop the MEMORY_ONLY blocks behind a [[pinMemory]]-fenced frame (the
     * iterative-loop release half of the pin contract — see the
